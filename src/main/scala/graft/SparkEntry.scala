@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
+ *
+ * `queries` is the proven operator inventory (SURVEY.md §2): one entry per
+ * capability, each with a DuckDB oracle in `oracleSql` where the semantics
+ * are ANSI-SQL-expressible (driver hash-compares at sf0.01). Entries without
+ * an oracle (custom source, geo, sketches, LSH) are covered by ScalaTest
+ * golden specs instead.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val allQueries: Seq[Q] =
+    CoreQueries.all ++ JoinQueries.all ++ AggQueries.all ++ WindowQueries.all ++
+      SortSetQueries.all ++ ScalarQueries.all ++ RelationalQueries.all ++
+      ZarrQueries.all ++ MLQueries.all
+
+  /** Flagship on sf0.001: the reference's STAC-style Zarr search end-to-end. */
+  def entry(spark: SparkSession): DataFrame = ZarrQueries.flagship(spark)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

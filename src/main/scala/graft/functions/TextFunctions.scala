@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for LLM training-data pipelines: tokenizing,
+ * n-gram shingling, language ID, quality scoring, fingerprinting.
+ *
+ * Everything here composes Spark built-ins (split / transform / aggregate /
+ * xxhash64 …), so the whole pipeline stays inside whole-stage codegen and
+ * needs no UDF — each derived column is a scan-local map at any scale.
+ */
+object TextFunctions {
+
+  /** Lowercased word tokens (letters+digits runs). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish token count: words, numbers and punctuation counted separately —
+   * the standard cheap proxy for subword token counts.
+   */
+  def tokenCountBpeish(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= ""))
+
+  /** Character n-gram shingles of the normalized text (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val count = greatest(length(norm) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), count), i => substring(norm, i, lit(n))))
+  }
+
+  /** Word n-gram shingles (space-joined runs of n tokens, distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val count = greatest(size(ts) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  // Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+  // language ID. Deliberately small + deterministic (same lists are inlined
+  // into the DuckDB oracle SQL of q_text_langid).
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "as"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "que", "una", "para"))
+
+  /** Count of distinct tokens that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)), array(words.map(lit): _*)))
+
+  /**
+   * Heuristic language ID: the language whose stopword set has the most
+   * distinct hits; ties and zero hits resolve to 'und' → first in list order.
+   */
+  def langId(text: Column): Column = {
+    // argmax via struct ordering: (hits, -listIndex) — ties resolve to the
+    // earliest language in StopwordSets order; zero hits → 'und'
+    val cands = StopwordSets.zipWithIndex.map { case ((lang, words), i) =>
+      struct(stopwordHits(text, words).as("hits"), lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = greatest(cands: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /**
+   * Quality score in [0,1]: mixes document length, mean word length,
+   * alphanumeric ratio and stopword ratio — the classic cheap quality gates.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val alnum = length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+    val meanWordLen = when(nTok > 0, alnum / nTok).otherwise(0.0)
+    val stopRatio = when(nTok > 0,
+      stopwordHits(text, StopwordSets.head._2).cast("double") / least(nTok, lit(10.0)))
+      .otherwise(0.0)
+    val lengthScore = least(nChar / 500.0, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val alnumScore = when(nChar > 0, alnum / nChar).otherwise(0.0)
+    round(lengthScore * 0.3 + wordLenScore * 0.2 + alnumScore * 0.3 + stopRatio * 0.2, 6)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+/**
+ * Minimal, allocation-light WKT envelope extraction.
+ *
+ * The reference's `bbox` column holds WKT `POLYGON`/`MULTIPOLYGON` bounding
+ * boxes (reference: README.md:12-14, scripts/generate_data.py:23-36); the
+ * intended search predicate is envelope intersection. We therefore never
+ * materialize a geometry — a single pass over the text collecting coordinate
+ * (x, y) extrema yields the envelope for any non-empty 2-D WKT.
+ */
+object Wkt {
+
+  /** Envelope as (minx, miny, maxx, maxy); null if no coordinates found. */
+  def envelope(wkt: String): Array[Double] = {
+    val s = wkt
+    val n = s.length
+    var i = 0
+    var minx = Double.PositiveInfinity
+    var miny = Double.PositiveInfinity
+    var maxx = Double.NegativeInfinity
+    var maxy = Double.NegativeInfinity
+    var isX = true
+    var any = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && { val d = s.charAt(j)
+          (d >= '0' && d <= '9') || d == '.' || d == 'e' || d == 'E' ||
+            ((d == '-' || d == '+') && { val p = s.charAt(j - 1); p == 'e' || p == 'E' }) }) j += 1
+        val v = java.lang.Double.parseDouble(s.substring(i, j))
+        if (isX) {
+          if (v < minx) minx = v
+          if (v > maxx) maxx = v
+        } else {
+          if (v < miny) miny = v
+          if (v > maxy) maxy = v
+          any = true
+        }
+        isX = !isX
+        i = j
+      } else {
+        i += 1
+      }
+    }
+    if (!any) null else Array(minx, miny, maxx, maxy)
+  }
+
+  /** Does the WKT's envelope intersect box (minx, miny, maxx, maxy)? */
+  def envelopeIntersects(wkt: String, minx: Double, miny: Double,
+      maxx: Double, maxy: Double): Boolean = {
+    val e = envelope(wkt)
+    e != null && e(0) <= maxx && e(2) >= minx && e(1) <= maxy && e(3) >= miny
+  }
+}

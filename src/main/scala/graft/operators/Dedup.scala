@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/**
+ * Deduplication operators for document corpora — the workhorses of a
+ * training-data pipeline. Four families, all shuffle-frugal:
+ *
+ *  - exact: one hash groupBy; shuffled volume = one digest per row.
+ *  - MinHash+LSH: signatures are scan-local maps (nested higher-order
+ *    functions, no UDF); candidate generation explodes b band keys per doc
+ *    and self-joins per bucket — the join is on (band, bandHash), so at
+ *    100 TB it shuffles b small keys per doc, never the text. The final
+ *    exact-Jaccard verification runs only on candidate pairs.
+ *  - SimHash: 64-bit fingerprint via per-bit majority vote of token hashes
+ *    (explode + 64 conditional sums — partial-aggregated map-side), near-dups
+ *    = Hamming distance on band-matched fingerprints.
+ *  - Embedding cosine: delegated to [[Similarity.cosine]] over candidate
+ *    pairs from sign-LSH buckets.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content digest. */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(idCol).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy("content_hash")
+
+  /** Keep one row per distinct content (the minimum id wins). */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /**
+   * MinHash signature: k independent permutations approximated by
+   * `xxhash64(shingle, seed)`; sig[j] = min over shingles. Pure higher-order
+   * built-ins — stays in codegen, no UDF serialization.
+   */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val sh = TextFunctions.shingles(text, shingleSize)
+    val seeds = array((0 until numHashes).map(lit): _*)
+    transform(seeds, seed => array_min(transform(sh, s => xxhash64(s, seed))))
+  }
+
+  /**
+   * LSH candidate pairs: split the signature into `bands` bands, bucket by
+   * (band index, hash of band slice), pair up docs sharing a bucket.
+   * Returns distinct (id_a < id_b) candidate pairs with their estimated
+   * Jaccard (fraction of matching minhashes).
+   */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /**
+   * Near-duplicate pairs: LSH candidates verified with EXACT n-gram Jaccard
+   * over the candidate pairs only.
+   */
+  def nearDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
+    val cands = minhashCandidates(docs, textCol, idCol, shingleSize = shingleSize)
+      .select("id_a", "id_b", "est_jaccard")
+    val sh = docs.select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * 64-bit SimHash fingerprint per document: explode token hashes, take a
+   * per-bit majority vote (sum of ±1), reassemble the sign bits into a long.
+   * The 64 conditional sums partial-aggregate map-side — shuffle volume is
+   * 64 longs per doc regardless of text size.
+   */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"b$k")
+    }
+    val fp = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two long fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: block on 4 × 16-bit bands (any exact band match
+   * → candidate; Hamming ≤ maxDistance verified on candidates only).
+   */
+  def simhashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxDistance: Int = 6): DataFrame = {
+    val fp = simhash(docs, textCol, idCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        col("simhash").bitwiseAND(lit(0xffffL << (16 * k)))): _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("simhash").as("fp_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("distance", hamming(col("fp_a"), col("fp_b")))
+      .filter(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "distance")
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Baseline: brute-force cosine top-k — probe set broadcast against the corpus
+ * (one scan, no corpus shuffle; correct plan when |probes| ≪ |corpus|).
+ *
+ * Scale path: sign-LSH (random-hyperplane) bucketing. Hyperplanes are derived
+ * deterministically from `xxhash64(dim, plane)` so the operator needs no
+ * stored model; probe and corpus bucket on the same signature and only
+ * same-bucket pairs are scored. At 100 TB the bucket join shuffles
+ * (signature, vector) once — multiprobe (flipping one bit) keeps recall up
+ * without widening the shuffle.
+ */
+object Similarity {
+
+  /** Dot product of two float arrays as double (index-ordered, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force top-k cosine neighbors of each probe vector.
+   * probes: (probe_id, probe_vec); corpus: (idCol, vecCol).
+   */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.join(broadcast(probes), col("probe_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (dim i, plane p):
+   *  xxhash64 folded to ±1. */
+  private def planeComponent(i: Column, p: Int): Column =
+    when(pmod(xxhash64(i, lit(p)), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Sign-LSH signature: `planes` bits, bit p = sign(v · hyperplane_p). */
+  def lshSignature(vec: Column, planes: Int): Column = {
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(i, p)),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: only corpus vectors whose signature
+   * matches the probe's (exactly, or within one flipped bit — multiprobe)
+   * are scored. Recall < 1 by construction; the ScalaTest spec measures it
+   * against brute force.
+   */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, planes: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cSig = corpus.withColumn("sig", lshSignature(col(vecCol), planes))
+    val pSig = probes.withColumn("psig", lshSignature(col("probe_vec"), planes))
+    // multiprobe: probe bucket + the `planes` one-bit-flip neighbors
+    val probeBuckets = pSig.select(col("probe_id"), col("probe_vec"),
+      explode(array((col("psig") +: (0 until planes).map(p =>
+        col("psig").bitwiseXOR(lit(1L << p)))): _*)).as("sig"))
+    val scored = cSig.join(broadcast(probeBuckets), "sig")
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs via LSH buckets + cosine threshold. */
+  def embeddingDuplicates(corpus: DataFrame, threshold: Double, planes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = corpus.withColumn("sig", lshSignature(col(vecCol), planes))
+    val a = sig.select(col("sig"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = sig.select(col("sig"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, "sig").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+}

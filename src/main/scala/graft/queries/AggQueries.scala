@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Aggregation surface (SURVEY.md §2 C-aggregation). Every groupBy here is a
+ * hash aggregate that Spark plans as partial (map-side) + final — one shuffle
+ * of the already-reduced groups, which is the correct distributed plan: the
+ * shuffled volume is O(groups), not O(rows), at any scale. COUNT(DISTINCT) is
+ * planned via expand+two-phase agg by Catalyst; approx_count_distinct (HLL)
+ * is the constant-memory alternative that actually survives 100 TB.
+ */
+object AggQueries {
+  import Tables.t
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_agg_distinct", Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT l_partkey) AS n_part,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    Q("q_agg_stats", Some("""
+      SELECT l_linestatus,
+             round(var_pop(l_quantity), 4) AS var_pop_qty,
+             round(var_samp(l_quantity), 4) AS var_samp_qty,
+             round(stddev_pop(l_quantity), 4) AS sd_pop_qty,
+             round(stddev_samp(l_quantity), 4) AS sd_samp_qty,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pop_qp,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qp
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+          round(var_pop("l_quantity"), 4).as("var_pop_qty"),
+          round(var_samp("l_quantity"), 4).as("var_samp_qty"),
+          round(stddev_pop("l_quantity"), 4).as("sd_pop_qty"),
+          round(stddev_samp("l_quantity"), 4).as("sd_samp_qty"),
+          round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_pop_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_samp_qp"))
+        .orderBy("l_linestatus")),
+
+    Q("q_agg_percentile", Some("""
+      SELECT o_orderstatus,
+             round(median(o_totalprice), 4) AS median_price,
+             round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(median(col("o_totalprice")), 4).as("median_price"),
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.90)), 4).as("p90"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .orderBy("o_orderstatus")),
+
+    // HLL sketch: engines' estimates differ by design → no SQL oracle; the
+    // ScalaTest spec asserts the estimate is within HLL error of the exact.
+    Q("q_agg_approx_distinct", None,
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    Q("q_agg_collect", Some("""
+      SELECT n.n_name,
+             list_sort(list(DISTINCT r.r_name)) AS regions,
+             string_agg(DISTINCT r.r_name, ',' ORDER BY r.r_name) AS regions_csv
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n.n_name"""),
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val r = broadcast(t(s, dir, "region"))
+        n.join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(
+            array_sort(collect_set("r_name")).as("regions"),
+            concat_ws(",", array_sort(collect_set("r_name"))).as("regions_csv"))
+          .orderBy("n_name")
+      }),
+
+    Q("q_agg_minmax_by", Some("""
+      SELECT o_orderstatus,
+             min_by(o_orderdate, o_orderkey) AS first_key_date,
+             max_by(o_totalprice, o_orderkey) AS last_key_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+      // argmin/argmax over the UNIQUE o_orderkey → deterministic
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(min_by(col("o_orderdate"), col("o_orderkey")).as("first_key_date"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("last_key_price"))
+        .orderBy("o_orderstatus")),
+
+    Q("q_agg_bool", Some("""
+      SELECT l_returnflag,
+             bool_and(l_quantity > 0) AS all_positive,
+             bool_or(l_discount > 0.09) AS any_big_discount,
+             every(l_extendedprice > 1) AS every_priced
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_big_discount"),
+          every(col("l_extendedprice") > 1).as("every_priced"))
+        .orderBy("l_returnflag")),
+
+    Q("q_rollup", Some("""
+      SELECT r.r_name, n.n_name, count(*) AS n_cust,
+             round(sum(c.c_acctbal), 2) AS bal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY ROLLUP (r.r_name, n.n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .rollup("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("bal"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      }),
+
+    Q("q_cube", Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+      (s, dir) => t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    Q("q_grouping_sets", Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             grouping(o_orderstatus) AS g_status,
+             grouping(o_orderpriority) AS g_prio,
+             count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                 count(*) AS n
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      }),
+
+    Q("q_having", Some("""
+      SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING count(*) > 50 AND sum(l_quantity) > 500
+      ORDER BY l_suppkey"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty_raw"))
+        .where(col("n") > 50 && col("qty_raw") > 500)
+        .select(col("l_suppkey"), col("n"), round(col("qty_raw"), 2).as("qty"))
+        .orderBy("l_suppkey")),
+
+    Q("q_agg_filter_clause", Some("""
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+             round(sum(l_extendedprice) FILTER (WHERE l_quantity > 25), 2) AS big_qty_revenue,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS f_revenue
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          round(sum(when(col("l_quantity") > 25, col("l_extendedprice"))), 2).as("big_qty_revenue"),
+          round(sum(when(col("l_linestatus") === "F", col("l_extendedprice")).otherwise(0)), 2).as("f_revenue"))
+        .orderBy("l_returnflag"))
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/**
+ * Training-data pipeline surface: text analysis, dedup, similarity search,
+ * multimodal plumbing (SURVEY.md §2 north-star block). Oracles are provided
+ * where the semantics are plain SQL (token stats, language ID, exact dedup);
+ * the sketch/LSH operators are verified by ScalaTest golden + property specs
+ * instead (hash functions differ across engines by construction).
+ */
+object MLQueries {
+  import Tables.t
+
+  private val enStop = TextFunctions.StopwordSets.head._2
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_text_stats", Some(s"""
+      SELECT doc_id,
+             length(text) AS n_char,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+             round(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 6) AS alnum_ratio,
+             len(list_intersect(
+                 list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+                 [${enStop.map(w => s"'$w'").mkString(", ")}])) AS en_stopword_hits
+      FROM documents
+      ORDER BY doc_id"""),
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_char"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("bigint").as("n_alnum"),
+        round(length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)), 6).as("alnum_ratio"),
+        TextFunctions.stopwordHits(col("text"), enStop).cast("bigint").as("en_stopword_hits"))
+        .orderBy("doc_id")),
+
+    Q("q_text_langid", Some {
+      val hits = TextFunctions.StopwordSets.map { case (lang, words) =>
+        s"len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))," +
+          s" [${words.map(w => s"'$w'").mkString(", ")}])) AS h_$lang"
+      }.mkString(",\n             ")
+      val langs = TextFunctions.StopwordSets.map(_._1)
+      val cases = langs.map { l =>
+        val geq = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"WHEN h_$l > 0 AND $geq THEN '$l'"
+      }.mkString("\n                  ")
+      s"""
+      SELECT doc_id, lang AS labeled_lang,
+             CASE $cases
+                  ELSE 'und' END AS detected_lang
+      FROM (SELECT doc_id, lang, $hits FROM documents)
+      ORDER BY doc_id"""
+    },
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextFunctions.langId(col("text")).as("detected_lang"))
+        .orderBy("doc_id")),
+
+    // quality heuristic + BPE-ish token count + fingerprint: engine-specific
+    // regex/hash internals → ScalaTest-verified, no SQL oracle
+    Q("q_text_quality", None,
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.tokenCountBpeish(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    Q("q_text_fingerprint", None,
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
+        Dedup.minhashSignature(col("text"), 4, 5).as("minhash4"))
+        .orderBy("doc_id")),
+
+    Q("q_dedup_exact", Some("""
+      SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS canonical_id
+      FROM documents
+      GROUP BY 1
+      HAVING count(*) > 1
+      ORDER BY content_hash"""),
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"))),
+
+    Q("q_dedup_minhash", None,
+      (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7)),
+
+    Q("q_dedup_simhash", None,
+      (s, dir) => Dedup.simhashDuplicates(t(s, dir, "documents"), maxDistance = 10)),
+
+    Q("q_dedup_embedding", None,
+      (s, dir) => Similarity.embeddingDuplicates(
+        t(s, dir, "embeddings"), threshold = 0.95)),
+
+    Q("q_sim_bruteforce", None,
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        Similarity.bruteForceTopK(emb, probes, k = 5)
+      }),
+
+    Q("q_sim_lsh", None,
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        Similarity.lshTopK(emb, probes, k = 5)
+      }),
+
+    Q("q_multimodal_features", None,
+      (s, dir) => Multimodal.featureSummary(s, t(s, dir, "documents")))
+  )
+}

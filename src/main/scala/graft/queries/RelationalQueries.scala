@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Subqueries, CTEs, VALUES, UNNEST, time bucketing (SURVEY.md §2 C-other).
+ * Catalyst decorrelates the correlated predicates into joins
+ * (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery), so these plan
+ * as ordinary distributed joins — nothing row-at-a-time.
+ */
+object RelationalQueries {
+  import Tables.t
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_subquery_scalar", Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey"""),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+          ORDER BY o_orderkey""")
+      }),
+
+    Q("q_subquery_correlated", Some("""
+      SELECT c_custkey
+      FROM customer c
+      WHERE c_acctbal > (SELECT coalesce(avg(o_totalprice), 1e18) FROM orders o
+                         WHERE o.o_custkey = c.c_custkey) / 50.0
+      ORDER BY c_custkey"""),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT c_custkey
+          FROM customer c
+          WHERE c_acctbal > (SELECT coalesce(avg(o_totalprice), 1e18) FROM orders o
+                             WHERE o.o_custkey = c.c_custkey) / 50.0
+          ORDER BY c_custkey""")
+      }),
+
+    Q("q_subquery_in", Some("""
+      SELECT p_partkey, p_name
+      FROM part
+      WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      ORDER BY p_partkey"""),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT p_partkey, p_name
+          FROM part
+          WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+          ORDER BY p_partkey""")
+      }),
+
+    Q("q_cte", Some("""
+      WITH big_orders AS (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 150000
+        GROUP BY o_custkey
+      ), ranked AS (
+        SELECT o_custkey, n_big FROM big_orders WHERE n_big >= 2
+      )
+      SELECT c.c_custkey, c.c_mktsegment, r.n_big
+      FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+      ORDER BY c.c_custkey"""),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          WITH big_orders AS (
+            SELECT o_custkey, count(*) AS n_big
+            FROM orders WHERE o_totalprice > 150000
+            GROUP BY o_custkey
+          ), ranked AS (
+            SELECT o_custkey, n_big FROM big_orders WHERE n_big >= 2
+          )
+          SELECT c.c_custkey, c.c_mktsegment, r.n_big
+          FROM ranked r JOIN customer c ON c.c_custkey = r.o_custkey
+          ORDER BY c.c_custkey""")
+      }),
+
+    Q("q_values_inline", Some("""
+      SELECT v.region_name, r.r_regionkey
+      FROM (VALUES ('AFRICA', 1), ('ASIA', 2), ('NOWHERE', 3)) AS v(region_name, prio)
+      LEFT JOIN region r ON r.r_name = v.region_name
+      ORDER BY v.prio"""),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT v.region_name, r.r_regionkey
+          FROM VALUES ('AFRICA', 1), ('ASIA', 2), ('NOWHERE', 3) AS v(region_name, prio)
+          LEFT JOIN region r ON r.r_name = v.region_name
+          ORDER BY v.prio""")
+      }),
+
+    Q("q_unnest", Some("""
+      SELECT vec_id, CAST(u.pos AS INTEGER) - 1 AS pos, u.val
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings WHERE vec_id < 5) u
+      ORDER BY vec_id, pos"""),
+      (s, dir) => t(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .orderBy("vec_id", "pos")),
+
+    Q("q_time_bucket", Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             event_type,
+             count(*) AS n,
+             round(sum(value), 4) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket, event_type"""),
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+        .orderBy("bucket", "event_type")),
+
+    Q("q_explain_plan", None,
+      (s, dir) => {
+        // EXPLAIN surface (SURVEY §2 C-other): expose the formatted plan rows.
+        Tables.registerAll(s, dir)
+        s.sql("EXPLAIN SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1")
+      })
+  )
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.zarr.ZarrWriter
+
+/**
+ * The reference workload itself (SURVEY.md §0): read a Zarr v3 metadata
+ * table through our DSv2 source and run the STAC-style search —
+ * collection equality, date range, WKT bbox intersection
+ * (reference: README.md:3-16, src/table_provider.rs:317-358).
+ *
+ * Inputs are self-materialized (a store equivalent to the reference's
+ * committed fixture, written to a temp dir once per JVM) because the driver
+ * test dirs contain only parquet. Not DuckDB-expressible (custom source +
+ * geo predicate) → no oracle; golden assertions live in ZarrSourceSpec.
+ */
+object ZarrQueries {
+
+  /** Write the golden fixture once per JVM; return its path. */
+  lazy val fixturePath: String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_zarr_fixture.zarr")
+    if (!Files.exists(dir.resolve("zarr.json")))
+      ZarrWriter.writeReferenceFixture(dir.toString)
+    dir.toString
+  }
+
+  def zarrTable(s: SparkSession): DataFrame =
+    s.read.format("zarr").option("group", "/meta").load(fixturePath)
+
+  /** Flagship: the full search predicate over the Zarr table. */
+  def flagship(s: SparkSession): DataFrame = {
+    GeoFunctions.register(s)
+    zarrTable(s)
+      .filter(col("collection").isin("collection_b", "collection_c") &&
+        col("date").between(lit("2023-01-01"), lit("2023-12-31")) &&
+        GeoFunctions.bbox_intersects(col("bbox"), 15, 15, 25, 25))
+      .select("collection", "date", "bbox")
+      .orderBy("collection")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // the reference's own (ignored = known-broken there) projection+filter test:
+    // SELECT collection, date WHERE collection = 'collection_a' → 1×2
+    Q("q_zarr_scan", None,
+      (s, _) => zarrTable(s)
+        .filter(col("collection") === "collection_a")
+        .select("collection", "date")
+        .orderBy("collection")),
+
+    Q("q_zarr_bbox_search", None, (s, _) => flagship(s)),
+
+    Q("q_zarr_envelope", None,
+      (s, _) => {
+        GeoFunctions.register(s)
+        zarrTable(s).select(
+          col("collection"),
+          GeoFunctions.bbox_envelope(col("bbox")).as("env"))
+          .select(col("collection"), col("env.minx"), col("env.miny"),
+            col("env.maxx"), col("env.maxy"))
+          .orderBy("collection")
+      })
+  )
+}

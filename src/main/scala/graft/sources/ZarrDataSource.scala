@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.zarr._
+
+/**
+ * Spark DataSource V2 for Zarr v3 metadata tables:
+ * `spark.read.format("zarr").option("group", "/meta").load(path)`.
+ *
+ * Capability parity with the reference's DataFusion `TableProvider`
+ * (reference: src/table_provider.rs:67-94, :193-294) plus the two things the
+ * reference leaves on the table:
+ *
+ *  - **Column pruning is honored** ([[SupportsPushDownRequiredColumns]]):
+ *    only the requested child arrays are opened and decoded. The reference
+ *    accepts the projection and ignores it (src/table_provider.rs:84, :228).
+ *  - **One input partition per chunk range** instead of a single whole-table
+ *    partition (src/table_provider.rs:237): scan parallelism scales with the
+ *    chunk grid, which is what makes the source usable on a real cluster.
+ *    Adjacent chunks are coalesced up to `target_partition_rows` so tiny
+ *    chunks don't explode the task count.
+ *
+ * Filters/limit are deliberately not pushed down — Zarr v3 stores no chunk
+ * statistics, so a pushed filter can never skip I/O; Spark keeps its own
+ * Filter above the scan (same stance as the reference, src/table_provider.rs:85).
+ * Row count IS reported ([[SupportsReportStatistics]]) so AQE/broadcast
+ * planning sees the table size.
+ */
+class ZarrDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zarr"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def storePath(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    p.getOrElse(throw new ZarrException("zarr source requires a path: .load(<store dir>)"))
+  }
+
+  private def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val store = new ZarrStore(storePath(options), hadoopConf())
+    ZarrSchema.infer(store, Option(options.get("group")).getOrElse("/"))
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val path = storePath(options)
+    val group = Option(options.get("group")).getOrElse("/")
+    val targetRows = Option(options.get("target_partition_rows")).map(_.toLong).getOrElse(1L << 20)
+    val store = new ZarrStore(path, hadoopConf())
+    val arrays = ZarrSchema.listArrays(store, group)
+    new ZarrTable(path, group, arrays, schema, targetRows)
+  }
+}
+
+class ZarrTable(
+    path: String,
+    group: String,
+    arrays: Seq[ZarrArrayMeta],
+    tableSchema: StructType,
+    targetRows: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"zarr:`$path`$group"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(path, arrays, tableSchema, targetRows)
+}
+
+class ZarrScanBuilder(
+    path: String,
+    arrays: Seq[ZarrArrayMeta],
+    fullSchema: StructType,
+    targetRows: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = fullSchema
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep table field order for the names Spark asked for
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new ZarrScan(path, arrays, requiredSchema, targetRows)
+}
+
+class ZarrScan(
+    path: String,
+    arrays: Seq[ZarrArrayMeta],
+    requiredSchema: StructType,
+    targetRows: Long)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private val tableRows: Long = arrays.headOption.map(_.length).getOrElse(0L)
+  private val requiredArrays: Seq[ZarrArrayMeta] =
+    requiredSchema.fieldNames.toSeq.map(n => arrays.find(_.name == n).getOrElse(
+      throw new ZarrException(s"no child array for column '$n'")))
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZarrScan(path=$path, columns=[${requiredSchema.fieldNames.mkString(",")}])"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = {
+      val perRow = requiredArrays.map(a => math.max(a.dtype.byteSize, 16)).sum
+      OptionalLong.of(tableRows * math.max(perRow, 1))
+    }
+    override def numRows(): OptionalLong = OptionalLong.of(tableRows)
+  }
+
+  /**
+   * Partition = contiguous row range aligned to the coarsest chunk grid among
+   * the required columns, coalesced up to `targetRows` rows per task.
+   */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (tableRows == 0) return Array.empty
+    val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
+    val step = math.max(align, (targetRows / align) * align)
+    val parts = Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows).map { start =>
+      ZarrInputPartition(start, math.min(start + step, tableRows)): InputPartition
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
+    new ZarrPartitionReaderFactory(path, conf, requiredArrays)
+  }
+}
+
+final case class ZarrInputPartition(start: Long, end: Long) extends InputPartition
+
+class ZarrPartitionReaderFactory(
+    path: String,
+    conf: SerializableHadoopConf,
+    columns: Seq[ZarrArrayMeta])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ZarrInputPartition]
+    new ZarrPartitionReader(new ZarrStore(path, conf.value), columns, p.start, p.end)
+  }
+}
+
+/**
+ * Streams rows of [start, end); per column keeps the one currently-needed
+ * decoded chunk (rows are visited in order, so each chunk is fetched and
+ * decoded exactly once per task — bounded memory regardless of range size).
+ */
+class ZarrPartitionReader(
+    store: ZarrStore,
+    columns: Seq[ZarrArrayMeta],
+    start: Long,
+    end: Long)
+  extends PartitionReader[InternalRow] {
+
+  private var row = start - 1
+  private val ncols = columns.length
+  private val chunkIdx = Array.fill[Long](ncols)(-1L)
+  private val chunks = new Array[ColumnChunk](ncols)
+  private val current = new Array[Any](ncols)
+
+  override def next(): Boolean = {
+    row += 1
+    if (row >= end) return false
+    var c = 0
+    while (c < ncols) {
+      val meta = columns(c)
+      val ci = row / meta.chunkLength
+      if (ci != chunkIdx(c)) {
+        chunks(c) = ZarrCodecs.decodeChunk(store.readBytesIfExists(meta.chunkPath(ci)), meta)
+        chunkIdx(c) = ci
+      }
+      current(c) = chunks(c).get((row % meta.chunkLength).toInt)
+      c += 1
+    }
+    true
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(current.clone())
+  override def close(): Unit = ()
+}

@@ -1,0 +1,202 @@
+package graft.zarr
+
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.GZIPInputStream
+
+import com.github.luben.zstd.ZstdInputStreamNoFinalizer
+
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Chunk decode pipeline for Zarr v3.
+ *
+ * Byte-stream codecs (zstd/gzip/crc32c) are undone last-to-first, then the
+ * terminal array→bytes codec (`bytes` little/big-endian fixed width, or
+ * `vlen-utf8`) materializes a [[ColumnChunk]].
+ *
+ * Wire formats re-derived from the public Zarr v3 codec specs; the vlen-utf8
+ * encoding (per element: u32-LE byte length + UTF-8 bytes) matches what the
+ * reference's fixture store contains (reference: data/zarr_store.zarr, decode
+ * behavior observed via src/testing/load_into_arrow.rs:11-98).
+ *
+ * Values are produced directly as Catalyst internal values (UTF8String, Long
+ * micros for timestamps, Decimal for uint64) so the DSv2 reader never pivots
+ * through external row types.
+ */
+sealed trait ColumnChunk {
+  def length: Int
+  /** Catalyst internal value of element i. */
+  def get(i: Int): Any
+}
+
+object ZarrCodecs {
+
+  /** Decode one stored chunk (or synthesize a fill-value chunk if bytes==null). */
+  def decodeChunk(raw: Array[Byte], meta: ZarrArrayMeta): ColumnChunk = {
+    val chunkLen = meta.chunkLength.toInt
+    if (raw == null) return fillChunk(meta, chunkLen)
+    var bytes = raw
+    // undo byte-stream codecs, innermost-last
+    meta.codecs.reverse.foreach {
+      case ZarrCodec.ZstdCodec(_, _) => bytes = zstdDecompress(bytes)
+      case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes)
+      case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
+      case ZarrCodec.BytesCodec(_) | ZarrCodec.VlenUtf8Codec => // terminal, handled below
+    }
+    val littleEndian = meta.codecs.collectFirst { case ZarrCodec.BytesCodec(le) => le }.getOrElse(true)
+    meta.dtype match {
+      case ZarrType.ZString => decodeVlenUtf8(bytes, chunkLen, meta.path)
+      case dt               => decodeFixed(bytes, dt, chunkLen, littleEndian)
+    }
+  }
+
+  private def zstdDecompress(bytes: Array[Byte]): Array[Byte] = {
+    val in = new ZstdInputStreamNoFinalizer(new ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def gzipDecompress(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def stripCrc32c(bytes: Array[Byte], path: String): Array[Byte] = {
+    if (bytes.length < 4) throw new ZarrException(s"crc32c chunk too short at $path")
+    val body = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 4)
+    val crc = new java.util.zip.CRC32C()
+    crc.update(body)
+    val stored = ByteBuffer.wrap(bytes, bytes.length - 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    if (stored != crc.getValue.toInt)
+      throw new ZarrException(s"crc32c mismatch at $path")
+    body
+  }
+
+  /** vlen-utf8: per element a u32-LE byte length followed by that many UTF-8 bytes. */
+  private def decodeVlenUtf8(bytes: Array[Byte], n: Int, path: String): ColumnChunk = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (buf.remaining() < 4)
+        throw new ZarrException(s"vlen-utf8 chunk truncated at element $i of $n, at $path")
+      val len = buf.getInt
+      val b = new Array[Byte](len)
+      buf.get(b)
+      out(i) = UTF8String.fromBytes(b)
+      i += 1
+    }
+    new ColumnChunk {
+      val length = n
+      def get(i: Int): Any = out(i)
+    }
+  }
+
+  private def decodeFixed(bytes: Array[Byte], dt: ZarrType, n: Int, littleEndian: Boolean): ColumnChunk = {
+    val order = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    import ZarrType._
+    dt match {
+      case ZBool =>
+        chunk(n)(i => bytes(i) != 0)
+      case ZInt8 =>
+        chunk(n)(i => bytes(i))
+      case ZInt16 =>
+        chunk(n)(i => buf.getShort(i * 2))
+      case ZInt32 =>
+        chunk(n)(i => buf.getInt(i * 4))
+      case ZInt64 =>
+        chunk(n)(i => buf.getLong(i * 8))
+      case ZUInt8 =>
+        chunk(n)(i => (bytes(i) & 0xff).toShort) // widened: Spark has no unsigned
+      case ZUInt16 =>
+        chunk(n)(i => buf.getShort(i * 2) & 0xffff)
+      case ZUInt32 =>
+        chunk(n)(i => buf.getInt(i * 4) & 0xffffffffL)
+      case ZUInt64 =>
+        chunk(n) { i =>
+          val v = buf.getLong(i * 8)
+          if (v >= 0) Decimal(v) else Decimal(new java.math.BigDecimal(java.lang.Long.toUnsignedString(v)))
+        }
+      case ZFloat16 =>
+        chunk(n)(i => halfToFloat(buf.getShort(i * 2)))
+      case ZFloat32 =>
+        chunk(n)(i => buf.getFloat(i * 4))
+      case ZFloat64 =>
+        chunk(n)(i => buf.getDouble(i * 8))
+      case ZDatetime64(unit, scale) =>
+        // plain multiply (not multiplyExact): i64.MIN is numpy's NaT sentinel
+        // and must pass through without throwing
+        val toMicros: Long => Long = unit match {
+          case "s"  => v => v * 1000000L
+          case "ms" => v => v * 1000L
+          case "us" => v => v
+          case "ns" => v => Math.floorDiv(v, 1000L)
+        }
+        chunk(n)(i => toMicros(buf.getLong(i * 8) * scale))
+      case ZRaw(bits) =>
+        val w = bits / 8
+        chunk(n) { i =>
+          java.util.Arrays.copyOfRange(bytes, i * w, i * w + w)
+        }
+      case ZString =>
+        throw new ZarrException("string dtype requires vlen-utf8 codec")
+    }
+  }
+
+  private def chunk(n: Int)(f: Int => Any): ColumnChunk = new ColumnChunk {
+    val length = n
+    def get(i: Int): Any = f(i)
+  }
+
+  /** IEEE-754 half → float (JDK 17 lacks Float.float16ToFloat). */
+  def halfToFloat(h: Short): Float = {
+    val bits = h & 0xffff
+    val sign = (bits >>> 15) & 1
+    val exp = (bits >>> 10) & 0x1f
+    val frac = bits & 0x3ff
+    val f =
+      if (exp == 0) {
+        // subnormal or zero
+        (frac / 1024.0f) * math.pow(2, -14).toFloat
+      } else if (exp == 0x1f) {
+        if (frac == 0) Float.PositiveInfinity else Float.NaN
+      } else {
+        (1.0f + frac / 1024.0f) * math.pow(2, exp - 15).toFloat
+      }
+    if (sign == 1) -f else f
+  }
+
+  /** Chunk of repeated fill value, for absent chunk objects. */
+  private def fillChunk(meta: ZarrArrayMeta, n: Int): ColumnChunk = {
+    val node = ZarrMeta.parseJson(meta.fillValueJson)
+    import ZarrType._
+    val v: Any = meta.dtype match {
+      case ZBool             => node.asBoolean(false)
+      case ZInt8             => node.asInt(0).toByte
+      case ZInt16            => node.asInt(0).toShort
+      case ZInt32            => node.asInt(0)
+      case ZInt64            => node.asLong(0L)
+      case ZUInt8            => node.asInt(0).toShort
+      case ZUInt16           => node.asInt(0)
+      case ZUInt32           => node.asLong(0L)
+      case ZUInt64           => Decimal(new java.math.BigDecimal(node.asText("0")))
+      case ZFloat16          => node.asDouble(0.0).toFloat
+      case ZFloat32          => node.asDouble(0.0).toFloat
+      case ZFloat64          => node.asDouble(0.0)
+      case ZDatetime64(u, s) =>
+        val raw = node.asLong(0L) * s
+        u match {
+          case "s" => raw * 1000000L; case "ms" => raw * 1000L
+          case "us" => raw; case "ns" => Math.floorDiv(raw, 1000L)
+        }
+      case ZString           => UTF8String.fromString(node.asText(""))
+      case ZRaw(bits)        => new Array[Byte](bits / 8)
+    }
+    new ColumnChunk {
+      val length = n
+      def get(i: Int): Any = v
+    }
+  }
+}

@@ -1,0 +1,172 @@
+package graft.zarr
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/**
+ * Zarr v3 metadata model + parser.
+ *
+ * Parses the `zarr.json` documents of a Zarr v3 store: group nodes and 1-D
+ * array nodes with a regular chunk grid and default chunk-key encoding.
+ * Mirrors the metadata surface the reference consumes through the `zarrs`
+ * crate (reference: src/table_provider.rs:107-113, src/schema.rs:56-125),
+ * re-derived here from the public Zarr v3 spec.
+ *
+ * Everything in this file is plain-`Serializable` so array metadata can ride
+ * inside Spark `InputPartition`s to executors.
+ */
+sealed trait ZarrType extends Serializable {
+  /** Fixed encoded byte width per element, or -1 for variable-length. */
+  def byteSize: Int
+}
+object ZarrType {
+  case object ZBool    extends ZarrType { val byteSize = 1 }
+  case object ZInt8    extends ZarrType { val byteSize = 1 }
+  case object ZInt16   extends ZarrType { val byteSize = 2 }
+  case object ZInt32   extends ZarrType { val byteSize = 4 }
+  case object ZInt64   extends ZarrType { val byteSize = 8 }
+  case object ZUInt8   extends ZarrType { val byteSize = 1 }
+  case object ZUInt16  extends ZarrType { val byteSize = 2 }
+  case object ZUInt32  extends ZarrType { val byteSize = 4 }
+  case object ZUInt64  extends ZarrType { val byteSize = 8 }
+  case object ZFloat16 extends ZarrType { val byteSize = 2 }
+  case object ZFloat32 extends ZarrType { val byteSize = 4 }
+  case object ZFloat64 extends ZarrType { val byteSize = 8 }
+  case object ZString  extends ZarrType { val byteSize = -1 }
+  /** `r*` raw-bits type; `bits` must be a multiple of 8. */
+  final case class ZRaw(bits: Int) extends ZarrType { val byteSize = bits / 8 }
+  /** numpy.datetime64 with unit in {s, ms, us, ns} and a scale factor. */
+  final case class ZDatetime64(unit: String, scaleFactor: Long) extends ZarrType { val byteSize = 8 }
+}
+
+/** One codec in a Zarr v3 codec chain. Applied last-to-first on read. */
+sealed trait ZarrCodec extends Serializable
+object ZarrCodec {
+  final case class BytesCodec(littleEndian: Boolean) extends ZarrCodec
+  case object VlenUtf8Codec extends ZarrCodec
+  final case class ZstdCodec(level: Int, checksum: Boolean) extends ZarrCodec
+  final case class GzipCodec(level: Int) extends ZarrCodec
+  /** crc32c appends a 4-byte checksum; on read we verify+strip. */
+  case object Crc32cCodec extends ZarrCodec
+}
+
+/** Metadata of one 1-D Zarr v3 array (= one table column). */
+final case class ZarrArrayMeta(
+    name: String,        // column name (array path minus group prefix)
+    path: String,        // store-relative array dir, e.g. "meta/date"
+    length: Long,        // shape(0)
+    chunkLength: Long,   // regular chunk_grid chunk_shape(0)
+    dtype: ZarrType,
+    codecs: Seq[ZarrCodec],
+    separator: String,   // chunk-key separator, "/" or "."
+    fillValueJson: String // raw JSON text of fill_value (decoded lazily)
+) extends Serializable {
+  def numChunks: Long = if (length == 0) 0 else (length + chunkLength - 1) / chunkLength
+  /** Store-relative path of chunk i under default chunk-key encoding. */
+  def chunkPath(i: Long): String = s"$path/c$separator$i"
+}
+
+/** Errors raised by the Zarr reader (reference: src/error.rs:4-42). */
+final class ZarrException(msg: String, cause: Throwable = null) extends RuntimeException(msg, cause)
+
+object ZarrMeta {
+  private val mapper = new ObjectMapper()
+
+  def parseJson(text: String): JsonNode = mapper.readTree(text)
+
+  def isGroup(node: JsonNode): Boolean =
+    node.path("node_type").asText() == "group"
+
+  /** Parse one array `zarr.json`. `path` is the store-relative array dir. */
+  def parseArray(path: String, name: String, text: String): ZarrArrayMeta = {
+    val n = parseJson(text)
+    require(n.path("zarr_format").asInt() == 3, s"only Zarr v3 supported, at $path")
+    require(n.path("node_type").asText() == "array", s"not an array node: $path")
+    val shape = n.path("shape")
+    if (shape.size() != 1)
+      throw new ZarrException(s"only 1-D arrays supported, got ${shape.size()}-D at $path")
+    val grid = n.path("chunk_grid")
+    if (grid.path("name").asText() != "regular")
+      throw new ZarrException(s"unsupported chunk_grid '${grid.path("name").asText()}' at $path")
+    val chunkShape = grid.path("configuration").path("chunk_shape")
+    val cke = n.path("chunk_key_encoding")
+    val sep = cke.path("name").asText() match {
+      case "default" | "" =>
+        val s = cke.path("configuration").path("separator").asText()
+        if (s.isEmpty) "/" else s
+      case other => throw new ZarrException(s"unsupported chunk_key_encoding '$other' at $path")
+    }
+    ZarrArrayMeta(
+      name = name,
+      path = path,
+      length = shape.get(0).asLong(),
+      chunkLength = chunkShape.get(0).asLong(),
+      dtype = parseDType(n.path("data_type"), path),
+      codecs = parseCodecs(n.path("codecs"), path),
+      separator = sep,
+      fillValueJson = n.path("fill_value").toString
+    )
+  }
+
+  /** Zarr v3 dtype → internal type. Rejections mirror reference src/schema.rs:89-122. */
+  def parseDType(dt: JsonNode, path: String): ZarrType = {
+    import ZarrType._
+    if (dt.isTextual) {
+      dt.asText() match {
+        case "bool"    => ZBool
+        case "int8"    => ZInt8
+        case "int16"   => ZInt16
+        case "int32"   => ZInt32
+        case "int64"   => ZInt64
+        case "uint8"   => ZUInt8
+        case "uint16"  => ZUInt16
+        case "uint32"  => ZUInt32
+        case "uint64"  => ZUInt64
+        case "float16" => ZFloat16
+        case "float32" => ZFloat32
+        case "float64" => ZFloat64
+        case "string"  => ZString
+        case s if s.startsWith("complex") =>
+          throw new ZarrException(s"complex data type '$s' not supported, at $path")
+        case s if s.startsWith("r") && s.drop(1).forall(_.isDigit) =>
+          val bits = s.drop(1).toInt
+          if (bits % 8 != 0) throw new ZarrException(s"raw bits '$s' not byte-aligned, at $path")
+          ZRaw(bits)
+        case other =>
+          throw new ZarrException(s"unsupported data type '$other' at $path")
+      }
+    } else {
+      dt.path("name").asText() match {
+        case "numpy.datetime64" =>
+          val cfg = dt.path("configuration")
+          val unit = cfg.path("unit").asText()
+          val scale = if (cfg.has("scale_factor")) cfg.path("scale_factor").asLong() else 1L
+          unit match {
+            case "s" | "ms" | "us" | "ns" => ZDatetime64(unit, scale)
+            case other =>
+              throw new ZarrException(s"unsupported datetime64 unit '$other' at $path")
+          }
+        case other =>
+          throw new ZarrException(s"unsupported extension data type '$other' at $path")
+      }
+    }
+  }
+
+  def parseCodecs(codecs: JsonNode, path: String): Seq[ZarrCodec] = {
+    import ZarrCodec._
+    val it = codecs.elements()
+    val out = Seq.newBuilder[ZarrCodec]
+    while (it.hasNext) {
+      val c = it.next()
+      val cfg = c.path("configuration")
+      c.path("name").asText() match {
+        case "bytes"     => out += BytesCodec(cfg.path("endian").asText("little") == "little")
+        case "vlen-utf8" => out += VlenUtf8Codec
+        case "zstd"      => out += ZstdCodec(cfg.path("level").asInt(0), cfg.path("checksum").asBoolean(false))
+        case "gzip"      => out += GzipCodec(cfg.path("level").asInt(5))
+        case "crc32c"    => out += Crc32cCodec
+        case other       => throw new ZarrException(s"unsupported codec '$other' at $path")
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,86 @@
+package graft.zarr
+
+import org.apache.spark.sql.types._
+
+/**
+ * Zarr group → Spark schema inference.
+ *
+ * Semantics match the reference (src/schema.rs:16-41): list the child arrays
+ * of a group, map each dtype to a Catalyst type, sort fields by name, mark
+ * everything non-nullable. The `bbox` string column additionally carries
+ * GeoArrow-style WKT metadata (src/schema.rs:57-74) — Spark has no Arrow
+ * extension types, so the annotation lives in `StructField.metadata` and the
+ * spatial semantics come from `graft.functions.GeoFunctions`.
+ *
+ * Type widenings (documented; Spark's type lattice is narrower than Arrow's):
+ * uint8→short, uint16→int, uint32→long, uint64→decimal(20,0), float16→float.
+ * Unlike the reference (src/schema.rs:97-98 drops it), datetime64
+ * `scale_factor` is honored during decode.
+ */
+object ZarrSchema {
+
+  val BboxMetadata: Metadata = new MetadataBuilder()
+    .putString("geoarrow.type", "wkt")
+    .putString("crs", "EPSG:4326")
+    .build()
+
+  def catalystType(dt: ZarrType): DataType = {
+    import ZarrType._
+    dt match {
+      case ZBool             => BooleanType
+      case ZInt8             => ByteType
+      case ZInt16            => ShortType
+      case ZInt32            => IntegerType
+      case ZInt64            => LongType
+      case ZUInt8            => ShortType
+      case ZUInt16           => IntegerType
+      case ZUInt32           => LongType
+      case ZUInt64           => DecimalType(20, 0)
+      case ZFloat16          => FloatType
+      case ZFloat32          => FloatType
+      case ZFloat64          => DoubleType
+      case ZString           => StringType
+      case ZRaw(_)           => BinaryType
+      case ZDatetime64(_, _) => TimestampNTZType
+    }
+  }
+
+  def toField(meta: ZarrArrayMeta): StructField = {
+    val dt = catalystType(meta.dtype)
+    if (meta.name == "bbox") {
+      if (dt != StringType)
+        throw new ZarrException(s"bbox column must be a string array, got ${meta.dtype}")
+      StructField("bbox", StringType, nullable = false, metadata = BboxMetadata)
+    } else StructField(meta.name, dt, nullable = false)
+  }
+
+  /** List + parse the child arrays of `group` in `store`, sorted by name. */
+  def listArrays(store: ZarrStore, group: String): Seq[ZarrArrayMeta] = {
+    val groupRel = group.stripPrefix("/").stripSuffix("/")
+    val groupMetaPath = if (groupRel.isEmpty) "zarr.json" else s"$groupRel/zarr.json"
+    val groupNode = ZarrMeta.parseJson(store.readString(groupMetaPath))
+    if (!ZarrMeta.isGroup(groupNode))
+      throw new ZarrException(s"'$group' is not a Zarr group")
+    store.listChildren(groupRel).sorted.flatMap { child =>
+      val arrayDir = if (groupRel.isEmpty) child else s"$groupRel/$child"
+      val metaText = store.readBytesIfExists(s"$arrayDir/zarr.json")
+      if (metaText == null) None // not a zarr node; skip
+      else {
+        val node = ZarrMeta.parseJson(new String(metaText, java.nio.charset.StandardCharsets.UTF_8))
+        if (ZarrMeta.isGroup(node)) None // nested group, not a column
+        else Some(ZarrMeta.parseArray(arrayDir, child, node.toString))
+      }
+    }
+  }
+
+  def infer(store: ZarrStore, group: String): StructType = {
+    val arrays = listArrays(store, group)
+    if (arrays.isEmpty) throw new ZarrException(s"group '$group' has no child arrays")
+    val n = arrays.head.length
+    arrays.find(_.length != n).foreach { a =>
+      throw new ZarrException(
+        s"child arrays must share one length: '${a.name}' has ${a.length}, expected $n")
+    }
+    StructType(arrays.map(toField))
+  }
+}

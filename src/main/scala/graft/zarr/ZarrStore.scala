@@ -1,0 +1,60 @@
+package graft.zarr
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * Store access over Hadoop `FileSystem` — one code path for `file://`,
+ * `s3a://`, `gs://`, `abfs://` etc., replacing the reference's sync/async
+ * backend split (reference: src/table_provider.rs:97-168). Spark tasks are
+ * already parallel threads on executors, so blocking reads are idiomatic.
+ */
+final class ZarrStore(rootUri: String, conf: Configuration) {
+  private val root = new Path(rootUri)
+  private val fs: FileSystem = root.getFileSystem(conf)
+
+  def readBytesIfExists(relPath: String): Array[Byte] = {
+    val p = new Path(root, relPath)
+    try {
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => null
+    }
+  }
+
+  def readString(relPath: String): String = {
+    val b = readBytesIfExists(relPath)
+    if (b == null) throw new ZarrException(s"missing object: $rootUri/$relPath")
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def exists(relPath: String): Boolean = fs.exists(new Path(root, relPath))
+
+  /** Names of child directories of a group dir (candidate child arrays). */
+  def listChildren(relPath: String): Seq[String] = {
+    val dir = if (relPath.isEmpty) root else new Path(root, relPath)
+    if (!fs.exists(dir)) throw new ZarrException(s"no such group dir: $dir")
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
+}
+
+/**
+ * Minimal serializable Hadoop `Configuration` wrapper so reader factories can
+ * carry FS credentials/settings to executors.
+ */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  @throws[IOException]
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  @throws[IOException]
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import com.github.luben.zstd.Zstd
+
+/**
+ * Minimal local-filesystem Zarr v3 store writer.
+ *
+ * Only used to materialize test fixtures (notably a store equivalent to the
+ * reference's committed `data/zarr_store.zarr`: a `/meta` group with 1-D
+ * `collection`/`date`/`bbox` arrays, `bytes`+`zstd` for numerics and
+ * `vlen-utf8`+`zstd` for strings — spec per /root/repo/FIXTURES.md §1,
+ * reference: scripts/generate_data.py:1-36). Round-trips through
+ * [[ZarrCodecs]] are asserted in the test suite.
+ */
+object ZarrWriter {
+
+  private def writeJson(p: Path, text: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.write(p, text.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def writeGroup(root: String, group: String): Unit = {
+    val g = group.stripPrefix("/").stripSuffix("/")
+    val doc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
+    writeJson(Paths.get(root, "zarr.json"), doc)
+    if (g.nonEmpty) {
+      var acc = Paths.get(root)
+      g.split("/").foreach { seg =>
+        acc = acc.resolve(seg)
+        writeJson(acc.resolve("zarr.json"), doc)
+      }
+    }
+  }
+
+  private def zstdCompress(b: Array[Byte], level: Int): Array[Byte] =
+    Zstd.compress(b, level)
+
+  /** Write a 1-D string array with codecs vlen-utf8 → zstd(level 0). */
+  def writeStringArray(root: String, group: String, name: String,
+      values: Seq[String], chunkLen: Int): Unit = {
+    val g = group.stripPrefix("/").stripSuffix("/")
+    val dir = Paths.get(root, g, name)
+    val metaJson =
+      s"""{"shape":[${values.length}],"data_type":"string",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkLen]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":"",
+         |"codecs":[{"name":"vlen-utf8","configuration":{}},
+         |          {"name":"zstd","configuration":{"level":0,"checksum":false}}],
+         |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+        .stripMargin
+    writeJson(dir.resolve("zarr.json"), metaJson)
+    values.grouped(chunkLen).zipWithIndex.foreach { case (chunkVals, ci) =>
+      // pad the trailing partial chunk with the fill value ""
+      val padded = chunkVals.padTo(chunkLen, "")
+      val encoded = padded.map { s =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        val buf = ByteBuffer.allocate(4 + b.length).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(b.length).put(b).array()
+      }
+      val joined = encoded.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val chunkPath = dir.resolve("c").resolve(ci.toString)
+      Files.createDirectories(chunkPath.getParent)
+      Files.write(chunkPath, zstdCompress(joined, 0))
+    }
+  }
+
+  /** Write a 1-D int64-backed array (int64 or datetime64[unit]). */
+  def writeLongArray(root: String, group: String, name: String,
+      values: Seq[Long], chunkLen: Int,
+      datetimeUnit: Option[String] = None, fillValue: Long = 0L): Unit = {
+    val g = group.stripPrefix("/").stripSuffix("/")
+    val dir = Paths.get(root, g, name)
+    val dtypeJson = datetimeUnit match {
+      case Some(u) => s"""{"name":"numpy.datetime64","configuration":{"unit":"$u","scale_factor":1}}"""
+      case None    => "\"int64\""
+    }
+    val metaJson =
+      s"""{"shape":[${values.length}],"data_type":$dtypeJson,
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkLen]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":$fillValue,
+         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+         |          {"name":"zstd","configuration":{"level":0,"checksum":false}}],
+         |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+        .stripMargin
+    writeJson(dir.resolve("zarr.json"), metaJson)
+    values.grouped(chunkLen).zipWithIndex.foreach { case (chunkVals, ci) =>
+      val padded = chunkVals.padTo(chunkLen, fillValue)
+      val buf = ByteBuffer.allocate(8 * chunkLen).order(ByteOrder.LITTLE_ENDIAN)
+      padded.foreach(buf.putLong)
+      val chunkPath = dir.resolve("c").resolve(ci.toString)
+      Files.createDirectories(chunkPath.getParent)
+      Files.write(chunkPath, zstdCompress(buf.array(), 0))
+    }
+  }
+
+  /** Write a 1-D float64 array. */
+  def writeDoubleArray(root: String, group: String, name: String,
+      values: Seq[Double], chunkLen: Int): Unit = {
+    val g = group.stripPrefix("/").stripSuffix("/")
+    val dir = Paths.get(root, g, name)
+    val metaJson =
+      s"""{"shape":[${values.length}],"data_type":"float64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkLen]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":0.0,
+         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+         |          {"name":"zstd","configuration":{"level":0,"checksum":false}}],
+         |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+        .stripMargin
+    writeJson(dir.resolve("zarr.json"), metaJson)
+    values.grouped(chunkLen).zipWithIndex.foreach { case (chunkVals, ci) =>
+      val padded = chunkVals.padTo(chunkLen, 0.0)
+      val buf = ByteBuffer.allocate(8 * chunkLen).order(ByteOrder.LITTLE_ENDIAN)
+      padded.foreach(buf.putDouble)
+      val chunkPath = dir.resolve("c").resolve(ci.toString)
+      Files.createDirectories(chunkPath.getParent)
+      Files.write(chunkPath, zstdCompress(buf.array(), 0))
+    }
+  }
+
+  /**
+   * The reference's golden fixture: /meta group, 3 rows —
+   * collections a/b/c, dates 2023-01-01..03, bbox = WKT boxes ±10/±20/±30.
+   */
+  def writeReferenceFixture(root: String): Unit = {
+    def boxWkt(r: Int): String =
+      s"POLYGON (($r -$r, $r $r, -$r $r, -$r -$r, $r -$r))"
+    writeGroup(root, "/meta")
+    writeStringArray(root, "/meta", "collection",
+      Seq("collection_a", "collection_b", "collection_c"), 3)
+    writeLongArray(root, "/meta", "date",
+      Seq(1672531200000L, 1672617600000L, 1672704000000L), 3,
+      datetimeUnit = Some("ms"), fillValue = Long.MinValue)
+    writeStringArray(root, "/meta", "bbox",
+      Seq(boxWkt(10), boxWkt(20), boxWkt(30)), 3)
+  }
+}
