@@ -38,32 +38,66 @@ object Dedup {
   }
 
   /**
-   * MinHash signature: k independent permutations approximated by
-   * `xxhash64(shingle, seed)`; sig[j] = min over shingles. Pure higher-order
-   * built-ins — stays in codegen, no UDF serialization.
+   * MinHash signature over a MATERIALIZED shingle-array column: k independent
+   * permutations approximated by `xxhash64(shingle, seed)`; sig[j] = min over
+   * shingles. Pure higher-order built-ins — stays in codegen, no UDF
+   * serialization. Taking the shingle column (not the raw text) matters:
+   * nesting the shingling inside the per-seed lambda re-shingled the document
+   * k times (r01's 1,064 s scale-killer, ingredient b).
    */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = TextFunctions.shingles(text, shingleSize)
-    val seeds = array((0 until numHashes).map(lit): _*)
-    transform(seeds, seed => array_min(transform(sh, s => xxhash64(s, seed))))
-  }
+  def signatureFromShingles(sh: Column, numHashes: Int): Column =
+    // single traversal: one aggregate over the shingle array with an
+    // elementwise-min merge. The transform-per-seed form re-evaluated the
+    // captured shingle expression once PER SEED (k× the shingling cost
+    // wherever the input isn't a materialized column).
+    aggregate(sh,
+      array(Seq.fill(numHashes)(lit(Long.MaxValue)): _*),
+      (acc, s) => zip_with(acc,
+        array((0 until numHashes).map(j => xxhash64(s, lit(j))): _*),
+        (a, b) => least(a, b)))
+
+  /** Convenience single-pass form for small k (fingerprinting). */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    signatureFromShingles(TextFunctions.shingles(text, shingleSize), numHashes)
+
+  /** Banded bucket keys for a signature: one (band, xxhash64(slice)) per band. */
+  private def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
 
   /**
    * LSH candidate pairs: split the signature into `bands` bands, bucket by
    * (band index, hash of band slice), pair up docs sharing a bucket.
    * Returns distinct (id_a < id_b) candidate pairs with their estimated
    * Jaccard (fraction of matching minhashes).
+   *
+   * Scale design (the r01 version recomputed everything ~5× and went
+   * quadratic in degenerate buckets):
+   *  - the signature frame is persisted — banding and both join sides read
+   *    the cached copy, so shingling+hashing runs exactly once per doc;
+   *  - buckets larger than `maxBucket` are dropped before the self-join
+   *    (a k-doc bucket contributes k² join rows; at 100 TB a degenerate
+   *    bucket — boilerplate docs, empty strings — would otherwise dominate
+   *    the stage). Dropped buckets only lose candidates that the other
+   *    bands' buckets usually re-surface.
    */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 5): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val sig = docs.select(col(idCol).as("id"),
+        signatureFromShingles(TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
+      .persist()
+    val banded = sig.select(col("id"),
+      posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
+      .select("band", "bucket")
+    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -77,17 +111,33 @@ object Dedup {
   }
 
   /**
-   * Near-duplicate pairs: LSH candidates verified with EXACT n-gram Jaccard
-   * over the candidate pairs only.
+   * Near-duplicate pairs: LSH candidates verified with EXACT word-shingle
+   * Jaccard over the candidate pairs only. Word shingles (not char 5-grams,
+   * r01 ingredient d) keep the verification arrays ~2 orders of magnitude
+   * smaller at identical discrimination for document-scale text; the shingle
+   * frame is persisted and reused by both verification join sides.
    */
   def nearDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.8, shingleSize: Int = 5): DataFrame = {
-    val cands = minhashCandidates(docs, textCol, idCol, shingleSize = shingleSize)
-      .select("id_a", "id_b", "est_jaccard")
-    val sh = docs.select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), shingleSize).as("sh"))
-    cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      threshold: Double = 0.8, shingleWords: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        TextFunctions.wordShingles(col(textCol), shingleWords).as("sh"))
+      .persist()
+    val rows = numHashes / bands
+    val sig = sh.select(col("id"), signatureFromShingles(col("sh"), numHashes).as("sig")).persist()
+    val banded = sig.select(col("id"),
+      posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2 && col("_n") <= 1000)
+      .select("band", "bucket")
+    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
+    val pairs = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

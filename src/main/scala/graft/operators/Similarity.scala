@@ -49,11 +49,14 @@ object Similarity {
   private def planeComponent(i: Column, p: Int): Column =
     when(pmod(xxhash64(i, lit(p)), lit(2)) === 0, 1.0).otherwise(-1.0)
 
-  /** Sign-LSH signature: `planes` bits, bit p = sign(v · hyperplane_p). */
-  def lshSignature(vec: Column, planes: Int): Column = {
+  /** Sign-LSH signature: `planes` bits, bit p = sign(v · hyperplane_{offset+p}).
+   *  `planeOffset` selects an independent hyperplane family, enabling banded
+   *  (multi-table) LSH without a stored model. */
+  def lshSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
     (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(i, p)),
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+          i => planeComponent(i, planeOffset + p)),
           (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << p)).otherwise(0L)
@@ -85,13 +88,33 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs via LSH buckets + cosine threshold. */
-  def embeddingDuplicates(corpus: DataFrame, threshold: Double, planes: Int = 8,
+  /**
+   * Embedding near-duplicate pairs via BANDED sign-LSH + cosine threshold.
+   *
+   * `tables` independent signatures of `planesPerTable` bits each (the same
+   * band trick as MinHash-LSH): a pair is a candidate when ANY table's
+   * signature matches exactly. The r01 single-8-plane version capped the key
+   * space at 256 buckets, making the within-bucket self-join O(n²/256) — a
+   * quadratic wall at scale. 16-bit tables give 65,536 buckets per table;
+   * 4 tables keep recall high for cosine ≥ 0.9 pairs. Buckets larger than
+   * `maxBucket` are dropped before the self-join (degenerate all-equal
+   * vectors would otherwise contribute k² rows).
+   */
+  def embeddingDuplicates(corpus: DataFrame, threshold: Double,
+      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = corpus.withColumn("sig", lshSignature(col(vecCol), planes))
-    val a = sig.select(col("sig"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = sig.select(col("sig"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, "sig").filter(col("id_a") < col("id_b"))
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until tables).map(tt =>
+        lshSignature(col(vecCol), planesPerTable, tt * planesPerTable)): _*))
+        .as(Seq("tbl", "sig")))
+    val okBuckets = sigs.groupBy("tbl", "sig")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
+      .select("tbl", "sig")
+    val pruned = sigs.join(okBuckets, Seq("tbl", "sig"))
+    val a = pruned.select(col("tbl"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = pruned.select(col("tbl"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("tbl", "sig")).filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))

@@ -82,9 +82,11 @@ object AggQueries {
         .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // list outputs serialized to strings on BOTH sides: the driver's pandas
+    // hash-compare cannot hash ndarray cells (r01 compare crash).
     Q("q_agg_collect", Some("""
       SELECT n.n_name,
-             list_sort(list(DISTINCT r.r_name)) AS regions,
+             array_to_string(list_sort(list(DISTINCT r.r_name)), '|') AS regions,
              string_agg(DISTINCT r.r_name, ',' ORDER BY r.r_name) AS regions_csv
       FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
       GROUP BY n.n_name
@@ -95,7 +97,7 @@ object AggQueries {
         n.join(r, n("n_regionkey") === r("r_regionkey"))
           .groupBy("n_name")
           .agg(
-            array_sort(collect_set("r_name")).as("regions"),
+            concat_ws("|", array_sort(collect_set("r_name"))).as("regions"),
             concat_ws(",", array_sort(collect_set("r_name"))).as("regions_csv"))
           .orderBy("n_name")
       }),
@@ -114,11 +116,34 @@ object AggQueries {
           max_by(col("o_totalprice"), col("o_orderkey")).as("last_key_price"))
         .orderBy("o_orderstatus")),
 
+    // FIRST/LAST aggregates (SURVEY §2 C-aggregation): deterministic here
+    // because the aggregated columns are functionally dependent on the
+    // group key (the canonical "grab a dependent column without adding it
+    // to GROUP BY" use) — any pick order yields the same value.
+    Q("q_agg_first_last", Some("""
+      SELECT o.o_custkey,
+             first(c.c_mktsegment) AS seg,
+             last(c.c_name) AS cname,
+             count(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey
+      ORDER BY o.o_custkey"""),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = broadcast(t(s, dir, "customer"))
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("o_custkey")
+          .agg(first("c_mktsegment").as("seg"),
+            last("c_name").as("cname"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      }),
+
     Q("q_agg_bool", Some("""
       SELECT l_returnflag,
              bool_and(l_quantity > 0) AS all_positive,
              bool_or(l_discount > 0.09) AS any_big_discount,
-             every(l_extendedprice > 1) AS every_priced
+             bool_and(l_extendedprice > 1) AS every_priced
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
@@ -137,15 +162,19 @@ object AggQueries {
       JOIN region r ON n.n_regionkey = r.r_regionkey
       GROUP BY ROLLUP (r.r_name, n.n_name)
       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
+      // via spark.sql: the Dataset chain (join → rollup → orderBy on the
+      // rolled-up key) trips Spark's ambiguous-self-join detector on the
+      // re-resolved grouping columns; SQL names resolve cleanly.
       (s, dir) => {
-        val c = t(s, dir, "customer")
-        val n = broadcast(t(s, dir, "nation"))
-        val r = broadcast(t(s, dir, "region"))
-        c.join(n, c("c_nationkey") === n("n_nationkey"))
-          .join(r, n("n_regionkey") === r("r_regionkey"))
-          .rollup("r_name", "n_name")
-          .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("bal"))
-          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT r.r_name, n.n_name, count(*) AS n_cust,
+                 round(sum(c.c_acctbal), 2) AS bal
+          FROM customer c
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY ROLLUP (r.r_name, n.n_name)
+          ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
       }),
 
     Q("q_cube", Some("""

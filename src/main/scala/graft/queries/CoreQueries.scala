@@ -37,16 +37,25 @@ object CoreQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // `charged` computed in DECIMAL on both sides: the inputs are 2-dp
+    // values, so decimal multiply+round is exact and engine-independent
+    // (rounding the raw double product at 4 dp sits on representation
+    // boundaries and diverged on 347/60k rows in r01).
     Q("q_projection", Some("""
       SELECT l_orderkey, l_linenumber,
-             round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged,
+             CAST(round(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * (1 - CAST(l_discount AS DECIMAL(6,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(6,2))), 4) AS DOUBLE) AS charged,
              l_quantity * 2 AS double_qty,
              concat(l_returnflag, '/', l_linestatus) AS flags
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber"""),
       (s, dir) => t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4).as("charged"),
+        round(col("l_extendedprice").cast("decimal(14,2)")
+            * (lit(1) - col("l_discount").cast("decimal(6,2)"))
+            * (lit(1) + col("l_tax").cast("decimal(6,2)")), 4)
+          .cast("double").as("charged"),
         (col("l_quantity") * 2).as("double_qty"),
         concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flags"))
         .orderBy("l_orderkey", "l_linenumber")),

@@ -72,11 +72,16 @@ object MLQueries {
         TextFunctions.tokenCountBpeish(col("text")).as("bpeish_tokens"))
         .orderBy("doc_id")),
 
+    // minhash4 serialized to a string: the driver's pandas row-count pass
+    // chokes on ndarray cells even for oracle-less queries (r01 crash).
     Q("q_text_fingerprint", None,
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
         xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
-        Dedup.minhashSignature(col("text"), 4, 5).as("minhash4"))
+        // word shingles: char-5-gram arrays made this the slowest bench
+        // entry (12.9 s at sf0.01) for a 4-hash fingerprint
+        concat_ws(",", Dedup.signatureFromShingles(
+          graft.functions.TextFunctions.wordShingles(col("text"), 3), 4)).as("minhash4"))
         .orderBy("doc_id")),
 
     Q("q_dedup_exact", Some("""

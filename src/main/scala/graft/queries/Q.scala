@@ -17,8 +17,20 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame)
 
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /**
+   * events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which the Spark
+   * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
+   * plain longs and rebuild a micros timestamp with integer division — the
+   * generator emits microsecond-precision values, so this is lossless and
+   * bit-identical to what DuckDB (which reads nanos natively) computes.
+   */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   val names = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

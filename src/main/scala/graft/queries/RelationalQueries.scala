@@ -121,11 +121,28 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
         .orderBy("bucket", "event_type")),
 
-    Q("q_explain_plan", None,
-      (s, dir) => {
-        // EXPLAIN surface (SURVEY §2 C-other): expose the formatted plan rows.
-        Tables.registerAll(s, dir)
-        s.sql("EXPLAIN SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1")
-      })
+    // EXPLAIN surface (SURVEY §2 C-other) is covered by PlanSpec in
+    // src/test — plan text is engine-specific, so an oracle-less query here
+    // could never be verified; the spec asserts plan *properties* instead
+    // (pushed filters, broadcast joins, TakeOrderedAndProject).
+
+    Q("q_map_struct_funcs", Some("""
+      SELECT n_nationkey,
+             struct_pack(key := n_nationkey, name := n_name).name AS s_name,
+             map([n_name], [n_nationkey])[n_name] AS self_val,
+             array_to_string(map_keys(map(['a','b'], [n_nationkey, n_regionkey])), ',') AS mkeys,
+             array_to_string(map_values(map(['a','b'], [n_nationkey, n_regionkey])), ',') AS mvals,
+             map(['x'], [n_regionkey])['x'] AS elem_x
+      FROM nation
+      ORDER BY n_nationkey"""),
+      (s, dir) => t(s, dir, "nation").select(
+        col("n_nationkey"),
+        struct(col("n_nationkey").as("key"), col("n_name").as("name"))
+          .getField("name").as("s_name"),
+        element_at(map(col("n_name"), col("n_nationkey")), col("n_name")).as("self_val"),
+        concat_ws(",", map_keys(map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey")))).as("mkeys"),
+        concat_ws(",", map_values(map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey")))).as("mvals"),
+        element_at(map(lit("x"), col("n_regionkey")), lit("x")).as("elem_x"))
+        .orderBy("n_nationkey"))
   )
 }

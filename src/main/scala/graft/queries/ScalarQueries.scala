@@ -58,7 +58,7 @@ object ScalarQueries {
     Q("q_regexp_funcs", Some("""
       SELECT p_partkey,
              regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
-             regexp_replace(p_name, '[aeiou]', '_') AS devoweled,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
              regexp_matches(p_type, '^(ECONOMY|PREMIUM)') AS is_tier
       FROM part
       ORDER BY p_partkey"""),
@@ -105,9 +105,10 @@ object ScalarQueries {
     Q("q_math_funcs", Some("""
       SELECT p_partkey,
              abs(p_retailprice - 1000) AS dist_1k,
-             ceil(p_retailprice) AS c, floor(p_retailprice) AS f,
+             CAST(ceil(p_retailprice) AS BIGINT) AS c,
+             CAST(floor(p_retailprice) AS BIGINT) AS f,
              round(p_retailprice, 1) AS r1,
-             round(trunc(p_retailprice), 4) AS tr,
+             CAST(round(trunc(p_retailprice), 4) AS DOUBLE) AS tr,
              round(pow(p_size, 2), 4) AS size_sq,
              round(sqrt(p_retailprice), 6) AS sq,
              round(exp(p_size / 10.0), 6) AS ex,
@@ -116,7 +117,7 @@ object ScalarQueries {
              round(log2(greatest(p_size, 1)), 6) AS l2,
              round(sin(p_size), 6) AS sn, round(cos(p_size), 6) AS cs,
              round(atan2(p_size, 7), 6) AS at2,
-             sign(p_retailprice - 1000) AS sg,
+             CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sg,
              CAST(p_size % 7 AS INTEGER) AS m7,
              round(pi(), 6) AS pi_val
       FROM part
@@ -126,7 +127,9 @@ object ScalarQueries {
         abs(col("p_retailprice") - 1000).as("dist_1k"),
         ceil(col("p_retailprice")).as("c"), floor(col("p_retailprice")).as("f"),
         round(col("p_retailprice"), 1).as("r1"),
-        round(expr("trunc(p_retailprice)"), 4).as("tr"),
+        // Spark has no 1-arg numeric trunc; toward-zero == floor/ceil by sign
+        round(when(col("p_retailprice") >= 0, floor(col("p_retailprice")))
+          .otherwise(ceil(col("p_retailprice"))).cast("double"), 4).as("tr"),
         round(pow(col("p_size"), 2), 4).as("size_sq"),
         round(sqrt(col("p_retailprice")), 6).as("sq"),
         round(exp(col("p_size") / 10.0), 6).as("ex"),
@@ -140,16 +143,19 @@ object ScalarQueries {
         round(lit(math.Pi), 6).as("pi_val"))
         .orderBy("p_partkey")),
 
+    // array-valued columns serialized via array_to_string/concat_ws — the
+    // driver's pandas compare cannot hash ndarray cells; list_position is
+    // coalesced to 0 (DuckDB: NULL for absent, Spark array_position: 0).
     Q("q_array_funcs", Some("""
       SELECT vec_id,
              len(embedding) AS dim,
              embedding[1] AS first_elem,
              round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[64] AS DOUBLE), 5) AS ends_sum,
-             list_sort([CAST(label AS INTEGER), CAST(vec_id % 5 AS INTEGER), 7]) AS sorted_arr,
+             array_to_string(list_sort([CAST(label AS INTEGER), CAST(vec_id % 5 AS INTEGER), 7]), ',') AS sorted_arr,
              list_distinct([label, label, 1]) IS NOT NULL AS has_distinct,
-             list_position([10, 20, 30], CAST(label AS INTEGER)) AS pos_in_ref,
+             CAST(coalesce(list_position([10, 20, 30], CAST(label AS INTEGER)), 0) AS BIGINT) AS pos_in_ref,
              list_contains([0, 1, 2, 3, 4], label) AS label_small,
-             flatten([[label], [label + 1]]) AS flat
+             array_to_string(flatten([[label], [label + 1]]), ',') AS flat
       FROM embeddings
       ORDER BY vec_id"""),
       (s, dir) => t(s, dir, "embeddings").select(
@@ -158,12 +164,12 @@ object ScalarQueries {
         element_at(col("embedding"), 1).as("first_elem"),
         round(element_at(col("embedding"), 1).cast("double") +
           element_at(col("embedding"), 64).cast("double"), 5).as("ends_sum"),
-        array_sort(array(col("label").cast("int"), (col("vec_id") % 5).cast("int"), lit(7)))
+        concat_ws(",", array_sort(array(col("label").cast("int"), (col("vec_id") % 5).cast("int"), lit(7))))
           .as("sorted_arr"),
         array_distinct(array(col("label"), col("label"), lit(1))).isNotNull.as("has_distinct"),
         array_position(array(lit(10), lit(20), lit(30)), col("label").cast("int")).as("pos_in_ref"),
         array_contains(array(lit(0), lit(1), lit(2), lit(3), lit(4)), col("label")).as("label_small"),
-        flatten(array(array(col("label")), array(col("label") + 1))).as("flat"))
+        concat_ws(",", flatten(array(array(col("label")), array(col("label") + 1)))).as("flat"))
         .orderBy("vec_id")),
 
     Q("q_higher_order", Some("""

@@ -73,20 +73,40 @@ object ZarrCodecs {
     body
   }
 
-  /** vlen-utf8: per element a u32-LE byte length followed by that many UTF-8 bytes. */
+  /**
+   * vlen-utf8: per element a u32-LE byte length followed by that many UTF-8
+   * bytes. Two framings exist in the wild: numcodecs' VLenUTF8 (what
+   * zarr-python writes, and what the reference's committed store contains)
+   * prefixes a u32-LE ELEMENT COUNT; a bare concatenation has no header.
+   * We detect the header by value and by strict whole-buffer consumption —
+   * decoding the reference store headerless underflows (caught by
+   * ZarrSourceSpec's golden-byte tests).
+   */
   private def decodeVlenUtf8(bytes: Array[Byte], n: Int, path: String): ColumnChunk = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val out = new Array[UTF8String](n)
-    var i = 0
-    while (i < n) {
-      if (buf.remaining() < 4)
-        throw new ZarrException(s"vlen-utf8 chunk truncated at element $i of $n, at $path")
-      val len = buf.getInt
-      val b = new Array[Byte](len)
-      buf.get(b)
-      out(i) = UTF8String.fromBytes(b)
-      i += 1
+    def tryParse(offset: Int): Array[UTF8String] = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      buf.position(offset)
+      val out = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        if (buf.remaining() < 4) return null
+        val len = buf.getInt
+        if (len < 0 || buf.remaining() < len) return null
+        val b = new Array[Byte](len)
+        buf.get(b)
+        out(i) = UTF8String.fromBytes(b)
+        i += 1
+      }
+      if (buf.hasRemaining) null else out // must consume exactly
     }
+    val headerLooksRight = bytes.length >= 4 &&
+      ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt == n
+    val out = {
+      val withHeader = if (headerLooksRight) tryParse(4) else null
+      if (withHeader != null) withHeader else tryParse(0)
+    }
+    if (out == null)
+      throw new ZarrException(s"vlen-utf8 chunk does not parse as $n elements at $path")
     new ColumnChunk {
       val length = n
       def get(i: Int): Any = out(i)
@@ -126,15 +146,19 @@ object ZarrCodecs {
       case ZFloat64 =>
         chunk(n)(i => buf.getDouble(i * 8))
       case ZDatetime64(unit, scale) =>
-        // plain multiply (not multiplyExact): i64.MIN is numpy's NaT sentinel
-        // and must pass through without throwing
+        // i64.MIN is numpy's NaT sentinel: detected BEFORE unit scaling
+        // (multiplying it overflows to a garbage-but-valid timestamp) and
+        // surfaced as null — datetime fields are nullable for this reason.
         val toMicros: Long => Long = unit match {
           case "s"  => v => v * 1000000L
           case "ms" => v => v * 1000L
           case "us" => v => v
           case "ns" => v => Math.floorDiv(v, 1000L)
         }
-        chunk(n)(i => toMicros(buf.getLong(i * 8) * scale))
+        chunk(n) { i =>
+          val v = buf.getLong(i * 8)
+          if (v == Long.MinValue) null else toMicros(v * scale)
+        }
       case ZRaw(bits) =>
         val w = bits / 8
         chunk(n) { i =>
@@ -186,10 +210,14 @@ object ZarrCodecs {
       case ZFloat32          => node.asDouble(0.0).toFloat
       case ZFloat64          => node.asDouble(0.0)
       case ZDatetime64(u, s) =>
-        val raw = node.asLong(0L) * s
-        u match {
-          case "s" => raw * 1000000L; case "ms" => raw * 1000L
-          case "us" => raw; case "ns" => Math.floorDiv(raw, 1000L)
+        val fv = node.asLong(0L)
+        if (fv == Long.MinValue) null // NaT fill → null rows
+        else {
+          val raw = fv * s
+          u match {
+            case "s" => raw * 1000000L; case "ms" => raw * 1000L
+            case "us" => raw; case "ns" => Math.floorDiv(raw, 1000L)
+          }
         }
       case ZString           => UTF8String.fromString(node.asText(""))
       case ZRaw(bits)        => new Array[Byte](bits / 8)

@@ -51,7 +51,14 @@ object ZarrSchema {
       if (dt != StringType)
         throw new ZarrException(s"bbox column must be a string array, got ${meta.dtype}")
       StructField("bbox", StringType, nullable = false, metadata = BboxMetadata)
-    } else StructField(meta.name, dt, nullable = false)
+    } else {
+      // Deviation from the reference's blanket nullable=false
+      // (src/schema.rs:64): datetime64 columns are nullable because numpy's
+      // NaT sentinel (i64.MIN) decodes to null rather than a garbage
+      // timestamp (see ZarrCodecs datetime decode).
+      val nullable = dt == TimestampNTZType
+      StructField(meta.name, dt, nullable = nullable)
+    }
   }
 
   /** List + parse the child arrays of `group` in `store`, sorted by name. */

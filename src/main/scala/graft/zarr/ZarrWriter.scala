@@ -62,7 +62,11 @@ object ZarrWriter {
         val buf = ByteBuffer.allocate(4 + b.length).order(ByteOrder.LITTLE_ENDIAN)
         buf.putInt(b.length).put(b).array()
       }
-      val joined = encoded.foldLeft(Array.emptyByteArray)(_ ++ _)
+      // numcodecs VLenUTF8 framing (what zarr-python writes): u32-LE element
+      // count header, then per-element length+bytes
+      val header = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(chunkLen).array()
+      val joined = encoded.foldLeft(header)(_ ++ _)
       val chunkPath = dir.resolve("c").resolve(ci.toString)
       Files.createDirectories(chunkPath.getParent)
       Files.write(chunkPath, zstdCompress(joined, 0))
@@ -121,6 +125,83 @@ object ZarrWriter {
       val chunkPath = dir.resolve("c").resolve(ci.toString)
       Files.createDirectories(chunkPath.getParent)
       Files.write(chunkPath, zstdCompress(buf.array(), 0))
+    }
+  }
+
+  /** IEEE-754 float → half, round-to-nearest-even (for float16 fixtures). */
+  def floatToHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val value = bits & 0x7fffffff
+    if (value >= 0x47800000) { // overflow → inf (or NaN)
+      if (value > 0x7f800000) (sign | 0x7e00).toShort else (sign | 0x7c00).toShort
+    } else if (value < 0x38800000) { // subnormal or zero
+      val shift = 126 - (value >>> 23)
+      val mant = (value & 0x7fffff) | 0x800000
+      if (shift > 24) sign.toShort
+      else (sign | ((mant >> shift) + ((mant >> (shift - 1)) & 1))).toShort
+    } else {
+      ((sign | ((value - 0x38000000) >>> 13)) + ((value >>> 12) & 1)).toShort
+    }
+  }
+
+  /**
+   * Generic 1-D fixed-width array writer covering the full dtype × codec
+   * matrix ZarrCodecs decodes: any textual/extension dtype JSON, optional
+   * zstd/gzip/none compression, optional crc32c, little/big endian, partial
+   * trailing chunks, and deliberately omitted chunk objects (fill-value
+   * reads). `put` encodes one element at the current buffer position.
+   */
+  def writeFixedArray(root: String, group: String, name: String,
+      dtypeJson: String, width: Int, put: (ByteBuffer, Any) => Unit,
+      values: Seq[Any], pad: Any, chunkLen: Int, fillJson: String,
+      compression: String = "zstd", crc32c: Boolean = false,
+      bigEndian: Boolean = false, omitChunks: Set[Int] = Set.empty): Unit = {
+    val g = group.stripPrefix("/").stripSuffix("/")
+    val dir = Paths.get(root, g, name)
+    val codecJsons = Seq(
+      Some(s"""{"name":"bytes","configuration":{"endian":"${if (bigEndian) "big" else "little"}"}}"""),
+      compression match {
+        case "zstd" => Some("""{"name":"zstd","configuration":{"level":0,"checksum":false}}""")
+        case "gzip" => Some("""{"name":"gzip","configuration":{"level":5}}""")
+        case _      => None
+      },
+      if (crc32c) Some("""{"name":"crc32c","configuration":{}}""") else None
+    ).flatten
+    val metaJson =
+      s"""{"shape":[${values.length}],"data_type":$dtypeJson,
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkLen]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":$fillJson,
+         |"codecs":[${codecJsons.mkString(",")}],
+         |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+        .stripMargin
+    writeJson(dir.resolve("zarr.json"), metaJson)
+    values.grouped(chunkLen).zipWithIndex.foreach { case (chunkVals, ci) =>
+      if (!omitChunks.contains(ci)) {
+        val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        val buf = ByteBuffer.allocate(width * chunkLen).order(order)
+        chunkVals.padTo(chunkLen, pad).foreach(v => put(buf, v))
+        var bytes = buf.array()
+        bytes = compression match {
+          case "zstd" => zstdCompress(bytes, 0)
+          case "gzip" =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(bytes); gz.close(); bos.toByteArray
+          case _ => bytes
+        }
+        if (crc32c) {
+          val crc = new java.util.zip.CRC32C()
+          crc.update(bytes)
+          val tail = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putInt(crc.getValue.toInt).array()
+          bytes = bytes ++ tail
+        }
+        val chunkPath = dir.resolve("c").resolve(ci.toString)
+        Files.createDirectories(chunkPath.getParent)
+        Files.write(chunkPath, bytes)
+      }
     }
   }
 

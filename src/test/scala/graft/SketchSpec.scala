@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Tables
+
+/**
+ * Accuracy specs for the sketch/LSH operators — the verdicts the DuckDB
+ * oracle can't give (hash internals differ across engines by construction):
+ *  - HLL estimate within its advertised error bound vs exact,
+ *  - MinHash near-dup: planted duplicates recovered, verified Jaccard exact,
+ *  - SimHash: identical docs collide, planted near-dups within distance,
+ *  - embedding LSH dedup + top-k recall vs brute force.
+ */
+class SketchSpec extends SparkSpec {
+
+  lazy val docs: DataFrame = Tables.t(spark, sf, "documents")
+  lazy val emb: DataFrame = Tables.t(spark, sf, "embeddings")
+
+  test("approx_count_distinct is within 3x the configured rsd of exact") {
+    val exact = docs.select(countDistinct("doc_id")).collect().head.getLong(0)
+    val approx = docs.select(approx_count_distinct("doc_id", 0.02)).collect().head.getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err <= 0.06, s"HLL err $err (exact=$exact approx=$approx)")
+  }
+
+  /** Plant near-duplicates: 20 docs re-appended with a few words changed. */
+  private def planted: DataFrame = {
+    val base = docs.limit(20)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended tail words")).as("text"))
+    docs.select("doc_id", "text").unionAll(base)
+  }
+
+  test("minhash near-dup recovers every planted near-duplicate pair") {
+    val pairs = Dedup.nearDuplicates(planted, threshold = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.limit(20).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
+    assert(expected.subsetOf(found),
+      s"missing planted pairs: ${expected -- found}")
+    // verification step is exact → every reported jaccard must satisfy the
+    // threshold by recomputation
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+  }
+
+  test("minhash est_jaccard correlates with exact jaccard on candidates") {
+    val cands = Dedup.minhashCandidates(planted, "text", "doc_id").collect()
+    assert(cands.nonEmpty)
+    cands.foreach { r =>
+      val est = r.getDouble(2)
+      assert(est >= 0.0 && est <= 1.0)
+    }
+  }
+
+  test("simhash: exact copies collide at distance 0; planted near-dups found") {
+    val copies = docs.limit(10)
+      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(copies)
+    val dups = Dedup.simhashDuplicates(corpus, maxDistance = 3).collect()
+    val found = dups.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exactPairs = found.filter { case (a, b, _) => b - a == 2000000 }
+    assert(exactPairs.length == 10, s"expected 10 exact-copy pairs, got ${exactPairs.length}")
+    exactPairs.foreach { case (_, _, d) => assert(d == 0) }
+  }
+
+  test("embedding LSH dedup: recall >= 0.8 vs brute-force cosine pairs") {
+    val brutePairs = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
+        .filter(col("cos") >= 0.9)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lshPairs = Similarity.embeddingDuplicates(emb, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.subsetOf(brutePairs), "LSH reported a pair below threshold")
+    if (brutePairs.nonEmpty) {
+      val recall = lshPairs.size.toDouble / brutePairs.size
+      assert(recall >= 0.8, s"recall $recall (${lshPairs.size}/${brutePairs.size})")
+    }
+  }
+
+  test("LSH top-k finds planted near-neighbors (recall >= 0.7)") {
+    // Random synthetic embeddings have no true near neighbors (pairwise
+    // cosine ~ N(0, 1/sqrt(d))), so recall vs brute-force top-k over random
+    // data measures nothing. Plant real neighbors instead: probes are
+    // slightly perturbed copies of corpus vectors (cosine ≈ 0.999) — the
+    // regime LSH is FOR — and assert the planted source is retrieved.
+    val probes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000).as("probe_id"),
+        transform(col("embedding"), x => x * lit(1.0f) + lit(0.01f)).as("probe_vec"))
+    val lsh = Similarity.lshTopK(emb, probes, k = 3).collect()
+    val found = lsh.filter(r => r.getLong(1) == r.getLong(0) - 500000)
+    val recall = found.length / 20.0
+    assert(recall >= 0.7, s"planted-neighbor recall $recall")
+    found.foreach(r => assert(r.getDouble(2) > 0.99,
+      s"planted pair cosine ${r.getDouble(2)}"))
+  }
+
+  test("exact dedup: planted exact copies found with correct canonical id") {
+    val copies = docs.limit(5).select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    val groups = Dedup.exactGroups(docs.select("doc_id", "text").unionAll(copies)).collect()
+    assert(groups.length == 5)
+    groups.foreach { r =>
+      assert(r.getLong(1) == 2L) // n_copies
+      assert(r.getLong(2) < 3000000) // canonical = min id, the original
+    }
+    val kept = Dedup.exactDedup(docs.select("doc_id", "text").unionAll(copies))
+    assert(kept.count() == docs.count())
+  }
+}
