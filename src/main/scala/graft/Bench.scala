@@ -20,6 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // JVM/codegen warmup outside the timed loop — the alphabetically-first
+    // query was absorbing ~4s of session startup in r01/r02 numbers
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try SparkEntry.queries("q1_agg")(spark, sfDir).queryExecution.toRdd.count()
+    catch { case _: Throwable => }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

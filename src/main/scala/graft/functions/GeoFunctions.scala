@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,25 +42,40 @@ object GeoFunctions {
     override protected def withNewChildInternal(c: Expression): BboxEnvelope = copy(child = c)
   }
 
-  /** bbox_intersects(wkt, minx, miny, maxx, maxy) → boolean. */
-  case class BboxIntersects(children: Seq[Expression]) extends Expression with CodegenFallback {
+  /**
+   * bbox_intersects(wkt, minx, miny, maxx, maxy) → boolean.
+   *
+   * Full `doGenCode` (straight static call into [[Wkt]]) so a bbox filter
+   * stays inside the surrounding WholeStageCodegen span instead of forcing
+   * the row-at-a-time CodegenFallback path; the registry builder casts the
+   * box bounds to double up front ([[GeoFunctions.register]]), so neither
+   * eval path needs runtime numeric dispatch.
+   */
+  case class BboxIntersects(children: Seq[Expression]) extends Expression {
     require(children.length == 5, "bbox_intersects(wkt, minx, miny, maxx, maxy)")
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = children.exists(_.nullable)
     override def eval(input: InternalRow): Any = {
       val vs = children.map(_.eval(input))
       if (vs.contains(null)) null
-      else {
-        def d(a: Any): Double = a match {
-          case x: Double => x; case x: Float => x.toDouble
-          case x: Int => x.toDouble; case x: Long => x.toDouble
-          case x: java.math.BigDecimal => x.doubleValue()
-          case x: org.apache.spark.sql.types.Decimal => x.toDouble
-          case x => x.toString.toDouble
-        }
-        Wkt.envelopeIntersects(vs.head.asInstanceOf[UTF8String].toString,
-          d(vs(1)), d(vs(2)), d(vs(3)), d(vs(4)))
-      }
+      else Wkt.envelopeIntersects(vs.head.asInstanceOf[UTF8String].toString,
+        vs(1).asInstanceOf[Double], vs(2).asInstanceOf[Double],
+        vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Double])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val evals = children.map(_.genCode(ctx))
+      val nullCheck =
+        if (nullable) evals.map(_.isNull.toString).mkString(" || ") else "false"
+      ev.copy(code =
+        code"""
+          ${evals.map(_.code).mkString("\n")}
+          boolean ${ev.isNull} = $nullCheck;
+          boolean ${ev.value} = false;
+          if (!${ev.isNull}) {
+            ${ev.value} = graft.functions.Wkt.envelopeIntersects(
+              ${evals(0).value}.toString(), ${evals(1).value},
+              ${evals(2).value}, ${evals(3).value}, ${evals(4).value});
+          }""")
     }
     override def prettyName: String = "bbox_intersects"
     override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BboxIntersects =
@@ -71,7 +87,8 @@ object GeoFunctions {
     reg.createOrReplaceTempFunction("bbox_envelope",
       (es: Seq[Expression]) => BboxEnvelope(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bbox_intersects",
-      (es: Seq[Expression]) => BboxIntersects(es), "scala_udf")
+      (es: Seq[Expression]) =>
+        BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType))), "scala_udf")
   }
 
   /** Column helpers (require `register(spark)` on the active session). */

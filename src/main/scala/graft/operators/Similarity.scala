@@ -49,18 +49,24 @@ object Similarity {
   private def planeComponent(i: Column, p: Int): Column =
     when(pmod(xxhash64(i, lit(p)), lit(2)) === 0, 1.0).otherwise(-1.0)
 
-  /** Sign-LSH signature: `planes` bits, bit p = sign(v · hyperplane_{offset+p}).
-   *  `planeOffset` selects an independent hyperplane family, enabling banded
-   *  (multi-table) LSH without a stored model. */
+  /** Sign-LSH signature: `planes` bits encoding sign(v · hyperplane_{offset+p})
+   *  for each plane (MSB-first fold — any injective sign-pattern → long map is
+   *  a valid bucket key). `planeOffset` selects an independent hyperplane
+   *  family, enabling banded (multi-table) LSH without a stored model.
+   *
+   *  Single traversal: one aggregate accumulates all `planes` projections at
+   *  once. The per-plane form re-evaluated the vector and allocated a
+   *  hyperplane array per plane per row — `planes`× the work for identical
+   *  output semantics. */
   def lshSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
-    (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
-          i => planeComponent(i, planeOffset + p)),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
+    val pairs = zip_with(vec, sequence(lit(0), size(vec) - 1),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    val projs = aggregate(pairs, array(Seq.fill(planes)(lit(0.0)): _*),
+      (acc, p) => zip_with(acc,
+        array((0 until planes).map(j =>
+          p.getField("x") * planeComponent(p.getField("i"), planeOffset + j)): _*),
+        (a, b) => a + b))
+    aggregate(projs, lit(0L), (acc, pr) => acc * 2 + when(pr >= 0, 1L).otherwise(0L))
   }
 
   /**
@@ -78,6 +84,48 @@ object Similarity {
       explode(array((col("psig") +: (0 until planes).map(p =>
         col("psig").bitwiseXOR(lit(1L << p)))): _*)).as("sig"))
     val scored = cSig.join(broadcast(probeBuckets), "sig")
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k — the classic ANN scale path next
+   * to LSH: a small deterministic "codebook" of centroid vectors partitions
+   * the corpus into lists; probes score only the `nProbe` nearest lists.
+   *
+   * Centroids are a deterministic pseudo-random sample of the corpus
+   * (ordered by xxhash64(id), one driver-side collect of `nLists` vectors —
+   * the bounded "trained model", not a data collect). Assignment is a
+   * scan-local argmax of cosine against the broadcast-literal centroids, so
+   * corpus rows shuffle once on list_id at any scale; at 100 TB the list_id
+   * column would be written as a partition key so probes prune scans.
+   */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    val centroids: Seq[Seq[Float]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    def assignments(vec: Column): Column =
+      sort_array(array(centroids.zipWithIndex.map { case (c, j) =>
+        struct(cosine(vec, typedLit(c)).as("cos"), lit(j).as("list"))
+      }: _*), asc = false)
+    val assigned = corpus.withColumn("list_id",
+      element_at(assignments(col(vecCol)), 1).getField("list"))
+    val probeLists = probes.select(col("probe_id"), col("probe_vec"),
+      explode(transform(slice(assignments(col("probe_vec")), 1, nProbe),
+        a => a.getField("list"))).as("list_id"))
+    val scored = assigned.join(broadcast(probeLists), "list_id")
       .filter(col("probe_id") =!= col(idCol))
       .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))

@@ -92,6 +92,39 @@ object MLQueries {
       ORDER BY content_hash"""),
       (s, dir) => Dedup.exactGroups(t(s, dir, "documents"))),
 
+    // n-gram Jaccard similarity with a full DuckDB oracle — the one dedup-
+    // family operator whose semantics are plain SQL on both engines (same
+    // word-trigram shingle definition as TextFunctions.wordShingles).
+    Q("q_ngram_jaccard", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      ORDER BY id_a"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.wordShingles(col("text"), 3).as("sh"))
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, "id_a")
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6).as("jaccard"))
+          .orderBy("id_a")
+      }),
+
     Q("q_dedup_minhash", None,
       (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7)),
 
@@ -116,6 +149,14 @@ object MLQueries {
         val probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
         Similarity.lshTopK(emb, probes, k = 5)
+      }),
+
+    Q("q_sim_ivf", None,
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        Similarity.ivfTopK(emb, probes, k = 5)
       }),
 
     Q("q_multimodal_features", None,

@@ -55,6 +55,25 @@ object ZarrQueries {
 
     Q("q_zarr_bbox_search", None, (s, _) => flagship(s)),
 
+    // in-engine verdict for the custom source (no DuckDB oracle possible):
+    // the Zarr read must equal the golden rows literally — n_mismatch
+    // (symmetric exceptAll) is computed inside the query, so the driver's
+    // rows>0 smoke check is looking at a self-checking result row.
+    Q("q_zarr_roundtrip", None,
+      (s, _) => {
+        val z = zarrTable(s).select(col("collection"), col("date"), col("bbox"))
+        def boxWkt(r: Int): String =
+          s"POLYGON (($r -$r, $r $r, -$r $r, -$r -$r, $r -$r))"
+        val expected = s.createDataFrame(
+          Seq(("collection_a", java.time.LocalDateTime.of(2023, 1, 1, 0, 0), boxWkt(10)),
+            ("collection_b", java.time.LocalDateTime.of(2023, 1, 2, 0, 0), boxWkt(20)),
+            ("collection_c", java.time.LocalDateTime.of(2023, 1, 3, 0, 0), boxWkt(30))))
+          .toDF("collection", "date", "bbox")
+        val diff = z.exceptAll(expected).unionAll(expected.exceptAll(z))
+        z.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      }),
+
     Q("q_zarr_envelope", None,
       (s, _) => {
         GeoFunctions.register(s)

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming extension over the `events` stream shape.
+ *
+ * The reference is strictly bounded (reference: src/table_provider.rs:238-239
+ * declares `Boundedness::Bounded`, no watermarks or state anywhere) — this
+ * module is the unbounded counterpart a training-data pipeline needs:
+ * the same declarative transforms over `readStream`, with watermarked
+ * windowed aggregation and custom session state via
+ * `flatMapGroupsWithState`.
+ *
+ * Scale notes: windowed aggregation is a streaming hash aggregate whose
+ * state is O(open windows × event types); sessionization keys state by
+ * user_id (one shuffle), and event-time timeouts bound state lifetime —
+ * both survive an unbounded stream, unlike any collect-based formulation.
+ */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  case class SessionAgg(start: Long, end: Long, n: Long, total: Double)
+
+  /**
+   * Tumbling-window counts per event type with a watermark: late events
+   * beyond `watermark` are dropped; in append mode a window emits exactly
+   * once, when the watermark passes its end.
+   */
+  def windowedCounts(events: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /**
+   * Gap-based sessionization: a user's session closes after `gapMinutes`
+   * of silence, enforced by an event-time timeout — the session is emitted
+   * when the watermark passes (last event + gap). In-batch gaps close
+   * sessions immediately.
+   */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val a = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(a.start), new Timestamp(a.end), a.n, a.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var acc = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              acc = acc match {
+                case Some(a) if t - a.end <= gapMs =>
+                  Some(SessionAgg(a.start, math.max(a.end, t), a.n + 1, a.total + e.value))
+                case Some(a) =>
+                  closed += Session(user, new Timestamp(a.start), new Timestamp(a.end), a.n, a.total)
+                  Some(SessionAgg(t, t, 1, e.value))
+                case None =>
+                  Some(SessionAgg(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

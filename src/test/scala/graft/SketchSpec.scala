@@ -102,6 +102,18 @@ class SketchSpec extends SparkSpec {
       s"planted pair cosine ${r.getDouble(2)}"))
   }
 
+  test("IVF top-k finds planted near-neighbors (recall >= 0.7)") {
+    val probes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 600000).as("probe_id"),
+        transform(col("embedding"), x => x * lit(1.0f) + lit(0.01f)).as("probe_vec"))
+    val hits = Similarity.ivfTopK(emb, probes, k = 3).collect()
+      .filter(r => r.getLong(1) == r.getLong(0) - 600000)
+    // the perturbed probe lands in the same centroid list as its source for
+    // nearly all plants; nProbe=4 of 16 lists covers assignment jitter
+    assert(hits.length / 20.0 >= 0.7, s"IVF planted recall ${hits.length / 20.0}")
+    hits.foreach(r => assert(r.getDouble(2) > 0.99))
+  }
+
   test("exact dedup: planted exact copies found with correct canonical id") {
     val copies = docs.limit(5).select((col("doc_id") + 3000000).as("doc_id"), col("text"))
     val groups = Dedup.exactGroups(docs.select("doc_id", "text").unionAll(copies)).collect()

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/**
+ * Drives the streaming operators through real micro-batches (MemoryStream →
+ * memory sink), verifying watermark semantics: append-mode windows emit only
+ * once the watermark passes, and sessions close via event-time timeout.
+ */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("watermarked tumbling windows emit once the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      // two windows' worth of events: [0,10) and [10,20)
+      mem.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(5), 10, "click", 2.0),
+        Event(3, ts(12), 11, "view", 4.0))
+      q.processAllAvailable()
+      // watermark = max(ts) - 10min = 2min → no window closed yet
+      assert(spark.table("wc").count() == 0)
+      // an event at t=35 advances the watermark to 25 → both windows close
+      mem.addData(Event(4, ts(35), 12, "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").orderBy("window_start", "event_type").collect()
+      assert(rows.map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+        Seq((0L, "click", 2L, 3.0), (10L, "view", 1L, 4.0)))
+      // late event for the closed [0,10) window is dropped, not re-emitted
+      mem.addData(Event(5, ts(2), 10, "click", 99.0))
+      q.processAllAvailable()
+      assert(spark.table("wc").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionization: in-batch gap closes immediately, timeout closes the rest") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two bursts 100 min apart in ONE batch → first closes
+      // in-batch. NOTE events start at t=1min: a first-batch event at
+      // exactly t=0 is filtered as late (ts <= initial watermark 0).
+      mem.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 1.0),
+        Event(3, ts(110), 1, "view", 2.0),
+        Event(4, ts(115), 2, "click", 5.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions").collect()
+      assert(first.length == 1, s"rows=${first.map(_.toSeq).toList}")
+      assert(first.head.getLong(0) == 1L && first.head.getLong(3) == 2L,
+        s"rows=${first.map(_.toSeq).toList}")
+      // advance watermark far past (115 + 30 + watermark 10) → timeouts fire
+      mem.addData(Event(5, ts(300), 3, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(6, ts(400), 3, "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000, r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(all.contains((1L, 1L, 2L, 2.0)), s"in-batch closed session: $all")
+      assert(all.contains((1L, 110L, 1L, 2.0)), s"user1 second session via timeout: $all")
+      assert(all.contains((2L, 115L, 1L, 5.0)), s"user2 session via timeout: $all")
+    } finally q.stop()
+  }
+
+  test("the batch events table runs through the same windowed aggregation") {
+    // the streaming transform is batch-compatible: same code, bounded input
+    val batch = graft.queries.Tables.t(spark, sf, "events")
+    val out = EventStream.windowedCounts(batch).collect()
+    assert(out.nonEmpty)
+  }
+}
