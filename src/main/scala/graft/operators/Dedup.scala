@@ -46,15 +46,12 @@ object Dedup {
    * k times (r01's 1,064 s scale-killer, ingredient b).
    */
   def signatureFromShingles(sh: Column, numHashes: Int): Column =
-    // single traversal: one aggregate over the shingle array with an
-    // elementwise-min merge. The transform-per-seed form re-evaluated the
-    // captured shingle expression once PER SEED (k× the shingling cost
-    // wherever the input isn't a materialized column).
-    aggregate(sh,
-      array(Seq.fill(numHashes)(lit(Long.MaxValue)): _*),
-      (acc, s) => zip_with(acc,
-        array((0 until numHashes).map(j => xxhash64(s, lit(j))): _*),
-        (a, b) => least(a, b)))
+    // native codegen'd kernel: single pass over the shingle array updating
+    // all k min-lanes ([[graft.functions.VectorKernels.minhash]]). The
+    // higher-order-function formulations are interpreted and either
+    // re-evaluate the shingle expression per seed (transform-per-seed) or
+    // allocate a k-array per shingle (aggregate+zip_with).
+    graft.functions.VectorFunctions.minhash_signature(sh, numHashes)
 
   /** Convenience single-pass form for small k (fingerprinting). */
   def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =

@@ -19,14 +19,14 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two float arrays as double (index-ordered, deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float arrays as double (index-ordered, deterministic).
+   *  Native codegen'd kernel — the zip_with/aggregate formulation is
+   *  interpreted and allocates per element ([[graft.functions.VectorKernels]]). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_cosine(a, b)
 
   /**
    * Brute-force top-k cosine neighbors of each probe vector.
@@ -44,30 +44,13 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (dim i, plane p):
-   *  xxhash64 folded to ±1. */
-  private def planeComponent(i: Column, p: Int): Column =
-    when(pmod(xxhash64(i, lit(p)), lit(2)) === 0, 1.0).otherwise(-1.0)
-
   /** Sign-LSH signature: `planes` bits encoding sign(v · hyperplane_{offset+p})
    *  for each plane (MSB-first fold — any injective sign-pattern → long map is
    *  a valid bucket key). `planeOffset` selects an independent hyperplane
    *  family, enabling banded (multi-table) LSH without a stored model.
-   *
-   *  Single traversal: one aggregate accumulates all `planes` projections at
-   *  once. The per-plane form re-evaluated the vector and allocated a
-   *  hyperplane array per plane per row — `planes`× the work for identical
-   *  output semantics. */
-  def lshSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column = {
-    val pairs = zip_with(vec, sequence(lit(0), size(vec) - 1),
-      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
-    val projs = aggregate(pairs, array(Seq.fill(planes)(lit(0.0)): _*),
-      (acc, p) => zip_with(acc,
-        array((0 until planes).map(j =>
-          p.getField("x") * planeComponent(p.getField("i"), planeOffset + j)): _*),
-        (a, b) => a + b))
-    aggregate(projs, lit(0L), (acc, pr) => acc * 2 + when(pr >= 0, 1L).otherwise(0L))
-  }
+   *  Native codegen'd kernel ([[graft.functions.VectorKernels.signLsh]]). */
+  def lshSignature(vec: Column, planes: Int, planeOffset: Int = 0): Column =
+    graft.functions.VectorFunctions.sign_lsh(vec, planes, planeOffset)
 
   /**
    * LSH-bucketed approximate top-k: only corpus vectors whose signature
