@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{GeoFunctions, VectorFunctions}
+
+/**
+ * Session extension injecting every graft function into the session's
+ * FunctionRegistry at build time, so a user needs only
+ *
+ * {{{
+ *   SparkSession.builder()
+ *     .config("spark.sql.extensions", "graft.GraftExtensions")
+ * }}}
+ *
+ * and `SELECT bbox_intersects(bbox, ...)`, `vec_cosine(a, b)`,
+ * `sign_lsh(v, 16, 0)`, `minhash_signature(sh, 32)` work in plain SQL —
+ * no per-session register() calls (the per-query `GeoFunctions.register`
+ * path still exists for sessions built without extensions).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("bbox_intersects"),
+      info("bbox_intersects", "bbox_intersects(wkt, minx, miny, maxx, maxy) - envelope intersection"),
+      (es: Seq[Expression]) =>
+        GeoFunctions.BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType)))))
+    ext.injectFunction((FunctionIdentifier("bbox_envelope"),
+      info("bbox_envelope", "bbox_envelope(wkt) - struct<minx,miny,maxx,maxy>"),
+      (es: Seq[Expression]) => GeoFunctions.BboxEnvelope(es.head)))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two vectors"),
+      (es: Seq[Expression]) => VectorFunctions.VectorCosine(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two vectors"),
+      (es: Seq[Expression]) => VectorFunctions.VectorDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("sign_lsh"),
+      info("sign_lsh", "sign_lsh(vec, planes, offset) - sign-LSH bucket key"),
+      (es: Seq[Expression]) => VectorFunctions.SignLshSignature(es(0),
+        VectorFunctions.litIntArg(es(1), "planes"), VectorFunctions.litIntArg(es(2), "offset"))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - minhash array"),
+      (es: Seq[Expression]) => VectorFunctions.MinHashSignature(es(0),
+        VectorFunctions.litIntArg(es(1), "numHashes"))))
+  }
+}

@@ -154,10 +154,11 @@ object VectorFunctions {
       copy(child = c)
   }
 
-  private def litInt(e: Expression, what: String): Int = e match {
+  private[graft] def litIntArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
+  private def litInt(e: Expression, what: String): Int = litIntArg(e, what)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -121,6 +121,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
         .orderBy("bucket", "event_type")),
 
+    // the streaming module's windowed aggregation, driven in batch mode over
+    // the bounded events table (same code path Structured Streaming runs;
+    // StreamingSpec drives the unbounded MemoryStream side) — gives the
+    // streaming surface an oracle-verified row
+    Q("q_stream_window_batch", Some("""
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 6) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""),
+      (s, dir) => graft.streaming.EventStream.windowedCounts(Tables.t(s, dir, "events"))
+        .orderBy("window_start", "event_type")),
+
     // EXPLAIN surface (SURVEY §2 C-other) is covered by PlanSpec in
     // src/test — plan text is engine-specific, so an oracle-less query here
     // could never be verified; the spec asserts plan *properties* instead

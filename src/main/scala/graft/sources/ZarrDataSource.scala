@@ -93,9 +93,10 @@ class ZarrScanBuilder(
     arrays: Seq[ZarrArrayMeta],
     fullSchema: StructType,
     targetRows: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = fullSchema
+  private var limit: Option[Long] = None
 
   override def pruneColumns(required: StructType): Unit = {
     // keep table field order for the names Spark asked for
@@ -103,17 +104,30 @@ class ZarrScanBuilder(
     requiredSchema = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = new ZarrScan(path, arrays, requiredSchema, targetRows)
+  /** LIMIT n over a Zarr table reads only the first ceil(n/chunk) chunks —
+   *  an improvement over the reference, which ignores its `_limit` argument
+   *  (reference: src/table_provider.rs:86). Rows are emitted in ascending
+   *  store order, so truncating the planned row range is exact. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l.toLong)
+    true
+  }
+
+  override def build(): Scan = new ZarrScan(path, arrays, requiredSchema, targetRows, limit)
 }
 
 class ZarrScan(
     path: String,
     arrays: Seq[ZarrArrayMeta],
     requiredSchema: StructType,
-    targetRows: Long)
+    targetRows: Long,
+    limit: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
-  private val tableRows: Long = arrays.headOption.map(_.length).getOrElse(0L)
+  private val tableRows: Long = {
+    val n = arrays.headOption.map(_.length).getOrElse(0L)
+    limit.fold(n)(math.min(n, _))
+  }
   private val requiredArrays: Seq[ZarrArrayMeta] =
     requiredSchema.fieldNames.toSeq.map(n => arrays.find(_.name == n).getOrElse(
       throw new ZarrException(s"no child array for column '$n'")))

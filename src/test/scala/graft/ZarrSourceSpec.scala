@@ -88,6 +88,53 @@ class ZarrSourceSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("collection_b", "collection_c"))
   }
 
+  test("limit pushdown reads only the chunks the limit needs") {
+    val dir = tempDir("zarr_limit")
+    graft.zarr.ZarrWriter.writeGroup(dir, "/g")
+    graft.zarr.ZarrWriter.writeLongArray(dir, "/g", "x", 0L until 100L, chunkLen = 10)
+    val df = spark.read.format("zarr").option("group", "/g")
+      .option("target_partition_rows", "10").load(dir)
+    val limited = df.limit(4)
+    // without limit: 10 partitions; with limit 4: a single 10-row chunk range
+    assert(df.rdd.getNumPartitions == 10)
+    assert(limited.rdd.getNumPartitions == 1)
+    assert(limited.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("GraftExtensions injects all functions into a fresh session's SQL") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, new session WITH extensions applied at build.
+      // (the spark.sql.extensions CONFIG route only applies when the
+      // SparkContext itself is built with it; withExtensions is the
+      // session-level equivalent)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne old)
+      val r = s2.sql("""
+        SELECT bbox_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 1, 1, 3, 3) AS hit,
+               bbox_envelope('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))').maxx AS mx,
+               vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+               vec_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dp,
+               sign_lsh(array(1.0D, 2.0D, 3.0D), 8, 0) AS lsh,
+               size(minhash_signature(array('a', 'b', 'c'), 4)) AS mh
+      """).collect().head
+      assert(r.getBoolean(0))
+      assert(r.getDouble(1) == 2.0)
+      assert(r.getDouble(2) == 1.0)
+      assert(r.getDouble(3) == 23.0)
+      assert(r.getLong(4) >= 0L && r.getLong(4) < 256L)
+      assert(r.getInt(5) == 4)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("multi-chunk partition planning: one task per coalesced chunk range") {
     val dir = tempDir("zarr_parts")
     graft.zarr.ZarrWriter.writeGroup(dir, "/g")
