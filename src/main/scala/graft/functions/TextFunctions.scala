@@ -83,8 +83,17 @@ object TextFunctions {
   /**
    * Quality score in [0,1]: mixes document length, mean word length,
    * alphanumeric ratio and stopword ratio — the classic cheap quality gates.
+   * Backed by a single-pass native kernel
+   * ([[graft.functions.TextKernelImpl.qualityScore]]); [[qualityScoreHof]]
+   * is the definitional Column formulation the equivalence spec checks
+   * the kernel against.
    */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    graft.functions.TextKernels.quality_score(text)
+
+  /** Reference formulation of [[qualityScore]] in pure Column functions
+   *  (re-tokenizes the document five times — kept for the equivalence spec). */
+  def qualityScoreHof(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val nChar = length(text).cast("double")
     val alnum = length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native text kernels for the NON-oracled text operators.
+ *
+ * The oracle-verified queries (q_text_stats, q_text_langid,
+ * q_ngram_jaccard) deliberately keep their Column-function formulations so
+ * the Spark and DuckDB semantics stay definitionally identical; these
+ * kernels back the operators whose outputs are engine-internal — SimHash
+ * fingerprints and the quality heuristic — where a single tight pass
+ * replaces an explode + 64 partial aggregations (SimHash) or five
+ * re-tokenizations (quality).
+ */
+object TextKernelImpl {
+
+  /**
+   * 64-bit SimHash over the word tokens of `text` (lowercased alnum runs —
+   * same tokenization as TextFunctions.tokens): per-bit majority vote of
+   * token hashes, computed per row with no explode and no shuffle. The
+   * shuffle-free formulation matters at scale: the explode form shuffles 64
+   * partial sums per doc; this is a scan-local map.
+   */
+  def simhash64(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    val counts = new Array[Int](64)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      // find next alnum run [i, j)
+      while (i < n && !isAlnum(s.charAt(i))) i += 1
+      var j = i
+      while (j < n && isAlnum(s.charAt(j))) j += 1
+      if (j > i) {
+        val tok = UTF8String.fromString(s.substring(i, j))
+        val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+      i = j
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /**
+   * Quality score in [0,1] — single pass over the text computing length,
+   * token count, alnum count and English-stopword hits together (the
+   * Column formulation re-tokenized the document five times).
+   * Mirrors TextFunctions.qualityScore's formula exactly.
+   */
+  def qualityScore(text: UTF8String, stopwords: Array[UTF8String]): Double = {
+    val s = text.toString
+    val lower = s.toLowerCase
+    val nChar = s.length.toDouble
+    var nTok = 0.0
+    var nAlnum = 0.0
+    var stopHits = 0.0
+    val seenStops = new java.util.HashSet[String]()
+    val stopSet = new java.util.HashSet[String]()
+    var w = 0
+    while (w < stopwords.length) { stopSet.add(stopwords(w).toString); w += 1 }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))
+        nAlnum += 1
+      i += 1
+    }
+    i = 0
+    val m = lower.length
+    while (i < m) {
+      while (i < m && !isAlnum(lower.charAt(i))) i += 1
+      var j = i
+      while (j < m && isAlnum(lower.charAt(j))) j += 1
+      if (j > i) {
+        nTok += 1
+        val tok = lower.substring(i, j)
+        if (stopSet.contains(tok) && seenStops.add(tok)) stopHits += 1
+      }
+      i = j
+    }
+    val meanWordLen = if (nTok > 0) nAlnum / nTok else 0.0
+    val stopRatio = if (nTok > 0) stopHits / math.min(nTok, 10.0) else 0.0
+    val lengthScore = math.min(nChar / 500.0, 1.0)
+    val wordLenScore = if (meanWordLen >= 3.0 && meanWordLen <= 10.0) 1.0 else 0.5
+    val alnumScore = if (nChar > 0) nAlnum / nChar else 0.0
+    val raw = lengthScore * 0.3 + wordLenScore * 0.2 + alnumScore * 0.3 + stopRatio * 0.2
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+}
+
+object TextKernels {
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      TextKernelImpl.simhash64(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v => s"graft.functions.TextKernelImpl.simhash64($v)")
+    override def prettyName: String = "simhash64"
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  }
+
+  case class QualityScore(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val stops = stopwords.map(UTF8String.fromString).toArray
+    override def nullSafeEval(v: Any): Any =
+      TextKernelImpl.qualityScore(v.asInstanceOf[UTF8String], stops)
+    // stopword array shipped through a codegen reference object
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("qsStops", stops, "org.apache.spark.unsafe.types.UTF8String[]")
+      defineCodeGen(ctx, ev, v => s"graft.functions.TextKernelImpl.qualityScore($v, $ref)")
+    }
+    override def prettyName: String = "quality_score"
+    override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      (es: Seq[Expression]) => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("quality_score",
+      (es: Seq[Expression]) => QualityScore(es.head, TextFunctions.StopwordSets.head._2), "scala_udf")
+  }
+
+  def simhash64(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("simhash64", text)
+  }
+
+  def quality_score(text: Column): Column = {
+    register(SparkSession.active)
+    call_function("quality_score", text)
+  }
+}

@@ -144,24 +144,15 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash fingerprint per document: explode token hashes, take a
-   * per-bit majority vote (sum of ±1), reassemble the sign bits into a long.
-   * The 64 conditional sums partial-aggregate map-side — shuffle volume is
-   * 64 longs per doc regardless of text size.
+   * 64-bit SimHash fingerprint per document: per-bit majority vote of the
+   * token hashes, computed by a native codegen'd kernel
+   * ([[graft.functions.TextKernelImpl.simhash64]]) — a scan-local map with
+   * NO explode and NO shuffle (the explode + 64-partial-sums formulation
+   * shuffled 64 longs per doc and ran interpreted; bit-identical output).
    */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"b$k")
-    }
-    val fp = (0 until 64).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), fp.as("simhash"))
-  }
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextKernels.simhash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two long fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

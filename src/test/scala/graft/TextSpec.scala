@@ -62,6 +62,37 @@ class TextSpec extends SparkSpec {
     assert(out(0) > out(1) && out(0) > out(2))
   }
 
+  test("quality kernel is value-identical to the Column-function formulation") {
+    val both = docs.limit(200).select(
+      TextFunctions.qualityScore(col("text")).as("kernel"),
+      TextFunctions.qualityScoreHof(col("text")).as("hof")).collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+      s"kernel=${r.getDouble(0)} hof=${r.getDouble(1)}"))
+  }
+
+  test("simhash kernel matches the explode+majority-vote definition") {
+    import graft.functions.TextKernels
+    val expected = {
+      // definitional formulation: explode token hashes, per-bit ±1 sums
+      val toks = docs.limit(50).select(col("doc_id").as("id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map { k =>
+        sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"b$k")
+      }
+      val fp = (0 until 64).map { k =>
+        when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_))
+      toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("id"), fp.as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val kernel = docs.limit(50).select(col("doc_id"),
+      TextKernels.simhash64(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == expected)
+  }
+
   test("multimodal: stubbed decode is deterministic and batched shape is real") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, docs))
     val rows = feats.collect()
