@@ -17,7 +17,7 @@ import graft.functions.TextFunctions
  *    100 TB it shuffles b small keys per doc, never the text. The final
  *    exact-Jaccard verification runs only on candidate pairs.
  *  - SimHash: 64-bit fingerprint via per-bit majority vote of token hashes
- *    (explode + 64 conditional sums — partial-aggregated map-side), near-dups
+ *    (native per-row kernel — scan-local, no shuffle), near-dups
  *    = Hamming distance on band-matched fingerprints.
  *  - Embedding cosine: delegated to [[Similarity.cosine]] over candidate
  *    pairs from sign-LSH buckets.

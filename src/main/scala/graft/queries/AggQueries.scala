@@ -208,6 +208,25 @@ object AggQueries {
           ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
       }),
 
+    // skew-safe two-phase aggregation (operators.Skew): the salt stage is
+    // invisible in the result, so a plain GROUP BY oracles it exactly
+    Q("q_skew_salted_agg", Some("""
+      SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 'HOT'
+                  ELSE CAST(l_orderkey AS VARCHAR) END AS k,
+             round(sum(l_quantity), 2) AS total_r, count(*) AS n
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY k"""),
+      (s, dir) => {
+        val skewed = t(s, dir, "lineitem").select(
+          when(col("l_orderkey") % 10 =!= 0, lit("HOT"))
+            .otherwise(col("l_orderkey").cast("string")).as("k"),
+          col("l_quantity").as("v"), col("l_orderkey").as("rid"))
+        graft.operators.Skew.saltedSumCount(skewed, "k", "v", "rid", buckets = 16)
+          .select(col("k"), round(col("total"), 2).as("total_r"), col("n"))
+          .orderBy("k")
+      }),
+
     Q("q_having", Some("""
       SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
       FROM lineitem
