@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.zarr._
+
+/**
+ * Reference-parity rejection semantics (reference: src/schema.rs:89-122
+ * rejects complex/extension/unknown dtypes; the error model is A9 in
+ * SURVEY §2) plus structural edge cases the golden store can't exercise:
+ * mixed chunk sizes across columns, nested-group skipping, length
+ * mismatches, truncated chunks.
+ */
+class ZarrMetaSpec extends SparkSpec {
+
+  private def meta(dtype: String): String =
+    s"""{"shape":[3],"data_type":$dtype,
+       |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[3]}},
+       |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+       |"fill_value":0,
+       |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+       |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}""".stripMargin
+
+  test("complex, unknown, extension dtypes and bad datetime units are rejected") {
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", meta("\"complex64\"")))
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", meta("\"float128\"")))
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x",
+      meta("""{"name":"fancy.extension","configuration":{}}""")))
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x",
+      meta("""{"name":"numpy.datetime64","configuration":{"unit":"D","scale_factor":1}}""")))
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", meta("\"r12\""))) // not byte-aligned
+  }
+
+  test("2-D arrays and non-regular chunk grids are rejected") {
+    val twoD = meta("\"int64\"").replace("\"shape\":[3]", "\"shape\":[3,3]")
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", twoD))
+    val weirdGrid = meta("\"int64\"").replace("\"name\":\"regular\"", "\"name\":\"rectilinear\"")
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", weirdGrid))
+  }
+
+  test("non-string bbox column is rejected at schema time (schema.rs:68-73 parity)") {
+    val m = ZarrMeta.parseArray("g/bbox", "bbox", meta("\"int64\""))
+    intercept[ZarrException](ZarrSchema.toField(m))
+  }
+
+  test("mismatched child-array lengths are rejected at inference") {
+    val dir = tempDir("zarr_lens")
+    ZarrWriter.writeGroup(dir, "/g")
+    ZarrWriter.writeLongArray(dir, "/g", "a", Seq(1L, 2L, 3L), 3)
+    ZarrWriter.writeLongArray(dir, "/g", "b", Seq(1L, 2L), 2)
+    val store = new ZarrStore(dir, spark.sessionState.newHadoopConf())
+    val e = intercept[ZarrException](ZarrSchema.infer(store, "/g"))
+    assert(e.getMessage.contains("share one length"))
+  }
+
+  test("nested groups are skipped as columns; non-zarr dirs ignored") {
+    val dir = tempDir("zarr_nested")
+    ZarrWriter.writeGroup(dir, "/g")
+    ZarrWriter.writeLongArray(dir, "/g", "x", Seq(1L, 2L), 2)
+    ZarrWriter.writeGroup(s"$dir/g", "sub") // nested group, not a column
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "g", "junk"))
+    val df = spark.read.format("zarr").option("group", "/g").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("x"))
+    assert(df.count() == 2)
+  }
+
+  test("columns with different chunk sizes read correctly across boundaries") {
+    val dir = tempDir("zarr_mixed")
+    ZarrWriter.writeGroup(dir, "/g")
+    val n = 30
+    ZarrWriter.writeLongArray(dir, "/g", "a", (0L until n).map(_ * 2), chunkLen = 3)
+    ZarrWriter.writeLongArray(dir, "/g", "b", (0L until n).map(_ * 5), chunkLen = 7)
+    ZarrWriter.writeStringArray(dir, "/g", "s", (0 until n).map(i => s"v$i"), chunkLen = 4)
+    // small target → several partitions with ranges aligned to max chunk (7)
+    val df = spark.read.format("zarr").option("group", "/g")
+      .option("target_partition_rows", "8").load(dir)
+    assert(df.rdd.getNumPartitions > 1)
+    val rows = df.orderBy("a").collect()
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i * 2 && r.getLong(1) == i * 5 && r.getString(2) == s"v$i")
+    }
+  }
+
+  test("truncated vlen-utf8 chunk fails with a ZarrException, not garbage") {
+    val dir = tempDir("zarr_trunc")
+    ZarrWriter.writeGroup(dir, "/g")
+    ZarrWriter.writeStringArray(dir, "/g", "s", Seq("abc", "defgh", "ij"), 3)
+    val chunk = java.nio.file.Paths.get(dir, "g", "s", "c", "0")
+    val full = java.nio.file.Files.readAllBytes(chunk)
+    // truncate the COMPRESSED stream → zstd or vlen parse must fail loudly
+    java.nio.file.Files.write(chunk, full.take(full.length - 3))
+    val e = intercept[Throwable] {
+      spark.read.format("zarr").option("group", "/g").load(dir).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("") + " " + t.getClass.getName).mkString(" | ")
+    assert(msgs.contains("vlen-utf8") || msgs.toLowerCase.contains("zstd") ||
+      msgs.toLowerCase.contains("corrupt"), msgs)
+  }
+}
