@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -28,18 +28,27 @@ import org.apache.spark.unsafe.types.UTF8String
 object GeoFunctions {
 
   /** bbox_envelope(wkt) → struct<minx,miny,maxx,maxy> (null for empty geometry). */
-  case class BboxEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class BboxEnvelope(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("minx", DoubleType, nullable = false),
       StructField("miny", DoubleType, nullable = false),
       StructField("maxx", DoubleType, nullable = false),
       StructField("maxy", DoubleType, nullable = false)))
-    override def nullSafeEval(v: Any): Any = {
-      val e = Wkt.envelope(v.asInstanceOf[UTF8String].toString)
-      if (e == null) null else InternalRow(e(0), e(1), e(2), e(3))
-    }
+    override def nullable: Boolean = true // empty geometry → null struct
+    override def nullSafeEval(v: Any): Any =
+      GeoFunctions.envelopeRow(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => s"""
+        ${ev.value} = graft.functions.GeoFunctions.envelopeRow($v);
+        ${ev.isNull} = ${ev.value} == null;""")
     override def prettyName: String = "bbox_envelope"
     override protected def withNewChildInternal(c: Expression): BboxEnvelope = copy(child = c)
+  }
+
+  /** Static kernel for [[BboxEnvelope]]: parse → envelope row (null if empty). */
+  def envelopeRow(wkt: UTF8String): InternalRow = {
+    val e = Wkt.envelope(wkt.toString)
+    if (e == null) null else InternalRow(e(0), e(1), e(2), e(3))
   }
 
   /**

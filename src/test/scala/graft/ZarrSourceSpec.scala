@@ -135,6 +135,18 @@ class ZarrSourceSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL registration: CREATE TABLE ... USING zarr (the reference's " +
+      "register_table_provider equivalent via catalog)") {
+    spark.sql("DROP TABLE IF EXISTS zarr_ddl")
+    spark.sql(s"""
+      CREATE TABLE zarr_ddl USING zarr OPTIONS (path '$refStore', group '/meta')""")
+    try {
+      val rows = spark.sql(
+        "SELECT collection, date FROM zarr_ddl WHERE collection = 'collection_a'").collect()
+      assert(rows.length == 1 && rows.head.getString(0) == "collection_a")
+    } finally spark.sql("DROP TABLE IF EXISTS zarr_ddl")
+  }
+
   test("multi-chunk partition planning: one task per coalesced chunk range") {
     val dir = tempDir("zarr_parts")
     graft.zarr.ZarrWriter.writeGroup(dir, "/g")
