@@ -55,6 +55,12 @@ object ZarrQueries {
 
     Q("q_zarr_bbox_search", None, (s, _) => flagship(s)),
 
+    // LIMIT pushdown surface: the scan plans only the chunk ranges the
+    // limit needs (ZarrScanBuilder.pushLimit; partition-count asserted in
+    // ZarrSourceSpec — here the driver smoke-checks rows==limit)
+    Q("q_zarr_limit", None,
+      (s, _) => zarrTable(s).select("collection").limit(2)),
+
     // in-engine verdict for the custom source (no DuckDB oracle possible):
     // the Zarr read must equal the golden rows literally — n_mismatch
     // (symmetric exceptAll) is computed inside the query, so the driver's

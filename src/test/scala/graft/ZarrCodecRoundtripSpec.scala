@@ -76,6 +76,20 @@ class ZarrCodecRoundtripSpec extends SparkSpec {
       f64, 0.0, 3, "0.0") == f64)
   }
 
+  test("float16 half<->float conversion roundtrips all 65536 bit patterns") {
+    var bits = 0
+    while (bits < 0x10000) {
+      val h = bits.toShort
+      val f = graft.zarr.ZarrCodecs.halfToFloat(h)
+      if (!f.isNaN && !f.isInfinite) {
+        // every finite half is exactly representable as float → encode back
+        assert(ZarrWriter.floatToHalf(f) == h,
+          f"bits=0x$bits%04x float=$f re=${ZarrWriter.floatToHalf(f)}%04x")
+      }
+      bits += 1
+    }
+  }
+
   test("raw bits r16 → binary") {
     val vals = Seq[Any](Array[Byte](1, 2), Array[Byte](-1, 0), Array[Byte](9, 9))
     val out = roundtrip("\"r16\"", 2, (b, v) => b.put(v.asInstanceOf[Array[Byte]]),
