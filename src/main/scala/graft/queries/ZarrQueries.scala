@@ -80,6 +80,23 @@ object ZarrQueries {
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
       }),
 
+    // sink surface: write a derived table to a fresh Zarr store through the
+    // DSv2 write path, read it back, self-check equality (n_mismatch == 0)
+    Q("q_zarr_write_roundtrip", None,
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_zarr_write").toString + "/out.zarr"
+        val src = s.read.parquet(s"$dir/region.parquet")
+          .select(col("r_regionkey"), col("r_name"))
+        src.coalesce(1).write.format("zarr").option("group", "/meta")
+          .mode("overwrite").save(out)
+        // zarr reads name-sorted fields; realign before positional exceptAll
+        val back = s.read.format("zarr").option("group", "/meta").load(out)
+          .select("r_regionkey", "r_name")
+        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
+        back.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      }),
+
     Q("q_zarr_envelope", None,
       (s, _) => {
         GeoFunctions.register(s)

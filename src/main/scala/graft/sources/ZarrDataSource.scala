@@ -8,7 +8,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -65,9 +65,14 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     val path = storePath(options)
     val group = Option(options.get("group")).getOrElse("/")
     val targetRows = Option(options.get("target_partition_rows")).map(_.toLong).getOrElse(1L << 20)
-    val store = new ZarrStore(path, hadoopConf())
-    val arrays = ZarrSchema.listArrays(store, group)
-    new ZarrTable(path, group, arrays, schema, targetRows)
+    val chunkRows = Option(options.get("chunk_rows")).map(_.toInt).getOrElse(1 << 20)
+    val rowIndexCol = Option(options.get("row_index"))
+    // a write target may not exist yet — build the table with the write
+    // schema and no readable arrays (reads will fail with the store error)
+    val arrays =
+      try ZarrSchema.listArrays(new ZarrStore(path, hadoopConf()), group)
+      catch { case _: ZarrException => Seq.empty[ZarrArrayMeta] }
+    new ZarrTable(path, group, arrays, schema, targetRows, chunkRows, rowIndexCol)
   }
 }
 
@@ -76,16 +81,24 @@ class ZarrTable(
     group: String,
     arrays: Seq[ZarrArrayMeta],
     tableSchema: StructType,
-    targetRows: Long)
-  extends Table with SupportsRead {
+    targetRows: Long,
+    chunkRows: Int = 1 << 20,
+    rowIndexCol: Option[String] = None)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"zarr:`$path`$group"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path, arrays, tableSchema, targetRows)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ZarrWriteBuilder(path, group, info.schema(), chunkRows, rowIndexCol,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
 class ZarrScanBuilder(

@@ -1,0 +1,316 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import com.github.luben.zstd.Zstd
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.zarr.{SerializableHadoopConf, ZarrException}
+
+/**
+ * DSv2 write path: `df.write.format("zarr").option("group", "/meta")
+ * .mode("overwrite").save(path)` — the sink the reference lacks entirely
+ * (its TableType::Base is read-only; the write stub at
+ * reference: src/file_format.rs:109-117 is commented out), letting a
+ * pipeline persist derived metadata tables back to Zarr.
+ *
+ * Layout contract for DISTRIBUTED writes: Zarr's regular chunk grid assigns
+ * global row positions, so parallel tasks must own whole chunks. The caller
+ * provides a 0-based dense row-index column (option `row_index`, excluded
+ * from the written arrays) and routes rows so chunks aren't split:
+ *
+ * {{{
+ *   df.withColumn("idx", row_number().over(...) - 1)
+ *     .repartition(col("idx") / chunkRows)   // all rows of a chunk → one task
+ *     .sortWithinPartitions("idx")
+ *     .write.format("zarr").option("group", "/g").option("row_index", "idx")
+ *     .mode("overwrite").save(path)
+ * }}}
+ *
+ * Each task streams its rows into one open chunk per column (bounded
+ * memory), writes chunk objects directly, and reports (chunkId, rows)
+ * per chunk; the driver validates full coverage — every chunk dense and
+ * full except the last — and only then commits the zarr.json metadata
+ * (readers key off zarr.json, so a failed job leaves no readable table).
+ * Without `row_index`, a single input partition is required (positions are
+ * synthesized) — the metadata-scale path.
+ *
+ * Dtype mapping (write side of SURVEY §1.3): long→int64, int→int32,
+ * short→int16, byte→int8, double→float64, float→float32, bool→bool,
+ * string→vlen-utf8 (numcodecs framing), timestamp_ntz→datetime64[us]
+ * (null → NaT). All columns zstd(0)-compressed.
+ */
+object ZarrWriteSupport {
+
+  def dtypeJson(dt: DataType): String = dt match {
+    case LongType => "\"int64\""
+    case IntegerType => "\"int32\""
+    case ShortType => "\"int16\""
+    case ByteType => "\"int8\""
+    case DoubleType => "\"float64\""
+    case FloatType => "\"float32\""
+    case BooleanType => "\"bool\""
+    case StringType => "\"string\""
+    case TimestampNTZType =>
+      """{"name":"numpy.datetime64","configuration":{"unit":"us","scale_factor":1}}"""
+    case other => throw new ZarrException(s"zarr write: unsupported column type $other")
+  }
+
+  def fillJson(dt: DataType): String = dt match {
+    case StringType => "\"\""
+    case TimestampNTZType => Long.MinValue.toString
+    case BooleanType => "false"
+    case FloatType | DoubleType => "0.0"
+    case _ => "0"
+  }
+
+  def codecsJson(dt: DataType): String = dt match {
+    case StringType =>
+      """[{"name":"vlen-utf8","configuration":{}},{"name":"zstd","configuration":{"level":0,"checksum":false}}]"""
+    case _ =>
+      """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd","configuration":{"level":0,"checksum":false}}]"""
+  }
+
+  /** Encode `count` buffered values of one column into a compressed chunk. */
+  def encodeChunk(dt: DataType, values: Array[Any], count: Int, chunkRows: Int): Array[Byte] = {
+    val raw: Array[Byte] = dt match {
+      case StringType =>
+        val bufs = new mutable.ArrayBuffer[Array[Byte]](chunkRows)
+        var total = 4
+        var i = 0
+        while (i < chunkRows) {
+          val s = if (i < count && values(i) != null) values(i).toString else ""
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          bufs += b; total += 4 + b.length
+          i += 1
+        }
+        val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+        out.putInt(chunkRows) // numcodecs VLenUTF8 element-count header
+        bufs.foreach(b => out.putInt(b.length).put(b))
+        out.array()
+      case _ =>
+        val width = dt match {
+          case LongType | DoubleType | TimestampNTZType => 8
+          case IntegerType | FloatType => 4
+          case ShortType => 2
+          case ByteType | BooleanType => 1
+          case other => throw new ZarrException(s"unsupported $other")
+        }
+        val out = ByteBuffer.allocate(width * chunkRows).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < chunkRows) {
+          val v = if (i < count) values(i) else null
+          dt match {
+            case LongType => out.putLong(if (v == null) 0L else v.asInstanceOf[Long])
+            case TimestampNTZType =>
+              out.putLong(if (v == null) Long.MinValue else v.asInstanceOf[Long]) // null → NaT
+            case DoubleType => out.putDouble(if (v == null) 0.0 else v.asInstanceOf[Double])
+            case IntegerType => out.putInt(if (v == null) 0 else v.asInstanceOf[Int])
+            case FloatType => out.putFloat(if (v == null) 0f else v.asInstanceOf[Float])
+            case ShortType => out.putShort(if (v == null) 0 else v.asInstanceOf[Short])
+            case ByteType => out.put(if (v == null) 0.toByte else v.asInstanceOf[Byte])
+            case BooleanType =>
+              out.put(if (v != null && v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+            case _ => ()
+          }
+          i += 1
+        }
+        out.array()
+    }
+    Zstd.compress(raw, 0)
+  }
+}
+
+class ZarrWriteBuilder(
+    path: String,
+    group: String,
+    schema: StructType,
+    chunkRows: Int,
+    rowIndexCol: Option[String],
+    conf: SerializableHadoopConf)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write =
+    new ZarrWrite(path, group, schema, chunkRows, rowIndexCol, doTruncate, conf)
+}
+
+/** One task's report: the chunks it wrote and their row counts. */
+case class ZarrCommit(chunks: Seq[(Long, Int)]) extends WriterCommitMessage
+
+class ZarrWrite(
+    path: String,
+    group: String,
+    schema: StructType,
+    chunkRows: Int,
+    rowIndexCol: Option[String],
+    doTruncate: Boolean,
+    conf: SerializableHadoopConf)
+  extends Write with BatchWrite {
+
+  private val groupRel = group.stripPrefix("/").stripSuffix("/")
+  private def dataSchema: StructType =
+    StructType(schema.fields.filterNot(f => rowIndexCol.contains(f.name)))
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // overwrite: clear existing array dirs under the group BEFORE tasks write
+    if (doTruncate) {
+      val fs = new Path(path).getFileSystem(conf.value)
+      val g = if (groupRel.isEmpty) new Path(path) else new Path(path, groupRel)
+      if (fs.exists(g)) fs.delete(g, true)
+    }
+    if (rowIndexCol.isEmpty && info.numPartitions > 1)
+      throw new ZarrException(
+        s"zarr write with ${info.numPartitions} partitions needs option row_index " +
+          "(a dense 0-based position column, rows routed per chunk) — or coalesce(1)")
+    new ZarrWriterFactory(path, groupRel, schema, dataSchema, chunkRows,
+      rowIndexCol.map(c => schema.fieldIndex(c)), conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.flatMap(_.asInstanceOf[ZarrCommit].chunks).sortBy(_._1)
+    // validate dense full coverage: chunk ids 0..m, all full except the last
+    all.zipWithIndex.foreach { case ((id, _), i) =>
+      if (id != i) throw new ZarrException(
+        s"zarr write: chunk $i missing or duplicated (saw chunk id $id) — " +
+          "row_index must be dense 0..n-1 with whole chunks per task")
+    }
+    all.dropRight(1).foreach { case (id, n) =>
+      if (n != chunkRows) throw new ZarrException(
+        s"zarr write: chunk $id has $n rows (expected $chunkRows) — " +
+          "a chunk was split across tasks; repartition on (row_index div chunk_rows)")
+    }
+    val totalRows = all.map(_._2.toLong).sum
+    val fs = new Path(path).getFileSystem(conf.value)
+    def writeJson(p: Path, text: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    val groupDoc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
+    writeJson(new Path(path, "zarr.json"), groupDoc)
+    if (groupRel.nonEmpty) {
+      var acc = new Path(path)
+      groupRel.split("/").foreach { seg =>
+        acc = new Path(acc, seg)
+        writeJson(new Path(acc, "zarr.json"), groupDoc)
+      }
+    }
+    dataSchema.fields.foreach { f =>
+      val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
+        else new Path(new Path(path, groupRel), f.name)
+      val meta =
+        s"""{"shape":[$totalRows],"data_type":${ZarrWriteSupport.dtypeJson(f.dataType)},
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkRows]}},
+           |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+           |"fill_value":${ZarrWriteSupport.fillJson(f.dataType)},
+           |"codecs":${ZarrWriteSupport.codecsJson(f.dataType)},
+           |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+          .stripMargin
+      writeJson(new Path(arrayDir, "zarr.json"), meta)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  // no zarr.json is written until commit, so aborted chunk objects are
+  // invisible to readers; a subsequent overwrite clears them
+}
+
+class ZarrWriterFactory(
+    path: String,
+    groupRel: String,
+    schema: StructType,
+    dataSchema: StructType,
+    chunkRows: Int,
+    idxOrdinal: Option[Int],
+    conf: SerializableHadoopConf)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ZarrDataWriter(path, groupRel, schema, dataSchema, chunkRows, idxOrdinal, conf)
+}
+
+class ZarrDataWriter(
+    path: String,
+    groupRel: String,
+    schema: StructType,
+    dataSchema: StructType,
+    chunkRows: Int,
+    idxOrdinal: Option[Int],
+    conf: SerializableHadoopConf)
+  extends DataWriter[InternalRow] {
+
+  private val fs = new Path(path).getFileSystem(conf.value)
+  private val dataOrdinals: Array[Int] =
+    dataSchema.fields.map(f => schema.fieldIndex(f.name))
+  private val buffers: Array[Array[Any]] =
+    dataSchema.fields.map(_ => new Array[Any](chunkRows))
+  private var currentChunk = -1L
+  private var count = 0
+  private var synthesized = 0L
+  private val written = mutable.ArrayBuffer.empty[(Long, Int)]
+
+  override def write(row: InternalRow): Unit = {
+    val pos = idxOrdinal match {
+      case Some(o) => row.getLong(o)
+      case None => val p = synthesized; synthesized += 1; p
+    }
+    val chunk = pos / chunkRows
+    val off = (pos % chunkRows).toInt
+    if (chunk != currentChunk) {
+      flush()
+      currentChunk = chunk
+    }
+    if (off != count)
+      throw new ZarrException(
+        s"zarr write: row at position $pos arrived out of order (expected offset " +
+          s"$count in chunk $chunk) — sortWithinPartitions(row_index) required")
+    var c = 0
+    while (c < dataOrdinals.length) {
+      val f = dataSchema.fields(c)
+      buffers(c)(count) =
+        if (row.isNullAt(dataOrdinals(c))) null
+        else row.get(dataOrdinals(c), f.dataType) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
+      c += 1
+    }
+    count += 1
+    if (count == chunkRows) flush()
+  }
+
+  private def flush(): Unit = {
+    if (currentChunk >= 0 && count > 0) {
+      var c = 0
+      while (c < dataOrdinals.length) {
+        val f = dataSchema.fields(c)
+        val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
+        val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
+          else new Path(new Path(path, groupRel), f.name)
+        val chunkPath = new Path(new Path(arrayDir, "c"), currentChunk.toString)
+        val out = fs.create(chunkPath, true)
+        try out.write(bytes) finally out.close()
+        c += 1
+      }
+      written += ((currentChunk, count))
+      count = 0
+    }
+    currentChunk = -1
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); ZarrCommit(written.toSeq) }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+/**
+ * DSv2 write path: df.write.format("zarr") → read back through the source.
+ * Covers the metadata-scale single-partition path, the distributed
+ * row_index-routed path (whole chunks per task), overwrite, and the
+ * misuse errors (multi-partition without row_index, split chunks).
+ */
+class ZarrWriteSpec extends SparkSpec {
+
+  test("single-partition roundtrip across all supported dtypes") {
+    import spark.implicits._
+    val dir = tempDir("zw_single") + "/store.zarr"
+    val df = spark.createDataFrame(Seq(
+      (1L, 10, "alpha", 1.5, 2.5f, true, LocalDateTime.of(2023, 1, 1, 0, 0)),
+      (2L, 20, "béta", -0.5, 0f, false, LocalDateTime.of(2023, 6, 15, 12, 30)),
+      (3L, 30, "", 99.25, -1f, true, LocalDateTime.of(2024, 2, 29, 23, 59))))
+      .toDF("id", "n", "s", "d", "f", "b", "ts")
+    df.coalesce(1).write.format("zarr").option("group", "/meta")
+      .option("chunk_rows", "2").mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").option("group", "/meta").load(dir)
+      .orderBy("id")
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("b", "d", "f", "id", "n", "s", "ts"))
+    val rows = back.select("id", "n", "s", "d", "f", "b", "ts").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(10, 20, 30))
+    assert(rows.map(_.getString(2)).toSeq == Seq("alpha", "béta", ""))
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(1.5, -0.5, 99.25))
+    assert(rows.map(_.getFloat(4)).toSeq == Seq(2.5f, 0f, -1f))
+    assert(rows.map(_.getBoolean(5)).toSeq == Seq(true, false, true))
+    assert(rows.map(_.getAs[LocalDateTime](6)).toSeq == Seq(
+      LocalDateTime.of(2023, 1, 1, 0, 0), LocalDateTime.of(2023, 6, 15, 12, 30),
+      LocalDateTime.of(2024, 2, 29, 23, 59)))
+  }
+
+  test("distributed write: row_index routing, whole chunks per task, 10k rows") {
+    val dir = tempDir("zw_par") + "/store.zarr"
+    val n = 10000
+    val chunk = 1000
+    val df = spark.range(n).select(
+      col("id").as("idx"),
+      (col("id") * 3).as("v"),
+      concat(lit("doc"), col("id")).as("name"))
+      .repartition((col("idx") / chunk).cast("int"))
+      .sortWithinPartitions("idx")
+    df.write.format("zarr").option("group", "/g")
+      .option("chunk_rows", chunk.toString).option("row_index", "idx")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").option("group", "/g").load(dir)
+    // row_index column is excluded from the written table
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("name", "v"))
+    assert(back.count() == n)
+    val agg = back.agg(sum("v"), count_distinct(col("name"))).collect().head
+    assert(agg.getLong(0) == 3L * n * (n - 1) / 2)
+    assert(agg.getLong(1) == n)
+    // chunked layout on disk: 10 chunk objects per column (ignore Hadoop
+    // LocalFileSystem .crc sidecars)
+    val chunks = new java.io.File(s"$dir/g/v/c").listFiles().filterNot(_.getName.startsWith("."))
+    assert(chunks.length == 10, chunks.map(_.getName).mkString(","))
+  }
+
+  test("partial trailing chunk + null timestamps → NaT → null on read") {
+    import spark.implicits._
+    val dir = tempDir("zw_nat") + "/store.zarr"
+    val df = Seq(
+      (0L, Some(LocalDateTime.of(2023, 1, 1, 0, 0))),
+      (1L, None),
+      (2L, Some(LocalDateTime.of(2023, 1, 3, 0, 0)))).toDF("idx", "ts")
+    df.coalesce(1).write.format("zarr").option("group", "/g")
+      .option("chunk_rows", "2").mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").option("group", "/g").load(dir)
+      .orderBy("idx").collect()
+    assert(back(1).isNullAt(back(1).fieldIndex("ts")))
+    assert(back(0).getAs[LocalDateTime]("ts") == LocalDateTime.of(2023, 1, 1, 0, 0))
+  }
+
+  test("overwrite replaces the previous table") {
+    val dir = tempDir("zw_over") + "/store.zarr"
+    spark.range(5).select(col("id")).coalesce(1)
+      .write.format("zarr").option("group", "/g").mode("overwrite").save(dir)
+    spark.range(2).select(col("id"), (col("id") * 2).as("v")).coalesce(1)
+      .write.format("zarr").option("group", "/g").mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").option("group", "/g").load(dir)
+    assert(back.count() == 2)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("id", "v"))
+  }
+
+  test("multi-partition write without row_index fails with guidance") {
+    val dir = tempDir("zw_err") + "/store.zarr"
+    val e = intercept[Throwable] {
+      spark.range(100).repartition(4)
+        .write.format("zarr").option("group", "/g").mode("overwrite").save(dir)
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("row_index"), msgs)
+  }
+
+  test("chunks split across tasks are rejected at commit") {
+    val dir = tempDir("zw_split") + "/store.zarr"
+    // hash-repartition on idx scatters chunk rows across tasks → must fail
+    val e = intercept[Throwable] {
+      spark.range(1000).select(col("id").as("idx"), col("id").as("v"))
+        .repartition(8, col("idx"))
+        .sortWithinPartitions("idx")
+        .write.format("zarr").option("group", "/g")
+        .option("chunk_rows", "100").option("row_index", "idx")
+        .mode("overwrite").save(dir)
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("sortWithinPartitions") || msgs.contains("split across tasks") ||
+      msgs.contains("out of order"), msgs)
+  }
+}
