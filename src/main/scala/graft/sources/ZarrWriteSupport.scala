@@ -141,8 +141,23 @@ class ZarrWriteBuilder(
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write =
+  override def build(): Write = {
+    // Spark maps mode("append") to a plain (non-truncating) batch write —
+    // but a Zarr write is whole-table by construction (chunk 0 starts at
+    // row 0), so "append" onto existing arrays would silently overwrite
+    // them. Only a fresh group or an explicit overwrite is meaningful.
+    if (!doTruncate) {
+      val existing =
+        try graft.zarr.ZarrSchema.listArrays(
+          new graft.zarr.ZarrStore(path, conf.value), group)
+        catch { case _: ZarrException => Seq.empty }
+      if (existing.nonEmpty)
+        throw new ZarrException(
+          s"zarr sink: group '$group' at $path already holds a table; " +
+            "appending is not supported — use mode(\"overwrite\")")
+    }
     new ZarrWrite(path, group, schema, chunkRows, rowIndexCol, doTruncate, conf)
+  }
 }
 
 /** One task's report: the chunks it wrote and their row counts. */

@@ -89,6 +89,25 @@ class ZarrWriteSpec extends SparkSpec {
     assert(back.schema.fieldNames.sorted.toSeq == Seq("id", "v"))
   }
 
+  test("append onto an existing table is rejected (not a silent overwrite)") {
+    val dir = tempDir("zw_app") + "/store.zarr"
+    spark.range(5).coalesce(1).write.format("zarr")
+      .option("group", "/g").mode("overwrite").save(dir)
+    val e = intercept[Throwable] {
+      spark.range(3).coalesce(1).write.format("zarr")
+        .option("group", "/g").mode("append").save(dir)
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("overwrite"), msgs)
+    // the existing table is untouched
+    assert(spark.read.format("zarr").option("group", "/g").load(dir).count() == 5)
+    // but writing a fresh group in the same store is fine without overwrite
+    spark.range(2).coalesce(1).write.format("zarr")
+      .option("group", "/h").mode("append").save(dir)
+    assert(spark.read.format("zarr").option("group", "/h").load(dir).count() == 2)
+  }
+
   test("multi-partition write without row_index fails with guidance") {
     val dir = tempDir("zw_err") + "/store.zarr"
     val e = intercept[Throwable] {
