@@ -89,11 +89,11 @@ class ZarrTable(
   override def name(): String = s"zarr:`$path`$group"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, arrays, tableSchema, targetRows)
+    new ZarrScanBuilder(path, group, arrays, tableSchema, targetRows)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -103,6 +103,7 @@ class ZarrTable(
 
 class ZarrScanBuilder(
     path: String,
+    group: String,
     arrays: Seq[ZarrArrayMeta],
     fullSchema: StructType,
     targetRows: Long)
@@ -126,11 +127,13 @@ class ZarrScanBuilder(
     true
   }
 
-  override def build(): Scan = new ZarrScan(path, arrays, requiredSchema, targetRows, limit)
+  override def build(): Scan =
+    new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit)
 }
 
 class ZarrScan(
     path: String,
+    group: String,
     arrays: Seq[ZarrArrayMeta],
     requiredSchema: StructType,
     targetRows: Long,
@@ -176,6 +179,12 @@ class ZarrScan(
     val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
     new ZarrPartitionReaderFactory(path, conf, requiredArrays)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZarrMicroBatchStream(path, group,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      requiredSchema.fieldNames.toSeq, targetRows)
 }
 
 final case class ZarrInputPartition(start: Long, end: Long) extends InputPartition

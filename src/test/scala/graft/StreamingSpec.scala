@@ -78,6 +78,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("zarr micro-batch stream picks up appended rows across triggers") {
+    val dir = tempDir("zarr_stream")
+    graft.zarr.ZarrWriter.writeGroup(dir, "/g")
+    graft.zarr.ZarrWriter.writeLongArray(dir, "/g", "x", Seq(0L, 1L, 2L, 3L), chunkLen = 2)
+    val stream = spark.readStream.format("zarr").option("group", "/g").load(dir)
+    val q = stream.writeStream.format("memory").queryName("zstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zstream").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1L, 2L, 3L))
+      // grow the store: same chunk grid, larger shape (whole-chunk append)
+      graft.zarr.ZarrWriter.writeLongArray(dir, "/g", "x", 0L until 8L, chunkLen = 2)
+      q.processAllAvailable()
+      // only the NEW rows [4, 8) arrive in the next micro-batch
+      assert(spark.table("zstream").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 8L).toSeq)
+    } finally q.stop()
+  }
+
   test("the batch events table runs through the same windowed aggregation") {
     // the streaming transform is batch-compatible: same code, bounded input
     val batch = graft.queries.Tables.t(spark, sf, "events")
