@@ -132,9 +132,18 @@ object Dedup {
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist()
+    // semi-join reduction: only candidate docs' shingle arrays enter the
+    // verification join — at scale candidates ≪ corpus, so this avoids
+    // shuffling every document's (large) shingle array twice
+    val candIds = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))) // no distinct: left_semi dedupes
+    // persisted: it feeds BOTH verification join sides — unpersisted, the
+    // semi-join subtree would run twice
+    val shNeeded = sh.join(candIds, Seq("id"), "left_semi").persist()
     pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shNeeded.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shNeeded.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

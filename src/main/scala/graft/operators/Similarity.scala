@@ -134,22 +134,33 @@ object Similarity {
   def embeddingDuplicates(corpus: DataFrame, threshold: Double,
       planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val sigs = corpus.select(col(idCol).as("id"),
       posexplode(array((0 until tables).map(tt =>
         lshSignature(col(vecCol), planesPerTable, tt * planesPerTable)): _*))
         .as(Seq("tbl", "sig")))
+      .persist()
     val okBuckets = sigs.groupBy("tbl", "sig")
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2 && col("_n") <= maxBucket)
       .select("tbl", "sig")
     val pruned = sigs.join(okBuckets, Seq("tbl", "sig"))
-    val a = pruned.select(col("tbl"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = pruned.select(col("tbl"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("tbl", "sig")).filter(col("id_a") < col("id_b"))
+    // bucket join carries IDs only (vectors would be shuffled `tables`×);
+    // candidate pairs then fetch the two vectors via a semi-join-reduced join
+    val pairs = pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
+      .join(pruned.select(col("tbl"), col("sig"), col("id").as("id_b")), Seq("tbl", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .persist()
+    val candIds = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))) // no distinct: left_semi dedupes
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(candIds, Seq("id"), "left_semi").persist()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
-      .distinct()
       .orderBy("id_a", "id_b")
   }
 }
