@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
  * Scale path: sign-LSH (random-hyperplane) bucketing. Hyperplanes are derived
  * deterministically from `xxhash64(dim, plane)` so the operator needs no
  * stored model; probe and corpus bucket on the same signature and only
- * same-bucket pairs are scored. At 100 TB the bucket join shuffles
- * (signature, vector) once — multiprobe (flipping one bit) keeps recall up
- * without widening the shuffle.
+ * same-bucket pairs are scored. At 100 TB the bucket joins shuffle ids and
+ * signatures only (vectors are fetched for candidates via a semi-join);
+ * multiprobe (flipping one bit) keeps recall up without widening the shuffle.
  */
 object Similarity {
 

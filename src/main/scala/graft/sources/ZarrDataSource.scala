@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.zarr._
@@ -107,10 +107,27 @@ class ZarrScanBuilder(
     arrays: Seq[ZarrArrayMeta],
     fullSchema: StructType,
     targetRows: Long)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var limit: Option[Long] = None
+  private var countStar = false
+
+  /** COUNT(*) with no grouping is answered from the array shape — pure
+   *  metadata, zero chunk I/O (a 100 TB table counts in milliseconds).
+   *  Anything else is left to Spark above the scan. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val onlyCountStar = agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (onlyCountStar) { countStar = true; true } else false
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushAggregation(agg)
+  }
 
   override def pruneColumns(required: StructType): Unit = {
     // keep table field order for the names Spark asked for
@@ -128,7 +145,34 @@ class ZarrScanBuilder(
   }
 
   override def build(): Scan =
-    new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit)
+    if (countStar) {
+      val n = arrays.headOption.map(_.length).getOrElse(0L)
+      new ZarrCountStarScan(limit.fold(n)(math.min(n, _)))
+    } else new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit)
+}
+
+/** Completely-pushed COUNT(*): one partition, one row, zero chunk I/O. */
+class ZarrCountStarScan(n: Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(org.apache.spark.sql.types.StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"ZarrCountStar($n)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZarrInputPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrCountStarReaderFactory(n)
+}
+
+/** Named top-level factory: an anonymous one would capture the
+ *  (non-serializable) scan as its outer reference. */
+case class ZarrCountStarReaderFactory(n: Long) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](n))
+      override def close(): Unit = ()
+    }
 }
 
 class ZarrScan(

@@ -88,6 +88,21 @@ class ZarrSourceSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("collection_b", "collection_c"))
   }
 
+  test("COUNT(*) is answered from metadata — zero chunk reads") {
+    val dir = tempDir("zarr_count")
+    graft.zarr.ZarrWriter.writeGroup(dir, "/g")
+    graft.zarr.ZarrWriter.writeLongArray(dir, "/g", "x", 0L until 50L, chunkLen = 5)
+    // delete every chunk object: a metadata-only count still works; a
+    // data-reading count could not
+    val chunkDir = java.nio.file.Paths.get(dir, "g", "x", "c")
+    new java.io.File(chunkDir.toString).listFiles().foreach(_.delete())
+    val df = spark.read.format("zarr").option("group", "/g").load(dir)
+    val counted = df.agg(count(lit(1)))
+    assert(counted.queryExecution.executedPlan.toString.contains("ZarrCountStar"),
+      counted.queryExecution.executedPlan.toString.take(500))
+    assert(counted.collect().head.getLong(0) == 50L)
+  }
+
   test("limit pushdown reads only the chunks the limit needs") {
     val dir = tempDir("zarr_limit")
     graft.zarr.ZarrWriter.writeGroup(dir, "/g")
