@@ -27,6 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] with persisted dedup frames GC-thrashes at 8g (bench variance
-  // up to 5x on the minhash query); the environment has 128 GiB
+  // up to 5x on the minhash query), while 64g measurably SLOWS the bench
+  // ~2x (lazy page faulting + long minor GCs on a huge young gen); 24g is
+  // the measured sweet spot on this 128 GiB box
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

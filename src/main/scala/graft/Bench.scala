@@ -34,6 +34,10 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop operator-internal persisted frames between queries: with a big
+      // heap the GC-driven ContextCleaner almost never fires, so 86 queries'
+      // caches accumulate and later queries pay eviction/spill they don't own
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.err.println(f"[bench] $name%-28s $sec%.2fs")
       name -> sec
     }
