@@ -171,11 +171,34 @@ class ZarrWrite(
     rowIndexCol: Option[String],
     doTruncate: Boolean,
     conf: SerializableHadoopConf)
-  extends Write with BatchWrite {
+  extends Write with BatchWrite
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private val groupRel = group.stripPrefix("/").stripSuffix("/")
   private def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => rowIndexCol.contains(f.name)))
+
+  // Without row_index Spark plans the single-partition metadata-scale write
+  // itself (so CTAS and plain df.write just work); with row_index it sorts
+  // rows by position within each partition — the caller only routes chunks.
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (rowIndexCol.isEmpty)
+      // all rows in one cluster (constant clustering key) + numPartitions=1
+      // → Spark plans the single-partition shuffle itself
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.literal(1)))
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  override def requiredNumPartitions(): Int =
+    if (rowIndexCol.isEmpty) 1 else 0
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    rowIndexCol.map { c =>
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    }.getOrElse(Array.empty)
 
   override def toBatch: BatchWrite = this
 
