@@ -77,9 +77,50 @@ object Multimodal {
     }
   }
 
-  /** End-to-end query: synthesize → extract → aggregate per media type. */
+  /**
+   * STUB resize: stands in for an image scaler. The Spark-side contract is
+   * real — metadata updated, payload transformed per partition in batches,
+   * deterministic output — only the pixel math is fake (truncate/pad the
+   * payload to the implied byte budget).
+   */
+  def resize(assets: Dataset[MediaAsset], width: Int, height: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition "scaler init" would go here
+      it.map { a =>
+        val budget = math.max(16, (a.payload.length.toLong * width * height /
+          math.max(a.width.toLong * a.height, 1)).toInt)
+        val p = java.util.Arrays.copyOf(a.payload, budget)
+        a.copy(payload = p, width = width, height = height)
+      }
+    }
+  }
+
+  /**
+   * STUB frame sampling: keep every `everyN`-th frame of video assets
+   * (metadata-consistent: n_frames and payload shrink together); non-video
+   * assets pass through untouched.
+   */
+  def frameSample(assets: Dataset[MediaAsset], everyN: Int): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.media_type != "video" || a.n_frames <= 1) a
+        else {
+          val kept = math.max(1, (a.n_frames + everyN - 1) / everyN)
+          val bytesPerFrame = math.max(1, a.payload.length / math.max(a.n_frames, 1))
+          a.copy(n_frames = kept,
+            payload = java.util.Arrays.copyOf(a.payload, kept * bytesPerFrame))
+        }
+      }
+    }
+  }
+
+  /** End-to-end query: synthesize → resize → frame-sample → extract →
+   *  aggregate per media type. */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val feats = extractFeatures(syntheticAssets(spark, docs))
+    val prepared = frameSample(resize(syntheticAssets(spark, docs), 64, 64), everyN = 5)
+    val feats = extractFeatures(prepared)
     feats.toDF()
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_assets"),

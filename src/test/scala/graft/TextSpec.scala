@@ -110,6 +110,24 @@ class TextSpec extends SparkSpec {
     assert(summary.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
 
+  test("multimodal resize and frame-sample keep metadata and payload consistent") {
+    val assets = Multimodal.syntheticAssets(spark, docs.limit(100))
+    val resized = Multimodal.resize(assets, 64, 64).collect()
+    resized.foreach { a =>
+      assert(a.width == 64 && a.height == 64)
+      assert(a.payload.length >= 16)
+    }
+    val sampled = Multimodal.frameSample(Multimodal.resize(assets, 64, 64), 5).collect()
+    sampled.filter(_.media_type == "video").foreach { a =>
+      assert(a.n_frames >= 1 && a.n_frames <= 6) // 1..30 frames → ceil(n/5)
+    }
+    sampled.filterNot(_.media_type == "video").foreach(a => assert(a.n_frames >= 1))
+    // deterministic
+    val again = Multimodal.frameSample(Multimodal.resize(assets, 64, 64), 5).collect()
+    assert(again.map(a => (a.asset_id, a.n_frames, a.payload.toSeq)).toSet ==
+      sampled.map(a => (a.asset_id, a.n_frames, a.payload.toSeq)).toSet)
+  }
+
   test("bpe-ish token count >= word token count (punctuation counted)") {
     val scored = docs.limit(50).select(
       TextFunctions.tokenCount(col("text")).as("words"),
