@@ -144,6 +144,76 @@ class ZarrWriteSpec extends SparkSpec {
   // writer instead — covered by the CTAS test; the factory guard remains
   // as a backstop only)
 
+  test("randomized write->read roundtrips (seeded; nulls, unicode, odd chunk sizes)") {
+    import scala.util.Random
+    val rnd = new Random(4242)
+    for (iter <- 1 to 12) {
+      import spark.implicits._
+      val n = 1 + rnd.nextInt(40)
+      val chunk = 1 + rnd.nextInt(7)
+      val rows = (0 until n).map { i =>
+        val s = rnd.nextInt(4) match {
+          case 0 => ""
+          case 1 => rnd.alphanumeric.take(rnd.nextInt(20)).mkString
+          case 2 => "日本語🚀" + rnd.nextInt(100)
+          case _ => "plain " + rnd.nextLong()
+        }
+        val ts = if (rnd.nextBoolean())
+          Some(LocalDateTime.of(1970 + rnd.nextInt(100), 1 + rnd.nextInt(12),
+            1 + rnd.nextInt(28), rnd.nextInt(24), rnd.nextInt(60)))
+        else None
+        (i.toLong, rnd.nextLong(), rnd.nextDouble(), s, ts)
+      }
+      val df = rows.toDF("idx", "v", "d", "s", "ts")
+        .repartition((col("idx") / chunk).cast("int")) // route whole chunks
+      val dir = tempDir(s"zw_rand$iter") + "/s.zarr"
+      df.write.format("zarr").option("group", "/g")
+        .option("chunk_rows", chunk.toString).option("row_index", "idx")
+        .mode("overwrite").save(dir)
+      val back = spark.read.format("zarr").option("group", "/g").load(dir)
+        .select("v", "d", "s", "ts").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          Option(r.getAs[LocalDateTime](3)))).toSet
+      val want = rows.map(t => (t._2, t._3, t._4, t._5)).toSet
+      assert(back == want, s"iter=$iter n=$n chunk=$chunk")
+    }
+  }
+
+  test("real events table roundtrips through a distributed zarr write") {
+    val events = graft.queries.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val withIdx = events.withColumn("idx",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("event_id")) - 1)
+    val dir = tempDir("zw_events") + "/s.zarr"
+    withIdx.repartition((col("idx") / 500).cast("int"))
+      .write.format("zarr").option("group", "/g")
+      .option("chunk_rows", "500").option("row_index", "idx")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").option("group", "/g").load(dir)
+    assert(back.count() == events.count())
+    val a = back.select("event_id", "user_id", "event_type", "value").orderBy("event_id")
+      .collect().map(_.toSeq).toSeq
+    val b = events.orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("failed write leaves no readable table (zarr.json only lands at commit)") {
+    val dir = tempDir("zw_crash") + "/store.zarr"
+    // chunk split across tasks → commit-time validation rejects the job
+    intercept[Throwable] {
+      spark.range(1000).select(col("id").as("idx"), col("id").as("v"))
+        .repartition(8, col("idx"))
+        .write.format("zarr").option("group", "/g")
+        .option("chunk_rows", "100").option("row_index", "idx")
+        .mode("overwrite").save(dir)
+    }
+    // chunk objects may exist, but there is no zarr.json → not a table
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "zarr.json")))
+    intercept[Throwable] {
+      spark.read.format("zarr").option("group", "/g").load(dir).collect()
+    }
+  }
+
   test("chunks split across tasks are rejected at commit") {
     val dir = tempDir("zw_split") + "/store.zarr"
     // hash-repartition on idx scatters chunk rows across tasks → must fail
