@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
@@ -95,6 +96,39 @@ class StreamingSpec extends SparkSpec {
       // only the NEW rows [4, 8) arrive in the next micro-batch
       assert(spark.table("zstream").collect().map(_.getLong(0)).sorted.toSeq ==
         (0L until 8L).toSeq)
+    } finally q.stop()
+  }
+
+  test("end-to-end: zarr stream feeds the watermarked windowed aggregation") {
+    // the two streaming extensions composed: a growing Zarr store on one
+    // end, watermark+window semantics on the other
+    val dir = tempDir("zarr_stream_agg")
+    def writeStore(upTo: Int): Unit = {
+      graft.zarr.ZarrWriter.writeGroup(dir, "/g")
+      graft.zarr.ZarrWriter.writeLongArray(dir, "/g", "ts",
+        (0 until upTo).map(i => (i + 1) * 60000L), chunkLen = 4,
+        datetimeUnit = Some("ms"))
+      graft.zarr.ZarrWriter.writeStringArray(dir, "/g", "event_type",
+        (0 until upTo).map(i => if (i % 2 == 0) "click" else "view"), chunkLen = 4)
+      graft.zarr.ZarrWriter.writeDoubleArray(dir, "/g", "value",
+        (0 until upTo).map(_.toDouble), chunkLen = 4)
+    }
+    writeStore(8) // events at minutes 1..8
+    val stream = spark.readStream.format("zarr").option("group", "/g").load(dir)
+      .withColumn("ts", col("ts").cast("timestamp")) // windowedCounts expects TIMESTAMP
+    val q = graft.streaming.EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("zwagg").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zwagg").count() == 0) // watermark hasn't passed window ends
+      writeStore(40) // grow to minute 40 → watermark 30 → windows [0,10),[10,20) close
+      q.processAllAvailable()
+      val rows = spark.table("zwagg").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // window [0,10): events 1..9 → 5 clicks (even i → minutes 1,3,5,7,9) + 4 views
+      assert(rows.nonEmpty && rows.forall(_._1 < 30), s"rows=$rows")
+      assert(rows.map(_._3).sum == 29, s"29 events in closed windows: $rows")
     } finally q.stop()
   }
 
