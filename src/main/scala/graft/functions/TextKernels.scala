@@ -109,6 +109,56 @@ object TextKernelImpl {
   }
 }
 
+object TextKernelImplWinnow {
+
+  /**
+   * Winnowing document fingerprints (rolling hash + window minima — the
+   * classic local document fingerprinting construction): a polynomial
+   * rolling hash over every k-gram of the normalized text, then the minimum
+   * hash of each w-wide window, deduplicated in order. Guarantees any match
+   * of length ≥ w+k-1 between two documents shares a fingerprint, at a
+   * density of ~2/(w+1) — per-row, scan-local, no shuffle.
+   */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString.toLowerCase.replaceAll("\\s+", " ")
+    val n = s.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val B = 1000003L
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var lastPos = -1
+    i = 0
+    val windows = math.max(m - w + 1, 1)
+    while (i < windows) {
+      var minPos = i
+      var j = i + 1
+      val end = math.min(i + w, m)
+      while (j < end) {
+        // rightmost minimum per the winnowing rule
+        if (hashes(j) <= hashes(minPos)) minPos = j
+        j += 1
+      }
+      if (minPos != lastPos) { out += hashes(minPos); lastPos = minPos }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object TextKernels {
 
   case class SimHash64(child: Expression) extends UnaryExpression {
@@ -135,12 +185,32 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
   }
 
+  case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernelImplWinnow.winnow(v.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.TextKernelImplWinnow.winnow($v, $k, $w)")
+    override def prettyName: String = "winnow_fingerprints"
+    override protected def withNewChildInternal(c: Expression): Winnow = copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       (es: Seq[Expression]) => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("quality_score",
       (es: Seq[Expression]) => QualityScore(es.head, TextFunctions.StopwordSets.head._2), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      (es: Seq[Expression]) => Winnow(es(0),
+        VectorFunctions.litIntArg(es(1), "k"), VectorFunctions.litIntArg(es(2), "w")), "scala_udf")
+  }
+
+  def winnow_fingerprints(text: Column, k: Int = 5, w: Int = 8): Column = {
+    import org.apache.spark.sql.functions.lit
+    register(SparkSession.active)
+    call_function("winnow_fingerprints", text, lit(k), lit(w))
   }
 
   def simhash64(text: Column): Column = {

@@ -81,7 +81,10 @@ object MLQueries {
         // word shingles: char-5-gram arrays made this the slowest bench
         // entry (12.9 s at sf0.01) for a 4-hash fingerprint
         concat_ws(",", Dedup.signatureFromShingles(
-          graft.functions.TextFunctions.wordShingles(col("text"), 3), 4)).as("minhash4"))
+          graft.functions.TextFunctions.wordShingles(col("text"), 3), 4)).as("minhash4"),
+        // winnowing (rolling hash + window minima): local fingerprints that
+        // any shared substring of length >= w+k-1 must surface on both docs
+        size(graft.functions.TextKernels.winnow_fingerprints(col("text"))).as("n_winnow"))
         .orderBy("doc_id")),
 
     Q("q_dedup_exact", Some("""

@@ -128,6 +128,30 @@ class TextSpec extends SparkSpec {
       sampled.map(a => (a.asset_id, a.n_frames, a.payload.toSeq)).toSet)
   }
 
+  test("winnowing fingerprints: identical docs match fully, shared substrings surface") {
+    import graft.functions.TextKernels
+    val df = spark.createDataFrame(Seq(
+      (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3, "INTRO text then the quick brown fox jumps over the lazy dog END part"),
+      (4, "completely different content with no overlap at all in these words here"),
+      (5, "ab"))) // shorter than k → empty fingerprint set
+      .toDF("id", "t")
+    val fp = df.select(col("id"), TextKernels.winnow_fingerprints(col("t")).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1) == fp(2)) // identical text → identical fingerprints
+    assert((fp(1) & fp(3)).nonEmpty, "40-char shared substring must surface")
+    assert((fp(1) & fp(4)).isEmpty, "disjoint text should share nothing")
+    assert(fp(5).isEmpty)
+    // density: ~2/(w+1) of positions, never empty for real docs
+    val real = docs.limit(100).select(
+      size(TextKernels.winnow_fingerprints(col("text"))).as("n"),
+      length(col("text")).as("len")).collect()
+    real.foreach { r =>
+      assert(r.getInt(0) > 0 && r.getInt(0) <= r.getInt(1))
+    }
+  }
+
   test("bpe-ish token count >= word token count (punctuation counted)") {
     val scored = docs.limit(50).select(
       TextFunctions.tokenCount(col("text")).as("words"),
