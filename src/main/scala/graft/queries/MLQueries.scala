@@ -128,6 +128,15 @@ object MLQueries {
           .orderBy("id_a")
       }),
 
+    Q("q_dedup_keep_canonical", Some("""
+      SELECT doc_id, lang, source
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      ORDER BY doc_id"""),
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     Q("q_dedup_minhash", None,
       (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7)),
 
