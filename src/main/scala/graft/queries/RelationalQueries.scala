@@ -142,10 +142,10 @@ object RelationalQueries {
     Q("q_map_struct_funcs", Some("""
       SELECT n_nationkey,
              struct_pack(key := n_nationkey, name := n_name).name AS s_name,
-             map([n_name], [n_nationkey])[n_name] AS self_val,
+             map([n_name], [n_nationkey])[n_name][1] AS self_val,
              array_to_string(map_keys(map(['a','b'], [n_nationkey, n_regionkey])), ',') AS mkeys,
              array_to_string(map_values(map(['a','b'], [n_nationkey, n_regionkey])), ',') AS mvals,
-             map(['x'], [n_regionkey])['x'] AS elem_x
+             map(['x'], [n_regionkey])['x'][1] AS elem_x
       FROM nation
       ORDER BY n_nationkey"""),
       (s, dir) => t(s, dir, "nation").select(
