@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -83,9 +84,11 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // serialized storage: signature arrays cached deserialized thrash the
+    // heap under host memory pressure (r02's 5 s → 60 s bench swing)
     val sig = docs.select(col(idCol).as("id"),
         signatureFromShingles(TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val banded = sig.select(col("id"),
       posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val okBuckets = banded.groupBy("band", "bucket")
@@ -98,13 +101,30 @@ object Dedup {
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    pairs
+    val out = pairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .select("id_a", "id_b", "est_jaccard")
+    materializeThenFree(out, sig)
+  }
+
+  /**
+   * Eagerly materialize a (small) result frame, then free the (large)
+   * intermediate caches that built it. Operators that persist intermediates
+   * must not leak them past their own lifetime: a lazily-returned frame pins
+   * every upstream cache until some later action, and under memory pressure
+   * those pinned deserialized blocks evict each other (the r02 bench
+   * recorded 60 s for a 5 s query exactly this way). The result frame stays
+   * cached serialized — candidate pairs are ≪ corpus by construction.
+   */
+  private[operators] def materializeThenFree(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    out.foreach(_ => ()) // materialize while intermediates are still cached
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /**
@@ -117,11 +137,20 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8, shingleWords: Int = 3,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    // NOT persisted: the shingle arrays are the largest objects in the
+    // pipeline and they're consumed exactly twice (signature computation +
+    // the semi-join fetch below). Recomputing a scan-local codegen'd map
+    // twice is cheaper than pinning gigabytes of array cache — r02's bench
+    // recorded a 12× degradation under memory pressure from exactly this
+    // persist thrashing.
     val sh = docs.select(col(idCol).as("id"),
-        TextFunctions.wordShingles(col(textCol), shingleWords).as("sh"))
-      .persist()
+      TextFunctions.wordShingles(col(textCol), shingleWords).as("sh"))
     val rows = numHashes / bands
-    val sig = sh.select(col("id"), signatureFromShingles(col("sh"), numHashes).as("sig")).persist()
+    // signatures are small (numHashes longs/doc) and feed three consumers
+    // (banding + both verification joins' semi-join source) → cache, but
+    // serialized so eviction pressure spills instead of thrashing
+    val sig = sh.select(col("id"), signatureFromShingles(col("sh"), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val banded = sig.select(col("id"),
       posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
     val okBuckets = banded.groupBy("band", "bucket")
@@ -132,16 +161,17 @@ object Dedup {
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // semi-join reduction: only candidate docs' shingle arrays enter the
     // verification join — at scale candidates ≪ corpus, so this avoids
     // shuffling every document's (large) shingle array twice
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))) // no distinct: left_semi dedupes
-    // persisted: it feeds BOTH verification join sides — unpersisted, the
-    // semi-join subtree would run twice
-    val shNeeded = sh.join(candIds, Seq("id"), "left_semi").persist()
-    pairs
+    // persisted (serialized): it feeds BOTH verification join sides —
+    // unpersisted, the semi-join subtree would run twice
+    val shNeeded = sh.join(candIds, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val out = pairs
       .join(shNeeded.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shNeeded.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -150,6 +180,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
+    materializeThenFree(out, sig, pairs, shNeeded)
   }
 
   /**

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Similarity search over embedding columns (`array<float>`).
@@ -138,7 +139,7 @@ object Similarity {
       posexplode(array((0 until tables).map(tt =>
         lshSignature(col(vecCol), planesPerTable, tt * planesPerTable)): _*))
         .as(Seq("tbl", "sig")))
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val okBuckets = sigs.groupBy("tbl", "sig")
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2 && col("_n") <= maxBucket)
@@ -150,17 +151,22 @@ object Similarity {
       .join(pruned.select(col("tbl"), col("sig"), col("id").as("id_b")), Seq("tbl", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .persist()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))) // no distinct: left_semi dedupes
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(candIds, Seq("id"), "left_semi").persist()
-    pairs
+      .join(candIds, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val out = pairs
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
+    // materialize the (small) pair result, then free the intermediate
+    // caches — leaked persists thrash under memory pressure (see
+    // Dedup.materializeThenFree)
+    Dedup.materializeThenFree(out, sigs, pairs, vecs)
   }
 }

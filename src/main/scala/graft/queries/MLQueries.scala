@@ -63,13 +63,40 @@ object MLQueries {
         TextFunctions.langId(col("text")).as("detected_lang"))
         .orderBy("doc_id")),
 
-    // quality heuristic + BPE-ish token count + fingerprint: engine-specific
-    // regex/hash internals → ScalaTest-verified, no SQL oracle
-    Q("q_text_quality", None,
+    // quality heuristic + BPE-ish token count, both with full DuckDB oracles.
+    // The BPE-ish lookaround split has no RE2 equivalent, but its count has a
+    // closed form: alnum runs + non-alnum chars that aren't spaces (each
+    // non-alnum char splits into its own piece; all-space pieces are trimmed
+    // away). The quality formula is the same arithmetic as the native kernel.
+    Q("q_text_quality", Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_char,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS n_alnum,
+               CAST(len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+                   [${enStop.map(w => s"'$w'").mkString(", ")}])) AS DOUBLE) AS stop_hits,
+               len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+                 + length(text)
+                 - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                 - (length(text) - length(replace(text, ' ', ''))) AS bpeish_tokens
+        FROM documents
+      )
+      SELECT doc_id,
+             round(least(n_char / 500.0, 1.0) * 0.3
+                 + (CASE WHEN n_tok > 0 AND n_alnum / n_tok BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.5 END) * 0.2
+                 + (CASE WHEN n_char > 0 THEN n_alnum / n_char ELSE 0.0 END) * 0.3
+                 + (CASE WHEN n_tok > 0 THEN stop_hits / least(n_tok, 10.0) ELSE 0.0 END) * 0.2,
+               6) AS quality,
+             bpeish_tokens
+      FROM base
+      ORDER BY doc_id"""),
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"),
-        TextFunctions.tokenCountBpeish(col("text")).as("bpeish_tokens"))
+        TextFunctions.tokenCountBpeish(col("text")).cast("bigint").as("bpeish_tokens"))
         .orderBy("doc_id")),
 
     // minhash4 serialized to a string: the driver's pandas row-count pass

@@ -16,8 +16,9 @@ import graft.zarr.ZarrWriter
  *
  * Inputs are self-materialized (a store equivalent to the reference's
  * committed fixture, written to a temp dir once per JVM) because the driver
- * test dirs contain only parquet. Not DuckDB-expressible (custom source +
- * geo predicate) → no oracle; golden assertions live in ZarrSourceSpec.
+ * test dirs contain only parquet. DuckDB can't read Zarr, but the fixture is
+ * deterministic, so every query carries a literal-VALUES oracle pinning the
+ * exact expected output; golden assertions also live in ZarrSourceSpec.
  */
 object ZarrQueries {
 
@@ -46,26 +47,38 @@ object ZarrQueries {
   val all: Seq[Q] = Seq(
 
     // the reference's own (ignored = known-broken there) projection+filter test:
-    // SELECT collection, date WHERE collection = 'collection_a' → 1×2
-    Q("q_zarr_scan", None,
+    // SELECT collection, date WHERE collection = 'collection_a' → 1×2.
+    // The fixture is 3 deterministic rows (writeReferenceFixture), so the
+    // DuckDB oracle is the literal expected output — a hard green row for
+    // the flagship workload instead of spec-only coverage.
+    Q("q_zarr_scan", Some("""
+      SELECT 'collection_a' AS collection, TIMESTAMP '2023-01-01' AS "date""""),
       (s, _) => zarrTable(s)
         .filter(col("collection") === "collection_a")
         .select("collection", "date")
         .orderBy("collection")),
 
-    Q("q_zarr_bbox_search", None, (s, _) => flagship(s)),
+    Q("q_zarr_bbox_search", Some("""
+      SELECT * FROM (VALUES
+        ('collection_b', TIMESTAMP '2023-01-02', 'POLYGON ((20 -20, 20 20, -20 20, -20 -20, 20 -20))'),
+        ('collection_c', TIMESTAMP '2023-01-03', 'POLYGON ((30 -30, 30 30, -30 30, -30 -30, 30 -30))'))
+        AS t(collection, "date", bbox) ORDER BY collection"""),
+      (s, _) => flagship(s)),
 
     // LIMIT pushdown surface: the scan plans only the chunk ranges the
     // limit needs (ZarrScanBuilder.pushLimit; partition-count asserted in
     // ZarrSourceSpec — here the driver smoke-checks rows==limit)
-    Q("q_zarr_limit", None,
+    Q("q_zarr_limit", Some("""
+      SELECT * FROM (VALUES ('collection_a'), ('collection_b'))
+        AS t(collection) ORDER BY collection"""),
       (s, _) => zarrTable(s).select("collection").limit(2)),
 
-    // in-engine verdict for the custom source (no DuckDB oracle possible):
-    // the Zarr read must equal the golden rows literally — n_mismatch
-    // (symmetric exceptAll) is computed inside the query, so the driver's
-    // rows>0 smoke check is looking at a self-checking result row.
-    Q("q_zarr_roundtrip", None,
+    // in-engine verdict for the custom source: the Zarr read must equal the
+    // golden rows literally — n_mismatch (symmetric exceptAll) is computed
+    // inside the query, and the oracle pins the self-check's only valid
+    // answer: (3 fixture rows, 0 mismatches).
+    Q("q_zarr_roundtrip", Some(
+      "SELECT CAST(3 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"),
       (s, _) => {
         val z = zarrTable(s).select(col("collection"), col("date"), col("bbox"))
         def boxWkt(r: Int): String =
@@ -82,7 +95,11 @@ object ZarrQueries {
 
     // sink surface: write a derived table to a fresh Zarr store through the
     // DSv2 write path, read it back, self-check equality (n_mismatch == 0)
-    Q("q_zarr_write_roundtrip", None,
+    // oracle: the write+read self-check must report every region row and
+    // zero mismatches, at any SF.
+    Q("q_zarr_write_roundtrip", Some("""
+      SELECT (SELECT count(*) FROM region) AS n_rows,
+             CAST(0 AS BIGINT) AS n_mismatch"""),
       (s, dir) => {
         val out = Files.createTempDirectory("graft_zarr_write").toString + "/out.zarr"
         val src = s.read.parquet(s"$dir/region.parquet")
@@ -97,7 +114,12 @@ object ZarrQueries {
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
       }),
 
-    Q("q_zarr_envelope", None,
+    Q("q_zarr_envelope", Some("""
+      SELECT * FROM (VALUES
+        ('collection_a', CAST(-10 AS DOUBLE), CAST(-10 AS DOUBLE), CAST(10 AS DOUBLE), CAST(10 AS DOUBLE)),
+        ('collection_b', CAST(-20 AS DOUBLE), CAST(-20 AS DOUBLE), CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)),
+        ('collection_c', CAST(-30 AS DOUBLE), CAST(-30 AS DOUBLE), CAST(30 AS DOUBLE), CAST(30 AS DOUBLE)))
+        AS t(collection, minx, miny, maxx, maxy) ORDER BY collection"""),
       (s, _) => {
         GeoFunctions.register(s)
         zarrTable(s).select(
