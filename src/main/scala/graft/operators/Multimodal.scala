@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,13 +12,16 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed per-partition in batches.
  *
- * The actual media decode is STUBBED (no image/audio libraries in this
- * environment) behind [[MediaCodecStub]] — a deterministic fake that derives
- * "features" from the payload bytes. Everything around it is the real
- * production shape: binary column + metadata struct schema, per-partition
- * batched processing via `mapPartitions` over a typed `Dataset` (the Scala
- * analogue of `mapInPandas` batches), partition sizing independent of row
- * width, and a columnar feature output ready for [[Similarity]] search.
+ * Image decode/resize/feature-extract is REAL: payloads are PNG bytes,
+ * decoded with the JDK's `javax.imageio` and resized with `Graphics2D`
+ * (headless-safe, no external dependency). Audio/video decode stays stubbed
+ * behind [[MediaCodecStub]] (no ffmpeg in this environment) with the same
+ * interface. Everything around the codecs is the production shape: binary
+ * column + metadata struct schema, per-partition batched processing via
+ * `mapPartitions` over a typed `Dataset` (the Scala analogue of
+ * `mapInPandas` batches — codec init amortized per task, not per row),
+ * partition sizing independent of row width, and a columnar feature output
+ * ready for [[Similarity]] search.
  */
 object Multimodal {
 
@@ -25,9 +33,103 @@ object Multimodal {
       checksum: Long, features: Array[Float])
 
   /**
-   * STUB decoder: stands in for libjpeg/ffmpeg. Deterministic: features are
-   * a fixed-size projection of the payload bytes, so tests are exact.
-   * Swap this object for a real codec binding in production.
+   * Real image codec on the JDK only. Features are an 8-dim pixel summary:
+   * mean R/G/B, mean luma, and the four quadrant mean lumas (all in [0,1]) —
+   * enough signal for near-dup search over [[Similarity]] while staying
+   * exactly reproducible in a spec.
+   */
+  object ImageCodec {
+    val FeatureDim = 8
+
+    /** Deterministic tiny RGB test image: pixel colors derive from (id, x, y). */
+    def synthesize(id: Long, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + x * 7 + y * 13) & 0xff).toInt
+          val g = ((id * 17 + x * 3 + y * 29) & 0xff).toInt
+          val b = ((id * 11 + x * 19 + y * 5) & 0xff).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def synthesizePng(id: Long, w: Int, h: Int): Array[Byte] =
+      encodePng(synthesize(id, w, h))
+
+    def decode(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    /** 8-dim feature vector from decoded pixels:
+     *  [meanR, meanG, meanB, meanLuma, lumaTL, lumaTR, lumaBL, lumaBR]. */
+    def embed(img: BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr, sg, sb, sl = 0.0
+      val qSum = new Array[Double](4)
+      val qCnt = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += luma
+          val q = (if (y * 2 < h) 0 else 2) + (if (x * 2 < w) 0 else 1)
+          qSum(q) += luma; qCnt(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val f = new Array[Float](FeatureDim)
+      f(0) = (sr / n / 255.0).toFloat
+      f(1) = (sg / n / 255.0).toFloat
+      f(2) = (sb / n / 255.0).toFloat
+      f(3) = (sl / n / 255.0).toFloat
+      var q = 0
+      while (q < 4) {
+        f(4 + q) = if (qCnt(q) > 0) (qSum(q) / qCnt(q) / 255.0).toFloat else 0.0f
+        q += 1
+      }
+      f
+    }
+
+    /** Real resize: decode → Graphics2D bilinear scale → re-encode PNG. */
+    def resizePng(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = decode(payload)
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      encodePng(dst)
+    }
+  }
+
+  /**
+   * STUB decoder for audio/video: stands in for ffmpeg. Deterministic:
+   * features are a fixed-size projection of the payload bytes, so tests are
+   * exact. Swap this object for a real codec binding in production.
    */
   object MediaCodecStub {
     val FeatureDim = 8
@@ -47,10 +149,14 @@ object Multimodal {
     }
   }
 
-  /** Synthesize a media-asset table from any text corpus (payload = utf-8 bytes). */
+  /**
+   * Synthesize a media-asset table from any text corpus. Image assets carry
+   * REAL (tiny, deterministic) PNG payloads; audio/video carry the utf-8
+   * text bytes as an opaque stand-in stream.
+   */
   def syntheticAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    docs.select(
+    val base = docs.select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
@@ -59,39 +165,56 @@ object Multimodal {
       (col("doc_id") % 480 + 16).cast("int").as("height"),
       (col("doc_id") % 30 + 1).cast("int").as("n_frames")
     ).as[MediaAsset]
-  }
-
-  /**
-   * The batched decode/feature-extract pass. `mapPartitions` keeps the codec
-   * initialization per-task (not per-row) — the property that matters when
-   * the real decoder has setup cost.
-   */
-  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
-    import assets.sparkSession.implicits._
-    assets.mapPartitions { it =>
-      // per-partition "codec init" would go here
+    base.mapPartitions { it =>
       it.map { a =>
-        MediaFeatures(a.asset_id, a.media_type, a.payload.length,
-          MediaCodecStub.checksum(a.payload), MediaCodecStub.decodeAndEmbed(a.payload))
+        if (a.media_type == "image") {
+          // small real PNGs: width/height metadata matches the actual pixels
+          val w = (a.asset_id % 24 + 8).toInt
+          val h = (a.asset_id % 16 + 8).toInt
+          a.copy(payload = ImageCodec.synthesizePng(a.asset_id, w, h),
+            width = w, height = h)
+        } else a
       }
     }
   }
 
   /**
-   * STUB resize: stands in for an image scaler. The Spark-side contract is
-   * real — metadata updated, payload transformed per partition in batches,
-   * deterministic output — only the pixel math is fake (truncate/pad the
-   * payload to the implied byte budget).
+   * The batched decode/feature-extract pass. `mapPartitions` keeps the codec
+   * initialization per-task (not per-row) — the property that matters when
+   * the decoder has setup cost. Images go through the REAL PNG decode;
+   * audio/video through the stub.
+   */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val feats =
+          if (a.media_type == "image") ImageCodec.embed(ImageCodec.decode(a.payload))
+          else MediaCodecStub.decodeAndEmbed(a.payload)
+        MediaFeatures(a.asset_id, a.media_type, a.payload.length,
+          MediaCodecStub.checksum(a.payload), feats)
+      }
+    }
+  }
+
+  /**
+   * Resize pass. Images: REAL decode → Graphics2D scale → PNG re-encode.
+   * Audio/video: byte-budget stub (truncate/pad to the implied budget) with
+   * the same metadata contract.
    */
   def resize(assets: Dataset[MediaAsset], width: Int, height: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition "scaler init" would go here
       it.map { a =>
-        val budget = math.max(16, (a.payload.length.toLong * width * height /
-          math.max(a.width.toLong * a.height, 1)).toInt)
-        val p = java.util.Arrays.copyOf(a.payload, budget)
-        a.copy(payload = p, width = width, height = height)
+        if (a.media_type == "image")
+          a.copy(payload = ImageCodec.resizePng(a.payload, width, height),
+            width = width, height = height)
+        else {
+          val budget = math.max(16, (a.payload.length.toLong * width * height /
+            math.max(a.width.toLong * a.height, 1)).toInt)
+          val p = java.util.Arrays.copyOf(a.payload, budget)
+          a.copy(payload = p, width = width, height = height)
+        }
       }
     }
   }

@@ -93,7 +93,28 @@ class TextSpec extends SparkSpec {
     assert(kernel == expected)
   }
 
-  test("multimodal: stubbed decode is deterministic and batched shape is real") {
+  test("image codec: known 2x2 image decodes to the exact expected feature vector") {
+    import graft.operators.Multimodal.ImageCodec
+    // 2x2: TL=red TR=green BL=blue BR=white
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val f = ImageCodec.embed(ImageCodec.decode(ImageCodec.encodePng(img)))
+    // means: R=(255+0+0+255)/4/255=0.5 (same for G,B); luma weights sum to 1
+    // so meanLuma=0.5; quadrants are single pixels → their luma weights
+    val expected = Seq(0.5f, 0.5f, 0.5f, 0.5f, 0.299f, 0.587f, 0.114f, 1.0f)
+    f.toSeq.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"got ${f.toSeq}, want $expected")
+    }
+    // real resize: a solid-color image stays solid at any size
+    val red = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 2).foreach(y => (0 until 2).foreach(x => red.setRGB(x, y, 0xff0000)))
+    val resized = ImageCodec.embed(ImageCodec.decode(
+      ImageCodec.resizePng(ImageCodec.encodePng(red), 7, 5)))
+    assert(math.abs(resized(0) - 1.0f) < 1e-6 && resized(1) == 0.0f && resized(2) == 0.0f)
+  }
+
+  test("multimodal: decode is deterministic and batched shape is real") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, docs))
     val rows = feats.collect()
     assert(rows.length == docs.count())
