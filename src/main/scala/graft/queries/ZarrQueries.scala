@@ -114,6 +114,21 @@ object ZarrQueries {
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
       }),
 
+    // catalog surface: the store mounted as a catalog namespace, queried
+    // through a multi-part identifier — same deterministic fixture output
+    Q("q_zarr_catalog", Some("""
+      SELECT * FROM (VALUES
+        ('collection_a', TIMESTAMP '2023-01-01'),
+        ('collection_b', TIMESTAMP '2023-01-02'),
+        ('collection_c', TIMESTAMP '2023-01-03'))
+        AS t(collection, "date") ORDER BY collection"""),
+      (s, _) => {
+        s.conf.set("spark.sql.catalog.zarr_fixture",
+          classOf[graft.sources.ZarrCatalog].getName)
+        s.conf.set("spark.sql.catalog.zarr_fixture.root", fixturePath)
+        s.sql("SELECT collection, date FROM zarr_fixture.meta ORDER BY collection")
+      }),
+
     Q("q_zarr_envelope", Some("""
       SELECT * FROM (VALUES
         ('collection_a', CAST(-10 AS DOUBLE), CAST(-10 AS DOUBLE), CAST(10 AS DOUBLE), CAST(10 AS DOUBLE)),

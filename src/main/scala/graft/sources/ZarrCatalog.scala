@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.zarr._
+
+/**
+ * A DSv2 `TableCatalog` exposing one Zarr v3 store as a catalog namespace:
+ * every child group with 1-D child arrays is a table, every child group
+ * without arrays is a namespace. Register with
+ *
+ * {{{
+ *   spark.sql.catalog.<name>      = graft.sources.ZarrCatalog
+ *   spark.sql.catalog.<name>.root = <store uri>   // any Hadoop FS scheme
+ * }}}
+ *
+ * and the store's groups become first-class SQL citizens:
+ * `SHOW TABLES IN <name>`, `SELECT * FROM <name>.<group>`,
+ * `CREATE TABLE <name>.<group> AS SELECT ...` (CTAS runs through the same
+ * crash-safe DSv2 write path as `df.write.format("zarr")`).
+ *
+ * Extension beyond the reference (which exposes a single table per Python
+ * call, reference: python/src/table.rs:21-47): the hierarchy surface is how
+ * a 100 TB store with hundreds of collections would actually be organized.
+ *
+ * Schema lives in the store itself (array metadata), not in the catalog, so
+ * a plain `CREATE TABLE` (no AS) has nothing to persist a schema into until
+ * data arrives — tables materialize on first write, which is why only CTAS
+ * and `df.writeTo(...).create()` are supported creation paths.
+ */
+class ZarrCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootUri: String = _
+  private var targetRows: Long = 1L << 20
+  private var chunkRows: Int = 1 << 20
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootUri = Option(options.get("root")).getOrElse(throw new ZarrException(
+      s"zarr catalog '$name' requires spark.sql.catalog.$name.root=<store uri>"))
+    targetRows = Option(options.get("target_partition_rows")).map(_.toLong).getOrElse(1L << 20)
+    chunkRows = Option(options.get("chunk_rows")).map(_.toInt).getOrElse(1 << 20)
+  }
+
+  override def name(): String = catalogName
+
+  private def hadoopConf: Configuration = SparkSession.active.sessionState.newHadoopConf()
+  private def store: ZarrStore = new ZarrStore(rootUri, hadoopConf)
+
+  /** Relative store path of an identifier/namespace ("" = store root). */
+  private def rel(parts: Seq[String]): String = parts.mkString("/")
+
+  private def isGroup(relPath: String): Boolean = {
+    val metaPath = if (relPath.isEmpty) "zarr.json" else s"$relPath/zarr.json"
+    val b = store.readBytesIfExists(metaPath)
+    b != null && ZarrMeta.isGroup(ZarrMeta.parseJson(new String(b, UTF_8)))
+  }
+
+  private def arraysOf(relPath: String): Seq[ZarrArrayMeta] =
+    try ZarrSchema.listArrays(store, "/" + relPath)
+    catch { case _: ZarrException => Seq.empty }
+
+  private def childGroups(relPath: String): Seq[String] =
+    (try store.listChildren(relPath) catch { case _: ZarrException => Seq.empty })
+      .filter(c => isGroup(if (relPath.isEmpty) c else s"$relPath/$c")).sorted
+
+  // ---- TableCatalog -------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = rel(namespace.toSeq)
+    if (!isGroup(ns)) throw new NoSuchNamespaceException(namespace)
+    childGroups(ns)
+      .filter(c => arraysOf(if (ns.isEmpty) c else s"$ns/$c").nonEmpty)
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val relG = rel(ident.namespace.toSeq :+ ident.name)
+    val arrays = if (isGroup(relG)) arraysOf(relG) else Seq.empty
+    if (arrays.isEmpty) throw new NoSuchTableException(ident)
+    val group = "/" + relG
+    new ZarrTable(rootUri, group, arrays, ZarrSchema.infer(store, group),
+      targetRows, chunkRows, None)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val relG = rel(ident.namespace.toSeq :+ ident.name)
+    isGroup(relG) && arraysOf(relG).nonEmpty
+  }
+
+  /** CTAS entry: materialize the group metadata, return a write-capable
+   *  table with the declared schema (arrays appear on first commit). */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException("zarr tables do not support partitioning transforms")
+    val relG = rel(ident.namespace.toSeq :+ ident.name)
+    writeGroupDocs(relG)
+    new ZarrTable(rootUri, "/" + relG, Seq.empty, schema, targetRows, chunkRows, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("zarr catalog does not support ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val fs = new Path(rootUri).getFileSystem(hadoopConf)
+    fs.delete(new Path(rootUri, rel(ident.namespace.toSeq :+ ident.name)), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("zarr catalog does not support RENAME TABLE")
+
+  // ---- SupportsNamespaces -------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    childGroups("").filter(c => arraysOf(c).isEmpty).map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = rel(namespace.toSeq)
+    if (!isGroup(ns)) throw new NoSuchNamespaceException(namespace)
+    childGroups(ns)
+      .filter(c => arraysOf(if (ns.isEmpty) c else s"$ns/$c").isEmpty)
+      .map(c => namespace :+ c).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isGroup(rel(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    writeGroupDocs(rel(namespace.toSeq))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("zarr catalog does not support ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = rel(namespace.toSeq)
+    if (ns.isEmpty || !isGroup(ns)) return false
+    if (!cascade && childGroups(ns).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
+    new Path(rootUri).getFileSystem(hadoopConf).delete(new Path(rootUri, ns), true)
+  }
+
+  /** Write group `zarr.json` docs for every level root → relPath, through
+   *  the store's Hadoop FS (scheme-generic, unlike the fixture writer). */
+  private def writeGroupDocs(relPath: String): Unit = {
+    val fs = new Path(rootUri).getFileSystem(hadoopConf)
+    val doc = """{"attributes":{},"zarr_format":3,"node_type":"group"}""".getBytes(UTF_8)
+    def put(dir: Path): Unit = {
+      val p = new Path(dir, "zarr.json")
+      if (!fs.exists(p)) {
+        val out = fs.create(p, true)
+        try out.write(doc) finally out.close()
+      }
+    }
+    var acc = new Path(rootUri)
+    put(acc)
+    relPath.split("/").filter(_.nonEmpty).foreach { seg =>
+      acc = new Path(acc, seg)
+      put(acc)
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZarrCatalog
+import graft.zarr.ZarrWriter
+
+/**
+ * The catalog surface: a Zarr store root exposed as a namespace — groups
+ * list as tables via SHOW TABLES, resolve via multi-part identifiers, and
+ * CTAS creates new groups through the DSv2 write path.
+ */
+class ZarrCatalogSpec extends SparkSpec {
+
+  private lazy val root: String = {
+    val dir = tempDir("zarr_catalog")
+    ZarrWriter.writeGroup(dir, "/meta_a")
+    ZarrWriter.writeStringArray(dir, "/meta_a", "collection",
+      Seq("collection_a", "collection_b", "collection_c"), 3)
+    ZarrWriter.writeLongArray(dir, "/meta_a", "v", Seq(1L, 2L, 3L), 3)
+    ZarrWriter.writeGroup(dir, "/meta_b")
+    ZarrWriter.writeLongArray(dir, "/meta_b", "k", Seq(10L, 20L), 2)
+    ZarrWriter.writeDoubleArray(dir, "/meta_b", "x", Seq(0.5, 1.5), 2)
+    // a namespace: group with nested table, no direct arrays
+    ZarrWriter.writeGroup(dir, "/nested/inner")
+    ZarrWriter.writeLongArray(dir, "/nested/inner", "n", Seq(7L), 1)
+    spark.conf.set("spark.sql.catalog.zcat", classOf[ZarrCatalog].getName)
+    spark.conf.set("spark.sql.catalog.zcat.root", dir)
+    dir
+  }
+
+  test("SHOW TABLES lists each group with arrays as a table") {
+    root
+    val tables = spark.sql("SHOW TABLES IN zcat").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tables == Seq(("", "meta_a"), ("", "meta_b")))
+    // groups without direct arrays surface as namespaces, not tables
+    val ns = spark.sql("SHOW NAMESPACES IN zcat").collect().map(_.getString(0)).toSeq
+    assert(ns == Seq("nested"))
+    assert(spark.sql("SHOW TABLES IN zcat.nested").collect()
+      .map(_.getString(1)).toSeq == Seq("inner"))
+  }
+
+  test("multi-part identifiers query two groups through spark.sql") {
+    root
+    val a = spark.sql(
+      "SELECT collection, v FROM zcat.meta_a WHERE collection <> 'collection_b' ORDER BY v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a == Seq(("collection_a", 1L), ("collection_c", 3L)))
+    val joined = spark.sql(
+      """SELECT b.k, b.x, a.collection FROM zcat.meta_b b
+         JOIN zcat.meta_a a ON a.v * 10 = b.k ORDER BY b.k""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(joined == Seq((10L, 0.5, "collection_a"), (20L, 1.5, "collection_b")))
+    // nested namespace table resolves through the longer identifier
+    assert(spark.sql("SELECT n FROM zcat.nested.inner").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("CTAS creates a new group through the DSv2 write path; DROP removes it") {
+    root
+    spark.sql(
+      "CREATE TABLE zcat.derived AS SELECT v * 100 AS v100 FROM zcat.meta_a ORDER BY v")
+    assert(spark.sql("SELECT v100 FROM zcat.derived ORDER BY v100").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 200L, 300L))
+    assert(spark.sql("SHOW TABLES IN zcat").collect().map(_.getString(1)).toSeq
+      .contains("derived"))
+    spark.sql("DROP TABLE zcat.derived")
+    assert(!spark.sql("SHOW TABLES IN zcat").collect().map(_.getString(1)).toSeq
+      .contains("derived"))
+  }
+}
