@@ -36,12 +36,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scored = corpus.join(broadcast(probes), col("probe_id") =!= col(idCol))
-      .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+      .withColumn("cos", round(cosine(col("probe_vec"), col(vecCol)), 6))
+    // rank on the ROUNDED cosine (then id): ulp-level float noise in the raw
+    // dot product must not decide ranks, or results differ across engines
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rank"))
+        col("cos").as("cosine"), col("rank"))
       .orderBy("probe_id", "rank")
   }
 

@@ -174,7 +174,30 @@ object MLQueries {
       (s, dir) => Similarity.embeddingDuplicates(
         t(s, dir, "embeddings"), threshold = 0.95)),
 
-    Q("q_sim_bruteforce", None,
+    // Brute-force cosine top-k IS oracle-able: the scores are deterministic
+    // arithmetic once both engines compute in double (DuckDB's
+    // list_cosine_similarity on FLOAT[] stays float32 — cast first), and both
+    // sides rank on the ROUNDED cosine so ulp noise can't flip ranks.
+    Q("q_sim_bruteforce", Some("""
+      WITH probes AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
+        FROM embeddings WHERE vec_id < 5
+      ), scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               round(list_inner_product(p.probe_vec, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(p.probe_vec, p.probe_vec))
+                    * sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))), 6) AS cosine
+        FROM embeddings e JOIN probes p ON p.probe_id <> e.vec_id
+      ), ranked AS (
+        SELECT probe_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      SELECT probe_id, neighbor_id, cosine, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY probe_id, rank"""),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 5)
