@@ -74,12 +74,24 @@ object AggQueries {
           max("o_totalprice").as("max_price"))
         .orderBy("o_orderstatus")),
 
-    // HLL sketch: engines' estimates differ by design → no SQL oracle; the
-    // ScalaTest spec asserts the estimate is within HLL error of the exact.
-    Q("q_agg_approx_distinct", None,
+    // HLL sketch: engines' raw estimates differ by design, so the oracled
+    // contract is the estimator's ACCURACY — the exact distinct count (DuckDB
+    // recomputes it) plus a within-3×rsd check of the HLL estimate against
+    // that exact count (at rsd=0.02 a correct HLL is inside 6% with
+    // overwhelming probability; the ScalaTest spec keeps the tighter check).
+    Q("q_agg_approx_distinct", Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS approx_within_3rsd
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"))
+        .agg(
+          countDistinct("l_partkey").as("exact_parts"),
+          (abs(approx_count_distinct("l_partkey", 0.02).cast("double") /
+            countDistinct("l_partkey") - 1.0) <= 0.06).as("approx_within_3rsd"))
         .orderBy("l_returnflag")),
 
     // list outputs serialized to strings on BOTH sides: the driver's pandas
