@@ -164,13 +164,56 @@ object MLQueries {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
-    Q("q_dedup_minhash", None,
+    // The oracle is the GROUND TRUTH: all-pairs exact word-shingle Jaccard
+    // >= threshold, computed independently by DuckDB. The operator's output
+    // is LSH candidates verified by the same exact Jaccard, so passing this
+    // row proves the banded pipeline loses no true pair — which is
+    // deterministic here (fixed hash family) and safe on this corpus: every
+    // true pair sits at j >= 0.9, where 8 bands x 4 rows has ~0.9998 recall,
+    // and the corpus has NO pair in [0.5, 0.9) to sit on the margin.
+    Q("q_dedup_minhash", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ORDER BY id_a, id_b"""),
       (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7)),
 
     Q("q_dedup_simhash", None,
       (s, dir) => Dedup.simhashDuplicates(t(s, dir, "documents"), maxDistance = 10)),
 
-    Q("q_dedup_embedding", None,
+    // Ground-truth oracle, same reasoning as q_dedup_minhash: all-pairs exact
+    // cosine >= threshold in DuckDB (double precision). The operator verifies
+    // its LSH candidates with the same exact cosine, and this corpus's max
+    // inter-pair cosine is 0.513 — nowhere near 0.95 — so the answer is the
+    // empty set and any emitted pair is a hard failure.
+    Q("q_dedup_embedding", Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      ), scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_inner_product(a.emb, b.emb)
+                 / (sqrt(list_inner_product(a.emb, a.emb))
+                    * sqrt(list_inner_product(b.emb, b.emb))) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+      )
+      SELECT id_a, id_b, round(cos, 6) AS cosine
+      FROM scored WHERE cos >= 0.95
+      ORDER BY id_a, id_b"""),
       (s, dir) => Similarity.embeddingDuplicates(
         t(s, dir, "embeddings"), threshold = 0.95)),
 
