@@ -129,6 +129,29 @@ object ZarrQueries {
         s.sql("SELECT collection, date FROM zarr_fixture.meta ORDER BY collection")
       }),
 
+    // chunk-stats pruning surface: nation written to Zarr through the DSv2
+    // sink (which emits the _graft_stats.json sidecar), read back with a
+    // selective filter — the scan plans only the chunk ranges the stats
+    // allow (ZarrStatsSpec asserts partition counts; here the driver's
+    // DuckDB oracle checks the filtered RESULT against the parquet source,
+    // proving pruning never drops matching rows)
+    Q("q_zarr_stats_prune", Some("""
+      SELECT n_nationkey, n_name
+      FROM nation WHERE n_nationkey >= 20
+      ORDER BY n_nationkey"""),
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_zarr_stats").toString + "/nation.zarr"
+        s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))
+          .coalesce(1).write.format("zarr").option("group", "/t")
+          .option("chunk_rows", "4").mode("overwrite").save(out)
+        s.read.format("zarr").option("group", "/t")
+          .option("target_partition_rows", "4").load(out)
+          .filter(col("n_nationkey") >= 20)
+          .select("n_nationkey", "n_name")
+          .orderBy("n_nationkey")
+      }),
+
     Q("q_zarr_envelope", Some("""
       SELECT * FROM (VALUES
         ('collection_a', CAST(-10 AS DOUBLE), CAST(-10 AS DOUBLE), CAST(10 AS DOUBLE), CAST(10 AS DOUBLE)),

@@ -34,9 +34,14 @@ import graft.zarr._
  *    Adjacent chunks are coalesced up to `target_partition_rows` so tiny
  *    chunks don't explode the task count.
  *
- * Filters/limit are deliberately not pushed down — Zarr v3 stores no chunk
- * statistics, so a pushed filter can never skip I/O; Spark keeps its own
- * Filter above the scan (same stance as the reference, src/table_provider.rs:85).
+ * Filter pushdown prunes chunk ranges when the store carries the
+ * `_graft_stats.json` sidecar our write path emits (per-chunk min/max/nulls
+ * — [[graft.zarr.ZarrStats]]): the scan skips every chunk range the stats
+ * prove empty for the predicate, the way Parquet skips row groups. All
+ * filters are ALSO returned to Spark as residuals, so stats can only save
+ * I/O, never change results; a store without the sidecar (e.g. written by
+ * another producer — the reference's stance at src/table_provider.rs:85,
+ * since bare Zarr v3 has no chunk statistics) simply scans everything.
  * Row count IS reported ([[SupportsReportStatistics]]) so AQE/broadcast
  * planning sees the table size.
  */
@@ -108,11 +113,27 @@ class ZarrScanBuilder(
     fullSchema: StructType,
     targetRows: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var requiredSchema: StructType = fullSchema
   private var limit: Option[Long] = None
   private var countStar = false
+  private var pruningFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  private def dtypeOf(name: String): Option[ZarrType] =
+    arrays.find(_.name == name).map(_.dtype)
+
+  /** Accept filters for CHUNK PRUNING only: everything is returned as a
+   *  residual (Spark re-applies it above the scan), so a missing or stale
+   *  stats sidecar can never change results — it just skips nothing. The
+   *  prunable subset is reported via `pushedFilters` (visible in EXPLAIN). */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pruningFilters = filters.filter(ZarrPruning.prunable(_, dtypeOf))
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pruningFilters
 
   /** COUNT(*) with no grouping is answered from the array shape — pure
    *  metadata, zero chunk I/O (a 100 TB table counts in milliseconds).
@@ -148,7 +169,7 @@ class ZarrScanBuilder(
     if (countStar) {
       val n = arrays.headOption.map(_.length).getOrElse(0L)
       new ZarrCountStarScan(limit.fold(n)(math.min(n, _)))
-    } else new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit)
+    } else new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit, pruningFilters)
 }
 
 /** Completely-pushed COUNT(*): one partition, one row, zero chunk I/O. */
@@ -181,7 +202,8 @@ class ZarrScan(
     arrays: Seq[ZarrArrayMeta],
     requiredSchema: StructType,
     targetRows: Long,
-    limit: Option[Long] = None)
+    limit: Option[Long] = None,
+    pruningFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics {
 
   private val tableRows: Long = {
@@ -195,7 +217,8 @@ class ZarrScan(
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"ZarrScan(path=$path, columns=[${requiredSchema.fieldNames.mkString(",")}])"
+    s"ZarrScan(path=$path, columns=[${requiredSchema.fieldNames.mkString(",")}]" +
+      (if (pruningFilters.nonEmpty) s", PushedFilters: [${pruningFilters.mkString(", ")}]" else "") + ")"
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = {
@@ -207,16 +230,42 @@ class ZarrScan(
 
   /**
    * Partition = contiguous row range aligned to the coarsest chunk grid among
-   * the required columns, coalesced up to `targetRows` rows per task.
+   * the required columns, coalesced up to `targetRows` rows per task. Ranges
+   * the stats sidecar proves empty for the pushed filters are dropped here —
+   * pruned chunks cost no task, no fetch, no decode.
    */
   override def planInputPartitions(): Array[InputPartition] = {
     if (tableRows == 0) return Array.empty
     val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
     val step = math.max(align, (targetRows / align) * align)
-    val parts = Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows).map { start =>
-      ZarrInputPartition(start, math.min(start + step, tableRows)): InputPartition
-    }
+    val keep = rangeKeeper()
+    val parts = Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows)
+      .map(start => (start, math.min(start + step, tableRows)))
+      .filter { case (s, e) => keep(s, e) }
+      .map { case (s, e) => ZarrInputPartition(s, e): InputPartition }
     parts.toArray
+  }
+
+  /** Range-level keep/skip decision from the stats sidecar; keeps everything
+   *  when there are no pruning filters or no (valid) sidecar. A sidecar whose
+   *  grid doesn't cover the table exactly (stale after a foreign write) is
+   *  ignored. */
+  private def rangeKeeper(): (Long, Long) => Boolean = {
+    if (pruningFilters.isEmpty) return (_, _) => true
+    val fullLen = arrays.headOption.map(_.length).getOrElse(0L)
+    val stats = ZarrStats.read(
+      new ZarrStore(path, SparkSession.active.sessionState.newHadoopConf()), group)
+      .filter(s => s.chunkRows > 0 && s.totalRows == fullLen &&
+        s.nChunks.toLong == (fullLen + s.chunkRows - 1) / s.chunkRows)
+    stats match {
+      case None => (_, _) => true
+      case Some(s) =>
+        (start, end) => {
+          val statsOf: String => Option[ZarrPruning.RangeStats] = n =>
+            arrays.find(_.name == n).flatMap(a => ZarrPruning.rangeStats(s, n, a.dtype, start, end))
+          !pruningFilters.exists(f => ZarrPruning.skippable(f, statsOf))
+        }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

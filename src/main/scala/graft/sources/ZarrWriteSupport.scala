@@ -79,6 +79,62 @@ object ZarrWriteSupport {
       """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd","configuration":{"level":0,"checksum":false}}]"""
   }
 
+  /**
+   * (min, max, nullCount) of the `count` buffered values of one column —
+   * recorded per chunk into the `_graft_stats.json` sidecar so the scan can
+   * prune chunk ranges from pushed filters ([[graft.zarr.ZarrStats]]).
+   * String order uses UTF8String binary comparison (Spark's own string
+   * ordering — a java.String compare would disagree on supplementary chars
+   * and make pruning unsound). min/max are null when every value is null.
+   */
+  def chunkColumnStats(dt: DataType, values: Array[Any], count: Int): (String, String, Long) = {
+    // Stats must describe what a READER sees. Nulls are encoded as fill
+    // values for every type except timestamp (NaT reads back as a real
+    // null), so null slots enter min/max as their fill and only timestamp
+    // chunks carry a null count — otherwise IsNotNull pruning would skip
+    // chunks whose fill-value rows are non-null on read.
+    val nullSeenAs: Any = dt match {
+      case TimestampNTZType => null
+      case StringType => ""
+      case DoubleType => 0.0
+      case FloatType => 0f
+      case BooleanType => java.lang.Boolean.FALSE
+      case ShortType => java.lang.Short.valueOf(0.toShort)
+      case ByteType => java.lang.Byte.valueOf(0.toByte)
+      case IntegerType => java.lang.Integer.valueOf(0)
+      case _ => java.lang.Long.valueOf(0L)
+    }
+    def less(a: Any, b: Any): Boolean = dt match {
+      case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+      case FloatType => a.asInstanceOf[Float] < b.asInstanceOf[Float]
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.toString)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.toString)) < 0
+      case BooleanType => a == java.lang.Boolean.FALSE && b == java.lang.Boolean.TRUE
+      case _ => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    }
+    def enc(v: Any): String = if (v == null) null else dt match {
+      case DoubleType => v.asInstanceOf[Double].toString
+      case FloatType => v.asInstanceOf[Float].toDouble.toString // read side compares as double
+      case StringType | BooleanType => v.toString
+      case _ => v.asInstanceOf[Number].longValue.toString // ints + timestamp micros
+    }
+    var nulls = 0L
+    var min: Any = null
+    var max: Any = null
+    var i = 0
+    while (i < count) {
+      val v = if (values(i) == null) nullSeenAs else values(i)
+      if (v == null) nulls += 1
+      else {
+        if (min == null || less(v, min)) min = v
+        if (max == null || less(max, v)) max = v
+      }
+      i += 1
+    }
+    (enc(min), enc(max), nulls)
+  }
+
   /** Encode `count` buffered values of one column into a compressed chunk. */
   def encodeChunk(dt: DataType, values: Array[Any], count: Int, chunkRows: Int): Array[Byte] = {
     val raw: Array[Byte] = dt match {
@@ -160,8 +216,14 @@ class ZarrWriteBuilder(
   }
 }
 
-/** One task's report: the chunks it wrote and their row counts. */
-case class ZarrCommit(chunks: Seq[(Long, Int)]) extends WriterCommitMessage
+/** Per-chunk column stats computed task-side: min/max/nulls aligned with the
+ *  data schema's field order (null min/max = all-null chunk). */
+case class ZarrChunkStatsMsg(
+    chunk: Long, min: Array[String], max: Array[String], nulls: Array[Long])
+
+/** One task's report: the chunks it wrote, their row counts, and stats. */
+case class ZarrCommit(chunks: Seq[(Long, Int)], stats: Seq[ZarrChunkStatsMsg])
+  extends WriterCommitMessage
 
 class ZarrWrite(
     path: String,
@@ -236,6 +298,24 @@ class ZarrWrite(
       val out = fs.create(p, true)
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
+    // chunk-stats sidecar, merged from the tasks' per-chunk reports; written
+    // BEFORE zarr.json so a table is never readable with stats still missing
+    // (stats-less is fine — the scan treats them as advisory — but this
+    // ordering makes the commit all-or-nothing for readers)
+    val allStats = messages.flatMap(_.asInstanceOf[ZarrCommit].stats).sortBy(_.chunk)
+    if (allStats.length == all.length && dataSchema.fields.nonEmpty) {
+      val fields = dataSchema.fields
+      val cols = fields.indices.map { c =>
+        fields(c).name -> graft.zarr.ColumnChunkStats(
+          allStats.map(_.min(c)).toArray,
+          allStats.map(_.max(c)).toArray,
+          allStats.map(_.nulls(c)).toArray)
+      }.toMap
+      val sidecar = graft.zarr.StoreChunkStats(chunkRows, allStats.length, totalRows, cols)
+      val p = if (groupRel.isEmpty) new Path(path, graft.zarr.ZarrStats.FileName)
+        else new Path(new Path(path, groupRel), graft.zarr.ZarrStats.FileName)
+      writeJson(p, graft.zarr.ZarrStats.toJson(sidecar))
+    }
     val groupDoc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
     writeJson(new Path(path, "zarr.json"), groupDoc)
     if (groupRel.nonEmpty) {
@@ -298,6 +378,7 @@ class ZarrDataWriter(
   private var count = 0
   private var synthesized = 0L
   private val written = mutable.ArrayBuffer.empty[(Long, Int)]
+  private val stats = mutable.ArrayBuffer.empty[ZarrChunkStatsMsg]
 
   override def write(row: InternalRow): Unit = {
     val pos = idxOrdinal match {
@@ -331,9 +412,14 @@ class ZarrDataWriter(
 
   private def flush(): Unit = {
     if (currentChunk >= 0 && count > 0) {
+      val mins = new Array[String](dataOrdinals.length)
+      val maxs = new Array[String](dataOrdinals.length)
+      val nulls = new Array[Long](dataOrdinals.length)
       var c = 0
       while (c < dataOrdinals.length) {
         val f = dataSchema.fields(c)
+        val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
+        mins(c) = mn; maxs(c) = mx; nulls(c) = nl
         val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
         val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
           else new Path(new Path(path, groupRel), f.name)
@@ -343,12 +429,13 @@ class ZarrDataWriter(
         c += 1
       }
       written += ((currentChunk, count))
+      stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls)
       count = 0
     }
     currentChunk = -1
   }
 
-  override def commit(): WriterCommitMessage = { flush(); ZarrCommit(written.toSeq) }
+  override def commit(): WriterCommitMessage = { flush(); ZarrCommit(written.toSeq, stats.toSeq) }
   override def abort(): Unit = ()
   override def close(): Unit = ()
 }

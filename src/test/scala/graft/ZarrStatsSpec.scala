@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.zarr.{ZarrStats, ZarrStore}
+
+/**
+ * Chunk-statistics sidecar + filter-pushdown pruning:
+ *  - the DSv2 write path emits per-chunk min/max/nulls,
+ *  - the scan plans only the chunk ranges a pushed filter can match,
+ *  - results NEVER depend on stats (filters stay residual): missing or
+ *    corrupt sidecars keep full scans and identical answers.
+ */
+class ZarrStatsSpec extends SparkSpec {
+
+  /** 100 rows, chunk_rows=10 → 10 chunks; id dense ascending so id-range
+   *  filters map cleanly onto chunks. */
+  private def writeStore(): String = {
+    val dir = tempDir("zstats") + "/store.zarr"
+    val df = spark.range(100).select(
+      col("id"),
+      (col("id") * 2).as("even"),
+      concat(lit("name_"), format_string("%03d", col("id"))).as("name"),
+      (col("id").cast("double") / 4.0).as("score"),
+      // string nulls are WRITTEN as "" (fill) → read back non-null
+      when(col("id") < 50, col("id").cast("string")).as("half_null"),
+      // timestamp nulls are WRITTEN as NaT → read back as real nulls
+      when(col("id") < 50, timestamp_seconds(col("id")).cast("timestamp_ntz"))
+        .as("ts_null"))
+    df.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "10").mode("overwrite").save(dir)
+    dir
+  }
+
+  private def read(dir: String): DataFrame =
+    spark.read.format("zarr").option("group", "/t")
+      .option("target_partition_rows", "10").load(dir)
+
+  private def nParts(df: DataFrame): Int = df.queryExecution.toRdd.getNumPartitions
+
+  test("write path emits a per-chunk stats sidecar") {
+    val dir = writeStore()
+    val stats = ZarrStats.read(new ZarrStore(dir, spark.sessionState.newHadoopConf()), "/t").get
+    assert(stats.chunkRows == 10 && stats.nChunks == 10 && stats.totalRows == 100)
+    val id = stats.columns("id")
+    assert(id.min.toSeq == (0 until 10).map(c => (c * 10).toString))
+    assert(id.max.toSeq == (0 until 10).map(c => (c * 10 + 9).toString))
+    assert(id.nulls.forall(_ == 0))
+    // string nulls read back as "" (the write fill), so stats must report
+    // them as "" values, not nulls — or IsNotNull pruning would drop them
+    val hn = stats.columns("half_null")
+    assert(hn.nulls.forall(_ == 0))
+    assert(hn.min(5) == "" && hn.max(5) == "")
+    // timestamp nulls read back as real nulls (NaT) → counted
+    val tn = stats.columns("ts_null")
+    assert(tn.nulls.toSeq == Seq(0L, 0L, 0L, 0L, 0L, 10L, 10L, 10L, 10L, 10L))
+    assert(tn.min(5) == null && tn.max(9) == null) // all-null chunks carry no bounds
+    assert(tn.min(2) == (20L * 1000000L).toString) // micros since epoch
+    val nm = stats.columns("name")
+    assert(nm.min(3) == "name_030" && nm.max(3) == "name_039")
+  }
+
+  test("range filters prune partitions and keep exact results") {
+    val dir = writeStore()
+    val full = read(dir)
+    assert(nParts(full) == 10)
+    val hi = full.filter(col("id") >= 95)
+    assert(nParts(hi) == 1)
+    assert(hi.select("id").collect().map(_.getLong(0)).sorted.toSeq == (95L to 99L))
+    val band = full.filter(col("id") >= 33 && col("id") < 47)
+    assert(nParts(band) == 2) // chunks 3 and 4
+    assert(band.count() == 14)
+    val none = full.filter(col("id") > 1000)
+    assert(nParts(none) == 0 && none.count() == 0)
+    val eq = full.filter(col("name") === "name_042")
+    assert(nParts(eq) == 1)
+    assert(eq.select("id").head().getLong(0) == 42L)
+    val dbl = full.filter(col("score") < 2.5) // ids 0..9 → chunk 0
+    assert(nParts(dbl) == 1 && dbl.count() == 10)
+  }
+
+  test("null-aware pruning: IsNull / IsNotNull use per-chunk null counts") {
+    val dir = writeStore()
+    val full = read(dir)
+    // timestamp column: NaT rows ARE null on read → null counts prune both ways
+    val nulls = full.filter(col("ts_null").isNull)
+    assert(nParts(nulls) == 5 && nulls.count() == 50)
+    val notNulls = full.filter(col("ts_null").isNotNull)
+    assert(nParts(notNulls) == 5 && notNulls.count() == 50)
+    // comparison predicates are false on null → all-null ranges pruned
+    val cmpOnNull = full.filter(col("ts_null") >
+      timestamp_seconds(lit(0)).cast("timestamp_ntz"))
+    assert(nParts(cmpOnNull) == 5 && cmpOnNull.count() == 49)
+    // string column: nulls were written as "" fills → read back NON-null,
+    // and the stats say so: IsNotNull keeps everything, IsNull keeps nothing
+    val strNotNull = full.filter(col("half_null").isNotNull)
+    assert(nParts(strNotNull) == 10 && strNotNull.count() == 100)
+    val strNull = full.filter(col("half_null").isNull)
+    assert(nParts(strNull) == 0 && strNull.count() == 0)
+  }
+
+  test("disjunctions prune only when BOTH sides prove empty; conjunctions either") {
+    val dir = writeStore()
+    val full = read(dir)
+    val or2 = full.filter(col("id") < 10 || col("id") >= 90)
+    assert(nParts(or2) == 2 && or2.count() == 20)
+    val andMixed = full.filter(col("id") < 10 && col("name") =!= "nope")
+    assert(nParts(andMixed) == 1 && andMixed.count() == 10)
+  }
+
+  test("missing or corrupt sidecar: no pruning, same answers") {
+    val dir = writeStore()
+    val sidecar = Paths.get(dir, "t", ZarrStats.FileName)
+    val expected = read(dir).filter(col("id") >= 95).count()
+    // corrupt: grid that doesn't cover the table → ignored
+    Files.writeString(sidecar,
+      """{"chunk_rows":7,"n_chunks":3,"total_rows":21,"columns":{}}""")
+    val corrupted = read(dir).filter(col("id") >= 95)
+    assert(nParts(corrupted) == 10 && corrupted.count() == expected)
+    Files.delete(sidecar)
+    val absent = read(dir).filter(col("id") >= 95)
+    assert(nParts(absent) == 10 && absent.count() == expected)
+  }
+
+  test("pushed filters appear in EXPLAIN; correctness matches an unfiltered scan") {
+    val dir = writeStore()
+    val q = read(dir).filter(col("id").between(20, 29))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    val viaFull = read(dir).collect().filter { r =>
+      val id = r.getLong(r.fieldIndex("id")); id >= 20 && id <= 29
+    }.length
+    assert(q.count() == viaFull)
+  }
+}
