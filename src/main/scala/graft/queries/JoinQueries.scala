@@ -42,6 +42,33 @@ object JoinQueries {
           .orderBy("n_name", "r_name")
       }),
 
+    // Bucketing: the fact-fact join SHUFFLE-FREE. Both fact tables are
+    // written bucketed (and sorted) on the join key; a bucketed read then
+    // sort-merge-joins bucket-to-bucket with NO Exchange on either side —
+    // at 100 TB this converts the biggest recurring shuffle a warehouse has
+    // (fact⋈fact) into a co-located map-side join, paid once at write time.
+    // BucketingSpec asserts the join subtree plans zero shuffles; the DuckDB
+    // oracle checks the result against the raw parquet tables.
+    Q("q_join_bucketed", Some("""
+      SELECT o.o_orderpriority,
+             count(*) AS n_lines,
+             round(sum(l.l_extendedprice), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority"""),
+      (s, dir) => {
+        val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey",
+          Seq("l_orderkey", "l_extendedprice"))
+        val o = Tables.bucketed(s, dir, "orders", "o_orderkey",
+          Seq("o_orderkey", "o_orderpriority"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum("l_extendedprice"), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      }),
+
     Q("q_join_fact_fact", Some("""
       SELECT o.o_orderpriority,
              count(*) AS n_lines,

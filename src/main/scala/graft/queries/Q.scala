@@ -38,4 +38,23 @@ object Tables {
   /** Register all test tables as temp views (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /**
+   * A projection of a test table, written ONCE per (session, dir) as a
+   * bucketed+sorted catalog table (external, under java.io.tmpdir) and read
+   * back bucket-aware: equi-joins between tables bucketed on their join key
+   * plan with NO Exchange on either side. The bucketed copy is the scale
+   * pattern — pay one layout write, then every fact⋈fact join is co-located.
+   */
+  def bucketed(spark: SparkSession, dir: String, name: String, bucketCol: String,
+      cols: Seq[String], nBuckets: Int = 8): DataFrame = {
+    val tbl = s"graft_bkt_${name}_${math.abs(dir.hashCode).toString.take(8)}"
+    if (!spark.catalog.tableExists(tbl)) {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_bkt_$name").toString
+      t(spark, dir, name).select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .option("path", path).mode("overwrite").saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
 }
