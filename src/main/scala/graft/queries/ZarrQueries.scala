@@ -129,6 +129,35 @@ object ZarrQueries {
         s.sql("SELECT collection, date FROM zarr_fixture.meta ORDER BY collection")
       }),
 
+    // streaming sink surface: region → batch-write to a Zarr store, then
+    // RELAY it readStream(zarr) → writeStream(zarr) (micro-batch epochs,
+    // append protocol with tail-chunk merge + commit marker), read the
+    // destination back and self-check against the parquet source. Oracle:
+    // every region row relayed, zero mismatches, at any SF.
+    Q("q_zarr_stream_sink", Some("""
+      SELECT (SELECT count(*) FROM region) AS n_rows,
+             CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft_zarr_relay").toString
+        val src = s"$tmp/in.zarr"
+        val dst = s"$tmp/out.zarr"
+        val rows = s.read.parquet(s"$dir/region.parquet")
+          .select(col("r_regionkey"), col("r_name"))
+        rows.coalesce(1).write.format("zarr").option("group", "/t")
+          .option("chunk_rows", "2").mode("overwrite").save(src)
+        val q = s.readStream.format("zarr").option("group", "/t").load(src)
+          .writeStream.format("zarr").option("group", "/t")
+          .option("chunk_rows", "2")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start(dst)
+        try q.processAllAvailable() finally q.stop()
+        val back = s.read.format("zarr").option("group", "/t").load(dst)
+          .select("r_regionkey", "r_name")
+        val diff = back.exceptAll(rows).unionAll(rows.exceptAll(back))
+        back.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      }),
+
     // chunk-stats pruning surface: nation written to Zarr through the DSv2
     // sink (which emits the _graft_stats.json sidecar), read back with a
     // selective filter — the scan plans only the chunk ranges the stats

@@ -1,0 +1,260 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+import graft.zarr._
+
+/**
+ * Structured Streaming SINK for Zarr stores:
+ * `df.writeStream.format("zarr").option("group", "/meta").start(path)` —
+ * the append half of the streaming story (the source half,
+ * [[ZarrMicroBatchStream]], tails a growing store by row-count offsets;
+ * together they make Zarr a streamable table format end to end, something
+ * the strictly-bounded reference has no analogue of).
+ *
+ * Append protocol (single-partition epochs — the metadata-scale path, like
+ * the batch writer without `row_index`; [[ZarrWrite.requiredDistribution]]
+ * plans the coalesce):
+ *
+ *  1. The task reads `_graft_stream_commit.json` → (lastEpoch, rows). If
+ *     lastEpoch >= this epoch, the batch is a REPLAY of an already-committed
+ *     epoch: consume and write nothing (exactly-once on retries).
+ *  2. Otherwise the append starts at `rows`. A partial tail chunk is read
+ *     back, decoded, and merged so the rewrite covers its existing rows —
+ *     readers never observe it shrinking, because the published shape still
+ *     ends at `rows` until commit.
+ *  3. The driver commit then (a) merges the new per-chunk stats into the
+ *     `_graft_stats.json` sidecar, (b) rewrites the `zarr.json` documents
+ *     with the grown shape, and (c) records {epoch, rows} in the commit
+ *     marker. Chunk objects past the published shape are invisible, so a
+ *     crash at any point leaves a consistent table; a replayed epoch
+ *     rewrites the same chunks from the same offset and converges.
+ */
+object ZarrStreamCommit {
+  val FileName = "_graft_stream_commit.json"
+
+  def relPath(groupRel: String): String =
+    if (groupRel.isEmpty) FileName else s"$groupRel/$FileName"
+
+  /** (last committed epoch, committed row count); (-1, 0) for a fresh store. */
+  def read(store: ZarrStore, groupRel: String): (Long, Long) =
+    try {
+      val b = store.readBytesIfExists(relPath(groupRel))
+      if (b == null) (-1L, 0L)
+      else {
+        val n = ZarrMeta.parseJson(new String(b, StandardCharsets.UTF_8))
+        (n.path("epoch").asLong(-1L), n.path("rows").asLong(0L))
+      }
+    } catch { case _: Exception => (-1L, 0L) }
+}
+
+/** One epoch's report: chunks written (id → rows now in that chunk), their
+ *  stats, the resulting total row count, and whether this was a no-op replay. */
+case class ZarrStreamEpochCommit(
+    chunks: Seq[(Long, Int)],
+    stats: Seq[ZarrChunkStatsMsg],
+    totalRows: Long,
+    replayed: Boolean) extends WriterCommitMessage
+
+class ZarrStreamingWrite(
+    path: String,
+    groupRel: String,
+    dataSchema: StructType,
+    chunkRows: Int,
+    conf: SerializableHadoopConf)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    if (info.numPartitions > 1)
+      throw new ZarrException(
+        s"zarr streaming sink appends from ONE task per epoch (got " +
+          s"${info.numPartitions} partitions) — repartition(1) the stream")
+    // appending onto an existing table: column names and chunk grid must match
+    val existing =
+      try ZarrSchema.listArrays(new ZarrStore(path, conf.value),
+        if (groupRel.isEmpty) "/" else s"/$groupRel")
+      catch { case _: ZarrException => Seq.empty }
+    if (existing.nonEmpty) {
+      val have = existing.map(_.name).sorted
+      val want = dataSchema.fieldNames.sorted.toSeq
+      if (have != want)
+        throw new ZarrException(
+          s"zarr streaming sink: existing table has columns [${have.mkString(",")}], " +
+            s"stream writes [${want.mkString(",")}]")
+      val grid = existing.head.chunkLength
+      if (grid != chunkRows)
+        throw new ZarrException(
+          s"zarr streaming sink: existing chunk grid is $grid rows, " +
+            s"option chunk_rows=$chunkRows — they must match to append")
+    }
+    new ZarrStreamingWriterFactory(path, groupRel, dataSchema, chunkRows, conf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val c = messages.collectFirst { case m: ZarrStreamEpochCommit => m }
+      .getOrElse(return)
+    if (c.replayed) return
+    val fs = new Path(path).getFileSystem(conf.value)
+    def writeFile(rel: String, text: String): Unit = {
+      val out = fs.create(new Path(path, rel), true)
+      try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    mergeStats(c).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
+    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, c.totalRows, chunkRows)
+    writeFile(ZarrStreamCommit.relPath(groupRel),
+      s"""{"epoch":$epochId,"rows":${c.totalRows}}""")
+  }
+
+  /** Fold this epoch's chunk stats into the existing sidecar (rewritten tail
+   *  chunk replaces its old entry). Stats are advisory: if the previous
+   *  sidecar is missing or doesn't cover the previous chunks, return None and
+   *  drop the file rather than publish bounds we can't vouch for. */
+  private def mergeStats(c: ZarrStreamEpochCommit): Option[StoreChunkStats] = {
+    if (c.stats.isEmpty) return None
+    val nChunks = ((c.totalRows + chunkRows - 1) / chunkRows).toInt
+    val fresh = c.stats.map(_.chunk).toSet
+    val old = ZarrStats.read(new ZarrStore(path, conf.value),
+      if (groupRel.isEmpty) "/" else s"/$groupRel")
+    val oldOk = old.filter(o => o.chunkRows == chunkRows &&
+      (0 until nChunks).forall(i => fresh.contains(i.toLong) || i < o.nChunks))
+    if (c.stats.map(_.chunk).min > 0 && oldOk.isEmpty) {
+      // mid-stream without a usable previous sidecar → remove any stale one
+      val fs = new Path(path).getFileSystem(conf.value)
+      fs.delete(new Path(path, ZarrStats.relPath(groupRel)), false)
+      return None
+    }
+    val byChunk = c.stats.map(s => s.chunk -> s).toMap
+    val cols = dataSchema.fields.indices.map { ci =>
+      val name = dataSchema.fields(ci).name
+      val oldCol = oldOk.flatMap(_.columns.get(name))
+      def pick[T: reflect.ClassTag](i: Int, fromNew: ZarrChunkStatsMsg => T,
+          fromOld: ColumnChunkStats => T, zero: T): T =
+        byChunk.get(i.toLong).map(fromNew)
+          .orElse(oldCol.collect { case o if i < o.nulls.length => fromOld(o) })
+          .getOrElse(zero)
+      name -> ColumnChunkStats(
+        (0 until nChunks).map(i => pick[String](i, _.min(ci), _.min(i), null)).toArray,
+        (0 until nChunks).map(i => pick[String](i, _.max(ci), _.max(i), null)).toArray,
+        (0 until nChunks).map(i => pick[Long](i, _.nulls(ci), _.nulls(i), 0L)).toArray)
+    }.toMap
+    Some(StoreChunkStats(chunkRows, nChunks, c.totalRows, cols))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class ZarrStreamingWriterFactory(
+    path: String,
+    groupRel: String,
+    dataSchema: StructType,
+    chunkRows: Int,
+    conf: SerializableHadoopConf)
+  extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ZarrStreamingDataWriter(path, groupRel, dataSchema, chunkRows, epochId, conf)
+}
+
+/** The per-epoch appender: starts at the committed row count, merges the
+ *  partial tail chunk, streams new rows into chunk buffers (bounded memory —
+ *  one open chunk per column), and reports chunks+stats+newTotal. */
+class ZarrStreamingDataWriter(
+    path: String,
+    groupRel: String,
+    dataSchema: StructType,
+    chunkRows: Int,
+    epochId: Long,
+    conf: SerializableHadoopConf)
+  extends DataWriter[InternalRow] {
+
+  private val fs = new Path(path).getFileSystem(conf.value)
+  private val store = new ZarrStore(path, conf.value)
+  private val (lastEpoch, startRows) = ZarrStreamCommit.read(store, groupRel)
+  /** A replay of an epoch the marker says is already applied → write nothing. */
+  private val replay = lastEpoch >= epochId
+
+  private val buffers: Array[Array[Any]] =
+    dataSchema.fields.map(_ => new Array[Any](chunkRows))
+  private var currentChunk = startRows / chunkRows
+  private var count = (startRows % chunkRows).toInt
+  private var total = startRows
+  private val written = mutable.ArrayBuffer.empty[(Long, Int)]
+  private val stats = mutable.ArrayBuffer.empty[ZarrChunkStatsMsg]
+
+  // merge the existing partial tail chunk so its rewrite keeps the old rows
+  if (!replay && count > 0) {
+    val arrays = ZarrSchema.listArrays(store,
+      if (groupRel.isEmpty) "/" else s"/$groupRel")
+    dataSchema.fields.zipWithIndex.foreach { case (f, c) =>
+      val meta = arrays.find(_.name == f.name).getOrElse(
+        throw new ZarrException(s"no existing array for streamed column '${f.name}'"))
+      val chunk = ZarrCodecs.decodeChunk(store.readBytesIfExists(meta.chunkPath(currentChunk)), meta)
+      var i = 0
+      while (i < count) {
+        buffers(c)(i) = chunk.get(i) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
+        i += 1
+      }
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (replay) return
+    var c = 0
+    while (c < dataSchema.fields.length) {
+      val f = dataSchema.fields(c)
+      buffers(c)(count) =
+        if (row.isNullAt(c)) null
+        else row.get(c, f.dataType) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case v => v
+        }
+      c += 1
+    }
+    count += 1
+    total += 1
+    if (count == chunkRows) flush()
+  }
+
+  private def flush(): Unit = {
+    if (count > 0) {
+      val mins = new Array[String](dataSchema.fields.length)
+      val maxs = new Array[String](dataSchema.fields.length)
+      val nulls = new Array[Long](dataSchema.fields.length)
+      var c = 0
+      while (c < dataSchema.fields.length) {
+        val f = dataSchema.fields(c)
+        val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
+        mins(c) = mn; maxs(c) = mx; nulls(c) = nl
+        val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
+        val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
+          else new Path(new Path(path, groupRel), f.name)
+        val out = fs.create(new Path(new Path(arrayDir, "c"), currentChunk.toString), true)
+        try out.write(bytes) finally out.close()
+        c += 1
+      }
+      written += ((currentChunk, count))
+      stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls)
+    }
+    currentChunk += 1
+    count = 0
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (!replay) flush()
+    ZarrStreamEpochCommit(written.toSeq, stats.toSeq, total, replay)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -135,6 +135,38 @@ object ZarrWriteSupport {
     (enc(min), enc(max), nulls)
   }
 
+  /** Write the group + per-array `zarr.json` documents for a committed table
+   *  (readers key off these, so writing them LAST makes commits atomic). */
+  def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int): Unit = {
+    def writeJson(p: Path, text: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    val groupDoc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
+    writeJson(new Path(path, "zarr.json"), groupDoc)
+    if (groupRel.nonEmpty) {
+      var acc = new Path(path)
+      groupRel.split("/").foreach { seg =>
+        acc = new Path(acc, seg)
+        writeJson(new Path(acc, "zarr.json"), groupDoc)
+      }
+    }
+    dataSchema.fields.foreach { f =>
+      val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
+        else new Path(new Path(path, groupRel), f.name)
+      val meta =
+        s"""{"shape":[$totalRows],"data_type":${dtypeJson(f.dataType)},
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkRows]}},
+           |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+           |"fill_value":${fillJson(f.dataType)},
+           |"codecs":${codecsJson(f.dataType)},
+           |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+          .stripMargin
+      writeJson(new Path(arrayDir, "zarr.json"), meta)
+    }
+  }
+
   /** Encode `count` buffered values of one column into a compressed chunk. */
   def encodeChunk(dt: DataType, values: Array[Any], count: Int, chunkRows: Int): Array[Byte] = {
     val raw: Array[Byte] = dt match {
@@ -197,23 +229,8 @@ class ZarrWriteBuilder(
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = {
-    // Spark maps mode("append") to a plain (non-truncating) batch write —
-    // but a Zarr write is whole-table by construction (chunk 0 starts at
-    // row 0), so "append" onto existing arrays would silently overwrite
-    // them. Only a fresh group or an explicit overwrite is meaningful.
-    if (!doTruncate) {
-      val existing =
-        try graft.zarr.ZarrSchema.listArrays(
-          new graft.zarr.ZarrStore(path, conf.value), group)
-        catch { case _: ZarrException => Seq.empty }
-      if (existing.nonEmpty)
-        throw new ZarrException(
-          s"zarr sink: group '$group' at $path already holds a table; " +
-            "appending is not supported — use mode(\"overwrite\")")
-    }
+  override def build(): Write =
     new ZarrWrite(path, group, schema, chunkRows, rowIndexCol, doTruncate, conf)
-  }
 }
 
 /** Per-chunk column stats computed task-side: min/max/nulls aligned with the
@@ -262,7 +279,37 @@ class ZarrWrite(
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
     }.getOrElse(Array.empty)
 
-  override def toBatch: BatchWrite = this
+  override def toBatch: BatchWrite = {
+    // Spark maps mode("append") to a plain (non-truncating) BATCH write —
+    // but a batch Zarr write is whole-table by construction (chunk 0 starts
+    // at row 0), so "append" onto existing arrays would silently overwrite
+    // them. Only a fresh group or an explicit overwrite is meaningful.
+    // (Continuous APPEND is exactly what the STREAMING sink is for.)
+    if (!doTruncate) {
+      val existing =
+        try graft.zarr.ZarrSchema.listArrays(
+          new graft.zarr.ZarrStore(path, conf.value), s"/$groupRel")
+        catch { case _: ZarrException => Seq.empty }
+      if (existing.nonEmpty)
+        throw new ZarrException(
+          s"zarr sink: group '/$groupRel' at $path already holds a table; " +
+            "batch-appending is not supported — use mode(\"overwrite\") " +
+            "or the streaming sink (writeStream) to append")
+    }
+    this
+  }
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (doTruncate)
+      throw new ZarrException(
+        "zarr streaming sink is append-only — use outputMode(\"append\")")
+    if (rowIndexCol.nonEmpty)
+      throw new ZarrException(
+        "zarr streaming sink appends by arrival order; option row_index " +
+          "applies to distributed BATCH writes only")
+    new ZarrStreamingWrite(path, groupRel, dataSchema, chunkRows, conf)
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     // overwrite: clear existing array dirs under the group BEFORE tasks write
@@ -316,28 +363,7 @@ class ZarrWrite(
         else new Path(new Path(path, groupRel), graft.zarr.ZarrStats.FileName)
       writeJson(p, graft.zarr.ZarrStats.toJson(sidecar))
     }
-    val groupDoc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
-    writeJson(new Path(path, "zarr.json"), groupDoc)
-    if (groupRel.nonEmpty) {
-      var acc = new Path(path)
-      groupRel.split("/").foreach { seg =>
-        acc = new Path(acc, seg)
-        writeJson(new Path(acc, "zarr.json"), groupDoc)
-      }
-    }
-    dataSchema.fields.foreach { f =>
-      val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
-        else new Path(new Path(path, groupRel), f.name)
-      val meta =
-        s"""{"shape":[$totalRows],"data_type":${ZarrWriteSupport.dtypeJson(f.dataType)},
-           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkRows]}},
-           |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
-           |"fill_value":${ZarrWriteSupport.fillJson(f.dataType)},
-           |"codecs":${ZarrWriteSupport.codecsJson(f.dataType)},
-           |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
-          .stripMargin
-      writeJson(new Path(arrayDir, "zarr.json"), meta)
-    }
+    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows, chunkRows)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.zarr.{ZarrStats, ZarrStore}
+
+/**
+ * Streaming APPEND into a Zarr store: epochs grow the arrays, partial tail
+ * chunks are merged (never shrink), the stats sidecar tracks the growing
+ * grid, replayed epochs are no-ops, and the zarr streaming SOURCE can tail
+ * what the sink writes (store → store relay).
+ */
+class ZarrStreamSinkSpec extends SparkSpec {
+
+  case class Doc(id: Long, word: String)
+
+  test("epochs append across chunk boundaries; tail chunk merges, stats grow") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink") + "/store.zarr"
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_ckpt"))
+      .start(dir)
+    try {
+      mem.addData(Doc(0, "a"), Doc(1, "b"), Doc(2, "c")) // partial chunk 0
+      q.processAllAvailable()
+      val store = new ZarrStore(dir, spark.sessionState.newHadoopConf())
+      def readBack() = spark.read.format("zarr").option("group", "/meta").load(dir)
+      assert(readBack().count() == 3)
+      // epoch 2 crosses the chunk boundary: tail chunk 0 is rewritten with
+      // its old rows + the new one, chunk 1 appears
+      mem.addData(Doc(3, "d"), Doc(4, "e"), Doc(5, "f"))
+      q.processAllAvailable()
+      val rows = readBack().orderBy("id").collect()
+      assert(rows.map(_.getLong(rows.head.fieldIndex("id"))).toSeq == (0L to 5L))
+      assert(rows.map(_.getString(rows.head.fieldIndex("word"))).toSeq ==
+        Seq("a", "b", "c", "d", "e", "f"))
+      // stats sidecar covers the grown grid and stays pruning-usable
+      val stats = ZarrStats.read(store, "/meta").get
+      assert(stats.totalRows == 6 && stats.nChunks == 2 && stats.chunkRows == 4)
+      assert(stats.columns("id").min.toSeq == Seq("0", "4"))
+      assert(stats.columns("id").max.toSeq == Seq("3", "5"))
+      val pruned = spark.read.format("zarr").option("group", "/meta")
+        .option("target_partition_rows", "4").load(dir)
+        .filter(col("id") >= 4)
+      assert(pruned.queryExecution.toRdd.getNumPartitions == 1)
+      assert(pruned.count() == 2)
+    } finally q.stop()
+  }
+
+  test("replayed epochs are no-ops (restart from checkpoint re-delivers last batch)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_replay") + "/store.zarr"
+    val ckpt = tempDir("zsink_replay_ckpt")
+    val mem = MemoryStream[Doc]
+    mem.addData(Doc(0, "a"), Doc(1, "b"))
+    val q1 = mem.toDF().writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "4")
+      .option("checkpointLocation", ckpt).start(dir)
+    try q1.processAllAvailable() finally q1.stop()
+    // restart against the SAME checkpoint: Structured Streaming replays the
+    // last batch; the commit marker makes the rewrite a no-op
+    val q2 = mem.toDF().writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "4")
+      .option("checkpointLocation", ckpt).start(dir)
+    try {
+      mem.addData(Doc(2, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val back = spark.read.format("zarr").option("group", "/meta").load(dir)
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(back.head.fieldIndex("id"))).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("store-to-store relay: zarr source tails what the zarr sink appends") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val src = tempDir("zrelay_src") + "/in.zarr"
+    val dst = tempDir("zrelay_dst") + "/out.zarr"
+    // seed the source store, then RELAY: readStream(zarr) → writeStream(zarr)
+    spark.range(6).select(col("id"), (col("id") * 10).as("v"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "4").mode("overwrite").save(src)
+    val q = spark.readStream.format("zarr").option("group", "/t").load(src)
+      .writeStream.format("zarr").option("group", "/t")
+      .option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zrelay_ckpt"))
+      .start(dst)
+    try q.processAllAvailable() finally q.stop()
+    val in = spark.read.format("zarr").option("group", "/t").load(src)
+      .orderBy("id").collect().toSeq
+    val out = spark.read.format("zarr").option("group", "/t").load(dst)
+      .orderBy("id").collect().toSeq
+    assert(out == in && out.size == 6)
+  }
+
+  test("misuse: complete mode and mismatched grids are rejected") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_bad") + "/store.zarr"
+    spark.range(3).select(col("id")).coalesce(1)
+      .write.format("zarr").option("group", "/t").option("chunk_rows", "4")
+      .mode("overwrite").save(dir)
+    val mem = MemoryStream[Doc]
+    mem.addData(Doc(9, "x"))
+    // chunk grid mismatch (existing 4, streaming 8) must fail fast
+    val q = mem.toDF().select(col("id")).writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "8")
+      .option("checkpointLocation", tempDir("zsink_bad_ckpt"))
+      .start(dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("must match") ||
+      Option(e.getCause).exists(_.getMessage.contains("must match")))
+  }
+}
