@@ -44,6 +44,7 @@ object Multimodal {
     /** Deterministic tiny RGB test image: pixel colors derive from (id, x, y). */
     def synthesize(id: Long, w: Int, h: Int): BufferedImage = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val buf = new Array[Int](w * h)
       var y = 0
       while (y < h) {
         var x = 0
@@ -51,11 +52,12 @@ object Multimodal {
           val r = ((id * 31 + x * 7 + y * 13) & 0xff).toInt
           val g = ((id * 17 + x * 3 + y * 29) & 0xff).toInt
           val b = ((id * 11 + x * 19 + y * 5) & 0xff).toInt
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          buf(y * w + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, w, h, buf, 0, w)
       img
     }
 
@@ -82,11 +84,15 @@ object Multimodal {
       var sr, sg, sb, sl = 0.0
       val qSum = new Array[Double](4)
       val qCnt = new Array[Long](4)
+      // bulk row reads: per-pixel getRGB pays a color-model conversion call
+      // per pixel and dominated the decode pass (~2/3 of q_multimodal's time)
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rowBuf(x)
           val r = (rgb >> 16) & 0xff
           val g = (rgb >> 8) & 0xff
           val b = rgb & 0xff
