@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
  *
  * Image decode/resize/feature-extract is REAL: payloads are PNG bytes,
  * decoded with the JDK's `javax.imageio` and resized with `Graphics2D`
- * (headless-safe, no external dependency). Audio/video decode stays stubbed
- * behind [[MediaCodecStub]] (no ffmpeg in this environment) with the same
- * interface. Everything around the codecs is the production shape: binary
+ * (headless-safe, no external dependency). Audio decode is REAL too:
+ * WAV/PCM16 via `javax.sound.sampled`, features from the waveform. Only
+ * video stays stubbed behind [[MediaCodecStub]] (no ffmpeg in the JDK) with
+ * the same interface. Everything around the codecs is the production shape: binary
  * column + metadata struct schema, per-partition batched processing via
  * `mapPartitions` over a typed `Dataset` (the Scala analogue of
  * `mapInPandas` batches — codec init amortized per task, not per row),
@@ -133,9 +134,112 @@ object Multimodal {
   }
 
   /**
-   * STUB decoder for audio/video: stands in for ffmpeg. Deterministic:
-   * features are a fixed-size projection of the payload bytes, so tests are
-   * exact. Swap this object for a real codec binding in production.
+   * Real audio codec on the JDK only (`javax.sound.sampled`): WAV/PCM
+   * decode to samples, features from the waveform. Same production shape as
+   * [[ImageCodec]] — synthesize (for tests), encode, decode, embed.
+   */
+  object AudioCodec {
+    val FeatureDim = 8
+    val SampleRate = 8000f
+
+    /** Deterministic PCM16 mono test tone: frequency and amplitude derive
+     *  from the id; `n` samples at 8 kHz. */
+    def synthesizePcm(id: Long, n: Int): Array[Short] = {
+      val freq = 200.0 + (id % 17) * 60.0
+      val amp = 8000.0 + (id % 7) * 2000.0
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = (amp * math.sin(2 * math.Pi * freq * i / SampleRate)).toShort
+        i += 1
+      }
+      out
+    }
+
+    /** Encode PCM16 mono samples as a WAV container via javax.sound. */
+    def encodeWav(samples: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    def synthesizeWav(id: Long, n: Int): Array[Byte] = encodeWav(synthesizePcm(id, n))
+
+    /** Decode a WAV payload to PCM16 samples (mono or first channel). */
+    def decode(payload: Array[Byte]): Array[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16, s"expected PCM16, got $fmt")
+        val raw = in.readAllBytes()
+        val channels = fmt.getChannels
+        val frame = 2 * channels
+        val n = raw.length / frame
+        val out = new Array[Short](n)
+        val le = !fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val lo = raw(i * frame) & 0xff
+          val hi = raw(i * frame + 1)
+          out(i) = (if (le) (hi << 8) | lo else (lo << 8) | (hi & 0xff)).toShort
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+
+    /** 8-dim waveform summary: [rms, zeroCrossRate, peak, mean] + the four
+     *  quarter-segment rms values (all normalized to [0,1]). */
+    def embed(samples: Array[Short]): Array[Float] = {
+      val n = math.max(samples.length, 1)
+      var sumSq = 0.0
+      var sum = 0.0
+      var crossings = 0L
+      var peak = 0.0
+      val qSq = new Array[Double](4)
+      val qN = new Array[Long](4)
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toDouble
+        sumSq += v * v; sum += v
+        peak = math.max(peak, math.abs(v))
+        if (i > 0 && (samples(i) >= 0) != (samples(i - 1) >= 0)) crossings += 1
+        val q = math.min(i * 4 / n, 3)
+        qSq(q) += v * v; qN(q) += 1
+        i += 1
+      }
+      val f = new Array[Float](FeatureDim)
+      val full = 32768.0
+      f(0) = (math.sqrt(sumSq / n) / full).toFloat
+      f(1) = crossings.toFloat / n
+      f(2) = (peak / full).toFloat
+      f(3) = ((sum / n) / full + 0.5).toFloat
+      var q = 0
+      while (q < 4) {
+        f(4 + q) = if (qN(q) > 0) (math.sqrt(qSq(q) / qN(q)) / full).toFloat else 0f
+        q += 1
+      }
+      f
+    }
+  }
+
+  /**
+   * STUB decoder for video: stands in for ffmpeg (not in the JDK, unlike
+   * image/audio). Deterministic: features are a fixed-size projection of the
+   * payload bytes, so tests are exact. Swap this object for a real codec
+   * binding in production.
    */
   object MediaCodecStub {
     val FeatureDim = 8
@@ -157,8 +261,8 @@ object Multimodal {
 
   /**
    * Synthesize a media-asset table from any text corpus. Image assets carry
-   * REAL (tiny, deterministic) PNG payloads; audio/video carry the utf-8
-   * text bytes as an opaque stand-in stream.
+   * REAL (tiny, deterministic) PNG payloads, audio assets REAL WAV payloads;
+   * video carries the utf-8 text bytes as an opaque stand-in stream.
    */
   def syntheticAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
@@ -173,13 +277,18 @@ object Multimodal {
     ).as[MediaAsset]
     base.mapPartitions { it =>
       it.map { a =>
-        if (a.media_type == "image") {
-          // small real PNGs: width/height metadata matches the actual pixels
-          val w = (a.asset_id % 24 + 8).toInt
-          val h = (a.asset_id % 16 + 8).toInt
-          a.copy(payload = ImageCodec.synthesizePng(a.asset_id, w, h),
-            width = w, height = h)
-        } else a
+        a.media_type match {
+          case "image" =>
+            // small real PNGs: width/height metadata matches the actual pixels
+            val w = (a.asset_id % 24 + 8).toInt
+            val h = (a.asset_id % 16 + 8).toInt
+            a.copy(payload = ImageCodec.synthesizePng(a.asset_id, w, h),
+              width = w, height = h)
+          case "audio" =>
+            a.copy(payload = AudioCodec.synthesizeWav(a.asset_id,
+              (a.asset_id % 400 + 100).toInt))
+          case _ => a
+        }
       }
     }
   }
@@ -194,9 +303,11 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val feats =
-          if (a.media_type == "image") ImageCodec.embed(ImageCodec.decode(a.payload))
-          else MediaCodecStub.decodeAndEmbed(a.payload)
+        val feats = a.media_type match {
+          case "image" => ImageCodec.embed(ImageCodec.decode(a.payload))
+          case "audio" => AudioCodec.embed(AudioCodec.decode(a.payload))
+          case _ => MediaCodecStub.decodeAndEmbed(a.payload)
+        }
         MediaFeatures(a.asset_id, a.media_type, a.payload.length,
           MediaCodecStub.checksum(a.payload), feats)
       }
@@ -204,22 +315,25 @@ object Multimodal {
   }
 
   /**
-   * Resize pass. Images: REAL decode → Graphics2D scale → PNG re-encode.
-   * Audio/video: byte-budget stub (truncate/pad to the implied budget) with
-   * the same metadata contract.
+   * Resize pass (a SPATIAL op). Images: REAL decode → Graphics2D scale →
+   * PNG re-encode. Audio has no spatial dims: payload passes through
+   * untouched (time-resampling is a different op). Video: byte-budget stub
+   * (truncate to the implied budget) with the same metadata contract.
    */
   def resize(assets: Dataset[MediaAsset], width: Int, height: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        if (a.media_type == "image")
-          a.copy(payload = ImageCodec.resizePng(a.payload, width, height),
-            width = width, height = height)
-        else {
-          val budget = math.max(16, (a.payload.length.toLong * width * height /
-            math.max(a.width.toLong * a.height, 1)).toInt)
-          val p = java.util.Arrays.copyOf(a.payload, budget)
-          a.copy(payload = p, width = width, height = height)
+        a.media_type match {
+          case "image" =>
+            a.copy(payload = ImageCodec.resizePng(a.payload, width, height),
+              width = width, height = height)
+          case "audio" => a.copy(width = width, height = height) // no spatial payload
+          case _ =>
+            val budget = math.max(16, (a.payload.length.toLong * width * height /
+              math.max(a.width.toLong * a.height, 1)).toInt)
+            val p = java.util.Arrays.copyOf(a.payload, budget)
+            a.copy(payload = p, width = width, height = height)
         }
       }
     }

@@ -114,6 +114,20 @@ class TextSpec extends SparkSpec {
     assert(math.abs(resized(0) - 1.0f) < 1e-6 && resized(1) == 0.0f && resized(2) == 0.0f)
   }
 
+  test("audio codec: WAV roundtrip is exact; known tone yields expected features") {
+    import graft.operators.Multimodal.AudioCodec
+    val pcm = AudioCodec.synthesizePcm(0, 8000) // 1s of 200 Hz at amp 8000
+    assert(AudioCodec.decode(AudioCodec.encodeWav(pcm)).toSeq == pcm.toSeq)
+    val f = AudioCodec.embed(pcm)
+    val rms = 8000.0 / math.sqrt(2) / 32768.0 // sine rms = amp/sqrt(2)
+    assert(math.abs(f(0) - rms) < 1e-3, s"rms ${f(0)} want $rms")
+    // 200 periods in 1s → ~400 sign changes → zcr ~0.05
+    assert(math.abs(f(1) - 0.05) < 0.005, s"zcr ${f(1)}")
+    assert(f(2) > 0.24 && f(2) <= 8000f / 32768f, s"peak ${f(2)}")
+    assert(math.abs(f(3) - 0.5) < 1e-3, s"mean ${f(3)}") // symmetric wave
+    (4 until 8).foreach(q => assert(math.abs(f(q) - rms) < 2e-3, s"q$q ${f(q)}"))
+  }
+
   test("multimodal: decode is deterministic and batched shape is real") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, docs))
     val rows = feats.collect()
