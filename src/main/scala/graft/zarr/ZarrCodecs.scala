@@ -37,6 +37,14 @@ object ZarrCodecs {
   def decodeChunk(raw: Array[Byte], meta: ZarrArrayMeta): ColumnChunk = {
     val chunkLen = meta.chunkLength.toInt
     if (raw == null) return fillChunk(meta, chunkLen)
+    meta.codecs match {
+      case (sc: ZarrCodec.ShardingCodec) +: rest =>
+        if (rest.nonEmpty)
+          throw new ZarrException(
+            s"sharding_indexed must be the only top-level codec at ${meta.path}")
+        return decodeShard(raw, meta, sc)
+      case _ =>
+    }
     var bytes = raw
     // undo byte-stream codecs, innermost-last
     meta.codecs.reverse.foreach {
@@ -44,11 +52,62 @@ object ZarrCodecs {
       case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes)
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
       case ZarrCodec.BytesCodec(_) | ZarrCodec.VlenUtf8Codec => // terminal, handled below
+      case _: ZarrCodec.ShardingCodec =>
+        throw new ZarrException(s"nested sharding_indexed not supported at ${meta.path}")
     }
     val littleEndian = meta.codecs.collectFirst { case ZarrCodec.BytesCodec(le) => le }.getOrElse(true)
     meta.dtype match {
       case ZarrType.ZString => decodeVlenUtf8(bytes, chunkLen, meta.path)
       case dt               => decodeFixed(bytes, dt, chunkLen, littleEndian)
+    }
+  }
+
+  /**
+   * `sharding_indexed` shard decode: parse the (offset, nbytes) u64-LE index
+   * (verified+stripped through `index_codecs`), then decode inner chunks
+   * LAZILY and memoized — a task whose row range touches part of a shard
+   * never decodes the rest; missing inner chunks ((2^64-1, 2^64-1)) read as
+   * fill values, like missing chunk objects.
+   */
+  private def decodeShard(raw: Array[Byte], meta: ZarrArrayMeta,
+      sc: ZarrCodec.ShardingCodec): ColumnChunk = {
+    val shardLen = meta.chunkLength.toInt
+    val innerLen = sc.innerChunk.toInt
+    require(innerLen > 0, s"bad inner chunk shape at ${meta.path}")
+    val nInner = (shardLen + innerLen - 1) / innerLen
+    val idxSize = nInner * 16 +
+      (if (sc.indexCodecs.contains(ZarrCodec.Crc32cCodec)) 4 else 0)
+    if (raw.length < idxSize)
+      throw new ZarrException(s"shard at ${meta.path} shorter than its index ($idxSize bytes)")
+    var idx =
+      if (sc.indexAtEnd) java.util.Arrays.copyOfRange(raw, raw.length - idxSize, raw.length)
+      else java.util.Arrays.copyOfRange(raw, 0, idxSize)
+    sc.indexCodecs.reverse.foreach {
+      case ZarrCodec.Crc32cCodec => idx = stripCrc32c(idx, meta.path + " shard index")
+      case ZarrCodec.BytesCodec(le) =>
+        if (!le) throw new ZarrException(s"big-endian shard index not supported at ${meta.path}")
+      case other =>
+        throw new ZarrException(s"unsupported shard index codec $other at ${meta.path}")
+    }
+    val bb = ByteBuffer.wrap(idx).order(ByteOrder.LITTLE_ENDIAN)
+    val innerMeta = meta.copy(chunkLength = innerLen, codecs = sc.innerCodecs)
+    val decoded = new Array[ColumnChunk](nInner)
+    def innerChunk(i: Int): ColumnChunk = {
+      if (decoded(i) == null) {
+        val off = bb.getLong(i * 16)
+        val len = bb.getLong(i * 16 + 8)
+        decoded(i) =
+          if (off == -1L && len == -1L) decodeChunk(null, innerMeta) // missing → fill
+          else if (off < 0 || len < 0 || off + len > raw.length)
+            throw new ZarrException(s"shard index entry $i out of bounds at ${meta.path}")
+          else decodeChunk(
+            java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), innerMeta)
+      }
+      decoded(i)
+    }
+    new ColumnChunk {
+      val length = shardLen
+      def get(i: Int): Any = innerChunk(i / innerLen).get(i % innerLen)
     }
   }
 

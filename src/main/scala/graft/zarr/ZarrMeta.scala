@@ -47,6 +47,20 @@ object ZarrCodec {
   final case class GzipCodec(level: Int) extends ZarrCodec
   /** crc32c appends a 4-byte checksum; on read we verify+strip. */
   case object Crc32cCodec extends ZarrCodec
+  /**
+   * Zarr v3 `sharding_indexed` (public sharding codec spec): one stored
+   * object holds a whole grid cell of INNER chunks plus a binary index of
+   * (offset: u64 LE, nbytes: u64 LE) per inner chunk — the object-store
+   * layout for huge arrays (fewer objects, range reads). The array's
+   * `chunk_grid` chunk_shape is the SHARD shape; `innerChunk` is the inner
+   * chunk shape; `indexCodecs` encode the index (typically bytes+crc32c);
+   * missing inner chunks are (2^64-1, 2^64-1) → fill value.
+   */
+  final case class ShardingCodec(
+      innerChunk: Long,
+      innerCodecs: Seq[ZarrCodec],
+      indexCodecs: Seq[ZarrCodec],
+      indexAtEnd: Boolean) extends ZarrCodec
 }
 
 /** Metadata of one 1-D Zarr v3 array (= one table column). */
@@ -164,6 +178,15 @@ object ZarrMeta {
         case "zstd"      => out += ZstdCodec(cfg.path("level").asInt(0), cfg.path("checksum").asBoolean(false))
         case "gzip"      => out += GzipCodec(cfg.path("level").asInt(5))
         case "crc32c"    => out += Crc32cCodec
+        case "sharding_indexed" =>
+          val inner = cfg.path("chunk_shape")
+          if (inner.size() != 1)
+            throw new ZarrException(s"only 1-D shard inner chunks supported at $path")
+          out += ShardingCodec(
+            innerChunk = inner.get(0).asLong(),
+            innerCodecs = parseCodecs(cfg.path("codecs"), path),
+            indexCodecs = parseCodecs(cfg.path("index_codecs"), path),
+            indexAtEnd = cfg.path("index_location").asText("end") == "end")
         case other       => throw new ZarrException(s"unsupported codec '$other' at $path")
       }
     }
