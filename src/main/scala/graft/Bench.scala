@@ -56,13 +56,31 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%.2fs  (${attempts.map(a => f"${a._1}%.2f").mkString("/")})")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH.json"), line + "\n")
+    // full per-query detail (unbounded, full precision) goes to BENCH.json
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get("BENCH.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}""" + "\n")
+    // The PRINTED line must survive the driver's stdout capture, which keeps
+    // only the last 2000 chars (with sbt's "[success] ..." line after ours):
+    // r01-r03 all recorded parsed:null because the full per-query map is
+    // ~2.8KB and the line's head was cut off. Budget the printed line to
+    // 1800 chars — slowest queries first (the informative ones), 3-decimal
+    // seconds, and an explicit omitted-count so truncation is visible.
+    def fmt(v: Double): String = f"$v%.3f"
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val suffixFor = (omitted: Int) =>
+      s"""},"queries_omitted":$omitted,"errors":$errJson,"sf":"$sfDir"}"""
+    val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val budget = 1800 - prefix.length - suffixFor(results.length).length
+    var used = 0
+    val kept = bySlowest.takeWhile { e =>
+      val cost = e.length + (if (used == 0) 0 else 1)
+      if (used + cost <= budget) { used += cost; true } else false
+    }
+    val line = prefix + kept.mkString(",") + suffixFor(results.length - kept.length)
     spark.stop()
     // printed after spark.stop() so no executor/log line can trail it —
     // r01's line was followed by sbt output and the driver failed to parse.

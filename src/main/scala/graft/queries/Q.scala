@@ -48,7 +48,14 @@ object Tables {
    */
   def bucketed(spark: SparkSession, dir: String, name: String, bucketCol: String,
       cols: Seq[String], nBuckets: Int = 8): DataFrame = {
-    val tbl = s"graft_bkt_${name}_${math.abs(dir.hashCode).toString.take(8)}"
+    // full-width content digest of the dir: abs(hashCode) collides across
+    // dirs (silently reusing the wrong dataset's bucketed copy) and
+    // abs(Int.MinValue) is negative, putting a '-' in the identifier
+    val tbl = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"graft_bkt_${name}_" + md.take(6).map("%02x".format(_)).mkString
+    }
     if (!spark.catalog.tableExists(tbl)) {
       val path = java.nio.file.Files.createTempDirectory(s"graft_bkt_$name").toString
       t(spark, dir, name).select(cols.map(org.apache.spark.sql.functions.col): _*)

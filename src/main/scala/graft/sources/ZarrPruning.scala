@@ -48,7 +48,12 @@ object ZarrPruning {
   /** dtype-aware a < b over the sidecar's string encoding. */
   private def lt(dt: ZarrType, a: String, b: String): Boolean = dt match {
     case ZarrType.ZFloat32 | ZarrType.ZFloat64 | ZarrType.ZFloat16 =>
-      a.toDouble < b.toDouble
+      // NaN-aware (NaN largest), mirroring the write side: plain '<' makes
+      // a "NaN" bound compare "equal" to every literal (both directions
+      // false), which cmp() would report as 0 — and GreaterThan would then
+      // skip a NaN-containing range even though NaN > v under Spark's
+      // ordering
+      java.lang.Double.compare(a.toDouble, b.toDouble) < 0
     case ZarrType.ZString =>
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
     case ZarrType.ZBool => a == "false" && b == "true"
@@ -60,7 +65,8 @@ object ZarrPruning {
   private def encodeValue(dt: ZarrType, v: Any): Option[String] = (dt, v) match {
     case (_, null) => None
     case (ZarrType.ZFloat32 | ZarrType.ZFloat64 | ZarrType.ZFloat16, n: Number) =>
-      Some(n.doubleValue.toString)
+      // -0.0 normalized to 0.0, matching the write side's bound encoding
+      val d = n.doubleValue; Some((if (d == 0.0) 0.0 else d).toString)
     case (ZarrType.ZString, s: String) => Some(s)
     case (ZarrType.ZBool, b: Boolean) => Some(b.toString)
     case (ZarrType.ZDatetime64(_, _), t: java.time.LocalDateTime) =>

@@ -178,7 +178,25 @@ class ZarrStreamingDataWriter(
 
   private val fs = new Path(path).getFileSystem(conf.value)
   private val store = new ZarrStore(path, conf.value)
-  private val (lastEpoch, startRows) = ZarrStreamCommit.read(store, groupRel)
+  private val (lastEpoch, startRows) = {
+    val (e, r) = ZarrStreamCommit.read(store, groupRel)
+    if (e >= 0) (e, r)
+    else {
+      // No commit marker, but the table may already exist — created by the
+      // BATCH writer, which publishes zarr.json without a stream marker.
+      // Starting at row 0 here would silently overwrite its chunks and
+      // republish a shape of streamed-rows-only, on the exact path the batch
+      // writer's append error message recommends. Initialize from the
+      // published array length instead; the marker (when present) keeps
+      // precedence so crash-replay converges on the marker's offset.
+      val published =
+        try ZarrSchema.listArrays(store,
+            if (groupRel.isEmpty) "/" else s"/$groupRel")
+          .map(_.length).reduceOption(_ max _).getOrElse(0L)
+        catch { case _: ZarrException => 0L }
+      (e, published)
+    }
+  }
   /** A replay of an epoch the marker says is already applied → write nothing. */
   private val replay = lastEpoch >= epochId
 

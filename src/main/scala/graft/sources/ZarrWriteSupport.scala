@@ -105,8 +105,15 @@ object ZarrWriteSupport {
       case _ => java.lang.Long.valueOf(0L)
     }
     def less(a: Any, b: Any): Boolean = dt match {
-      case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
-      case FloatType => a.asInstanceOf[Float] < b.asInstanceOf[Float]
+      // NaN-aware total order (NaN largest), matching Spark's
+      // nanSafeCompareDoubles: primitive '<' would drop NaN from the
+      // recorded max, and pruning would then skip ranges for `col > v`
+      // that contain matching NaN rows — wrong results, the Parquet
+      // NaN-stats hazard
+      case DoubleType => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
+      case FloatType => java.lang.Float.compare(
+        a.asInstanceOf[Float], b.asInstanceOf[Float]) < 0
       case StringType =>
         org.apache.spark.unsafe.types.UTF8String.fromString(a.toString)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.toString)) < 0
@@ -114,8 +121,14 @@ object ZarrWriteSupport {
       case _ => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
     }
     def enc(v: Any): String = if (v == null) null else dt match {
-      case DoubleType => v.asInstanceOf[Double].toString
-      case FloatType => v.asInstanceOf[Float].toDouble.toString // read side compares as double
+      // -0.0 is normalized to 0.0 in the recorded bound: Spark comparisons
+      // treat them as equal, but the NaN-aware compare orders -0.0 < 0.0 —
+      // a min/max of "-0.0" could prune a range whose -0.0 rows satisfy
+      // `col = 0.0`
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]; (if (d == 0.0) 0.0 else d).toString
+      case FloatType => // read side compares as double
+        val d = v.asInstanceOf[Float].toDouble; (if (d == 0.0) 0.0 else d).toString
       case StringType | BooleanType => v.toString
       case _ => v.asInstanceOf[Number].longValue.toString // ints + timestamp micros
     }

@@ -125,6 +125,37 @@ class ZarrStatsSpec extends SparkSpec {
     assert(nParts(absent) == 10 && absent.count() == expected)
   }
 
+  test("NaN and -0.0: stats record NaN as the max; pruning never drops NaN rows") {
+    val dir = tempDir("znan") + "/store.zarr"
+    // chunk 0: ordinary values; chunk 1 contains NaN; chunk 2 contains -0.0
+    val df = spark.range(30).select(
+      col("id"),
+      when(col("id") === 15, lit(Double.NaN))
+        .when(col("id") === 25, lit(-0.0))
+        .otherwise(col("id").cast("double") / 10.0).as("v"))
+    df.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "10").mode("overwrite").save(dir)
+    val stats = ZarrStats.read(new ZarrStore(dir, spark.sessionState.newHadoopConf()), "/t").get
+    val v = stats.columns("v")
+    // NaN is the recorded max of its chunk (Spark orders NaN largest);
+    // primitive '<' would have recorded 1.9 and pruning would skip the chunk
+    assert(v.max(1) == "NaN")
+    assert(v.max(0).toDouble == 0.9)
+    // -0.0 is normalized in the bound so `= 0.0` cannot prune past it
+    assert(!v.min(2).startsWith("-0"))
+    val full = read(dir)
+    // `v > 2.5` is satisfied ONLY by the NaN row (ids 0..29 → v <= 2.9;
+    // actually 26..29 → 2.6..2.9 also qualify; pick a bound above them)
+    val nanOnly = full.filter(col("v") > 10.0)
+    assert(nanOnly.count() == 1) // Spark: NaN > 10.0 is TRUE
+    assert(nanOnly.head().getLong(0) == 15L)
+    // the NaN chunk must remain planned for the > filter
+    assert(nParts(full.filter(col("v") > 10.0)) >= 1)
+    // -0.0 row still found by an equality against 0.0 with pruning on
+    val zero = full.filter(col("v") === 0.0)
+    assert(zero.select("id").collect().map(_.getLong(0)).toSet == Set(0L, 25L))
+  }
+
   test("pushed filters appear in EXPLAIN; correctness matches an unfiltered scan") {
     val dir = writeStore()
     val q = read(dir).filter(col("id").between(20, 29))

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 
+import graft.sources.ZarrStreamCommit
 import graft.zarr.{ZarrStats, ZarrStore}
 
 /**
@@ -96,6 +97,38 @@ class ZarrStreamSinkSpec extends SparkSpec {
     val out = spark.read.format("zarr").option("group", "/t").load(dst)
       .orderBy("id").collect().toSeq
     assert(out == in && out.size == 6)
+  }
+
+  test("appending to a BATCH-written table (no commit marker) extends it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_batch") + "/store.zarr"
+    // batch writer publishes zarr.json but no _graft_stream_commit.json —
+    // the sink must start at the published length, not overwrite from row 0
+    spark.range(6).select(col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("w"), col("id")).as("word"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "4").mode("overwrite").save(dir)
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_batch_ckpt"))
+      .start(dir)
+    try {
+      // crosses the partial tail chunk (6 % 4 = 2 rows already in chunk 1)
+      mem.addData(Doc(6, "w6"), Doc(7, "w7"), Doc(8, "w8"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+      .orderBy("id").collect()
+    assert(back.length == 9)
+    assert(back.map(_.getLong(back.head.fieldIndex("id"))).toSeq == (0L to 8L))
+    assert(back.map(_.getString(back.head.fieldIndex("word"))).toSeq ==
+      (0 to 8).map("w" + _))
+    // the marker now records the merged total, so the NEXT epoch appends too
+    val store = new ZarrStore(dir, spark.sessionState.newHadoopConf())
+    assert(ZarrStreamCommit.read(store, "t")._2 == 9L)
   }
 
   test("misuse: complete mode and mismatched grids are rejected") {
