@@ -18,7 +18,7 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ AggQueries.all ++ WindowQueries.all ++
       SortSetQueries.all ++ ScalarQueries.all ++ RelationalQueries.all ++
-      ZarrQueries.all ++ MLQueries.all
+      ZarrQueries.all ++ MLQueries.all ++ CorpusQueries.all
 
   /** Flagship on sf0.001: the reference's STAC-style Zarr search end-to-end. */
   def entry(spark: SparkSession): DataFrame = ZarrQueries.flagship(spark)

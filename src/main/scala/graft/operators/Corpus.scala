@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-preparation operators a large-scale training-data pipeline needs
+ * beyond dedup/similarity (SURVEY.md §2 north-star block): lexical search,
+ * deterministic splits, sequence packing, per-group capping, PII redaction,
+ * and repetition scoring.
+ *
+ * Scale shape: every operator here is one scan plus at most one shuffle on a
+ * natural key (lang / user_id) or a broadcast of an O(1) stats row. No
+ * collects, no UDFs — all column expressions stay inside whole-stage codegen.
+ */
+object Corpus {
+
+  /** Tokenization shared with TextFunctions' oracle contract: lowercase,
+   *  split on non-alphanumeric runs, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), x => x =!= lit(""))
+
+  /**
+   * BM25 ranking of `docs` against a bag of query `terms` (Robertson/
+   * Sparck-Jones idf in the +1 form Lucene uses, k1/b defaults likewise).
+   *
+   * Plan: one pass computes per-doc tf for each query term scan-locally (a
+   * size(filter(...)) per term — no explode, no shuffle); a single global
+   * aggregate reduces to ONE stats row (N, avgdl, df per term) which is
+   * broadcast back; scoring is then scan-local and the top-k is
+   * TakeOrderedAndProject — at 100 TB the only exchanges are the tiny
+   * stats reduction and the k-row gather. Ranks are assigned on the ROUNDED
+   * score with doc_id tiebreak so float ulps can't flip order vs an oracle.
+   */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("dl", size(col("t")).cast("double"))
+    val withTf = terms.indices.foldLeft(toks) { case (d, i) =>
+      d.withColumn(s"tf_$i",
+        size(filter(col("t"), x => x === lit(terms(i)))).cast("double"))
+    }.drop("t")
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) / (tf + (col("dl") / col("avgdl") * b + (1.0 - b)) * k1)
+    }.reduce(_ + _)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .cast("bigint"))
+      .orderBy("rank")
+  }
+
+  /**
+   * Deterministic train/val/test assignment from a content-independent hash
+   * of the id — the standard reproducible-holdout pattern: stable across
+   * runs, cluster sizes, and row order, and any engine with md5 agrees on
+   * the split. First hex nibble: 0-b → train (12/16), c-d → val, e-f → test.
+   */
+  def hashSplit(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("h", substring(md5(col(idCol).cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h") <= "b", "train")
+          .when(col("h") <= "d", "val")
+          .otherwise("test"))
+      .drop("h")
+
+  /**
+   * Fixed-budget contiguous sequence packing, concatenate-then-chop style
+   * (how LLM pretraining fills context windows): within each `groupCol`,
+   * docs in `orderCol` order are laid end to end and each doc is assigned
+   * the pack its FIRST cost unit lands in (`floor(start_offset / budget)`);
+   * long docs flow across pack boundaries rather than forcing a new pack.
+   * One shuffle on the group key, then a single window cumsum — the
+   * scalable deterministic alternative to greedy bin packing (which needs a
+   * sequential scan per group and packs no better on shuffled corpora).
+   */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+      costCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_cost") - col(costCol)) / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Per-group cap: keep the top `k` rows of each group by `order` — the
+   *  quota-sampling/boilerplate-capping primitive (e.g. at most k docs per
+   *  domain). One shuffle on the group key; rank prunes before any
+   *  downstream join. */
+  def topKPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+      k: Int): DataFrame =
+    df.withColumn("rank",
+        row_number().over(Window.partitionBy(groupCol).orderBy(order: _*))
+          .cast("bigint"))
+      .filter(col("rank") <= k)
+
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+
+  /** PII scrubbing: replace emails then URLs with typed placeholders and
+   *  count what was redacted (the audit trail a compliance pass needs).
+   *  Pure regexp_replace/regexp_count — codegen'd, scan-local. */
+  def redact(text: Column): (Column, Column, Column) = (
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>"),
+    regexp_count(text, lit(EmailRe)),
+    regexp_count(text, lit(UrlRe)))
+
+  /** Token-level repetition score: 1 - distinct/total tokens. High values
+   *  flag boilerplate/spam for quality filtering. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("bigint").as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+          greatest(size(col("t")), lit(1)), 6).as("repetition_ratio"))
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+/**
+ * Corpus-preparation queries (round-4 block): lexical BM25 search,
+ * deterministic holdout splits, sequence packing, per-group caps, PII
+ * redaction, repetition scoring, and batch sessionization — every entry
+ * carries a full DuckDB oracle (the formulas are plain SQL on both engines).
+ */
+object CorpusQueries {
+  import Tables.t
+
+  /** Query terms for the BM25 row — present in the generator's vocabulary. */
+  private val Bm25Terms = Seq("spark", "join", "stream")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private val bm25Oracle: String = {
+    val tfCols = Bm25Terms.indices.map(i =>
+      s"CAST(len(list_filter(t, x -> x = '${Bm25Terms(i)}')) AS DOUBLE) AS tf_$i")
+      .mkString(",\n               ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i")
+      .mkString(",\n               ")
+    val score = Bm25Terms.indices.map(i =>
+      s"ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * ${K1 + 1.0})" +
+        s" / (tf_$i + $K1 * (${1.0 - B} + $B * dl / avgdl))")
+      .mkString("\n                 + ")
+    s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), d AS (
+        SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+               $tfCols
+        FROM tok
+      ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+               $dfCols
+        FROM d
+      ), scored AS (
+        SELECT doc_id,
+               round($score, 6) AS score
+        FROM d CROSS JOIN s
+      )
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+      WHERE score > 0
+      QUALIFY rank <= 10
+      ORDER BY rank"""
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Lexical search — the "search" of the reference's name, re-expressed as
+    // scan-local tf + one broadcast stats row + TakeOrdered top-k.
+    Q("q_search_bm25", Some(bm25Oracle),
+      (s, dir) => Corpus.bm25Search(t(s, dir, "documents"), Bm25Terms,
+        k1 = K1, b = B, topK = 10)),
+
+    // Reproducible train/val/test holdout: both engines agree on md5 of the
+    // id rendered as a string, so the assignment is portable ground truth.
+    Q("q_split_hash", Some("""
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id"""),
+      (s, dir) => Corpus.hashSplit(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
+
+    // Per-group cap: top-3 largest docs per language.
+    Q("q_topk_per_group", Some("""
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+      QUALIFY rank <= 3
+      ORDER BY lang, rank"""),
+      (s, dir) => Corpus.topKPerGroup(
+        t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+        "lang", Seq(col("n_chars").desc, col("doc_id")), 3)
+        .select("lang", "doc_id", "n_chars", "rank")
+        .orderBy("lang", "rank")),
+
+    // Contiguous fixed-budget packing of docs into 4096-char packs per lang.
+    Q("q_pack_sequences", Some("""
+      SELECT doc_id, lang,
+             CAST(sum(n_chars) OVER w AS BIGINT) AS cum_chars,
+             CAST(floor((sum(n_chars) OVER w - n_chars) / 4096.0) AS BIGINT) AS pack_id
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY doc_id"""),
+      (s, dir) => Corpus.packSequences(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        groupCol = "lang", orderCol = "doc_id", costCol = "n_chars",
+        budget = 4096L)
+        .select(col("doc_id"), col("lang"),
+          col("cum_cost").as("cum_chars"), col("pack_id"))
+        .orderBy("doc_id")),
+
+    // PII redaction with an audit count. The corpus has no natural PII, so a
+    // deterministic email+URL preamble is prepended per row — the regex
+    // engines (both RE2-class, no lookaround used) then have real work whose
+    // output the oracle hashes. DuckDB regexp_replace needs 'g' (replaces
+    // first match only by default; Spark replaces all).
+    Q("q_text_redact", Some(s"""
+      WITH pii AS (
+        SELECT doc_id,
+               'contact user' || doc_id || '@' || source || '.com or https://' ||
+               lang || '.example.com/doc/' || doc_id || ' re: ' || text AS raw
+        FROM documents
+      )
+      SELECT doc_id,
+             regexp_replace(regexp_replace(raw, '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+                            '${Corpus.UrlRe}', '<URL>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(raw, '${Corpus.EmailRe}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(raw, '${Corpus.UrlRe}')) AS BIGINT) AS n_urls
+      FROM pii
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val pii = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id"), lit("@"), col("source"),
+            lit(".com or https://"), col("lang"), lit(".example.com/doc/"),
+            col("doc_id"), lit(" re: "), col("text")).as("raw"))
+        val (red, nEmail, nUrl) = Corpus.redact(col("raw"))
+        pii.select(col("doc_id"), red.as("redacted"),
+          nEmail.cast("bigint").as("n_emails"), nUrl.cast("bigint").as("n_urls"))
+          .orderBy("doc_id")
+      }),
+
+    // Boilerplate/spam signal: repeated-token ratio.
+    Q("q_text_repetition", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 6)
+               AS repetition_ratio
+      FROM tok
+      ORDER BY doc_id"""),
+      (s, dir) => Corpus.repetitionStats(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Batch sessionization: the oracle-checkable definition the STREAMING
+    // sessionize (flatMapGroupsWithState) is proven equivalent to in
+    // SessionizeSpec — a >30 min silence closes a user's session.
+    Q("q_sessionize_batch", Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP)) -
+                         epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM e
+      )
+      SELECT user_id, session_idx,
+             min(CAST(ts AS TIMESTAMP)) AS session_start,
+             max(CAST(ts AS TIMESTAMP)) AS session_end,
+             count(*) AS n_events, round(sum(value), 6) AS total_value
+      FROM s
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""),
+      (s, dir) => graft.streaming.EventStream.sessionizeBatch(
+        t(s, dir, "events"), gapMinutes = 30))
+  )
+}

@@ -50,6 +50,31 @@ object EventStream {
    * when the watermark passes (last event + gap). In-batch gaps close
    * sessions immediately.
    */
+  /**
+   * Declarative BATCH sessionization with the same gap semantics as the
+   * streaming [[sessionize]] (a gap strictly greater than `gapMinutes`
+   * closes the session): lag marks session starts, a running sum numbers
+   * them, a grouped aggregate collapses them. One shuffle on user_id, all
+   * window + hash-agg — the backfill path next to the streaming path, and
+   * the oracle-checkable definition the streaming spec is verified against.
+   */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/**
+ * Corpus-preparation operators: BM25 against a hand-computed score, split
+ * determinism, pack-boundary semantics, redaction, and the streaming ≡
+ * batch sessionization equivalence (the batch side carries the DuckDB
+ * oracle, so this transitively grounds the flatMapGroupsWithState path).
+ */
+class CorpusSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25: matches a hand-computed score; non-matching docs are absent") {
+    val d = docs(
+      0L -> "spark join spark runs",
+      1L -> "stream stream stream stream",
+      2L -> "nothing here at all")
+    val out = Corpus.bm25Search(d, Seq("spark", "join", "stream"), topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L)) // doc 2 has score 0 → filtered
+
+    // independent reimplementation of the formula (N=3, avgdl=4)
+    val k1 = 1.2; val b = 0.75; val n = 3.0; val avgdl = 4.0
+    def term(tf: Double, df: Double, dl: Double): Double =
+      if (tf == 0) 0.0
+      else math.log((n - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0L)._1 == r6(term(2, 1, 4) + term(1, 1, 4) + term(0, 1, 4)))
+    assert(out(1L)._1 == r6(term(4, 1, 4)))
+    // ranks are dense from 1 in rounded-score-desc order
+    assert(out.values.map(_._2).toSeq.sorted == Seq(1L, 2L))
+  }
+
+  test("bm25: plan has no cartesian product; stats row is broadcast; top-k is TakeOrdered") {
+    val d = docs((0L to 50L).map(i => i -> s"spark join word$i stream"): _*)
+    val q = Corpus.bm25Search(d, Seq("spark", "stream"), topK = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Broadcast"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("hashSplit: deterministic, md5-grounded, ~75/12.5/12.5, order-independent") {
+    val base = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    val split = Corpus.hashSplit(base, "doc_id")
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 2700 && counts("train") < 3300) // 75% ± noise
+    assert(counts("val") > 350 && counts("test") > 350)
+    // grounded in md5: recompute a few assignments on the driver
+    val some = split.filter(col("doc_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0L until 50L).foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want =
+        if (hex.head <= 'b') "train" else if (hex.head <= 'd') "val" else "test"
+      assert(some(id) == want, s"id=$id hex=${hex.head}")
+    }
+    // shuffled input yields the identical assignment
+    val reshuffled = Corpus.hashSplit(base.orderBy(rand(7)), "doc_id")
+      .filter(col("doc_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reshuffled == some)
+  }
+
+  test("packSequences: concatenate-then-chop assignment by start offset") {
+    import spark.implicits._
+    // group g: costs 3000,3000,3000 with budget 4096 → start offsets
+    // 0,3000,6000 → packs 0,0,1 (doc 2 straddles, doc 3 starts past 4096)
+    val d = Seq(
+      ("g", 1L, 3000L), ("g", 2L, 3000L), ("g", 3L, 3000L),
+      ("h", 1L, 5000L), ("h", 2L, 100L))
+      .toDF("lang", "doc_id", "cost")
+    val out = Corpus.packSequences(d, "lang", "doc_id", "cost", 4096L)
+      .select("lang", "doc_id", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("g", 1L)) == 0L && out(("g", 2L)) == 0L && out(("g", 3L)) == 1L)
+    // an over-budget doc occupies its own start pack; the next doc starts
+    // in the pack where the long doc ended (offset 5000 → pack 1)
+    assert(out(("h", 1L)) == 0L && out(("h", 2L)) == 1L)
+  }
+
+  test("redact: emails and urls replaced with typed placeholders and counted") {
+    import spark.implicits._
+    val d = Seq((1L, "mail a.b@c.io and https://x.y/z plus plain text"))
+      .toDF("id", "raw")
+    val (red, ne, nu) = Corpus.redact(col("raw"))
+    val r = d.select(red.as("r"), ne.as("e"), nu.as("u")).head()
+    assert(r.getString(0) == "mail <EMAIL> and <URL> plus plain text")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+  }
+
+  test("sessionize: streaming (flatMapGroupsWithState) equals declarative batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // user 1: two sessions split by a 100-min gap (first closes in-batch);
+    // user 2: one session. Sentinel user 99 advances the watermark far
+    // enough that every real session times out and is emitted.
+    val real = Seq(
+      Event(1, ts(1), 1, "click", 1.5),
+      Event(2, ts(10), 1, "click", 2.5),
+      Event(3, ts(110), 1, "view", 2.0),
+      Event(4, ts(112), 1, "view", 4.0),
+      Event(5, ts(115), 2, "click", 5.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_eq").outputMode("append").start()
+    try {
+      mem.addData(real: _*)
+      q.processAllAvailable()
+      mem.addData(Event(90, ts(500), 99, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(91, ts(900), 99, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_eq")
+      .filter(col("user_id") =!= 99)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.sessionizeBatch(real.toDS().toDF(), gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+}
