@@ -368,7 +368,11 @@ object Multimodal {
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_assets"),
         sum("n_bytes").as("total_bytes"),
-        round(avg(element_at(col("features"), 1)), 6).as("avg_f0"))
+        // decimal avg: float summation order varies with partitioning, so a
+        // double avg is only ~15-digit reproducible; decimal is exact and
+        // order-independent, which lets the query carry a literal oracle
+        round(avg(element_at(col("features"), 1).cast("decimal(18,9)")), 6)
+          .cast("double").as("avg_f0"))
       .orderBy("media_type")
   }
 }

@@ -30,6 +30,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_cosine(a, b)
 
   /**
+   * Per-label element-wise mean vectors (class centroids — the training half
+   * of IVF/nearest-centroid classification, and the compact per-class
+   * summary a curation pipeline reports). Emitted LONG-form (label, pos,
+   * centroid): posexplode + one hash aggregate on (label, pos) — dim×rows
+   * fan-out but no wide shuffle row, no collect, and no array re-assembly
+   * (whose collect_list ordering is nondeterministic). `pos` is 1-based.
+   */
+  def centroids(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol).cast("bigint").as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("bigint").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+      .orderBy("label", "pos")
+
+  /**
    * Brute-force top-k cosine neighbors of each probe vector.
    * probes: (probe_id, probe_vec); corpus: (idCol, vecCol).
    */

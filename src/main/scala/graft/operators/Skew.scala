@@ -32,4 +32,23 @@ object Skew {
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum("_psum").as("total"), sum("_pcnt").as("n"))
+
+  /**
+   * Skew-safe equi-join: the big (skewed) side gets a deterministic salt in
+   * [0, buckets) from a high-cardinality column, the small side is
+   * replicated once per salt value (`explode(sequence(...))` — a `buckets`×
+   * blow-up of the SMALL side only), and the join runs on (key, salt). A hot
+   * key's rows land on `buckets` different reducers instead of one. The
+   * result set is exactly the plain join's — salting only changes placement.
+   * Complements AQE skew handling: AQE can only split a skewed SMJ partition
+   * after materialization; pre-salting also covers the hash-agg-after-join
+   * and works when AQE is off.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltOn: String, buckets: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("_salt", salt(buckets, col(saltOn)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -239,6 +239,26 @@ object AggQueries {
           .orderBy("k")
       }),
 
+    // skew-safe salted JOIN (operators.Skew.saltedJoin): salting the big
+    // side and replicating the small side only changes row PLACEMENT, so
+    // the plain join + aggregate oracles it exactly
+    Q("q_skew_salted_join", Some("""
+      SELECT o.o_orderpriority, count(*) AS n, round(sum(l.l_quantity), 2) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+      ORDER BY o_orderpriority"""),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val ord = t(s, dir, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.Skew.saltedJoin(li, ord, "l_orderkey",
+            saltOn = "l_linenumber", buckets = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("o_orderpriority")
+      }),
+
     Q("q_having", Some("""
       SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
       FROM lineitem

@@ -248,6 +248,21 @@ object MLQueries {
         Similarity.bruteForceTopK(emb, probes, k = 5)
       }),
 
+    // Class centroids in long form — posexplode + one (label, pos) hash agg
+    // on the Spark side, unnest + generate_subscripts in DuckDB.
+    Q("q_embedding_centroids", Some("""
+      SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+             round(avg(v), 6) AS centroid
+      FROM (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+      GROUP BY label, pos
+      ORDER BY label, pos"""),
+      (s, dir) => Similarity.centroids(t(s, dir, "embeddings"))),
+
     Q("q_sim_lsh", None,
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -264,7 +279,19 @@ object MLQueries {
         Similarity.ivfTopK(emb, probes, k = 5)
       }),
 
-    Q("q_multimodal_features", None,
+    // Literal-VALUES oracle (the zarr-fixture pattern): the whole pipeline —
+    // PNG/WAV synthesis, decode, bilinear resize, re-encode, feature
+    // extraction, decimal-exact aggregation — is deterministic for the
+    // sf0.01 corpus the driver verifies against (independent of partition
+    // count: counts and byte sums are integer math and avg_f0 is a decimal
+    // aggregate, order-independent by construction).
+    Q("q_multimodal_features", Some("""
+      SELECT * FROM (VALUES
+        ('audio', CAST(167 AS BIGINT), CAST(97048 AS BIGINT), 0.301241),
+        ('image', CAST(167 AS BIGINT), CAST(1929702 AS BIGINT), 0.499794),
+        ('video', CAST(166 AS BIGINT), CAST(6612 AS BIGINT), 1.550555))
+        AS v(media_type, n_assets, total_bytes, avg_f0)
+      ORDER BY media_type"""),
       (s, dir) => Multimodal.featureSummary(s, t(s, dir, "documents")))
   )
 }

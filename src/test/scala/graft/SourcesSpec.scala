@@ -46,4 +46,23 @@ class SourcesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("_salt") || plan.contains("hashpartitioning"), plan.take(500))
   }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // 1000 rows of one hot key + a long tail; small dim side of 11 keys
+    val big = spark.range(1200).select(
+      when(col("id") < 1000, lit(0L)).otherwise(col("id") % 10 + 1).as("k"),
+      col("id").as("rid"))
+    val small = (0L to 10L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val direct = big.join(small, "k").select("k", "rid", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "k", saltOn = "rid", buckets = 8)
+      .select("k", "rid", "name").collect().map(_.toSeq).toSet
+    assert(salted == direct && direct.size == 1200)
+    // the hot key's rows really occupy several (key, salt) groups
+    val spread = big.filter(col("k") === 0L)
+      .select(org.apache.spark.sql.functions.pmod(xxhash64(col("rid")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread == 8L)
+  }
 }
