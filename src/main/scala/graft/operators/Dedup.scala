@@ -39,6 +39,22 @@ object Dedup {
   }
 
   /**
+   * STREAMING exact dedup — the ingest-time half of [[exactDedup]]: the
+   * first document with a given content digest passes, later copies are
+   * dropped. State is keyed by the digest and BOUNDED by the watermark
+   * (`dropDuplicatesWithinWatermark`): a digest's state expires `delay`
+   * after its event time, so state size is O(docs per watermark window),
+   * not O(all docs ever) — the property that lets this run on an unbounded
+   * crawl. The trade-off is explicit: a copy arriving later than `delay`
+   * after the original is re-admitted (downstream batch dedup catches it).
+   */
+  def exactDedupStream(docs: DataFrame, tsCol: String = "ts",
+      delay: String = "10 minutes", textCol: String = "text"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /**
    * MinHash signature over a MATERIALIZED shingle-array column: k independent
    * permutations approximated by `xxhash64(shingle, seed)`; sig[j] = min over
    * shingles. Pure higher-order built-ins — stays in codegen, no UDF

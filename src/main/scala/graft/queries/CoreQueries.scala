@@ -141,7 +141,8 @@ object CoreQueries {
              CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
              CAST(o_orderdate AS DATE) AS order_date,
              CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-             TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast
+             TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus
+                           ELSE CAST(o_orderkey AS VARCHAR) END AS INTEGER) AS bad_cast
       FROM orders
       ORDER BY o_orderkey"""),
       (s, dir) => t(s, dir, "orders").select(
@@ -149,7 +150,12 @@ object CoreQueries {
         floor(col("o_totalprice")).cast("bigint").as("price_floor"),
         col("o_orderdate").cast("date").as("order_date"),
         col("o_orderkey").cast("string").cast("bigint").as("key_roundtrip"),
-        expr("try_cast(o_orderstatus AS int)").as("bad_cast"))
+        // mixed validity on purpose: proves BOTH try_cast outcomes (value and
+        // null), and an all-failing input is also the worst case at scale —
+        // TryEval materializes a caught exception per failing row (~13 µs):
+        // see SCALE.md "TRY_CAST at scale"
+        expr("try_cast(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus " +
+          "ELSE CAST(o_orderkey AS STRING) END AS int)").as("bad_cast"))
         .orderBy("o_orderkey")),
 
     Q("q_distinct", Some("""
