@@ -11,13 +11,16 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * Native text kernels for the NON-oracled text operators.
  *
- * The oracle-verified queries (q_text_stats, q_text_langid,
- * q_ngram_jaccard) deliberately keep their Column-function formulations so
- * the Spark and DuckDB semantics stay definitionally identical; these
- * kernels back the operators whose outputs are engine-internal — SimHash
- * fingerprints and the quality heuristic — where a single tight pass
- * replaces an explode + 64 partial aggregations (SimHash) or five
- * re-tokenizations (quality).
+ * The oracle-verified scalar queries (q_text_stats, q_text_langid)
+ * deliberately keep their Column-function formulations so the Spark and
+ * DuckDB semantics stay definitionally identical; these kernels back the
+ * operators whose outputs are engine-internal — SimHash fingerprints, the
+ * quality heuristic, word shingles — where a single tight pass replaces an
+ * explode + 64 partial aggregations (SimHash), five re-tokenizations
+ * (quality), or an interpreted per-element lambda chain (shingles). Each
+ * kernel that replaces a Column DEFINITION carries an equivalence spec
+ * against it, and the shingle-consuming queries stay oracle-pinned (DuckDB
+ * recomputes shingles from the SQL definition).
  */
 object TextKernelImpl {
 
@@ -109,6 +112,58 @@ object TextKernelImpl {
   }
 }
 
+object TextKernelImplShingles {
+
+  /**
+   * Word n-gram shingles — the native twin of the zip_with/slice Column
+   * formulation in [[TextFunctions.wordShinglesColumns]] (spec-proven equal
+   * on the corpus + edge cases): lowercase-alnum tokenization, n-token
+   * space-joined shingles, distinct in first-occurrence order; documents
+   * with 0 < tokens < n yield ONE shingle of all their tokens, empty
+   * documents yield an empty array. One tight pass per row instead of a
+   * per-element interpreted lambda chain that re-evaluates the token array
+   * n times — the shingle build dominated q_ngram_jaccard/q_dedup_minhash.
+   */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.toLowerCase
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val m = s.length
+    while (i < m) {
+      while (i < m && !isAlnum(s.charAt(i))) i += 1
+      var j = i
+      while (j < m && isAlnum(s.charAt(j))) j += 1
+      if (j > i) toks += s.substring(i, j)
+      i = j
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (toks.isEmpty) {
+      // no tokens → no shingles (matches slice-of-empty in the Column form)
+    } else if (toks.length < n) {
+      out.add(UTF8String.fromString(toks.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k + n <= toks.length) {
+        sb.setLength(0)
+        var t = 0
+        while (t < n) {
+          if (t > 0) sb.append(' ')
+          sb.append(toks(k + t))
+          t += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
+  }
+
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+}
+
 object TextKernelImplWinnow {
 
   /**
@@ -185,6 +240,17 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
   }
 
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      TextKernelImplShingles.wordShingles(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.TextKernelImplShingles.wordShingles($v, $n)")
+    override def prettyName: String = "word_shingles"
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
   case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
@@ -205,6 +271,15 @@ object TextKernels {
     reg.createOrReplaceTempFunction("winnow_fingerprints",
       (es: Seq[Expression]) => Winnow(es(0),
         VectorFunctions.litIntArg(es(1), "k"), VectorFunctions.litIntArg(es(2), "w")), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      (es: Seq[Expression]) => WordShingles(es(0),
+        VectorFunctions.litIntArg(es(1), "n")), "scala_udf")
+  }
+
+  def word_shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    register(SparkSession.active)
+    call_function("word_shingles", text, lit(n))
   }
 
   def winnow_fingerprints(text: Column, k: Int = 5, w: Int = 8): Column = {

@@ -51,6 +51,25 @@ class TextSpec extends SparkSpec {
     assert(out(2) == Set("w w w")) // distinct collapses repeats
   }
 
+  test("shingle kernel is element-identical to the Column-function definition") {
+    // corpus sample + adversarial edges: empty, punctuation-only, exactly n,
+    // under n, repeats, mixed case/separators
+    val edges = spark.createDataFrame(Seq(
+      (9001L, ""), (9002L, "  !?  "), (9003L, "One Two three"),
+      (9004L, "solo"), (9005L, "a a a a a"), (9006L, "A-b_c d,e f.g h"))
+    ).toDF("doc_id", "text")
+    val sample = docs.limit(200).select("doc_id", "text").union(edges)
+    for (n <- Seq(2, 3, 5)) {
+      val both = sample.select(
+        TextFunctions.wordShingles(col("text"), n).as("kernel"),
+        TextFunctions.wordShinglesColumns(col("text"), n).as("columns")).collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n kernel=${r.getSeq[String](0)} columns=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("quality score is in [0,1] and orders empty < normal text") {
     val df = spark.createDataFrame(Seq(
       (1, "The quick brown fox jumps over the lazy dog and keeps running for a while longer."),
