@@ -156,6 +156,73 @@ object RelationalQueries {
         concat_ws(",", map_keys(map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey")))).as("mkeys"),
         concat_ws(",", map_values(map(lit("a"), col("n_nationkey"), lit("b"), col("n_regionkey")))).as("mvals"),
         element_at(map(lit("x"), col("n_regionkey")), lit("x")).as("elem_x"))
-        .orderBy("n_nationkey"))
+        .orderBy("n_nationkey")),
+
+    // PIVOT (long → wide): Spark's relational pivot with an explicit value
+    // list; the oracle is the definitional conditional-aggregation form.
+    Q("q_pivot", Some("""
+      SELECT o_orderpriority,
+             round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+             round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+             round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+      (s, dir) => {
+        val wide = t(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum("o_totalprice"))
+        wide.select(col("o_orderpriority"),
+          round(col("F"), 2).as("F"), round(col("O"), 2).as("O"),
+          round(col("P"), 2).as("P"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // UNPIVOT (wide → long): Dataset.unpivot / SQL stack; oracle is the
+    // definitional UNION ALL.
+    Q("q_unpivot", Some("""
+      SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+      FROM (
+        SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+      )
+      ORDER BY l_orderkey, l_linenumber, metric"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_discount"), col("l_extendedprice"), col("l_quantity"), col("l_tax")),
+          "metric", "value")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("value"), 2).as("value"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // LATERAL correlated subquery (a per-row derived table) — both engines
+    // run the same ANSI text; the aggregate without GROUP BY preserves
+    // orders with no lineitems (max = NULL), unlike an inner join.
+    Q("q_lateral", Some("""
+      SELECT o.o_orderkey, l.max_price, l.n_lines
+      FROM orders o,
+           LATERAL (SELECT max(l_extendedprice) AS max_price,
+                           count(l_orderkey) AS n_lines
+                    FROM lineitem
+                    WHERE l_orderkey = o.o_orderkey) l
+      ORDER BY o.o_orderkey"""),
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT o.o_orderkey, l.max_price, l.n_lines
+          FROM orders o,
+               LATERAL (SELECT max(l_extendedprice) AS max_price,
+                               count(l_orderkey) AS n_lines
+                        FROM lineitem
+                        WHERE l_orderkey = o.o_orderkey) l
+          ORDER BY o.o_orderkey""")
+      })
   )
 }
