@@ -108,25 +108,47 @@ object Similarity {
    * corpus rows shuffle once on list_id at any scale; at 100 TB the list_id
    * column would be written as a partition key so probes prune scans.
    */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.functions.typedLit
-    val centroids: Seq[Seq[Float]] = corpus
-      .select(col(idCol), col(vecCol))
+  /** The IVF "training" step: a deterministic pseudo-random sample of
+   *  `nLists` corpus vectors (ordered by xxhash64(id)) as the codebook —
+   *  ONE bounded driver collect of nLists rows, not a data collect. */
+  def ivfCodebook(corpus: DataFrame, nLists: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Float]] =
+    corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)))
       .limit(nLists)
       .collect()
       .map(_.getSeq[Float](1).toSeq).toSeq
-    def assignments(vec: Column): Column =
-      sort_array(array(centroids.zipWithIndex.map { case (c, j) =>
-        struct(cosine(vec, typedLit(c)).as("cos"), lit(j).as("list"))
-      }: _*), asc = false)
-    val assigned = corpus.withColumn("list_id",
-      element_at(assignments(col(vecCol)), 1).getField("list"))
-    val probeLists = probes.select(col("probe_id"), col("probe_vec"),
-      explode(transform(slice(assignments(col("probe_vec")), 1, nProbe),
+
+  /** All lists ranked by cosine against `vec` (scan-local: the codebook is
+   *  inlined as literals). element 1 = the assignment. */
+  private def ivfRanked(centroids: Seq[Seq[Float]])(vec: Column): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    sort_array(array(centroids.zipWithIndex.map { case (c, j) =>
+      struct(cosine(vec, typedLit(c)).as("cos"), lit(j).as("list"))
+    }: _*), asc = false)
+  }
+
+  /** Corpus with its IVF `list_id` column — what a 100 TB pipeline writes
+   *  partitioned by `list_id` so probe scans prune whole partitions
+   *  (demonstrated in SketchSpec). */
+  def ivfAssign(corpus: DataFrame, centroids: Seq[Seq[Float]],
+      vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("list_id",
+      element_at(ivfRanked(centroids)(col(vecCol)), 1).getField("list"))
+
+  /** The `nProbe` nearest lists per probe, exploded to (probe, list_id). */
+  def ivfProbeLists(probes: DataFrame, centroids: Seq[Seq[Float]],
+      nProbe: Int): DataFrame =
+    probes.select(col("probe_id"), col("probe_vec"),
+      explode(transform(slice(ivfRanked(centroids)(col("probe_vec")), 1, nProbe),
         a => a.getField("list"))).as("list_id"))
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCodebook(corpus, nLists, idCol, vecCol)
+    val assigned = ivfAssign(corpus, centroids, vecCol)
+    val probeLists = ivfProbeLists(probes, centroids, nProbe)
     val scored = assigned.join(broadcast(probeLists), "list_id")
       .filter(col("probe_id") =!= col(idCol))
       .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))

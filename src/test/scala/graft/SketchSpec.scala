@@ -114,6 +114,33 @@ class SketchSpec extends SparkSpec {
     hits.foreach(r => assert(r.getDouble(2) > 0.99))
   }
 
+  test("IVF at rest: list_id partitioning prunes probe scans to nProbe lists") {
+    val dir = tempDir("ivf_rest") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    Similarity.ivfAssign(emb, centroids)
+      .write.partitionBy("list_id").parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    val nListsWritten = atRest.select("list_id").distinct().count()
+    // one probe's nProbe nearest lists → the scan should plan ONLY those
+    // partitions (the 100 TB contract claimed in SCALE.md)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val lists = Similarity.ivfProbeLists(probe, centroids, nProbe = 2)
+      .select("list_id").collect().map(_.getInt(0)).toSeq
+    assert(lists.size == 2)
+    val pruned = atRest.filter(col("list_id").isin(lists: _*))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"planned ${scan.selectedPartitions.partitionCount} partitions, want 2 of $nListsWritten")
+    // and the pruned read returns exactly the rows of those lists
+    val expect = Similarity.ivfAssign(emb, centroids)
+      .filter(col("list_id").isin(lists: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.select("vec_id").collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("exact dedup: planted exact copies found with correct canonical id") {
     val copies = docs.limit(5).select((col("doc_id") + 3000000).as("doc_id"), col("text"))
     val groups = Dedup.exactGroups(docs.select("doc_id", "text").unionAll(copies)).collect()
