@@ -114,6 +114,26 @@ object ZarrQueries {
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
       }),
 
+    // SHARDED write (zarr v3 sharding_indexed extension) + lazy shard-decode
+    // read-back, same self-check contract as the unsharded roundtrip: every
+    // orders row survives, zero mismatches, at any SF.
+    Q("q_zarr_shard_roundtrip", Some("""
+      SELECT (SELECT count(*) FROM orders) AS n_rows,
+             CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_zarr_shard").toString + "/out.zarr"
+        val src = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        src.coalesce(1).write.format("zarr").option("group", "/meta")
+          .option("chunk_rows", "4096").option("shard_rows", "512")
+          .mode("overwrite").save(out)
+        val back = s.read.format("zarr").option("group", "/meta").load(out)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
+        back.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      }),
+
     // catalog surface: the store mounted as a catalog namespace, queried
     // through a multi-part identifier — same deterministic fixture output
     Q("q_zarr_catalog", Some("""

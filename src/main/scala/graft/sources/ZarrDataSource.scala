@@ -71,13 +71,15 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     val group = Option(options.get("group")).getOrElse("/")
     val targetRows = Option(options.get("target_partition_rows")).map(_.toLong).getOrElse(1L << 20)
     val chunkRows = Option(options.get("chunk_rows")).map(_.toInt).getOrElse(1 << 20)
+    val shardRows = Option(options.get("shard_rows")).map(_.toInt).getOrElse(0)
     val rowIndexCol = Option(options.get("row_index"))
     // a write target may not exist yet — build the table with the write
     // schema and no readable arrays (reads will fail with the store error)
     val arrays =
       try ZarrSchema.listArrays(new ZarrStore(path, hadoopConf()), group)
       catch { case _: ZarrException => Seq.empty[ZarrArrayMeta] }
-    new ZarrTable(path, group, arrays, schema, targetRows, chunkRows, rowIndexCol)
+    new ZarrTable(path, group, arrays, schema, targetRows, chunkRows, rowIndexCol,
+      shardRows)
   }
 }
 
@@ -88,7 +90,8 @@ class ZarrTable(
     tableSchema: StructType,
     targetRows: Long,
     chunkRows: Int = 1 << 20,
-    rowIndexCol: Option[String] = None)
+    rowIndexCol: Option[String] = None,
+    shardRows: Int = 0)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"zarr:`$path`$group"
@@ -104,7 +107,8 @@ class ZarrTable(
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ZarrWriteBuilder(path, group, info.schema(), chunkRows, rowIndexCol,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
+      shardRows)
 }
 
 class ZarrScanBuilder(

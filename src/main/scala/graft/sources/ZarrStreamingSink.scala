@@ -95,6 +95,11 @@ class ZarrStreamingWrite(
         throw new ZarrException(
           s"zarr streaming sink: existing chunk grid is $grid rows, " +
             s"option chunk_rows=$chunkRows — they must match to append")
+      if (existing.exists(_.codecs.exists(_.isInstanceOf[ZarrCodec.ShardingCodec])))
+        throw new ZarrException(
+          "zarr streaming sink: existing table is SHARDED (sharding_indexed) — " +
+            "streamed epochs write plain chunks and would corrupt the shard " +
+            "grid; rewrite the table unsharded to stream-append")
     }
     new ZarrStreamingWriterFactory(path, groupRel, dataSchema, chunkRows, conf)
   }

@@ -79,6 +79,18 @@ object ZarrWriteSupport {
       """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd","configuration":{"level":0,"checksum":false}}]"""
   }
 
+  /** `sharding_indexed` codec document: each stored chunk object is a SHARD
+   *  of `shardRows`-row inner chunks (the normal codecs become the inner
+   *  codecs), with a little-endian + crc32c (offset, nbytes) index at the
+   *  end — the zarr v3 sharding extension the read side already decodes
+   *  lazily. */
+  def codecsJsonSharded(dt: DataType, shardRows: Int): String =
+    s"""[{"name":"sharding_indexed","configuration":{
+       |"chunk_shape":[$shardRows],
+       |"codecs":${codecsJson(dt)},
+       |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+       |"index_location":"end"}}]""".stripMargin.replace("\n", "")
+
   /**
    * (min, max, nullCount) of the `count` buffered values of one column —
    * recorded per chunk into the `_graft_stats.json` sidecar so the scan can
@@ -151,7 +163,8 @@ object ZarrWriteSupport {
   /** Write the group + per-array `zarr.json` documents for a committed table
    *  (readers key off these, so writing them LAST makes commits atomic). */
   def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
-      groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int): Unit = {
+      groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
+      shardRows: Int = 0): Unit = {
     def writeJson(p: Path, text: String): Unit = {
       val out = fs.create(p, true)
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -173,7 +186,8 @@ object ZarrWriteSupport {
            |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkRows]}},
            |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
            |"fill_value":${fillJson(f.dataType)},
-           |"codecs":${codecsJson(f.dataType)},
+           |"codecs":${if (shardRows > 0) codecsJsonSharded(f.dataType, shardRows)
+                       else codecsJson(f.dataType)},
            |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
           .stripMargin
       writeJson(new Path(arrayDir, "zarr.json"), meta)
@@ -228,6 +242,46 @@ object ZarrWriteSupport {
     }
     Zstd.compress(raw, 0)
   }
+
+  /**
+   * Encode one stored chunk as a `sharding_indexed` SHARD: `chunkRows /
+   * shardRows` inner chunks, each run through the normal [[encodeChunk]]
+   * codecs, concatenated, with the (offset, nbytes) u64-LE index + crc32c
+   * appended (index_location=end). The read side ([[graft.zarr.ZarrCodecs]]
+   * decodeShard) fetches the whole object but decodes inner chunks lazily —
+   * a scan that needs 1k rows of a 1M-row shard decodes one inner chunk.
+   */
+  def encodeShard(dt: DataType, values: Array[Any], count: Int,
+      chunkRows: Int, shardRows: Int): Array[Byte] = {
+    require(shardRows > 0 && chunkRows % shardRows == 0,
+      s"shard_rows=$shardRows must divide chunk_rows=$chunkRows")
+    val nInner = chunkRows / shardRows
+    val innerBuf = new Array[Any](shardRows)
+    val parts = new Array[Array[Byte]](nInner)
+    var i = 0
+    while (i < nInner) {
+      val from = i * shardRows
+      var j = 0
+      while (j < shardRows) {
+        innerBuf(j) = if (from + j < count) values(from + j) else null
+        j += 1
+      }
+      val innerCount = math.max(0, math.min(count - from, shardRows))
+      parts(i) = encodeChunk(dt, innerBuf, innerCount, shardRows)
+      i += 1
+    }
+    val dataLen = parts.map(_.length).sum
+    val idx = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
+    parts.foreach { p => idx.putLong(off).putLong(p.length.toLong); off += p.length }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(idx.array())
+    val out = ByteBuffer.allocate(dataLen + nInner * 16 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    parts.foreach(out.put)
+    out.put(idx.array())
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
 }
 
 class ZarrWriteBuilder(
@@ -236,14 +290,16 @@ class ZarrWriteBuilder(
     schema: StructType,
     chunkRows: Int,
     rowIndexCol: Option[String],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    shardRows: Int = 0)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write =
-    new ZarrWrite(path, group, schema, chunkRows, rowIndexCol, doTruncate, conf)
+    new ZarrWrite(path, group, schema, chunkRows, rowIndexCol, doTruncate, conf,
+      shardRows)
 }
 
 /** Per-chunk column stats computed task-side: min/max/nulls aligned with the
@@ -262,7 +318,8 @@ class ZarrWrite(
     chunkRows: Int,
     rowIndexCol: Option[String],
     doTruncate: Boolean,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    shardRows: Int = 0)
   extends Write with BatchWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -317,6 +374,11 @@ class ZarrWrite(
     if (doTruncate)
       throw new ZarrException(
         "zarr streaming sink is append-only — use outputMode(\"append\")")
+    if (shardRows > 0)
+      throw new ZarrException(
+        "zarr streaming sink does not write sharded stores (a tail append " +
+          "would rewrite whole shards per epoch) — option shard_rows applies " +
+          "to BATCH writes only")
     if (rowIndexCol.nonEmpty)
       throw new ZarrException(
         "zarr streaming sink appends by arrival order; option row_index " +
@@ -335,8 +397,12 @@ class ZarrWrite(
       throw new ZarrException(
         s"zarr write with ${info.numPartitions} partitions needs option row_index " +
           "(a dense 0-based position column, rows routed per chunk) — or coalesce(1)")
+    if (shardRows > 0 && chunkRows % shardRows != 0)
+      throw new ZarrException(
+        s"option shard_rows=$shardRows must divide chunk_rows=$chunkRows " +
+          "(a shard holds whole inner chunks)")
     new ZarrWriterFactory(path, groupRel, schema, dataSchema, chunkRows,
-      rowIndexCol.map(c => schema.fieldIndex(c)), conf)
+      rowIndexCol.map(c => schema.fieldIndex(c)), conf, shardRows)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -376,7 +442,8 @@ class ZarrWrite(
         else new Path(new Path(path, groupRel), graft.zarr.ZarrStats.FileName)
       writeJson(p, graft.zarr.ZarrStats.toJson(sidecar))
     }
-    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows, chunkRows)
+    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows,
+      chunkRows, shardRows)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -391,11 +458,13 @@ class ZarrWriterFactory(
     dataSchema: StructType,
     chunkRows: Int,
     idxOrdinal: Option[Int],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    shardRows: Int = 0)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(path, groupRel, schema, dataSchema, chunkRows, idxOrdinal, conf)
+    new ZarrDataWriter(path, groupRel, schema, dataSchema, chunkRows, idxOrdinal,
+      conf, shardRows)
 }
 
 class ZarrDataWriter(
@@ -405,7 +474,8 @@ class ZarrDataWriter(
     dataSchema: StructType,
     chunkRows: Int,
     idxOrdinal: Option[Int],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    shardRows: Int = 0)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -459,7 +529,10 @@ class ZarrDataWriter(
         val f = dataSchema.fields(c)
         val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
         mins(c) = mn; maxs(c) = mx; nulls(c) = nl
-        val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
+        val bytes =
+          if (shardRows > 0)
+            ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows, shardRows)
+          else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
         val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
           else new Path(new Path(path, groupRel), f.name)
         val chunkPath = new Path(new Path(arrayDir, "c"), currentChunk.toString)

@@ -120,6 +120,54 @@ class ZarrWriteSpec extends SparkSpec {
     assert(back.agg(sum("v")).collect().head.getLong(0) == 7L * n * (n - 1) / 2)
   }
 
+  test("sharded write (sharding_indexed): roundtrip, metadata, pruning still applies") {
+    val dir = tempDir("zw_shard") + "/store.zarr"
+    val df = spark.range(100).select(
+      col("id"),
+      (col("id").cast("double") / 4.0).as("score"),
+      concat(lit("n_"), format_string("%03d", col("id"))).as("name"))
+    df.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "40").option("shard_rows", "10")
+      .mode("overwrite").save(dir)
+    // the array metadata really declares the sharding extension
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t", "id", "zarr.json")), "UTF-8")
+    assert(metaJson.contains("sharding_indexed") && metaJson.contains("\"chunk_shape\":[10]"),
+      metaJson)
+    // full roundtrip through the lazy shard decoder — all dtypes intact
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+      .select("id", "score", "name").orderBy("id")
+    val rows = back.collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 100L))
+    assert(rows.map(_.getString(2)).toSeq == (0 until 100).map(i => f"n_$i%03d"))
+    assert(rows.map(_.getDouble(1)).toSeq == (0 until 100).map(_ / 4.0))
+    // stats sidecar is per stored chunk (= per shard): pruning still works
+    val pruned = spark.read.format("zarr").option("group", "/t")
+      .option("target_partition_rows", "40").load(dir)
+      .filter(col("id") >= 95)
+    assert(pruned.queryExecution.toRdd.getNumPartitions == 1)
+    assert(pruned.count() == 5)
+    // equivalent unsharded write produces identical rows
+    val dir2 = tempDir("zw_shard_ref") + "/store.zarr"
+    df.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "40").mode("overwrite").save(dir2)
+    val ref = spark.read.format("zarr").option("group", "/t").load(dir2)
+      .select("id", "score", "name").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == ref)
+  }
+
+  test("sharded write misuse: non-dividing shard_rows and streaming both fail fast") {
+    val dir = tempDir("zw_shard_bad") + "/store.zarr"
+    val e = intercept[Exception] {
+      spark.range(10).coalesce(1).write.format("zarr").option("group", "/t")
+        .option("chunk_rows", "40").option("shard_rows", "9")
+        .mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("must divide") ||
+      Option(e.getCause).exists(_.getMessage.contains("must divide")))
+  }
+
   test("append onto an existing table is rejected (not a silent overwrite)") {
     val dir = tempDir("zw_app") + "/store.zarr"
     spark.range(5).coalesce(1).write.format("zarr")
