@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{GeoFunctions, VectorFunctions}
+import graft.functions.{GeoFunctions, TextFunctions, TextKernels, VectorFunctions}
 
 /**
  * Session extension injecting every graft function into the session's
@@ -48,5 +48,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature", "minhash_signature(shingles, k) - minhash array"),
       (es: Seq[Expression]) => VectorFunctions.MinHashSignature(es(0),
         VectorFunctions.litIntArg(es(1), "numHashes"))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
+      (es: Seq[Expression]) => TextKernels.SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("quality_score"),
+      info("quality_score", "quality_score(text) - [0,1] quality heuristic"),
+      (es: Seq[Expression]) =>
+        TextKernels.QualityScore(es.head, TextFunctions.StopwordSets.head._2)))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(text, k, w) - winnowing hashes"),
+      (es: Seq[Expression]) => TextKernels.Winnow(es(0),
+        VectorFunctions.litIntArg(es(1), "k"), VectorFunctions.litIntArg(es(2), "w"))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      (es: Seq[Expression]) => TextKernels.WordShingles(es(0),
+        VectorFunctions.litIntArg(es(1), "n"))))
   }
 }

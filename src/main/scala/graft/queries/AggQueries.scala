@@ -94,6 +94,30 @@ object AggQueries {
             countDistinct("l_partkey") - 1.0) <= 0.06).as("approx_within_3rsd"))
         .orderBy("l_returnflag")),
 
+    // approx_percentile accuracy contract (the q_agg_approx_distinct
+    // pattern): DuckDB provides the exact percentile; the Spark side proves
+    // its t-digest-style estimate sits within the rank-error guarantee by
+    // comparing against its OWN exact percentile, emitting the exact value +
+    // a within-bounds boolean the oracle pins to TRUE. With accuracy=10000
+    // the rank error is 1e-4, so the estimate must land between the
+    // p-0.001 and p+0.001 exact quantiles (10x slack).
+    Q("q_agg_approx_percentile", Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+             TRUE AS approx_within_rank_err
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
+          (expr("approx_percentile(l_extendedprice, 0.5, 10000)") >=
+            expr("percentile(l_extendedprice, 0.499)") &&
+           expr("approx_percentile(l_extendedprice, 0.5, 10000)") <=
+            expr("percentile(l_extendedprice, 0.501)")).as("approx_within_rank_err"))
+        .orderBy("l_returnflag")),
+
     // list outputs serialized to strings on BOTH sides: the driver's pandas
     // hash-compare cannot hash ndarray cells (r01 compare crash).
     Q("q_agg_collect", Some("""

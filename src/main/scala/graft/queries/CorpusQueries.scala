@@ -153,6 +153,29 @@ object CorpusQueries {
       (s, dir) => Corpus.repetitionStats(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Edit-distance similarity (the character-level complement of the
+    // n-gram Jaccard family): Levenshtein over adjacent docs' prefixes —
+    // prefix-capped because the DP is O(len^2) per pair, which is also the
+    // honest scale guidance (edit distance is a verification-stage metric
+    // for candidate pairs, not a corpus-wide sweep).
+    Q("q_text_levenshtein", Some("""
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS BIGINT)
+               AS edit_distance
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY id_a"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          substring(col("text"), 1, 40).as("p"))
+        val a = d.select(col("doc_id").as("id_a"), col("p").as("p_a"))
+        val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+          col("p").as("p_b"))
+        a.join(b, "id_a")
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("p_a"), col("p_b")).cast("bigint").as("edit_distance"))
+          .orderBy("id_a")
+      }),
+
     // Batch sessionization: the oracle-checkable definition the STREAMING
     // sessionize (flatMapGroupsWithState) is proven equivalent to in
     // SessionizeSpec — a >30 min silence closes a user's session.

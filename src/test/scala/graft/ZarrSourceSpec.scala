@@ -136,7 +136,11 @@ class ZarrSourceSpec extends SparkSpec {
                vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
                vec_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dp,
                sign_lsh(array(1.0D, 2.0D, 3.0D), 8, 0) AS lsh,
-               size(minhash_signature(array('a', 'b', 'c'), 4)) AS mh
+               size(minhash_signature(array('a', 'b', 'c'), 4)) AS mh,
+               simhash64('alpha beta gamma') AS sh,
+               quality_score('The quick brown fox jumps over the lazy dog.') AS q,
+               size(winnow_fingerprints('abcdefghijklmnop', 5, 8)) AS wf,
+               word_shingles('a b c d', 3) AS ws
       """).collect().head
       assert(r.getBoolean(0))
       assert(r.getDouble(1) == 2.0)
@@ -144,6 +148,10 @@ class ZarrSourceSpec extends SparkSpec {
       assert(r.getDouble(3) == 23.0)
       assert(r.getLong(4) >= 0L && r.getLong(4) < 256L)
       assert(r.getInt(5) == 4)
+      assert(r.getLong(6) != 0L)
+      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
+      assert(r.getInt(8) > 0)
+      assert(r.getSeq[String](9) == Seq("a b c", "b c d"))
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)
