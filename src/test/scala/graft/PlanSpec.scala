@@ -22,6 +22,41 @@ class PlanSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.head.getString(0).contains("HashAggregate"))
   }
 
+  test("runtime bloom filter: selective dim filter injects a bloom on the fact scan") {
+    import org.apache.spark.sql.functions._
+    // Spark's InjectRuntimeFilter builds a bloom from the filtered creation
+    // side and applies it to the big side BEFORE the shuffle — the runtime
+    // half of pushdown that matters at 100 TB (the static planner can't see
+    // the dim filter's selectivity). Thresholds lowered so sf-scale tables
+    // qualify; assert the bloom expression lands in the fact side's plan.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // bloom injection targets SHUFFLE joins (a broadcast already filters);
+      // force SMJ so the sf-scale fixture exercises the 100 TB-shaped plan
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val plan = q.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"), s"no runtime bloom filter in plan:\n${plan.take(1200)}")
+      assert(q.collect().nonEmpty)
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("q1_agg: filter is pushed to the parquet scan, agg is partial+final") {
     val p = planOf("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))

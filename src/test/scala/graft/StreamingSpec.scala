@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
@@ -76,6 +76,35 @@ class StreamingSpec extends SparkSpec {
       assert(all.contains((1L, 1L, 2L, 2.0)), s"in-batch closed session: $all")
       assert(all.contains((1L, 110L, 1L, 2.0)), s"user1 second session via timeout: $all")
       assert(all.contains((2L, 115L, 1L, 5.0)), s"user2 session via timeout: $all")
+    } finally q.stop()
+  }
+
+  test("stream-stream join: watermarked interval join matches within the bound") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // clicks join impressions within [0, 10 min] after the impression —
+    // two-sided state, bounded by both watermarks + the interval condition
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val impDf = imps.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val clickDf = clicks.toDF().toDF("c_ad_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    val joined = impDf.join(clickDf,
+      expr("""c_ad_id = ad_id AND
+              click_ts >= imp_ts AND
+              click_ts <= imp_ts + interval 10 minutes"""))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(1)), (2L, ts(2)), (3L, ts(3)))
+      clicks.addData(
+        (1L, ts(5)),   // within 10 min of imp 1 → match
+        (2L, ts(20)),  // 18 min after imp 2 → outside interval, no match
+        (3L, ts(3)))   // same minute → match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .select("ad_id", "imp_ts", "click_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime / 60000)).sorted.toSeq
+      assert(rows == Seq((1L, 5L), (3L, 3L)), s"got $rows")
     } finally q.stop()
   }
 
