@@ -157,6 +157,29 @@ class ZarrWriteSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == ref)
   }
 
+  test("corrupted shard index fails loudly (crc32c on the index)") {
+    val dir = tempDir("zw_shard_crc") + "/store.zarr"
+    spark.range(40).select(col("id"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "40").option("shard_rows", "10")
+      .mode("overwrite").save(dir)
+    val chunk = java.nio.file.Paths.get(dir, "t", "id", "c", "0")
+    val bytes = java.nio.file.Files.readAllBytes(chunk)
+    // flip a byte inside the (offset, nbytes) index region (last 4*16+4
+    // bytes); keep the trailing stored crc so only the index body changes
+    bytes(bytes.length - 20) = (bytes(bytes.length - 20) ^ 0xff).toByte
+    java.nio.file.Files.write(chunk, bytes)
+    // drop Hadoop LocalFS's .crc sidecar so OUR index checksum is what fires
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "t", "id", "c", ".0.crc"))
+    val e = intercept[Throwable] {
+      spark.read.format("zarr").option("group", "/t").load(dir).collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.toLowerCase.contains("crc32c"), messages)
+  }
+
   test("sharded write misuse: non-dividing shard_rows and streaming both fail fast") {
     val dir = tempDir("zw_shard_bad") + "/store.zarr"
     val e = intercept[Exception] {
