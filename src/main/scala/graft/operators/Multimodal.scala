@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
  * Multimodal-column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, processed per-partition in batches.
  *
- * Image decode/resize/feature-extract is REAL: payloads are PNG bytes,
- * decoded with the JDK's `javax.imageio` and resized with `Graphics2D`
- * (headless-safe, no external dependency). Audio decode is REAL too:
- * WAV/PCM16 via `javax.sound.sampled`, features from the waveform. Only
- * video stays stubbed behind [[MediaCodecStub]] (no ffmpeg in the JDK) with
- * the same interface. Everything around the codecs is the production shape: binary
+ * ALL THREE codecs are REAL on the bare JDK: images are PNG bytes decoded
+ * with `javax.imageio` and resized with `Graphics2D` (headless-safe);
+ * audio is WAV/PCM16 via `javax.sound.sampled`, features from the
+ * waveform; video is animated GIF via `javax.imageio`'s multi-frame
+ * reader/writer — per-frame decode, REAL frame sampling and spatial
+ * resize that re-encode the container ([[VideoCodec]]; an ffmpeg/mp4
+ * binding would replace only that object).
+ * Everything around the codecs is the production shape: binary
  * column + metadata struct schema, per-partition batched processing via
  * `mapPartitions` over a typed `Dataset` (the Scala analogue of
  * `mapInPandas` batches — codec init amortized per task, not per row),
@@ -236,10 +238,88 @@ object Multimodal {
   }
 
   /**
-   * STUB decoder for video: stands in for ffmpeg (not in the JDK, unlike
-   * image/audio). Deterministic: features are a fixed-size projection of the
-   * payload bytes, so tests are exact. Swap this object for a real codec
-   * binding in production.
+   * Real VIDEO codec on the JDK only: animated GIF via `javax.imageio`
+   * (the one multi-frame container the JDK can both read and write).
+   * Stands in structurally for an ffmpeg binding — the Spark-side contract
+   * (opaque binary payload, frame count metadata, per-partition batched
+   * decode, REAL frame sampling and spatial resize that re-encode the
+   * container) is identical; swapping in mp4/h264 means replacing only
+   * this object.
+   */
+  object VideoCodec {
+    val FeatureDim = 8
+
+    /** Deterministic animated test clip: each frame is an [[ImageCodec]]
+     *  synthetic image advanced by the frame index (so consecutive frames
+     *  differ — motion features have signal). */
+    def synthesizeGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val frame = ImageCodec.synthesize(id + f * 7, w, h)
+          writer.writeToSequence(new javax.imageio.IIOImage(frame, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Decode every frame of a GIF payload. */
+    def decodeFrames(payload: Array[Byte]): Seq[BufferedImage] = {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        (0 until n).map(reader.read)
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    /** Re-encode frames as a GIF. */
+    def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** 8-dim clip summary: [nFrames/30, mean luma, first/mid/last frame
+     *  lumas, motion (mean |Δluma| between consecutive frames), w/64, h/64]. */
+    def embed(frames: Seq[BufferedImage]): Array[Float] = {
+      val f = new Array[Float](FeatureDim)
+      if (frames.isEmpty) return f
+      val lumas = frames.map(fr => ImageCodec.embed(fr)(3)) // mean luma per frame
+      val n = frames.length
+      f(0) = n / 30.0f
+      f(1) = (lumas.sum / n).toFloat
+      f(2) = lumas.head
+      f(3) = lumas(n / 2)
+      f(4) = lumas.last
+      f(5) = if (n > 1)
+        (lumas.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum / (n - 1)).toFloat
+      else 0f
+      f(6) = frames.head.getWidth / 64.0f
+      f(7) = frames.head.getHeight / 64.0f
+      f
+    }
+  }
+
+  /**
+   * Byte-projection fallback decoder — kept for payloads that are not a
+   * decodable container (and as the checksum helper). Deterministic.
    */
   object MediaCodecStub {
     val FeatureDim = 8
@@ -287,7 +367,13 @@ object Multimodal {
           case "audio" =>
             a.copy(payload = AudioCodec.synthesizeWav(a.asset_id,
               (a.asset_id % 400 + 100).toInt))
-          case _ => a
+          case _ =>
+            // small real animated GIFs; n_frames metadata matches the clip
+            val w = (a.asset_id % 12 + 8).toInt
+            val h = (a.asset_id % 8 + 8).toInt
+            val nf = (a.asset_id % 5 + 2).toInt
+            a.copy(payload = VideoCodec.synthesizeGif(a.asset_id, w, h, nf),
+              width = w, height = h, n_frames = nf)
         }
       }
     }
@@ -306,7 +392,7 @@ object Multimodal {
         val feats = a.media_type match {
           case "image" => ImageCodec.embed(ImageCodec.decode(a.payload))
           case "audio" => AudioCodec.embed(AudioCodec.decode(a.payload))
-          case _ => MediaCodecStub.decodeAndEmbed(a.payload)
+          case _ => VideoCodec.embed(VideoCodec.decodeFrames(a.payload))
         }
         MediaFeatures(a.asset_id, a.media_type, a.payload.length,
           MediaCodecStub.checksum(a.payload), feats)
@@ -317,8 +403,8 @@ object Multimodal {
   /**
    * Resize pass (a SPATIAL op). Images: REAL decode → Graphics2D scale →
    * PNG re-encode. Audio has no spatial dims: payload passes through
-   * untouched (time-resampling is a different op). Video: byte-budget stub
-   * (truncate to the implied budget) with the same metadata contract.
+   * untouched (time-resampling is a different op). Video: REAL per-frame
+   * Graphics2D scale + GIF re-encode.
    */
   def resize(assets: Dataset[MediaAsset], width: Int, height: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
@@ -330,19 +416,27 @@ object Multimodal {
               width = width, height = height)
           case "audio" => a.copy(width = width, height = height) // no spatial payload
           case _ =>
-            val budget = math.max(16, (a.payload.length.toLong * width * height /
-              math.max(a.width.toLong * a.height, 1)).toInt)
-            val p = java.util.Arrays.copyOf(a.payload, budget)
-            a.copy(payload = p, width = width, height = height)
+            val scaled = VideoCodec.decodeFrames(a.payload).map { src =>
+              val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, width, height, null)
+              } finally g.dispose()
+              dst
+            }
+            a.copy(payload = VideoCodec.encodeGif(scaled),
+              width = width, height = height)
         }
       }
     }
   }
 
   /**
-   * STUB frame sampling: keep every `everyN`-th frame of video assets
-   * (metadata-consistent: n_frames and payload shrink together); non-video
-   * assets pass through untouched.
+   * REAL frame sampling: decode the clip, keep every `everyN`-th frame,
+   * re-encode (metadata-consistent: n_frames matches the re-encoded clip);
+   * non-video assets pass through untouched.
    */
   def frameSample(assets: Dataset[MediaAsset], everyN: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
@@ -350,10 +444,11 @@ object Multimodal {
       it.map { a =>
         if (a.media_type != "video" || a.n_frames <= 1) a
         else {
-          val kept = math.max(1, (a.n_frames + everyN - 1) / everyN)
-          val bytesPerFrame = math.max(1, a.payload.length / math.max(a.n_frames, 1))
-          a.copy(n_frames = kept,
-            payload = java.util.Arrays.copyOf(a.payload, kept * bytesPerFrame))
+          val frames = VideoCodec.decodeFrames(a.payload)
+          val kept = frames.zipWithIndex.collect {
+            case (f, i) if i % everyN == 0 => f
+          }
+          a.copy(n_frames = kept.length, payload = VideoCodec.encodeGif(kept))
         }
       }
     }

@@ -289,7 +289,7 @@ object MLQueries {
       SELECT * FROM (VALUES
         ('audio', CAST(167 AS BIGINT), CAST(97048 AS BIGINT), 0.301241),
         ('image', CAST(167 AS BIGINT), CAST(1929702 AS BIGINT), 0.499794),
-        ('video', CAST(166 AS BIGINT), CAST(6612 AS BIGINT), 1.550555))
+        ('video', CAST(166 AS BIGINT), CAST(590110 AS BIGINT), 0.03996))
         AS v(media_type, n_assets, total_bytes, avg_f0)
       ORDER BY media_type"""),
       (s, dir) => Multimodal.featureSummary(s, t(s, dir, "documents")))

@@ -147,6 +147,25 @@ class TextSpec extends SparkSpec {
     (4 until 8).foreach(q => assert(math.abs(f(q) - rms) < 2e-3, s"q$q ${f(q)}"))
   }
 
+  test("video codec: GIF clip roundtrips frames; frame-sample really drops frames") {
+    import graft.operators.Multimodal.VideoCodec
+    val clip = VideoCodec.synthesizeGif(5L, 16, 12, 6)
+    val frames = VideoCodec.decodeFrames(clip)
+    assert(frames.length == 6)
+    assert(frames.forall(f => f.getWidth == 16 && f.getHeight == 12))
+    // consecutive synthetic frames differ → motion feature is non-zero
+    val f = VideoCodec.embed(frames)
+    assert(f(0) == 6 / 30.0f && f(5) > 0f, f.toSeq.toString)
+    assert(f(6) == 16 / 64.0f && f(7) == 12 / 64.0f)
+    // re-encode every 2nd frame and DECODE AGAIN: the container really holds 3
+    val sampled = VideoCodec.encodeGif(frames.zipWithIndex.collect {
+      case (fr, i) if i % 2 == 0 => fr
+    })
+    assert(VideoCodec.decodeFrames(sampled).length == 3)
+    // deterministic encode
+    assert(VideoCodec.synthesizeGif(5L, 16, 12, 6).toSeq == clip.toSeq)
+  }
+
   test("multimodal: decode is deterministic and batched shape is real") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, docs))
     val rows = feats.collect()
