@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode call —
+  // for the tiny per-row payloads here that's one disk roundtrip per image
+  // and dominated the pipeline (q_multimodal 15 s → ~3 s at sf0.1).
+  // Memory-cached streams are strictly better at our payload sizes.
+  ImageIO.setUseCache(false)
+
   /** One media asset row: payload + typed metadata. */
   case class MediaAsset(asset_id: Long, media_type: String, payload: Array[Byte],
       width: Int, height: Int, n_frames: Int)
@@ -346,7 +352,14 @@ object Multimodal {
    */
   def syntheticAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    val base = docs.select(
+    // Codec work scales with ROWS, not input bytes — Spark's scan
+    // partitioning follows maxPartitionBytes, so a small metadata table
+    // (5000 doc rows ≈ one parquet split) would run the whole
+    // decode/encode pipeline on ONE core (measured: 19 s single-threaded
+    // vs ~2 s spread, sf0.1 local[32]). Repartition to the cluster's
+    // parallelism BEFORE the per-row codec stages; at 100 TB this is the
+    // difference between a decode stage using every executor or one task.
+    val base = docs.repartition(spark.sparkContext.defaultParallelism).select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
