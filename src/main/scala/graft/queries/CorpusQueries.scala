@@ -176,6 +176,40 @@ object CorpusQueries {
           .orderBy("id_a")
       }),
 
+    // Spark's BUILT-IN session_window aggregation, oracled by the same
+    // declarative lag/cumsum definition as q_sessionize_batch — the three
+    // sessionizers (built-in, declarative, streaming state) all agree.
+    // Note session_window's gap is [start, last+gap): an event exactly
+    // gap after the previous one starts a NEW session (>=), while the
+    // declarative form uses > — the oracle mirrors >= here.
+    Q("q_session_window", Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP)) -
+                         epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM e
+      )
+      SELECT user_id,
+             min(CAST(ts AS TIMESTAMP)) AS session_start,
+             count(*) AS n_events, round(sum(value), 6) AS total_value
+      FROM s
+      GROUP BY user_id, session_idx
+      ORDER BY user_id, session_start"""),
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")),
+
     // Batch sessionization: the oracle-checkable definition the STREAMING
     // sessionize (flatMapGroupsWithState) is proven equivalent to in
     // SessionizeSpec — a >30 min silence closes a user's session.

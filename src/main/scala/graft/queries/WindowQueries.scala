@@ -77,6 +77,39 @@ object WindowQueries {
           .orderBy("o_orderkey")
       }),
 
+    // IGNORE NULLS variants: last non-null carried forward (the gap-fill
+    // pattern) + first/nth skipping nulls — a nullable column is synthesized
+    // so the skip semantics actually fire.
+    Q("q_window_ignore_nulls", Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END AS p
+        FROM orders
+      )
+      SELECT o_orderkey,
+             last_value(p IGNORE NULLS) OVER w AS fill_forward,
+             first_value(p IGNORE NULLS) OVER wu AS first_nn,
+             lead(p, 1 IGNORE NULLS) OVER wu AS next_nn
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey"""),
+      (s, dir) => {
+        val base = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice")).as("p"))
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wu = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        base.select(
+          col("o_orderkey"),
+          last("p", ignoreNulls = true).over(w).as("fill_forward"),
+          first("p", ignoreNulls = true).over(wu).as("first_nn"),
+          lead(col("p"), 1, null, ignoreNulls = true).over(wu).as("next_nn"))
+          .orderBy("o_orderkey")
+      }),
+
     Q("q_window_running", Some("""
       SELECT o_orderkey,
              round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
