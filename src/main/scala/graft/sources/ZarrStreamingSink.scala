@@ -70,8 +70,14 @@ class ZarrStreamingWrite(
     groupRel: String,
     dataSchema: StructType,
     chunkRows: Int,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    optionShardRows: Int = 0)
   extends StreamingWrite {
+
+  /** Effective inner-chunk size: the existing table's sharding wins (an
+   *  append must match the store's layout); the option applies to a fresh
+   *  store. 0 = unsharded. Resolved on the driver at factory creation. */
+  @volatile private var shardRows: Int = optionShardRows
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     if (info.numPartitions > 1)
@@ -95,13 +101,19 @@ class ZarrStreamingWrite(
         throw new ZarrException(
           s"zarr streaming sink: existing chunk grid is $grid rows, " +
             s"option chunk_rows=$chunkRows — they must match to append")
-      if (existing.exists(_.codecs.exists(_.isInstanceOf[ZarrCodec.ShardingCodec])))
+      // appending to a SHARDED table: epochs must write shards of the SAME
+      // inner grid (the tail-shard rewrite works like the tail-chunk merge)
+      val existingInner = existing.head.codecs.collectFirst {
+        case sc: ZarrCodec.ShardingCodec => sc.innerChunk.toInt
+      }.getOrElse(0)
+      if (optionShardRows > 0 && existingInner != optionShardRows)
         throw new ZarrException(
-          "zarr streaming sink: existing table is SHARDED (sharding_indexed) — " +
-            "streamed epochs write plain chunks and would corrupt the shard " +
-            "grid; rewrite the table unsharded to stream-append")
+          s"zarr streaming sink: existing table's shard grid is " +
+            s"${if (existingInner == 0) "unsharded" else s"$existingInner rows"}, " +
+            s"option shard_rows=$optionShardRows — they must match to append")
+      shardRows = existingInner
     }
-    new ZarrStreamingWriterFactory(path, groupRel, dataSchema, chunkRows, conf)
+    new ZarrStreamingWriterFactory(path, groupRel, dataSchema, chunkRows, conf, shardRows)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -114,7 +126,8 @@ class ZarrStreamingWrite(
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
     mergeStats(c).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
-    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, c.totalRows, chunkRows)
+    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, c.totalRows,
+      chunkRows, shardRows)
     writeFile(ZarrStreamCommit.relPath(groupRel),
       s"""{"epoch":$epochId,"rows":${c.totalRows}}""")
   }
@@ -162,11 +175,13 @@ class ZarrStreamingWriterFactory(
     groupRel: String,
     dataSchema: StructType,
     chunkRows: Int,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    shardRows: Int = 0)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ZarrStreamingDataWriter(path, groupRel, dataSchema, chunkRows, epochId, conf)
+    new ZarrStreamingDataWriter(path, groupRel, dataSchema, chunkRows, epochId, conf,
+      shardRows)
 }
 
 /** The per-epoch appender: starts at the committed row count, merges the
@@ -178,7 +193,8 @@ class ZarrStreamingDataWriter(
     dataSchema: StructType,
     chunkRows: Int,
     epochId: Long,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    shardRows: Int = 0)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -260,7 +276,10 @@ class ZarrStreamingDataWriter(
         val f = dataSchema.fields(c)
         val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
         mins(c) = mn; maxs(c) = mx; nulls(c) = nl
-        val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
+        val bytes =
+          if (shardRows > 0)
+            ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows, shardRows)
+          else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
         val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
           else new Path(new Path(path, groupRel), f.name)
         val out = fs.create(new Path(new Path(arrayDir, "c"), currentChunk.toString), true)

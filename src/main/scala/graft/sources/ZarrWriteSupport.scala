@@ -165,9 +165,24 @@ object ZarrWriteSupport {
   def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
       groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
       shardRows: Int = 0): Unit = {
+    // atomic publish: the streaming sink REWRITES these documents on every
+    // epoch while the micro-batch source polls them for growth — a truncate-
+    // then-write create() lets the reader observe a partial document. Write
+    // aside + rename; object stores give atomic PUT for free.
     def writeJson(p: Path, text: String): Unit = {
-      val out = fs.create(p, true)
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      try {
+        // FileContext rename with OVERWRITE is the atomic-replace API
+        // (plain FileSystem.rename refuses to clobber on most impls)
+        org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch { case _: Exception =>
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new ZarrException(s"cannot publish metadata document $p")
+      }
     }
     val groupDoc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
     writeJson(new Path(path, "zarr.json"), groupDoc)
@@ -374,16 +389,15 @@ class ZarrWrite(
     if (doTruncate)
       throw new ZarrException(
         "zarr streaming sink is append-only — use outputMode(\"append\")")
-    if (shardRows > 0)
+    if (shardRows > 0 && chunkRows % shardRows != 0)
       throw new ZarrException(
-        "zarr streaming sink does not write sharded stores (a tail append " +
-          "would rewrite whole shards per epoch) — option shard_rows applies " +
-          "to BATCH writes only")
+        s"option shard_rows=$shardRows must divide chunk_rows=$chunkRows " +
+          "(a shard holds whole inner chunks)")
     if (rowIndexCol.nonEmpty)
       throw new ZarrException(
         "zarr streaming sink appends by arrival order; option row_index " +
           "applies to distributed BATCH writes only")
-    new ZarrStreamingWrite(path, groupRel, dataSchema, chunkRows, conf)
+    new ZarrStreamingWrite(path, groupRel, dataSchema, chunkRows, conf, shardRows)
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {

@@ -20,7 +20,17 @@ object ZarrWriter {
 
   private def writeJson(p: Path, text: String): Unit = {
     Files.createDirectories(p.getParent)
-    Files.write(p, text.getBytes(StandardCharsets.UTF_8))
+    // atomic publish: a plain truncate-then-write lets a concurrent reader
+    // (e.g. the micro-batch stream polling zarr.json for growth) observe a
+    // partial document — write aside, then rename into place. Object stores
+    // give this for free (atomic PUT); local filesystems need the rename.
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, text.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   def writeGroup(root: String, group: String): Unit = {

@@ -131,6 +131,68 @@ class ZarrStreamSinkSpec extends SparkSpec {
     assert(ZarrStreamCommit.read(store, "t")._2 == 9L)
   }
 
+  test("streaming append to a SHARDED table writes shards of the same inner grid") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_shard") + "/store.zarr"
+    // batch-write a sharded table: chunk=8 rows, inner=4
+    spark.range(6).select(col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("w"), col("id")).as("word"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "8").option("shard_rows", "4")
+      .mode("overwrite").save(dir)
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "8")
+      .option("checkpointLocation", tempDir("zsink_shard_ckpt"))
+      .start(dir)
+    try {
+      // crosses the tail shard (6 % 8 = 6 rows in chunk 0) into chunk 1
+      mem.addData(Doc(6, "w6"), Doc(7, "w7"), Doc(8, "w8"), Doc(9, "w9"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(back.head.fieldIndex("id"))).toSeq == (0L to 9L))
+    assert(back.map(_.getString(back.head.fieldIndex("word"))).toSeq ==
+      (0 to 9).map("w" + _))
+    // the appended table still declares the sharding extension
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t", "id", "zarr.json")), "UTF-8")
+    assert(metaJson.contains("sharding_indexed") &&
+      metaJson.contains("\"chunk_shape\":[4]"), metaJson)
+    // a FRESH store can be stream-created sharded via the option
+    val dir2 = tempDir("zsink_shard_fresh") + "/store.zarr"
+    val mem2 = MemoryStream[Doc]
+    val q2 = mem2.toDF().writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "8").option("shard_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_shard_fresh_ckpt"))
+      .start(dir2)
+    try {
+      mem2.addData(Doc(0, "a"), Doc(1, "b"), Doc(2, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fresh = spark.read.format("zarr").option("group", "/t").load(dir2)
+    assert(fresh.count() == 3)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "t", "word", "zarr.json")), "UTF-8")
+      .contains("sharding_indexed"))
+    // mismatched shard grid is rejected
+    val mem3 = MemoryStream[Doc]
+    mem3.addData(Doc(10, "x"))
+    val q3 = mem3.toDF().writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "8").option("shard_rows", "2")
+      .option("checkpointLocation", tempDir("zsink_shard_bad_ckpt"))
+      .start(dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(e.getMessage.contains("must match") ||
+      Option(e.getCause).exists(_.getMessage.contains("must match")))
+  }
+
   test("misuse: complete mode and mismatched grids are rejected") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

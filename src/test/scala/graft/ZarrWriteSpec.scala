@@ -180,7 +180,7 @@ class ZarrWriteSpec extends SparkSpec {
     assert(messages.toLowerCase.contains("crc32c"), messages)
   }
 
-  test("sharded write misuse: non-dividing shard_rows and streaming both fail fast") {
+  test("sharded write misuse: non-dividing shard_rows fails fast") {
     val dir = tempDir("zw_shard_bad") + "/store.zarr"
     val e = intercept[Exception] {
       spark.range(10).coalesce(1).write.format("zarr").option("group", "/t")
