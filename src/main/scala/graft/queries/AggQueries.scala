@@ -94,6 +94,22 @@ object AggQueries {
             countDistinct("l_partkey") - 1.0) <= 0.06).as("approx_within_3rsd"))
         .orderBy("l_returnflag")),
 
+    // Fixed-width histogram (width_bucket semantics, written as the
+    // portable floor arithmetic both engines evaluate identically):
+    // 20 buckets over [0, 600000), out-of-range clamps to 0 / 21.
+    Q("q_agg_histogram", Some("""
+      SELECT CAST(least(greatest(floor(o_totalprice / 30000.0) + 1, 0), 21) AS BIGINT)
+               AS bucket,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY bucket"""),
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(least(greatest(floor(col("o_totalprice") / 30000.0) + 1, lit(0)),
+          lit(21)).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bucket")),
+
     // approx_percentile accuracy contract (the q_agg_approx_distinct
     // pattern): DuckDB provides the exact percentile; the Spark side proves
     // its t-digest-style estimate sits within the rank-error guarantee by

@@ -158,6 +158,31 @@ object RelationalQueries {
         element_at(map(lit("x"), col("n_regionkey")), lit("x")).as("elem_x"))
         .orderBy("n_nationkey")),
 
+    // Series generation + calendar gap-fill: every day of a month appears
+    // even when no order lands on it (the time-series densify pattern).
+    // Spark: explode(sequence(date, date)); DuckDB: generate_series.
+    Q("q_date_series_fill", Some("""
+      WITH days AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+      ), cnt AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        FROM orders GROUP BY 1
+      )
+      SELECT days.d, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_orders
+      FROM days LEFT JOIN cnt USING (d)
+      ORDER BY d"""),
+      (s, dir) => {
+        val days = s.sql(
+          "SELECT explode(sequence(DATE'1995-01-01', DATE'1995-01-31')) AS d")
+        val cnt = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("n"))
+        days.join(cnt, Seq("d"), "left")
+          .select(col("d"), coalesce(col("n"), lit(0L)).as("n_orders"))
+          .orderBy("d")
+      }),
+
     // PIVOT (long → wide): Spark's relational pivot with an explicit value
     // list; the oracle is the definitional conditional-aggregation form.
     Q("q_pivot", Some("""
