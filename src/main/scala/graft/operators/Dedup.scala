@@ -147,25 +147,28 @@ object Dedup {
    * Near-duplicate pairs: LSH candidates verified with EXACT word-shingle
    * Jaccard over the candidate pairs only. Word shingles (not char 5-grams,
    * r01 ingredient d) keep the verification arrays ~2 orders of magnitude
-   * smaller at identical discrimination for document-scale text; the shingle
-   * frame is persisted and reused by both verification join sides.
+   * smaller at identical discrimination for document-scale text; the
+   * candidate-only shingle frame is persisted and reused by both
+   * verification join sides.
    */
   def nearDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8, shingleWords: Int = 3,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    // NOT persisted: the shingle arrays are the largest objects in the
-    // pipeline and they're consumed exactly twice (signature computation +
-    // the semi-join fetch below). Recomputing a scan-local codegen'd map
-    // twice is cheaper than pinning gigabytes of array cache — r02's bench
-    // recorded a 12× degradation under memory pressure from exactly this
-    // persist thrashing.
-    val sh = docs.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleWords).as("sh"))
+    // Raw (id, text) is what the verification fetch re-reads below; the
+    // shingle arrays themselves are NOT materialized corpus-wide. They are
+    // the largest objects in the pipeline: persisting them thrashed the
+    // heap in r02 (12× degradation), and even recomputing the codegen'd
+    // shingle kernel over the FULL corpus twice (r04) doubled the
+    // dominant scan-local cost. The kernel now runs corpus-wide exactly
+    // once (signature pass) and a second time only over the candidate
+    // subset, which at scale is ≪ corpus.
+    val docsSlim = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val rows = numHashes / bands
     // signatures are small (numHashes longs/doc) and feed three consumers
     // (banding + both verification joins' semi-join source) → cache, but
     // serialized so eviction pressure spills instead of thrashing
-    val sig = sh.select(col("id"), signatureFromShingles(col("sh"), numHashes).as("sig"))
+    val sig = docsSlim.select(col("id"),
+        signatureFromShingles(TextFunctions.wordShingles(col("text"), shingleWords), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val banded = sig.select(col("id"),
       posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
@@ -180,12 +183,15 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // semi-join reduction: only candidate docs' shingle arrays enter the
     // verification join — at scale candidates ≪ corpus, so this avoids
-    // shuffling every document's (large) shingle array twice
+    // shuffling every document's (large) shingle array twice. The semi-join
+    // filters on the raw (id, text) rows and shingles AFTER, so the shingle
+    // kernel's second pass touches candidates only (not the whole corpus).
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))) // no distinct: left_semi dedupes
     // persisted (serialized): it feeds BOTH verification join sides —
     // unpersisted, the semi-join subtree would run twice
-    val shNeeded = sh.join(candIds, Seq("id"), "left_semi")
+    val shNeeded = docsSlim.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), TextFunctions.wordShingles(col("text"), shingleWords).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val out = pairs
       .join(shNeeded.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Ad-hoc single-query bench: `runMain graft.tools.BenchOne <query> [runs] [unpersist|keep]`.
+  * Mirrors Bench.scala's measurement (toRdd.count, warmup, optional
+  * between-attempt unpersist) so regressions can be bisected to either the
+  * operator or the harness policy.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val unpersistBetween = args.length <= 2 || args(2) != "keep"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val fn = SparkEntry.queries(name)
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[benchone] $name attempt $i: $sec%.3fs (unpersistBetween=$unpersistBetween)")
+      if (unpersistBetween)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    spark.stop()
+  }
+}
