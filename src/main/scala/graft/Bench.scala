@@ -48,6 +48,11 @@ object Bench {
         // 88 queries' caches accumulate and later queries pay eviction/spill
         // they don't own
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // also evict plan-level CacheManager entries: unpersisting the RDDs
+        // drops blocks but leaves InMemoryRelation substitution in place, so
+        // re-runs would silently recompute through an empty cache node and
+        // entries accumulate across 110 queries (r05 advice)
+        spark.catalog.clearCache()
         (sec, failed)
       }
       val ok = attempts.collect { case (sec, false) => sec }

@@ -163,6 +163,7 @@ object Dedup {
     // once (signature pass) and a second time only over the candidate
     // subset, which at scale is ≪ corpus.
     val docsSlim = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     // signatures are small (numHashes longs/doc) and feed three consumers
     // (banding + both verification joins' semi-join source) → cache, but

@@ -201,6 +201,27 @@ object ZarrQueries {
           .orderBy("n_nationkey")
       }),
 
+    // blosc surface: the zarr-python DEFAULT compressor, so this is the
+    // first chunk any bring-your-own-store user hands us. Write nation as a
+    // blosc(lz4+shuffle)-compressed store through the DSv2 sink, read it
+    // back through the scan — the DuckDB oracle compares the DECODED result
+    // against the parquet source row-for-row (golden byte-level fixtures
+    // live in BloscSpec).
+    Q("q_zarr_blosc_scan", Some("""
+      SELECT n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""),
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_zarr_blosc").toString + "/nation.zarr"
+        s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .coalesce(1).write.format("zarr").option("group", "/t")
+          .option("chunk_rows", "8").option("compression", "blosc")
+          .mode("overwrite").save(out)
+        s.read.format("zarr").option("group", "/t").load(out)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      }),
+
     Q("q_zarr_envelope", Some("""
       SELECT * FROM (VALUES
         ('collection_a', CAST(-10 AS DOUBLE), CAST(-10 AS DOUBLE), CAST(10 AS DOUBLE), CAST(10 AS DOUBLE)),

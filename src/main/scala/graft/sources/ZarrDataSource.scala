@@ -73,13 +73,14 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     val chunkRows = Option(options.get("chunk_rows")).map(_.toInt).getOrElse(1 << 20)
     val shardRows = Option(options.get("shard_rows")).map(_.toInt).getOrElse(0)
     val rowIndexCol = Option(options.get("row_index"))
+    val compression = Option(options.get("compression")).getOrElse("zstd")
     // a write target may not exist yet — build the table with the write
     // schema and no readable arrays (reads will fail with the store error)
     val arrays =
       try ZarrSchema.listArrays(new ZarrStore(path, hadoopConf()), group)
       catch { case _: ZarrException => Seq.empty[ZarrArrayMeta] }
     new ZarrTable(path, group, arrays, schema, targetRows, chunkRows, rowIndexCol,
-      shardRows)
+      shardRows, compression)
   }
 }
 
@@ -91,7 +92,8 @@ class ZarrTable(
     targetRows: Long,
     chunkRows: Int = 1 << 20,
     rowIndexCol: Option[String] = None,
-    shardRows: Int = 0)
+    shardRows: Int = 0,
+    compression: String = "zstd")
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"zarr:`$path`$group"
@@ -108,7 +110,7 @@ class ZarrTable(
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ZarrWriteBuilder(path, group, info.schema(), chunkRows, rowIndexCol,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      shardRows)
+      shardRows, compression)
 }
 
 class ZarrScanBuilder(

@@ -112,6 +112,20 @@ class ZarrStreamingWrite(
             s"${if (existingInner == 0) "unsharded" else s"$existingInner rows"}, " +
             s"option shard_rows=$optionShardRows — they must match to append")
       shardRows = existingInner
+      // the sink re-encodes tail chunks and republishes zarr.json with its
+      // own (zstd) codec chain — appending onto a blosc-compressed table
+      // would silently re-declare existing blosc chunks as zstd
+      val hasBlosc = existing.exists(_.codecs.exists {
+        case _: ZarrCodec.BloscCodec => true
+        case sc: ZarrCodec.ShardingCodec =>
+          sc.innerCodecs.exists(_.isInstanceOf[ZarrCodec.BloscCodec])
+        case _ => false
+      })
+      if (hasBlosc)
+        throw new ZarrException(
+          "zarr streaming sink: appending to a blosc-compressed table is not " +
+            "supported (the sink writes zstd chunks); rewrite the table with " +
+            "compression=zstd first")
     }
     new ZarrStreamingWriterFactory(path, groupRel, dataSchema, chunkRows, conf, shardRows)
   }

@@ -72,11 +72,31 @@ object ZarrWriteSupport {
     case _ => "0"
   }
 
-  def codecsJson(dt: DataType): String = dt match {
-    case StringType =>
-      """[{"name":"vlen-utf8","configuration":{}},{"name":"zstd","configuration":{"level":0,"checksum":false}}]"""
-    case _ =>
-      """[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd","configuration":{"level":0,"checksum":false}}]"""
+  /** Element byte width as recorded in blosc `typesize` (drives shuffle). */
+  private def typeWidth(dt: DataType): Int = dt match {
+    case LongType | DoubleType | TimestampNTZType => 8
+    case IntegerType | FloatType => 4
+    case ShortType => 2
+    case _ => 1
+  }
+
+  def codecsJson(dt: DataType, compression: String = "zstd"): String = {
+    val terminal = dt match {
+      case StringType => """{"name":"vlen-utf8","configuration":{}}"""
+      case _ => """{"name":"bytes","configuration":{"endian":"little"}}"""
+    }
+    val comp = compression match {
+      case "zstd" => """{"name":"zstd","configuration":{"level":0,"checksum":false}}"""
+      case "blosc" =>
+        // shuffle pays on fixed-width lanes; vlen strings get typesize 1 +
+        // noshuffle (zarr-python does the same for variable-length data)
+        val (ts, shuf) =
+          if (dt == StringType) (1, "noshuffle") else (typeWidth(dt), "shuffle")
+        s"""{"name":"blosc","configuration":{"cname":"lz4","clevel":5,"shuffle":"$shuf","typesize":$ts,"blocksize":0}}"""
+      case other => throw new ZarrException(
+        s"zarr write: unsupported compression '$other' (use zstd or blosc)")
+    }
+    s"[$terminal,$comp]"
   }
 
   /** `sharding_indexed` codec document: each stored chunk object is a SHARD
@@ -84,10 +104,10 @@ object ZarrWriteSupport {
    *  codecs), with a little-endian + crc32c (offset, nbytes) index at the
    *  end — the zarr v3 sharding extension the read side already decodes
    *  lazily. */
-  def codecsJsonSharded(dt: DataType, shardRows: Int): String =
+  def codecsJsonSharded(dt: DataType, shardRows: Int, compression: String = "zstd"): String =
     s"""[{"name":"sharding_indexed","configuration":{
        |"chunk_shape":[$shardRows],
-       |"codecs":${codecsJson(dt)},
+       |"codecs":${codecsJson(dt, compression)},
        |"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
        |"index_location":"end"}}]""".stripMargin.replace("\n", "")
 
@@ -164,7 +184,7 @@ object ZarrWriteSupport {
    *  (readers key off these, so writing them LAST makes commits atomic). */
   def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
       groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
-      shardRows: Int = 0): Unit = {
+      shardRows: Int = 0, compression: String = "zstd"): Unit = {
     // atomic publish: the streaming sink REWRITES these documents on every
     // epoch while the micro-batch source polls them for growth — a truncate-
     // then-write create() lets the reader observe a partial document. Write
@@ -201,8 +221,8 @@ object ZarrWriteSupport {
            |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkRows]}},
            |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
            |"fill_value":${fillJson(f.dataType)},
-           |"codecs":${if (shardRows > 0) codecsJsonSharded(f.dataType, shardRows)
-                       else codecsJson(f.dataType)},
+           |"codecs":${if (shardRows > 0) codecsJsonSharded(f.dataType, shardRows, compression)
+                       else codecsJson(f.dataType, compression)},
            |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
           .stripMargin
       writeJson(new Path(arrayDir, "zarr.json"), meta)
@@ -210,7 +230,8 @@ object ZarrWriteSupport {
   }
 
   /** Encode `count` buffered values of one column into a compressed chunk. */
-  def encodeChunk(dt: DataType, values: Array[Any], count: Int, chunkRows: Int): Array[Byte] = {
+  def encodeChunk(dt: DataType, values: Array[Any], count: Int, chunkRows: Int,
+      compression: String = "zstd"): Array[Byte] = {
     val raw: Array[Byte] = dt match {
       case StringType =>
         val bufs = new mutable.ArrayBuffer[Array[Byte]](chunkRows)
@@ -255,7 +276,20 @@ object ZarrWriteSupport {
         }
         out.array()
     }
-    Zstd.compress(raw, 0)
+    compression match {
+      case "zstd" => Zstd.compress(raw, 0)
+      case "blosc" =>
+        val (ts, shuf) = if (dt == StringType) (1, false)
+          else (dt match {
+            case LongType | DoubleType | TimestampNTZType => 8
+            case IntegerType | FloatType => 4
+            case ShortType => 2
+            case _ => 1
+          }, true)
+        graft.zarr.Blosc.encode(raw, ts, "lz4", 5, shuf)
+      case other => throw new ZarrException(
+        s"zarr write: unsupported compression '$other' (use zstd or blosc)")
+    }
   }
 
   /**
@@ -267,7 +301,7 @@ object ZarrWriteSupport {
    * a scan that needs 1k rows of a 1M-row shard decodes one inner chunk.
    */
   def encodeShard(dt: DataType, values: Array[Any], count: Int,
-      chunkRows: Int, shardRows: Int): Array[Byte] = {
+      chunkRows: Int, shardRows: Int, compression: String = "zstd"): Array[Byte] = {
     require(shardRows > 0 && chunkRows % shardRows == 0,
       s"shard_rows=$shardRows must divide chunk_rows=$chunkRows")
     val nInner = chunkRows / shardRows
@@ -282,7 +316,7 @@ object ZarrWriteSupport {
         j += 1
       }
       val innerCount = math.max(0, math.min(count - from, shardRows))
-      parts(i) = encodeChunk(dt, innerBuf, innerCount, shardRows)
+      parts(i) = encodeChunk(dt, innerBuf, innerCount, shardRows, compression)
       i += 1
     }
     val dataLen = parts.map(_.length).sum
@@ -306,7 +340,8 @@ class ZarrWriteBuilder(
     chunkRows: Int,
     rowIndexCol: Option[String],
     conf: SerializableHadoopConf,
-    shardRows: Int = 0)
+    shardRows: Int = 0,
+    compression: String = "zstd")
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -314,7 +349,7 @@ class ZarrWriteBuilder(
 
   override def build(): Write =
     new ZarrWrite(path, group, schema, chunkRows, rowIndexCol, doTruncate, conf,
-      shardRows)
+      shardRows, compression)
 }
 
 /** Per-chunk column stats computed task-side: min/max/nulls aligned with the
@@ -334,7 +369,8 @@ class ZarrWrite(
     rowIndexCol: Option[String],
     doTruncate: Boolean,
     conf: SerializableHadoopConf,
-    shardRows: Int = 0)
+    shardRows: Int = 0,
+    compression: String = "zstd")
   extends Write with BatchWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -415,8 +451,10 @@ class ZarrWrite(
       throw new ZarrException(
         s"option shard_rows=$shardRows must divide chunk_rows=$chunkRows " +
           "(a shard holds whole inner chunks)")
+    // fail fast on an unknown compression before any task runs
+    ZarrWriteSupport.codecsJson(StringType, compression)
     new ZarrWriterFactory(path, groupRel, schema, dataSchema, chunkRows,
-      rowIndexCol.map(c => schema.fieldIndex(c)), conf, shardRows)
+      rowIndexCol.map(c => schema.fieldIndex(c)), conf, shardRows, compression)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -457,7 +495,7 @@ class ZarrWrite(
       writeJson(p, graft.zarr.ZarrStats.toJson(sidecar))
     }
     ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows,
-      chunkRows, shardRows)
+      chunkRows, shardRows, compression)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -473,12 +511,13 @@ class ZarrWriterFactory(
     chunkRows: Int,
     idxOrdinal: Option[Int],
     conf: SerializableHadoopConf,
-    shardRows: Int = 0)
+    shardRows: Int = 0,
+    compression: String = "zstd")
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(path, groupRel, schema, dataSchema, chunkRows, idxOrdinal,
-      conf, shardRows)
+      conf, shardRows, compression)
 }
 
 class ZarrDataWriter(
@@ -489,7 +528,8 @@ class ZarrDataWriter(
     chunkRows: Int,
     idxOrdinal: Option[Int],
     conf: SerializableHadoopConf,
-    shardRows: Int = 0)
+    shardRows: Int = 0,
+    compression: String = "zstd")
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -545,8 +585,10 @@ class ZarrDataWriter(
         mins(c) = mn; maxs(c) = mx; nulls(c) = nl
         val bytes =
           if (shardRows > 0)
-            ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows, shardRows)
-          else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
+            ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows,
+              shardRows, compression)
+          else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows,
+            compression)
         val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
           else new Path(new Path(path, groupRel), f.name)
         val chunkPath = new Path(new Path(arrayDir, "c"), currentChunk.toString)

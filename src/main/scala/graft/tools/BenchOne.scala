@@ -10,7 +10,17 @@ import graft.SparkEntry
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: BenchOne <query> [runs] [unpersist|keep]")
+      System.err.println("queries: " + SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
     val name = args(0)
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid names:")
+      System.err.println(SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
     val runs = if (args.length > 1) args(1).toInt else 3
     val unpersistBetween = args.length <= 2 || args(2) != "keep"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,8 +39,12 @@ object BenchOne {
       fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[benchone] $name attempt $i: $sec%.3fs (unpersistBetween=$unpersistBetween)")
-      if (unpersistBetween)
+      if (unpersistBetween) {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // unpersist drops blocks but leaves CacheManager plan entries; clear
+        // those too so re-runs aren't substituted with empty InMemoryRelations
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

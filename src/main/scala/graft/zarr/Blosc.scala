@@ -1,0 +1,338 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
+
+import com.github.luben.zstd.Zstd
+import net.jpountz.lz4.LZ4Factory
+
+/**
+ * Blosc1 frame codec (decode + encode), re-derived from the public c-blosc
+ * 1.x container format (c-blosc FORMAT.rst / README_CHUNK_FORMAT.rst).
+ *
+ * This is what real-world Zarr stores overwhelmingly contain: zarr-python's
+ * default compressor is blosc, and the reference reads such stores through
+ * the `zarrs` crate whose default feature set includes blosc
+ * (reference: Cargo.toml:17). Without this decode, every
+ * "bring your own store" user fails at the first chunk.
+ *
+ * Frame layout (all integers little-endian):
+ * {{{
+ *   byte 0       version (format, 2 for blosc1)
+ *   byte 1       versionlz (inner codec format version)
+ *   byte 2       flags: bit0 byte-shuffle, bit1 memcpyed, bit2 bit-shuffle,
+ *                       bit4 dont-split, bits5-7 compressor code
+ *   byte 3       typesize (uint8)
+ *   bytes 4-7    nbytes   (uncompressed size)
+ *   bytes 8-11   blocksize
+ *   bytes 12-15  cbytes   (total frame size, header included)
+ *   [if !memcpyed] bstarts: ceil(nbytes/blocksize) × u32 block start offsets
+ *                  (relative to frame start), then the per-block streams.
+ * }}}
+ *
+ * Each block decodes independently: it holds `nsplits` streams (typesize
+ * streams when blocks are split — flag bit4 clear and not the short leftover
+ * block — else one), each prefixed by a u32 compressed length; a stream
+ * whose length equals its uncompressed size is stored raw. After the streams
+ * are assembled the block is byte-unshuffled if flag bit0 is set (shuffle in
+ * blosc is block-local). Inner codecs supported: lz4/lz4hc (code 1, raw LZ4
+ * block format via lz4-java), snappy (2, raw format via snappy-java),
+ * zlib (3, JDK Inflater), zstd (4, zstd-jni) — all of which ship with Spark.
+ * blosclz (0, a blosc-private LZ77) and bit-shuffle raise typed errors
+ * naming the store path.
+ */
+object Blosc {
+
+  private val FlagByteShuffle = 0x1
+  private val FlagMemcpyed = 0x2
+  private val FlagBitShuffle = 0x4
+  private val FlagDontSplit = 0x10
+
+  private val CodecBloscLz = 0
+  private val CodecLz4 = 1
+  private val CodecSnappy = 2
+  private val CodecZlib = 3
+  private val CodecZstd = 4
+
+  /** Compressor codes that blosc_c would split blocks for (forward-compat
+   *  split mode): blosclz and lz4, when typesize fits and blocks are big
+   *  enough. Mirrored on encode so our frames look like c-blosc's. */
+  private def splitBlocks(codec: Int, typesize: Int, blocksize: Int): Boolean =
+    (codec == CodecBloscLz || codec == CodecLz4) &&
+      typesize > 1 && typesize <= 16 && blocksize / typesize >= 128
+
+  def cnameCode(cname: String): Int = cname match {
+    case "lz4" | "lz4hc" => CodecLz4
+    case "snappy"        => CodecSnappy
+    case "zlib"          => CodecZlib
+    case "zstd"          => CodecZstd
+    case "blosclz"       => CodecBloscLz
+    case other => throw new ZarrException(s"unknown blosc cname '$other'")
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** Decode one blosc1 frame to its raw bytes. `where` names the chunk in
+   *  errors (store path + chunk key). */
+  def decode(frame: Array[Byte], where: String): Array[Byte] = {
+    if (frame.length < 16)
+      throw new ZarrException(s"blosc chunk shorter than its 16-byte header at $where")
+    val hdr = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
+    val version = frame(0) & 0xff
+    val flags = frame(2) & 0xff
+    val typesize = frame(3) & 0xff
+    val nbytes = hdr.getInt(4)
+    val blocksize = hdr.getInt(8)
+    val cbytes = hdr.getInt(12)
+    if (version < 1 || version > 2)
+      throw new ZarrException(s"unsupported blosc format version $version at $where")
+    if (nbytes < 0 || cbytes < 16 || cbytes > frame.length)
+      throw new ZarrException(
+        s"corrupt blosc header at $where (nbytes=$nbytes cbytes=$cbytes frame=${frame.length})")
+    val out = new Array[Byte](nbytes)
+    if (nbytes == 0) return out
+    if ((flags & FlagMemcpyed) != 0) {
+      if (cbytes != nbytes + 16)
+        throw new ZarrException(s"memcpyed blosc chunk size mismatch at $where")
+      System.arraycopy(frame, 16, out, 0, nbytes)
+      return out
+    }
+    if ((flags & FlagBitShuffle) != 0)
+      throw new ZarrException(s"blosc bit-shuffle not supported at $where " +
+        "(supported: shuffle, noshuffle)")
+    val codec = (flags >> 5) & 0x7
+    if (codec == CodecBloscLz)
+      throw new ZarrException(s"blosc inner codec 'blosclz' not supported at $where " +
+        "(supported: lz4, lz4hc, snappy, zlib, zstd)")
+    if (blocksize <= 0)
+      throw new ZarrException(s"corrupt blosc blocksize $blocksize at $where")
+    val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
+    if (16 + nblocks * 4 > frame.length)
+      throw new ZarrException(s"blosc bstarts section truncated at $where")
+    val dontSplit = (flags & FlagDontSplit) != 0
+    val doShuffle = (flags & FlagByteShuffle) != 0 && typesize > 1
+    var b = 0
+    while (b < nblocks) {
+      val start = hdr.getInt(16 + b * 4)
+      val destOff = b * blocksize
+      val bsize = math.min(blocksize, nbytes - destOff)
+      val leftover = bsize != blocksize
+      // split count is header-driven (c-blosc ≥1.14 records bit4); for
+      // pre-flag writers we fall back to the opposite interpretation if the
+      // primary one does not decode cleanly
+      val primary = if (dontSplit || leftover || typesize <= 1) 1 else typesize
+      val block =
+        decodeBlock(frame, start, bsize, primary, codec, where).orElse {
+          val alt = if (primary == 1 && !leftover && typesize > 1) typesize else 1
+          if (alt != primary) decodeBlock(frame, start, bsize, alt, codec, where) else None
+        }.getOrElse(throw new ZarrException(
+          s"blosc block $b does not decode at $where"))
+      if (doShuffle) unshuffle(typesize, block, out, destOff)
+      else System.arraycopy(block, 0, out, destOff, bsize)
+      b += 1
+    }
+    out
+  }
+
+  /** One block: `nsplits` length-prefixed streams → `bsize` raw bytes, or
+   *  None if the streams don't parse (wrong nsplits guess / corruption). */
+  private def decodeBlock(frame: Array[Byte], start: Int, bsize: Int,
+      nsplits: Int, codec: Int, where: String): Option[Array[Byte]] = {
+    if (start < 16 || start > frame.length || bsize % nsplits != 0) return None
+    val neblock = bsize / nsplits
+    val block = new Array[Byte](bsize)
+    val buf = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
+    var off = start
+    var j = 0
+    while (j < nsplits) {
+      if (off + 4 > frame.length) return None
+      val cb = buf.getInt(off)
+      off += 4
+      if (cb < 0 || off + cb > frame.length) return None
+      if (cb == neblock) { // stored raw: compression did not pay for itself
+        System.arraycopy(frame, off, block, j * neblock, neblock)
+      } else {
+        val n = decompressInto(codec, frame, off, cb, block, j * neblock, neblock, where)
+        if (n != neblock) return None
+      }
+      off += cb
+      j += 1
+    }
+    Some(block)
+  }
+
+  private lazy val lz4 = LZ4Factory.fastestInstance()
+
+  private def decompressInto(codec: Int, src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int, where: String): Int = codec match {
+    case CodecLz4 =>
+      try lz4.safeDecompressor().decompress(src, srcOff, srcLen, dst, dstOff, dstLen)
+      catch { case _: net.jpountz.lz4.LZ4Exception => -1 }
+    case CodecZstd =>
+      val dec = Zstd.decompressByteArray(dst, dstOff, dstLen, src, srcOff, srcLen)
+      if (Zstd.isError(dec)) -1 else dec.toInt
+    case CodecZlib =>
+      val inf = new Inflater()
+      try {
+        inf.setInput(src, srcOff, srcLen)
+        val n = inf.inflate(dst, dstOff, dstLen)
+        if (inf.finished()) n else -1
+      } catch { case _: java.util.zip.DataFormatException => -1 }
+      finally inf.end()
+    case CodecSnappy =>
+      try org.xerial.snappy.Snappy.uncompress(src, srcOff, srcLen, dst, dstOff)
+      catch { case _: java.io.IOException => -1 }
+    case other =>
+      throw new ZarrException(s"blosc inner codec code $other not supported at $where")
+  }
+
+  /** Block-local byte unshuffle: shuffled layout stores byte-plane j of all
+   *  elements contiguously; the `bsize % typesize` tail is stored verbatim
+   *  (matches c-blosc shuffle.c). Writes the restored block at `destOff`. */
+  private def unshuffle(typesize: Int, block: Array[Byte], out: Array[Byte], destOff: Int): Unit = {
+    val bsize = block.length
+    val nel = bsize / typesize
+    var j = 0
+    while (j < typesize) {
+      var e = 0
+      val plane = j * nel
+      while (e < nel) {
+        out(destOff + e * typesize + j) = block(plane + e)
+        e += 1
+      }
+      j += 1
+    }
+    val done = nel * typesize
+    if (done < bsize) System.arraycopy(block, done, out, destOff + done, bsize - done)
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /**
+   * Encode raw bytes as one blosc1 frame. Mirrors c-blosc's serial writer:
+   * forward-compat block splitting for lz4, stored-raw streams when
+   * compression doesn't pay, whole-frame memcpy fallback when the total
+   * would exceed nbytes + header.
+   *
+   * @param blocksize 0 → a default block size (64 KiB, rounded to a typesize
+   *                  multiple so shuffle never sees a ragged block)
+   */
+  def encode(data: Array[Byte], typesize0: Int, cname: String, clevel: Int,
+      shuffle: Boolean, blocksize: Int = 0): Array[Byte] = {
+    val typesize = if (typesize0 < 1 || typesize0 > 255) 1 else typesize0
+    val codec = cnameCode(cname)
+    if (codec == CodecBloscLz)
+      throw new ZarrException("blosc encode: cname 'blosclz' not supported " +
+        "(use lz4, lz4hc, snappy, zlib or zstd)")
+    val nbytes = data.length
+    // blocksize is always a typesize multiple (as c-blosc forces) so a full
+    // block splits evenly; a trailing short block is the unsplit leftover
+    val bs0 = if (blocksize > 0) blocksize else 1 << 16
+    val bsize = math.max(typesize, bs0 - bs0 % typesize)
+    val doShuffle = shuffle && typesize > 1
+    val split = splitBlocks(codec, typesize, bsize)
+    var flags = codec << 5
+    if (doShuffle) flags |= FlagByteShuffle
+    if (!split) flags |= FlagDontSplit
+    if (nbytes == 0) {
+      val hdr = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.put(2.toByte).put(1.toByte).put((flags | FlagMemcpyed).toByte).put(typesize.toByte)
+      hdr.putInt(0).putInt(bsize).putInt(16)
+      return hdr.array()
+    }
+    val nblocks = (nbytes + bsize - 1) / bsize
+    val streams = new scala.collection.mutable.ArrayBuffer[Array[Byte]](nblocks)
+    val starts = new Array[Int](nblocks)
+    var total = 16 + nblocks * 4
+    var b = 0
+    while (b < nblocks) {
+      val off = b * bsize
+      val blen = math.min(bsize, nbytes - off)
+      val leftover = blen != bsize
+      val block =
+        if (doShuffle) shuffleBlock(typesize, data, off, blen)
+        else java.util.Arrays.copyOfRange(data, off, off + blen)
+      val nsplits = if (split && !leftover) typesize else 1
+      val neblock = blen / nsplits
+      val outParts = new scala.collection.mutable.ArrayBuffer[Array[Byte]](nsplits)
+      var partBytes = 0
+      var j = 0
+      while (j < nsplits) {
+        val comp = compress(codec, clevel, block, j * neblock, neblock)
+        val part =
+          if (comp != null && comp.length < neblock) comp
+          else java.util.Arrays.copyOfRange(block, j * neblock, (j + 1) * neblock)
+        outParts += part
+        partBytes += 4 + part.length
+        j += 1
+      }
+      val sb = ByteBuffer.allocate(partBytes).order(ByteOrder.LITTLE_ENDIAN)
+      outParts.foreach(p => sb.putInt(p.length).put(p))
+      starts(b) = total
+      streams += sb.array()
+      total += partBytes
+      b += 1
+    }
+    if (total >= nbytes + 16) { // incompressible → plain memcpy frame
+      val out = ByteBuffer.allocate(nbytes + 16).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(2.toByte).put(1.toByte).put(FlagMemcpyed.toByte).put(typesize.toByte)
+      out.putInt(nbytes).putInt(bsize).putInt(nbytes + 16)
+      out.put(data)
+      return out.array()
+    }
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+    out.putInt(nbytes).putInt(bsize).putInt(total)
+    starts.foreach(out.putInt)
+    streams.foreach(out.put)
+    out.array()
+  }
+
+  /** null → incompressible (caller stores the split raw). */
+  private def compress(codec: Int, clevel: Int, src: Array[Byte], off: Int, len: Int): Array[Byte] =
+    codec match {
+      case CodecLz4 =>
+        val c = lz4.fastCompressor()
+        val max = c.maxCompressedLength(len)
+        val dst = new Array[Byte](max)
+        val n = c.compress(src, off, len, dst, 0, max)
+        java.util.Arrays.copyOfRange(dst, 0, n)
+      case CodecZstd =>
+        val level = if (clevel <= 0) 1 else math.min(clevel * 2, 19) // clevel 1-9 → zstd 2-18ish
+        val slice = java.util.Arrays.copyOfRange(src, off, off + len)
+        Zstd.compress(slice, level)
+      case CodecZlib =>
+        val d = new Deflater(math.min(math.max(clevel, 1), 9))
+        try {
+          d.setInput(src, off, len)
+          d.finish()
+          val dst = new Array[Byte](len + 64)
+          val n = d.deflate(dst)
+          if (d.finished()) java.util.Arrays.copyOfRange(dst, 0, n) else null
+        } finally d.end()
+      case CodecSnappy =>
+        val dst = new Array[Byte](org.xerial.snappy.Snappy.maxCompressedLength(len))
+        val n = org.xerial.snappy.Snappy.compress(src, off, len, dst, 0)
+        java.util.Arrays.copyOfRange(dst, 0, n)
+      case _ => null
+    }
+
+  /** Block-local byte shuffle (inverse of [[unshuffle]]). */
+  private def shuffleBlock(typesize: Int, data: Array[Byte], off: Int, blen: Int): Array[Byte] = {
+    val out = new Array[Byte](blen)
+    val nel = blen / typesize
+    var j = 0
+    while (j < typesize) {
+      var e = 0
+      val plane = j * nel
+      while (e < nel) {
+        out(plane + e) = data(off + e * typesize + j)
+        e += 1
+      }
+      j += 1
+    }
+    val done = nel * typesize
+    if (done < blen) System.arraycopy(data, off + done, out, done, blen - done)
+    out
+  }
+}

@@ -51,6 +51,7 @@ object ZarrCodecs {
       case ZarrCodec.ZstdCodec(_, _) => bytes = zstdDecompress(bytes)
       case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes)
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
+      case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path)
       case ZarrCodec.BytesCodec(_) | ZarrCodec.VlenUtf8Codec => // terminal, handled below
       case _: ZarrCodec.ShardingCodec =>
         throw new ZarrException(s"nested sharding_indexed not supported at ${meta.path}")

@@ -48,6 +48,15 @@ object ZarrCodec {
   /** crc32c appends a 4-byte checksum; on read we verify+strip. */
   case object Crc32cCodec extends ZarrCodec
   /**
+   * Blosc1 frame (the zarr-python default compressor; v3 codec name
+   * "blosc"). The frame header is self-describing, so decode ignores this
+   * configuration; it's carried for the write side and for validation.
+   * shuffle ∈ {noshuffle, shuffle, bitshuffle} per the public v3 codec spec.
+   */
+  final case class BloscCodec(
+      cname: String, clevel: Int, shuffle: String, typesize: Int,
+      blocksize: Int) extends ZarrCodec
+  /**
    * Zarr v3 `sharding_indexed` (public sharding codec spec): one stored
    * object holds a whole grid cell of INNER chunks plus a binary index of
    * (offset: u64 LE, nbytes: u64 LE) per inner chunk — the object-store
@@ -178,6 +187,13 @@ object ZarrMeta {
         case "zstd"      => out += ZstdCodec(cfg.path("level").asInt(0), cfg.path("checksum").asBoolean(false))
         case "gzip"      => out += GzipCodec(cfg.path("level").asInt(5))
         case "crc32c"    => out += Crc32cCodec
+        case "blosc" =>
+          out += BloscCodec(
+            cname = cfg.path("cname").asText("lz4"),
+            clevel = cfg.path("clevel").asInt(5),
+            shuffle = cfg.path("shuffle").asText("noshuffle"),
+            typesize = cfg.path("typesize").asInt(0),
+            blocksize = cfg.path("blocksize").asInt(0))
         case "sharding_indexed" =>
           val inner = cfg.path("chunk_shape")
           if (inner.size() != 1)

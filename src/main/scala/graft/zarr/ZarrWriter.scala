@@ -267,11 +267,18 @@ object ZarrWriter {
    * trailing chunks, and deliberately omitted chunk objects (fill-value
    * reads). `put` encodes one element at the current buffer position.
    */
+  /** "blosc-<cname>[-noshuffle]" → (cname, shuffle). */
+  private def parseBloscComp(compression: String): (String, Boolean) = {
+    val parts = compression.stripPrefix("blosc-").split("-")
+    (parts(0), !parts.contains("noshuffle"))
+  }
+
   def writeFixedArray(root: String, group: String, name: String,
       dtypeJson: String, width: Int, put: (ByteBuffer, Any) => Unit,
       values: Seq[Any], pad: Any, chunkLen: Int, fillJson: String,
       compression: String = "zstd", crc32c: Boolean = false,
-      bigEndian: Boolean = false, omitChunks: Set[Int] = Set.empty): Unit = {
+      bigEndian: Boolean = false, omitChunks: Set[Int] = Set.empty,
+      bloscBlocksize: Int = 0): Unit = {
     val g = group.stripPrefix("/").stripSuffix("/")
     val dir = Paths.get(root, g, name)
     val codecJsons = Seq(
@@ -279,6 +286,11 @@ object ZarrWriter {
       compression match {
         case "zstd" => Some("""{"name":"zstd","configuration":{"level":0,"checksum":false}}""")
         case "gzip" => Some("""{"name":"gzip","configuration":{"level":5}}""")
+        case b if b.startsWith("blosc") =>
+          val (cname, shuffle) = parseBloscComp(b)
+          Some(s"""{"name":"blosc","configuration":{"cname":"$cname","clevel":5,""" +
+            s""""shuffle":"${if (shuffle) "shuffle" else "noshuffle"}","typesize":$width,""" +
+            s""""blocksize":$bloscBlocksize}}""")
         case _      => None
       },
       if (crc32c) Some("""{"name":"crc32c","configuration":{}}""") else None
@@ -304,6 +316,9 @@ object ZarrWriter {
             val bos = new java.io.ByteArrayOutputStream()
             val gz = new java.util.zip.GZIPOutputStream(bos)
             gz.write(bytes); gz.close(); bos.toByteArray
+          case b if b.startsWith("blosc") =>
+            val (cname, shuffle) = parseBloscComp(b)
+            Blosc.encode(bytes, width, cname, 5, shuffle, bloscBlocksize)
           case _ => bytes
         }
         if (crc32c) {

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.zarr.{Blosc, ZarrException, ZarrWriter}
+
+/**
+ * Blosc1 codec coverage: a hand-crafted golden frame (literal bytes, fully
+ * independent of our encoder) pins the wire format — header fields, bstarts,
+ * split streams, stored-raw streams, block-local byte shuffle; then
+ * encode→decode roundtrips across the cname × shuffle × shape matrix; then
+ * the DSv2 read and write paths over blosc stores; then the typed-error
+ * contract for the unsupported corners (blosclz, bit-shuffle).
+ */
+class BloscSpec extends SparkSpec {
+
+  private def u32(b: ByteBuffer, v: Int): ByteBuffer = b.putInt(v)
+
+  test("golden hand-crafted frame: shuffled, split, stored-raw streams") {
+    // 8 int32 values 0..7, typesize 4, one block of 32 bytes, split into 4
+    // streams (one per byte plane), every stream stored raw (cbytes==neblock).
+    // Shuffled layout: plane 0 = the low bytes [0..7], planes 1-3 all zero.
+    // flags = byte-shuffle (0x1) | lz4 compressor code (1 << 5) = 0x21.
+    val frame = ByteBuffer.allocate(16 + 4 + 4 * (4 + 8)).order(ByteOrder.LITTLE_ENDIAN)
+    frame.put(2.toByte)       // version
+    frame.put(1.toByte)       // versionlz
+    frame.put(0x21.toByte)    // flags: shuffle + lz4, split (bit4 clear)
+    frame.put(4.toByte)       // typesize
+    u32(frame, 32)            // nbytes
+    u32(frame, 32)            // blocksize
+    u32(frame, 68)            // cbytes = 16 + 4 + 48
+    u32(frame, 20)            // bstarts[0]: block 0 starts after header+bstarts
+    for (plane <- 0 until 4) {
+      u32(frame, 8)           // stream length == neblock → stored raw
+      for (e <- 0 until 8) frame.put(if (plane == 0) e.toByte else 0.toByte)
+    }
+    val out = Blosc.decode(frame.array(), "golden")
+    val ints = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    assert((0 until 8).map(i => ints.getInt(i * 4)) == (0 until 8))
+  }
+
+  test("golden memcpyed frame: raw passthrough") {
+    val payload = Array.tabulate[Byte](10)(i => (i * 3).toByte)
+    val frame = ByteBuffer.allocate(26).order(ByteOrder.LITTLE_ENDIAN)
+    frame.put(2.toByte).put(1.toByte).put(0x02.toByte).put(1.toByte)
+    u32(frame, 10); u32(frame, 10); u32(frame, 26)
+    frame.put(payload)
+    assert(Blosc.decode(frame.array(), "golden").toSeq == payload.toSeq)
+  }
+
+  test("encode→decode roundtrip across cname × shuffle × shape") {
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq(
+      ("empty", Array.emptyByteArray, 8),
+      ("small", Array.tabulate[Byte](40)(_.toByte), 8),
+      // incompressible: random bytes → memcpy fallback frame
+      ("random", Array.fill[Byte](500)(rnd.nextInt().toByte), 4),
+      // multi-block with leftover: 10_000 bytes, typesize 8, small blocks
+      ("multiblock", Array.tabulate[Byte](10000)(i => (i / 100).toByte), 8),
+      // tail not a multiple of typesize (shuffle leaves the ragged tail raw)
+      ("ragged", Array.tabulate[Byte](1003)(i => (i % 7).toByte), 4))
+    for {
+      cname <- Seq("lz4", "zstd", "zlib", "snappy")
+      shuffle <- Seq(true, false)
+      (label, data, ts) <- shapes
+    } {
+      // blocksize 1024 forces multiple blocks for the larger shapes; lz4 with
+      // typesize ≤ 16 and 1024/ts ≥ 128 takes the SPLIT path
+      val enc = Blosc.encode(data, ts, cname, 5, shuffle, blocksize = 1024)
+      val dec = Blosc.decode(enc, s"$cname/$shuffle/$label")
+      assert(dec.toSeq == data.toSeq, s"roundtrip $cname shuffle=$shuffle $label")
+    }
+  }
+
+  test("split heuristic matches c-blosc forward-compat: lz4 splits, zstd does not") {
+    val data = Array.tabulate[Byte](8192)(i => (i / 64).toByte)
+    val lz4 = Blosc.encode(data, 8, "lz4", 5, shuffle = true, blocksize = 4096)
+    val zstd = Blosc.encode(data, 8, "zstd", 5, shuffle = true, blocksize = 4096)
+    assert((lz4(2) & 0x10) == 0, "lz4 frame should be split (bit4 clear)")
+    assert((zstd(2) & 0x10) != 0, "zstd frame should set dont-split")
+    assert(Blosc.decode(lz4, "t").toSeq == data.toSeq)
+    assert(Blosc.decode(zstd, "t").toSeq == data.toSeq)
+  }
+
+  test("typed errors: blosclz and bit-shuffle are rejected with the store path") {
+    def frame(flags: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte).put(1.toByte).put(flags.toByte).put(1.toByte)
+      u32(b, 4); u32(b, 4); u32(b, 24)
+      u32(b, 20); u32(b, 4) // bstarts + one raw stream header
+      b.array()
+    }
+    val e1 = intercept[ZarrException](Blosc.decode(frame(0x00), "my/array"))
+    assert(e1.getMessage.contains("blosclz") && e1.getMessage.contains("my/array"))
+    val e2 = intercept[ZarrException](Blosc.decode(frame(0x04 | (1 << 5)), "my/array"))
+    assert(e2.getMessage.contains("bit-shuffle"))
+    val e3 = intercept[ZarrException](Blosc.decode(Array[Byte](1, 2, 3), "my/array"))
+    assert(e3.getMessage.contains("header"))
+  }
+
+  test("DSv2 scan decodes blosc stores: cname matrix, multi-chunk, multi-block, crc32c") {
+    val vals = (0 until 1000).map(i => (i * 37 % 9973).toLong)
+    for ((comp, crc) <- Seq(("blosc-lz4", false), ("blosc-zstd", false),
+        ("blosc-zlib", true), ("blosc-lz4-noshuffle", false), ("blosc-snappy", false))) {
+      val dir = tempDir("zarr_blosc")
+      ZarrWriter.writeGroup(dir, "/g")
+      // chunkLen 256 → 4 chunks (tail partial); blocksize 512 → 4 blocks/chunk
+      ZarrWriter.writeFixedArray(dir, "/g", "x", "\"int64\"", 8,
+        (b, v) => b.putLong(v.asInstanceOf[Long]), vals, 0L, 256, "0",
+        compression = comp, crc32c = crc, bloscBlocksize = 512)
+      val out = spark.read.format("zarr").option("group", "/g").load(dir)
+        .collect().toSeq.map(_.getLong(0))
+      assert(out == vals, s"comp=$comp crc=$crc")
+    }
+  }
+
+  test("DSv2 write with compression=blosc roundtrips and declares the blosc codec") {
+    val dir = tempDir("zarr_blosc_w") + "/t.zarr"
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    src.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "8").option("compression", "blosc")
+      .mode("overwrite").save(dir)
+    val metaText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t", "n_nationkey", "zarr.json")))
+    assert(metaText.contains("\"blosc\"") && metaText.contains("\"shuffle\""))
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+      .select("n_nationkey", "n_name")
+    assert(back.exceptAll(src).unionAll(src.exceptAll(back)).count() == 0)
+    assert(back.count() == src.count())
+  }
+
+  test("DSv2 sharded write with compression=blosc roundtrips") {
+    val dir = tempDir("zarr_blosc_s") + "/t.zarr"
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    src.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "16").option("shard_rows", "4")
+      .option("compression", "blosc").mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+      .select("n_nationkey", "n_regionkey")
+    assert(back.exceptAll(src).unionAll(src.exceptAll(back)).count() == 0)
+  }
+
+  test("unknown compression option fails fast with a typed error") {
+    val dir = tempDir("zarr_blosc_bad") + "/t.zarr"
+    val e = intercept[Exception] {
+      spark.range(4).toDF("x").coalesce(1).write.format("zarr")
+        .option("group", "/t").option("compression", "lzma")
+        .mode("overwrite").save(dir)
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("unsupported compression"), messages)
+  }
+}
