@@ -101,7 +101,7 @@ object MLQueries {
 
     // minhash4 serialized to a string: the driver's pandas row-count pass
     // chokes on ndarray cells even for oracle-less queries (r01 crash).
-    Q("q_text_fingerprint", None,
+    Q("q_text_fingerprint", Some(FingerprintOracle.sql),
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
         xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),

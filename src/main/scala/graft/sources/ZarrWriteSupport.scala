@@ -279,13 +279,8 @@ object ZarrWriteSupport {
     compression match {
       case "zstd" => Zstd.compress(raw, 0)
       case "blosc" =>
-        val (ts, shuf) = if (dt == StringType) (1, false)
-          else (dt match {
-            case LongType | DoubleType | TimestampNTZType => 8
-            case IntegerType | FloatType => 4
-            case ShortType => 2
-            case _ => 1
-          }, true)
+        val (ts, shuf) =
+          if (dt == StringType) (1, false) else (typeWidth(dt), true)
         graft.zarr.Blosc.encode(raw, ts, "lz4", 5, shuf)
       case other => throw new ZarrException(
         s"zarr write: unsupported compression '$other' (use zstd or blosc)")

@@ -172,11 +172,19 @@ object Blosc {
       val dec = Zstd.decompressByteArray(dst, dstOff, dstLen, src, srcOff, srcLen)
       if (Zstd.isError(dec)) -1 else dec.toInt
     case CodecZlib =>
+      // Loop inflate(): the JDK may need an extra call with the output
+      // buffer already full to consume the stream-end + adler32 trailer.
       val inf = new Inflater()
       try {
         inf.setInput(src, srcOff, srcLen)
-        val n = inf.inflate(dst, dstOff, dstLen)
-        if (inf.finished()) n else -1
+        var total = 0
+        var progressed = true
+        while (!inf.finished() && progressed) {
+          val n = inf.inflate(dst, dstOff + total, dstLen - total)
+          total += n
+          progressed = n > 0 || (!inf.finished() && !inf.needsInput() && dstLen - total > 0)
+        }
+        if (inf.finished()) total else -1
       } catch { case _: java.util.zip.DataFormatException => -1 }
       finally inf.end()
     case CodecSnappy =>

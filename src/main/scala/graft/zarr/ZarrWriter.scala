@@ -267,10 +267,14 @@ object ZarrWriter {
    * trailing chunks, and deliberately omitted chunk objects (fill-value
    * reads). `put` encodes one element at the current buffer position.
    */
-  /** "blosc-<cname>[-noshuffle]" → (cname, shuffle). */
+  /** "blosc[-<cname>][-noshuffle]" → (cname, shuffle); bare "blosc" defaults
+   *  to lz4 (matching the DSv2 write path) and unknown cnames fail here,
+   *  before any zarr.json naming them is written. */
   private def parseBloscComp(compression: String): (String, Boolean) = {
-    val parts = compression.stripPrefix("blosc-").split("-")
-    (parts(0), !parts.contains("noshuffle"))
+    val parts = compression.stripPrefix("blosc").stripPrefix("-").split("-")
+    val cname = if (parts(0).isEmpty) "lz4" else parts(0)
+    Blosc.cnameCode(cname) // validate before the cname reaches zarr.json
+    (cname, !parts.contains("noshuffle"))
   }
 
   def writeFixedArray(root: String, group: String, name: String,
