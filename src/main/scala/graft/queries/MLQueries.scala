@@ -17,6 +17,24 @@ object MLQueries {
 
   private val enStop = TextFunctions.StopwordSets.head._2
 
+  /** Oracle scaffold for the approximate-ANN queries: `triples` pins the
+   *  (probe_id, neighbor_id, rank) rows the deterministic index selects on
+   *  the sf0.01 corpus; the cosine column is NOT pinned — DuckDB recomputes
+   *  it from the raw embeddings, cross-checking the vec_cosine kernel. */
+  private def simPickedOracle(triples: String): String = s"""
+      WITH picked(probe_id, neighbor_id, rank) AS (SELECT * FROM (VALUES $triples)),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      SELECT CAST(p.probe_id AS BIGINT) AS probe_id,
+             CAST(p.neighbor_id AS BIGINT) AS neighbor_id,
+             round(list_inner_product(a.emb, b.emb)
+               / (sqrt(list_inner_product(a.emb, a.emb))
+                  * sqrt(list_inner_product(b.emb, b.emb))), 6) AS cosine,
+             CAST(p.rank AS INTEGER) AS rank
+      FROM picked p
+      JOIN v a ON a.vec_id = p.probe_id
+      JOIN v b ON b.vec_id = p.neighbor_id
+      ORDER BY probe_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     Q("q_text_stats", Some(s"""
@@ -263,7 +281,16 @@ object MLQueries {
       ORDER BY label, pos"""),
       (s, dir) => Similarity.centroids(t(s, dir, "embeddings"))),
 
-    Q("q_sim_lsh", None,
+    // LSH/IVF oracles pin WHICH neighbors the (deterministic) approximate
+    // index selects for the sf0.01 corpus — candidate selection is
+    // engine-specific by nature — but make DuckDB RECOMPUTE every cosine
+    // from the raw embeddings, so the hash compare cross-checks our native
+    // vec_cosine kernel's arithmetic pair by pair. Recall itself is gated
+    // separately in SketchSpec against brute force.
+    Q("q_sim_lsh", Some(simPickedOracle(
+      "(0,423,1),(0,229,2),(0,29,3),(0,443,4),(0,22,5)," +
+      "(1,2,1),(2,1,1),(2,28,2),(3,396,1)," +
+      "(4,136,1),(4,366,2),(4,275,3)")),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 5)
@@ -271,7 +298,12 @@ object MLQueries {
         Similarity.lshTopK(emb, probes, k = 5)
       }),
 
-    Q("q_sim_ivf", None,
+    Q("q_sim_ivf", Some(simPickedOracle(
+      "(0,365,1),(0,334,2),(0,387,3),(0,423,4),(0,73,5)," +
+      "(1,195,1),(1,64,2),(1,124,3),(1,472,4),(1,312,5)," +
+      "(2,117,1),(2,450,2),(2,145,3),(2,188,4),(2,320,5)," +
+      "(3,231,1),(3,474,2),(3,463,3),(3,444,4),(3,449,5)," +
+      "(4,496,1),(4,280,2),(4,249,3),(4,89,4),(4,332,5)")),
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 5)
