@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // post-pushdown (pre-CBO) rule: plant bbox_intersects predicates into
+    // ZarrScan so its partition planning can skip chunks by stored envelope
+    ext.injectPreCBORule(_ => graft.plans.ZarrBboxPruning)
     ext.injectFunction((FunctionIdentifier("bbox_intersects"),
       info("bbox_intersects", "bbox_intersects(wkt, minx, miny, maxx, maxy) - envelope intersection"),
       (es: Seq[Expression]) =>

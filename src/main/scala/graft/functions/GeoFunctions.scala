@@ -98,6 +98,12 @@ object GeoFunctions {
     reg.createOrReplaceTempFunction("bbox_intersects",
       (es: Seq[Expression]) =>
         BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType))), "scala_udf")
+    // bbox chunk pruning for Zarr scans ("User Provided Optimizers" runs
+    // post-pushdown, where DataSourceV2ScanRelation exists); sessions built
+    // with GraftExtensions get the same rule via injectPreCBORule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ZarrBboxPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ZarrBboxPruning
   }
 
   /** Column helpers (require `register(spark)` on the active session). */

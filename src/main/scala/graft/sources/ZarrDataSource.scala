@@ -103,8 +103,13 @@ class ZarrTable(
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, group, arrays, tableSchema, targetRows)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // columnar=false forces the row reader (benchmark/debug escape hatch);
+    // batch_size tunes ColumnarBatch row count (default 4096, parquet's)
+    val columnar = Option(options.get("columnar")).forall(_.toBoolean)
+    val batchSize = Option(options.get("batch_size")).map(_.toInt).getOrElse(4096)
+    new ZarrScanBuilder(path, group, arrays, tableSchema, targetRows, columnar, batchSize)
+  }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -118,7 +123,9 @@ class ZarrScanBuilder(
     group: String,
     arrays: Seq[ZarrArrayMeta],
     fullSchema: StructType,
-    targetRows: Long)
+    targetRows: Long,
+    columnar: Boolean = true,
+    batchSize: Int = 4096)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
   with SupportsPushDownAggregates
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -176,7 +183,8 @@ class ZarrScanBuilder(
     if (countStar) {
       val n = arrays.headOption.map(_.length).getOrElse(0L)
       new ZarrCountStarScan(limit.fold(n)(math.min(n, _)))
-    } else new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit, pruningFilters)
+    } else new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit, pruningFilters,
+      columnar, batchSize)
 }
 
 /** Completely-pushed COUNT(*): one partition, one row, zero chunk I/O. */
@@ -210,8 +218,21 @@ class ZarrScan(
     requiredSchema: StructType,
     targetRows: Long,
     limit: Option[Long] = None,
-    pruningFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pruningFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    columnar: Boolean = true,
+    batchSize: Int = 4096,
+    /** (column, minx, miny, maxx, maxy) from a `bbox_intersects` predicate,
+     *  planted post-pushdown by [[graft.plans.ZarrBboxPruning]]: chunk ranges
+     *  whose recorded envelope can't intersect the query box are skipped.
+     *  Advisory like `pruningFilters` — the Filter stays above the scan. */
+    val bboxFilter: Option[(String, Double, Double, Double, Double)] = None)
   extends Scan with Batch with SupportsReportStatistics {
+
+  /** Copy with a bbox predicate attached (used by the optimizer rule). */
+  def withBboxFilter(col: String, minx: Double, miny: Double,
+      maxx: Double, maxy: Double): ZarrScan =
+    new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit, pruningFilters,
+      columnar, batchSize, Some((col, minx, miny, maxx, maxy)))
 
   private val tableRows: Long = {
     val n = arrays.headOption.map(_.length).getOrElse(0L)
@@ -225,7 +246,9 @@ class ZarrScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"ZarrScan(path=$path, columns=[${requiredSchema.fieldNames.mkString(",")}]" +
-      (if (pruningFilters.nonEmpty) s", PushedFilters: [${pruningFilters.mkString(", ")}]" else "") + ")"
+      (if (pruningFilters.nonEmpty) s", PushedFilters: [${pruningFilters.mkString(", ")}]" else "") +
+      bboxFilter.fold("") { case (c, x0, y0, x1, y1) =>
+        s", PushedBbox: $c intersects [$x0, $y0, $x1, $y1]" } + ")"
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = {
@@ -258,7 +281,7 @@ class ZarrScan(
    *  grid doesn't cover the table exactly (stale after a foreign write) is
    *  ignored. */
   private def rangeKeeper(): (Long, Long) => Boolean = {
-    if (pruningFilters.isEmpty) return (_, _) => true
+    if (pruningFilters.isEmpty && bboxFilter.isEmpty) return (_, _) => true
     val fullLen = arrays.headOption.map(_.length).getOrElse(0L)
     val stats = ZarrStats.read(
       new ZarrStore(path, SparkSession.active.sessionState.newHadoopConf()), group)
@@ -267,17 +290,41 @@ class ZarrScan(
     stats match {
       case None => (_, _) => true
       case Some(s) =>
-        (start, end) => {
-          val statsOf: String => Option[ZarrPruning.RangeStats] = n =>
-            arrays.find(_.name == n).flatMap(a => ZarrPruning.rangeStats(s, n, a.dtype, start, end))
-          !pruningFilters.exists(f => ZarrPruning.skippable(f, statsOf))
+        val filterKeep: (Long, Long) => Boolean =
+          if (pruningFilters.isEmpty) (_, _) => true
+          else (start, end) => {
+            val statsOf: String => Option[ZarrPruning.RangeStats] = n =>
+              arrays.find(_.name == n).flatMap(a => ZarrPruning.rangeStats(s, n, a.dtype, start, end))
+            !pruningFilters.exists(f => ZarrPruning.skippable(f, statsOf))
+          }
+        val bboxKeep: (Long, Long) => Boolean = bboxFilter match {
+          case Some((col, qx0, qy0, qx1, qy1)) if s.envelopes.contains(col) =>
+            val env = s.envelopes(col)
+            (start, end) => {
+              // keep the range iff ANY covered chunk might intersect the box
+              // (unknown envelope = might); box touch counts as intersection,
+              // matching Wkt.envelopeIntersects' inclusive bounds
+              val lo = (start / s.chunkRows).toInt
+              val hi = math.min(((end - 1) / s.chunkRows).toInt, s.nChunks - 1)
+              var keep = false
+              var i = lo
+              while (i <= hi && !keep) {
+                val e = env(i)
+                keep = e == null ||
+                  !(e(2) < qx0 || e(0) > qx1 || e(3) < qy0 || e(1) > qy1)
+                i += 1
+              }
+              keep
+            }
+          case _ => (_, _) => true
         }
+        (start, end) => bboxKeep(start, end) && filterKeep(start, end)
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf())
-    new ZarrPartitionReaderFactory(path, conf, requiredArrays)
+    new ZarrPartitionReaderFactory(path, conf, requiredArrays, columnar, batchSize)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -292,11 +339,20 @@ final case class ZarrInputPartition(start: Long, end: Long) extends InputPartiti
 class ZarrPartitionReaderFactory(
     path: String,
     conf: SerializableHadoopConf,
-    columns: Seq[ZarrArrayMeta])
+    columns: Seq[ZarrArrayMeta],
+    columnar: Boolean = true,
+    batchSize: Int = 4096)
   extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
     new ZarrPartitionReader(new ZarrStore(path, conf.value), columns, p.start, p.end)
+  }
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ZarrInputPartition]
+    new ZarrColumnarPartitionReader(new ZarrStore(path, conf.value), columns, p.start, p.end,
+      batchSize)
   }
 }
 

@@ -72,6 +72,45 @@ object ZarrWriteSupport {
     case _ => "0"
   }
 
+  /** The write-side mirror of [[graft.zarr.ZarrSchema.toField]]'s geo typing
+   *  rule: a string column named `bbox` carries WKT geometry. */
+  def isGeoColumn(f: StructField): Boolean =
+    f.name == "bbox" && f.dataType == StringType
+
+  /**
+   * Union envelope [minx, miny, maxx, maxy] of a chunk's parseable WKT
+   * values, or null when unknown (malformed text, or no geometry at all).
+   * Rows whose WKT yields no envelope evaluate `bbox_intersects` to false,
+   * so omitting them from the union never over-prunes.
+   */
+  def chunkEnvelope(values: Array[Any], count: Int): Array[Double] = {
+    var minx = Double.PositiveInfinity
+    var miny = Double.PositiveInfinity
+    var maxx = Double.NegativeInfinity
+    var maxy = Double.NegativeInfinity
+    var any = false
+    var i = 0
+    try {
+      while (i < count) {
+        values(i) match {
+          case s: String =>
+            val e = graft.functions.Wkt.envelope(s)
+            if (e != null) {
+              if (e(0) < minx) minx = e(0)
+              if (e(1) < miny) miny = e(1)
+              if (e(2) > maxx) maxx = e(2)
+              if (e(3) > maxy) maxy = e(3)
+              any = true
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    } catch { case _: NumberFormatException => return null } // garbage WKT → unknown
+    if (!any) null // all-empty chunk: no finite box to record (JSON-safe), keep
+    else Array(minx, miny, maxx, maxy)
+  }
+
   /** Element byte width as recorded in blosc `typesize` (drives shuffle). */
   private def typeWidth(dt: DataType): Int = dt match {
     case LongType | DoubleType | TimestampNTZType => 8
@@ -348,9 +387,11 @@ class ZarrWriteBuilder(
 }
 
 /** Per-chunk column stats computed task-side: min/max/nulls aligned with the
- *  data schema's field order (null min/max = all-null chunk). */
+ *  data schema's field order (null min/max = all-null chunk). `envs` carries
+ *  per-column geometry envelopes (null for non-geo columns / unknown). */
 case class ZarrChunkStatsMsg(
-    chunk: Long, min: Array[String], max: Array[String], nulls: Array[Long])
+    chunk: Long, min: Array[String], max: Array[String], nulls: Array[Long],
+    envs: Array[Array[Double]] = null)
 
 /** One task's report: the chunks it wrote, their row counts, and stats. */
 case class ZarrCommit(chunks: Seq[(Long, Int)], stats: Seq[ZarrChunkStatsMsg])
@@ -484,7 +525,14 @@ class ZarrWrite(
           allStats.map(_.max(c)).toArray,
           allStats.map(_.nulls(c)).toArray)
       }.toMap
-      val sidecar = graft.zarr.StoreChunkStats(chunkRows, allStats.length, totalRows, cols)
+      val envMap = fields.indices
+        .filter(c => ZarrWriteSupport.isGeoColumn(fields(c)))
+        .map { c =>
+          fields(c).name ->
+            allStats.map(s => if (s.envs == null) null else s.envs(c)).toArray
+        }.toMap
+      val sidecar = graft.zarr.StoreChunkStats(chunkRows, allStats.length, totalRows, cols,
+        envMap)
       val p = if (groupRel.isEmpty) new Path(path, graft.zarr.ZarrStats.FileName)
         else new Path(new Path(path, groupRel), graft.zarr.ZarrStats.FileName)
       writeJson(p, graft.zarr.ZarrStats.toJson(sidecar))
@@ -573,11 +621,14 @@ class ZarrDataWriter(
       val mins = new Array[String](dataOrdinals.length)
       val maxs = new Array[String](dataOrdinals.length)
       val nulls = new Array[Long](dataOrdinals.length)
+      val envs = new Array[Array[Double]](dataOrdinals.length)
       var c = 0
       while (c < dataOrdinals.length) {
         val f = dataSchema.fields(c)
         val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
         mins(c) = mn; maxs(c) = mx; nulls(c) = nl
+        if (ZarrWriteSupport.isGeoColumn(f))
+          envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
         val bytes =
           if (shardRows > 0)
             ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows,
@@ -592,7 +643,7 @@ class ZarrDataWriter(
         c += 1
       }
       written += ((currentChunk, count))
-      stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls)
+      stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls, envs)
       count = 0
     }
     currentChunk = -1

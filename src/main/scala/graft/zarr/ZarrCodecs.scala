@@ -29,9 +29,44 @@ sealed trait ColumnChunk {
   def length: Int
   /** Catalyst internal value of element i. */
   def get(i: Int): Any
+
+  /**
+   * Bulk-copy elements [srcPos, srcPos+n) into `vec` at [destPos, destPos+n).
+   * Default: per-element dispatch on the Catalyst value (correct for every
+   * chunk kind); fixed-width numeric chunks override with single
+   * `put*LittleEndian` memcopies from the decoded chunk bytes — the hot path
+   * of the columnar DSv2 reader.
+   */
+  def writeTo(vec: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      destPos: Int, srcPos: Int, n: Int): Unit = {
+    var i = 0
+    while (i < n) { ZarrCodecs.writeValue(vec, destPos + i, get(srcPos + i)); i += 1 }
+  }
 }
 
 object ZarrCodecs {
+
+  private type WCV = org.apache.spark.sql.execution.vectorized.WritableColumnVector
+
+  /** Per-element vector write for the generic [[ColumnChunk.writeTo]] path:
+   *  dispatch on the Catalyst internal value produced by `get`. */
+  private[zarr] def writeValue(
+      vec: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      row: Int, v: Any): Unit = v match {
+    case null                => vec.putNull(row)
+    case b: Boolean          => vec.putBoolean(row, b)
+    case b: Byte             => vec.putByte(row, b)
+    case s: Short            => vec.putShort(row, s)
+    case i: Int              => vec.putInt(row, i)
+    case l: Long             => vec.putLong(row, l)
+    case f: Float            => vec.putFloat(row, f)
+    case d: Double           => vec.putDouble(row, d)
+    case s: UTF8String       => vec.putByteArray(row, s.getBytes)
+    case d: Decimal          => vec.putDecimal(row, d, 20)
+    case b: Array[Byte]      => vec.putByteArray(row, b)
+    case other               =>
+      throw new ZarrException(s"unsupported vector value ${other.getClass.getName}")
+  }
 
   /** Decode one stored chunk (or synthesize a fill-value chunk if bytes==null). */
   def decodeChunk(raw: Array[Byte], meta: ZarrArrayMeta): ColumnChunk = {
@@ -109,6 +144,18 @@ object ZarrCodecs {
     new ColumnChunk {
       val length = shardLen
       def get(i: Int): Any = innerChunk(i / innerLen).get(i % innerLen)
+      // delegate to inner-chunk bulk copies (still lazy: untouched inner
+      // chunks of the shard stay undecoded)
+      override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit = {
+        var written = 0
+        while (written < cnt) {
+          val s = srcPos + written
+          val within = s % innerLen
+          val take = math.min(cnt - written, innerLen - within)
+          innerChunk(s / innerLen).writeTo(vec, destPos + written, within, take)
+          written += take
+        }
+      }
     }
   }
 
@@ -143,33 +190,42 @@ object ZarrCodecs {
    * ZarrSourceSpec's golden-byte tests).
    */
   private def decodeVlenUtf8(bytes: Array[Byte], n: Int, path: String): ColumnChunk = {
-    def tryParse(offset: Int): Array[UTF8String] = {
+    // parse to (offset, length) views into the decompressed buffer — both
+    // readers then pay exactly one copy: the row path wraps (UTF8String
+    // .fromBytes slices without copying), the columnar path putByteArray's
+    // straight from the buffer into the vector
+    val offs = new Array[Int](n)
+    val lens = new Array[Int](n)
+    def tryParse(offset: Int): Boolean = {
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       buf.position(offset)
-      val out = new Array[UTF8String](n)
       var i = 0
       while (i < n) {
-        if (buf.remaining() < 4) return null
+        if (buf.remaining() < 4) return false
         val len = buf.getInt
-        if (len < 0 || buf.remaining() < len) return null
-        val b = new Array[Byte](len)
-        buf.get(b)
-        out(i) = UTF8String.fromBytes(b)
+        if (len < 0 || buf.remaining() < len) return false
+        offs(i) = buf.position()
+        lens(i) = len
+        buf.position(buf.position() + len)
         i += 1
       }
-      if (buf.hasRemaining) null else out // must consume exactly
+      !buf.hasRemaining // must consume exactly
     }
     val headerLooksRight = bytes.length >= 4 &&
       ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt == n
-    val out = {
-      val withHeader = if (headerLooksRight) tryParse(4) else null
-      if (withHeader != null) withHeader else tryParse(0)
-    }
-    if (out == null)
+    val ok = (headerLooksRight && tryParse(4)) || tryParse(0)
+    if (!ok)
       throw new ZarrException(s"vlen-utf8 chunk does not parse as $n elements at $path")
     new ColumnChunk {
       val length = n
-      def get(i: Int): Any = out(i)
+      def get(i: Int): Any = UTF8String.fromBytes(bytes, offs(i), lens(i))
+      override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit = {
+        var i = 0
+        while (i < cnt) {
+          vec.putByteArray(destPos + i, bytes, offs(srcPos + i), lens(srcPos + i))
+          i += 1
+        }
+      }
     }
   }
 
@@ -181,13 +237,30 @@ object ZarrCodecs {
       case ZBool =>
         chunk(n)(i => bytes(i) != 0)
       case ZInt8 =>
-        chunk(n)(i => bytes(i))
+        new ColumnChunk {
+          val length = n
+          def get(i: Int): Any = bytes(i)
+          override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
+            vec.putBytes(destPos, cnt, bytes, srcPos)
+        }
       case ZInt16 =>
         chunk(n)(i => buf.getShort(i * 2))
       case ZInt32 =>
-        chunk(n)(i => buf.getInt(i * 4))
+        new ColumnChunk {
+          val length = n
+          def get(i: Int): Any = buf.getInt(i * 4)
+          override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
+            if (littleEndian) vec.putIntsLittleEndian(destPos, cnt, bytes, srcPos * 4)
+            else super.writeTo(vec, destPos, srcPos, cnt)
+        }
       case ZInt64 =>
-        chunk(n)(i => buf.getLong(i * 8))
+        new ColumnChunk {
+          val length = n
+          def get(i: Int): Any = buf.getLong(i * 8)
+          override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
+            if (littleEndian) vec.putLongsLittleEndian(destPos, cnt, bytes, srcPos * 8)
+            else super.writeTo(vec, destPos, srcPos, cnt)
+        }
       case ZUInt8 =>
         chunk(n)(i => (bytes(i) & 0xff).toShort) // widened: Spark has no unsigned
       case ZUInt16 =>
@@ -202,9 +275,21 @@ object ZarrCodecs {
       case ZFloat16 =>
         chunk(n)(i => halfToFloat(buf.getShort(i * 2)))
       case ZFloat32 =>
-        chunk(n)(i => buf.getFloat(i * 4))
+        new ColumnChunk {
+          val length = n
+          def get(i: Int): Any = buf.getFloat(i * 4)
+          override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
+            if (littleEndian) vec.putFloatsLittleEndian(destPos, cnt, bytes, srcPos * 4)
+            else super.writeTo(vec, destPos, srcPos, cnt)
+        }
       case ZFloat64 =>
-        chunk(n)(i => buf.getDouble(i * 8))
+        new ColumnChunk {
+          val length = n
+          def get(i: Int): Any = buf.getDouble(i * 8)
+          override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
+            if (littleEndian) vec.putDoublesLittleEndian(destPos, cnt, bytes, srcPos * 8)
+            else super.writeTo(vec, destPos, srcPos, cnt)
+        }
       case ZDatetime64(unit, scale) =>
         // i64.MIN is numpy's NaT sentinel: detected BEFORE unit scaling
         // (multiplying it overflows to a garbage-but-valid timestamp) and
@@ -285,6 +370,17 @@ object ZarrCodecs {
     new ColumnChunk {
       val length = n
       def get(i: Int): Any = v
+      override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit = v match {
+        case null       => vec.putNulls(destPos, cnt)
+        case b: Boolean => vec.putBooleans(destPos, cnt, b)
+        case b: Byte    => vec.putBytes(destPos, cnt, b)
+        case s: Short   => vec.putShorts(destPos, cnt, s)
+        case i: Int     => vec.putInts(destPos, cnt, i)
+        case l: Long    => vec.putLongs(destPos, cnt, l)
+        case f: Float   => vec.putFloats(destPos, cnt, f)
+        case d: Double  => vec.putDoubles(destPos, cnt, d)
+        case _          => super.writeTo(vec, destPos, srcPos, cnt)
+      }
     }
   }
 }

@@ -38,7 +38,13 @@ final case class StoreChunkStats(
     chunkRows: Long,
     nChunks: Int,
     totalRows: Long,
-    columns: Map[String, ColumnChunkStats]) extends Serializable {
+    columns: Map[String, ColumnChunkStats],
+    /** Per-chunk geometry envelopes for geo-typed WKT columns:
+     *  column → per-chunk [minx, miny, maxx, maxy] (null entry = envelope
+     *  unknown → keep). Union over the chunk's PARSEABLE geometries — sound
+     *  because a row whose WKT yields no envelope can never satisfy
+     *  `bbox_intersects` (it evaluates false), so it constrains nothing. */
+    envelopes: Map[String, Array[Array[Double]]] = Map.empty) extends Serializable {
 
   /** Rows physically present in chunk i (last chunk may be short). */
   def rowsInChunk(i: Int): Long =
@@ -71,6 +77,16 @@ object ZarrStats {
       val n = o.putArray("nulls")
       c.nulls.foreach(n.add)
     }
+    if (s.envelopes.nonEmpty) {
+      val envs = root.putObject("envelopes")
+      s.envelopes.toSeq.sortBy(_._1).foreach { case (name, perChunk) =>
+        val a = envs.putArray(name)
+        perChunk.foreach { e =>
+          if (e == null) a.addNull()
+          else { val box = a.addArray(); e.foreach(box.add) }
+        }
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -91,7 +107,22 @@ object ZarrStats {
         s"stats column $name arrays don't cover $nChunks chunks")
       m += name -> c
     }
-    StoreChunkStats(root.get("chunk_rows").asLong(), nChunks, root.get("total_rows").asLong(), m.result())
+    val envs = Map.newBuilder[String, Array[Array[Double]]]
+    val envNode = root.get("envelopes")
+    if (envNode != null && envNode.isObject) {
+      envNode.fieldNames().forEachRemaining { name =>
+        val a = envNode.get(name).asInstanceOf[ArrayNode]
+        if (a.size() == nChunks) { // wrong-grid envelope column: ignored
+          envs += name -> (0 until nChunks).map { i =>
+            val e = a.get(i)
+            if (e == null || e.isNull || e.size() != 4) null
+            else Array(e.get(0).asDouble, e.get(1).asDouble, e.get(2).asDouble, e.get(3).asDouble)
+          }.toArray
+        }
+      }
+    }
+    StoreChunkStats(root.get("chunk_rows").asLong(), nChunks, root.get("total_rows").asLong(),
+      m.result(), envs.result())
   }
 
   /** Load the sidecar for a group, or None if absent/unreadable/unparseable —

@@ -166,4 +166,55 @@ class ZarrStatsSpec extends SparkSpec {
     }.length
     assert(q.count() == viaFull)
   }
+
+  /** 100 rows, chunk 10: row i carries a 2×2 box centered at (i, i), so
+   *  chunk c's envelope is [10c-1, 10c-1, 10c+10, 10c+10] — geometrically
+   *  disjoint bands a bbox predicate can prune between. */
+  private def writeGeoStore(): String = {
+    val dir = tempDir("zbbox") + "/store.zarr"
+    val df = spark.range(100).select(
+      col("id"),
+      concat(
+        lit("POLYGON (("),
+        (col("id") - 1).cast("double").cast("string"), lit(" "),
+        (col("id") - 1).cast("double").cast("string"), lit(", "),
+        (col("id") + 1).cast("double").cast("string"), lit(" "),
+        (col("id") - 1).cast("double").cast("string"), lit(", "),
+        (col("id") + 1).cast("double").cast("string"), lit(" "),
+        (col("id") + 1).cast("double").cast("string"), lit(", "),
+        (col("id") - 1).cast("double").cast("string"), lit(" "),
+        (col("id") + 1).cast("double").cast("string"), lit("))")).as("bbox"))
+    df.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "10").mode("overwrite").save(dir)
+    dir
+  }
+
+  test("bbox envelopes land in the sidecar; bbox_intersects prunes chunks") {
+    import graft.functions.GeoFunctions
+    GeoFunctions.register(spark)
+    val dir = writeGeoStore()
+    val stats = ZarrStats.read(new ZarrStore(dir, spark.sessionState.newHadoopConf()), "/t").get
+    val env = stats.envelopes("bbox")
+    assert(env.length == 10)
+    assert(env(3).toSeq == Seq(29.0, 29.0, 40.0, 40.0)) // chunk 3: ids 30..39 ± 1
+    // box [34,36]² intersects only rows 33..37 — all in chunk 3
+    val q = read(dir).filter(GeoFunctions.bbox_intersects(col("bbox"), 34, 34, 36, 36))
+    assert(nParts(q) == 1)
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
+    assert(q.queryExecution.executedPlan.toString.contains("PushedBbox"))
+    // a box past the data prunes everything
+    val none = read(dir).filter(GeoFunctions.bbox_intersects(col("bbox"), 500, 500, 600, 600))
+    assert(nParts(none) == 0 && none.count() == 0)
+    // spanning box keeps multiple chunks; conjunction with an id filter prunes both ways
+    val span = read(dir).filter(GeoFunctions.bbox_intersects(col("bbox"), 15, 15, 45, 45))
+    assert(nParts(span) == 4) // chunks 1..4
+    val both = read(dir).filter(
+      GeoFunctions.bbox_intersects(col("bbox"), 15, 15, 45, 45) && col("id") >= 40)
+    assert(nParts(both) == 1 && both.count() == 7) // ids 40..46 (box touch at 45+1)
+    // no sidecar → no pruning, same answer
+    Files.delete(Paths.get(dir, "t", ZarrStats.FileName))
+    val raw = read(dir).filter(GeoFunctions.bbox_intersects(col("bbox"), 34, 34, 36, 36))
+    assert(nParts(raw) == 10)
+    assert(raw.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
+  }
 }
