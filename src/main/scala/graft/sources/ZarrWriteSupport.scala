@@ -319,7 +319,7 @@ object ZarrWriteSupport {
       case "zstd" => Zstd.compress(raw, 0)
       case "blosc" =>
         val (ts, shuf) =
-          if (dt == StringType) (1, false) else (typeWidth(dt), true)
+          if (dt == StringType) (1, "noshuffle") else (typeWidth(dt), "shuffle")
         graft.zarr.Blosc.encode(raw, ts, "lz4", 5, shuf)
       case other => throw new ZarrException(
         s"zarr write: unsupported compression '$other' (use zstd or blosc)")

@@ -34,12 +34,13 @@ import net.jpountz.lz4.LZ4Factory
  * streams when blocks are split — flag bit4 clear and not the short leftover
  * block — else one), each prefixed by a u32 compressed length; a stream
  * whose length equals its uncompressed size is stored raw. After the streams
- * are assembled the block is byte-unshuffled if flag bit0 is set (shuffle in
- * blosc is block-local). Inner codecs supported: lz4/lz4hc (code 1, raw LZ4
+ * are assembled the block is byte-unshuffled (flag bit0) or bit-unshuffled
+ * (flag bit2) — both filters are block-local. Inner codecs supported:
+ * blosclz (code 0, the FastLZ-level-2 token stream blosclz descends from —
+ * decoder + format-conformant greedy encoder below), lz4/lz4hc (1, raw LZ4
  * block format via lz4-java), snappy (2, raw format via snappy-java),
- * zlib (3, JDK Inflater), zstd (4, zstd-jni) — all of which ship with Spark.
- * blosclz (0, a blosc-private LZ77) and bit-shuffle raise typed errors
- * naming the store path.
+ * zlib (3, JDK Inflater), zstd (4, zstd-jni) — the last four ship with
+ * Spark. All five cnames and all three shuffle modes round-trip.
  */
 object Blosc {
 
@@ -97,13 +98,7 @@ object Blosc {
       System.arraycopy(frame, 16, out, 0, nbytes)
       return out
     }
-    if ((flags & FlagBitShuffle) != 0)
-      throw new ZarrException(s"blosc bit-shuffle not supported at $where " +
-        "(supported: shuffle, noshuffle)")
     val codec = (flags >> 5) & 0x7
-    if (codec == CodecBloscLz)
-      throw new ZarrException(s"blosc inner codec 'blosclz' not supported at $where " +
-        "(supported: lz4, lz4hc, snappy, zlib, zstd)")
     if (blocksize <= 0)
       throw new ZarrException(s"corrupt blosc blocksize $blocksize at $where")
     val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
@@ -111,6 +106,7 @@ object Blosc {
       throw new ZarrException(s"blosc bstarts section truncated at $where")
     val dontSplit = (flags & FlagDontSplit) != 0
     val doShuffle = (flags & FlagByteShuffle) != 0 && typesize > 1
+    val doBitShuffle = (flags & FlagBitShuffle) != 0 && typesize >= 1
     var b = 0
     while (b < nblocks) {
       val start = hdr.getInt(16 + b * 4)
@@ -127,7 +123,8 @@ object Blosc {
           if (alt != primary) decodeBlock(frame, start, bsize, alt, codec, where) else None
         }.getOrElse(throw new ZarrException(
           s"blosc block $b does not decode at $where"))
-      if (doShuffle) unshuffle(typesize, block, out, destOff)
+      if (doBitShuffle) bitUnshuffle(typesize, block, out, destOff)
+      else if (doShuffle) unshuffle(typesize, block, out, destOff)
       else System.arraycopy(block, 0, out, destOff, bsize)
       b += 1
     }
@@ -190,8 +187,156 @@ object Blosc {
     case CodecSnappy =>
       try org.xerial.snappy.Snappy.uncompress(src, srcOff, srcLen, dst, dstOff)
       catch { case _: java.io.IOException => -1 }
+    case CodecBloscLz =>
+      blosclzDecompress(src, srcOff, srcLen, dst, dstOff, dstLen)
     case other =>
       throw new ZarrException(s"blosc inner codec code $other not supported at $where")
+  }
+
+  // ------------------------------------------------------------- blosclz
+  // BloscLZ shares FastLZ level-2's token stream (blosclz descends from
+  // FastLZ; c-blosc blosclz.c documents the compatibility): a control byte
+  // is either a literal run (ctrl < 32: ctrl+1 literal bytes follow) or a
+  // match (top 3 bits = biased length, low 5 bits = distance high byte, one
+  // distance low byte follows; length 7 extends by 255-saturated bytes;
+  // low-byte 255 with high bits 31 escapes to a 16-bit far distance offset
+  // by MAX_DISTANCE). Distances are biased by 1; distance 0 encodes a run
+  // of the previous byte.
+
+  private val MaxDistance = 8191 // blosclz MAX_DISTANCE
+  private val MaxFarDistance = 65535 + MaxDistance - 1
+
+  /** Decompress one blosclz stream; bytes written, or -1 on malformed input. */
+  private[zarr] def blosclzDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstLen: Int): Int = {
+    if (srcLen <= 0) return -1
+    var ip = srcOff
+    val ipEnd = srcOff + srcLen
+    var op = dstOff
+    val opEnd = dstOff + dstLen
+    var ctrl = src(ip) & 31 // first token is a literal run; high bits reserved
+    ip += 1
+    var done = false
+    while (!done) {
+      if (ctrl >= 32) {
+        var len = (ctrl >> 5) - 1
+        val ofs = (ctrl & 31) << 8
+        if (len == 6) { // saturated: extend by 255-terminated bytes
+          var code = 0
+          do {
+            if (ip >= ipEnd) return -1
+            code = src(ip) & 0xff; ip += 1
+            len += code
+          } while (code == 255)
+        }
+        if (ip >= ipEnd) return -1
+        val code = src(ip) & 0xff; ip += 1
+        len += 3
+        var ref = op - ofs - code - 1
+        if (code == 255 && ofs == (31 << 8)) { // far distance escape
+          if (ip + 2 > ipEnd) return -1
+          val far = ((src(ip) & 0xff) << 8) | (src(ip + 1) & 0xff)
+          ip += 2
+          ref = op - far - MaxDistance - 1
+        }
+        if (ref < dstOff || op + len > opEnd) return -1
+        var k = 0 // forward byte copy: overlapping refs (runs) replicate
+        while (k < len) { dst(op + k) = dst(ref + k); k += 1 }
+        op += len
+      } else {
+        val run = ctrl + 1
+        if (op + run > opEnd || ip + run > ipEnd) return -1
+        System.arraycopy(src, ip, dst, op, run)
+        ip += run
+        op += run
+      }
+      if (ip < ipEnd) { ctrl = src(ip) & 0xff; ip += 1 } else done = true
+    }
+    op - dstOff
+  }
+
+  /** Greedy blosclz compressor emitting the token format above; null when
+   *  the result would not be smaller (caller stores raw, like c-blosc). */
+  private[zarr] def blosclzCompress(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    if (len < 16) return null
+    val out = new Array[Byte](len) // give up past break-even
+    var opos = 0
+    def emit(b: Int): Boolean = {
+      if (opos >= out.length) false else { out(opos) = b.toByte; opos += 1; true }
+    }
+    val hashLog = 14
+    val htab = new Array[Int](1 << hashLog)
+    java.util.Arrays.fill(htab, -1)
+    def hash3(p: Int): Int = {
+      val v = ((src(p) & 0xff)) | ((src(p + 1) & 0xff) << 8) | ((src(p + 2) & 0xff) << 16)
+      (v * 2654435761L >>> (32 - hashLog)).toInt & ((1 << hashLog) - 1)
+    }
+    val end = off + len
+    var anchor = off // start of pending literals
+    var ip = off
+    var ok = true
+    while (ok && ip + 4 <= end) {
+      val h = hash3(ip)
+      val cand = htab(h)
+      htab(h) = ip
+      val dist = ip - cand // in source coords == output coords (same stream)
+      if (cand >= off && dist - 1 <= MaxFarDistance &&
+          src(cand) == src(ip) && src(cand + 1) == src(ip + 1) && src(cand + 2) == src(ip + 2)) {
+        var mlen = 3
+        while (ip + mlen < end && src(cand + mlen) == src(ip + mlen)) mlen += 1
+        // flush pending literals in ≤32-byte runs
+        var lit = anchor
+        while (ok && lit < ip) {
+          val run = math.min(32, ip - lit)
+          ok = emit(run - 1)
+          var i = 0
+          while (ok && i < run) { ok = emit(src(lit + i) & 0xff); i += 1 }
+          lit += run
+        }
+        if (ok) {
+          val d = dist - 1 // biased distance
+          val lenField = math.min(mlen - 2, 7)
+          if (d < MaxDistance) {
+            ok = emit((lenField << 5) | (d >> 8))
+            if (lenField == 7) {
+              var rem = mlen - 9
+              while (ok && rem >= 255) { ok = emit(255); rem -= 255 }
+              if (ok) ok = emit(rem)
+            }
+            if (ok) ok = emit(d & 255)
+          } else {
+            val far = d - MaxDistance
+            ok = emit((lenField << 5) | 31)
+            if (lenField == 7) {
+              var rem = mlen - 9
+              while (ok && rem >= 255) { ok = emit(255); rem -= 255 }
+              if (ok) ok = emit(rem)
+            }
+            if (ok) ok = emit(255)
+            if (ok) ok = emit(far >> 8)
+            if (ok) ok = emit(far & 255)
+          }
+          // seed the table through the match so long runs keep matching
+          var p = ip + 1
+          val stop = math.min(ip + mlen, end - 3)
+          while (p < stop) { htab(hash3(p)) = p; p += 1 }
+          ip += mlen
+          anchor = ip
+        }
+      } else {
+        ip += 1
+      }
+    }
+    // trailing literals
+    var lit = anchor
+    while (ok && lit < end) {
+      val run = math.min(32, end - lit)
+      ok = emit(run - 1)
+      var i = 0
+      while (ok && i < run) { ok = emit(src(lit + i) & 0xff); i += 1 }
+      lit += run
+    }
+    if (!ok || opos >= len) null else java.util.Arrays.copyOfRange(out, 0, opos)
   }
 
   /** Block-local byte unshuffle: shuffled layout stores byte-plane j of all
@@ -214,6 +359,75 @@ object Blosc {
     if (done < bsize) System.arraycopy(block, done, out, destOff + done, bsize - done)
   }
 
+  // ------------------------------------------------------------ bitshuffle
+  // Block-local bit transpose (the public bitshuffle algorithm c-blosc
+  // embeds): the block's largest multiple-of-8 element count is viewed as a
+  // bit matrix [elements][8*typesize] and transposed — output bit-row b
+  // (b = byteInElem*8 + bitInByte, LSB-first) packs bit b of elements
+  // 8i..8i+7 into byte i (element index LSB-first). Leftover bytes that
+  // don't fill 8 elements are stored verbatim, exactly like byte-shuffle's
+  // ragged tail.
+
+  /** Inverse bitshuffle `block` into `out` at `destOff` (out pre-zeroed). */
+  private def bitUnshuffle(typesize: Int, block: Array[Byte], out: Array[Byte], destOff: Int): Unit = {
+    val bsize = block.length
+    val nel = (bsize / typesize) & ~7
+    val nbr = nel >> 3 // bytes per bit-row
+    var b = 0
+    while (b < 8 * typesize) {
+      val byteInEl = b >> 3
+      val bit = b & 7
+      val row = b * nbr
+      var ii = 0
+      while (ii < nbr) {
+        val v = block(row + ii) & 0xff
+        if (v != 0) { // dest is zero-initialized: only set bits need writes
+          var i = 0
+          while (i < 8) {
+            if (((v >> i) & 1) != 0) {
+              val p = destOff + (8 * ii + i) * typesize + byteInEl
+              out(p) = (out(p) | (1 << bit)).toByte
+            }
+            i += 1
+          }
+        }
+        ii += 1
+      }
+      b += 1
+    }
+    val done = nel * typesize
+    if (done < bsize) System.arraycopy(block, done, out, destOff + done, bsize - done)
+  }
+
+  /** Forward bitshuffle of `blen` bytes at `data(off)` (encode side). */
+  private def bitShuffleBlock(typesize: Int, data: Array[Byte], off: Int, blen: Int): Array[Byte] = {
+    val out = new Array[Byte](blen)
+    val nel = (blen / typesize) & ~7
+    val nbr = nel >> 3
+    var b = 0
+    while (b < 8 * typesize) {
+      val byteInEl = b >> 3
+      val bit = b & 7
+      val row = b * nbr
+      var ii = 0
+      while (ii < nbr) {
+        var v = 0
+        var i = 0
+        while (i < 8) {
+          if (((data(off + (8 * ii + i) * typesize + byteInEl) >> bit) & 1) != 0)
+            v |= 1 << i
+          i += 1
+        }
+        out(row + ii) = v.toByte
+        ii += 1
+      }
+      b += 1
+    }
+    val done = nel * typesize
+    if (done < blen) System.arraycopy(data, off + done, out, done, blen - done)
+    out
+  }
+
   // ---------------------------------------------------------------- encode
 
   /**
@@ -226,21 +440,24 @@ object Blosc {
    *                  multiple so shuffle never sees a ragged block)
    */
   def encode(data: Array[Byte], typesize0: Int, cname: String, clevel: Int,
-      shuffle: Boolean, blocksize: Int = 0): Array[Byte] = {
+      shuffle: String, blocksize: Int = 0): Array[Byte] = {
     val typesize = if (typesize0 < 1 || typesize0 > 255) 1 else typesize0
     val codec = cnameCode(cname)
-    if (codec == CodecBloscLz)
-      throw new ZarrException("blosc encode: cname 'blosclz' not supported " +
-        "(use lz4, lz4hc, snappy, zlib or zstd)")
     val nbytes = data.length
     // blocksize is always a typesize multiple (as c-blosc forces) so a full
-    // block splits evenly; a trailing short block is the unsplit leftover
+    // block splits evenly; bitshuffle additionally wants whole 8-element
+    // groups per block so only the final short block carries a verbatim tail
     val bs0 = if (blocksize > 0) blocksize else 1 << 16
-    val bsize = math.max(typesize, bs0 - bs0 % typesize)
-    val doShuffle = shuffle && typesize > 1
+    val unit = if (shuffle == "bitshuffle") typesize * 8 else typesize
+    val bsize = math.max(unit, bs0 - bs0 % unit)
+    val doShuffle = shuffle == "shuffle" && typesize > 1
+    val doBitShuffle = shuffle == "bitshuffle"
+    if (!Set("shuffle", "noshuffle", "bitshuffle").contains(shuffle))
+      throw new ZarrException(s"blosc encode: unknown shuffle mode '$shuffle'")
     val split = splitBlocks(codec, typesize, bsize)
     var flags = codec << 5
     if (doShuffle) flags |= FlagByteShuffle
+    if (doBitShuffle) flags |= FlagBitShuffle
     if (!split) flags |= FlagDontSplit
     if (nbytes == 0) {
       val hdr = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
@@ -258,7 +475,8 @@ object Blosc {
       val blen = math.min(bsize, nbytes - off)
       val leftover = blen != bsize
       val block =
-        if (doShuffle) shuffleBlock(typesize, data, off, blen)
+        if (doBitShuffle) bitShuffleBlock(typesize, data, off, blen)
+        else if (doShuffle) shuffleBlock(typesize, data, off, blen)
         else java.util.Arrays.copyOfRange(data, off, off + blen)
       val nsplits = if (split && !leftover) typesize else 1
       val neblock = blen / nsplits
@@ -322,6 +540,7 @@ object Blosc {
         val dst = new Array[Byte](org.xerial.snappy.Snappy.maxCompressedLength(len))
         val n = org.xerial.snappy.Snappy.compress(src, off, len, dst, 0)
         java.util.Arrays.copyOfRange(dst, 0, n)
+      case CodecBloscLz => blosclzCompress(src, off, len)
       case _ => null
     }
 

@@ -267,14 +267,18 @@ object ZarrWriter {
    * trailing chunks, and deliberately omitted chunk objects (fill-value
    * reads). `put` encodes one element at the current buffer position.
    */
-  /** "blosc[-<cname>][-noshuffle]" → (cname, shuffle); bare "blosc" defaults
-   *  to lz4 (matching the DSv2 write path) and unknown cnames fail here,
-   *  before any zarr.json naming them is written. */
-  private def parseBloscComp(compression: String): (String, Boolean) = {
+  /** "blosc[-<cname>][-noshuffle|-bitshuffle]" → (cname, shuffle mode); bare
+   *  "blosc" defaults to lz4 (matching the DSv2 write path) and unknown
+   *  cnames fail here, before any zarr.json naming them is written. */
+  private def parseBloscComp(compression: String): (String, String) = {
     val parts = compression.stripPrefix("blosc").stripPrefix("-").split("-")
     val cname = if (parts(0).isEmpty) "lz4" else parts(0)
     Blosc.cnameCode(cname) // validate before the cname reaches zarr.json
-    (cname, !parts.contains("noshuffle"))
+    val mode =
+      if (parts.contains("noshuffle")) "noshuffle"
+      else if (parts.contains("bitshuffle")) "bitshuffle"
+      else "shuffle"
+    (cname, mode)
   }
 
   def writeFixedArray(root: String, group: String, name: String,
@@ -291,9 +295,9 @@ object ZarrWriter {
         case "zstd" => Some("""{"name":"zstd","configuration":{"level":0,"checksum":false}}""")
         case "gzip" => Some("""{"name":"gzip","configuration":{"level":5}}""")
         case b if b.startsWith("blosc") =>
-          val (cname, shuffle) = parseBloscComp(b)
+          val (cname, mode) = parseBloscComp(b)
           Some(s"""{"name":"blosc","configuration":{"cname":"$cname","clevel":5,""" +
-            s""""shuffle":"${if (shuffle) "shuffle" else "noshuffle"}","typesize":$width,""" +
+            s""""shuffle":"$mode","typesize":$width,""" +
             s""""blocksize":$bloscBlocksize}}""")
         case _      => None
       },
@@ -321,8 +325,8 @@ object ZarrWriter {
             val gz = new java.util.zip.GZIPOutputStream(bos)
             gz.write(bytes); gz.close(); bos.toByteArray
           case b if b.startsWith("blosc") =>
-            val (cname, shuffle) = parseBloscComp(b)
-            Blosc.encode(bytes, width, cname, 5, shuffle, bloscBlocksize)
+            val (cname, mode) = parseBloscComp(b)
+            Blosc.encode(bytes, width, cname, 5, mode, bloscBlocksize)
           case _ => bytes
         }
         if (crc32c) {

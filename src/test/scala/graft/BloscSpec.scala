@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
 import graft.zarr.{Blosc, ZarrException, ZarrWriter}
 
 /**
- * Blosc1 codec coverage: a hand-crafted golden frame (literal bytes, fully
- * independent of our encoder) pins the wire format — header fields, bstarts,
- * split streams, stored-raw streams, block-local byte shuffle; then
- * encode→decode roundtrips across the cname × shuffle × shape matrix; then
- * the DSv2 read and write paths over blosc stores; then the typed-error
- * contract for the unsupported corners (blosclz, bit-shuffle).
+ * Blosc1 codec coverage: hand-crafted golden frames (literal bytes, fully
+ * independent of our encoder) pin the wire format — header fields, bstarts,
+ * split streams, stored-raw streams, block-local byte shuffle, the blosclz
+ * token stream, and the bitshuffle bit transpose; then encode→decode
+ * roundtrips across the cname × shuffle-mode × shape matrix; then the DSv2
+ * read and write paths over blosc stores.
+ *
+ * NOTE on interop evidence: no c-blosc binding exists in this environment
+ * (zero egress; python has no blosc/numcodecs/zarr), so a foreign-produced
+ * fixture cannot be generated here. The goldens below are derived strictly
+ * from the public c-blosc chunk format + FastLZ level-2 token format +
+ * bitshuffle algorithm definitions, and are computed BY HAND, not by the
+ * code under test.
  */
 class BloscSpec extends SparkSpec {
 
@@ -62,12 +69,12 @@ class BloscSpec extends SparkSpec {
       // tail not a multiple of typesize (shuffle leaves the ragged tail raw)
       ("ragged", Array.tabulate[Byte](1003)(i => (i % 7).toByte), 4))
     for {
-      cname <- Seq("lz4", "zstd", "zlib", "snappy")
-      shuffle <- Seq(true, false)
+      cname <- Seq("blosclz", "lz4", "zstd", "zlib", "snappy")
+      shuffle <- Seq("shuffle", "noshuffle", "bitshuffle")
       (label, data, ts) <- shapes
     } {
-      // blocksize 1024 forces multiple blocks for the larger shapes; lz4 with
-      // typesize ≤ 16 and 1024/ts ≥ 128 takes the SPLIT path
+      // blocksize 1024 forces multiple blocks for the larger shapes; lz4 and
+      // blosclz with typesize ≤ 16 and 1024/ts ≥ 128 take the SPLIT path
       val enc = Blosc.encode(data, ts, cname, 5, shuffle, blocksize = 1024)
       val dec = Blosc.decode(enc, s"$cname/$shuffle/$label")
       assert(dec.toSeq == data.toSeq, s"roundtrip $cname shuffle=$shuffle $label")
@@ -76,34 +83,92 @@ class BloscSpec extends SparkSpec {
 
   test("split heuristic matches c-blosc forward-compat: lz4 splits, zstd does not") {
     val data = Array.tabulate[Byte](8192)(i => (i / 64).toByte)
-    val lz4 = Blosc.encode(data, 8, "lz4", 5, shuffle = true, blocksize = 4096)
-    val zstd = Blosc.encode(data, 8, "zstd", 5, shuffle = true, blocksize = 4096)
+    val lz4 = Blosc.encode(data, 8, "lz4", 5, "shuffle", blocksize = 4096)
+    val zstd = Blosc.encode(data, 8, "zstd", 5, "shuffle", blocksize = 4096)
     assert((lz4(2) & 0x10) == 0, "lz4 frame should be split (bit4 clear)")
     assert((zstd(2) & 0x10) != 0, "zstd frame should set dont-split")
     assert(Blosc.decode(lz4, "t").toSeq == data.toSeq)
     assert(Blosc.decode(zstd, "t").toSeq == data.toSeq)
   }
 
-  test("typed errors: blosclz and bit-shuffle are rejected with the store path") {
-    def frame(flags: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(2.toByte).put(1.toByte).put(flags.toByte).put(1.toByte)
-      u32(b, 4); u32(b, 4); u32(b, 24)
-      u32(b, 20); u32(b, 4) // bstarts + one raw stream header
-      b.array()
+  /** One-block blosclz frame around a hand-written token stream. */
+  private def blosclzFrame(nbytes: Int, stream: Array[Byte]): Array[Byte] = {
+    // flags = blosclz code (0 << 5) | dont-split (0x10); typesize 1
+    val b = ByteBuffer.allocate(16 + 4 + 4 + stream.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(2.toByte).put(1.toByte).put(0x10.toByte).put(1.toByte)
+    u32(b, nbytes); u32(b, nbytes); u32(b, 16 + 4 + 4 + stream.length)
+    u32(b, 20)                // bstarts[0]
+    u32(b, stream.length)     // compressed stream length (< nbytes)
+    b.put(stream)
+    b.array()
+  }
+
+  test("golden blosclz token stream: literals, match, RLE, extended length") {
+    // "abcabcabcabc": literal run 'abc' (token len-1=2), then a 9-byte match
+    // at distance 3 (biased d=2): length 9 → saturated field 7, extension 0.
+    val abc = blosclzFrame(12, Array[Byte](
+      0x02, 'a', 'b', 'c',
+      0xE0.toByte, // (7<<5) | high(d)=0
+      0x00,        // length extension: 9 = 6+0+3
+      0x02))       // low(d): d=2 → distance 3
+    assert(new String(Blosc.decode(abc, "golden")) == "abcabcabcabc")
+    // "aaaaaaaa": literal 'a', then a 7-byte run = match at distance 1 (d=0)
+    val runA = blosclzFrame(8, Array[Byte](
+      0x00, 'a',
+      0xA0.toByte, // (5<<5)|0 → length 5-1+3 = 7
+      0x00))       // low(d)=0 → distance 1 (RLE of previous byte)
+    assert(new String(Blosc.decode(runA, "golden")) == "a" * 8)
+  }
+
+  test("golden blosclz far-distance escape (ofs 31<<8 + code 255)") {
+    // 9000 literal bytes, then a 3-byte match back to position 0:
+    // distance 9000 → d=8999 ≥ MAX_DISTANCE → far = d-8191 = 808 = 0x0328
+    val n = 9000
+    val lits = Array.tabulate[Byte](n)(i => (i % 251).toByte)
+    val sb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var off = 0
+    while (off < n) {
+      val run = math.min(32, n - off)
+      sb += (run - 1).toByte
+      (0 until run).foreach(i => sb += lits(off + i))
+      off += run
     }
-    val e1 = intercept[ZarrException](Blosc.decode(frame(0x00), "my/array"))
-    assert(e1.getMessage.contains("blosclz") && e1.getMessage.contains("my/array"))
-    val e2 = intercept[ZarrException](Blosc.decode(frame(0x04 | (1 << 5)), "my/array"))
-    assert(e2.getMessage.contains("bit-shuffle"))
+    sb += ((1 << 5) | 31).toByte // length field 1 → 3 bytes; high(d)=31 escape
+    sb += 255.toByte             // low(d)=255 → far escape
+    sb += 0x03; sb += 0x28       // far offset 808, big-endian
+    val out = Blosc.decode(blosclzFrame(n + 3, sb.toArray), "golden")
+    assert(out.length == n + 3)
+    assert(out.take(n).toSeq == lits.toSeq)
+    assert(out.slice(n, n + 3).toSeq == lits.take(3).toSeq)
+  }
+
+  test("golden bitshuffle frame: hand-computed bit transpose") {
+    // 8 int16 elements, element i = 1 << i (little-endian): bit matrix has
+    // bit b of element i set iff b == i, so bit-row b packs to byte 1 << b
+    // for b < 8 and zero for the high-byte rows 8..15.
+    val shuffled = Array.tabulate[Byte](16)(b => if (b < 8) (1 << b).toByte else 0)
+    // flags = lz4 code (1<<5) | bitshuffle (0x4) | dont-split (0x10) = 0x34
+    val b = ByteBuffer.allocate(16 + 4 + 4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(2.toByte).put(1.toByte).put(0x34.toByte).put(2.toByte)
+    u32(b, 16); u32(b, 16); u32(b, 40)
+    u32(b, 20); u32(b, 16) // stored raw (length == block size)
+    b.put(shuffled)
+    val out = ByteBuffer.wrap(Blosc.decode(b.array(), "golden"))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    assert((0 until 8).map(i => out.getShort(i * 2).toInt) == (0 until 8).map(1 << _))
+  }
+
+  test("typed error: truncated header names the store path") {
     val e3 = intercept[ZarrException](Blosc.decode(Array[Byte](1, 2, 3), "my/array"))
-    assert(e3.getMessage.contains("header"))
+    assert(e3.getMessage.contains("header") && e3.getMessage.contains("my/array"))
   }
 
   test("DSv2 scan decodes blosc stores: cname matrix, multi-chunk, multi-block, crc32c") {
     val vals = (0 until 1000).map(i => (i * 37 % 9973).toLong)
     for ((comp, crc) <- Seq(("blosc-lz4", false), ("blosc-zstd", false),
-        ("blosc-zlib", true), ("blosc-lz4-noshuffle", false), ("blosc-snappy", false))) {
+        ("blosc-zlib", true), ("blosc-lz4-noshuffle", false), ("blosc-snappy", false),
+        ("blosc-blosclz", false), ("blosc-lz4-bitshuffle", false),
+        ("blosc-blosclz-bitshuffle", true))) {
       val dir = tempDir("zarr_blosc")
       ZarrWriter.writeGroup(dir, "/g")
       // chunkLen 256 → 4 chunks (tail partial); blocksize 512 → 4 blocks/chunk
