@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bbox_envelope"),
       info("bbox_envelope", "bbox_envelope(wkt) - struct<minx,miny,maxx,maxy>"),
       (es: Seq[Expression]) => GeoFunctions.BboxEnvelope(es.head)))
+    ext.injectFunction((FunctionIdentifier("bbox_extent"),
+      info("bbox_extent", "bbox_extent(wkt) - aggregate union envelope of a group"),
+      (es: Seq[Expression]) => GeoFunctions.BboxExtent(es.head)))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two vectors"),
       (es: Seq[Expression]) => VectorFunctions.VectorCosine(es(0), es(1))))

@@ -236,6 +236,28 @@ object ZarrQueries {
           .select(col("collection"), col("env.minx"), col("env.miny"),
             col("env.maxx"), col("env.maxy"))
           .orderBy("collection")
+      }),
+
+    // custom AGGREGATE surface (SURVEY §2's TypedImperativeAggregate row):
+    // per-group union envelope over the WKT column; the whole-table extent
+    // of the fixture plus one group row pins both update and merge paths
+    Q("q_zarr_extent", Some("""
+      SELECT * FROM (VALUES
+        ('ALL', CAST(-30 AS DOUBLE), CAST(-30 AS DOUBLE), CAST(30 AS DOUBLE), CAST(30 AS DOUBLE)),
+        ('collection_b', CAST(-20 AS DOUBLE), CAST(-20 AS DOUBLE), CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)))
+        AS t(scope, minx, miny, maxx, maxy) ORDER BY scope"""),
+      (s, _) => {
+        GeoFunctions.register(s)
+        val t = zarrTable(s)
+        val whole = t.agg(GeoFunctions.bbox_extent(col("bbox")).as("ext"))
+          .select(lit("ALL").as("scope"), col("ext.minx"), col("ext.miny"),
+            col("ext.maxx"), col("ext.maxy"))
+        val byGroup = t.groupBy(col("collection").as("scope"))
+          .agg(GeoFunctions.bbox_extent(col("bbox")).as("ext"))
+          .filter(col("scope") === "collection_b")
+          .select(col("scope"), col("ext.minx"), col("ext.miny"),
+            col("ext.maxx"), col("ext.maxy"))
+        whole.unionAll(byGroup).orderBy("scope")
       })
   )
 }

@@ -72,4 +72,5 @@ class WktSpec extends AnyFunSuite {
     assert(Wkt.envelopeIntersects(wkt, -5, -5, 0, 5))   // edge touch
     assert(!Wkt.envelopeIntersects(wkt, 10.0001, 0, 20, 10))
   }
+
 }

@@ -217,4 +217,32 @@ class ZarrStatsSpec extends SparkSpec {
     assert(nParts(raw) == 10)
     assert(raw.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
   }
+
+  test("bbox_extent aggregate: update + merge across partitions, null groups") {
+    import graft.functions.GeoFunctions
+    GeoFunctions.register(spark)
+    def poly(x0: Int, y0: Int, x1: Int, y1: Int): String =
+      s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+    val rows = (0 until 100).map { i =>
+      val g = if (i % 2 == 0) "even" else "odd"
+      (g, poly(i, -i, i + 5, -i + 5))
+    } :+ ("empty", "POLYGON EMPTY") :+ ("empty", null.asInstanceOf[String])
+    // 8 partitions force the merge path, not just per-row update
+    val df = spark.createDataFrame(rows).toDF("g", "wkt").repartition(8)
+    val out = df.groupBy("g")
+      .agg(GeoFunctions.bbox_extent(col("wkt")).as("e"))
+      .select(col("g"), col("e.minx"), col("e.miny"), col("e.maxx"), col("e.maxy"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("even") == ((0.0, -98.0, 103.0, 5.0)))
+    assert(out("odd") == ((1.0, -99.0, 104.0, 4.0)))
+    assert(out("empty") == null) // no parseable geometry → null extent
+    // SQL surface resolves too
+    spark.createDataFrame(rows).toDF("g", "wkt").createOrReplaceTempView("wkt_rows")
+    val whole = spark.sql("SELECT bbox_extent(wkt) AS e FROM wkt_rows")
+      .select("e.maxx").head()
+    assert(whole.getDouble(0) == 104.0)
+  }
 }
