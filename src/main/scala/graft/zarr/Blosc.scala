@@ -368,32 +368,43 @@ object Blosc {
   // don't fill 8 elements are stored verbatim, exactly like byte-shuffle's
   // ragged tail.
 
-  /** Inverse bitshuffle `block` into `out` at `destOff` (out pre-zeroed). */
+  /** 8×8 bit-matrix transpose of a 64-bit word (byte r = row r):
+   *  out byte r, bit c = in byte c, bit r. Hacker's Delight transpose8. */
+  private def transpose8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL; x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL; x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L; x = x ^ t ^ (t << 28)
+    x
+  }
+
+  /** Inverse bitshuffle `block` into `out` at `destOff`: per 8-element group
+   *  and byte-plane, gather the 8 bit-row bytes into one word, transpose,
+   *  scatter as element bytes — 64 bits per transpose instead of bit-probes. */
   private def bitUnshuffle(typesize: Int, block: Array[Byte], out: Array[Byte], destOff: Int): Unit = {
     val bsize = block.length
     val nel = (bsize / typesize) & ~7
     val nbr = nel >> 3 // bytes per bit-row
-    var b = 0
-    while (b < 8 * typesize) {
-      val byteInEl = b >> 3
-      val bit = b & 7
-      val row = b * nbr
-      var ii = 0
-      while (ii < nbr) {
-        val v = block(row + ii) & 0xff
-        if (v != 0) { // dest is zero-initialized: only set bits need writes
-          var i = 0
-          while (i < 8) {
-            if (((v >> i) & 1) != 0) {
-              val p = destOff + (8 * ii + i) * typesize + byteInEl
-              out(p) = (out(p) | (1 << bit)).toByte
-            }
-            i += 1
-          }
+    var ii = 0
+    while (ii < nbr) {
+      var j = 0
+      while (j < typesize) {
+        var x = 0L
+        var k = 0
+        while (k < 8) { // bit-row (j*8 + k), byte ii
+          x |= (block((j * 8 + k) * nbr + ii) & 0xffL) << (8 * k)
+          k += 1
         }
-        ii += 1
+        x = transpose8(x) // now byte i holds element (8*ii + i)'s bits of plane j
+        val base = destOff + 8 * ii * typesize + j
+        var i = 0
+        while (i < 8) {
+          out(base + i * typesize) = (x >>> (8 * i)).toByte
+          i += 1
+        }
+        j += 1
       }
-      b += 1
+      ii += 1
     }
     val done = nel * typesize
     if (done < bsize) System.arraycopy(block, done, out, destOff + done, bsize - done)
@@ -404,24 +415,26 @@ object Blosc {
     val out = new Array[Byte](blen)
     val nel = (blen / typesize) & ~7
     val nbr = nel >> 3
-    var b = 0
-    while (b < 8 * typesize) {
-      val byteInEl = b >> 3
-      val bit = b & 7
-      val row = b * nbr
-      var ii = 0
-      while (ii < nbr) {
-        var v = 0
+    var ii = 0
+    while (ii < nbr) {
+      var j = 0
+      while (j < typesize) {
+        var x = 0L
+        val base = off + 8 * ii * typesize + j
         var i = 0
-        while (i < 8) {
-          if (((data(off + (8 * ii + i) * typesize + byteInEl) >> bit) & 1) != 0)
-            v |= 1 << i
+        while (i < 8) { // byte j of elements 8*ii .. 8*ii+7
+          x |= (data(base + i * typesize) & 0xffL) << (8 * i)
           i += 1
         }
-        out(row + ii) = v.toByte
-        ii += 1
+        x = transpose8(x) // byte k holds bit k of the 8 gathered bytes
+        var k = 0
+        while (k < 8) {
+          out((j * 8 + k) * nbr + ii) = (x >>> (8 * k)).toByte
+          k += 1
+        }
+        j += 1
       }
-      b += 1
+      ii += 1
     }
     val done = nel * typesize
     if (done < blen) System.arraycopy(data, off + done, out, done, blen - done)
