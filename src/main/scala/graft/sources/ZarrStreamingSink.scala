@@ -178,7 +178,21 @@ class ZarrStreamingWrite(
         (0 until nChunks).map(i => pick[String](i, _.max(ci), _.max(i), null)).toArray,
         (0 until nChunks).map(i => pick[Long](i, _.nulls(ci), _.nulls(i), 0L)).toArray)
     }.toMap
-    Some(StoreChunkStats(chunkRows, nChunks, c.totalRows, cols))
+    // geometry envelopes merge the same way; a REWRITTEN chunk (tail merge)
+    // whose fresh envelope is unknown stays unknown — never the stale entry
+    val envMap = dataSchema.fields.indices
+      .filter(ci => ZarrWriteSupport.isGeoColumn(dataSchema.fields(ci)))
+      .map { ci =>
+        val name = dataSchema.fields(ci).name
+        val oldEnv = oldOk.flatMap(_.envelopes.get(name))
+        name -> (0 until nChunks).map { i =>
+          byChunk.get(i.toLong)
+            .map(m => if (m.envs == null) null else m.envs(ci))
+            .orElse(oldEnv.collect { case e if i < e.length => e(i) })
+            .orNull
+        }.toArray
+      }.toMap
+    Some(StoreChunkStats(chunkRows, nChunks, c.totalRows, cols, envMap))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -285,11 +299,14 @@ class ZarrStreamingDataWriter(
       val mins = new Array[String](dataSchema.fields.length)
       val maxs = new Array[String](dataSchema.fields.length)
       val nulls = new Array[Long](dataSchema.fields.length)
+      val envs = new Array[Array[Double]](dataSchema.fields.length)
       var c = 0
       while (c < dataSchema.fields.length) {
         val f = dataSchema.fields(c)
         val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
         mins(c) = mn; maxs(c) = mx; nulls(c) = nl
+        if (ZarrWriteSupport.isGeoColumn(f))
+          envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
         val bytes =
           if (shardRows > 0)
             ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows, shardRows)
@@ -301,7 +318,7 @@ class ZarrStreamingDataWriter(
         c += 1
       }
       written += ((currentChunk, count))
-      stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls)
+      stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls, envs)
     }
     currentChunk += 1
     count = 0

@@ -52,6 +52,43 @@ class ZarrStreamSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class GeoDoc(id: Long, bbox: String)
+
+  test("streamed bbox columns carry envelope stats across epochs; tail rewrite stays fresh") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_geo") + "/store.zarr"
+    def poly(r: Int): String = s"POLYGON (($r -$r, $r $r, -$r $r, -$r -$r, $r -$r))"
+    val mem = MemoryStream[GeoDoc]
+    val q = mem.toDF().writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "2")
+      .option("checkpointLocation", tempDir("zsink_geo_ckpt"))
+      .start(dir)
+    try {
+      mem.addData(GeoDoc(0, poly(10)), GeoDoc(1, poly(11)), GeoDoc(2, poly(20)))
+      q.processAllAvailable()
+      val store = new ZarrStore(dir, spark.sessionState.newHadoopConf())
+      val s1 = ZarrStats.read(store, "/meta").get
+      assert(s1.envelopes("bbox")(0).toSeq == Seq(-11.0, -11.0, 11.0, 11.0))
+      // next epoch rewrites the tail chunk (adds id=3) and appends chunk 2:
+      // merged envelopes must reflect the REWRITTEN tail, not the stale one
+      mem.addData(GeoDoc(3, poly(25)), GeoDoc(4, poly(30)))
+      q.processAllAvailable()
+      val s2 = ZarrStats.read(store, "/meta").get
+      assert(s2.envelopes("bbox").length == 3)
+      assert(s2.envelopes("bbox")(0).toSeq == Seq(-11.0, -11.0, 11.0, 11.0)) // carried
+      assert(s2.envelopes("bbox")(1).toSeq == Seq(-25.0, -25.0, 25.0, 25.0)) // rewritten tail
+      assert(s2.envelopes("bbox")(2).toSeq == Seq(-30.0, -30.0, 30.0, 30.0)) // appended
+      // and the pruning actually engages on the streamed store
+      graft.functions.GeoFunctions.register(spark)
+      val pruned = spark.read.format("zarr").option("group", "/meta")
+        .option("target_partition_rows", "2").load(dir)
+        .filter(graft.functions.GeoFunctions.bbox_intersects(col("bbox"), 28, 28, 40, 40))
+      assert(pruned.queryExecution.toRdd.getNumPartitions == 1)
+      assert(pruned.select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    } finally q.stop()
+  }
+
   test("replayed epochs are no-ops (restart from checkpoint re-delivers last batch)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
