@@ -163,6 +163,52 @@ class BloscSpec extends SparkSpec {
     assert(e3.getMessage.contains("header") && e3.getMessage.contains("my/array"))
   }
 
+  test("fuzz: blosclz and bitshuffle round-trip across entropy levels and sizes") {
+    val rnd = new scala.util.Random(1234)
+    def data(n: Int, entropy: Int): Array[Byte] = entropy match {
+      case 0 => Array.fill[Byte](n)(7)                                // constant
+      case 1 => Array.tabulate[Byte](n)(i => (i / 17).toByte)         // long runs
+      case 2 => Array.tabulate[Byte](n)(i => (i % 13).toByte)         // short cycle
+      case 3 => Array.tabulate[Byte](n)(i =>                          // mixed
+        if ((i / 100) % 2 == 0) (i % 5).toByte else rnd.nextInt().toByte)
+      case _ => Array.fill[Byte](n)(rnd.nextInt().toByte)             // random
+    }
+    for {
+      n <- Seq(1, 7, 16, 255, 256, 1000, 4096, 70000) // 70000 spans far-distance refs
+      entropy <- 0 to 4
+      (ts, mode) <- Seq((1, "noshuffle"), (4, "shuffle"), (8, "bitshuffle"), (3, "bitshuffle"))
+    } {
+      val d = data(n, entropy)
+      val enc = Blosc.encode(d, ts, "blosclz", 5, mode, blocksize = 2048)
+      assert(Blosc.decode(enc, s"fuzz/$n/$entropy/$ts/$mode").toSeq == d.toSeq,
+        s"n=$n entropy=$entropy ts=$ts mode=$mode")
+    }
+  }
+
+  test("fuzz: random garbage and truncations raise ZarrException, never crash or hang") {
+    val rnd = new scala.util.Random(99)
+    val valid = Blosc.encode(
+      Array.tabulate[Byte](5000)(i => (i / 9).toByte), 4, "blosclz", 5, "shuffle", 1024)
+    for (i <- 1 to 300) {
+      val bytes =
+        if (i % 3 == 0) Array.fill[Byte](rnd.nextInt(200) + 16)(rnd.nextInt().toByte)
+        else {
+          val b = java.util.Arrays.copyOf(valid, valid.length)
+          if (i % 3 == 1) java.util.Arrays.copyOf(b, rnd.nextInt(b.length)) // truncate
+          else { // flip a few bytes
+            (0 until 5).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt().toByte)
+            b
+          }
+        }
+      try {
+        val out = Blosc.decode(bytes, "fuzz")
+        assert(out.length >= 0) // decoded by luck (e.g. header byte flips survived)
+      } catch {
+        case _: ZarrException => // expected typed failure
+      }
+    }
+  }
+
   test("DSv2 scan decodes blosc stores: cname matrix, multi-chunk, multi-block, crc32c") {
     val vals = (0 until 1000).map(i => (i * 37 % 9973).toLong)
     for ((comp, crc) <- Seq(("blosc-lz4", false), ("blosc-zstd", false),
