@@ -239,4 +239,68 @@ object Dedup {
       .select("id_a", "id_b", "distance")
       .orderBy("id_a", "id_b")
   }
+
+  /**
+   * STREAMING MinHash-LSH near-duplicate candidates — ingest-time dedup for
+   * a document firehose (`readStream` → this → route/drop), the streaming
+   * twin of [[minhashCandidates]] built on `flatMapGroupsWithState`.
+   *
+   * Same scan-local signature + banding kernels; state is keyed by
+   * (band, bucket) and holds at most `bucketCap` (id, signature) members —
+   * text never enters state or the shuffle, so state per bucket is bounded
+   * at `bucketCap × numHashes` longs regardless of document size. Each
+   * arriving doc emits a candidate pair per stored member whose signature
+   * agreement ≥ `minEstimate`, then joins the bucket (dropped once the cap
+   * is hit, mirroring the batch operator's degenerate-bucket guard).
+   *
+   * A pair sharing several buckets is emitted once per band — consumers
+   * `dropDuplicates` or verify-exactly downstream, which is where the batch
+   * operator's exact-Jaccard verification lives too. `idleTimeout` (e.g.
+   * "1 hour") evicts buckets idle for that processing-time span: on an
+   * unbounded stream the state otherwise grows with distinct buckets.
+   */
+  def streamingNearDupCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleWords: Int = 3, bucketCap: Int = 64, minEstimate: Double = 0.5,
+      idleTimeout: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rows = numHashes / bands
+    val banded = docs.select(col(idCol).as("id"),
+        signatureFromShingles(
+          TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+      .as[(Long, Seq[Long], Int, Long)]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded.groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], (Long, Long, Double)](
+          OutputMode.Append(), timeoutConf) { case (_, arrivals, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var members = state.getOption.getOrElse(Seq.empty)
+          val emitted = Seq.newBuilder[(Long, Long, Double)]
+          arrivals.foreach { case (id, sig, _, _) =>
+            members.foreach { case (mid, msig) =>
+              if (mid != id) {
+                var agree = 0
+                var i = 0
+                while (i < numHashes) { if (sig(i) == msig(i)) agree += 1; i += 1 }
+                val est = agree.toDouble / numHashes
+                if (est >= minEstimate)
+                  emitted += ((math.min(id, mid), math.max(id, mid), est))
+              }
+            }
+            if (members.size < bucketCap) members = members :+ ((id, sig))
+          }
+          state.update(members)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          emitted.result().iterator
+        }
+      }.toDF("id_a", "id_b", "est_jaccard")
+  }
 }

@@ -138,6 +138,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup: candidates match the batch operator, arrival-order free") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // planted corpus: 3 near-dup pairs (one-word edits) among distinct docs
+    def doc(seed: Int): String =
+      (0 until 40).map(w => s"tok${(seed * 31 + w * 7) % 997}_$w").mkString(" ")
+    val base = (0L until 20L).map(i => (i, doc(i.toInt)))
+    val copies = Seq(
+      (100L, doc(3).replace("_5", "_x")),   // near-dup of 3
+      (101L, doc(7).replace("_11", "_y")),  // near-dup of 7
+      (102L, doc(12)))                      // exact dup of 12
+    val corpus = base ++ copies
+    val batchPairs = graft.operators.Dedup.minhashCandidates(
+        corpus.toDF("doc_id", "text"), "text", "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs == Set((3L, 100L), (7L, 101L), (12L, 102L)))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.streamingNearDupCandidates(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("nearDup").outputMode("append").start()
+    try {
+      // copies arrive SPLIT across micro-batches, before and after originals
+      mem.addData(corpus.take(10) :+ copies(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.slice(10, 20) ++ copies.take(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("nearDup")
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchPairs) // per-band re-emits collapse in the Set
+      val ests = spark.table("nearDup").filter(col("id_a") === 12)
+        .select("est_jaccard").collect().map(_.getDouble(0))
+      assert(ests.forall(_ == 1.0)) // exact copy agrees on every minhash
+    } finally q.stop()
+  }
+
   test("zarr micro-batch stream picks up appended rows across triggers") {
     val dir = tempDir("zarr_stream")
     graft.zarr.ZarrWriter.writeGroup(dir, "/g")
