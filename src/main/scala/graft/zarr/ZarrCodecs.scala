@@ -337,6 +337,32 @@ object ZarrCodecs {
     if (sign == 1) -f else f
   }
 
+  /**
+   * Float fill per the v3 spec's JSON encodings: a plain number, the strings
+   * "NaN" / "Infinity" / "-Infinity" (what zarr-python writes for non-finite
+   * fills), or a bit-exact "0x…" hex string whose width matches the dtype
+   * (8 hex digits for float32, 16 for float64, 4 for float16).
+   */
+  private def floatFill(node: com.fasterxml.jackson.databind.JsonNode,
+      bits: Int): Double = {
+    if (!node.isTextual) return node.asDouble(0.0)
+    node.asText() match {
+      case "NaN"       => Double.NaN
+      case "Infinity"  => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case s if s.startsWith("0x") && s.length == 2 + bits / 4 =>
+        bits match {
+          case 16 => halfToFloat(java.lang.Integer.parseInt(s.substring(2), 16).toShort).toDouble
+          case 32 => java.lang.Float.intBitsToFloat(
+            java.lang.Integer.parseUnsignedInt(s.substring(2), 16)).toDouble
+          case _  => java.lang.Double.longBitsToDouble(
+            java.lang.Long.parseUnsignedLong(s.substring(2), 16))
+        }
+      case other =>
+        throw new ZarrException(s"unsupported float fill_value '$other'")
+    }
+  }
+
   /** Chunk of repeated fill value, for absent chunk objects. */
   private def fillChunk(meta: ZarrArrayMeta, n: Int): ColumnChunk = {
     val node = ZarrMeta.parseJson(meta.fillValueJson)
@@ -351,9 +377,9 @@ object ZarrCodecs {
       case ZUInt16           => node.asInt(0)
       case ZUInt32           => node.asLong(0L)
       case ZUInt64           => Decimal(new java.math.BigDecimal(node.asText("0")))
-      case ZFloat16          => node.asDouble(0.0).toFloat
-      case ZFloat32          => node.asDouble(0.0).toFloat
-      case ZFloat64          => node.asDouble(0.0)
+      case ZFloat16          => floatFill(node, 16).toFloat
+      case ZFloat32          => floatFill(node, 32).toFloat
+      case ZFloat64          => floatFill(node, 64)
       case ZDatetime64(u, s) =>
         val fv = node.asLong(0L)
         if (fv == Long.MinValue) null // NaT fill → null rows

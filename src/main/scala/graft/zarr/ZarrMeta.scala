@@ -81,11 +81,13 @@ final case class ZarrArrayMeta(
     dtype: ZarrType,
     codecs: Seq[ZarrCodec],
     separator: String,   // chunk-key separator, "/" or "."
-    fillValueJson: String // raw JSON text of fill_value (decoded lazily)
+    fillValueJson: String, // raw JSON text of fill_value (decoded lazily)
+    v2Keys: Boolean = false // "v2" chunk_key_encoding: bare <i>, no "c" prefix
 ) extends Serializable {
   def numChunks: Long = if (length == 0) 0 else (length + chunkLength - 1) / chunkLength
-  /** Store-relative path of chunk i under default chunk-key encoding. */
-  def chunkPath(i: Long): String = s"$path/c$separator$i"
+  /** Store-relative path of chunk i under the array's chunk-key encoding. */
+  def chunkPath(i: Long): String =
+    if (v2Keys) s"$path/$i" else s"$path/c$separator$i"
 }
 
 /** Errors raised by the Zarr reader (reference: src/error.rs:4-42). */
@@ -112,10 +114,18 @@ object ZarrMeta {
       throw new ZarrException(s"unsupported chunk_grid '${grid.path("name").asText()}' at $path")
     val chunkShape = grid.path("configuration").path("chunk_shape")
     val cke = n.path("chunk_key_encoding")
+    // "default": keys are c<sep><i> (sep defaults "/"); "v2" (zarr-v2
+    // migrated stores): bare <i> keys, no "c" prefix (sep, default ".",
+    // only separates indices of multi-dim arrays — moot for 1-D)
+    var v2Keys = false
     val sep = cke.path("name").asText() match {
       case "default" | "" =>
         val s = cke.path("configuration").path("separator").asText()
         if (s.isEmpty) "/" else s
+      case "v2" =>
+        v2Keys = true
+        val s = cke.path("configuration").path("separator").asText()
+        if (s.isEmpty) "." else s
       case other => throw new ZarrException(s"unsupported chunk_key_encoding '$other' at $path")
     }
     ZarrArrayMeta(
@@ -126,7 +136,8 @@ object ZarrMeta {
       dtype = parseDType(n.path("data_type"), path),
       codecs = parseCodecs(n.path("codecs"), path),
       separator = sep,
-      fillValueJson = n.path("fill_value").toString
+      fillValueJson = n.path("fill_value").toString,
+      v2Keys = v2Keys
     )
   }
 

@@ -133,6 +133,29 @@ class ZarrCodecRoundtripSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L, -5L, -5L, -5L, 7L))
   }
 
+  test("spec string fill_values: NaN / Infinity / -Infinity / bit-exact hex") {
+    // zarr-python writes non-finite float fills as JSON strings (v3 spec);
+    // 4 values, chunkLen 2, chunk 1 omitted → rows 2-3 read the fill
+    def f64(fill: String): Seq[Any] =
+      roundtrip("\"float64\"", 8, (b, v) => b.putDouble(v.asInstanceOf[Double]),
+        Seq[Any](1.5, 2.5, 3.5, 4.5), 0.0, 2, fill, omitChunks = Set(1))
+    assert(f64("\"NaN\"").drop(2).forall(_.asInstanceOf[Double].isNaN))
+    assert(f64("\"Infinity\"").drop(2) == Seq(Double.PositiveInfinity, Double.PositiveInfinity))
+    assert(f64("\"-Infinity\"").drop(2) == Seq(Double.NegativeInfinity, Double.NegativeInfinity))
+    // 0x3ff8000000000000 = 1.5 exactly
+    assert(f64("\"0x3ff8000000000000\"").drop(2) == Seq(1.5, 1.5))
+    def f32(fill: String): Seq[Any] =
+      roundtrip("\"float32\"", 4, (b, v) => b.putFloat(v.asInstanceOf[Float]),
+        Seq[Any](1.5f, 2.5f, 3.5f, 4.5f), 0.0f, 2, fill, omitChunks = Set(1))
+    assert(f32("\"NaN\"").drop(2).forall(_.asInstanceOf[Float].isNaN))
+    assert(f32("\"0x3fc00000\"").drop(2) == Seq(1.5f, 1.5f)) // 0x3fc00000 = 1.5f
+    // unknown string fill is a typed error, not a silent 0.0
+    val e = intercept[Exception](f64("\"zero\""))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("fill_value"), msgs)
+  }
+
   test("datetime64 units s/ms/us/ns + scale_factor normalize to micros") {
     val base = 1672531200L // 2023-01-01T00:00:00 in seconds
     val cases = Seq(

@@ -38,6 +38,29 @@ class ZarrMetaSpec extends SparkSpec {
     intercept[ZarrException](ZarrMeta.parseArray("p", "x", weirdGrid))
   }
 
+  test("v2 chunk_key_encoding: bare index keys resolve; unknown encodings still reject") {
+    // migrated zarr-v2 store: chunk 1 lives at x/1, not x/c/1
+    val dir = tempDir("zarr_v2keys")
+    ZarrWriter.writeGroup(dir, "/g")
+    ZarrWriter.writeLongArray(dir, "/g", "x", Seq(1L, 2L, 3L, 4L, 5L), 2)
+    val xDir = java.nio.file.Paths.get(dir, "g", "x")
+    (0 to 2).foreach { i =>
+      java.nio.file.Files.move(xDir.resolve(s"c/$i"), xDir.resolve(s"$i"))
+    }
+    java.nio.file.Files.delete(xDir.resolve("c"))
+    val metaPath = xDir.resolve("zarr.json")
+    val patched = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+      .replace("\"name\":\"default\"", "\"name\":\"v2\"")
+      .replace("{\"separator\":\"/\"}", "{\"separator\":\".\"}")
+    java.nio.file.Files.write(metaPath, patched.getBytes("UTF-8"))
+    val out = spark.read.format("zarr").option("group", "/g").load(dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L, 5L))
+    // anything else remains a typed rejection
+    val bad = meta("\"int64\"").replace("\"name\":\"default\"", "\"name\":\"fancy\"")
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", bad))
+  }
+
   test("non-string bbox column is rejected at schema time (schema.rs:68-73 parity)") {
     val m = ZarrMeta.parseArray("g/bbox", "bbox", meta("\"int64\""))
     intercept[ZarrException](ZarrSchema.toField(m))
