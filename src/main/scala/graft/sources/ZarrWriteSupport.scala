@@ -59,13 +59,14 @@ object ZarrWriteSupport {
     case FloatType => "\"float32\""
     case BooleanType => "\"bool\""
     case StringType => "\"string\""
+    case BinaryType => "\"bytes\""
     case TimestampNTZType =>
       """{"name":"numpy.datetime64","configuration":{"unit":"us","scale_factor":1}}"""
     case other => throw new ZarrException(s"zarr write: unsupported column type $other")
   }
 
   def fillJson(dt: DataType): String = dt match {
-    case StringType => "\"\""
+    case StringType | BinaryType => "\"\""
     case TimestampNTZType => Long.MinValue.toString
     case BooleanType => "false"
     case FloatType | DoubleType => "0.0"
@@ -122,15 +123,17 @@ object ZarrWriteSupport {
   def codecsJson(dt: DataType, compression: String = "zstd"): String = {
     val terminal = dt match {
       case StringType => """{"name":"vlen-utf8","configuration":{}}"""
+      case BinaryType => """{"name":"vlen-bytes","configuration":{}}"""
       case _ => """{"name":"bytes","configuration":{"endian":"little"}}"""
     }
     val comp = compression match {
       case "zstd" => """{"name":"zstd","configuration":{"level":0,"checksum":false}}"""
       case "blosc" =>
-        // shuffle pays on fixed-width lanes; vlen strings get typesize 1 +
-        // noshuffle (zarr-python does the same for variable-length data)
+        // shuffle pays on fixed-width lanes; vlen strings/bytes get
+        // typesize 1 + noshuffle (zarr-python does the same for vlen data)
         val (ts, shuf) =
-          if (dt == StringType) (1, "noshuffle") else (typeWidth(dt), "shuffle")
+          if (dt == StringType || dt == BinaryType) (1, "noshuffle")
+          else (typeWidth(dt), "shuffle")
         s"""{"name":"blosc","configuration":{"cname":"lz4","clevel":5,"shuffle":"$shuf","typesize":$ts,"blocksize":0}}"""
       case other => throw new ZarrException(
         s"zarr write: unsupported compression '$other' (use zstd or blosc)")
@@ -159,6 +162,9 @@ object ZarrWriteSupport {
    * and make pruning unsound). min/max are null when every value is null.
    */
   def chunkColumnStats(dt: DataType, values: Array[Any], count: Int): (String, String, Long) = {
+    // binary columns carry no orderable bounds (no comparison filter is ever
+    // prunable for them) and nulls are written as empty bytes → non-null read
+    if (dt == BinaryType) return (null, null, 0L)
     // Stats must describe what a READER sees. Nulls are encoded as fill
     // values for every type except timestamp (NaT reads back as a real
     // null), so null slots enter min/max as their fill and only timestamp
@@ -272,18 +278,20 @@ object ZarrWriteSupport {
   def encodeChunk(dt: DataType, values: Array[Any], count: Int, chunkRows: Int,
       compression: String = "zstd"): Array[Byte] = {
     val raw: Array[Byte] = dt match {
-      case StringType =>
+      case StringType | BinaryType =>
         val bufs = new mutable.ArrayBuffer[Array[Byte]](chunkRows)
         var total = 4
         var i = 0
         while (i < chunkRows) {
-          val s = if (i < count && values(i) != null) values(i).toString else ""
-          val b = s.getBytes(StandardCharsets.UTF_8)
+          val b: Array[Byte] =
+            if (i >= count || values(i) == null) Array.emptyByteArray
+            else if (dt == BinaryType) values(i).asInstanceOf[Array[Byte]]
+            else values(i).toString.getBytes(StandardCharsets.UTF_8)
           bufs += b; total += 4 + b.length
           i += 1
         }
         val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-        out.putInt(chunkRows) // numcodecs VLenUTF8 element-count header
+        out.putInt(chunkRows) // numcodecs VLen* element-count header
         bufs.foreach(b => out.putInt(b.length).put(b))
         out.array()
       case _ =>
@@ -319,7 +327,8 @@ object ZarrWriteSupport {
       case "zstd" => Zstd.compress(raw, 0)
       case "blosc" =>
         val (ts, shuf) =
-          if (dt == StringType) (1, "noshuffle") else (typeWidth(dt), "shuffle")
+          if (dt == StringType || dt == BinaryType) (1, "noshuffle")
+          else (typeWidth(dt), "shuffle")
         graft.zarr.Blosc.encode(raw, ts, "lz4", 5, shuf)
       case other => throw new ZarrException(
         s"zarr write: unsupported compression '$other' (use zstd or blosc)")

@@ -87,13 +87,15 @@ object ZarrCodecs {
       case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes)
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
       case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path)
-      case ZarrCodec.BytesCodec(_) | ZarrCodec.VlenUtf8Codec => // terminal, handled below
+      case ZarrCodec.BytesCodec(_) | ZarrCodec.VlenUtf8Codec |
+           ZarrCodec.VlenBytesCodec => // terminal, handled below
       case _: ZarrCodec.ShardingCodec =>
         throw new ZarrException(s"nested sharding_indexed not supported at ${meta.path}")
     }
     val littleEndian = meta.codecs.collectFirst { case ZarrCodec.BytesCodec(le) => le }.getOrElse(true)
     meta.dtype match {
-      case ZarrType.ZString => decodeVlenUtf8(bytes, chunkLen, meta.path)
+      case ZarrType.ZString => decodeVlen(bytes, chunkLen, meta.path, utf8 = true)
+      case ZarrType.ZBytes  => decodeVlen(bytes, chunkLen, meta.path, utf8 = false)
       case dt               => decodeFixed(bytes, dt, chunkLen, littleEndian)
     }
   }
@@ -189,7 +191,8 @@ object ZarrCodecs {
    * decoding the reference store headerless underflows (caught by
    * ZarrSourceSpec's golden-byte tests).
    */
-  private def decodeVlenUtf8(bytes: Array[Byte], n: Int, path: String): ColumnChunk = {
+  private def decodeVlen(bytes: Array[Byte], n: Int, path: String,
+      utf8: Boolean): ColumnChunk = {
     // parse to (offset, length) views into the decompressed buffer — both
     // readers then pay exactly one copy: the row path wraps (UTF8String
     // .fromBytes slices without copying), the columnar path putByteArray's
@@ -218,7 +221,9 @@ object ZarrCodecs {
       throw new ZarrException(s"vlen-utf8 chunk does not parse as $n elements at $path")
     new ColumnChunk {
       val length = n
-      def get(i: Int): Any = UTF8String.fromBytes(bytes, offs(i), lens(i))
+      def get(i: Int): Any =
+        if (utf8) UTF8String.fromBytes(bytes, offs(i), lens(i))
+        else java.util.Arrays.copyOfRange(bytes, offs(i), offs(i) + lens(i))
       override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit = {
         var i = 0
         while (i < cnt) {
@@ -311,6 +316,8 @@ object ZarrCodecs {
         }
       case ZString =>
         throw new ZarrException("string dtype requires vlen-utf8 codec")
+      case ZBytes =>
+        throw new ZarrException("bytes dtype requires vlen-bytes codec")
     }
   }
 
@@ -391,6 +398,7 @@ object ZarrCodecs {
           }
         }
       case ZString           => UTF8String.fromString(node.asText(""))
+      case ZBytes            => Array.emptyByteArray
       case ZRaw(bits)        => new Array[Byte](bits / 8)
     }
     new ColumnChunk {

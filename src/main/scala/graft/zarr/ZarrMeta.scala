@@ -32,6 +32,8 @@ object ZarrType {
   case object ZFloat32 extends ZarrType { val byteSize = 4 }
   case object ZFloat64 extends ZarrType { val byteSize = 8 }
   case object ZString  extends ZarrType { val byteSize = -1 }
+  /** provisional v3 `bytes` dtype: variable-length binary (vlen-bytes codec). */
+  case object ZBytes   extends ZarrType { val byteSize = -1 }
   /** `r*` raw-bits type; `bits` must be a multiple of 8. */
   final case class ZRaw(bits: Int) extends ZarrType { val byteSize = bits / 8 }
   /** numpy.datetime64 with unit in {s, ms, us, ns} and a scale factor. */
@@ -43,6 +45,7 @@ sealed trait ZarrCodec extends Serializable
 object ZarrCodec {
   final case class BytesCodec(littleEndian: Boolean) extends ZarrCodec
   case object VlenUtf8Codec extends ZarrCodec
+  case object VlenBytesCodec extends ZarrCodec
   final case class ZstdCodec(level: Int, checksum: Boolean) extends ZarrCodec
   final case class GzipCodec(level: Int) extends ZarrCodec
   /** crc32c appends a 4-byte checksum; on read we verify+strip. */
@@ -159,6 +162,7 @@ object ZarrMeta {
         case "float32" => ZFloat32
         case "float64" => ZFloat64
         case "string"  => ZString
+        case "bytes"   => ZBytes
         case s if s.startsWith("complex") =>
           throw new ZarrException(s"complex data type '$s' not supported, at $path")
         case s if s.startsWith("r") && s.drop(1).forall(_.isDigit) =>
@@ -195,6 +199,12 @@ object ZarrMeta {
       c.path("name").asText() match {
         case "bytes"     => out += BytesCodec(cfg.path("endian").asText("little") == "little")
         case "vlen-utf8" => out += VlenUtf8Codec
+        case "vlen-bytes" => out += VlenBytesCodec
+        case "transpose" =>
+          // identity on 1-D arrays (order [0]); anything else has no 1-D meaning
+          val order = cfg.path("order")
+          if (!(order.isArray && order.size() == 1 && order.get(0).asInt(-1) == 0))
+            throw new ZarrException(s"transpose codec with non-identity order at $path")
         case "zstd"      => out += ZstdCodec(cfg.path("level").asInt(0), cfg.path("checksum").asBoolean(false))
         case "gzip"      => out += GzipCodec(cfg.path("level").asInt(5))
         case "crc32c"    => out += Crc32cCodec

@@ -40,6 +40,7 @@ object ZarrSchema {
       case ZFloat32          => FloatType
       case ZFloat64          => DoubleType
       case ZString           => StringType
+      case ZBytes            => BinaryType
       case ZRaw(_)           => BinaryType
       case ZDatetime64(_, _) => TimestampNTZType
     }

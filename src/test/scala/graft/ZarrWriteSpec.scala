@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
  */
 class ZarrWriteSpec extends SparkSpec {
 
+  test("binary columns roundtrip as bytes/vlen-bytes: zstd, blosc, sharded, null→empty") {
+    val rows = (0L until 20L).map { i =>
+      // varied lengths incl. empty and a null (reads back as empty bytes)
+      val payload: Array[Byte] =
+        if (i == 7) null
+        else if (i == 3) Array.emptyByteArray
+        else Array.tabulate[Byte]((i % 5).toInt * 3 + 1)(j => (i * 31 + j).toByte)
+      (i, payload)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "blob")
+    for (opts <- Seq(Map("compression" -> "zstd"), Map("compression" -> "blosc"),
+        Map("compression" -> "zstd", "shard_rows" -> "4"))) {
+      val dir = tempDir("zw_bin") + "/store.zarr"
+      var w = df.coalesce(1).write.format("zarr").option("group", "/t")
+        .option("chunk_rows", "8").mode("overwrite")
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.save(dir)
+      val metaText = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "t", "blob", "zarr.json")), "UTF-8")
+      assert(metaText.contains("\"bytes\"") && metaText.contains("vlen-bytes"), opts.toString)
+      val back = spark.read.format("zarr").option("group", "/t").load(dir)
+        .orderBy("id").collect()
+      rows.foreach { case (i, payload) =>
+        val got = back(i.toInt).getAs[Array[Byte]]("blob")
+        val expect = if (payload == null) Array.emptyByteArray else payload
+        assert(got.toSeq == expect.toSeq, s"row $i opts=$opts")
+      }
+    }
+  }
+
   test("single-partition roundtrip across all supported dtypes") {
     import spark.implicits._
     val dir = tempDir("zw_single") + "/store.zarr"
