@@ -114,6 +114,27 @@ object ZarrQueries {
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
       }),
 
+    // BINARY columns (provisional v3 bytes dtype + vlen-bytes codec): a
+    // multimodal-style opaque-blob table writes to a blosc zarr store and
+    // reads back byte-identical — same self-check contract, any SF.
+    Q("q_zarr_binary_roundtrip", Some("""
+      SELECT (SELECT count(*) FROM documents) AS n_rows,
+             CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft_zarr_bin").toString + "/out.zarr"
+        val src = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            // deterministic opaque payload standing in for image/audio bytes
+            encode(substring(col("text"), 1, 64), "UTF-8").cast("binary").as("blob"))
+        src.coalesce(1).write.format("zarr").option("group", "/m")
+          .option("compression", "blosc").mode("overwrite").save(out)
+        val back = s.read.format("zarr").option("group", "/m").load(out)
+          .select("doc_id", "blob")
+        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
+        back.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      }),
+
     // SHARDED write (zarr v3 sharding_indexed extension) + lazy shard-decode
     // read-back, same self-check contract as the unsharded roundtrip: every
     // orders row survives, zero mismatches, at any SF.
