@@ -162,12 +162,23 @@ object MLQueries {
       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
       ORDER BY id_a"""),
       (s, dir) => {
+        // adjacent-pair self-join without the join: each doc posts its
+        // (once-computed) shingles to its own pair key and its
+        // predecessor's, and a conditional aggregation reassembles the
+        // pair — ONE kernel pass and ONE shuffle where the naive a⋈b plan
+        // runs the shingle kernel twice and shuffles both join sides
         val d = t(s, dir, "documents").select(col("doc_id"),
           TextFunctions.wordShingles(col("text"), 3).as("sh"))
-        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, "id_a")
-          .select(col("id_a"), col("id_b"),
+        val posted = d.select(explode(array(
+            struct(col("doc_id").as("k"), lit(0).as("side"), col("sh")),
+            struct((col("doc_id") - 1).as("k"), lit(1).as("side"), col("sh")))).as("p"))
+          .select(col("p.k"), col("p.side"), col("p.sh"))
+        posted.groupBy("k")
+          .agg(
+            any_value(when(col("side") === 0, col("sh")), lit(true)).as("sh_a"),
+            any_value(when(col("side") === 1, col("sh")), lit(true)).as("sh_b"))
+          .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+          .select(col("k").as("id_a"), (col("k") + 1).as("id_b"),
             round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
               greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 6).as("jaccard"))
           .orderBy("id_a")
