@@ -107,6 +107,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p.take(2000))
   }
 
+  test("q_ngram_jaccard: pair assembly is a join-free single-shuffle aggregation") {
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sf)
+    df.queryExecution.toRdd.count() // finalize AQE
+    // AQE toString repeats the tree as "Current Plan" + "Initial Plan" —
+    // assert over the current one only
+    val full = df.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==").head
+    assert(!p.toLowerCase.contains("join"),
+      "adjacent-pair jaccard must reassemble pairs via aggregation, not a self-join")
+    // exactly one hash-partitioned exchange (the groupBy); the only other
+    // exchange is the oracle-demanded final range sort
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.count(_ == "hashpartitioning") == 1, s"exchanges=$exchanges")
+  }
+
   test("whole-stage codegen covers the scalar pipeline") {
     // AQE shows codegen spans only in the FINAL plan — execute first
     val df = SparkEntry.queries("q_string_funcs")(spark, sf)
