@@ -76,6 +76,23 @@ object Corpus {
       .drop("h")
 
   /**
+   * Deterministic per-stratum downsampling (e.g. "keep 50% of English,
+   * 10% of everything else" when rebalancing a training corpus): a row
+   * survives iff the first md5 byte of its id (two lowercase hex chars)
+   * is below its stratum's threshold — "80" ≈ 50%, "1a" ≈ 10%. A pure
+   * scan-local filter: no shuffle, no RNG state, identical membership on
+   * every engine/run/cluster-size (the md5 trick [[hashSplit]] uses).
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      thresholds: Map[String, String], defaultThreshold: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(h < thr)
+  }
+
+  /**
    * Fixed-budget contiguous sequence packing, concatenate-then-chop style
    * (how LLM pretraining fills context windows): within each `groupCol`,
    * docs in `orderCol` order are laid end to end and each doc is assigned

@@ -76,6 +76,21 @@ object CorpusQueries {
         t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
+    // Deterministic stratified downsampling: 50% of English (md5 byte <
+    // 0x80), 10% of other languages (< 0x1a) — portable ground truth, same
+    // engine-agnostic md5 trick as q_split_hash.
+    Q("q_sample_stratified", Some("""
+      SELECT lang, count(*) AS n_sampled, count(DISTINCT doc_id) AS n_docs
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE lang WHEN 'en' THEN '80' ELSE '1a' END
+      GROUP BY lang ORDER BY lang"""),
+      (s, dir) => Corpus.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> "80"), defaultThreshold = "1a")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), countDistinct("doc_id").as("n_docs"))
+        .orderBy("lang")),
+
     // Per-group cap: top-3 largest docs per language.
     Q("q_topk_per_group", Some("""
       SELECT lang, doc_id, n_chars,

@@ -250,6 +250,30 @@ object MLQueries {
     // arithmetic once both engines compute in double (DuckDB's
     // list_cosine_similarity on FLOAT[] stays float32 — cast first), and both
     // sides rank on the ROUNDED cosine so ulp noise can't flip ranks.
+    // int8 symmetric quantization of the embedding column (the standard
+    // memory-shrink before ANN serving): per-vector scale = max |x|, codes =
+    // round(x * 127 / scale). Scan-local higher-order functions, no UDF, no
+    // shuffle; the q8 codes serialize to a string for the driver compare.
+    Q("q_embed_quantize", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      SELECT vec_id,
+             round(greatest(list_max(list_transform(emb, x -> abs(x))), 1e-9), 6) AS max_abs,
+             array_to_string(list_transform(emb, x ->
+               CAST(round(x * 127.0 / greatest(list_max(list_transform(emb, y -> abs(y))), 1e-9))
+                    AS INTEGER)), ',') AS q8
+      FROM v ORDER BY vec_id"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val maxAbs = greatest(
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-9))
+        emb.select(col("vec_id"),
+          round(maxAbs, 6).as("max_abs"),
+          concat_ws(",", transform(col("embedding"),
+            x => round(x.cast("double") * lit(127.0) / maxAbs).cast("int").cast("string")))
+            .as("q8"))
+          .orderBy("vec_id")
+      }),
+
     Q("q_sim_bruteforce", Some("""
       WITH probes AS (
         SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe_vec
