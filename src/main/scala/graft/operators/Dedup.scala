@@ -241,6 +241,43 @@ object Dedup {
   }
 
   /**
+   * Connected components over near-duplicate pairs → (doc_id, canonical_id):
+   * the step that turns pairwise matches into DROPPABLE duplicate clusters
+   * (keep each component's minimum id, drop the rest). Iterative min-label
+   * propagation — each round is one equi-join + min-aggregation, and the
+   * round count is the component diameter's log, which for dedup clusters
+   * (cliques and short chains around a canonical doc) is 2-4 rounds
+   * regardless of corpus size. No GraphX, no driver-side union-find: the
+   * only driver work is the convergence check (a count), so 100 TB of
+   * pairs iterate as ordinary shuffles.
+   */
+  def nearDupGroups(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      next.count() // materialize before dropping the previous generation
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    materializeThenFree(out, labels, edges)
+  }
+
+  /**
    * STREAMING MinHash-LSH near-duplicate candidates — ingest-time dedup for
    * a document firehose (`readStream` → this → route/drop), the streaming
    * twin of [[minhashCandidates]] built on `flatMapGroupsWithState`.

@@ -222,6 +222,41 @@ object MLQueries {
       ORDER BY id_a, id_b"""),
       (s, dir) => Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7)),
 
+    // pairs → clusters: connected components of the verified near-dup graph,
+    // each doc labeled with its component's minimum id (the doc a dedup pass
+    // keeps). DuckDB recomputes ground truth from the exact all-pairs
+    // Jaccard via a RECURSIVE transitive closure — fully portable.
+    Q("q_dedup_groups", Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand
+      ), closure(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT c.s, e.d FROM closure c JOIN edges e ON c.d = e.s
+      )
+      SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+      FROM closure GROUP BY s ORDER BY doc_id"""),
+      (s, dir) => Dedup.nearDupGroups(
+          Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7))
+        .orderBy("doc_id")),
+
     Q("q_dedup_simhash", None,
       (s, dir) => Dedup.simhashDuplicates(t(s, dir, "documents"), maxDistance = 10)),
 
