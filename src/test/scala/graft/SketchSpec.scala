@@ -141,6 +141,23 @@ class SketchSpec extends SparkSpec {
     assert(pruned.select("vec_id").collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("nearDupGroups: chains, multiple components, singleton pairs converge to min labels") {
+    import spark.implicits._
+    // component A: a 5-long CHAIN 10-11-12-13-14 (diameter 4 forces several
+    // propagation rounds); component B: triangle 20-21-22; component C: the
+    // pair (30, 31); ids deliberately out of arrival order
+    val pairs = Seq(
+      (13L, 14L), (10L, 11L), (12L, 13L), (11L, 12L),
+      (21L, 20L), (22L, 21L), (20L, 22L),
+      (31L, 30L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
   test("exact dedup: planted exact copies found with correct canonical id") {
     val copies = docs.limit(5).select((col("doc_id") + 3000000).as("doc_id"), col("text"))
     val groups = Dedup.exactGroups(docs.select("doc_id", "text").unionAll(copies)).collect()
