@@ -252,13 +252,18 @@ object Dedup {
    * pairs iterate as ordinary shuffles.
    */
   def nearDupGroups(pairs: DataFrame): DataFrame = {
+    // localCheckpoint (not persist): iterative plans NEST — without lineage
+    // truncation round N's logical tree embeds round N-1's several times
+    // plus the whole candidate pipeline, and driver-side analysis/
+    // optimization grows exponentially even though every byte is cached
+    // (measured 15 s/round on a 477-node graph; ~1 s/round truncated)
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -266,15 +271,12 @@ object Dedup {
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      next.count() // materialize before dropping the previous generation
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") < col("old")).count()
-      labels.unpersist(blocking = false)
       labels = next
     }
-    val out = labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
-    materializeThenFree(out, labels, edges)
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
   /**
