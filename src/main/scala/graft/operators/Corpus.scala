@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /**
  * Corpus-preparation operators a large-scale training-data pipeline needs
  * beyond dedup/similarity (SURVEY.md §2 north-star block): lexical search,
@@ -74,6 +76,27 @@ object Corpus {
           .when(col("h") <= "d", "val")
           .otherwise("test"))
       .drop("h")
+
+  /**
+   * Benchmark decontamination — drop training docs that share ANY word
+   * n-gram (default 8, the common contamination heuristic) with a
+   * benchmark/eval corpus, so the training set can't leak eval answers.
+   * Benchmarks are small by definition: their distinct n-grams broadcast,
+   * training docs' n-grams stay scan-local (explode → broadcast semi-join
+   * → anti-join on the flagged ids) — no corpus-wide text shuffle at any
+   * scale.
+   */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", ngram: Int = 8): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), ngram)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.wordShingles(col(textCol), ngram)).as("g"))
+      .distinct()
+    val contaminated = docGrams.join(broadcast(benchGrams), "g")
+      .select(idCol).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
 
   /**
    * Deterministic per-stratum downsampling (e.g. "keep 50% of English,

@@ -91,6 +91,39 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_sampled"), countDistinct("doc_id").as("n_docs"))
         .orderBy("lang")),
 
+    // Benchmark decontamination: docs with id % 50 == 0 act as the "eval
+    // set"; any other doc sharing a word-8-gram with them is dropped.
+    // DuckDB recomputes the same 8-gram overlap from scratch.
+    Q("q_decontaminate", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN list_distinct(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM tok
+      ), bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 50 = 0
+      ), contaminated AS (
+        SELECT DISTINCT d.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 50 <> 0) d
+        JOIN bench USING (gram)
+      )
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Corpus.decontaminate(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
     // Per-group cap: top-3 largest docs per language.
     Q("q_topk_per_group", Some("""
       SELECT lang, doc_id, n_chars,
