@@ -26,14 +26,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Install the bbox chunk-pruning rule into the resolving session's
+   *  "User Provided Optimizers" batch — the only extension-reachable batch
+   *  that runs AFTER `V2ScanRelationPushDown` (Spark's "Pre CBO Rules"
+   *  batch sits BEFORE early scan pushdown, so `injectPreCBORule` never
+   *  sees a `DataSourceV2ScanRelation`; verified against the 4.1 batch
+   *  list). Hooked into the function builder: analysis resolves
+   *  `bbox_intersects` before optimization runs, so any query that could
+   *  prune has the rule installed in time. */
+  private def installBboxPruning(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      if (!s.experimental.extraOptimizations.contains(graft.plans.ZarrBboxPruning))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.ZarrBboxPruning
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // post-pushdown (pre-CBO) rule: plant bbox_intersects predicates into
-    // ZarrScan so its partition planning can skip chunks by stored envelope
-    ext.injectPreCBORule(_ => graft.plans.ZarrBboxPruning)
     ext.injectFunction((FunctionIdentifier("bbox_intersects"),
       info("bbox_intersects", "bbox_intersects(wkt, minx, miny, maxx, maxy) - envelope intersection"),
-      (es: Seq[Expression]) =>
-        GeoFunctions.BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType)))))
+      (es: Seq[Expression]) => {
+        installBboxPruning()
+        GeoFunctions.BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType)))
+      }))
     ext.injectFunction((FunctionIdentifier("bbox_envelope"),
       info("bbox_envelope", "bbox_envelope(wkt) - struct<minx,miny,maxx,maxy>"),
       (es: Seq[Expression]) => GeoFunctions.BboxEnvelope(es.head)))

@@ -172,8 +172,8 @@ object GeoFunctions {
     reg.createOrReplaceTempFunction("bbox_extent",
       (es: Seq[Expression]) => BboxExtent(es.head), "scala_udf")
     // bbox chunk pruning for Zarr scans ("User Provided Optimizers" runs
-    // post-pushdown, where DataSourceV2ScanRelation exists); sessions built
-    // with GraftExtensions get the same rule via injectPreCBORule
+    // post-pushdown, where DataSourceV2ScanRelation exists); GraftExtensions
+    // sessions install the same rule from the bbox_intersects builder
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ZarrBboxPruning))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ZarrBboxPruning

@@ -21,10 +21,14 @@ import graft.sources.ZarrScan
  *
  * `bbox_intersects` is a custom Catalyst expression, so it can never reach
  * the DSv2 `pushFilters` path (Spark only translates standard expressions to
- * `sources.Filter`s) — hence this rule, which runs AFTER
- * `V2ScanRelationPushDown` (via `injectPreCBORule` or
- * `experimental.extraOptimizations`, both post-pushdown) and rewrites the
- * materialized scan. The `Filter` above the scan is left untouched, so like
+ * `sources.Filter`s) — hence this rule, which must run AFTER
+ * `V2ScanRelationPushDown`. The only such batch reachable from user code is
+ * "User Provided Optimizers" (`experimental.extraOptimizations`) — Spark's
+ * "Pre CBO Rules" batch sits BEFORE early scan pushdown, so
+ * `injectPreCBORule` never sees the scan (pinned by the GraftExtensions
+ * SQL-path spec). Installed by `GeoFunctions.register` and by the
+ * extension's `bbox_intersects` builder. The `Filter` above the scan is
+ * left untouched, so like
  * all graft stats pruning this is advisory: wrong/stale envelopes cost I/O,
  * never correctness.
  */

@@ -72,6 +72,60 @@ class ZarrPartitionMathSpec extends SparkSpec {
     assert(ranges(scan(Seq(meta("x", 0L, 1L << 20)), targetRows = 1L << 20)).isEmpty)
   }
 
+  test("columnar batches straddling chunk boundaries reassemble rows exactly") {
+    val dir = tempDir("zbatch") + "/store.zarr"
+    spark.range(100).select(col("id"),
+        concat(lit("s"), col("id").cast("string")).as("s"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "10").mode("overwrite").save(dir)
+    for (bs <- Seq(1, 7, 10, 13, 4096)) { // 7 and 13 cross chunks mid-batch
+      val rows = spark.read.format("zarr").option("group", "/t")
+        .option("batch_size", bs.toString).load(dir)
+        .orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == (0L until 100L), s"batch_size=$bs")
+      assert(rows.map(_.getString(1)).toSeq == (0 until 100).map(i => s"s$i"), s"batch_size=$bs")
+    }
+  }
+
+  test("bbox pruning fires through GraftExtensions' injectPreCBORule (SQL path)") {
+    // a FRESH session built with extensions only — no register() call, so
+    // the optimizer rule must come from injectPreCBORule, pinning that the
+    // pre-CBO batch really runs after V2 scan pushdown
+    val dir = tempDir("zbbox_ext") + "/store.zarr"
+    spark.range(100).select(col("id"),
+        concat(lit("POLYGON (("),
+          (col("id") - 1).cast("double").cast("string"), lit(" "),
+          (col("id") - 1).cast("double").cast("string"), lit(", "),
+          (col("id") + 1).cast("double").cast("string"), lit(" "),
+          (col("id") - 1).cast("double").cast("string"), lit(", "),
+          (col("id") + 1).cast("double").cast("string"), lit(" "),
+          (col("id") + 1).cast("double").cast("string"), lit(", "),
+          (col("id") - 1).cast("double").cast("string"), lit(" "),
+          (col("id") + 1).cast("double").cast("string"), lit("))")).as("bbox"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "10").mode("overwrite").save(dir)
+    // same SparkContext, new session WITH extensions applied at build (the
+    // pattern ZarrSourceSpec's extensions test uses)
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val fresh = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      assert(fresh ne old)
+      fresh.read.format("zarr").option("group", "/t")
+        .option("target_partition_rows", "10").load(dir)
+        .createOrReplaceTempView("geo")
+      val q = fresh.sql("SELECT id FROM geo WHERE bbox_intersects(bbox, 34, 34, 36, 36)")
+      assert(q.queryExecution.toRdd.getNumPartitions == 1) // chunk 3 only
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+    }
+  }
+
   test("real scans execute columnar: ColumnarToRow sits above the Zarr scan") {
     val dir = tempDir("zcolumnar") + "/store.zarr"
     spark.range(100).select(col("id"), (col("id") * 2).as("y"))
