@@ -250,12 +250,29 @@ class ZarrScan(
       bboxFilter.fold("") { case (c, x0, y0, x1, y1) =>
         s", PushedBbox: $c intersects [$x0, $y0, $x1, $y1]" } + ")"
 
+  /** Rows in the ranges pruning keeps — so a chunk-pruned scan reports its
+   *  PRUNED size and joins against it become broadcast-eligible. The bbox
+   *  rule runs in the last optimizer batch, before physical planning reads
+   *  these stats, so JoinSelection sees the post-pruning estimate. Lazy:
+   *  computed once per scan (one sidecar read). */
+  private lazy val estimatedRows: Long =
+    if (pruningFilters.isEmpty && bboxFilter.isEmpty) tableRows
+    else {
+      val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
+      val step = math.max(align, (targetRows / align) * align)
+      val keep = rangeKeeper()
+      Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows)
+        .map(s => (s, math.min(s + step, tableRows)))
+        .collect { case (s, e) if keep(s, e) => e - s }
+        .sum
+    }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = {
       val perRow = requiredArrays.map(a => math.max(a.dtype.byteSize, 16)).sum
-      OptionalLong.of(tableRows * math.max(perRow, 1))
+      OptionalLong.of(estimatedRows * math.max(perRow, 1))
     }
-    override def numRows(): OptionalLong = OptionalLong.of(tableRows)
+    override def numRows(): OptionalLong = OptionalLong.of(estimatedRows)
   }
 
   /**

@@ -202,6 +202,12 @@ class ZarrStatsSpec extends SparkSpec {
     assert(nParts(q) == 1)
     assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
     assert(q.queryExecution.executedPlan.toString.contains("PushedBbox"))
+    // reported statistics reflect the pruning (broadcast-eligible at scale):
+    // one kept 10-row chunk, not the 100-row table
+    val rel = q.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    assert(rel.stats.rowCount.contains(BigInt(10)), rel.stats.toString)
     // a box past the data prunes everything
     val none = read(dir).filter(GeoFunctions.bbox_intersects(col("bbox"), 500, 500, 600, 600))
     assert(nParts(none) == 0 && none.count() == 0)
