@@ -176,7 +176,8 @@ class BloscSpec extends SparkSpec {
     for {
       n <- Seq(1, 7, 16, 255, 256, 1000, 4096, 70000) // 70000 spans far-distance refs
       entropy <- 0 to 4
-      (ts, mode) <- Seq((1, "noshuffle"), (4, "shuffle"), (8, "bitshuffle"), (3, "bitshuffle"))
+      (ts, mode) <- Seq((1, "noshuffle"), (4, "shuffle"), (8, "bitshuffle"),
+        (3, "bitshuffle"), (1, "bitshuffle"))
     } {
       val d = data(n, entropy)
       val enc = Blosc.encode(d, ts, "blosclz", 5, mode, blocksize = 2048)
