@@ -56,6 +56,7 @@ object ScanBench {
     val rows = if (args.length > 0) args(0).toLong else 16L * 1024 * 1024
     val chunkRows = if (args.length > 1) args(1).toInt else 1 << 19 // 512k-row shards
     val dir = if (args.length > 2) args(2) else "/tmp/graft_scanbench/store.zarr"
+    val compression = if (args.length > 3) args(3) else "zstd"
     val shardRows = chunkRows / 8 // inner chunks: 8 per shard
     val runs = 5
 
@@ -78,6 +79,7 @@ object ScanBench {
         .option("chunk_rows", chunkRows.toString)
         .option("shard_rows", shardRows.toString)
         .option("row_index", "idx")
+        .option("compression", compression)
         .mode("overwrite").save(dir)
     }
     val storeBytes = {
