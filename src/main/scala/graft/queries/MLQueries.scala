@@ -257,7 +257,10 @@ object MLQueries {
           Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7))
         .orderBy("doc_id")),
 
-    Q("q_dedup_simhash", None,
+    // Pinned literal-VALUES oracle (SimhashOracle): simhash is an
+    // engine-specific hash family, but deterministic — the full 840-row
+    // output at sf0.01 is pinned, same pattern as q_text_fingerprint.
+    Q("q_dedup_simhash", Some(SimhashOracle.sql),
       (s, dir) => Dedup.simhashDuplicates(t(s, dir, "documents"), maxDistance = 10)),
 
     // Ground-truth oracle, same reasoning as q_dedup_minhash: all-pairs exact
