@@ -204,10 +204,9 @@ object Blosc {
   // of the previous byte.
 
   private val MaxDistance = 8191 // blosclz MAX_DISTANCE
-  private val MaxFarDistance = 65535 + MaxDistance - 1
 
   /** Decompress one blosclz stream; bytes written, or -1 on malformed input. */
-  private[zarr] def blosclzDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
+  private[graft] def blosclzDecompress(src: Array[Byte], srcOff: Int, srcLen: Int,
       dst: Array[Byte], dstOff: Int, dstLen: Int): Int = {
     if (srcLen <= 0) return -1
     var ip = srcOff
@@ -256,8 +255,19 @@ object Blosc {
   }
 
   /** Greedy blosclz compressor emitting the token format above; null when
-   *  the result would not be smaller (caller stores raw, like c-blosc). */
-  private[zarr] def blosclzCompress(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+   *  the result would not be smaller (caller stores raw, like c-blosc).
+   *
+   *  Interop guard: matches are capped at biased distance < MAX_DISTANCE, so
+   *  the encoder NEVER emits a far-distance escape. Near tokens share one
+   *  unambiguous arithmetic across FastLZ level 2 and every blosclz descendant
+   *  (forced by the run-at-distance-0 bias), but the far token's bias may
+   *  differ by one between FastLZ (`ref = op - far - MAX_DISTANCE - 1`) and
+   *  c-blosc's diverged blosclz.c — and no c-blosc exists in this environment
+   *  to verify against. Emitting only near tokens makes every frame we write
+   *  decodable by any convention; the lost matches (distance ≥ 8 KiB inside
+   *  one block) become literals — a small ratio cost, never a wrong byte.
+   *  Decode still accepts far tokens (FastLZ convention, documented risk). */
+  private[graft] def blosclzCompress(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
     if (len < 16) return null
     val out = new Array[Byte](len) // give up past break-even
     var opos = 0
@@ -280,7 +290,9 @@ object Blosc {
       val cand = htab(h)
       htab(h) = ip
       val dist = ip - cand // in source coords == output coords (same stream)
-      if (cand >= off && dist - 1 <= MaxFarDistance &&
+      // `dist - 1 < MaxDistance` (not <=): d = 8191 would both need the far
+      // escape AND collide with its marker bit-pattern (high=31, low=255)
+      if (cand >= off && dist - 1 < MaxDistance &&
           src(cand) == src(ip) && src(cand + 1) == src(ip + 1) && src(cand + 2) == src(ip + 2)) {
         var mlen = 3
         while (ip + mlen < end && src(cand + mlen) == src(ip + mlen)) mlen += 1
@@ -294,28 +306,15 @@ object Blosc {
           lit += run
         }
         if (ok) {
-          val d = dist - 1 // biased distance
+          val d = dist - 1 // biased distance; d < MaxDistance guaranteed above
           val lenField = math.min(mlen - 2, 7)
-          if (d < MaxDistance) {
-            ok = emit((lenField << 5) | (d >> 8))
-            if (lenField == 7) {
-              var rem = mlen - 9
-              while (ok && rem >= 255) { ok = emit(255); rem -= 255 }
-              if (ok) ok = emit(rem)
-            }
-            if (ok) ok = emit(d & 255)
-          } else {
-            val far = d - MaxDistance
-            ok = emit((lenField << 5) | 31)
-            if (lenField == 7) {
-              var rem = mlen - 9
-              while (ok && rem >= 255) { ok = emit(255); rem -= 255 }
-              if (ok) ok = emit(rem)
-            }
-            if (ok) ok = emit(255)
-            if (ok) ok = emit(far >> 8)
-            if (ok) ok = emit(far & 255)
+          ok = emit((lenField << 5) | (d >> 8))
+          if (lenField == 7) {
+            var rem = mlen - 9
+            while (ok && rem >= 255) { ok = emit(255); rem -= 255 }
+            if (ok) ok = emit(rem)
           }
+          if (ok) ok = emit(d & 255)
           // seed the table through the match so long runs keep matching
           var p = ip + 1
           val stop = math.min(ip + mlen, end - 3)

@@ -267,4 +267,45 @@ class BloscSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(messages.contains("unsupported compression"), messages)
   }
+
+  test("interop guard: encoder never emits a far-distance token") {
+    // Data whose ONLY redundancy sits at distance ~9000: a far-capable
+    // encoder (FastLZ level 2) would emit the 16-bit escape here; ours must
+    // not, because the far token's bias convention cannot be verified
+    // against real c-blosc in this environment (see Blosc.scala). The walk
+    // below parses the emitted token stream exactly as a decoder would and
+    // fails on the escape pattern (high bits 31, low byte 255).
+    val rnd = new scala.util.Random(42)
+    val head = Array.fill[Byte](9000)(rnd.nextInt().toByte)
+    val data = head ++ head.take(600) // match candidates only at distance 9000
+    val enc = Blosc.blosclzCompress(data, 0, data.length)
+    if (enc != null) {
+      var ip = 0
+      var ctrl = enc(ip) & 31
+      ip += 1
+      var done = false
+      while (!done) {
+        if (ctrl >= 32) {
+          val ofs = ctrl & 31
+          var code = 0
+          if ((ctrl >> 5) == 7) {
+            do { code = enc(ip) & 0xff; ip += 1 } while (code == 255)
+          }
+          code = enc(ip) & 0xff; ip += 1
+          assert(!(code == 255 && ofs == 31),
+            s"far-distance escape emitted at token offset ${ip - 2}")
+        } else {
+          ip += ctrl + 1
+        }
+        if (ip < enc.length) { ctrl = enc(ip) & 0xff; ip += 1 } else done = true
+      }
+      // and the stream must still round-trip through our own decoder
+      val out = new Array[Byte](data.length)
+      val n = Blosc.blosclzDecompress(enc, 0, enc.length, out, 0, out.length)
+      assert(n == data.length && out.toSeq == data.toSeq)
+    }
+    // whole-frame round-trip regardless of whether the block compressed
+    val frame = Blosc.encode(data, 1, "blosclz", 5, "noshuffle", blocksize = 32768)
+    assert(Blosc.decode(frame, "interop-guard").toSeq == data.toSeq)
+  }
 }
