@@ -21,18 +21,32 @@ import graft.zarr._
  * together they make Zarr a streamable table format end to end, something
  * the strictly-bounded reference has no analogue of).
  *
- * Append protocol (single-partition epochs — the metadata-scale path, like
- * the batch writer without `row_index`; [[ZarrWrite.requiredDistribution]]
- * plans the coalesce):
+ * Append protocol, two modes:
  *
- *  1. The task reads `_graft_stream_commit.json` → (lastEpoch, rows). If
+ *  - **Arrival order** (default): one task per epoch appends rows in the
+ *    order they arrive ([[ZarrWrite.requiredDistribution]] plans the
+ *    coalesce) — the metadata-scale path.
+ *  - **Distributed** (option `row_index`): the stream carries a GLOBAL dense
+ *    0-based row-position column (a log offset / sequence number — global,
+ *    not per-epoch, because the store's chunk grid is global and the
+ *    committed row count is rarely chunk-aligned). The caller routes rows
+ *    with `repartition(row_index div chunk_rows)` exactly like the
+ *    distributed batch write; each task then owns whole global chunks and
+ *    a firehose epoch appends from every task in parallel. The column is
+ *    excluded from the written arrays.
+ *
+ * Either way each epoch:
+ *
+ *  1. Tasks read `_graft_stream_commit.json` → (lastEpoch, rows). If
  *     lastEpoch >= this epoch, the batch is a REPLAY of an already-committed
  *     epoch: consume and write nothing (exactly-once on retries).
- *  2. Otherwise the append starts at `rows`. A partial tail chunk is read
- *     back, decoded, and merged so the rewrite covers its existing rows —
- *     readers never observe it shrinking, because the published shape still
- *     ends at `rows` until commit.
- *  3. The driver commit then (a) merges the new per-chunk stats into the
+ *  2. Otherwise the append starts at `rows`. The task that owns the partial
+ *     tail chunk reads it back, decodes, and merges it so the rewrite covers
+ *     its existing rows — readers never observe it shrinking, because the
+ *     published shape still ends at `rows` until commit.
+ *  3. The driver commit validates epoch coverage — chunk ids dense from the
+ *     tail chunk, every chunk full except the last, no chunk written by two
+ *     tasks — then (a) merges the new per-chunk stats into the
  *     `_graft_stats.json` sidecar, (b) rewrites the `zarr.json` documents
  *     with the grown shape, and (c) records {epoch, rows} in the commit
  *     marker. Chunk objects past the published shape are invisible, so a
@@ -55,10 +69,29 @@ object ZarrStreamCommit {
         (n.path("epoch").asLong(-1L), n.path("rows").asLong(0L))
       }
     } catch { case _: Exception => (-1L, 0L) }
+
+  /** Marker if present, else the PUBLISHED array length: a table created by
+   *  the batch writer has zarr.json but no stream marker, and starting at
+   *  row 0 would silently overwrite it. The marker keeps precedence so
+   *  crash-replay converges on the marker's offset. Used identically by
+   *  every task and by the driver commit. */
+  def resolveStart(store: ZarrStore, groupRel: String): (Long, Long) = {
+    val (e, r) = read(store, groupRel)
+    if (e >= 0) (e, r)
+    else {
+      val published =
+        try ZarrSchema.listArrays(store,
+            if (groupRel.isEmpty) "/" else s"/$groupRel")
+          .map(_.length).reduceOption(_ max _).getOrElse(0L)
+        catch { case _: ZarrException => 0L }
+      (e, published)
+    }
+  }
 }
 
-/** One epoch's report: chunks written (id → rows now in that chunk), their
- *  stats, the resulting total row count, and whether this was a no-op replay. */
+/** One epoch's report from one task: chunks written (id → rows now in that
+ *  chunk, merged tail rows included), their stats, the task-local resulting
+ *  row count, and whether this was a no-op replay. */
 case class ZarrStreamEpochCommit(
     chunks: Seq[(Long, Int)],
     stats: Seq[ZarrChunkStatsMsg],
@@ -68,10 +101,12 @@ case class ZarrStreamEpochCommit(
 class ZarrStreamingWrite(
     path: String,
     groupRel: String,
+    schema: StructType,
     dataSchema: StructType,
     chunkRows: Int,
     conf: SerializableHadoopConf,
-    optionShardRows: Int = 0)
+    optionShardRows: Int = 0,
+    rowIdxOrdinal: Option[Int] = None)
   extends StreamingWrite {
 
   /** Effective inner-chunk size: the existing table's sharding wins (an
@@ -80,10 +115,12 @@ class ZarrStreamingWrite(
   @volatile private var shardRows: Int = optionShardRows
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    if (info.numPartitions > 1)
+    if (rowIdxOrdinal.isEmpty && info.numPartitions > 1)
       throw new ZarrException(
         s"zarr streaming sink appends from ONE task per epoch (got " +
-          s"${info.numPartitions} partitions) — repartition(1) the stream")
+          s"${info.numPartitions} partitions) — repartition(1) the stream, or " +
+          "provide option row_index (a GLOBAL dense 0-based position column, " +
+          "rows routed per chunk) for distributed epochs")
     // appending onto an existing table: column names and chunk grid must match
     val existing =
       try ZarrSchema.listArrays(new ZarrStore(path, conf.value),
@@ -127,23 +164,52 @@ class ZarrStreamingWrite(
             "supported (the sink writes zstd chunks); rewrite the table with " +
             "compression=zstd first")
     }
-    new ZarrStreamingWriterFactory(path, groupRel, dataSchema, chunkRows, conf, shardRows)
+    new ZarrStreamingWriterFactory(path, groupRel, schema, dataSchema, chunkRows, conf,
+      shardRows, rowIdxOrdinal)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val c = messages.collectFirst { case m: ZarrStreamEpochCommit => m }
-      .getOrElse(return)
-    if (c.replayed) return
+    val msgs = messages.collect { case m: ZarrStreamEpochCommit => m }
+    if (msgs.isEmpty || msgs.forall(_.replayed)) return
+    val chunks = msgs.flatMap(_.chunks).sortBy(_._1)
+    val allStats = msgs.flatMap(_.stats).sortBy(_.chunk)
+    val (_, startRows) =
+      ZarrStreamCommit.resolveStart(new ZarrStore(path, conf.value), groupRel)
+    // epoch coverage: dense whole chunks from the tail chunk, like the batch
+    // commit — published metadata must never claim rows a gap would fake
+    val totalRows =
+      if (chunks.isEmpty) startRows
+      else {
+        val startChunk = startRows / chunkRows
+        chunks.zipWithIndex.foreach { case ((id, _), i) =>
+          if (id != startChunk + i) throw new ZarrException(
+            if (chunks.count(_._1 == id) > 1)
+              s"zarr streaming sink: chunk $id written by two tasks — route rows " +
+                "with repartition(row_index div chunk_rows)"
+            else
+              s"zarr streaming sink: epoch coverage gap (expected chunk " +
+                s"${startChunk + i}, saw $id) — row_index must be the global " +
+                "dense 0-based position")
+        }
+        chunks.dropRight(1).foreach { case (id, n) =>
+          if (n != chunkRows) throw new ZarrException(
+            s"zarr streaming sink: chunk $id has $n rows (expected $chunkRows) — " +
+              "a chunk was split across tasks; route rows with " +
+              "repartition(row_index div chunk_rows)")
+        }
+        chunks.last._1 * chunkRows + chunks.last._2
+      }
+    val merged = ZarrStreamEpochCommit(chunks, allStats, totalRows, replayed = false)
     val fs = new Path(path).getFileSystem(conf.value)
     def writeFile(rel: String, text: String): Unit = {
       val out = fs.create(new Path(path, rel), true)
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
-    mergeStats(c).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
-    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, c.totalRows,
+    mergeStats(merged).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
+    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, merged.totalRows,
       chunkRows, shardRows)
     writeFile(ZarrStreamCommit.relPath(groupRel),
-      s"""{"epoch":$epochId,"rows":${c.totalRows}}""")
+      s"""{"epoch":$epochId,"rows":${merged.totalRows}}""")
   }
 
   /** Fold this epoch's chunk stats into the existing sidecar (rewritten tail
@@ -201,72 +267,67 @@ class ZarrStreamingWrite(
 class ZarrStreamingWriterFactory(
     path: String,
     groupRel: String,
+    schema: StructType,
     dataSchema: StructType,
     chunkRows: Int,
     conf: SerializableHadoopConf,
-    shardRows: Int = 0)
+    shardRows: Int = 0,
+    rowIdxOrdinal: Option[Int] = None)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new ZarrStreamingDataWriter(path, groupRel, dataSchema, chunkRows, epochId, conf,
-      shardRows)
+    new ZarrStreamingDataWriter(path, groupRel, schema, dataSchema, chunkRows, epochId,
+      conf, shardRows, rowIdxOrdinal)
 }
 
-/** The per-epoch appender: starts at the committed row count, merges the
- *  partial tail chunk, streams new rows into chunk buffers (bounded memory —
- *  one open chunk per column), and reports chunks+stats+newTotal. */
+/** The per-epoch appender: positions rows on the global chunk grid — from
+ *  the `row_index` column in distributed mode, by arrival order starting at
+ *  the committed row count otherwise — merges the partial tail chunk when
+ *  this task owns it, streams rows into chunk buffers (bounded memory — one
+ *  open chunk per column), and reports chunks+stats per task. */
 class ZarrStreamingDataWriter(
     path: String,
     groupRel: String,
+    schema: StructType,
     dataSchema: StructType,
     chunkRows: Int,
     epochId: Long,
     conf: SerializableHadoopConf,
-    shardRows: Int = 0)
+    shardRows: Int = 0,
+    idxOrdinal: Option[Int] = None)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
   private val store = new ZarrStore(path, conf.value)
-  private val (lastEpoch, startRows) = {
-    val (e, r) = ZarrStreamCommit.read(store, groupRel)
-    if (e >= 0) (e, r)
-    else {
-      // No commit marker, but the table may already exist — created by the
-      // BATCH writer, which publishes zarr.json without a stream marker.
-      // Starting at row 0 here would silently overwrite its chunks and
-      // republish a shape of streamed-rows-only, on the exact path the batch
-      // writer's append error message recommends. Initialize from the
-      // published array length instead; the marker (when present) keeps
-      // precedence so crash-replay converges on the marker's offset.
-      val published =
-        try ZarrSchema.listArrays(store,
-            if (groupRel.isEmpty) "/" else s"/$groupRel")
-          .map(_.length).reduceOption(_ max _).getOrElse(0L)
-        catch { case _: ZarrException => 0L }
-      (e, published)
-    }
-  }
+  private val (lastEpoch, startRows) = ZarrStreamCommit.resolveStart(store, groupRel)
   /** A replay of an epoch the marker says is already applied → write nothing. */
   private val replay = lastEpoch >= epochId
 
+  private val dataOrdinals: Array[Int] =
+    dataSchema.fields.map(f => schema.fieldIndex(f.name))
   private val buffers: Array[Array[Any]] =
     dataSchema.fields.map(_ => new Array[Any](chunkRows))
-  private var currentChunk = startRows / chunkRows
-  private var count = (startRows % chunkRows).toInt
-  private var total = startRows
+  private val tailChunkId = startRows / chunkRows
+  private val tailFill = (startRows % chunkRows).toInt
+  private var currentChunk = -1L
+  private var count = 0
+  private var synthesized = startRows // arrival-order positions
+  private var localTotal = startRows
   private val written = mutable.ArrayBuffer.empty[(Long, Int)]
   private val stats = mutable.ArrayBuffer.empty[ZarrChunkStatsMsg]
 
-  // merge the existing partial tail chunk so its rewrite keeps the old rows
-  if (!replay && count > 0) {
+  /** Merge the existing partial tail chunk so its rewrite keeps the old
+   *  rows. Runs lazily in whichever task first writes to the tail chunk —
+   *  in distributed mode only one task may (whole-chunk routing). */
+  private def mergeTail(): Unit = {
     val arrays = ZarrSchema.listArrays(store,
       if (groupRel.isEmpty) "/" else s"/$groupRel")
     dataSchema.fields.zipWithIndex.foreach { case (f, c) =>
       val meta = arrays.find(_.name == f.name).getOrElse(
         throw new ZarrException(s"no existing array for streamed column '${f.name}'"))
-      val chunk = ZarrCodecs.decodeChunk(store.readBytesIfExists(meta.chunkPath(currentChunk)), meta)
+      val chunk = ZarrCodecs.decodeChunk(store.readBytesIfExists(meta.chunkPath(tailChunkId)), meta)
       var i = 0
-      while (i < count) {
+      while (i < tailFill) {
         buffers(c)(i) = chunk.get(i) match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case v => v
@@ -276,26 +337,53 @@ class ZarrStreamingDataWriter(
     }
   }
 
+  private def openChunk(chunk: Long): Unit = {
+    currentChunk = chunk
+    count =
+      if (chunk == tailChunkId && tailFill > 0) { mergeTail(); tailFill }
+      else 0
+  }
+
   override def write(row: InternalRow): Unit = {
     if (replay) return
+    val pos = idxOrdinal match {
+      case Some(o) => row.getLong(o)
+      case None => val p = synthesized; synthesized += 1; p
+    }
+    if (pos < startRows)
+      throw new ZarrException(
+        s"zarr streaming sink: row_index $pos is behind the committed row " +
+          s"count $startRows — row_index must be the GLOBAL dense 0-based " +
+          "position (a log offset), not a per-epoch index")
+    val chunk = pos / chunkRows
+    val off = (pos % chunkRows).toInt
+    if (chunk != currentChunk) {
+      flushChunk()
+      openChunk(chunk)
+    }
+    if (off != count)
+      throw new ZarrException(
+        s"zarr streaming sink: row at position $pos arrived out of order " +
+          s"(expected offset $count in chunk $chunk) — row_index must be " +
+          "globally dense with whole chunks per task " +
+          "(repartition(row_index div chunk_rows))")
     var c = 0
-    while (c < dataSchema.fields.length) {
+    while (c < dataOrdinals.length) {
       val f = dataSchema.fields(c)
       buffers(c)(count) =
-        if (row.isNullAt(c)) null
-        else row.get(c, f.dataType) match {
+        if (row.isNullAt(dataOrdinals(c))) null
+        else row.get(dataOrdinals(c), f.dataType) match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case v => v
         }
       c += 1
     }
     count += 1
-    total += 1
-    if (count == chunkRows) flush()
+    if (count == chunkRows) flushChunk()
   }
 
-  private def flush(): Unit = {
-    if (count > 0) {
+  private def flushChunk(): Unit = {
+    if (currentChunk >= 0 && count > 0) {
       val mins = new Array[String](dataSchema.fields.length)
       val maxs = new Array[String](dataSchema.fields.length)
       val nulls = new Array[Long](dataSchema.fields.length)
@@ -319,14 +407,16 @@ class ZarrStreamingDataWriter(
       }
       written += ((currentChunk, count))
       stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls, envs)
+      val end = currentChunk * chunkRows + count
+      if (end > localTotal) localTotal = end
     }
-    currentChunk += 1
+    currentChunk = -1
     count = 0
   }
 
   override def commit(): WriterCommitMessage = {
-    if (!replay) flush()
-    ZarrStreamEpochCommit(written.toSeq, stats.toSeq, total, replay)
+    if (!replay) flushChunk()
+    ZarrStreamEpochCommit(written.toSeq, stats.toSeq, localTotal, replay)
   }
   override def abort(): Unit = ()
   override def close(): Unit = ()

@@ -474,11 +474,14 @@ class ZarrWrite(
       throw new ZarrException(
         s"option shard_rows=$shardRows must divide chunk_rows=$chunkRows " +
           "(a shard holds whole inner chunks)")
-    if (rowIndexCol.nonEmpty)
-      throw new ZarrException(
-        "zarr streaming sink appends by arrival order; option row_index " +
-          "applies to distributed BATCH writes only")
-    new ZarrStreamingWrite(path, groupRel, dataSchema, chunkRows, conf, shardRows)
+    // With row_index the sink appends MULTI-PARTITION epochs: the column is
+    // the GLOBAL dense 0-based row position (not per-epoch — the store's
+    // chunk grid is global, so only a global index can route whole chunks
+    // once the committed row count stops being chunk-aligned), and the
+    // caller repartitions on (row_index div chunk_rows) exactly like the
+    // distributed batch write. Without it: arrival order, one task.
+    new ZarrStreamingWrite(path, groupRel, schema, dataSchema, chunkRows, conf,
+      shardRows, rowIndexCol.map(c => schema.fieldIndex(c)))
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {

@@ -230,6 +230,80 @@ class ZarrStreamSinkSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("must match")))
   }
 
+  case class IdxDoc(idx: Long, id: Long, word: String)
+
+  test("distributed epochs: row_index routes whole chunks across >=4 tasks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_dist") + "/store.zarr"
+    val mem = MemoryStream[IdxDoc]
+    // the caller routes whole chunks, exactly like the distributed batch
+    // write; 5 shuffle partitions force a genuinely multi-task epoch
+    val q = mem.toDF()
+      .repartition(5, org.apache.spark.sql.functions.expr("idx div 4"))
+      .writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "4")
+      .option("row_index", "idx")
+      .option("checkpointLocation", tempDir("zsink_dist_ckpt"))
+      .start(dir)
+    try {
+      // epoch 1: chunks 0,1 full + chunk 2 partial, spread over tasks
+      mem.addData((0L until 10L).map(i => IdxDoc(i, i, s"w$i")): _*)
+      q.processAllAvailable()
+      def readBack() = spark.read.format("zarr").option("group", "/meta").load(dir)
+      assert(readBack().count() == 10)
+      // epoch 2: the task owning tail chunk 2 merges rows 8-9 and extends;
+      // chunks 3,4 append from other tasks
+      mem.addData((10L until 18L).map(i => IdxDoc(i, i, s"w$i")): _*)
+      q.processAllAvailable()
+      val rows = readBack().orderBy("id").collect()
+      assert(rows.length == 18)
+      assert(rows.map(_.getLong(rows.head.fieldIndex("id"))).toSeq == (0L until 18L))
+      assert(rows.map(_.getString(rows.head.fieldIndex("word"))).toSeq ==
+        (0 until 18).map("w" + _))
+      // the row_index column is NOT written as an array
+      assert(readBack().schema.fieldNames.sorted.toSeq == Seq("id", "word"))
+      // stats sidecar covers the full grown grid (5 chunks), pruning-usable
+      val store = new ZarrStore(dir, spark.sessionState.newHadoopConf())
+      val stats = ZarrStats.read(store, "/meta").get
+      assert(stats.totalRows == 18 && stats.nChunks == 5 && stats.chunkRows == 4)
+      assert(stats.columns("id").min.toSeq == Seq("0", "4", "8", "12", "16"))
+      assert(ZarrStreamCommit.read(store, "meta")._2 == 18L)
+      val pruned = spark.read.format("zarr").option("group", "/meta")
+        .option("target_partition_rows", "4").load(dir)
+        .filter(col("id") >= 16)
+      assert(pruned.queryExecution.toRdd.getNumPartitions == 1)
+      assert(pruned.count() == 2)
+    } finally q.stop()
+  }
+
+  test("distributed epochs: a per-epoch (non-global) row_index is rejected") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_dist_bad") + "/store.zarr"
+    val mem = MemoryStream[IdxDoc]
+    val q = mem.toDF()
+      .repartition(4, org.apache.spark.sql.functions.expr("idx div 4"))
+      .writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "4")
+      .option("row_index", "idx")
+      .option("checkpointLocation", tempDir("zsink_dist_bad_ckpt"))
+      .start(dir)
+    try {
+      mem.addData((0L until 6L).map(i => IdxDoc(i, i, s"w$i")): _*)
+      q.processAllAvailable()
+      // epoch 2 restarts its index at 0 — behind the committed row count
+      mem.addData(IdxDoc(0, 6, "w6"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def hasMsg(t: Throwable): Boolean =
+        t != null && (t.getMessage != null && t.getMessage.contains("behind the committed") ||
+          hasMsg(t.getCause))
+      assert(hasMsg(e))
+    } finally q.stop()
+  }
+
   test("misuse: complete mode and mismatched grids are rejected") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
