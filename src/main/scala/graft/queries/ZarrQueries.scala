@@ -33,6 +33,15 @@ object ZarrQueries {
   def zarrTable(s: SparkSession): DataFrame =
     s.read.format("zarr").option("group", "/meta").load(fixturePath)
 
+  /** Hand-crafted Zarr V2 store, written once per JVM (byte-level
+   *  numcodecs encodings — see [[ZarrWriter.writeV2Fixture]]). */
+  lazy val v2FixturePath: String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_zarr_v2_fixture.zarr")
+    if (!Files.exists(dir.resolve(".zgroup")))
+      ZarrWriter.writeV2Fixture(dir.toString)
+    dir.toString
+  }
+
   /** Flagship: the full search predicate over the Zarr table. */
   def flagship(s: SparkSession): DataFrame = {
     GeoFunctions.register(s)
@@ -279,6 +288,24 @@ object ZarrQueries {
           .select(col("scope"), col("ext.minx"), col("ext.miny"),
             col("ext.maxx"), col("ext.maxy"))
         whole.unionAll(byGroup).orderBy("scope")
-      })
+      }),
+
+    // Zarr V2 (.zarray/.zgroup, numcodecs zlib/blosc, vlen count-header
+    // framing, big-endian, missing-chunk fills) — the majority format of
+    // public stores; byte-level fixture from ZarrWriter.writeV2Fixture,
+    // deterministic, so the oracle is the literal expected table
+    Q("q_zarr_v2_scan", Some("""
+      SELECT * FROM (VALUES
+        (true,  CAST(0 AS BIGINT), 'n0', CAST(0.25 AS DOUBLE), CAST(1.5 AS REAL),   TIMESTAMP '2024-01-01'),
+        (false, 1, 'n1', 0.5,  CAST(-2.25 AS REAL), TIMESTAMP '2024-01-02'),
+        (true,  2, 'n2', 0.75, CAST(3.0 AS REAL),   TIMESTAMP '2024-01-03'),
+        (false, 3, 'n3', 1.5,  CAST(0.5 AS REAL),   TIMESTAMP '2024-01-04'),
+        (false, 4, 'n4', 1.5,  CAST(10.0 AS REAL),  TIMESTAMP '2024-01-05'),
+        (true,  5, 'n5', 1.5,  CAST(-0.75 AS REAL), TIMESTAMP '2024-01-06'),
+        (true,  6, 'n6', 6.25, CAST(99.5 AS REAL),  TIMESTAMP '2024-01-07'))
+        AS t(flag, id, name, score, temp, ts)
+      ORDER BY id"""),
+      (s, _) => s.read.format("zarr").option("group", "/meta")
+        .load(v2FixturePath).orderBy("id"))
   )
 }

@@ -127,6 +127,14 @@ class ZarrStreamingWrite(
         if (groupRel.isEmpty) "/" else s"/$groupRel")
       catch { case _: ZarrException => Seq.empty }
     if (existing.nonEmpty) {
+      // the sink republishes v3 zarr.json and writes c/<i> chunk keys — an
+      // append onto a v2 store (or a v3 store with v2 chunk-key encoding)
+      // would mix key layouts and corrupt the table
+      if (existing.exists(_.v2Keys))
+        throw new ZarrException(
+          "zarr streaming sink: existing table uses v2 chunk keys (bare " +
+            "indices); appending would mix key layouts — rewrite the table " +
+            "as Zarr v3 with default chunk keys first")
       val have = existing.map(_.name).sorted
       val want = dataSchema.fieldNames.sorted.toSeq
       if (have != want)

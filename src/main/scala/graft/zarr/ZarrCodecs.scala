@@ -85,6 +85,7 @@ object ZarrCodecs {
     meta.codecs.reverse.foreach {
       case ZarrCodec.ZstdCodec(_, _) => bytes = zstdDecompress(bytes)
       case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes)
+      case ZarrCodec.ZlibCodec       => bytes = zlibDecompress(bytes, meta.path)
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
       case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path)
       case ZarrCodec.BytesCodec(_) | ZarrCodec.VlenUtf8Codec |
@@ -169,6 +170,26 @@ object ZarrCodecs {
   private def gzipDecompress(bytes: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
     try in.readAllBytes() finally in.close()
+  }
+
+  /** numcodecs `zlib` (Zarr v2): RFC-1950 stream via JDK Inflater. */
+  private def zlibDecompress(bytes: Array[Byte], path: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new ZarrException(s"truncated zlib chunk at $path")
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new ZarrException(s"corrupt zlib chunk at $path", e)
+    } finally inf.end()
   }
 
   private def stripCrc32c(bytes: Array[Byte], path: String): Array[Byte] = {

@@ -48,6 +48,9 @@ object ZarrCodec {
   case object VlenBytesCodec extends ZarrCodec
   final case class ZstdCodec(level: Int, checksum: Boolean) extends ZarrCodec
   final case class GzipCodec(level: Int) extends ZarrCodec
+  /** numcodecs `zlib` (Zarr v2 compressor): RFC-1950 zlib framing, unlike
+   *  the v3 `gzip` codec's RFC-1952 wrapper. */
+  case object ZlibCodec extends ZarrCodec
   /** crc32c appends a 4-byte checksum; on read we verify+strip. */
   case object Crc32cCodec extends ZarrCodec
   /**
@@ -142,6 +145,131 @@ object ZarrMeta {
       fillValueJson = n.path("fill_value").toString,
       v2Keys = v2Keys
     )
+  }
+
+  /**
+   * Parse one Zarr v2 `.zarray` document (the majority format of public
+   * stores in the wild; the reference is v3-only, so this is extension, not
+   * parity). v2 maps onto the same [[ZarrArrayMeta]] model:
+   *
+   *  - chunk keys are the bare index (`<path>/<i>` for 1-D) — exactly the
+   *    existing `v2Keys` layout;
+   *  - `dtype` is a numpy typestr (`<i8`, `>f4`, `|b1`, `|O`, `<M8[ms]`…):
+   *    the byteorder char becomes the BytesCodec endianness;
+   *  - `filters`: only the vlen ones are meaningful for 1-D tables —
+   *    `vlen-utf8`/`vlen-bytes` (numcodecs framing with its u32 element-
+   *    count header, which [[ZarrCodecs]] already auto-detects);
+   *  - `compressor`: a numcodecs object — blosc (self-describing frame),
+   *    zstd, zlib (RFC-1950 — distinct from v3 gzip), gzip;
+   *  - `order`: C and F are identical for 1-D; both accepted.
+   */
+  def parseArrayV2(path: String, name: String, text: String): ZarrArrayMeta = {
+    import ZarrCodec._
+    val n = parseJson(text)
+    require(n.path("zarr_format").asInt() == 2, s"not a Zarr v2 array at $path")
+    val shape = n.path("shape")
+    if (shape.size() != 1)
+      throw new ZarrException(s"only 1-D arrays supported, got ${shape.size()}-D at $path")
+    val chunks = n.path("chunks")
+    if (chunks.size() != 1)
+      throw new ZarrException(s"chunks rank must match shape rank at $path")
+    val order = n.path("order").asText("C")
+    if (order != "C" && order != "F") // identical for 1-D, but reject garbage
+      throw new ZarrException(s"unsupported order '$order' at $path")
+    val typestr = n.path("dtype").asText()
+    val (dtype, littleEndian) = parseDTypeV2(typestr, path)
+    val filters = n.path("filters")
+    val filterCodecs: Seq[ZarrCodec] =
+      if (filters.isNull || filters.isMissingNode) Seq.empty
+      else {
+        val it = filters.elements()
+        val out = Seq.newBuilder[ZarrCodec]
+        while (it.hasNext) {
+          val f = it.next()
+          f.path("id").asText() match {
+            case "vlen-utf8"  => out += VlenUtf8Codec
+            case "vlen-bytes" => out += VlenBytesCodec
+            case other => throw new ZarrException(s"unsupported v2 filter '$other' at $path")
+          }
+        }
+        out.result()
+      }
+    // object dtype carries its real type in the vlen filter
+    val resolved = dtype match {
+      case null =>
+        if (filterCodecs.contains(VlenUtf8Codec)) ZarrType.ZString
+        else if (filterCodecs.contains(VlenBytesCodec)) ZarrType.ZBytes
+        else throw new ZarrException(
+          s"v2 object dtype '|O' needs a vlen-utf8 or vlen-bytes filter at $path")
+      case dt => dt
+    }
+    val comp = n.path("compressor")
+    val compCodec: Seq[ZarrCodec] =
+      if (comp.isNull || comp.isMissingNode) Seq.empty
+      else comp.path("id").asText() match {
+        case "blosc" => Seq(BloscCodec(
+          cname = comp.path("cname").asText("lz4"),
+          clevel = comp.path("clevel").asInt(5),
+          shuffle = comp.path("shuffle").asInt(1) match {
+            case 0 => "noshuffle"
+            case 2 => "bitshuffle"
+            case _ => "shuffle" // 1, or -1 AUTOSHUFFLE (frame self-describes)
+          },
+          typesize = 0, blocksize = comp.path("blocksize").asInt(0)))
+        case "zstd" => Seq(ZstdCodec(comp.path("level").asInt(0), checksum = false))
+        case "zlib" => Seq(ZlibCodec)
+        case "gzip" => Seq(GzipCodec(comp.path("level").asInt(5)))
+        case other => throw new ZarrException(s"unsupported v2 compressor '$other' at $path")
+      }
+    val terminal: Seq[ZarrCodec] = resolved match {
+      case ZarrType.ZString | ZarrType.ZBytes => Seq.empty // vlen filter is terminal
+      case _ => Seq(BytesCodec(littleEndian))
+    }
+    ZarrArrayMeta(
+      name = name,
+      path = path,
+      length = shape.get(0).asLong(),
+      chunkLength = chunks.get(0).asLong(),
+      dtype = resolved,
+      codecs = terminal ++ filterCodecs ++ compCodec,
+      separator = ".",
+      fillValueJson = n.path("fill_value").toString,
+      v2Keys = true
+    )
+  }
+
+  /** numpy typestr → (type, littleEndian); null type = object (`|O`),
+   *  resolved from the vlen filter by the caller. */
+  private def parseDTypeV2(typestr: String, path: String): (ZarrType, Boolean) = {
+    import ZarrType._
+    if (typestr.isEmpty) throw new ZarrException(s"missing v2 dtype at $path")
+    val le = typestr.charAt(0) != '>'
+    val body = if ("<>|=".contains(typestr.charAt(0))) typestr.substring(1) else typestr
+    val t = body match {
+      case "b1" => ZBool
+      case "i1" => ZInt8
+      case "i2" => ZInt16
+      case "i4" => ZInt32
+      case "i8" => ZInt64
+      case "u1" => ZUInt8
+      case "u2" => ZUInt16
+      case "u4" => ZUInt32
+      case "u8" => ZUInt64
+      case "f2" => ZFloat16
+      case "f4" => ZFloat32
+      case "f8" => ZFloat64
+      case "O"  => null
+      case s if s.startsWith("M8[") && s.endsWith("]") =>
+        s.stripPrefix("M8[").stripSuffix("]") match {
+          case u @ ("s" | "ms" | "us" | "ns") => ZDatetime64(u, 1L)
+          case other =>
+            throw new ZarrException(s"unsupported v2 datetime64 unit '$other' at $path")
+        }
+      case s if s.startsWith("S") && s.drop(1).forall(_.isDigit) && s.length > 1 =>
+        ZRaw(s.drop(1).toInt * 8) // fixed-width bytes
+      case other => throw new ZarrException(s"unsupported v2 dtype '$typestr' ($other) at $path")
+    }
+    (t, le)
   }
 
   /** Zarr v3 dtype → internal type. Rejections mirror reference src/schema.rs:89-122. */

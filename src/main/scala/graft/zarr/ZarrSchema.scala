@@ -62,21 +62,34 @@ object ZarrSchema {
     }
   }
 
-  /** List + parse the child arrays of `group` in `store`, sorted by name. */
+  /** List + parse the child arrays of `group` in `store`, sorted by name.
+   *  Zarr v3 (`zarr.json`) and v2 (`.zgroup`/`.zarray`) stores both resolve
+   *  — v2 is the majority of public stores in the wild. A v3 `zarr.json`
+   *  wins when both exist (a store migrated in place). */
   def listArrays(store: ZarrStore, group: String): Seq[ZarrArrayMeta] = {
     val groupRel = group.stripPrefix("/").stripSuffix("/")
-    val groupMetaPath = if (groupRel.isEmpty) "zarr.json" else s"$groupRel/zarr.json"
-    val groupNode = ZarrMeta.parseJson(store.readString(groupMetaPath))
-    if (!ZarrMeta.isGroup(groupNode))
-      throw new ZarrException(s"'$group' is not a Zarr group")
+    def rel(name: String) = if (groupRel.isEmpty) name else s"$groupRel/$name"
+    val v3Group = store.readBytesIfExists(rel("zarr.json"))
+    if (v3Group != null) {
+      val groupNode = ZarrMeta.parseJson(
+        new String(v3Group, java.nio.charset.StandardCharsets.UTF_8))
+      if (!ZarrMeta.isGroup(groupNode))
+        throw new ZarrException(s"'$group' is not a Zarr group")
+    } else if (store.readBytesIfExists(rel(".zgroup")) == null)
+      throw new ZarrException(
+        s"'$group' is not a Zarr group (no zarr.json or .zgroup)")
     store.listChildren(groupRel).sorted.flatMap { child =>
       val arrayDir = if (groupRel.isEmpty) child else s"$groupRel/$child"
       val metaText = store.readBytesIfExists(s"$arrayDir/zarr.json")
-      if (metaText == null) None // not a zarr node; skip
-      else {
+      if (metaText != null) {
         val node = ZarrMeta.parseJson(new String(metaText, java.nio.charset.StandardCharsets.UTF_8))
         if (ZarrMeta.isGroup(node)) None // nested group, not a column
         else Some(ZarrMeta.parseArray(arrayDir, child, node.toString))
+      } else {
+        val v2Text = store.readBytesIfExists(s"$arrayDir/.zarray")
+        if (v2Text == null) None // not a zarr node; skip
+        else Some(ZarrMeta.parseArrayV2(arrayDir, child,
+          new String(v2Text, java.nio.charset.StandardCharsets.UTF_8)))
       }
     }
   }

@@ -344,6 +344,106 @@ object ZarrWriter {
   }
 
   /**
+   * A hand-crafted Zarr V2 store (`.zgroup`/`.zarray`, bare-index chunk
+   * keys, numcodecs encodings) — byte-level test input for the v2 read
+   * path, built strictly from the public Zarr v2 spec + numcodecs formats
+   * (no zarr-python exists in this environment). 7 rows under /meta:
+   *
+   *  - `id`     `<i8`, zlib (RFC-1950) compressor, last chunk padded full
+   *  - `temp`   `>f4` BIG-endian, no compressor (raw)
+   *  - `name`   `|O` + vlen-utf8 filter (numcodecs u32 element-count
+   *             header framing) + zlib
+   *  - `ts`     `<M8[ms]` datetime64, zlib
+   *  - `flag`   `|b1`, blosc compressor (numcodecs-style blosc1 frame)
+   *  - `score`  `<f8`, zlib, chunk 1 MISSING → rows 3-5 read fill_value 1.5
+   */
+  def writeV2Fixture(root: String): Unit = {
+    val rows = 7
+    val chunkLen = 3
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(b); d.finish()
+        val out = new Array[Byte](b.length + 64)
+        val n = d.deflate(out)
+        java.util.Arrays.copyOfRange(out, 0, n)
+      } finally d.end()
+    }
+    def writeArray(name: String, dtype: String, compressor: String,
+        filters: String, fill: String, chunks: Map[Int, Array[Byte]]): Unit = {
+      val dir = Paths.get(root, "meta", name)
+      writeJson(dir.resolve(".zarray"),
+        s"""{"zarr_format":2,"shape":[$rows],"chunks":[$chunkLen],"dtype":"$dtype",
+           |"compressor":$compressor,"fill_value":$fill,"order":"C","filters":$filters}"""
+          .stripMargin.replace("\n", ""))
+      chunks.foreach { case (i, bytes) =>
+        Files.createDirectories(dir)
+        Files.write(dir.resolve(i.toString), bytes)
+      }
+    }
+    writeJson(Paths.get(root, ".zgroup"), """{"zarr_format":2}""")
+    writeJson(Paths.get(root, "meta", ".zgroup"), """{"zarr_format":2}""")
+
+    def leLongs(vs: Long*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putLong); b.array()
+    }
+    // id: 0..6, padded full last chunk (v2 chunk objects are always full)
+    writeArray("id", "<i8", """{"id":"zlib","level":6}""", "null", "0", Map(
+      0 -> zlib(leLongs(0, 1, 2)),
+      1 -> zlib(leLongs(3, 4, 5)),
+      2 -> zlib(leLongs(6, 0, 0))))
+    // temp: big-endian float32, stored raw
+    def beFloats(vs: Float*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.BIG_ENDIAN)
+      vs.foreach(b.putFloat); b.array()
+    }
+    writeArray("temp", ">f4", "null", "null", "0.0", Map(
+      0 -> beFloats(1.5f, -2.25f, 3.0f),
+      1 -> beFloats(0.5f, 10.0f, -0.75f),
+      2 -> beFloats(99.5f, 0f, 0f)))
+    // name: numcodecs VLenUTF8 framing — u32 element count, then per
+    // element u32 length + bytes (all little-endian)
+    def vlen2(vs: String*): Array[Byte] = {
+      val enc = vs.map(_.getBytes(StandardCharsets.UTF_8))
+      val b = ByteBuffer.allocate(4 + enc.map(_.length + 4).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(vs.length)
+      enc.foreach { e => b.putInt(e.length); b.put(e) }
+      b.array()
+    }
+    writeArray("name", "|O", """{"id":"zlib","level":6}""",
+      """[{"id":"vlen-utf8"}]""", "\"\"", Map(
+        0 -> zlib(vlen2("n0", "n1", "n2")),
+        1 -> zlib(vlen2("n3", "n4", "n5")),
+        2 -> zlib(vlen2("n6", "", ""))))
+    // ts: datetime64[ms] — 2024-01-01 + k days
+    val day = 86400000L
+    val t0 = 1704067200000L
+    writeArray("ts", "<M8[ms]", """{"id":"zlib","level":6}""", "null", "0", Map(
+      0 -> zlib(leLongs(t0, t0 + day, t0 + 2 * day)),
+      1 -> zlib(leLongs(t0 + 3 * day, t0 + 4 * day, t0 + 5 * day)),
+      2 -> zlib(leLongs(t0 + 6 * day, 0, 0))))
+    // flag: bool, blosc1 frame (what zarr-python's default compressor writes)
+    def bools(vs: Boolean*): Array[Byte] = vs.map(v => if (v) 1.toByte else 0.toByte).toArray
+    def blosc(b: Array[Byte]): Array[Byte] = Blosc.encode(b, 1, "lz4", 5, "noshuffle", 0)
+    writeArray("flag", "|b1",
+      """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":0,"blocksize":0}""",
+      "null", "false", Map(
+        0 -> blosc(bools(true, false, true)),
+        1 -> blosc(bools(false, false, true)),
+        2 -> blosc(bools(true, false, false))))
+    // score: chunk 1 deliberately MISSING → fill_value 1.5 for rows 3-5
+    def leDoubles(vs: Double*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble); b.array()
+    }
+    writeArray("score", "<f8", """{"id":"zlib","level":6}""", "null", "1.5", Map(
+      0 -> zlib(leDoubles(0.25, 0.5, 0.75)),
+      2 -> zlib(leDoubles(6.25, 0, 0))))
+  }
+
+  /**
    * The reference's golden fixture: /meta group, 3 rows —
    * collections a/b/c, dates 2023-01-01..03, bbox = WKT boxes ±10/±20/±30.
    */

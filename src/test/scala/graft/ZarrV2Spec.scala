@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.zarr.{ZarrException, ZarrMeta, ZarrWriter}
+
+/**
+ * Zarr V2 read path (`.zgroup`/`.zarray`, bare-index chunk keys, numcodecs
+ * encodings) over the hand-crafted byte-level fixture
+ * ([[ZarrWriter.writeV2Fixture]]): schema inference from numpy typestrs,
+ * zlib (RFC-1950) and blosc compressors, the numcodecs vlen-utf8 count-
+ * header framing, big-endian decode, missing-chunk fill values, and the
+ * padded final chunk. The reference is v3-only — this is extension surface
+ * for the majority format of public stores.
+ */
+class ZarrV2Spec extends SparkSpec {
+
+  private lazy val fixture: String = {
+    val dir = Files.createTempDirectory("graft_v2fix").resolve("store.zarr")
+    ZarrWriter.writeV2Fixture(dir.toString)
+    dir.toString
+  }
+
+  private def table() =
+    spark.read.format("zarr").option("group", "/meta").load(fixture)
+
+  test("v2 store scans: schema from typestrs, all six arrays decode") {
+    val df = table()
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("flag", BooleanType), ("id", LongType), ("name", StringType),
+      ("score", DoubleType), ("temp", FloatType), ("ts", TimestampNTZType)))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 7) // padded final chunk trimmed by shape
+    assert(rows.map(_.getAs[Long]("id")).toSeq == (0L to 6L))
+    assert(rows.map(_.getAs[String]("name")).toSeq == (0 to 6).map("n" + _))
+    // big-endian float32 survives
+    assert(rows.map(_.getAs[Float]("temp")).toSeq ==
+      Seq(1.5f, -2.25f, 3.0f, 0.5f, 10.0f, -0.75f, 99.5f))
+    // blosc-compressed bools
+    assert(rows.map(_.getAs[Boolean]("flag")).toSeq ==
+      Seq(true, false, true, false, false, true, true))
+    // missing chunk 1 → fill_value 1.5 for rows 3-5
+    assert(rows.map(_.getAs[Double]("score")).toSeq ==
+      Seq(0.25, 0.5, 0.75, 1.5, 1.5, 1.5, 6.25))
+    // datetime64[ms]
+    assert(rows.head.getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0))
+    assert(rows.last.getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(2024, 1, 7, 0, 0))
+  }
+
+  test("v2 scans prune columns and partition per chunk like v3") {
+    val df = table().select("id", "name").filter(col("id") >= 3)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L, 6L))
+    val scan = table().select("id")
+    assert(scan.queryExecution.executedPlan.toString.contains("id"))
+    // 7 rows / chunk 3 with tiny target partition rows → one partition per chunk
+    val parts = spark.read.format("zarr").option("group", "/meta")
+      .option("target_partition_rows", "3").load(fixture)
+      .queryExecution.toRdd.getNumPartitions
+    assert(parts == 3)
+  }
+
+  test("v2 metadata rejections are typed and name the array") {
+    def arr(json: String): ZarrException =
+      intercept[ZarrException](ZarrMeta.parseArrayV2("g/x", "x", json))
+    assert(arr("""{"zarr_format":2,"shape":[2,2],"chunks":[1,1],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C","filters":null}""")
+      .getMessage.contains("1-D"))
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<c16",
+        "compressor":null,"fill_value":0,"order":"C","filters":null}""")
+      .getMessage.contains("dtype"))
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":{"id":"lzma"},"fill_value":0,"order":"C","filters":null}""")
+      .getMessage.contains("compressor"))
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"|O",
+        "compressor":null,"fill_value":null,"order":"C","filters":null}""")
+      .getMessage.contains("vlen"))
+  }
+
+  test("a non-store directory still reports 'not a Zarr group'") {
+    val empty = Files.createTempDirectory("graft_v2empty")
+    Files.createDirectories(empty.resolve("meta"))
+    val e = intercept[Exception] {
+      spark.read.format("zarr").option("group", "/meta")
+        .load(empty.toString).collect()
+    }
+    assert(e.getMessage.contains("not a Zarr group") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a Zarr group")))
+  }
+
+  test("streaming sink refuses to append onto a v2-keyed table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    mem.addData((7L, "x"))
+    val q = mem.toDF().toDF("id", "name").writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "3")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_v2sink_ckpt").toString)
+      .start(fixture)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("v2 chunk keys") ||
+        hasMsg(t.getCause))
+    assert(hasMsg(e))
+  }
+}
