@@ -36,9 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
    *  prune has the rule installed in time. */
   private def installBboxPruning(): Unit =
     org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      if (!s.experimental.extraOptimizations.contains(graft.plans.ZarrBboxPruning))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ graft.plans.ZarrBboxPruning
+      // synchronized: two threads resolving bbox_intersects concurrently on
+      // one session could otherwise both pass the contains() check and
+      // append the rule twice (the rule is idempotent, but don't rely on it)
+      s.synchronized {
+        if (!s.experimental.extraOptimizations.contains(graft.plans.ZarrBboxPruning))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.ZarrBboxPruning
+      }
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -87,10 +87,12 @@ class ZarrPartitionMathSpec extends SparkSpec {
     }
   }
 
-  test("bbox pruning fires through GraftExtensions' injectPreCBORule (SQL path)") {
+  test("bbox pruning fires on an extensions-only session (SQL path)") {
     // a FRESH session built with extensions only — no register() call, so
-    // the optimizer rule must come from injectPreCBORule, pinning that the
-    // pre-CBO batch really runs after V2 scan pushdown
+    // the optimizer rule must come from the extension's bbox_intersects
+    // function builder installing ZarrBboxPruning into the session's
+    // User Provided Optimizers batch (GraftExtensions deliberately does NOT
+    // use injectPreCBORule: pre-CBO runs before V2 scan pushdown)
     val dir = tempDir("zbbox_ext") + "/store.zarr"
     spark.range(100).select(col("id"),
         concat(lit("POLYGON (("),

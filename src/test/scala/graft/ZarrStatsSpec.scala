@@ -224,6 +224,50 @@ class ZarrStatsSpec extends SparkSpec {
     assert(raw.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
   }
 
+  test("AND-of-comparisons over bbox_envelope fields prunes like bbox_intersects") {
+    import graft.functions.GeoFunctions
+    GeoFunctions.register(spark)
+    val dir = writeGeoStore()
+    // the manual spelling of intersects(34,34,36,36): four envelope-field
+    // conjuncts extract to the same prune box → same single kept chunk
+    val q = read(dir).filter(
+      GeoFunctions.bbox_envelope(col("bbox")).getField("maxx") >= 34 &&
+      GeoFunctions.bbox_envelope(col("bbox")).getField("minx") <= 36 &&
+      GeoFunctions.bbox_envelope(col("bbox")).getField("maxy") >= 34 &&
+      GeoFunctions.bbox_envelope(col("bbox")).getField("miny") <= 36)
+    assert(nParts(q) == 1, q.queryExecution.executedPlan.toString)
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
+    // a PARTIAL conjunction still prunes on its one constrained side:
+    // maxx >= 85 keeps only chunks whose envelope reaches 85 (chunks 8, 9)
+    val partial = read(dir).filter(
+      GeoFunctions.bbox_envelope(col("bbox")).getField("maxx") >= 85)
+    assert(nParts(partial) == 2, partial.queryExecution.executedPlan.toString)
+    assert(partial.select("id").collect().map(_.getLong(0)).min == 84L) // 84+1 >= 85
+    // strict > is treated as >= (weaker prune, never wrong)
+    val strict = read(dir).filter(
+      GeoFunctions.bbox_envelope(col("bbox")).getField("maxx") > 85)
+    assert(nParts(strict) == 2)
+    assert(strict.select("id").collect().map(_.getLong(0)).min == 85L)
+  }
+
+  test("non-foldable bbox args: filter stays, no prune — correct but unpruned") {
+    import graft.functions.GeoFunctions
+    GeoFunctions.register(spark)
+    val dir = writeGeoStore()
+    // box bounds computed from a COLUMN are not foldable: the rule must
+    // leave the scan unpruned (all 10 chunk partitions) and the filter
+    // intact — correctness never depends on the prune firing. (Integer
+    // id*0+34 would constant-fold; double x*0.0 cannot — NaN semantics.)
+    def bound(v: Double) =
+      org.apache.spark.sql.functions.greatest(lit(v),
+        col("id").cast("double") * lit(0.0))
+    val q = read(dir).filter(GeoFunctions.bbox_intersects(col("bbox"),
+      bound(34), bound(34), bound(36), bound(36)))
+    assert(nParts(q) == 10, q.queryExecution.executedPlan.toString)
+    assert(!q.queryExecution.executedPlan.toString.contains("PushedBbox"))
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
+  }
+
   test("bbox_extent aggregate: update + merge across partitions, null groups") {
     import graft.functions.GeoFunctions
     GeoFunctions.register(spark)
