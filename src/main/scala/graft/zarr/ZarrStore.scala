@@ -33,11 +33,17 @@ final class ZarrStore(rootUri: String, conf: Configuration) {
 
   def exists(relPath: String): Boolean = fs.exists(new Path(root, relPath))
 
-  /** Names of child directories of a group dir (candidate child arrays). */
+  /** Names of child directories of a group dir (candidate child arrays).
+   *  One LIST call — no exists() probe first: on an object store every
+   *  round-trip is ~10-100 ms, so the missing-dir case is the thrown
+   *  exception, not a second RPC on every success. */
   def listChildren(relPath: String): Seq[String] = {
     val dir = if (relPath.isEmpty) root else new Path(root, relPath)
-    if (!fs.exists(dir)) throw new ZarrException(s"no such group dir: $dir")
-    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    try fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        throw new ZarrException(s"no such group dir: $dir")
+    }
   }
 }
 

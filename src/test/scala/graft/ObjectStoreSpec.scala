@@ -31,6 +31,44 @@ class ObjectStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("scan RPC profile: one open per chunk object, no exists() probes") {
+    val dir = tempDir("zarr_mockfs_rpc")
+    // 2 columns × 10 chunks (100 rows, chunk 10), written with a sidecar
+    spark.range(100).select(col("id"), (col("id") % 7).as("v"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "10").mode("overwrite").save(dir)
+    spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl",
+      classOf[MockObjectStoreFileSystem].getName)
+    val m = MockObjectStoreFileSystem
+    m.reset()
+    val df = spark.read.format("zarr").option("group", "/t")
+      .option("target_partition_rows", "10").load(s"mockfs://$dir")
+    assert(df.selectExpr("sum(v)").collect().head.getLong(0) ==
+      (0L until 100L).map(_ % 7).sum)
+    val (opens, chunks, lists, probes) =
+      (m.opens.get, m.chunkOpens.get, m.lists.get, m.existsProbes.get)
+    // column pruning reaches the OBJECT STORE: sum(v) reads only v's 10
+    // chunk objects (not 2 cols × 10), and each is opened EXACTLY once — a
+    // double-read or an exists-then-read would double real S3 round-trips
+    assert(chunks == 10L, s"chunk opens: $chunks")
+    assert(probes == 0L, s"exists() probes on the read path: $probes")
+    assert(lists <= 4L, s"LIST calls: $lists") // group children, once-ish
+    // metadata opens (zarr.json × 3 + sidecar) are planning-time and must
+    // stay O(columns), not O(chunks): bound them well under the chunk count
+    assert(opens - chunks <= 12L, s"metadata opens: ${opens - chunks}")
+    // measured with injected per-op latency for SCALE.md: ops × latency
+    // dominates; planning metadata is the serial part
+    m.reset(); m.latencyMs = 5
+    val t0 = System.nanoTime()
+    spark.read.format("zarr").option("group", "/t")
+      .option("target_partition_rows", "10").load(s"mockfs://$dir")
+      .selectExpr("sum(v)").collect()
+    val ms = (System.nanoTime() - t0) / 1e6
+    m.latencyMs = 0
+    info(f"5ms/op injected: ${m.opens.get} opens + ${m.lists.get} lists → $ms%.0f ms wall")
+    assert(ms < 5000, s"latency amplification: $ms ms") // not O(rows) round-trips
+  }
+
   test("e2e non-file scheme: DSv2 write, read-back, and streaming through mockfs://") {
     val dir = tempDir("zarr_mockfs_e2e")
     spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl",
@@ -67,8 +105,36 @@ class ObjectStoreSpec extends SparkSpec {
   }
 }
 
-/** file-backed FileSystem registered under the scheme `mockfs://`. */
+/** file-backed FileSystem registered under the scheme `mockfs://`, with
+ *  per-operation counters and injectable latency so specs can pin the READ
+ *  PATH'S RPC PROFILE — on a real object store every one of these calls is
+ *  a ~10-100 ms round-trip, so the counts ARE the latency model. */
+object MockObjectStoreFileSystem {
+  import java.util.concurrent.atomic.AtomicLong
+  val opens = new AtomicLong
+  val chunkOpens = new AtomicLong // opens of .../c/<i> or bare-index objects
+  val lists = new AtomicLong
+  val existsProbes = new AtomicLong
+  @volatile var latencyMs: Long = 0
+  def reset(): Unit = { opens.set(0); chunkOpens.set(0); lists.set(0); existsProbes.set(0) }
+  private[graft] def lag(): Unit = if (latencyMs > 0) Thread.sleep(latencyMs)
+}
+
 class MockObjectStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import MockObjectStoreFileSystem._
   override def getScheme: String = "mockfs"
   override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int) = {
+    opens.incrementAndGet()
+    if (f.getParent != null && (f.getParent.getName == "c" || f.getName.forall(_.isDigit)))
+      chunkOpens.incrementAndGet()
+    lag()
+    super.open(f, bufferSize)
+  }
+  override def listStatus(f: org.apache.hadoop.fs.Path) = {
+    lists.incrementAndGet(); lag(); super.listStatus(f)
+  }
+  override def exists(f: org.apache.hadoop.fs.Path): Boolean = {
+    existsProbes.incrementAndGet(); lag(); super.exists(f)
+  }
 }
