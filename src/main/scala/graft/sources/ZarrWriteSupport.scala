@@ -250,17 +250,11 @@ object ZarrWriteSupport {
       }
     }
     val groupDoc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
-    writeJson(new Path(path, "zarr.json"), groupDoc)
-    if (groupRel.nonEmpty) {
-      var acc = new Path(path)
-      groupRel.split("/").foreach { seg =>
-        acc = new Path(acc, seg)
-        writeJson(new Path(acc, "zarr.json"), groupDoc)
-      }
-    }
-    dataSchema.fields.foreach { f =>
-      val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
-        else new Path(new Path(path, groupRel), f.name)
+    // array docs FIRST, the table group's doc LAST: the group doc is the
+    // publish point, and it embeds a consolidated copy of every child array
+    // document (zarr-python v3's consolidated_metadata convention) so a
+    // planner on an object store reads ONE metadata object, not O(columns)
+    val arrayDocs = dataSchema.fields.map { f =>
       val meta =
         s"""{"shape":[$totalRows],"data_type":${dtypeJson(f.dataType)},
            |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkRows]}},
@@ -270,7 +264,30 @@ object ZarrWriteSupport {
                        else codecsJson(f.dataType, compression)},
            |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
           .stripMargin
+      f.name -> meta
+    }
+    arrayDocs.foreach { case (name, meta) =>
+      val arrayDir = if (groupRel.isEmpty) new Path(path, name)
+        else new Path(new Path(path, groupRel), name)
       writeJson(new Path(arrayDir, "zarr.json"), meta)
+    }
+    val consolidated = arrayDocs
+      .map { case (name, meta) => s""""$name":${meta.replace("\n", "")}""" }
+      .mkString(",")
+    val tableGroupDoc =
+      s"""{"attributes":{},"zarr_format":3,"node_type":"group",
+         |"consolidated_metadata":{"kind":"inline","must_understand":false,
+         |"metadata":{$consolidated}}}""".stripMargin.replace("\n", "")
+    if (groupRel.isEmpty) writeJson(new Path(path, "zarr.json"), tableGroupDoc)
+    else {
+      writeJson(new Path(path, "zarr.json"), groupDoc)
+      val segs = groupRel.split("/")
+      var acc = new Path(path)
+      segs.dropRight(1).foreach { seg =>
+        acc = new Path(acc, seg)
+        writeJson(new Path(acc, "zarr.json"), groupDoc)
+      }
+      writeJson(new Path(new Path(acc, segs.last), "zarr.json"), tableGroupDoc)
     }
   }
 

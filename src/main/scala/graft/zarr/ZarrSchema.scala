@@ -65,19 +65,57 @@ object ZarrSchema {
   /** List + parse the child arrays of `group` in `store`, sorted by name.
    *  Zarr v3 (`zarr.json`) and v2 (`.zgroup`/`.zarray`) stores both resolve
    *  — v2 is the majority of public stores in the wild. A v3 `zarr.json`
-   *  wins when both exist (a store migrated in place). */
+   *  wins when both exist (a store migrated in place).
+   *
+   *  CONSOLIDATED metadata is preferred on both paths — v3
+   *  `consolidated_metadata` in the group document (zarr-python 3
+   *  convention; our own write path emits it) and v2 `.zmetadata`
+   *  (`zarr_consolidated_format`) — collapsing planning on an object store
+   *  to ONE metadata read instead of a LIST + one read per column. */
   def listArrays(store: ZarrStore, group: String): Seq[ZarrArrayMeta] = {
     val groupRel = group.stripPrefix("/").stripSuffix("/")
     def rel(name: String) = if (groupRel.isEmpty) name else s"$groupRel/$name"
+    def arrayDir(child: String) = if (groupRel.isEmpty) child else s"$groupRel/$child"
     val v3Group = store.readBytesIfExists(rel("zarr.json"))
     if (v3Group != null) {
       val groupNode = ZarrMeta.parseJson(
         new String(v3Group, java.nio.charset.StandardCharsets.UTF_8))
       if (!ZarrMeta.isGroup(groupNode))
         throw new ZarrException(s"'$group' is not a Zarr group")
-    } else if (store.readBytesIfExists(rel(".zgroup")) == null)
-      throw new ZarrException(
-        s"'$group' is not a Zarr group (no zarr.json or .zgroup)")
+      val cons = groupNode.path("consolidated_metadata").path("metadata")
+      if (cons.isObject) {
+        val it = cons.fieldNames()
+        val names = Seq.newBuilder[String]
+        while (it.hasNext) names += it.next()
+        val out = names.result().filterNot(_.contains("/")).sorted.flatMap { child =>
+          val node = cons.get(child)
+          if (node.path("node_type").asText() == "array")
+            Some(ZarrMeta.parseArray(arrayDir(child), child, node.toString))
+          else None
+        }
+        if (out.nonEmpty) return out // empty/group-only consolidation → list
+      }
+    } else {
+      val zmeta = store.readBytesIfExists(rel(".zmetadata"))
+      if (zmeta != null) {
+        val md = ZarrMeta.parseJson(
+          new String(zmeta, java.nio.charset.StandardCharsets.UTF_8)).path("metadata")
+        if (md.isObject) {
+          val it = md.fieldNames()
+          val names = Seq.newBuilder[String]
+          while (it.hasNext) names += it.next()
+          val out = names.result()
+            .collect { case k if k.endsWith("/.zarray") => k.dropRight("/.zarray".length) }
+            .filterNot(_.contains("/")).sorted
+            .map(child => ZarrMeta.parseArrayV2(arrayDir(child), child,
+              md.get(s"$child/.zarray").toString))
+          if (out.nonEmpty) return out
+        }
+      }
+      if (store.readBytesIfExists(rel(".zgroup")) == null)
+        throw new ZarrException(
+          s"'$group' is not a Zarr group (no zarr.json or .zgroup)")
+    }
     store.listChildren(groupRel).sorted.flatMap { child =>
       val arrayDir = if (groupRel.isEmpty) child else s"$groupRel/$child"
       val metaText = store.readBytesIfExists(s"$arrayDir/zarr.json")

@@ -369,13 +369,16 @@ object ZarrWriter {
         java.util.Arrays.copyOfRange(out, 0, n)
       } finally d.end()
     }
+    val zarrayDocs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def writeArray(name: String, dtype: String, compressor: String,
         filters: String, fill: String, chunks: Map[Int, Array[Byte]]): Unit = {
       val dir = Paths.get(root, "meta", name)
-      writeJson(dir.resolve(".zarray"),
+      val doc =
         s"""{"zarr_format":2,"shape":[$rows],"chunks":[$chunkLen],"dtype":"$dtype",
            |"compressor":$compressor,"fill_value":$fill,"order":"C","filters":$filters}"""
-          .stripMargin.replace("\n", ""))
+          .stripMargin.replace("\n", "")
+      zarrayDocs(name) = doc
+      writeJson(dir.resolve(".zarray"), doc)
       chunks.foreach { case (i, bytes) =>
         Files.createDirectories(dir)
         Files.write(dir.resolve(i.toString), bytes)
@@ -441,6 +444,13 @@ object ZarrWriter {
     writeArray("score", "<f8", """{"id":"zlib","level":6}""", "null", "1.5", Map(
       0 -> zlib(leDoubles(0.25, 0.5, 0.75)),
       2 -> zlib(leDoubles(6.25, 0, 0))))
+    // consolidated metadata at the group (zarr-python's .zmetadata): one
+    // read resolves every child .zarray — generated from the SAME doc
+    // strings as the per-array files so the two can never diverge
+    val consolidated = (Seq("\".zgroup\":{\"zarr_format\":2}") ++
+      zarrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
+    writeJson(Paths.get(root, "meta", ".zmetadata"),
+      s"""{"metadata":{$consolidated},"zarr_consolidated_format":1}""")
   }
 
   /**

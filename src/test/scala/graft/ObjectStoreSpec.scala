@@ -52,10 +52,11 @@ class ObjectStoreSpec extends SparkSpec {
     // double-read or an exists-then-read would double real S3 round-trips
     assert(chunks == 10L, s"chunk opens: $chunks")
     assert(probes == 0L, s"exists() probes on the read path: $probes")
-    assert(lists <= 4L, s"LIST calls: $lists") // group children, once-ish
-    // metadata opens (zarr.json × 3 + sidecar) are planning-time and must
-    // stay O(columns), not O(chunks): bound them well under the chunk count
-    assert(opens - chunks <= 12L, s"metadata opens: ${opens - chunks}")
+    // CONSOLIDATED metadata (embedded in the group zarr.json by the write
+    // path) makes planning O(1), not O(columns): one group doc + the stats
+    // sidecar, and NO children LIST at all
+    assert(lists <= 1L, s"LIST calls: $lists")
+    assert(opens - chunks <= 4L, s"metadata opens: ${opens - chunks}")
     // measured with injected per-op latency for SCALE.md: ops × latency
     // dominates; planning metadata is the serial part
     m.reset(); m.latencyMs = 5

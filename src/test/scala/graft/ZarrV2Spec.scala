@@ -64,6 +64,25 @@ class ZarrV2Spec extends SparkSpec {
     assert(parts == 3)
   }
 
+  test(".zmetadata consolidated reads: .zarray files are never needed") {
+    // same fixture, but with every per-array .zarray DELETED: schema and
+    // values must come entirely from the one consolidated .zmetadata read
+    // (what planning on an object store should do — 1 RPC, not O(columns))
+    val dir = Files.createTempDirectory("graft_v2cons").resolve("store.zarr")
+    ZarrWriter.writeV2Fixture(dir.toString)
+    Files.list(dir.resolve("meta")).forEach { child =>
+      val za = child.resolve(".zarray")
+      if (Files.exists(za)) Files.delete(za)
+    }
+    val df = spark.read.format("zarr").option("group", "/meta").load(dir.toString)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("flag", "id", "name", "score", "temp", "ts"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Double]("score")).toSeq ==
+      Seq(0.25, 0.5, 0.75, 1.5, 1.5, 1.5, 6.25))
+  }
+
   test("v2 metadata rejections are typed and name the array") {
     def arr(json: String): ZarrException =
       intercept[ZarrException](ZarrMeta.parseArrayV2("g/x", "x", json))
