@@ -186,6 +186,32 @@ class BloscSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: blocksize x typesize x split-mode widened matrix (far-cap regime)") {
+    // Blocks ≥ 64 KiB are where a far-capable encoder would emit the
+    // ambiguous 16-bit escape (match distance ≥ 8 KiB inside one block) —
+    // the widened matrix drives exactly that regime through every
+    // cname-relevant shape: split mode on/off (typesize × blocksize
+    // thresholds in splitBlocks), byte- and bit-shuffle lanes, and data
+    // whose only redundancy is long-range.
+    val rnd = new scala.util.Random(777)
+    def longRange(n: Int): Array[Byte] = {
+      val head = Array.fill[Byte](9000)(rnd.nextInt().toByte)
+      Array.tabulate[Byte](n)(i => head(i % head.length))
+    }
+    def mixed(n: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(i => if ((i / 512) % 3 == 0) (i % 7).toByte else rnd.nextInt().toByte)
+    for {
+      blocksize <- Seq(512, 2048, 65536, 262144)
+      (ts, mode) <- Seq((1, "noshuffle"), (2, "shuffle"), (4, "shuffle"),
+        (16, "shuffle"), (8, "bitshuffle"))
+      data <- Seq(longRange(70000), mixed(70000), longRange(200000))
+    } {
+      val enc = Blosc.encode(data, ts, "blosclz", 5, mode, blocksize)
+      assert(Blosc.decode(enc, s"wide/$blocksize/$ts/$mode").toSeq == data.toSeq,
+        s"blocksize=$blocksize ts=$ts mode=$mode n=${data.length}")
+    }
+  }
+
   test("fuzz: random garbage and truncations raise ZarrException, never crash or hang") {
     val rnd = new scala.util.Random(99)
     val valid = Blosc.encode(
