@@ -277,6 +277,44 @@ class ZarrStreamSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distributed epochs append to a SHARDED table (whole shards per task)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_dist_shard") + "/store.zarr"
+    // batch-seed a sharded table: chunk(=shard)=4 rows, inner=2; 6 rows →
+    // shard 1 is a partial tail (2 rows)
+    spark.range(6).select(col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("w"), col("id")).as("word"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "4").option("shard_rows", "2")
+      .mode("overwrite").save(dir)
+    val mem = MemoryStream[IdxDoc]
+    val q = mem.toDF().selectExpr("idx", "id", "concat('w', id) AS word")
+      .repartition(4, org.apache.spark.sql.functions.expr("idx div 4"))
+      .writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("row_index", "idx")
+      .option("checkpointLocation", tempDir("zsink_dist_shard_ckpt"))
+      .start(dir)
+    try {
+      // global positions 6..13: the task owning shard 1 merges its 2 rows
+      // and rewrites it; shards 2,3 append from other tasks
+      mem.addData((6L until 14L).map(i => IdxDoc(i, i, "")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(back.head.fieldIndex("id"))).toSeq == (0L until 14L))
+    assert(back.map(_.getString(back.head.fieldIndex("word"))).toSeq ==
+      (0 until 14).map("w" + _))
+    // still declares sharding with the inherited inner grid
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t", "id", "zarr.json")), "UTF-8")
+    assert(metaJson.contains("sharding_indexed") &&
+      metaJson.contains("\"chunk_shape\":[2]"), metaJson)
+  }
+
   test("distributed epochs: a per-epoch (non-global) row_index is rejected") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
