@@ -55,7 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((FunctionIdentifier("bbox_envelope"),
       info("bbox_envelope", "bbox_envelope(wkt) - struct<minx,miny,maxx,maxy>"),
-      (es: Seq[Expression]) => GeoFunctions.BboxEnvelope(es.head)))
+      (es: Seq[Expression]) => {
+        // AND-of-comparisons over envelope fields also prunes (the rule
+        // extracts a box from them), so resolving THIS function must
+        // install the rule too — not just bbox_intersects
+        installBboxPruning()
+        GeoFunctions.BboxEnvelope(es.head)
+      }))
     ext.injectFunction((FunctionIdentifier("bbox_extent"),
       info("bbox_extent", "bbox_extent(wkt) - aggregate union envelope of a group"),
       (es: Seq[Expression]) => GeoFunctions.BboxExtent(es.head)))

@@ -65,7 +65,11 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
   private def isGroup(relPath: String): Boolean = {
     val metaPath = if (relPath.isEmpty) "zarr.json" else s"$relPath/zarr.json"
     val b = store.readBytesIfExists(metaPath)
-    b != null && ZarrMeta.isGroup(ZarrMeta.parseJson(new String(b, UTF_8)))
+    if (b != null) ZarrMeta.isGroup(ZarrMeta.parseJson(new String(b, UTF_8)))
+    else { // Zarr v2 group (.zgroup) — v2 stores mount as catalogs too
+      val zg = if (relPath.isEmpty) ".zgroup" else s"$relPath/.zgroup"
+      store.readBytesIfExists(zg) != null
+    }
   }
 
   private def arraysOf(relPath: String): Seq[ZarrArrayMeta] =

@@ -69,4 +69,18 @@ class ZarrCatalogSpec extends SparkSpec {
     assert(!spark.sql("SHOW TABLES IN zcat").collect().map(_.getString(1)).toSeq
       .contains("derived"))
   }
+
+  test("a Zarr V2 store mounts as a catalog (.zgroup groups, .zarray tables)") {
+    val dir = tempDir("zarr_catalog_v2")
+    ZarrWriter.writeV2Fixture(dir)
+    spark.conf.set("spark.sql.catalog.zcat2", classOf[ZarrCatalog].getName)
+    spark.conf.set("spark.sql.catalog.zcat2.root", dir)
+    val tables = spark.sql("SHOW TABLES IN zcat2").collect()
+      .map(_.getString(1)).toSeq
+    assert(tables == Seq("meta"))
+    val rows = spark.sql(
+      "SELECT id, name FROM zcat2.meta WHERE score > 1.0 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((3L, "n3"), (4L, "n4"), (5L, "n5"), (6L, "n6")))
+  }
 }

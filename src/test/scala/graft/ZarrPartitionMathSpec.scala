@@ -122,6 +122,16 @@ class ZarrPartitionMathSpec extends SparkSpec {
       val q = fresh.sql("SELECT id FROM geo WHERE bbox_intersects(bbox, 34, 34, 36, 36)")
       assert(q.queryExecution.toRdd.getNumPartitions == 1) // chunk 3 only
       assert(q.collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
+      // SQL using ONLY envelope-field comparisons must prune too — the
+      // bbox_envelope builder installs the same rule (a query can reach the
+      // extraction path without ever resolving bbox_intersects)
+      val env = fresh.sql("""
+        SELECT id FROM geo
+        WHERE bbox_envelope(bbox).maxx >= 34 AND bbox_envelope(bbox).minx <= 36
+          AND bbox_envelope(bbox).maxy >= 34 AND bbox_envelope(bbox).miny <= 36""")
+      assert(env.queryExecution.toRdd.getNumPartitions == 1,
+        env.queryExecution.executedPlan.toString)
+      assert(env.collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(old)
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
