@@ -99,6 +99,46 @@ object Corpus {
   }
 
   /**
+   * CCNet-style boilerplate removal: a segment (line by default) whose
+   * EXACT text appears in at least `minDocs` distinct documents is
+   * boilerplate — headers, navigation, cookie banners, newsletter pitches —
+   * and every document is rebuilt without its boilerplate segments
+   * (dropped docs come back as the empty string, never disappear).
+   *
+   * Plan, 100 TB shape: segments explode scan-locally with their position;
+   * the document-frequency aggregate is a two-phase (partial/final)
+   * count-distinct on the segment text; flagged segments anti-join back
+   * (no broadcast assumption — the boilerplate set can be large); the
+   * rebuild is one groupBy(doc) assembling `array_sort(collect_list(
+   * struct(pos, segment)))`, so segment order is restored regardless of
+   * shuffle order. Three shuffles total, all on natural keys, no collect,
+   * no UDF. At extreme scale the exact count-distinct can be swapped for
+   * `approx_count_distinct` — a segment's 2-vs-3-doc frequency hardly
+   * needs exactness — but the default stays exact so results are
+   * oracle-reproducible.
+   */
+  def removeBoilerplate(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minDocs: Long = 2,
+      separator: String = "\n"): DataFrame = {
+    val sep = java.util.regex.Pattern.quote(separator)
+    val segs = docs.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("pos", "seg")))
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("_d"))
+      .filter(col("_d") >= minDocs)
+      .select("seg")
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")),
+        separator).as("_rebuilt"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_rebuilt"), lit("")).as(textCol))
+  }
+
+  /**
    * Deterministic per-stratum downsampling (e.g. "keep 50% of English,
    * 10% of everything else" when rebalancing a training corpus): a row
    * survives iff the first md5 byte of its id (two lowercase hex chars)

@@ -124,6 +124,34 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // CCNet-style boilerplate removal over sentence segments. The corpus
+    // has no naturally repeated sentences (checked), so a boilerplate
+    // sentence is PLANTED identically on both engine sides (appended to
+    // every doc); removal must strip exactly it and rebuild every original
+    // text byte-for-byte — an end-to-end fidelity check of the
+    // explode → df → anti-join → ordered-rebuild pipeline on all 500 docs.
+    Q("q_boilerplate", Some("""
+      WITH aug AS (
+        SELECT doc_id, text || '. Subscribe to our newsletter today' AS text
+        FROM documents
+      ), l AS (
+        SELECT doc_id, string_split(text, '. ') AS ls FROM aug
+      ), seg AS (
+        SELECT doc_id, unnest(ls) AS seg FROM l
+      ), boiler AS (
+        SELECT list(seg) AS bl FROM (
+          SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 100)
+      )
+      SELECT doc_id,
+             array_to_string(list_filter(ls, x -> NOT list_contains(bl, x)), '. ') AS text
+      FROM l, boiler
+      ORDER BY doc_id"""),
+      (s, dir) => Corpus.removeBoilerplate(
+          t(s, dir, "documents").select(col("doc_id"),
+            concat(col("text"), lit(". Subscribe to our newsletter today")).as("text")),
+          minDocs = 100, separator = ". ")
+        .orderBy("doc_id")),
+
     // Per-group cap: top-3 largest docs per language.
     Q("q_topk_per_group", Some("""
       SELECT lang, doc_id, n_chars,

@@ -139,4 +139,33 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
+
+  test("removeBoilerplate strips cross-doc repeated lines, rebuilds order exactly") {
+    val nav = "Home | About | Contact"
+    val cookie = "We use cookies"
+    val d = docs(
+      (1L, s"$nav\nReal content one\n$cookie\nMore real text"),
+      (2L, s"$nav\nCompletely different body\n$cookie"),
+      (3L, s"$nav\nThird document line\nAnother unique line\n$cookie"),
+      (4L, s"$nav\n$cookie")) // nothing but boilerplate → empty string
+    val out = graft.operators.Corpus.removeBoilerplate(d, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq(
+      "Real content one\nMore real text",
+      "Completely different body",
+      "Third document line\nAnother unique line",
+      ""))
+    // below the threshold nothing is touched — byte-for-byte identity,
+    // including segment order and separators
+    val untouched = graft.operators.Corpus.removeBoilerplate(d, minDocs = 5)
+      .orderBy("doc_id").collect()
+    assert(untouched.map(_.getString(1)).toSeq ==
+      d.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+    // a doc repeating its own line 3x does NOT make it boilerplate —
+    // frequency is COUNT DISTINCT docs
+    val selfRep = docs((1L, "same\nsame\nsame\nunique"), (2L, "other"))
+    val kept = graft.operators.Corpus.removeBoilerplate(selfRep, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(kept.head.getString(1) == "same\nsame\nsame\nunique")
+  }
 }
