@@ -82,22 +82,27 @@ object ZarrSchema {
         new String(v3Group, java.nio.charset.StandardCharsets.UTF_8))
       if (!ZarrMeta.isGroup(groupNode))
         throw new ZarrException(s"'$group' is not a Zarr group")
-      val cons = groupNode.path("consolidated_metadata").path("metadata")
-      if (cons.isObject) {
-        val it = cons.fieldNames()
-        val names = Seq.newBuilder[String]
-        while (it.hasNext) names += it.next()
-        val out = names.result().filterNot(_.contains("/")).sorted.flatMap { child =>
-          val node = cons.get(child)
-          if (node.path("node_type").asText() == "array")
-            Some(ZarrMeta.parseArray(arrayDir(child), child, node.toString))
-          else None
+      // consolidation is an OPTIMIZATION: a malformed/stale consolidated
+      // block must degrade to listing the per-array documents, not fail a
+      // store whose real metadata is fine
+      try {
+        val cons = groupNode.path("consolidated_metadata").path("metadata")
+        if (cons.isObject) {
+          val it = cons.fieldNames()
+          val names = Seq.newBuilder[String]
+          while (it.hasNext) names += it.next()
+          val out = names.result().filterNot(_.contains("/")).sorted.flatMap { child =>
+            val node = cons.get(child)
+            if (node.path("node_type").asText() == "array")
+              Some(ZarrMeta.parseArray(arrayDir(child), child, node.toString))
+            else None
+          }
+          if (out.nonEmpty) return out // empty/group-only consolidation → list
         }
-        if (out.nonEmpty) return out // empty/group-only consolidation → list
-      }
+      } catch { case _: Exception => } // fall through to listing
     } else {
       val zmeta = store.readBytesIfExists(rel(".zmetadata"))
-      if (zmeta != null) {
+      if (zmeta != null) try {
         val md = ZarrMeta.parseJson(
           new String(zmeta, java.nio.charset.StandardCharsets.UTF_8)).path("metadata")
         if (md.isObject) {
@@ -111,7 +116,7 @@ object ZarrSchema {
               md.get(s"$child/.zarray").toString))
           if (out.nonEmpty) return out
         }
-      }
+      } catch { case _: Exception => } // malformed .zmetadata → list instead
       if (store.readBytesIfExists(rel(".zgroup")) == null)
         throw new ZarrException(
           s"'$group' is not a Zarr group (no zarr.json or .zgroup)")

@@ -83,6 +83,15 @@ class ZarrV2Spec extends SparkSpec {
       Seq(0.25, 0.5, 0.75, 1.5, 1.5, 1.5, 6.25))
   }
 
+  test("malformed .zmetadata degrades to per-array listing, not failure") {
+    val dir = Files.createTempDirectory("graft_v2badcons").resolve("store.zarr")
+    ZarrWriter.writeV2Fixture(dir.toString)
+    Files.write(dir.resolve("meta").resolve(".zmetadata"),
+      "{not json at all".getBytes("UTF-8"))
+    val df = spark.read.format("zarr").option("group", "/meta").load(dir.toString)
+    assert(df.orderBy("id").collect().length == 7)
+  }
+
   test("v2 metadata rejections are typed and name the array") {
     def arr(json: String): ZarrException =
       intercept[ZarrException](ZarrMeta.parseArrayV2("g/x", "x", json))
