@@ -35,16 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
    *  `bbox_intersects` before optimization runs, so any query that could
    *  prune has the rule installed in time. */
   private def installBboxPruning(): Unit =
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-      // synchronized: two threads resolving bbox_intersects concurrently on
-      // one session could otherwise both pass the contains() check and
-      // append the rule twice (the rule is idempotent, but don't rely on it)
-      s.synchronized {
-        if (!s.experimental.extraOptimizations.contains(graft.plans.ZarrBboxPruning))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ graft.plans.ZarrBboxPruning
-      }
-    }
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.plans.ZarrBboxPruning.installInto)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("bbox_intersects"),

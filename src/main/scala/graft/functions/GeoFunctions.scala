@@ -173,14 +173,8 @@ object GeoFunctions {
       (es: Seq[Expression]) => BboxExtent(es.head), "scala_udf")
     // bbox chunk pruning for Zarr scans ("User Provided Optimizers" runs
     // post-pushdown, where DataSourceV2ScanRelation exists); GraftExtensions
-    // sessions install the same rule from the bbox_intersects builder.
-    // synchronized like that path: concurrent register() calls must not
-    // append the rule twice
-    spark.synchronized {
-      if (!spark.experimental.extraOptimizations.contains(graft.plans.ZarrBboxPruning))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ graft.plans.ZarrBboxPruning
-    }
+    // sessions install the same rule from the geo function builders
+    graft.plans.ZarrBboxPruning.installInto(spark)
   }
 
   /** Column helpers (require `register(spark)` on the active session). */

@@ -133,9 +133,11 @@ object Corpus {
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
           x => x.getField("seg")),
         separator).as("_rebuilt"))
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("_rebuilt"), lit("")).as(textCol))
+    // preserve the frame shape (like decontaminate/stratifiedSample): every
+    // non-text column rides through, only textCol is replaced
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("_rebuilt"), lit("")))
+      .drop("_rebuilt")
   }
 
   /**

@@ -34,6 +34,18 @@ import graft.sources.ZarrScan
  */
 object ZarrBboxPruning extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Idempotently install this rule into the session's "User Provided
+   *  Optimizers" batch — the single shared entry point for
+   *  `GeoFunctions.register` and the GraftExtensions function builders.
+   *  Synchronized: two threads resolving a geo function concurrently on
+   *  one session must not append the rule twice. */
+  def installInto(session: org.apache.spark.sql.SparkSession): Unit =
+    session.synchronized {
+      if (!session.experimental.extraOptimizations.contains(this))
+        session.experimental.extraOptimizations =
+          session.experimental.extraOptimizations :+ this
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, r: DataSourceV2ScanRelation)
         if r.scan.isInstanceOf[ZarrScan] &&

@@ -34,11 +34,21 @@ object ZarrQueries {
     s.read.format("zarr").option("group", "/meta").load(fixturePath)
 
   /** Hand-crafted Zarr V2 store, written once per JVM (byte-level
-   *  numcodecs encodings — see [[ZarrWriter.writeV2Fixture]]). */
+   *  numcodecs encodings — see [[ZarrWriter.writeV2Fixture]]). Built in a
+   *  process-private temp dir and atomically renamed into place: a second
+   *  JVM (bench alongside tests) probing mid-write must see either nothing
+   *  or the complete store, never a partial one. */
   lazy val v2FixturePath: String = {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_zarr_v2_fixture.zarr")
-    if (!Files.exists(dir.resolve(".zgroup")))
-      ZarrWriter.writeV2Fixture(dir.toString)
+    if (!Files.exists(dir.resolve(".zmetadata"))) {
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_zarr_v2_fixture.tmp${ProcessHandle.current().pid()}")
+      ZarrWriter.writeV2Fixture(tmp.toString)
+      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException => // lost the race
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
     dir.toString
   }
 

@@ -158,19 +158,30 @@ class ZarrStreamingWrite(
             s"option shard_rows=$optionShardRows — they must match to append")
       shardRows = existingInner
       // the sink re-encodes tail chunks and republishes zarr.json with its
-      // own (zstd) codec chain — appending onto a blosc-compressed table
-      // would silently re-declare existing blosc chunks as zstd
-      val hasBlosc = existing.exists(_.codecs.exists {
-        case _: ZarrCodec.BloscCodec => true
-        case sc: ZarrCodec.ShardingCodec =>
-          sc.innerCodecs.exists(_.isInstanceOf[ZarrCodec.BloscCodec])
+      // own codec chain ([vlen|bytes] + zstd, '/'-separated c/<i> keys) —
+      // appending onto ANY other layout (blosc, gzip, crc32c, zlib, '.'
+      // separators) would silently re-declare the table's existing chunks
+      // as something they are not. Positive allow-list, not a blosc-only
+      // deny-list: only tables the sink itself could have written pass.
+      def plainZstd(cs: Seq[ZarrCodec]): Boolean = cs match {
+        case Seq(_: ZarrCodec.BytesCodec, ZarrCodec.ZstdCodec(_, _)) => true
+        case Seq(ZarrCodec.VlenUtf8Codec, ZarrCodec.ZstdCodec(_, _)) => true
+        case Seq(ZarrCodec.VlenBytesCodec, ZarrCodec.ZstdCodec(_, _)) => true
         case _ => false
-      })
-      if (hasBlosc)
+      }
+      existing.find { a =>
+        a.separator != "/" || !(a.codecs match {
+          case Seq(sc: ZarrCodec.ShardingCodec) => plainZstd(sc.innerCodecs)
+          case cs => plainZstd(cs)
+        })
+      }.foreach { a =>
         throw new ZarrException(
-          "zarr streaming sink: appending to a blosc-compressed table is not " +
-            "supported (the sink writes zstd chunks); rewrite the table with " +
-            "compression=zstd first")
+          s"zarr streaming sink: existing array '${a.name}' uses a codec " +
+            "chain or chunk-key separator the sink does not write " +
+            s"(${a.codecs.mkString("[", ",", "]")}, sep '${a.separator}'); " +
+            "appending would re-declare its chunks — rewrite the table " +
+            "with compression=zstd and default chunk keys first")
+      }
     }
     new ZarrStreamingWriterFactory(path, groupRel, schema, dataSchema, chunkRows, conf,
       shardRows, rowIdxOrdinal)
@@ -178,7 +189,22 @@ class ZarrStreamingWrite(
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ZarrStreamEpochCommit => m }
-    if (msgs.isEmpty || msgs.forall(_.replayed)) return
+    if (msgs.isEmpty) return
+    if (msgs.forall(_.replayed)) {
+      // HEAL: the marker is written BEFORE zarr.json below, so a crash
+      // between the two leaves committed rows unpublished; the replayed
+      // epoch republishes the shape from the marker (idempotent when
+      // nothing crashed). The reverse order would be worse — on a
+      // marker-less (batch-created) table, published-length fallback after
+      // a metadata-first crash would re-append the epoch's rows at the new
+      // offset: silent duplicates.
+      val (e, rows) = ZarrStreamCommit.read(new ZarrStore(path, conf.value), groupRel)
+      if (e >= 0)
+        ZarrWriteSupport.writeTableMetadata(
+          new Path(path).getFileSystem(conf.value), path, groupRel, dataSchema,
+          rows, chunkRows, shardRows)
+      return
+    }
     val chunks = msgs.flatMap(_.chunks).sortBy(_._1)
     val allStats = msgs.flatMap(_.stats).sortBy(_.chunk)
     val (_, startRows) =
@@ -213,11 +239,15 @@ class ZarrStreamingWrite(
       val out = fs.create(new Path(path, rel), true)
       try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
     }
+    // order: stats → MARKER → metadata. The marker precedes the shape
+    // publish so a crash in between is healed by the replay branch above;
+    // metadata-before-marker on a marker-less table would instead replay
+    // into silent duplicates (published-length fallback already grown).
     mergeStats(merged).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
-    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, merged.totalRows,
-      chunkRows, shardRows)
     writeFile(ZarrStreamCommit.relPath(groupRel),
       s"""{"epoch":$epochId,"rows":${merged.totalRows}}""")
+    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, merged.totalRows,
+      chunkRows, shardRows)
   }
 
   /** Fold this epoch's chunk stats into the existing sidecar (rewritten tail
@@ -355,7 +385,12 @@ class ZarrStreamingDataWriter(
   override def write(row: InternalRow): Unit = {
     if (replay) return
     val pos = idxOrdinal match {
-      case Some(o) => row.getLong(o)
+      case Some(o) =>
+        if (row.isNullAt(o)) // getLong on a null slot silently yields 0
+          throw new ZarrException(
+            "zarr streaming sink: row_index is NULL — the position column " +
+              "must be a non-null global dense index")
+        row.getLong(o)
       case None => val p = synthesized; synthesized += 1; p
     }
     if (pos < startRows)

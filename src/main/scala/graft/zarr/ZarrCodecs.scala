@@ -181,8 +181,11 @@ object ZarrCodecs {
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput())
-          throw new ZarrException(s"truncated zlib chunk at $path")
+        // needsDictionary: FDICT-flagged stream — inflate() returns 0 with
+        // needsInput()==false forever, so without this check a hostile
+        // chunk spins the reader task instead of throwing
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new ZarrException(s"truncated or preset-dictionary zlib chunk at $path")
         out.write(buf, 0, n)
       }
       out.toByteArray

@@ -167,5 +167,15 @@ class CorpusSpec extends SparkSpec {
     val kept = graft.operators.Corpus.removeBoilerplate(selfRep, minDocs = 2)
       .orderBy("doc_id").collect()
     assert(kept.head.getString(1) == "same\nsame\nsame\nunique")
+    // non-text columns ride through unchanged (frame shape preserved,
+    // like the sibling Corpus operators)
+    val withLang = d.withColumn("lang",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("l"), org.apache.spark.sql.functions.col("doc_id")))
+    val shaped = graft.operators.Corpus.removeBoilerplate(withLang, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(shaped.head.schema.fieldNames.toSet == Set("doc_id", "text", "lang"))
+    assert(shaped.map(_.getAs[String]("lang")).toSeq == Seq("l1", "l2", "l3", "l4"))
+    assert(shaped.map(_.getAs[String]("text")).head == "Real content one\nMore real text")
   }
 }
