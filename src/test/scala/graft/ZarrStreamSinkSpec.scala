@@ -114,6 +114,41 @@ class ZarrStreamSinkSpec extends SparkSpec {
     assert(back.map(_.getLong(back.head.fieldIndex("id"))).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("replayed epoch heals a crash between marker write and shape publish") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_heal") + "/store.zarr"
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_heal_ckpt"))
+      .start(dir)
+    try {
+      mem.addData((0L until 9L).map(i => Doc(i, s"w$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val hconf = spark.sessionState.newHadoopConf()
+    val store = new ZarrStore(dir, hconf)
+    assert(ZarrStreamCommit.read(store, "t") == (0L, 9L))
+    // simulate the crash window: marker already says 9 rows, but the shape
+    // publish never happened — roll the metadata back to 4 rows
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType)))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    graft.sources.ZarrWriteSupport.writeTableMetadata(fs, dir, "t", schema, 4L, 4)
+    assert(spark.read.format("zarr").option("group", "/t").load(dir).count() == 4)
+    // a REPLAYED epoch (what Spark delivers after the crash) must republish
+    // the marker's shape — invoke the sink commit as the restarted driver would
+    val write = new graft.sources.ZarrStreamingWrite(dir, "t", schema, schema, 4,
+      new graft.zarr.SerializableHadoopConf(hconf))
+    write.commit(0L, Array(
+      graft.sources.ZarrStreamEpochCommit(Seq.empty, Seq.empty, 9L, replayed = true)))
+    val healed = spark.read.format("zarr").option("group", "/t").load(dir)
+      .orderBy("id").collect()
+    assert(healed.map(_.getLong(healed.head.fieldIndex("id"))).toSeq == (0L until 9L))
+  }
+
   test("store-to-store relay: zarr source tails what the zarr sink appends") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
