@@ -233,7 +233,8 @@ class ZarrStreamingWrite(
         }
         chunks.last._1 * chunkRows + chunks.last._2
       }
-    val merged = ZarrStreamEpochCommit(chunks, allStats, totalRows, replayed = false)
+    val merged =
+      ZarrStreamEpochCommit(chunks.toSeq, allStats.toSeq, totalRows, replayed = false)
     val fs = new Path(path).getFileSystem(conf.value)
     def writeFile(rel: String, text: String): Unit = {
       val out = fs.create(new Path(path, rel), true)

@@ -92,6 +92,48 @@ class ZarrV2Spec extends SparkSpec {
     assert(df.orderBy("id").collect().length == 7)
   }
 
+  test("v2 corner dtypes: uint64 widens to decimal, |S is fixed binary, gzip decodes") {
+    val dir = Files.createTempDirectory("graft_v2dtypes").resolve("s.zarr")
+    Files.createDirectories(dir.resolve("g"))
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put(".zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+    put("g/.zgroup", """{"zarr_format":2}""".getBytes("UTF-8"))
+    // u: uint64 with the high bit set (only Decimal(20,0) can hold it), gzip
+    val uRaw = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(java.lang.Long.parseUnsignedLong("18446744073709551615")) // 2^64-1
+      .putLong(7L).array()
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(uRaw); g.close(); bos.toByteArray
+    }
+    put("g/u/.zarray",
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"<u8",
+        |"compressor":{"id":"gzip","level":5},"fill_value":0,"order":"C","filters":null}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    put("g/u/0", gz)
+    // b: |S3 fixed-width bytes, raw
+    put("g/b/.zarray",
+      """{"zarr_format":2,"shape":[2],"chunks":[2],"dtype":"|S3",
+        |"compressor":null,"fill_value":null,"order":"C","filters":null}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    put("g/b/0", "abcxyz".getBytes("UTF-8"))
+    val df = spark.read.format("zarr").option("group", "/g").load(dir.toString)
+    import org.apache.spark.sql.types._
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("b", BinaryType), ("u", DecimalType(20, 0))))
+    val rows = df.orderBy("u").collect()
+    assert(rows.map(_.getAs[java.math.BigDecimal]("u").toString).toSeq ==
+      Seq("7", "18446744073709551615"))
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("b"), "UTF-8")).toSeq ==
+      Seq("xyz", "abc"))
+  }
+
   test("v2 metadata rejections are typed and name the array") {
     def arr(json: String): ZarrException =
       intercept[ZarrException](ZarrMeta.parseArrayV2("g/x", "x", json))
