@@ -131,4 +131,33 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), s"scalar query fell out of codegen:\n${p.take(800)}")
   }
+
+  test("sweep: no accidental cartesian/nested-loop join in ANY declared query") {
+    // every query's physical plan, mechanically — an operator added in a
+    // later round cannot silently ship an O(n²) join. The allow-list names
+    // the PROVEN-bounded exceptions: a deliberate cross join and the
+    // ONE-row broadcast frames (BM25 stats row, roundtrip self-check
+    // counts) whose nested-loop side is a single row by construction.
+    val legitimate = Set(
+      "q_join_cross",          // the cross-join operator itself (3×3 regions)
+      "q_join_nonequi",        // pure non-equi join: no hash key exists; the
+                               //   dim side is explicitly broadcast (bounded)
+      "q_sim_bruteforce",      // brute-force ANN baseline: 5 probe vectors
+                               //   broadcast against the corpus BY DESIGN
+      "q_search_bm25",         // broadcast of a 1-row corpus-stats frame
+      "q_zarr_roundtrip", "q_zarr_write_roundtrip", "q_zarr_shard_roundtrip",
+      "q_zarr_binary_roundtrip", "q_zarr_stream_sink") // 1-row self-check counts
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(legitimate)
+      .flatMap { name =>
+        val p =
+          try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Exception =>
+            throw new RuntimeException(s"query '$name' failed to plan", e) }
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"accidental cartesian/nested-loop joins in: $offenders")
+  }
 }
