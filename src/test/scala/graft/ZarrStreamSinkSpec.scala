@@ -350,6 +350,36 @@ class ZarrStreamSinkSpec extends SparkSpec {
       metaJson.contains("\"chunk_shape\":[2]"), metaJson)
   }
 
+  test("distributed epochs: splitting a chunk across tasks fails loud, no partial table") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_dist_split") + "/store.zarr"
+    val mem = MemoryStream[IdxDoc]
+    // WRONG routing: hash on idx itself scatters a chunk's rows over tasks
+    val q = mem.toDF()
+      .repartition(4, col("idx"))
+      .writeStream.format("zarr")
+      .option("group", "/meta").option("chunk_rows", "4")
+      .option("row_index", "idx")
+      .option("checkpointLocation", tempDir("zsink_dist_split_ckpt"))
+      .start(dir)
+    try {
+      mem.addData((0L until 8L).map(i => IdxDoc(i, i, s"w$i")): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def hasMsg(t: Throwable): Boolean =
+        t != null && (t.getMessage != null &&
+          (t.getMessage.contains("out of order") ||
+            t.getMessage.contains("split across tasks") ||
+            t.getMessage.contains("coverage gap")) || hasMsg(t.getCause))
+      assert(hasMsg(e), e.toString)
+    } finally q.stop()
+    // nothing published: a failed epoch must not leave a readable table
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "meta", "zarr.json")))
+  }
+
   test("distributed epochs: a per-epoch (non-global) row_index is rejected") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
