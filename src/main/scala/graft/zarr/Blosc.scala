@@ -90,20 +90,25 @@ object Blosc {
     if (nbytes < 0 || cbytes < 16 || cbytes > frame.length)
       throw new ZarrException(
         s"corrupt blosc header at $where (nbytes=$nbytes cbytes=$cbytes frame=${frame.length})")
-    val out = new Array[Byte](nbytes)
-    if (nbytes == 0) return out
+    if (nbytes == 0) return new Array[Byte](0)
     if ((flags & FlagMemcpyed) != 0) {
       if (cbytes != nbytes + 16)
         throw new ZarrException(s"memcpyed blosc chunk size mismatch at $where")
+      val out = new Array[Byte](nbytes)
       System.arraycopy(frame, 16, out, 0, nbytes)
       return out
     }
     val codec = (flags >> 5) & 0x7
     if (blocksize <= 0)
       throw new ZarrException(s"corrupt blosc blocksize $blocksize at $where")
-    val nblocks = ((nbytes.toLong + blocksize - 1) / blocksize).toInt
-    if (16 + nblocks * 4 > frame.length)
+    // structural checks BEFORE the nbytes allocation, in Long: a hostile
+    // 16-byte frame claiming nbytes=2^30 with blocksize=1 would otherwise
+    // allocate 1 GiB and then wrap nblocks*4 negative past this check
+    val nblocksL = (nbytes.toLong + blocksize - 1) / blocksize
+    if (16L + nblocksL * 4L > frame.length)
       throw new ZarrException(s"blosc bstarts section truncated at $where")
+    val nblocks = nblocksL.toInt
+    val out = new Array[Byte](nbytes)
     val dontSplit = (flags & FlagDontSplit) != 0
     val doShuffle = (flags & FlagByteShuffle) != 0 && typesize > 1
     val doBitShuffle = (flags & FlagBitShuffle) != 0 && typesize >= 1
@@ -179,7 +184,12 @@ object Blosc {
         while (!inf.finished() && progressed) {
           val n = inf.inflate(dst, dstOff + total, dstLen - total)
           total += n
-          progressed = n > 0 || (!inf.finished() && !inf.needsInput() && dstLen - total > 0)
+          // needsDictionary: FDICT-flagged stream — inflate() returns 0
+          // with needsInput()==false forever; without the guard a hostile
+          // chunk spins the task (same hazard ZarrCodecs.zlibDecompress
+          // guards explicitly)
+          progressed = n > 0 || (!inf.finished() && !inf.needsInput() &&
+            !inf.needsDictionary() && dstLen - total > 0)
         }
         if (inf.finished()) total else -1
       } catch { case _: java.util.zip.DataFormatException => -1 }

@@ -137,7 +137,9 @@ object ZarrCodecs {
         val len = bb.getLong(i * 16 + 8)
         decoded(i) =
           if (off == -1L && len == -1L) decodeChunk(null, innerMeta) // missing → fill
-          else if (off < 0 || len < 0 || off + len > raw.length)
+          // subtraction form: `off + len` can wrap negative for hostile
+          // offsets near Long.MaxValue and slip past an addition check
+          else if (off < 0 || len < 0 || len > raw.length - off)
             throw new ZarrException(s"shard index entry $i out of bounds at ${meta.path}")
           else decodeChunk(
             java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), innerMeta)
@@ -259,6 +261,14 @@ object ZarrCodecs {
   }
 
   private def decodeFixed(bytes: Array[Byte], dt: ZarrType, n: Int, littleEndian: Boolean): ColumnChunk = {
+    // the columnar fast paths below bulk-copy via Unsafe (put*LittleEndian)
+    // with NO bounds check — a short decoded chunk (truncated object,
+    // partial upload) would read past the array and emit adjacent-heap
+    // garbage as column values; fail typed instead
+    if (bytes.length < n.toLong * dt.byteSize)
+      throw new ZarrException(
+        s"fixed-width chunk too short: ${bytes.length} bytes for $n × $dt " +
+          s"(${n.toLong * dt.byteSize} expected)")
     val order = if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val buf = ByteBuffer.wrap(bytes).order(order)
     import ZarrType._

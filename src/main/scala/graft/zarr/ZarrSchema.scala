@@ -101,22 +101,34 @@ object ZarrSchema {
         }
       } catch { case _: Exception => } // fall through to listing
     } else {
-      val zmeta = store.readBytesIfExists(rel(".zmetadata"))
-      if (zmeta != null) try {
-        val md = ZarrMeta.parseJson(
-          new String(zmeta, java.nio.charset.StandardCharsets.UTF_8)).path("metadata")
-        if (md.isObject) {
+      // group-level .zmetadata first; zarr-python consolidates at the STORE
+      // ROOT with group-prefixed keys ("meta/id/.zarray"), so fall back to
+      // that for nested groups — the standard layout in the wild
+      def consolidatedV2(zmetaRel: String, keyPrefix: String): Option[Seq[ZarrArrayMeta]] = {
+        val zmeta = store.readBytesIfExists(zmetaRel)
+        if (zmeta == null) return None
+        try {
+          val md = ZarrMeta.parseJson(
+            new String(zmeta, java.nio.charset.StandardCharsets.UTF_8)).path("metadata")
+          if (!md.isObject) return None
           val it = md.fieldNames()
           val names = Seq.newBuilder[String]
           while (it.hasNext) names += it.next()
           val out = names.result()
-            .collect { case k if k.endsWith("/.zarray") => k.dropRight("/.zarray".length) }
-            .filterNot(_.contains("/")).sorted
-            .map(child => ZarrMeta.parseArrayV2(arrayDir(child), child,
-              md.get(s"$child/.zarray").toString))
-          if (out.nonEmpty) return out
-        }
-      } catch { case _: Exception => } // malformed .zmetadata → list instead
+            .collect { case k if k.startsWith(keyPrefix) && k.endsWith("/.zarray") =>
+              (k, k.stripPrefix(keyPrefix).dropRight("/.zarray".length)) }
+            .filter { case (_, child) => child.nonEmpty && !child.contains("/") }
+            .sortBy(_._2)
+            .map { case (k, child) => ZarrMeta.parseArrayV2(arrayDir(child), child,
+              md.get(k).toString) }
+          if (out.nonEmpty) Some(out) else None
+        } catch { case _: Exception => None } // malformed → list instead
+      }
+      val cons = consolidatedV2(rel(".zmetadata"), "").orElse {
+        if (groupRel.isEmpty) None
+        else consolidatedV2(".zmetadata", s"$groupRel/")
+      }
+      cons match { case Some(out) => return out; case None => }
       if (store.readBytesIfExists(rel(".zgroup")) == null)
         throw new ZarrException(
           s"'$group' is not a Zarr group (no zarr.json or .zgroup)")

@@ -145,7 +145,7 @@ object ZarrWriter {
     val nInnerPerShard = (shardLen + innerLen - 1) / innerLen
     values.grouped(shardLen).zipWithIndex.foreach { case (shardVals, si) =>
       val padded = shardVals.padTo(shardLen, fillValue)
-      var data = Array.emptyByteArray
+      val data = new java.io.ByteArrayOutputStream()
       val index = ByteBuffer.allocate(nInnerPerShard * 16).order(ByteOrder.LITTLE_ENDIAN)
       padded.grouped(innerLen).zipWithIndex.foreach { case (innerVals, ii) =>
         if (missingInner.contains(si * nInnerPerShard + ii)) {
@@ -154,8 +154,8 @@ object ZarrWriter {
           val buf = ByteBuffer.allocate(8 * innerLen).order(ByteOrder.LITTLE_ENDIAN)
           innerVals.padTo(innerLen, fillValue).foreach(buf.putLong)
           val enc = zstdCompress(buf.array(), 0)
-          index.putLong(data.length.toLong).putLong(enc.length.toLong)
-          data = data ++ enc
+          index.putLong(data.size.toLong).putLong(enc.length.toLong)
+          data.write(enc)
         }
       }
       val idxBody = index.array()
@@ -165,7 +165,8 @@ object ZarrWriter {
         .putInt(crc.getValue.toInt).array()
       val chunkPath = dir.resolve("c").resolve(si.toString)
       Files.createDirectories(chunkPath.getParent)
-      Files.write(chunkPath, data ++ idxBody ++ crcBytes)
+      data.write(idxBody); data.write(crcBytes)
+      Files.write(chunkPath, data.toByteArray)
     }
   }
 
@@ -193,7 +194,7 @@ object ZarrWriter {
     val nInnerPerShard = (shardLen + innerLen - 1) / innerLen
     values.grouped(shardLen).zipWithIndex.foreach { case (shardVals, si) =>
       val padded = shardVals.padTo(shardLen, "")
-      var data = Array.emptyByteArray
+      val data = new java.io.ByteArrayOutputStream()
       val index = ByteBuffer.allocate(nInnerPerShard * 16).order(ByteOrder.LITTLE_ENDIAN)
       padded.grouped(innerLen).foreach { innerVals =>
         val encoded = innerVals.padTo(innerLen, "").map { s =>
@@ -204,8 +205,8 @@ object ZarrWriter {
         val header = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
           .putInt(innerLen).array()
         val enc = zstdCompress(encoded.foldLeft(header)(_ ++ _), 0)
-        index.putLong(data.length.toLong).putLong(enc.length.toLong)
-        data = data ++ enc
+        index.putLong(data.size.toLong).putLong(enc.length.toLong)
+        data.write(enc)
       }
       val idxBody = index.array()
       val crc = new java.util.zip.CRC32C()
@@ -214,7 +215,8 @@ object ZarrWriter {
         .putInt(crc.getValue.toInt).array()
       val chunkPath = dir.resolve("c").resolve(si.toString)
       Files.createDirectories(chunkPath.getParent)
-      Files.write(chunkPath, data ++ idxBody ++ crcBytes)
+      data.write(idxBody); data.write(crcBytes)
+      Files.write(chunkPath, data.toByteArray)
     }
   }
 
@@ -272,7 +274,11 @@ object ZarrWriter {
    *  cnames fail here, before any zarr.json naming them is written. */
   private def parseBloscComp(compression: String): (String, String) = {
     val parts = compression.stripPrefix("blosc").stripPrefix("-").split("-")
-    val cname = if (parts(0).isEmpty) "lz4" else parts(0)
+    // cname is optional: "blosc-noshuffle" means lz4+noshuffle, not a
+    // cname called "noshuffle"
+    val cname =
+      if (parts(0).isEmpty || parts(0) == "noshuffle" || parts(0) == "bitshuffle") "lz4"
+      else parts(0)
     Blosc.cnameCode(cname) // validate before the cname reaches zarr.json
     val mode =
       if (parts.contains("noshuffle")) "noshuffle"

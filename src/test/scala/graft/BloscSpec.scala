@@ -334,4 +334,27 @@ class BloscSpec extends SparkSpec {
     val frame = Blosc.encode(data, 1, "blosclz", 5, "noshuffle", blocksize = 32768)
     assert(Blosc.decode(frame, "interop-guard").toSeq == data.toSeq)
   }
+
+  test("hostile frames: FDICT zlib inner stream and bstarts overflow fail typed, fast") {
+    // (a) inner zlib stream with the FDICT flag: JDK Inflater asks for a
+    // preset dictionary and returns 0 from inflate() forever — the decode
+    // loop must exit typed, not spin the task
+    val fdict = Array[Byte](0x78, 0x20, 0, 0, 0, 1) // CMF/FLG(FDICT)+DICTID
+    val b = ByteBuffer.allocate(16 + 4 + 4 + fdict.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(2.toByte).put(1.toByte).put((0x10 | (3 << 5)).toByte).put(1.toByte) // zlib code 3
+    u32(b, 4); u32(b, 4); u32(b, 16 + 4 + 4 + fdict.length)
+    u32(b, 20); u32(b, fdict.length)
+    b.put(fdict)
+    val t0 = System.nanoTime()
+    intercept[ZarrException](Blosc.decode(b.array(), "hostile/fdict"))
+    assert((System.nanoTime() - t0) / 1e9 < 10, "FDICT decode did not fail fast")
+    // (b) nbytes=2^30 with blocksize=1 from a tiny frame: nblocks*4 wraps
+    // Int — the Long-math bstarts check must reject it before allocating
+    val h = ByteBuffer.allocate(17).order(ByteOrder.LITTLE_ENDIAN)
+    h.put(2.toByte).put(1.toByte).put((1 << 5).toByte).put(1.toByte)
+    u32(h, 1 << 30); u32(h, 1); u32(h, 17)
+    h.put(0.toByte)
+    val e = intercept[ZarrException](Blosc.decode(h.array(), "hostile/bstarts"))
+    assert(e.getMessage.contains("bstarts"), e.getMessage)
+  }
 }

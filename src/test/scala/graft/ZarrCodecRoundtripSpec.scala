@@ -195,4 +195,26 @@ class ZarrCodecRoundtripSpec extends SparkSpec {
   private def roundtrip(dtypeJson: String, width: Int,
       put: (ByteBuffer, Any) => Unit, values: Seq[Any], pad: Any, fillJson: String): Seq[Any] =
     roundtrip(dtypeJson, width, put, values, pad, values.length, fillJson)
+
+  test("short fixed-width chunk fails typed, never reads past the buffer") {
+    // a truncated chunk object would otherwise feed the columnar reader's
+    // unchecked Unsafe bulk copy → adjacent-heap garbage as column values
+    val meta = graft.zarr.ZarrArrayMeta("x", "g/x", 4, 4,
+      graft.zarr.ZarrType.ZInt64,
+      Seq(graft.zarr.ZarrCodec.BytesCodec(littleEndian = true)), "/", "0")
+    val short = new Array[Byte](16) // 2 longs where 4 are declared
+    val e = intercept[graft.zarr.ZarrException](
+      graft.zarr.ZarrCodecs.decodeChunk(short, meta))
+    assert(e.getMessage.contains("too short"), e.getMessage)
+  }
+
+  test("blosc compression short forms: cname optional before the mode") {
+    val vals = (0 until 100).map(_.toLong * 3)
+    assert(roundtrip("\"int64\"", 8,
+      (b, v) => b.putLong(v.asInstanceOf[Long]), vals, 0L, 32, "0",
+      compression = "blosc-noshuffle") == vals)
+    assert(roundtrip("\"int64\"", 8,
+      (b, v) => b.putLong(v.asInstanceOf[Long]), vals, 0L, 32, "0",
+      compression = "blosc-bitshuffle") == vals)
+  }
 }

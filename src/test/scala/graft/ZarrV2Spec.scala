@@ -181,4 +181,27 @@ class ZarrV2Spec extends SparkSpec {
         hasMsg(t.getCause))
     assert(hasMsg(e))
   }
+
+  test("root-level .zmetadata (zarr-python layout) resolves nested groups in one read") {
+    // zarr-python consolidates at the STORE ROOT with group-prefixed keys;
+    // move the fixture's group-level .zmetadata there, prefix its keys, and
+    // delete every .zarray — resolution must come from the root document
+    val dir = Files.createTempDirectory("graft_v2rootcons").resolve("store.zarr")
+    ZarrWriter.writeV2Fixture(dir.toString)
+    val groupMeta = new String(
+      Files.readAllBytes(dir.resolve("meta").resolve(".zmetadata")), "UTF-8")
+    val rootMeta = groupMeta
+      .replace("\".zgroup\"", "\"meta/.zgroup\"")
+      .replaceAll("\"([a-z]+)/\\.zarray\"", "\"meta/$1/.zarray\"")
+    Files.write(dir.resolve(".zmetadata"), rootMeta.getBytes("UTF-8"))
+    Files.delete(dir.resolve("meta").resolve(".zmetadata"))
+    Files.list(dir.resolve("meta")).forEach { child =>
+      val za = child.resolve(".zarray")
+      if (Files.exists(za)) Files.delete(za)
+    }
+    val df = spark.read.format("zarr").option("group", "/meta").load(dir.toString)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("flag", "id", "name", "score", "temp", "ts"))
+    assert(df.count() == 7)
+  }
 }
