@@ -32,7 +32,7 @@ object TextKernelImpl {
    * partial sums per doc; this is a scan-local map.
    */
   def simhash64(text: UTF8String): Long = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](64)
     val n = s.length
     var i = 0
@@ -72,8 +72,10 @@ object TextKernelImpl {
    */
   def qualityScore(text: UTF8String, stopwords: Array[UTF8String]): Double = {
     val s = text.toString
-    val lower = s.toLowerCase
-    val nChar = s.length.toDouble
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    // codepoints, not UTF-16 units: Spark's length() counts codepoints,
+    // and this kernel must mirror the Column formula on astral-plane text
+    val nChar = s.codePointCount(0, s.length).toDouble
     var nTok = 0.0
     var nAlnum = 0.0
     var stopHits = 0.0
@@ -125,7 +127,7 @@ object TextKernelImplShingles {
    * n times — the shingle build dominated q_ngram_jaccard/q_dedup_minhash.
    */
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val m = s.length
@@ -175,7 +177,7 @@ object TextKernelImplWinnow {
    * density of ~2/(w+1) — per-row, scan-local, no shuffle.
    */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString.toLowerCase.replaceAll("\\s+", " ")
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val n = s.length
     if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
     val B = 1000003L

@@ -40,7 +40,11 @@ object VectorKernels {
       dp += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dp / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm input (failed/padded embedding row): cosine is undefined;
+    // return 0 rather than NaN — Spark sorts NaN above every real value,
+    // so a NaN would make the zero vector every probe's rank-1 neighbor
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dp / denom
   }
 
   /**

@@ -11,8 +11,11 @@ package graft.functions
  */
 object Wkt {
 
-  /** Envelope as (minx, miny, maxx, maxy); null if no coordinates found. */
-  def envelope(wkt: String): Array[Double] = {
+  /** Envelope as (minx, miny, maxx, maxy); null if no coordinates found
+   *  OR if numeric-looking text does not parse ("N/A - missing",
+   *  "POLYGON((1.2.3 4))") — malformed geometry is unknown, never a
+   *  task-killing exception. */
+  def envelope(wkt: String): Array[Double] = try {
     val s = wkt
     val n = s.length
     var i = 0
@@ -45,7 +48,7 @@ object Wkt {
       }
     }
     if (!any) null else Array(minx, miny, maxx, maxy)
-  }
+  } catch { case _: NumberFormatException => null }
 
   /** Does the WKT's envelope intersect box (minx, miny, maxx, maxy)? */
   def envelopeIntersects(wkt: String, minx: Double, miny: Double,

@@ -18,10 +18,9 @@ import graft.functions.TextFunctions
  */
 object Corpus {
 
-  /** Tokenization shared with TextFunctions' oracle contract: lowercase,
-   *  split on non-alphanumeric runs, drop empties. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), x => x =!= lit(""))
+  /** Tokenization shared with TextFunctions' oracle contract — ONE
+   *  definition, delegated, so the two can never drift. */
+  def tokens(text: Column): Column = TextFunctions.tokens(text)
 
   /**
    * BM25 ranking of `docs` against a bag of query `terms` (Robertson/
@@ -123,7 +122,10 @@ object Corpus {
     val sep = java.util.regex.Pattern.quote(separator)
     val segs = docs.select(col(idCol),
       posexplode(split(col(textCol), sep)).as(Seq("pos", "seg")))
-    val boiler = segs.groupBy("seg")
+    // empty segments (blank lines / paragraph breaks) are document
+    // STRUCTURE: nearly every doc contains one, so counting them would flag
+    // "" as boilerplate and silently strip every paragraph break corpus-wide
+    val boiler = segs.filter(length(col("seg")) > 0).groupBy("seg")
       .agg(countDistinct(col(idCol)).as("_d"))
       .filter(col("_d") >= minDocs)
       .select("seg")
@@ -187,8 +189,12 @@ object Corpus {
           .cast("bigint"))
       .filter(col("rank") <= k)
 
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val UrlRe = "https?://[^ ]+"
+  // (?i): uppercase PII must not leak through a compliance scrub; \S (not
+  // [^ ]): a URL ends at ANY whitespace, or redaction eats the next line's
+  // first word. The q_text_redact oracle interpolates these constants, so
+  // the DuckDB side always uses the identical patterns.
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "(?i)https?://[^\\s]+"
 
   /** PII scrubbing: replace emails then URLs with typed placeholders and
    *  count what was redacted (the audit trail a compliance pass needs).

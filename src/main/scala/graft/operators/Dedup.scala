@@ -95,6 +95,28 @@ object Dedup {
    *    the stage). Dropped buckets only lose candidates that the other
    *    bands' buckets usually re-surface.
    */
+
+  /** Banded LSH candidate generation shared by [[minhashCandidates]] and
+   *  [[nearDuplicates]]: (band, bucket) explode → degenerate-bucket prune
+   *  (a k-doc bucket contributes k² rows; other bands re-surface real
+   *  pairs) → equi-self-join → distinct (id_a < id_b) pairs. One code
+   *  path so bucket-cap semantics cannot drift between the two operators. */
+  private def bandedCandidatePairs(sig: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int): DataFrame = {
+    val banded = sig.select(col("id"),
+      posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
+      .select("band", "bucket")
+    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
+    pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
@@ -105,18 +127,7 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"),
         signatureFromShingles(TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val banded = sig.select(col("id"),
-      posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val okBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
-      .select("band", "bucket")
-    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
     val out = pairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -153,7 +164,7 @@ object Dedup {
    */
   def nearDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       threshold: Double = 0.8, shingleWords: Int = 3,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
     // Raw (id, text) is what the verification fetch re-reads below; the
     // shingle arrays themselves are NOT materialized corpus-wide. They are
     // the largest objects in the pipeline: persisting them thrashed the
@@ -171,16 +182,7 @@ object Dedup {
     val sig = docsSlim.select(col("id"),
         signatureFromShingles(TextFunctions.wordShingles(col("text"), shingleWords), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val banded = sig.select(col("id"),
-      posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val okBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_n")).filter(col("_n") >= 2 && col("_n") <= 1000)
-      .select("band", "bucket")
-    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
-    val pairs = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // semi-join reduction: only candidate docs' shingle arrays enter the
     // verification join — at scale candidates ≪ corpus, so this avoids
@@ -257,9 +259,12 @@ object Dedup {
     // plus the whole candidate pipeline, and driver-side analysis/
     // optimization grows exponentially even though every byte is cached
     // (measured 15 s/round on a 477-node graph; ~1 s/round truncated)
+    // ids stay their natural type: cast("long") on string/UUID ids yields
+    // null keys and silently collapses every cluster; min() gives the
+    // canonical member for numeric AND lexicographic id domains alike
     val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -140,7 +140,8 @@ object CorpusQueries {
         SELECT doc_id, unnest(ls) AS seg FROM l
       ), boiler AS (
         SELECT list(seg) AS bl FROM (
-          SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= 100)
+          SELECT seg FROM seg WHERE seg <> ''
+          GROUP BY seg HAVING count(DISTINCT doc_id) >= 100)
       )
       SELECT doc_id,
              array_to_string(list_filter(ls, x -> NOT list_contains(bl, x)), '. ') AS text

@@ -178,4 +178,40 @@ class CorpusSpec extends SparkSpec {
     assert(shaped.map(_.getAs[String]("lang")).toSeq == Seq("l1", "l2", "l3", "l4"))
     assert(shaped.map(_.getAs[String]("text")).head == "Real content one\nMore real text")
   }
+
+  test("removeBoilerplate keeps blank lines (paragraph structure is not boilerplate)") {
+    val d = docs(
+      (1L, "para one\n\npara two\nNav bar"),
+      (2L, "different one\n\ndifferent two\nNav bar"))
+    val out = graft.operators.Corpus.removeBoilerplate(d, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // "Nav bar" (in both docs) goes; the empty segment between paragraphs stays
+    assert(out.map(_.getString(1)).toSeq == Seq(
+      "para one\n\npara two", "different one\n\ndifferent two"))
+  }
+
+  test("redact scrubs uppercase PII and stops URLs at any whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      "Contact John.Doe@Example.COM today",
+      "see HTTPS://Host.com/x\nSecond line here").toDF("text")
+    val (red, nEmail, nUrl) = graft.operators.Corpus.redact(org.apache.spark.sql.functions.col("text"))
+    val rows = df.select(red.as("r"), nEmail.as("e"), nUrl.as("u")).collect()
+    assert(rows(0).getString(0) == "Contact <EMAIL> today")
+    assert(rows(0).getInt(1) == 1)
+    // the URL match ends at the newline — "Second" survives
+    assert(rows(1).getString(0) == "see <URL>\nSecond line here")
+    assert(rows(1).getInt(2) == 1)
+  }
+
+  test("nearDupGroups works on STRING ids (no silent long cast)") {
+    import spark.implicits._
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
+      .toDF("id_a", "id_b")
+    val g = graft.operators.Dedup.nearDupGroups(pairs)
+      .orderBy("doc_id").collect()
+    assert(g.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
+      ("doc-x", "doc-x"), ("doc-y", "doc-x")))
+  }
 }

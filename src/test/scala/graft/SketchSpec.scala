@@ -169,4 +169,19 @@ class SketchSpec extends SparkSpec {
     val kept = Dedup.exactDedup(docs.select("doc_id", "text").unionAll(copies))
     assert(kept.count() == docs.count())
   }
+
+  test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
+    import spark.implicits._
+    val corpus = (Seq((0L, Array.fill(8)(0.0f))) ++           // failed/padded row
+      (1L to 20L).map(i => (i, Array.tabulate(8)(d => (((i + d) % 5) + 1).toFloat))))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    val top = graft.operators.Similarity.bruteForceTopK(corpus, probes, k = 3)
+      .collect()
+    assert(top.nonEmpty)
+    assert(!top.exists(_.getAs[Long]("neighbor_id") == 0L),
+      "zero vector returned as a neighbor: " + top.mkString(","))
+    assert(top.forall(r => !r.getAs[Double]("cosine").isNaN))
+  }
 }

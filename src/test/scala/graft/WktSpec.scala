@@ -73,4 +73,18 @@ class WktSpec extends AnyFunSuite {
     assert(!Wkt.envelopeIntersects(wkt, 10.0001, 0, 20, 10))
   }
 
+
+  test("malformed numeric text returns null, never throws") {
+    // "1.2.3" and a bare "-" both LOOK like number starts to the scanner;
+    // parseDouble would throw and kill the whole scan task
+    for (bad <- Seq("N/A - missing", "POLYGON((1.2.3 4))", "POLYGON((- 5))",
+        "..", "1e", "POLYGON((3e++2 1))")) {
+      assert(Wkt.envelope(bad) == null || Wkt.envelope(bad) != null, bad) // no throw
+      // and intersects degrades to false when the envelope is unknown
+      if (Wkt.envelope(bad) == null)
+        assert(!Wkt.envelopeIntersects(bad, 0, 0, 10, 10), bad)
+    }
+    assert(Wkt.envelope("POLYGON((1.2.3 4))") == null)
+    assert(Wkt.envelope("N/A - missing") == null)
+  }
 }
