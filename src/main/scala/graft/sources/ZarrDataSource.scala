@@ -45,6 +45,20 @@ import graft.zarr._
  * Row count IS reported ([[SupportsReportStatistics]]) so AQE/broadcast
  * planning sees the table size.
  */
+object ZarrDataSource {
+  /** Fail fast with the option NAME on junk values — a bad `chunk_rows`
+   *  must not surface as a bare NumberFormatException at planning or a
+   *  division-by-zero inside a write task. */
+  private[sources] def numericOption(options: CaseInsensitiveStringMap,
+      name: String, default: Long, min: Long): Long =
+    Option(options.get(name)).map { v =>
+      val n = try v.toLong catch { case _: NumberFormatException =>
+        throw new ZarrException(s"zarr option $name: '$v' is not an integer") }
+      if (n < min) throw new ZarrException(s"zarr option $name must be >= $min, got $n")
+      n
+    }.getOrElse(default)
+}
+
 class ZarrDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
   override def supportsExternalMetadata(): Boolean = true
@@ -56,6 +70,7 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
 
   private def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
+
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val store = new ZarrStore(storePath(options), hadoopConf())
@@ -69,9 +84,9 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val path = storePath(options)
     val group = Option(options.get("group")).getOrElse("/")
-    val targetRows = Option(options.get("target_partition_rows")).map(_.toLong).getOrElse(1L << 20)
-    val chunkRows = Option(options.get("chunk_rows")).map(_.toInt).getOrElse(1 << 20)
-    val shardRows = Option(options.get("shard_rows")).map(_.toInt).getOrElse(0)
+    val targetRows = ZarrDataSource.numericOption(options, "target_partition_rows", 1L << 20, 1)
+    val chunkRows = ZarrDataSource.numericOption(options, "chunk_rows", 1 << 20, 1).toInt
+    val shardRows = ZarrDataSource.numericOption(options, "shard_rows", 0, 0).toInt
     val rowIndexCol = Option(options.get("row_index"))
     val compression = Option(options.get("compression")).getOrElse("zstd")
     // a write target may not exist yet — build the table with the write
@@ -107,7 +122,7 @@ class ZarrTable(
     // columnar=false forces the row reader (benchmark/debug escape hatch);
     // batch_size tunes ColumnarBatch row count (default 4096, parquet's)
     val columnar = Option(options.get("columnar")).forall(_.toBoolean)
-    val batchSize = Option(options.get("batch_size")).map(_.toInt).getOrElse(4096)
+    val batchSize = ZarrDataSource.numericOption(options, "batch_size", 4096, 1).toInt
     new ZarrScanBuilder(path, group, arrays, tableSchema, targetRows, columnar, batchSize)
   }
 
@@ -181,8 +196,17 @@ class ZarrScanBuilder(
 
   override def build(): Scan =
     if (countStar) {
-      val n = arrays.headOption.map(_.length).getOrElse(0L)
-      new ZarrCountStarScan(limit.fold(n)(math.min(n, _)))
+      // A pushed LIMIT here caps the AGGREGATE's output (one row), not the
+      // input: Spark pushes the aggregate only when it sits directly over
+      // the relation, and then pushes the limit above it into the same
+      // builder with no pushedAggregate guard (verified against the 4.1
+      // V2ScanRelationPushDown bytecode). min(n, limit) returned count=10
+      // for `SELECT count(*) FROM t LIMIT 10` on a million-row table.
+      if (arrays.isEmpty)
+        throw new ZarrException(
+          s"zarr: group '$group' at $path has no readable arrays — cannot " +
+            "answer COUNT(*) (store missing, or a write target not yet committed)")
+      new ZarrCountStarScan(arrays.head.length)
     } else new ZarrScan(path, group, arrays, requiredSchema, targetRows, limit, pruningFilters,
       columnar, batchSize)
 }
@@ -260,7 +284,7 @@ class ZarrScan(
     else {
       val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
       val step = math.max(align, (targetRows / align) * align)
-      val keep = rangeKeeper()
+      val keep = rangeKeeper
       Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows)
         .map(s => (s, math.min(s + step, tableRows)))
         .collect { case (s, e) if keep(s, e) => e - s }
@@ -285,7 +309,7 @@ class ZarrScan(
     if (tableRows == 0) return Array.empty
     val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
     val step = math.max(align, (targetRows / align) * align)
-    val keep = rangeKeeper()
+    val keep = rangeKeeper
     val parts = Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows)
       .map(start => (start, math.min(start + step, tableRows)))
       .filter { case (s, e) => keep(s, e) }
@@ -297,8 +321,15 @@ class ZarrScan(
    *  when there are no pruning filters or no (valid) sidecar. A sidecar whose
    *  grid doesn't cover the table exactly (stale after a foreign write) is
    *  ignored. */
-  private def rangeKeeper(): (Long, Long) => Boolean = {
-    if (pruningFilters.isEmpty && bboxFilter.isEmpty) return (_, _) => true
+  // lazy val, not def: estimateStatistics AND planInputPartitions both need
+  // it, and each evaluation re-reads the stats sidecar from the store —
+  // two remote reads per pruned query on an object store
+  private lazy val rangeKeeper: (Long, Long) => Boolean = {
+    if (pruningFilters.isEmpty && bboxFilter.isEmpty) (_, _) => true
+    else rangeKeeperImpl
+  }
+
+  private def rangeKeeperImpl: (Long, Long) => Boolean = {
     val fullLen = arrays.headOption.map(_.length).getOrElse(0L)
     val stats = ZarrStats.read(
       new ZarrStore(path, SparkSession.active.sessionState.newHadoopConf()), group)

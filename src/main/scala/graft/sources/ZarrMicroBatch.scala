@@ -30,10 +30,19 @@ class ZarrMicroBatchStream(
     targetRows: Long)
   extends MicroBatchStream {
 
-  private def freshArrays(): Seq[ZarrArrayMeta] =
-    ZarrSchema.listArrays(new ZarrStore(path, conf.value), group)
+  private def freshArrays(): Seq[ZarrArrayMeta] = {
+    val found = ZarrSchema.listArrays(new ZarrStore(path, conf.value), group)
       .filter(a => requiredColumns.contains(a.name))
       .sortBy(a => requiredColumns.indexOf(a.name))
+    // silently dropping a missing column would bind the remaining values to
+    // the WRONG schema positions (rows narrower than the scan schema)
+    val missing = requiredColumns.filterNot(c => found.exists(_.name == c))
+    if (missing.nonEmpty)
+      throw new ZarrException(
+        s"zarr stream: store no longer has required column(s) " +
+          s"[${missing.mkString(",")}] under '$group' at $path")
+    found
+  }
 
   override def initialOffset(): Offset = ZarrOffset(0L)
 

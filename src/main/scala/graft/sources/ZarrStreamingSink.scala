@@ -114,6 +114,26 @@ class ZarrStreamingWrite(
    *  store. 0 = unsharded. Resolved on the driver at factory creation. */
   @volatile private var shardRows: Int = optionShardRows
 
+  /** The ZarrType [[ZarrWriteSupport.dtypeJson]] would publish for a Spark
+   *  type — what an existing array must already be for an append to be
+   *  byte-compatible. */
+  private def expectedZarrType(dt: org.apache.spark.sql.types.DataType): ZarrType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => ZarrType.ZInt64
+      case IntegerType => ZarrType.ZInt32
+      case ShortType => ZarrType.ZInt16
+      case ByteType => ZarrType.ZInt8
+      case DoubleType => ZarrType.ZFloat64
+      case FloatType => ZarrType.ZFloat32
+      case BooleanType => ZarrType.ZBool
+      case StringType => ZarrType.ZString
+      case BinaryType => ZarrType.ZBytes
+      case TimestampNTZType => ZarrType.ZDatetime64("us", 1L)
+      case other => throw new ZarrException(s"zarr write: unsupported column type $other")
+    }
+  }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     if (rowIdxOrdinal.isEmpty && info.numPartitions > 1)
       throw new ZarrException(
@@ -141,6 +161,20 @@ class ZarrStreamingWrite(
         throw new ZarrException(
           s"zarr streaming sink: existing table has columns [${have.mkString(",")}], " +
             s"stream writes [${want.mkString(",")}]")
+      // DTYPES too, not just names: commit republishes every array's
+      // zarr.json from the stream's schema, so a LongType stream appending
+      // onto a float64 table would silently re-declare every committed
+      // chunk as int64 — all old rows read back as garbage bit patterns
+      dataSchema.fields.foreach { f =>
+        val expected = expectedZarrType(f.dataType)
+        existing.find(_.name == f.name).foreach { a =>
+          if (a.dtype != expected)
+            throw new ZarrException(
+              s"zarr streaming sink: column '${f.name}' is ${a.dtype} in the " +
+                s"existing table but the stream writes ${f.dataType} " +
+                s"($expected) — appending would re-declare committed chunks")
+        }
+      }
       val grid = existing.head.chunkLength
       if (grid != chunkRows)
         throw new ZarrException(
@@ -445,8 +479,10 @@ class ZarrStreamingDataWriter(
           else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
         val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
           else new Path(new Path(path, groupRel), f.name)
-        val out = fs.create(new Path(new Path(arrayDir, "c"), currentChunk.toString), true)
-        try out.write(bytes) finally out.close()
+        // atomic publish: the tail-chunk rewrite covers rows readers can
+        // already see — truncate-then-write would expose a partial object
+        ZarrWriteSupport.atomicWrite(fs,
+          new Path(new Path(arrayDir, "c"), currentChunk.toString), bytes)
         c += 1
       }
       written += ((currentChunk, count))

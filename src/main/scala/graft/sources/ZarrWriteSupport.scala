@@ -50,6 +50,38 @@ import graft.zarr.{SerializableHadoopConf, ZarrException}
  */
 object ZarrWriteSupport {
 
+
+  /** Write-aside + atomic rename (the pattern writeTableMetadata uses for
+   *  zarr.json): an in-place truncate-then-write of an object a concurrent
+   *  reader may fetch (the streaming sink's tail-chunk rewrite covers
+   *  already-published rows) can expose a partial object mid-write. */
+  def atomicWrite(fs: org.apache.hadoop.fs.FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case _: Exception =>
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new ZarrException(s"cannot publish chunk object $p")
+    }
+  }
+
+
+  /** Column names are interpolated into zarr.json / consolidated-metadata
+   *  JSON and become directory names: a quote or backslash would commit
+   *  unparseable metadata AFTER all chunk data is written; a slash or
+   *  control char breaks the object layout. Fail before any task runs. */
+  def validateColumnNames(schema: StructType): Unit =
+    schema.fieldNames.foreach { n =>
+      if (n.isEmpty || n.exists(c => c == '"' || c == '\\' || c == '/' || c.isControl))
+        throw new ZarrException(
+          s"zarr write: column name '$n' cannot be stored " +
+            "(empty, or contains quote/backslash/slash/control characters)")
+    }
+
   def dtypeJson(dt: DataType): String = dt match {
     case LongType => "\"int64\""
     case IntegerType => "\"int32\""
@@ -439,6 +471,7 @@ class ZarrWrite(
   private val groupRel = group.stripPrefix("/").stripSuffix("/")
   private def dataSchema: StructType =
     StructType(schema.fields.filterNot(f => rowIndexCol.contains(f.name)))
+  ZarrWriteSupport.validateColumnNames(dataSchema)
 
   // Without row_index Spark plans the single-partition metadata-scale write
   // itself (so CTAS and plain df.write just work); with row_index it sorts
@@ -617,7 +650,12 @@ class ZarrDataWriter(
 
   override def write(row: InternalRow): Unit = {
     val pos = idxOrdinal match {
-      case Some(o) => row.getLong(o)
+      case Some(o) =>
+        if (row.isNullAt(o)) // getLong on a null slot silently yields 0
+          throw new ZarrException(
+            "zarr write: row_index is NULL — the position column must be a " +
+              "non-null dense 0-based index")
+        row.getLong(o)
       case None => val p = synthesized; synthesized += 1; p
     }
     val chunk = pos / chunkRows

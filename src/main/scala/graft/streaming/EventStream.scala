@@ -89,26 +89,39 @@ object EventStream {
             state.remove()
             Iterator(Session(user, new Timestamp(a.start), new Timestamp(a.end), a.n, a.total))
           } else {
+            // Interval-merge, not append-into-state: a cross-batch
+            // out-of-order event EARLIER than the stored session previously
+            // force-merged (t - end is negative, trivially <= gap) without
+            // ever lowering session_start — and an event more than a gap
+            // BEFORE the stored session belongs to its own earlier session,
+            // not the stored one. Build the batch's event intervals, merge
+            // them chronologically with the stored interval under the gap
+            // rule (exactly sessionizeBatch's grouping), close everything
+            // but the chronologically last, and keep that in state.
             val sorted = it.toSeq.sortBy(_.ts.getTime)
-            val closed = Seq.newBuilder[Session]
-            var acc = state.getOption
-            sorted.foreach { e =>
+            val evIvs = sorted.foldLeft(List.empty[SessionAgg]) { (acc, e) =>
               val t = e.ts.getTime
-              acc = acc match {
-                case Some(a) if t - a.end <= gapMs =>
-                  Some(SessionAgg(a.start, math.max(a.end, t), a.n + 1, a.total + e.value))
-                case Some(a) =>
-                  closed += Session(user, new Timestamp(a.start), new Timestamp(a.end), a.n, a.total)
-                  Some(SessionAgg(t, t, 1, e.value))
-                case None =>
-                  Some(SessionAgg(t, t, 1, e.value))
+              acc match {
+                case h :: tl if t - h.end <= gapMs =>
+                  SessionAgg(h.start, math.max(h.end, t), h.n + 1, h.total + e.value) :: tl
+                case _ => SessionAgg(t, t, 1, e.value) :: acc
               }
-            }
-            acc.foreach { a =>
-              state.update(a)
-              state.setTimeoutTimestamp(a.end + gapMs)
-            }
-            closed.result().iterator
+            }.reverse
+            val all = (state.getOption.toList ++ evIvs).sortBy(_.start)
+            val merged = all.foldLeft(List.empty[SessionAgg]) { (acc, iv) =>
+              acc match {
+                case h :: tl if iv.start - h.end <= gapMs =>
+                  SessionAgg(math.min(h.start, iv.start), math.max(h.end, iv.end),
+                    h.n + iv.n, h.total + iv.total) :: tl
+                case _ => iv :: acc
+              }
+            }.reverse
+            val last = merged.last
+            state.update(last)
+            state.setTimeoutTimestamp(last.end + gapMs)
+            merged.dropRight(1).map(a =>
+              Session(user, new Timestamp(a.start), new Timestamp(a.end), a.n, a.total))
+              .iterator
           }
       }
   }

@@ -233,4 +233,44 @@ class StreamingSpec extends SparkSpec {
     val out = EventStream.windowedCounts(batch).collect()
     assert(out.nonEmpty)
   }
+
+  test("sessionization: cross-batch OUT-OF-ORDER events merge like the batch oracle") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[Event]
+    // watermark wider than the gap: with delay <= gap, an event more than a
+    // gap earlier than an open session is always late-dropped before the
+    // operator — the out-of-order path needs delay > gap to be reachable
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30, watermark = "120 minutes")
+      .writeStream.format("memory").queryName("ooo_sessions").outputMode("append").start()
+    try {
+      // batch 1: user 1 at min 100; user 2 far ahead keeps sessions open
+      mem.addData(Event(1, ts(100), 1, "click", 1.0), Event(2, ts(101), 2, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2, OUT OF ORDER but above the 120-min watermark: user 1 at
+      // min 90 (within gap → must merge AND lower session_start) and at
+      // min 20 (beyond gap → its own EARLIER session, not a force-merge)
+      mem.addData(Event(3, ts(90), 1, "view", 2.0), Event(4, ts(20), 1, "view", 4.0))
+      q.processAllAvailable()
+      // sentinel advances the watermark so every session times out
+      mem.addData(Event(90, ts(500), 99, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(91, ts(900), 99, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ooo_sessions")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1)
+      .select("session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    // the batch oracle over the same events
+    val events = Seq(
+      Event(1, ts(100), 1, "click", 1.0), Event(3, ts(90), 1, "view", 2.0),
+      Event(4, ts(20), 1, "view", 4.0))
+    val batch = EventStream.sessionizeBatch(events.toDS().toDF(), gapMinutes = 30)
+      .select("session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.size == 2) // [20,20] and [90,100] — start lowered to 90
+  }
 }

@@ -101,6 +101,13 @@ class ZarrSourceSpec extends SparkSpec {
     assert(counted.queryExecution.executedPlan.toString.contains("ZarrCountStar"),
       counted.queryExecution.executedPlan.toString.take(500))
     assert(counted.collect().head.getLong(0) == 50L)
+    // LIMIT above the pushed aggregate caps the RESULT ROWS (one), not the
+    // count: Spark pushes both into the same builder, and min(n, limit)
+    // would return 10 here instead of 50
+    df.createOrReplaceTempView("zc_t")
+    val viaView = spark.sql("SELECT count(*) AS n FROM zc_t LIMIT 10")
+    assert(viaView.collect().head.getLong(0) == 50L,
+      viaView.queryExecution.executedPlan.toString.take(500))
   }
 
   test("limit pushdown reads only the chunks the limit needs") {

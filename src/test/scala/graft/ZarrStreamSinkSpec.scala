@@ -407,6 +407,37 @@ class ZarrStreamSinkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appending a mismatched DTYPE is rejected (commit would re-declare chunks)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_dtype") + "/store.zarr"
+    // batch table: value is DOUBLE (float64 chunks)
+    spark.range(4).select(col("id"), (col("id") * 1.5).as("value"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "4").mode("overwrite").save(dir)
+    // stream writes value as LONG: same names, same grid — must still fail,
+    // or the epoch commit republishes value's zarr.json as int64 and every
+    // committed float64 chunk reads back as garbage bit patterns
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((4L, 9L))
+    val q = mem.toDF().toDF("id", "value").writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_dtype_ckpt"))
+      .start(dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("re-declare") ||
+        hasMsg(t.getCause))
+    assert(hasMsg(e), e.toString)
+    // the table is untouched and still reads as doubles
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+    assert(back.select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(0.0, 1.5, 3.0, 4.5))
+  }
+
   test("misuse: complete mode and mismatched grids are rejected") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
