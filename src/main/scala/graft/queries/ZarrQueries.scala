@@ -22,12 +22,37 @@ import graft.zarr.ZarrWriter
  */
 object ZarrQueries {
 
-  /** Write the golden fixture once per JVM; return its path. */
+  /** Write the golden fixture once per JVM; return its path. Built in a
+   *  process-private temp dir and atomically renamed (like v2FixturePath):
+   *  the existence probe hits zarr.json, which is the FIRST file the writer
+   *  creates, so an in-place build races a concurrent bench/test JVM. */
   lazy val fixturePath: String = {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_zarr_fixture.zarr")
-    if (!Files.exists(dir.resolve("zarr.json")))
-      ZarrWriter.writeReferenceFixture(dir.toString)
+    if (!Files.exists(dir.resolve("zarr.json"))) {
+      val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_zarr_fixture.tmp${ProcessHandle.current().pid()}")
+      ZarrWriter.writeReferenceFixture(tmp.toString)
+      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException => // lost the race
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
     dir.toString
+  }
+
+  /** Per-JVM scratch dirs keyed by query: roundtrip queries re-run every
+   *  bench attempt, and a fresh createTempDirectory per EXECUTION leaked a
+   *  full table copy each time (gigabytes per round at sf0.1). Overwrite-
+   *  mode writers reuse the cached dir; [[freshScratch]] wipes it for
+   *  append-only/streaming targets. */
+  private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(name: String): String =
+    scratch.computeIfAbsent(name,
+      n => Files.createTempDirectory(s"graft_$n").toString)
+  private def freshScratch(name: String): String = {
+    val d = scratchDir(name)
+    org.apache.commons.io.FileUtils.cleanDirectory(new java.io.File(d))
+    d
   }
 
   def zarrTable(s: SparkSession): DataFrame =
@@ -120,7 +145,7 @@ object ZarrQueries {
       SELECT (SELECT count(*) FROM region) AS n_rows,
              CAST(0 AS BIGINT) AS n_mismatch"""),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_zarr_write").toString + "/out.zarr"
+        val out = scratchDir("zarr_write") + "/out.zarr"
         val src = s.read.parquet(s"$dir/region.parquet")
           .select(col("r_regionkey"), col("r_name"))
         src.coalesce(1).write.format("zarr").option("group", "/meta")
@@ -140,7 +165,7 @@ object ZarrQueries {
       SELECT (SELECT count(*) FROM documents) AS n_rows,
              CAST(0 AS BIGINT) AS n_mismatch"""),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_zarr_bin").toString + "/out.zarr"
+        val out = scratchDir("zarr_bin") + "/out.zarr"
         val src = s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"),
             // deterministic opaque payload standing in for image/audio bytes
@@ -161,7 +186,7 @@ object ZarrQueries {
       SELECT (SELECT count(*) FROM orders) AS n_rows,
              CAST(0 AS BIGINT) AS n_mismatch"""),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_zarr_shard").toString + "/out.zarr"
+        val out = scratchDir("zarr_shard") + "/out.zarr"
         val src = s.read.parquet(s"$dir/orders.parquet")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         src.coalesce(1).write.format("zarr").option("group", "/meta")
@@ -198,7 +223,7 @@ object ZarrQueries {
       SELECT (SELECT count(*) FROM region) AS n_rows,
              CAST(0 AS BIGINT) AS n_mismatch"""),
       (s, dir) => {
-        val tmp = Files.createTempDirectory("graft_zarr_relay").toString
+        val tmp = freshScratch("zarr_relay") // append-only dst + ckpt need a clean slate
         val src = s"$tmp/in.zarr"
         val dst = s"$tmp/out.zarr"
         val rows = s.read.parquet(s"$dir/region.parquet")
@@ -229,7 +254,7 @@ object ZarrQueries {
       FROM nation WHERE n_nationkey >= 20
       ORDER BY n_nationkey"""),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_zarr_stats").toString + "/nation.zarr"
+        val out = scratchDir("zarr_stats") + "/nation.zarr"
         s.read.parquet(s"$dir/nation.parquet")
           .select(col("n_nationkey"), col("n_name"))
           .coalesce(1).write.format("zarr").option("group", "/t")
@@ -251,7 +276,7 @@ object ZarrQueries {
       SELECT n_nationkey, n_name, n_regionkey
       FROM nation ORDER BY n_nationkey"""),
       (s, dir) => {
-        val out = Files.createTempDirectory("graft_zarr_blosc").toString + "/nation.zarr"
+        val out = scratchDir("zarr_blosc") + "/nation.zarr"
         s.read.parquet(s"$dir/nation.parquet")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           .coalesce(1).write.format("zarr").option("group", "/t")
