@@ -341,6 +341,27 @@ object ZarrQueries {
         AS t(flag, id, name, score, temp, ts)
       ORDER BY id"""),
       (s, _) => s.read.format("zarr").option("group", "/meta")
-        .load(v2FixturePath).orderBy("id"))
+        .load(v2FixturePath).orderBy("id")),
+
+    // Zarr V2 WRITE (zarr_format=2): persist a derived table in the
+    // .zarray/.zgroup/.zmetadata layout zarr-python 2.x reads (bare chunk
+    // keys, numcodecs compressor objects), read it back through the v2 scan
+    // path — same self-check contract as the v3 roundtrips: every supplier
+    // row survives, zero mismatches, at any SF.
+    Q("q_zarr_v2_roundtrip", Some("""
+      SELECT (SELECT count(*) FROM supplier) AS n_rows,
+             CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val out = scratchDir("zarr_v2w") + "/out.zarr"
+        val src = s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        src.coalesce(1).write.format("zarr").option("group", "/meta")
+          .option("zarr_format", "2").mode("overwrite").save(out)
+        val back = s.read.format("zarr").option("group", "/meta").load(out)
+          .select("s_suppkey", "s_name", "s_acctbal")
+        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
+        back.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      })
   )
 }

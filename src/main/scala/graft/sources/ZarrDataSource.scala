@@ -89,13 +89,18 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     val shardRows = ZarrDataSource.numericOption(options, "shard_rows", 0, 0).toInt
     val rowIndexCol = Option(options.get("row_index"))
     val compression = Option(options.get("compression")).getOrElse("zstd")
+    // write-side store format: 3 (default) or 2 (.zarray/.zgroup layout for
+    // zarr-python 2.x readers); reads auto-detect and ignore this option
+    val zarrFormat = ZarrDataSource.numericOption(options, "zarr_format", 3, 2).toInt
+    if (zarrFormat != 2 && zarrFormat != 3)
+      throw new ZarrException(s"zarr option zarr_format must be 2 or 3, got $zarrFormat")
     // a write target may not exist yet — build the table with the write
     // schema and no readable arrays (reads will fail with the store error)
     val arrays =
       try ZarrSchema.listArrays(new ZarrStore(path, hadoopConf()), group)
       catch { case _: ZarrException => Seq.empty[ZarrArrayMeta] }
     new ZarrTable(path, group, arrays, schema, targetRows, chunkRows, rowIndexCol,
-      shardRows, compression)
+      shardRows, compression, zarrFormat)
   }
 }
 
@@ -108,7 +113,8 @@ class ZarrTable(
     chunkRows: Int = 1 << 20,
     rowIndexCol: Option[String] = None,
     shardRows: Int = 0,
-    compression: String = "zstd")
+    compression: String = "zstd",
+    zarrFormat: Int = 3)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"zarr:`$path`$group"
@@ -130,7 +136,7 @@ class ZarrTable(
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new ZarrWriteBuilder(path, group, info.schema(), chunkRows, rowIndexCol,
       new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()),
-      shardRows, compression)
+      shardRows, compression, zarrFormat)
 }
 
 class ZarrScanBuilder(

@@ -105,6 +105,56 @@ object ZarrWriteSupport {
     case _ => "0"
   }
 
+  /** numpy typestr for a Zarr v2 `.zarray` dtype field. Little-endian for
+   *  multi-byte types (matching the byte order [[encodeChunk]] emits);
+   *  strings/binary are object dtype `|O` whose real type lives in the
+   *  vlen filter — the exact convention [[graft.zarr.ZarrMeta.parseArrayV2]]
+   *  reads back, and what zarr-python 2.x itself writes. */
+  def dtypeV2(dt: DataType): String = dt match {
+    case LongType => "<i8"
+    case IntegerType => "<i4"
+    case ShortType => "<i2"
+    case ByteType => "|i1"
+    case DoubleType => "<f8"
+    case FloatType => "<f4"
+    case BooleanType => "|b1"
+    case StringType | BinaryType => "|O"
+    case TimestampNTZType => "<M8[us]"
+    case other => throw new ZarrException(s"zarr v2 write: unsupported column type $other")
+  }
+
+  /** v2 `filters` list: numcodecs vlen framing for object columns ([[
+   *  encodeChunk]] already writes the VLen* u32-count header), else null. */
+  def filtersV2Json(dt: DataType): String = dt match {
+    case StringType => """[{"id":"vlen-utf8"}]"""
+    case BinaryType => """[{"id":"vlen-bytes"}]"""
+    case _ => "null"
+  }
+
+  /** v2 `compressor`: a numcodecs codec object. The compressed bytes are the
+   *  same frames the v3 path stores (raw zstd / self-describing blosc1), so
+   *  only the metadata spelling differs. */
+  def compressorV2Json(dt: DataType, compression: String): String = compression match {
+    case "zstd" => """{"id":"zstd","level":0}"""
+    case "blosc" =>
+      // numcodecs spells shuffle numerically: 0 none, 1 byte, 2 bit
+      val shuf = if (dt == StringType || dt == BinaryType) 0 else 1
+      s"""{"id":"blosc","cname":"lz4","clevel":5,"shuffle":$shuf,"blocksize":0}"""
+    case other => throw new ZarrException(
+      s"zarr v2 write: unsupported compression '$other' (use zstd or blosc)")
+  }
+
+  /** v2 `fill_value`. Object (vlen) arrays use JSON null — zarr-python's own
+   *  convention, and the v2 read path defaults a null fill to ""/empty
+   *  bytes; NaT (i64.MIN) keeps null timestamps null on read-back. */
+  def fillV2Json(dt: DataType): String = dt match {
+    case StringType | BinaryType => "null"
+    case TimestampNTZType => Long.MinValue.toString
+    case BooleanType => "false"
+    case FloatType | DoubleType => "0.0"
+    case _ => "0"
+  }
+
   /** The write-side mirror of [[graft.zarr.ZarrSchema.toField]]'s geo typing
    *  rule: a string column named `bbox` carries WKT geometry. */
   def isGeoColumn(f: StructField): Boolean =
@@ -323,6 +373,48 @@ object ZarrWriteSupport {
     }
   }
 
+  /**
+   * Write the Zarr v2 metadata documents for a committed table: per-column
+   * `.zarray` docs, `.zgroup` markers at the table group and every ancestor,
+   * and a consolidated `.zmetadata` at the group root
+   * (`zarr_consolidated_format` — the document [[graft.zarr.ZarrSchema
+   * .listArrays]] plans from in ONE read). Order makes the commit atomic for
+   * readers: `.zarray` docs first (invisible without a group marker), then
+   * `.zgroup`s, `.zmetadata` last. Readable by zarr-python 2.x / xarray —
+   * the write-side completion of this round's v2 READ support.
+   */
+  def writeTableMetadataV2(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
+      compression: String = "zstd"): Unit = {
+    def writeJson(p: Path, text: String): Unit =
+      atomicWrite(fs, p, text.getBytes(StandardCharsets.UTF_8))
+    val groupDir = if (groupRel.isEmpty) new Path(path) else new Path(path, groupRel)
+    val arrayDocs = dataSchema.fields.map { f =>
+      f.name ->
+        (s"""{"zarr_format":2,"shape":[$totalRows],"chunks":[$chunkRows],""" +
+          s""""dtype":"${dtypeV2(f.dataType)}",""" +
+          s""""compressor":${compressorV2Json(f.dataType, compression)},""" +
+          s""""fill_value":${fillV2Json(f.dataType)},"order":"C",""" +
+          s""""filters":${filtersV2Json(f.dataType)},"dimension_separator":"."}""")
+    }
+    arrayDocs.foreach { case (name, doc) =>
+      writeJson(new Path(new Path(groupDir, name), ".zarray"), doc)
+    }
+    val groupDoc = """{"zarr_format":2}"""
+    // ancestors root-down, table group last among the markers
+    var acc = new Path(path)
+    writeJson(new Path(acc, ".zgroup"), groupDoc)
+    if (groupRel.nonEmpty) groupRel.split("/").foreach { seg =>
+      acc = new Path(acc, seg)
+      writeJson(new Path(acc, ".zgroup"), groupDoc)
+    }
+    val consolidated =
+      (Seq(s"""".zgroup":$groupDoc""") ++
+        arrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
+    writeJson(new Path(groupDir, ".zmetadata"),
+      s"""{"zarr_consolidated_format":1,"metadata":{$consolidated}}""")
+  }
+
   /** Encode `count` buffered values of one column into a compressed chunk. */
   def encodeChunk(dt: DataType, values: Array[Any], count: Int, chunkRows: Int,
       compression: String = "zstd"): Array[Byte] = {
@@ -433,7 +525,8 @@ class ZarrWriteBuilder(
     rowIndexCol: Option[String],
     conf: SerializableHadoopConf,
     shardRows: Int = 0,
-    compression: String = "zstd")
+    compression: String = "zstd",
+    zarrFormat: Int = 3)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -441,7 +534,7 @@ class ZarrWriteBuilder(
 
   override def build(): Write =
     new ZarrWrite(path, group, schema, chunkRows, rowIndexCol, doTruncate, conf,
-      shardRows, compression)
+      shardRows, compression, zarrFormat)
 }
 
 /** Per-chunk column stats computed task-side: min/max/nulls aligned with the
@@ -464,7 +557,8 @@ class ZarrWrite(
     doTruncate: Boolean,
     conf: SerializableHadoopConf,
     shardRows: Int = 0,
-    compression: String = "zstd")
+    compression: String = "zstd",
+    zarrFormat: Int = 3)
   extends Write with BatchWrite
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -517,6 +611,11 @@ class ZarrWrite(
 
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (zarrFormat == 2)
+      throw new ZarrException(
+        "zarr streaming sink writes Zarr v3 stores only (its epoch commits " +
+          "republish v3 consolidated metadata) — drop option zarr_format=2, " +
+          "or batch-write v2 tables with df.write")
     if (doTruncate)
       throw new ZarrException(
         "zarr streaming sink is append-only — use outputMode(\"append\")")
@@ -549,10 +648,17 @@ class ZarrWrite(
       throw new ZarrException(
         s"option shard_rows=$shardRows must divide chunk_rows=$chunkRows " +
           "(a shard holds whole inner chunks)")
-    // fail fast on an unknown compression before any task runs
-    ZarrWriteSupport.codecsJson(StringType, compression)
+    if (zarrFormat == 2 && shardRows > 0)
+      throw new ZarrException(
+        "zarr v2 has no sharding extension — drop shard_rows or write zarr_format=3")
+    // fail fast on unknown compression / unsupported v2 dtypes before any task runs
+    if (zarrFormat == 2) {
+      ZarrWriteSupport.compressorV2Json(StringType, compression)
+      dataSchema.fields.foreach(f => ZarrWriteSupport.dtypeV2(f.dataType))
+    } else ZarrWriteSupport.codecsJson(StringType, compression)
     new ZarrWriterFactory(path, groupRel, schema, dataSchema, chunkRows,
-      rowIndexCol.map(c => schema.fieldIndex(c)), conf, shardRows, compression)
+      rowIndexCol.map(c => schema.fieldIndex(c)), conf, shardRows, compression,
+      v2Keys = zarrFormat == 2)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -599,8 +705,12 @@ class ZarrWrite(
         else new Path(new Path(path, groupRel), graft.zarr.ZarrStats.FileName)
       writeJson(p, graft.zarr.ZarrStats.toJson(sidecar))
     }
-    ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows,
-      chunkRows, shardRows, compression)
+    if (zarrFormat == 2)
+      ZarrWriteSupport.writeTableMetadataV2(fs, path, groupRel, dataSchema, totalRows,
+        chunkRows, compression)
+    else
+      ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows,
+        chunkRows, shardRows, compression)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -617,12 +727,13 @@ class ZarrWriterFactory(
     idxOrdinal: Option[Int],
     conf: SerializableHadoopConf,
     shardRows: Int = 0,
-    compression: String = "zstd")
+    compression: String = "zstd",
+    v2Keys: Boolean = false)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(path, groupRel, schema, dataSchema, chunkRows, idxOrdinal,
-      conf, shardRows, compression)
+      conf, shardRows, compression, v2Keys)
 }
 
 class ZarrDataWriter(
@@ -634,7 +745,8 @@ class ZarrDataWriter(
     idxOrdinal: Option[Int],
     conf: SerializableHadoopConf,
     shardRows: Int = 0,
-    compression: String = "zstd")
+    compression: String = "zstd",
+    v2Keys: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val fs = new Path(path).getFileSystem(conf.value)
@@ -704,7 +816,10 @@ class ZarrDataWriter(
             compression)
         val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
           else new Path(new Path(path, groupRel), f.name)
-        val chunkPath = new Path(new Path(arrayDir, "c"), currentChunk.toString)
+        // v3 default chunk-key encoding "c/<i>" vs v2's bare "<i>"
+        val chunkPath =
+          if (v2Keys) new Path(arrayDir, currentChunk.toString)
+          else new Path(new Path(arrayDir, "c"), currentChunk.toString)
         val out = fs.create(chunkPath, true)
         try out.write(bytes) finally out.close()
         c += 1

@@ -146,7 +146,8 @@ class PlanSpec extends SparkSpec {
                                //   broadcast against the corpus BY DESIGN
       "q_search_bm25",         // broadcast of a 1-row corpus-stats frame
       "q_zarr_roundtrip", "q_zarr_write_roundtrip", "q_zarr_shard_roundtrip",
-      "q_zarr_binary_roundtrip", "q_zarr_stream_sink") // 1-row self-check counts
+      "q_zarr_binary_roundtrip", "q_zarr_v2_roundtrip",
+      "q_zarr_stream_sink") // 1-row self-check counts
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(legitimate)
       .flatMap { name =>
