@@ -105,16 +105,29 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** CTAS entry: materialize the group metadata, return a write-capable
-   *  table with the declared schema (arrays appear on first commit). */
+   *  table with the declared schema (arrays appear on first commit).
+   *  Per-table write options arrive as table properties
+   *  (`TBLPROPERTIES('zarr_format'='2', 'compression'='blosc', ...)` or
+   *  `.tableProperty(...)`) and are honored exactly like `df.write`
+   *  options — silently dropping zarr_format would hand the user a store
+   *  their v2 reader cannot open. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("zarr tables do not support partitioning transforms")
+    val opts = new CaseInsensitiveStringMap(properties)
+    val tChunkRows = ZarrDataSource.numericOption(opts, "chunk_rows", chunkRows, 1).toInt
+    val tShardRows = ZarrDataSource.numericOption(opts, "shard_rows", 0, 0).toInt
+    val compression = Option(opts.get("compression")).getOrElse("zstd")
+    val zarrFormat = ZarrDataSource.numericOption(opts, "zarr_format", 3, 2).toInt
+    if (zarrFormat != 2 && zarrFormat != 3)
+      throw new ZarrException(s"zarr option zarr_format must be 2 or 3, got $zarrFormat")
     val relG = rel(ident.namespace.toSeq :+ ident.name)
     writeGroupDocs(relG)
-    new ZarrTable(rootUri, "/" + relG, Seq.empty, schema, targetRows, chunkRows, None)
+    new ZarrTable(rootUri, "/" + relG, Seq.empty, schema, targetRows, tChunkRows, None,
+      tShardRows, compression, zarrFormat)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

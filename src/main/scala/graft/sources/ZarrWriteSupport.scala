@@ -73,13 +73,23 @@ object ZarrWriteSupport {
   /** Column names are interpolated into zarr.json / consolidated-metadata
    *  JSON and become directory names: a quote or backslash would commit
    *  unparseable metadata AFTER all chunk data is written; a slash or
-   *  control char breaks the object layout. Fail before any task runs. */
+   *  control char breaks the object layout. Names that collide with the
+   *  store's own metadata objects (v3 zarr.json, v2 dot-files, the graft
+   *  sidecars) would shadow them with a chunk DIRECTORY — the commit's
+   *  atomic rename onto a non-empty dir then fails after every chunk was
+   *  already written, or worse leaves an unreadable store. Fail before any
+   *  task runs. */
   def validateColumnNames(schema: StructType): Unit =
     schema.fieldNames.foreach { n =>
       if (n.isEmpty || n.exists(c => c == '"' || c == '\\' || c == '/' || c.isControl))
         throw new ZarrException(
           s"zarr write: column name '$n' cannot be stored " +
             "(empty, or contains quote/backslash/slash/control characters)")
+      if (n == "zarr.json" || n.startsWith(".") ||
+          n == graft.zarr.ZarrStats.FileName || n == ZarrStreamCommit.FileName)
+        throw new ZarrException(
+          s"zarr write: column name '$n' is reserved for store metadata " +
+            "(zarr.json, dot-prefixed v2 documents, graft sidecars) — rename it")
     }
 
   def dtypeJson(dt: DataType): String = dt match {
@@ -144,15 +154,12 @@ object ZarrWriteSupport {
       s"zarr v2 write: unsupported compression '$other' (use zstd or blosc)")
   }
 
-  /** v2 `fill_value`. Object (vlen) arrays use JSON null — zarr-python's own
-   *  convention, and the v2 read path defaults a null fill to ""/empty
-   *  bytes; NaT (i64.MIN) keeps null timestamps null on read-back. */
+  /** v2 `fill_value`: same encodings as the v3 [[fillJson]] except object
+   *  (vlen) arrays, which use JSON null — zarr-python's own convention; the
+   *  v2 read path defaults a null fill to ""/empty bytes. */
   def fillV2Json(dt: DataType): String = dt match {
     case StringType | BinaryType => "null"
-    case TimestampNTZType => Long.MinValue.toString
-    case BooleanType => "false"
-    case FloatType | DoubleType => "0.0"
-    case _ => "0"
+    case other => fillJson(other)
   }
 
   /** The write-side mirror of [[graft.zarr.ZarrSchema.toField]]'s geo typing
@@ -397,8 +404,14 @@ object ZarrWriteSupport {
           s""""fill_value":${fillV2Json(f.dataType)},"order":"C",""" +
           s""""filters":${filtersV2Json(f.dataType)},"dimension_separator":"."}""")
     }
+    // xarray's open_zarr requires the _ARRAY_DIMENSIONS attribute (its
+    // netCDF-style dimension naming); zarr-python ignores unknown attrs,
+    // so carrying it costs nothing and makes the store an xarray Dataset
+    // of 1-D "row" variables out of the box
+    val attrsDoc = """{"_ARRAY_DIMENSIONS":["row"]}"""
     arrayDocs.foreach { case (name, doc) =>
       writeJson(new Path(new Path(groupDir, name), ".zarray"), doc)
+      writeJson(new Path(new Path(groupDir, name), ".zattrs"), attrsDoc)
     }
     val groupDoc = """{"zarr_format":2}"""
     // ancestors root-down, table group last among the markers
@@ -410,7 +423,8 @@ object ZarrWriteSupport {
     }
     val consolidated =
       (Seq(s"""".zgroup":$groupDoc""") ++
-        arrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
+        arrayDocs.flatMap { case (n, d) =>
+          Seq(s""""$n/.zarray":$d""", s""""$n/.zattrs":$attrsDoc""") }).mkString(",")
     writeJson(new Path(groupDir, ".zmetadata"),
       s"""{"zarr_consolidated_format":1,"metadata":{$consolidated}}""")
   }
@@ -639,6 +653,15 @@ class ZarrWrite(
       val fs = new Path(path).getFileSystem(conf.value)
       val g = if (groupRel.isEmpty) new Path(path) else new Path(path, groupRel)
       if (fs.exists(g)) fs.delete(g, true)
+      // a STORE-ROOT consolidated .zmetadata (zarr-python's standard
+      // consolidation location, group-prefixed keys) may still describe the
+      // group just deleted — a consolidated reader would then plan the OLD
+      // shape/dtypes against the new chunks. The document is a cache by
+      // spec, so deleting it is always safe (readers fall back to listing).
+      if (groupRel.nonEmpty) {
+        val rootZmeta = new Path(path, ".zmetadata")
+        if (fs.exists(rootZmeta)) fs.delete(rootZmeta, false)
+      }
     }
     if (rowIndexCol.isEmpty && info.numPartitions > 1)
       throw new ZarrException(

@@ -70,6 +70,20 @@ class ZarrCatalogSpec extends SparkSpec {
       .contains("derived"))
   }
 
+  test("CTAS honors zarr_format=2: the created table is a v2 store") {
+    val dir = root
+    spark.sql("""CREATE TABLE zcat.derived_v2 TBLPROPERTIES('zarr_format'='2')
+      AS SELECT v * 10 AS v10, collection FROM zcat.meta_a ORDER BY v""")
+    // v2 layout on disk: .zarray + bare chunk keys, no v3 array document
+    val p = java.nio.file.Paths.get(dir, "derived_v2")
+    assert(java.nio.file.Files.exists(p.resolve("v10").resolve(".zarray")))
+    assert(java.nio.file.Files.exists(p.resolve("v10").resolve("0")))
+    assert(!java.nio.file.Files.exists(p.resolve("v10").resolve("zarr.json")))
+    assert(spark.sql("SELECT v10 FROM zcat.derived_v2 ORDER BY v10").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L))
+    spark.sql("DROP TABLE zcat.derived_v2")
+  }
+
   test("a Zarr V2 store mounts as a catalog (.zgroup groups, .zarray tables)") {
     val dir = tempDir("zarr_catalog_v2")
     ZarrWriter.writeV2Fixture(dir)

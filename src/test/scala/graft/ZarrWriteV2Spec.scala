@@ -39,6 +39,13 @@ class ZarrWriteV2Spec extends SparkSpec {
     assert(Files.exists(Paths.get(dir, "meta", ".zgroup")))
     assert(Files.exists(Paths.get(dir, "meta", ".zmetadata")))
     assert(Files.exists(Paths.get(dir, "meta", "id", ".zarray")))
+    // xarray interop: every array carries the _ARRAY_DIMENSIONS attribute
+    val attrs = new String(Files.readAllBytes(
+      Paths.get(dir, "meta", "id", ".zattrs")), "UTF-8")
+    assert(attrs.contains("_ARRAY_DIMENSIONS"))
+    val zmeta = new String(Files.readAllBytes(
+      Paths.get(dir, "meta", ".zmetadata")), "UTF-8")
+    assert(zmeta.contains("id/.zattrs"), ".zattrs consolidated too")
     assert(!Files.exists(Paths.get(dir, "zarr.json")))
     assert(!Files.exists(Paths.get(dir, "meta", "zarr.json")))
     assert(!Files.exists(Paths.get(dir, "meta", "id", "zarr.json")))
@@ -138,6 +145,35 @@ class ZarrWriteV2Spec extends SparkSpec {
     val back = spark.read.format("zarr").option("group", "/g").load(dir)
     assert(back.count() == n)
     assert(back.agg(sum(col("v"))).head().getLong(0) == 7L * n * (n - 1) / 2)
+  }
+
+  test("reserved column names fail fast, before any chunk is written") {
+    // a column named after a metadata object would shadow it with a chunk
+    // DIRECTORY and break the commit's atomic rename AFTER all data I/O
+    for (bad <- Seq(".zmetadata", ".zgroup", ".zarray", ".zattrs", "zarr.json",
+        "_graft_stats.json")) {
+      val dir = tempDir("zw2_resv") + "/s.zarr"
+      val e = intercept[Exception] {
+        spark.range(3).toDF("id").withColumn(bad, col("id"))
+          .coalesce(1).write.format("zarr").option("group", "/g")
+          .option("zarr_format", "2").mode("overwrite").save(dir)
+      }
+      assert(e.getMessage != null && e.getMessage.contains("reserved"), bad)
+      assert(!Files.exists(Paths.get(dir, "g")), s"no partial store for '$bad'")
+    }
+  }
+
+  test("group overwrite invalidates a stale store-root consolidated .zmetadata") {
+    val dir = tempDir("zw2_rootmeta") + "/store.zarr"
+    writeV2(dir)
+    // simulate zarr-python's root-level consolidation of the OLD table
+    Files.write(Paths.get(dir, ".zmetadata"),
+      """{"zarr_consolidated_format":1,"metadata":{}}""".getBytes("UTF-8"))
+    writeV2(dir) // overwrite the group
+    // the stale root cache must be gone (readers fall back to listing)
+    assert(!Files.exists(Paths.get(dir, ".zmetadata")))
+    // and the fresh group-level consolidation still plans the scan
+    assert(spark.read.format("zarr").option("group", "/meta").load(dir).count() == 3)
   }
 
   test("v2 write guards: no sharding, no streaming, zarr_format validated") {
