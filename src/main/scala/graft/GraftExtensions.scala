@@ -52,39 +52,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // extracts a box from them), so resolving THIS function must
         // install the rule too — not just bbox_intersects
         installBboxPruning()
+        VectorFunctions.expectArity(es, 1, "bbox_envelope(wkt)")
         GeoFunctions.BboxEnvelope(es.head)
       }))
     ext.injectFunction((FunctionIdentifier("bbox_extent"),
       info("bbox_extent", "bbox_extent(wkt) - aggregate union envelope of a group"),
-      (es: Seq[Expression]) => GeoFunctions.BboxExtent(es.head)))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "bbox_extent(wkt)")
+        GeoFunctions.BboxExtent(es.head) }))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two vectors"),
-      (es: Seq[Expression]) => VectorFunctions.VectorCosine(es(0), es(1))))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "vec_cosine(a, b)")
+        VectorFunctions.VectorCosine(es(0), es(1)) }))
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two vectors"),
-      (es: Seq[Expression]) => VectorFunctions.VectorDot(es(0), es(1))))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "vec_dot(a, b)")
+        VectorFunctions.VectorDot(es(0), es(1)) }))
     ext.injectFunction((FunctionIdentifier("sign_lsh"),
       info("sign_lsh", "sign_lsh(vec, planes, offset) - sign-LSH bucket key"),
-      (es: Seq[Expression]) => VectorFunctions.SignLshSignature(es(0),
-        VectorFunctions.litIntArg(es(1), "planes"), VectorFunctions.litIntArg(es(2), "offset"))))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 3, "sign_lsh(vec, planes, offset)")
+        VectorFunctions.SignLshSignature(es(0),
+          VectorFunctions.litIntArg(es(1), "planes"), VectorFunctions.litIntArg(es(2), "offset")) }))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(shingles, k) - minhash array"),
-      (es: Seq[Expression]) => VectorFunctions.MinHashSignature(es(0),
-        VectorFunctions.litIntArg(es(1), "numHashes"))))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "minhash_signature(shingles, numHashes)")
+        VectorFunctions.MinHashSignature(es(0),
+          VectorFunctions.litIntArg(es(1), "numHashes")) }))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
-      (es: Seq[Expression]) => TextKernels.SimHash64(es.head)))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "simhash64(text)")
+        TextKernels.SimHash64(es.head) }))
     ext.injectFunction((FunctionIdentifier("quality_score"),
       info("quality_score", "quality_score(text) - [0,1] quality heuristic"),
-      (es: Seq[Expression]) =>
-        TextKernels.QualityScore(es.head, TextFunctions.StopwordSets.head._2)))
+      (es: Seq[Expression]) => {
+        VectorFunctions.expectArity(es, 1, "quality_score(text)")
+        TextKernels.QualityScore(es.head, TextFunctions.StopwordSets.head._2)
+      }))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(text, k, w) - winnowing hashes"),
-      (es: Seq[Expression]) => TextKernels.Winnow(es(0),
-        VectorFunctions.litIntArg(es(1), "k"), VectorFunctions.litIntArg(es(2), "w"))))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 3, "winnow_fingerprints(text, k, w)")
+        TextKernels.Winnow(es(0),
+          VectorFunctions.litIntArg(es(1), "k"), VectorFunctions.litIntArg(es(2), "w")) }))
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
-      (es: Seq[Expression]) => TextKernels.WordShingles(es(0),
-        VectorFunctions.litIntArg(es(1), "n"))))
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "word_shingles(text, n)")
+        TextKernels.WordShingles(es(0),
+          VectorFunctions.litIntArg(es(1), "n")) }))
   }
 }

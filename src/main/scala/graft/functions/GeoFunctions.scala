@@ -27,8 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object GeoFunctions {
 
+  private def checkWktInput(name: String, e: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (e.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$name expects a WKT string argument, got ${e.dataType.sql}")
+
   /** bbox_envelope(wkt) → struct<minx,miny,maxx,maxy> (null for empty geometry). */
   case class BboxEnvelope(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes() = checkWktInput(prettyName, child)
     override def dataType: DataType = StructType(Seq(
       StructField("minx", DoubleType, nullable = false),
       StructField("miny", DoubleType, nullable = false),
@@ -62,6 +70,18 @@ object GeoFunctions {
    */
   case class BboxIntersects(children: Seq[Expression]) extends Expression {
     require(children.length == 5, "bbox_intersects(wkt, minx, miny, maxx, maxy)")
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (children.head.dataType != StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a WKT string first argument, got ${children.head.dataType.sql}")
+      else children.tail.find(_.dataType != DoubleType) match {
+        // the registry builder casts box bounds to double; a directly
+        // constructed expression must arrive the same way or eval would CCE
+        case Some(e) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName box bounds must be doubles, got ${e.dataType.sql}")
+        case None => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      }
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = children.exists(_.nullable)
     override def eval(input: InternalRow): Any = {
@@ -106,6 +126,8 @@ object GeoFunctions {
       inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    override def checkInputDataTypes() = checkWktInput(prettyName, child)
 
     override def dataType: DataType = StructType(Seq(
       StructField("minx", DoubleType, nullable = false),
@@ -165,12 +187,14 @@ object GeoFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("bbox_envelope",
-      (es: Seq[Expression]) => BboxEnvelope(es.head), "scala_udf")
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "bbox_envelope(wkt)")
+        BboxEnvelope(es.head) }, "scala_udf")
     reg.createOrReplaceTempFunction("bbox_intersects",
       (es: Seq[Expression]) =>
         BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType))), "scala_udf")
     reg.createOrReplaceTempFunction("bbox_extent",
-      (es: Seq[Expression]) => BboxExtent(es.head), "scala_udf")
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "bbox_extent(wkt)")
+        BboxExtent(es.head) }, "scala_udf")
     // bbox chunk pruning for Zarr scans ("User Provided Optimizers" runs
     // post-pushdown, where DataSourceV2ScanRelation exists); GraftExtensions
     // sessions install the same rule from the geo function builders

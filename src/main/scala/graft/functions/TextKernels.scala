@@ -22,6 +22,29 @@ import org.apache.spark.unsafe.types.UTF8String
  * against it, and the shingle-consuming queries stay oracle-pinned (DuckDB
  * recomputes shingles from the SQL definition).
  */
+/** THE tokenization contract shared by every text kernel (and mirrored by
+ *  TextFunctions.tokens and the DuckDB oracles): lowercase, maximal
+ *  [a-z0-9] runs. One definition — a tweak applied to one copy and not the
+ *  others would silently break kernel/oracle equivalence. */
+private[functions] object TextTok {
+  def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** Calls f(start, end) for each maximal alnum run of (already lowercased)
+   *  `s`. */
+  def foreachToken(s: String)(f: (Int, Int) => Unit): Unit = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAlnum(s.charAt(i))) i += 1
+      var j = i
+      while (j < n && isAlnum(s.charAt(j))) j += 1
+      if (j > i) f(i, j)
+      i = j
+    }
+  }
+}
+
 object TextKernelImpl {
 
   /**
@@ -34,23 +57,14 @@ object TextKernelImpl {
   def simhash64(text: UTF8String): Long = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Int](64)
-    val n = s.length
-    var i = 0
-    while (i < n) {
-      // find next alnum run [i, j)
-      while (i < n && !isAlnum(s.charAt(i))) i += 1
-      var j = i
-      while (j < n && isAlnum(s.charAt(j))) j += 1
-      if (j > i) {
-        val tok = UTF8String.fromString(s.substring(i, j))
-        val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
-        var k = 0
-        while (k < 64) {
-          if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
-          k += 1
-        }
+    TextTok.foreachToken(s) { (i, j) =>
+      val tok = UTF8String.fromString(s.substring(i, j))
+      val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
+        k += 1
       }
-      i = j
     }
     var fp = 0L
     var k = 0
@@ -61,16 +75,16 @@ object TextKernelImpl {
     fp
   }
 
-  private def isAlnum(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-
   /**
    * Quality score in [0,1] — single pass over the text computing length,
    * token count, alnum count and English-stopword hits together (the
    * Column formulation re-tokenized the document five times).
    * Mirrors TextFunctions.qualityScore's formula exactly.
    */
-  def qualityScore(text: UTF8String, stopwords: Array[UTF8String]): Double = {
+  /** `stopSet` is the PREBUILT lowercase stopword set (built once per
+   *  expression instance, not per row — this kernel exists to collapse
+   *  per-row overhead). */
+  def qualityScore(text: UTF8String, stopSet: java.util.HashSet[String]): Double = {
     val s = text.toString
     val lower = s.toLowerCase(java.util.Locale.ROOT)
     // codepoints, not UTF-16 units: Spark's length() counts codepoints,
@@ -80,9 +94,6 @@ object TextKernelImpl {
     var nAlnum = 0.0
     var stopHits = 0.0
     val seenStops = new java.util.HashSet[String]()
-    val stopSet = new java.util.HashSet[String]()
-    var w = 0
-    while (w < stopwords.length) { stopSet.add(stopwords(w).toString); w += 1 }
     var i = 0
     val n = s.length
     while (i < n) {
@@ -91,18 +102,10 @@ object TextKernelImpl {
         nAlnum += 1
       i += 1
     }
-    i = 0
-    val m = lower.length
-    while (i < m) {
-      while (i < m && !isAlnum(lower.charAt(i))) i += 1
-      var j = i
-      while (j < m && isAlnum(lower.charAt(j))) j += 1
-      if (j > i) {
-        nTok += 1
-        val tok = lower.substring(i, j)
-        if (stopSet.contains(tok) && seenStops.add(tok)) stopHits += 1
-      }
-      i = j
+    TextTok.foreachToken(lower) { (i2, j2) =>
+      nTok += 1
+      val tok = lower.substring(i2, j2)
+      if (stopSet.contains(tok) && seenStops.add(tok)) stopHits += 1
     }
     val meanWordLen = if (nTok > 0) nAlnum / nTok else 0.0
     val stopRatio = if (nTok > 0) stopHits / math.min(nTok, 10.0) else 0.0
@@ -129,15 +132,7 @@ object TextKernelImplShingles {
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    val m = s.length
-    while (i < m) {
-      while (i < m && !isAlnum(s.charAt(i))) i += 1
-      var j = i
-      while (j < m && isAlnum(s.charAt(j))) j += 1
-      if (j > i) toks += s.substring(i, j)
-      i = j
-    }
+    TextTok.foreachToken(s)((i, j) => toks += s.substring(i, j))
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (toks.isEmpty) {
       // no tokens → no shingles (matches slice-of-empty in the Column form)
@@ -161,9 +156,6 @@ object TextKernelImplShingles {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
   }
-
-  private def isAlnum(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 }
 
 object TextKernelImplWinnow {
@@ -218,7 +210,18 @@ object TextKernelImplWinnow {
 
 object TextKernels {
 
+  /** Analysis-time contract shared by all four text expressions: the child
+   *  must be a string — otherwise a wrong-typed SQL argument dies at task
+   *  runtime with a ClassCastException instead of an AnalysisException. */
+  private def checkStringInput(name: String, child: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$name expects a string argument, got ${child.dataType.sql}")
+
   case class SimHash64(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes() = checkStringInput(prettyName, child)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any =
       TextKernelImpl.simhash64(v.asInstanceOf[UTF8String])
@@ -229,13 +232,20 @@ object TextKernels {
   }
 
   case class QualityScore(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+    override def checkInputDataTypes() = checkStringInput(prettyName, child)
     override def dataType: DataType = DoubleType
-    private lazy val stops = stopwords.map(UTF8String.fromString).toArray
+    // built ONCE per expression instance (serializes to executors with the
+    // expression), not per row inside the kernel
+    private lazy val stops: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      stopwords.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
+      s
+    }
     override def nullSafeEval(v: Any): Any =
       TextKernelImpl.qualityScore(v.asInstanceOf[UTF8String], stops)
-    // stopword array shipped through a codegen reference object
+    // stopword set shipped through a codegen reference object
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("qsStops", stops, "org.apache.spark.unsafe.types.UTF8String[]")
+      val ref = ctx.addReferenceObj("qsStops", stops, "java.util.HashSet")
       defineCodeGen(ctx, ev, v => s"graft.functions.TextKernelImpl.qualityScore($v, $ref)")
     }
     override def prettyName: String = "quality_score"
@@ -243,6 +253,8 @@ object TextKernels {
   }
 
   case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, s"word_shingles: n must be positive, got $n")
+    override def checkInputDataTypes() = checkStringInput(prettyName, child)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       TextKernelImplShingles.wordShingles(v.asInstanceOf[UTF8String], n)
@@ -254,6 +266,11 @@ object TextKernels {
   }
 
   case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    // w <= 0 would read past the hash array in the window loop; k <= 0
+    // would take negative-length substrings — reject at construction
+    // (= analysis time through the registry builder)
+    require(k > 0 && w > 0, s"winnow_fingerprints: k and w must be positive, got k=$k w=$w")
+    override def checkInputDataTypes() = checkStringInput(prettyName, child)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       TextKernelImplWinnow.winnow(v.asInstanceOf[UTF8String], k, w)
@@ -267,15 +284,19 @@ object TextKernels {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
-      (es: Seq[Expression]) => SimHash64(es.head), "scala_udf")
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "simhash64(text)")
+        SimHash64(es.head) }, "scala_udf")
     reg.createOrReplaceTempFunction("quality_score",
-      (es: Seq[Expression]) => QualityScore(es.head, TextFunctions.StopwordSets.head._2), "scala_udf")
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "quality_score(text)")
+        QualityScore(es.head, TextFunctions.StopwordSets.head._2) }, "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprints",
-      (es: Seq[Expression]) => Winnow(es(0),
-        VectorFunctions.litIntArg(es(1), "k"), VectorFunctions.litIntArg(es(2), "w")), "scala_udf")
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 3, "winnow_fingerprints(text, k, w)")
+        Winnow(es(0),
+          VectorFunctions.litIntArg(es(1), "k"), VectorFunctions.litIntArg(es(2), "w")) }, "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
-      (es: Seq[Expression]) => WordShingles(es(0),
-        VectorFunctions.litIntArg(es(1), "n")), "scala_udf")
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "word_shingles(text, n)")
+        WordShingles(es(0),
+          VectorFunctions.litIntArg(es(1), "n")) }, "scala_udf")
   }
 
   def word_shingles(text: Column, n: Int): Column = {

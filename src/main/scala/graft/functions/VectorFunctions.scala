@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,6 +20,12 @@ import org.apache.spark.sql.types._
  */
 object VectorKernels {
 
+  // Null ELEMENTS (containsNull arrays): every numeric kernel reads a null
+  // slot as 0.0 — UnsafeArrayData zeroes null slots and GenericArrayData's
+  // unboxing yields 0.0, so the behavior is identical on both eval paths
+  // and deterministic: a null dimension simply contributes nothing to the
+  // dot/norm/projection. (minhash skips null shingles explicitly — there
+  // the raw getUTF8String would be a task-killing NPE.)
   private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
@@ -52,16 +59,45 @@ object VectorKernels {
    * hyperplane component (i, p) = ±1 from the parity of
    * xxhash64(i, then p, seed 42) — deterministic, no stored model.
    */
+  // The ±1 hyperplane matrix is row-INVARIANT (pure function of plane index
+  // and dimension), so it is materialized once per (planes, offset, dim)
+  // and reused by every row — the naive form recomputed 2 xxhash calls per
+  // element per plane per ROW (2048 hashes/row at 64 dims × 16 planes). A
+  // small cap bounds the cache; past it the signs are computed inline
+  // (correctness identical, just the original speed).
+  private val signTables =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planeSign(j: Int, i: Int, offset: Int): Double = {
+    val h = XXH64.hashLong(offset + j, XXH64.hashLong(i, 42L))
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  private def signTable(planes: Int, offset: Int, n: Int): Array[Double] = {
+    if (signTables.size > 64) return null // unbounded dims guard
+    signTables.computeIfAbsent((planes, offset, n), _ => {
+      val t = new Array[Double](planes * n)
+      var j = 0
+      while (j < planes) {
+        var i = 0
+        while (i < n) { t(j * n + i) = planeSign(j, i, offset); i += 1 }
+        j += 1
+      }
+      t
+    })
+  }
+
   def signLsh(v: ArrayData, vFloat: Boolean, planes: Int, offset: Int): Long = {
     val n = v.numElements()
+    val table = signTable(planes, offset, n)
     var sig = 0L
     var j = 0
     while (j < planes) {
       var proj = 0.0
       var i = 0
       while (i < n) {
-        val h = XXH64.hashLong(offset + j, XXH64.hashLong(i, 42L))
-        proj += elem(v, i, vFloat) * (if ((h & 1L) == 0L) 1.0 else -1.0)
+        val s = if (table != null) table(j * n + i) else planeSign(j, i, offset)
+        proj += elem(v, i, vFloat) * s
         i += 1
       }
       sig = sig * 2 + (if (proj >= 0) 1L else 0L)
@@ -80,12 +116,16 @@ object VectorKernels {
     val n = sh.numElements()
     var i = 0
     while (i < n) {
-      val s = sh.getUTF8String(i)
-      var j = 0
-      while (j < k) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j)
-        if (h < out(j)) out(j) = h
-        j += 1
+      // skip null shingle slots: getUTF8String on one would NPE the task;
+      // a null shingle carries no content to hash
+      if (!sh.isNullAt(i)) {
+        val s = sh.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, j)
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
       }
       i += 1
     }
@@ -95,6 +135,21 @@ object VectorKernels {
 
 object VectorFunctions {
 
+  /** Analysis-time input contract: without it a wrong-typed SQL argument
+   *  passes analysis and every task dies with a ClassCastException at
+   *  runtime. */
+  private def checkVecArgs(name: String, es: Expression*): TypeCheckResult = {
+    val bad = es.find(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => false
+      case _ => true
+    })
+    bad match {
+      case Some(e) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<float|double> arguments, got ${e.dataType.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -102,7 +157,15 @@ object VectorFunctions {
       s"expected array<float|double>, got $other")
   }
 
+  /** Registry-builder arity check: extra args would otherwise be silently
+   *  dropped by positional `es(i)` access. */
+  private[graft] def expectArity(es: Seq[Expression], n: Int, sig: String): Unit =
+    if (es.length != n)
+      throw new IllegalArgumentException(s"$sig expects $n arguments, got ${es.length}")
+
   case class VectorCosine(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecArgs(prettyName, left, right)
     override def dataType: DataType = DoubleType
     private lazy val lf = isFloatArray(left)
     private lazy val rf = isFloatArray(right)
@@ -117,6 +180,8 @@ object VectorFunctions {
   }
 
   case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecArgs(prettyName, left, right)
     override def dataType: DataType = DoubleType
     private lazy val lf = isFloatArray(left)
     private lazy val rf = isFloatArray(right)
@@ -133,6 +198,8 @@ object VectorFunctions {
   case class SignLshSignature(child: Expression, planes: Int, offset: Int)
     extends UnaryExpression {
     require(planes > 0 && planes <= 62, "1..62 planes fit a long key")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecArgs(prettyName, child)
     override def dataType: DataType = LongType
     private lazy val vf = isFloatArray(child)
     override def nullSafeEval(v: Any): Any =
@@ -147,6 +214,12 @@ object VectorFunctions {
 
   case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
+    require(numHashes > 0, "minhash_signature needs at least one hash lane")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> shingles, got ${other.sql}")
+    }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
       VectorKernels.minhash(v.asInstanceOf[ArrayData], numHashes)
@@ -167,14 +240,18 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_cosine",
-      (es: Seq[Expression]) => VectorCosine(es(0), es(1)), "scala_udf")
+      (es: Seq[Expression]) => { expectArity(es, 2, "vec_cosine(a, b)")
+        VectorCosine(es(0), es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot",
-      (es: Seq[Expression]) => VectorDot(es(0), es(1)), "scala_udf")
+      (es: Seq[Expression]) => { expectArity(es, 2, "vec_dot(a, b)")
+        VectorDot(es(0), es(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("sign_lsh",
-      (es: Seq[Expression]) => SignLshSignature(es(0),
-        litInt(es(1), "planes"), litInt(es(2), "offset")), "scala_udf")
+      (es: Seq[Expression]) => { expectArity(es, 3, "sign_lsh(vec, planes, offset)")
+        SignLshSignature(es(0),
+          litInt(es(1), "planes"), litInt(es(2), "offset")) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      (es: Seq[Expression]) => MinHashSignature(es(0), litInt(es(1), "numHashes")), "scala_udf")
+      (es: Seq[Expression]) => { expectArity(es, 2, "minhash_signature(shingles, numHashes)")
+        MinHashSignature(es(0), litInt(es(1), "numHashes")) }, "scala_udf")
   }
 
   /** Column helpers; register on the active session lazily. */

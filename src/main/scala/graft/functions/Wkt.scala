@@ -15,8 +15,40 @@ object Wkt {
    *  OR if numeric-looking text does not parse ("N/A - missing",
    *  "POLYGON((1.2.3 4))") — malformed geometry is unknown, never a
    *  task-killing exception. */
+  /** Keywords whose bare appearance is consistent with 2-D WKT. Any OTHER
+   *  standalone alpha token — `Z`/`M`/`ZM` dimension markers, an EWKT
+   *  `SRID=...;` prefix, or arbitrary words — means the x/y alternation
+   *  assumption below is wrong (a Z coordinate or the SRID number would
+   *  corrupt the envelope via parity flip), so the geometry is UNKNOWN
+   *  (null), per this function's contract. Exponent letters inside numbers
+   *  ("1e5") are not standalone tokens: they follow a digit or dot. */
+  private val Keywords = Set("point", "linestring", "polygon", "multipoint",
+    "multilinestring", "multipolygon", "geometrycollection", "empty")
+
+  private def only2dTokens(s: String): Boolean = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
+        val partOfNumber = i > 0 && {
+          val p = s.charAt(i - 1); (p >= '0' && p <= '9') || p == '.'
+        }
+        var j = i + 1
+        while (j < n && { val d = s.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') }) j += 1
+        if (!partOfNumber &&
+            !Keywords.contains(s.substring(i, j).toLowerCase(java.util.Locale.ROOT)))
+          return false
+        i = j
+      } else i += 1
+    }
+    true
+  }
+
   def envelope(wkt: String): Array[Double] = try {
     val s = wkt
+    if (!only2dTokens(s)) return null
     val n = s.length
     var i = 0
     var minx = Double.PositiveInfinity

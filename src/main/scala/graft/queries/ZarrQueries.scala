@@ -22,16 +22,24 @@ import graft.zarr.ZarrWriter
  */
 object ZarrQueries {
 
-  /** Write the golden fixture once per JVM; return its path. Built in a
-   *  process-private temp dir and atomically renamed (like v2FixturePath):
-   *  the existence probe hits zarr.json, which is the FIRST file the writer
-   *  creates, so an in-place build races a concurrent bench/test JVM. */
-  lazy val fixturePath: String = {
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_zarr_fixture.zarr")
-    if (!Files.exists(dir.resolve("zarr.json"))) {
+  /** The golden reference fixture, written once per machine. */
+  lazy val fixturePath: String =
+    buildFixtureAtomically("graft_zarr_fixture", "zarr.json",
+      ZarrWriter.writeReferenceFixture)
+
+  /** Build a deterministic fixture store once per machine: write into a
+   *  process-private temp dir, atomically rename into place, and on a lost
+   *  race (another JVM won) discard ours. The rename makes the probe safe —
+   *  `probeFile` either doesn't exist yet or the WHOLE store does; an
+   *  in-place build would instead expose half-built stores to a concurrent
+   *  bench/test JVM. */
+  private def buildFixtureAtomically(name: String, probeFile: String,
+      write: String => Unit): String = {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"$name.zarr")
+    if (!Files.exists(dir.resolve(probeFile))) {
       val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_zarr_fixture.tmp${ProcessHandle.current().pid()}")
-      ZarrWriter.writeReferenceFixture(tmp.toString)
+        s"$name.tmp${ProcessHandle.current().pid()}")
+      write(tmp.toString)
       try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException => // lost the race
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
@@ -58,24 +66,19 @@ object ZarrQueries {
   def zarrTable(s: SparkSession): DataFrame =
     s.read.format("zarr").option("group", "/meta").load(fixturePath)
 
-  /** Hand-crafted Zarr V2 store, written once per JVM (byte-level
-   *  numcodecs encodings — see [[ZarrWriter.writeV2Fixture]]). Built in a
-   *  process-private temp dir and atomically renamed into place: a second
-   *  JVM (bench alongside tests) probing mid-write must see either nothing
-   *  or the complete store, never a partial one. */
-  lazy val v2FixturePath: String = {
-    val dir = Paths.get(System.getProperty("java.io.tmpdir"), "graft_zarr_v2_fixture.zarr")
-    if (!Files.exists(dir.resolve(".zmetadata"))) {
-      val tmp = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_zarr_v2_fixture.tmp${ProcessHandle.current().pid()}")
-      ZarrWriter.writeV2Fixture(tmp.toString)
-      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException => // lost the race
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      }
-    }
-    dir.toString
+  /** The shared roundtrip verdict: (row count of `back`, symmetric-exceptAll
+   *  mismatch count vs `expected`) — its oracle is always (n, 0). */
+  private def selfCheck(back: DataFrame, expected: DataFrame): DataFrame = {
+    val diff = back.exceptAll(expected).unionAll(expected.exceptAll(back))
+    back.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
   }
+
+  /** Hand-crafted Zarr V2 store, written once per machine (byte-level
+   *  numcodecs encodings — see [[ZarrWriter.writeV2Fixture]]). */
+  lazy val v2FixturePath: String =
+    buildFixtureAtomically("graft_zarr_v2_fixture", ".zmetadata",
+      ZarrWriter.writeV2Fixture)
 
   /** Flagship: the full search predicate over the Zarr table. */
   def flagship(s: SparkSession): DataFrame = {
@@ -132,9 +135,7 @@ object ZarrQueries {
             ("collection_b", java.time.LocalDateTime.of(2023, 1, 2, 0, 0), boxWkt(20)),
             ("collection_c", java.time.LocalDateTime.of(2023, 1, 3, 0, 0), boxWkt(30))))
           .toDF("collection", "date", "bbox")
-        val diff = z.exceptAll(expected).unionAll(expected.exceptAll(z))
-        z.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+        selfCheck(z, expected)
       }),
 
     // sink surface: write a derived table to a fresh Zarr store through the
@@ -153,9 +154,7 @@ object ZarrQueries {
         // zarr reads name-sorted fields; realign before positional exceptAll
         val back = s.read.format("zarr").option("group", "/meta").load(out)
           .select("r_regionkey", "r_name")
-        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
-        back.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+        selfCheck(back, src)
       }),
 
     // BINARY columns (provisional v3 bytes dtype + vlen-bytes codec): a
@@ -174,9 +173,7 @@ object ZarrQueries {
           .option("compression", "blosc").mode("overwrite").save(out)
         val back = s.read.format("zarr").option("group", "/m").load(out)
           .select("doc_id", "blob")
-        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
-        back.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+        selfCheck(back, src)
       }),
 
     // SHARDED write (zarr v3 sharding_indexed extension) + lazy shard-decode
@@ -194,9 +191,7 @@ object ZarrQueries {
           .mode("overwrite").save(out)
         val back = s.read.format("zarr").option("group", "/meta").load(out)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
-        back.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+        selfCheck(back, src)
       }),
 
     // catalog surface: the store mounted as a catalog namespace, queried
@@ -238,9 +233,7 @@ object ZarrQueries {
         try q.processAllAvailable() finally q.stop()
         val back = s.read.format("zarr").option("group", "/t").load(dst)
           .select("r_regionkey", "r_name")
-        val diff = back.exceptAll(rows).unionAll(rows.exceptAll(back))
-        back.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+        selfCheck(back, rows)
       }),
 
     // chunk-stats pruning surface: nation written to Zarr through the DSv2
@@ -359,9 +352,7 @@ object ZarrQueries {
           .option("zarr_format", "2").mode("overwrite").save(out)
         val back = s.read.format("zarr").option("group", "/meta").load(out)
           .select("s_suppkey", "s_name", "s_acctbal")
-        val diff = back.exceptAll(src).unionAll(src.exceptAll(back))
-        back.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+        selfCheck(back, src)
       })
   )
 }

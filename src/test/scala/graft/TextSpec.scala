@@ -9,6 +9,45 @@ import graft.queries.Tables
 /** Text-pipeline and multimodal-plumbing specs. */
 class TextSpec extends SparkSpec {
 
+  test("kernel misuse fails at analysis/registration, not in tasks") {
+    import graft.functions.{TextKernels, VectorFunctions}
+    TextKernels.register(spark)
+    VectorFunctions.register(spark)
+    spark.range(3).selectExpr("cast(id as string) AS t", "id AS n")
+      .createOrReplaceTempView("tk_misuse")
+    // wrong-typed argument: AnalysisException (checkInputDataTypes), never
+    // a task-side ClassCastException
+    for (bad <- Seq(
+        "SELECT simhash64(n) FROM tk_misuse",
+        "SELECT quality_score(n) FROM tk_misuse",
+        "SELECT word_shingles(n, 3) FROM tk_misuse",
+        "SELECT vec_cosine(t, t) FROM tk_misuse",
+        "SELECT minhash_signature(t, 4) FROM tk_misuse"))
+      intercept[org.apache.spark.sql.AnalysisException] { spark.sql(bad).collect() }
+    // wrong arity: rejected by the builder, not silently dropped
+    for (bad <- Seq(
+        "SELECT simhash64(t, t) FROM tk_misuse",
+        "SELECT word_shingles(t) FROM tk_misuse",
+        "SELECT vec_cosine(t) FROM tk_misuse"))
+      intercept[Exception] { spark.sql(bad).collect() }
+    // non-positive kernel parameters: rejected at construction
+    intercept[Exception] {
+      spark.sql("SELECT winnow_fingerprints(t, 5, 0) FROM tk_misuse").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles(t, 0) FROM tk_misuse").collect() }
+  }
+
+  test("minhash skips null shingle slots instead of dying") {
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array('a', CAST(NULL AS STRING), 'b'), 4) AS s")
+      .head().getSeq[Long](0)
+    val ref = spark.sql(
+      "SELECT minhash_signature(array('a', 'b'), 4) AS s").head().getSeq[Long](0)
+    assert(sig == ref, "null slot must contribute nothing")
+  }
+
   lazy val docs = Tables.t(spark, sf, "documents")
 
   // NOTE: the generator's documents are the same keyword soup for every

@@ -74,6 +74,24 @@ class WktSpec extends AnyFunSuite {
   }
 
 
+  test("3-D WKT, EWKT SRID prefixes, and unknown words are UNKNOWN (null)") {
+    // parity hazard: 'POINT Z (1 2 3)' would otherwise read 1 as x, 2 as y,
+    // 3 as x again — a silently corrupt envelope instead of an unknown one
+    assert(Wkt.envelope("POINT Z (1 2 3)") == null)
+    assert(Wkt.envelope("POLYGON Z ((1 2 3, 4 5 6, 7 8 9, 1 2 3))") == null)
+    assert(Wkt.envelope("POINT M (1 2 3)") == null)
+    assert(Wkt.envelope("POINT ZM (1 2 3 4)") == null)
+    assert(Wkt.envelope("SRID=4326;POINT (1 2)") == null)
+    assert(Wkt.envelope("approximately 3 by 4 meters") == null)
+    assert(!Wkt.envelopeIntersects("POINT Z (1 2 3)", 0, 0, 10, 10))
+    // 2-D forms with exponents and the full keyword set still parse
+    assert(Wkt.envelope("POINT (1e2 -2.5E-1)").toSeq == Seq(100.0, -0.25, 100.0, -0.25))
+    assert(Wkt.envelope(
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6))").toSeq ==
+      Seq(1.0, 2.0, 5.0, 6.0))
+    assert(Wkt.envelope("POLYGON EMPTY") == null)
+  }
+
   test("malformed numeric text returns null, never throws") {
     // "1.2.3" and a bare "-" both LOOK like number starts to the scanner;
     // parseDouble would throw and kill the whole scan task
