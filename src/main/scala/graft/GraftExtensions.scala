@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bbox_intersects", "bbox_intersects(wkt, minx, miny, maxx, maxy) - envelope intersection"),
       (es: Seq[Expression]) => {
         installBboxPruning()
+        VectorFunctions.expectArity(es, 5, "bbox_intersects(wkt, minx, miny, maxx, maxy)")
         GeoFunctions.BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType)))
       }))
     ext.injectFunction((FunctionIdentifier("bbox_envelope"),

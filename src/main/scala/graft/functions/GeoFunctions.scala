@@ -190,8 +190,10 @@ object GeoFunctions {
       (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "bbox_envelope(wkt)")
         BboxEnvelope(es.head) }, "scala_udf")
     reg.createOrReplaceTempFunction("bbox_intersects",
-      (es: Seq[Expression]) =>
-        BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType))), "scala_udf")
+      (es: Seq[Expression]) => {
+        VectorFunctions.expectArity(es, 5, "bbox_intersects(wkt, minx, miny, maxx, maxy)")
+        BboxIntersects(es.head +: es.tail.map(e => Cast(e, DoubleType)))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("bbox_extent",
       (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "bbox_extent(wkt)")
         BboxExtent(es.head) }, "scala_udf")

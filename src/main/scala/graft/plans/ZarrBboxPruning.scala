@@ -52,12 +52,16 @@ object ZarrBboxPruning extends Rule[LogicalPlan] with PredicateHelper {
           r.scan.asInstanceOf[ZarrScan].bboxFilter.isEmpty =>
       val scanCols = r.output.map(_.exprId).toSet
       val conjuncts = splitConjunctivePredicates(cond)
-      val box = conjuncts.collectFirst {
+      // collect + headOption, NOT collectFirst: collectFirst stops at the
+      // first bbox_intersects conjunct even when its bounds are
+      // non-foldable (None after the for), discarding a later all-literal
+      // conjunct that could have pruned
+      val box = conjuncts.collect {
         case BboxIntersects(Seq(a: AttributeReference, x0, y0, x1, y1))
             if scanCols.contains(a.exprId) =>
           for (vx0 <- lit(x0); vy0 <- lit(y0); vx1 <- lit(x1); vy1 <- lit(y1))
             yield (a.name, vx0, vy0, vx1, vy1)
-      }.flatten.orElse(envelopeBox(conjuncts, scanCols))
+      }.flatten.headOption.orElse(envelopeBox(conjuncts, scanCols))
       box match {
         case Some((col, x0, y0, x1, y1)) =>
           val scan = r.scan.asInstanceOf[ZarrScan]

@@ -50,8 +50,11 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
     catalogName = name
     rootUri = Option(options.get("root")).getOrElse(throw new ZarrException(
       s"zarr catalog '$name' requires spark.sql.catalog.$name.root=<store uri>"))
-    targetRows = Option(options.get("target_partition_rows")).map(_.toLong).getOrElse(1L << 20)
-    chunkRows = Option(options.get("chunk_rows")).map(_.toInt).getOrElse(1 << 20)
+    // validated parses: a catalog-level chunk_rows=0 would otherwise flow
+    // through createTable's default path unchecked and reach the writer as
+    // a divide-by-zero inside tasks
+    targetRows = ZarrDataSource.numericOption(options, "target_partition_rows", 1L << 20, 1)
+    chunkRows = ZarrDataSource.numericOption(options, "chunk_rows", 1 << 20, 1).toInt
   }
 
   override def name(): String = catalogName
@@ -59,8 +62,23 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
   private def hadoopConf: Configuration = SparkSession.active.sessionState.newHadoopConf()
   private def store: ZarrStore = new ZarrStore(rootUri, hadoopConf)
 
-  /** Relative store path of an identifier/namespace ("" = store root). */
-  private def rel(parts: Seq[String]): String = parts.mkString("/")
+  /** Relative store path of an identifier/namespace ("" = store root).
+   *  Segments become literal path components under the configured root, so
+   *  anything path-syntactic is rejected: a backquoted name like `..` or
+   *  `/other/store` would otherwise ESCAPE the root — Hadoop Path does not
+   *  normalize dot-segments — letting DROP TABLE recursively delete data
+   *  outside the store. Dot-prefixed names would collide with v2 metadata
+   *  objects (.zgroup/.zmetadata). */
+  private def rel(parts: Seq[String]): String = {
+    parts.foreach { s =>
+      if (s.isEmpty || s.startsWith(".") ||
+          s.exists(c => c == '/' || c == '\\' || c.isControl))
+        throw new ZarrException(
+          s"zarr catalog: illegal identifier segment '$s' " +
+            "(empty, dot-prefixed, or contains slash/backslash/control characters)")
+    }
+    parts.mkString("/")
+  }
 
   private def isGroup(relPath: String): Boolean = {
     val metaPath = if (relPath.isEmpty) "zarr.json" else s"$relPath/zarr.json"
@@ -95,7 +113,15 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
     val arrays = if (isGroup(relG)) arraysOf(relG) else Seq.empty
     if (arrays.isEmpty) throw new NoSuchTableException(ident)
     val group = "/" + relG
-    new ZarrTable(rootUri, group, arrays, ZarrSchema.infer(store, group),
+    // schema from the listing already in hand — ZarrSchema.infer would
+    // re-list the group's metadata (one LIST + O(columns) reads on an
+    // object store, ~10-100ms each), doubling planning latency per load
+    val n = arrays.head.length
+    arrays.find(_.length != n).foreach { a =>
+      throw new ZarrException(
+        s"child arrays must share one length: '${a.name}' has ${a.length}, expected $n")
+    }
+    new ZarrTable(rootUri, group, arrays, StructType(arrays.map(ZarrSchema.toField)),
       targetRows, chunkRows, None)
   }
 
@@ -125,7 +151,12 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
     if (zarrFormat != 2 && zarrFormat != 3)
       throw new ZarrException(s"zarr option zarr_format must be 2 or 3, got $zarrFormat")
     val relG = rel(ident.namespace.toSeq :+ ident.name)
-    writeGroupDocs(relG)
+    // NO group docs are written here: the CTAS commit writes all metadata
+    // (ancestors included) atomically-last, so a FAILED write leaves
+    // nothing behind — pre-writing them leaked phantom namespaces because
+    // post-failure dropTable sees no arrays and refuses. The exists-check
+    // above is best-effort: two concurrent CTAS of one name race to the
+    // commit, last metadata write wins (same as two df.write overwrites).
     new ZarrTable(rootUri, "/" + relG, Seq.empty, schema, targetRows, tChunkRows, None,
       tShardRows, compression, zarrFormat)
   }

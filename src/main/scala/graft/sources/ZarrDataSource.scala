@@ -372,7 +372,13 @@ class ZarrScan(
             }
           case _ => (_, _) => true
         }
-        (start, end) => bboxKeep(start, end) && filterKeep(start, end)
+        // a sidecar whose GRID fields validated can still carry garbage
+        // VALUE strings (hand-edited, bit-rotted): any evaluation failure
+        // keeps the range — "any failure degrades to no pruning, never an
+        // error, never a skip" is the sidecar's safety contract
+        (start, end) =>
+          try bboxKeep(start, end) && filterKeep(start, end)
+          catch { case _: RuntimeException => true }
     }
   }
 

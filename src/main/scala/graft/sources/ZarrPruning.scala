@@ -56,7 +56,17 @@ object ZarrPruning {
       java.lang.Double.compare(a.toDouble, b.toDouble) < 0
     case ZarrType.ZString =>
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
-    case ZarrType.ZBool => a == "false" && b == "true"
+    case ZarrType.ZBool =>
+      // a garbage bound ("tru") must THROW like the numeric parses below —
+      // plain equality would make both lt() directions false, cmp() report
+      // "equal", and a predicate be judged skippable on corrupt stats
+      // (the caller catches and keeps the range)
+      def parse(x: String): Boolean = x match {
+        case "true" => true
+        case "false" => false
+        case other => throw new NumberFormatException(s"bool bound '$other'")
+      }
+      !parse(a) && parse(b)
     case _ => a.toLong < b.toLong // ZInt*/ZUInt8-32/ZDatetime64 (micros)
   }
 

@@ -22,9 +22,19 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
  *    both; a reader never sees stats for a half-written table because
  *    readers key off `zarr.json`).
  *  - The scan treats stats as advisory: every pushed filter is ALSO returned
- *    to Spark as a residual, so a missing, stale, or corrupt sidecar can only
- *    cost performance, never correctness. A sidecar whose chunk grid doesn't
- *    match the array metadata is ignored outright.
+ *    to Spark as a residual, so a MISSING sidecar only costs performance,
+ *    and structural corruption degrades safely — a sidecar whose chunk grid
+ *    doesn't match the array metadata is ignored outright, and any failure
+ *    while evaluating stat values keeps the range (no pruning, no error).
+ *  - LIMIT of the model (same one Delta/Iceberg stats carry): residual
+ *    filters cannot resurrect rows in a range the stats "proved" empty, so
+ *    stats that are WRONG-but-well-formed cause silent row loss. The grid
+ *    check catches appends/truncations, but an equal-length in-place chunk
+ *    rewrite by a foreign writer (`z[:] = new_values` in zarr-python) is
+ *    undetectable. The contract: a store's sidecar is trusted only while
+ *    the store is mutated exclusively through graft writers (which always
+ *    rewrite it); after foreign mutation, delete `_graft_stats.json` —
+ *    scans then run unpruned and correct.
  *  - min/max are stored over non-null values; `nulls` counts nulls, so
  *    IsNull/IsNotNull can prune too. Values serialize as strings (exact for
  *    integers; `Double.toString` round-trips for floats; raw for strings).

@@ -70,6 +70,22 @@ class ZarrCatalogSpec extends SparkSpec {
       .contains("derived"))
   }
 
+  test("path-syntactic identifiers are rejected — no escape from the store root") {
+    root
+    // a backquoted `..` or absolute segment would otherwise resolve OUTSIDE
+    // the configured root (Hadoop Path does not normalize dot-segments):
+    // DROP TABLE would recursively delete foreign directories
+    for (bad <- Seq("SELECT * FROM zcat.`..`", "SELECT * FROM zcat.`/etc`",
+        "DROP TABLE zcat.`..`", "DROP TABLE zcat.`a/b`",
+        "SHOW TABLES IN zcat.`..`", "CREATE TABLE zcat.`.hidden` AS SELECT 1 AS x")) {
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      def traceHas(t: Throwable): Boolean = t != null &&
+        ((t.getMessage != null && t.getMessage.contains("illegal identifier segment"))
+          || traceHas(t.getCause))
+      assert(traceHas(e), s"$bad -> ${e.getMessage}")
+    }
+  }
+
   test("CTAS honors zarr_format=2: the created table is a v2 store") {
     val dir = root
     spark.sql("""CREATE TABLE zcat.derived_v2 TBLPROPERTIES('zarr_format'='2')

@@ -125,6 +125,40 @@ class ZarrStatsSpec extends SparkSpec {
     assert(nParts(absent) == 10 && absent.count() == expected)
   }
 
+  test("garbage VALUE strings in a grid-valid sidecar: no error, no unsound skip") {
+    val dir = writeStore()
+    val sidecar = Paths.get(dir, "t", ZarrStats.FileName)
+    val expected = read(dir).filter(col("id") >= 95).count()
+    // grid fields valid, but every numeric bound becomes unparseable
+    // garbage — the planner must keep every range (degrade), never throw
+    // mid-planning; before the fix this was a NumberFormatException inside
+    // planInputPartitions
+    val doc = Files.readString(sidecar).replace("\"9", "\"x9").replace("\"0", "\"x0")
+      .replace("\"1", "\"x1").replace("\"2", "\"x2").replace("\"3", "\"x3")
+      .replace("\"4", "\"x4").replace("\"5", "\"x5").replace("\"6", "\"x6")
+      .replace("\"7", "\"x7").replace("\"8", "\"x8")
+    Files.writeString(sidecar, doc)
+    val q = read(dir).filter(col("id") >= 95)
+    assert(nParts(q) == 10, "corrupt bounds must disable pruning, not fake it")
+    assert(q.count() == expected)
+  }
+
+  test("bool lt on garbage bounds throws (caller degrades) instead of faking equality") {
+    // a corrupt bool bound that compared "equal" in both directions would
+    // make GreaterThan(c, false) skippable and silently drop true rows
+    import graft.sources.ZarrPruning
+    import org.apache.spark.sql.sources.GreaterThan
+    val bad = Some(ZarrPruning.RangeStats(
+      graft.zarr.ZarrType.ZBool, Some("tru"), Some("tru"), 0L, 10L))
+    intercept[NumberFormatException] {
+      ZarrPruning.skippable(GreaterThan("flag", false), _ => bad)
+    }
+    // well-formed bounds still evaluate: all-false range skips flag > false
+    val allFalse = Some(ZarrPruning.RangeStats(
+      graft.zarr.ZarrType.ZBool, Some("false"), Some("false"), 0L, 10L))
+    assert(ZarrPruning.skippable(GreaterThan("flag", false), _ => allFalse))
+  }
+
   test("NaN and -0.0: stats record NaN as the max; pruning never drops NaN rows") {
     val dir = tempDir("znan") + "/store.zarr"
     // chunk 0: ordinary values; chunk 1 contains NaN; chunk 2 contains -0.0
@@ -265,6 +299,23 @@ class ZarrStatsSpec extends SparkSpec {
       bound(34), bound(34), bound(36), bound(36)))
     assert(nParts(q) == 10, q.queryExecution.executedPlan.toString)
     assert(!q.queryExecution.executedPlan.toString.contains("PushedBbox"))
+    assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
+  }
+
+  test("a non-foldable bbox conjunct does not mask a later literal one") {
+    import graft.functions.GeoFunctions
+    GeoFunctions.register(spark)
+    val dir = writeGeoStore()
+    def bound(v: Double) =
+      org.apache.spark.sql.functions.greatest(lit(v),
+        col("id").cast("double") * lit(0.0))
+    // first conjunct non-foldable, second all-literal: extraction must keep
+    // looking (collect+headOption — collectFirst stopped at the first match
+    // and lost the prune)
+    val q = read(dir).filter(
+      GeoFunctions.bbox_intersects(col("bbox"), bound(0), bound(0), bound(99), bound(99)) &&
+      GeoFunctions.bbox_intersects(col("bbox"), lit(34.0), lit(34.0), lit(36.0), lit(36.0)))
+    assert(nParts(q) < 10, q.queryExecution.executedPlan.toString)
     assert(q.select("id").collect().map(_.getLong(0)).sorted.toSeq == (33L to 37L))
   }
 
