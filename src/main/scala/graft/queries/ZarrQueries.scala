@@ -80,6 +80,12 @@ object ZarrQueries {
     buildFixtureAtomically("graft_zarr_v2_fixture", ".zmetadata",
       ZarrWriter.writeV2Fixture)
 
+  /** Second V2 store covering lz4/delta/shuffle/fixed-unicode
+   *  (see [[ZarrWriter.writeV2FiltersFixture]]). */
+  lazy val v2FiltersFixturePath: String =
+    buildFixtureAtomically("graft_zarr_v2_filters_fixture", ".zmetadata",
+      ZarrWriter.writeV2FiltersFixture)
+
   /** Flagship: the full search predicate over the Zarr table. */
   def flagship(s: SparkSession): DataFrame = {
     GeoFunctions.register(s)
@@ -335,6 +341,24 @@ object ZarrQueries {
       ORDER BY id"""),
       (s, _) => s.read.format("zarr").option("group", "/meta")
         .load(v2FixturePath).orderBy("id")),
+
+    // Zarr V2 numcodecs filter surface: lz4 compressor (u32-LE size header
+    // + raw block), delta and shuffle filters alone and CHAINED in declared
+    // order, fixed-width unicode (<U4 with non-ASCII/empty elements, >U3
+    // big-endian). Deterministic byte-level fixture → literal oracle.
+    Q("q_zarr_v2_filters", Some("""
+      SELECT * FROM (VALUES
+        (CAST(5 AS INTEGER), CAST(0 AS BIGINT),   'aa',   't0', CAST(1.5 AS REAL)),
+        (4,                  10,                  'béta', 't1', CAST(-2.25 AS REAL)),
+        (6,                  30,                  '',     't2', CAST(3.0 AS REAL)),
+        (3,                  60,                  '日本', 't3', CAST(0.5 AS REAL)),
+        (7,                  100,                 'x',    't4', CAST(10.0 AS REAL)),
+        (2,                  150,                 'yy',   't5', CAST(-0.75 AS REAL)),
+        (8,                  210,                 'zzz',  't6', CAST(99.5 AS REAL)))
+        AS t(cnt, id, label, tag, temp)
+      ORDER BY id"""),
+      (s, _) => s.read.format("zarr").option("group", "/meta")
+        .load(v2FiltersFixturePath).orderBy("id")),
 
     // Zarr V2 WRITE (zarr_format=2): persist a derived table in the
     // .zarray/.zgroup/.zmetadata layout zarr-python 2.x reads (bare chunk

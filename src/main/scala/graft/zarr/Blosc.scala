@@ -351,6 +351,19 @@ object Blosc {
   /** Block-local byte unshuffle: shuffled layout stores byte-plane j of all
    *  elements contiguously; the `bsize % typesize` tail is stored verbatim
    *  (matches c-blosc shuffle.c). Writes the restored block at `destOff`. */
+  /** Whole-buffer byte-unshuffle (numcodecs standalone `shuffle` filter
+   *  uses the same plane transform as blosc, without framing). */
+  private[zarr] def unshuffleBuffer(typesize: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](data.length)
+    unshuffle(typesize, data, out, 0)
+    out
+  }
+
+  /** Whole-buffer byte-shuffle: encode-side counterpart of
+   *  [[unshuffleBuffer]], used by v2 fixtures and tests. */
+  private[zarr] def shuffleBuffer(typesize: Int, data: Array[Byte]): Array[Byte] =
+    shuffleBlock(typesize, data, 0, data.length)
+
   private def unshuffle(typesize: Int, block: Array[Byte], out: Array[Byte], destOff: Int): Unit = {
     val bsize = block.length
     val nel = bsize / typesize

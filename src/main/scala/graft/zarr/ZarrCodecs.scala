@@ -88,14 +88,25 @@ object ZarrCodecs {
       case ZarrCodec.ZlibCodec       => bytes = zlibDecompress(bytes, meta.path)
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
       case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path)
+      case ZarrCodec.Lz4Codec        => bytes = lz4Decompress(bytes, meta.path)
+      case ZarrCodec.ShuffleCodec(es) =>
+        if (es > 1) bytes = Blosc.unshuffleBuffer(es, bytes)
+      case ZarrCodec.DeltaCodec(w, le, fl) =>
+        bytes = deltaDecode(bytes, w, le, fl, meta.path)
       case ZarrCodec.BytesCodec(_) | ZarrCodec.VlenUtf8Codec |
-           ZarrCodec.VlenBytesCodec => // terminal, handled below
+           ZarrCodec.VlenBytesCodec |
+           _: ZarrCodec.FixedUnicodeCodec => // terminal, handled below
       case _: ZarrCodec.ShardingCodec =>
         throw new ZarrException(s"nested sharding_indexed not supported at ${meta.path}")
     }
     val littleEndian = meta.codecs.collectFirst { case ZarrCodec.BytesCodec(le) => le }.getOrElse(true)
     meta.dtype match {
-      case ZarrType.ZString => decodeVlen(bytes, chunkLen, meta.path, utf8 = true)
+      case ZarrType.ZString =>
+        meta.codecs.collectFirst { case u: ZarrCodec.FixedUnicodeCodec => u } match {
+          case Some(u) => decodeFixedUnicode(bytes, u.units, chunkLen,
+            u.littleEndian, meta.path)
+          case None    => decodeVlen(bytes, chunkLen, meta.path, utf8 = true)
+        }
       case ZarrType.ZBytes  => decodeVlen(bytes, chunkLen, meta.path, utf8 = false)
       case dt               => decodeFixed(bytes, dt, chunkLen, littleEndian)
     }
@@ -195,6 +206,107 @@ object ZarrCodecs {
       case e: java.util.zip.DataFormatException =>
         throw new ZarrException(s"corrupt zlib chunk at $path", e)
     } finally inf.end()
+  }
+
+  /** numcodecs `lz4` (Zarr v2): u32-LE original size, then one raw LZ4
+   *  block. The header is attacker-controlled on foreign stores, so the
+   *  claimed size is bounded before any allocation. */
+  private def lz4Decompress(bytes: Array[Byte], path: String): Array[Byte] = {
+    if (bytes.length < 4)
+      throw new ZarrException(s"lz4 chunk shorter than its size header at $path")
+    val dstLen = ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    // LZ4 blocks expand at most ~255x; a size claim beyond that is corrupt
+    // framing, not data — reject instead of allocating gigabytes
+    if (dstLen < 0 || dstLen > math.max(64L, (bytes.length - 4) * 255L))
+      throw new ZarrException(s"lz4 chunk claims $dstLen decoded bytes at $path")
+    val dst = new Array[Byte](dstLen)
+    val n =
+      try net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+        .decompress(bytes, 4, bytes.length - 4, dst, 0, dstLen)
+      catch { case e: net.jpountz.lz4.LZ4Exception =>
+        throw new ZarrException(s"corrupt lz4 chunk at $path", e) }
+    if (n != dstLen)
+      throw new ZarrException(s"lz4 chunk decoded $n of $dstLen bytes at $path")
+    dst
+  }
+
+  /** Undo a numcodecs `delta` filter: running prefix sum over the
+   *  fixed-width buffer in the filter dtype's arithmetic (ints wrap exactly
+   *  like the numpy encode side, so the round trip is lossless). */
+  private def deltaDecode(bytes: Array[Byte], width: Int, littleEndian: Boolean,
+      float: Boolean, path: String): Array[Byte] = {
+    if (bytes.length % width != 0)
+      throw new ZarrException(
+        s"delta buffer of ${bytes.length} bytes is not a multiple of $width at $path")
+    val out = bytes.clone()
+    val n = out.length / width
+    if (n <= 1) return out
+    val bb = ByteBuffer.wrap(out)
+      .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    var i = 1
+    (width, float) match {
+      case (1, false) => while (i < n) { out(i) = (out(i) + out(i - 1)).toByte; i += 1 }
+      case (2, false) => while (i < n) { bb.putShort(i * 2,
+        (bb.getShort(i * 2) + bb.getShort((i - 1) * 2)).toShort); i += 1 }
+      case (4, false) => while (i < n) { bb.putInt(i * 4,
+        bb.getInt(i * 4) + bb.getInt((i - 1) * 4)); i += 1 }
+      case (8, false) => while (i < n) { bb.putLong(i * 8,
+        bb.getLong(i * 8) + bb.getLong((i - 1) * 8)); i += 1 }
+      case (4, true)  => while (i < n) { bb.putFloat(i * 4,
+        bb.getFloat(i * 4) + bb.getFloat((i - 1) * 4)); i += 1 }
+      case (8, true)  => while (i < n) { bb.putDouble(i * 8,
+        bb.getDouble(i * 8) + bb.getDouble((i - 1) * 8)); i += 1 }
+      case other => throw new ZarrException(s"delta width $other at $path")
+    }
+    out
+  }
+
+  /** numpy fixed-width unicode (`<U5`): `units` UTF-32 code units per
+   *  element, trailing NULs trimmed — zarr-python's default encoding for
+   *  numpy string arrays written without an object-dtype filter. */
+  private def decodeFixedUnicode(bytes: Array[Byte], units: Int, n: Int,
+      littleEndian: Boolean, path: String): ColumnChunk = {
+    val need = n.toLong * units * 4
+    if (bytes.length < need)
+      throw new ZarrException(
+        s"fixed-unicode chunk has ${bytes.length} bytes, needs $need at $path")
+    val bb = ByteBuffer.wrap(bytes)
+      .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val decoded = new Array[UTF8String](n)
+    val sb = new java.lang.StringBuilder(units)
+    var e = 0
+    while (e < n) {
+      sb.setLength(0)
+      var last = -1 // index of last non-NUL unit: NULs are padding only at the tail
+      var u = 0
+      while (u < units) {
+        if (bb.getInt((e * units + u) * 4) != 0) last = u
+        u += 1
+      }
+      u = 0
+      while (u <= last) {
+        val cp = bb.getInt((e * units + u) * 4)
+        if (cp < 0 || cp > Character.MAX_CODE_POINT ||
+            (cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+          throw new ZarrException(
+            s"fixed-unicode chunk has invalid code point $cp at $path")
+        sb.appendCodePoint(cp)
+        u += 1
+      }
+      decoded(e) = UTF8String.fromString(sb.toString)
+      e += 1
+    }
+    new ColumnChunk {
+      val length = n
+      def get(i: Int): Any = decoded(i)
+      override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit = {
+        var i = 0
+        while (i < cnt) {
+          vec.putByteArray(destPos + i, decoded(srcPos + i).getBytes)
+          i += 1
+        }
+      }
+    }
   }
 
   private def stripCrc32c(bytes: Array[Byte], path: String): Array[Byte] = {

@@ -53,6 +53,29 @@ object ZarrCodec {
   case object ZlibCodec extends ZarrCodec
   /** crc32c appends a 4-byte checksum; on read we verify+strip. */
   case object Crc32cCodec extends ZarrCodec
+  /** numcodecs `lz4` (Zarr v2 compressor): a u32-LE original-size header
+   *  followed by ONE raw LZ4 block — distinct from blosc's lz4 (blosc1
+   *  frame) and from the LZ4 frame format. */
+  case object Lz4Codec extends ZarrCodec
+  /** numcodecs `delta` filter: element-wise differences in the dtype's own
+   *  arithmetic (first element stored verbatim); decode is a running prefix
+   *  sum over the fixed-width buffer. `width`/`littleEndian`/`float` come
+   *  from the filter's dtype typestr, validated against the array dtype at
+   *  parse time (an `astype` differing from `dtype` is rejected — decoding
+   *  it would need a numpy cast table we don't carry). */
+  final case class DeltaCodec(width: Int, littleEndian: Boolean,
+      float: Boolean) extends ZarrCodec
+  /** numcodecs `shuffle` filter: standalone byte-shuffle with a fixed
+   *  element size (the same plane transform blosc applies inside its frame,
+   *  without any framing). Ragged tail bytes are stored verbatim, the
+   *  c-blosc convention. */
+  final case class ShuffleCodec(elementSize: Int) extends ZarrCodec
+  /** Terminal codec for numpy fixed-width unicode (`<U5`): each element is
+   *  exactly `units` UTF-32 code units, trailing NULs trimmed. Only
+   *  produced by the v2 parser; the array dtype stays ZString so schema,
+   *  stats, and pruning treat decoded values as ordinary strings. */
+  final case class FixedUnicodeCodec(units: Int, littleEndian: Boolean)
+      extends ZarrCodec
   /**
    * Blosc1 frame (the zarr-python default compressor; v3 codec name
    * "blosc"). The frame header is self-describing, so decode ignores this
@@ -178,6 +201,14 @@ object ZarrMeta {
       throw new ZarrException(s"unsupported order '$order' at $path")
     val typestr = n.path("dtype").asText()
     val (dtype, littleEndian) = parseDTypeV2(typestr, path)
+    // numpy fixed-width unicode (`<U5`): ZString plus a terminal codec
+    // carrying the UTF-32 element width
+    val unicodeUnits: Option[Int] = {
+      val body = if ("<>|=".contains(typestr.charAt(0))) typestr.substring(1) else typestr
+      if (body.length > 1 && body.startsWith("U") && body.drop(1).forall(_.isDigit))
+        Some(body.drop(1).toInt)
+      else None
+    }
     val filters = n.path("filters")
     val filterCodecs: Seq[ZarrCodec] =
       if (filters.isNull || filters.isMissingNode) Seq.empty
@@ -189,6 +220,12 @@ object ZarrMeta {
           f.path("id").asText() match {
             case "vlen-utf8"  => out += VlenUtf8Codec
             case "vlen-bytes" => out += VlenBytesCodec
+            case "delta"      => out += parseDeltaV2(f, dtype, littleEndian, path)
+            case "shuffle" =>
+              val es = f.path("elementsize").asInt(4) // numcodecs default
+              if (es < 1)
+                throw new ZarrException(s"shuffle filter elementsize $es at $path")
+              out += ShuffleCodec(es)
             case other => throw new ZarrException(s"unsupported v2 filter '$other' at $path")
           }
         }
@@ -219,11 +256,15 @@ object ZarrMeta {
         case "zstd" => Seq(ZstdCodec(comp.path("level").asInt(0), checksum = false))
         case "zlib" => Seq(ZlibCodec)
         case "gzip" => Seq(GzipCodec(comp.path("level").asInt(5)))
+        case "lz4"  => Seq(Lz4Codec) // `acceleration` only tunes encode speed
         case other => throw new ZarrException(s"unsupported v2 compressor '$other' at $path")
       }
-    val terminal: Seq[ZarrCodec] = resolved match {
-      case ZarrType.ZString | ZarrType.ZBytes => Seq.empty // vlen filter is terminal
-      case _ => Seq(BytesCodec(littleEndian))
+    val terminal: Seq[ZarrCodec] = unicodeUnits match {
+      case Some(u) => Seq(FixedUnicodeCodec(u, littleEndian))
+      case None => resolved match {
+        case ZarrType.ZString | ZarrType.ZBytes => Seq.empty // vlen filter is terminal
+        case _ => Seq(BytesCodec(littleEndian))
+      }
     }
     ZarrArrayMeta(
       name = name,
@@ -240,6 +281,46 @@ object ZarrMeta {
 
   /** numpy typestr → (type, littleEndian); null type = object (`|O`),
    *  resolved from the vlen filter by the caller. */
+  /** Parse a numcodecs `delta` filter config against the enclosing array's
+   *  dtype. The stored buffer is typed by the filter's `dtype` (and
+   *  `astype`, when present) — we only support the interoperable common
+   *  case where all three agree on width, kind, and byte order; anything
+   *  else would need numpy's cast semantics and is rejected loudly. */
+  private def parseDeltaV2(f: JsonNode, arrayDtype: ZarrType,
+      arrayLe: Boolean, path: String): ZarrCodec.DeltaCodec = {
+    import ZarrType._
+    val dts = f.path("dtype").asText("")
+    if (dts.isEmpty)
+      throw new ZarrException(s"delta filter missing dtype at $path")
+    val (fdt, fle) = parseDTypeV2(dts, path)
+    val (width, float) = fdt match {
+      case ZInt8 | ZUInt8                  => (1, false)
+      case ZInt16 | ZUInt16                => (2, false)
+      case ZInt32 | ZUInt32                => (4, false)
+      case ZInt64 | ZUInt64                => (8, false)
+      case ZDatetime64(_, _)               => (8, false)
+      case ZFloat32                        => (4, true)
+      case ZFloat64                        => (8, true)
+      case _ => // bool (no numeric difference), f2, O, S*, U*
+        throw new ZarrException(s"unsupported delta filter dtype '$dts' at $path")
+    }
+    if (f.has("astype") && !f.path("astype").isNull) {
+      val ats = f.path("astype").asText("")
+      if (parseDTypeV2(ats, path) != ((fdt, fle)))
+        throw new ZarrException(
+          s"delta filter astype '$ats' != dtype '$dts' not supported at $path")
+    }
+    val arrayFloat = arrayDtype match {
+      case ZFloat32 | ZFloat64 => true
+      case _                   => false
+    }
+    if (arrayDtype == null || arrayDtype.byteSize != width ||
+        arrayFloat != float || arrayLe != fle)
+      throw new ZarrException(
+        s"delta filter dtype '$dts' does not match array dtype at $path")
+    ZarrCodec.DeltaCodec(width, fle, float)
+  }
+
   private def parseDTypeV2(typestr: String, path: String): (ZarrType, Boolean) = {
     import ZarrType._
     if (typestr.isEmpty) throw new ZarrException(s"missing v2 dtype at $path")
@@ -267,6 +348,8 @@ object ZarrMeta {
         }
       case s if s.startsWith("S") && s.drop(1).forall(_.isDigit) && s.length > 1 =>
         ZRaw(s.drop(1).toInt * 8) // fixed-width bytes
+      case s if s.startsWith("U") && s.drop(1).forall(_.isDigit) && s.length > 1 =>
+        ZString // fixed-width UTF-32; parseArrayV2 attaches FixedUnicodeCodec
       case other => throw new ZarrException(s"unsupported v2 dtype '$typestr' ($other) at $path")
     }
     (t, le)

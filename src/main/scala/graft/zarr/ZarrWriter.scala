@@ -460,6 +460,134 @@ object ZarrWriter {
   }
 
   /**
+   * Zarr v2 store exercising the numcodecs surfaces beyond the base
+   * fixture: `lz4` compressor (u32-LE size header + raw LZ4 block),
+   * `delta` and `shuffle` filters (alone and chained, in declared order),
+   * and fixed-width unicode dtypes (`<U4`, `>U3`) — the layouts
+   * zarr-python 2.x produces for e.g. coordinate arrays and numpy string
+   * arrays saved without an object dtype. 7 rows, chunk 3:
+   *  - `id`    `<i8`, filters=[delta <i8], lz4
+   *  - `cnt`   `<i4`, filters=[delta <i4, shuffle es=4], lz4
+   *  - `temp`  `<f4`, filters=[shuffle es=4], zlib
+   *  - `label` `<U4`, lz4 (non-ASCII + empty elements)
+   *  - `tag`   `>U3`, raw (big-endian unicode)
+   */
+  def writeV2FiltersFixture(root: String): Unit = {
+    val rows = 7
+    val chunkLen = 3
+    def lz4(b: Array[Byte]): Array[Byte] = {
+      val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      val out = new Array[Byte](4 + c.maxCompressedLength(b.length))
+      ByteBuffer.wrap(out, 0, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(b.length)
+      val n = c.compress(b, 0, b.length, out, 4, out.length - 4)
+      java.util.Arrays.copyOfRange(out, 0, 4 + n)
+    }
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(b); d.finish()
+        val out = new Array[Byte](b.length + 64)
+        val n = d.deflate(out)
+        java.util.Arrays.copyOfRange(out, 0, n)
+      } finally d.end()
+    }
+    // per-chunk delta encode, exactly numcodecs.Delta: first element
+    // verbatim, then wrapping differences in the dtype's own width
+    def delta(width: Int)(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val ob = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      var i = b.length / width - 1
+      while (i >= 1) {
+        width match {
+          case 4 => ob.putInt(i * 4, bb.getInt(i * 4) - bb.getInt((i - 1) * 4))
+          case 8 => ob.putLong(i * 8, bb.getLong(i * 8) - bb.getLong((i - 1) * 8))
+        }
+        i -= 1
+      }
+      out
+    }
+    val zarrayDocs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def writeArray(name: String, dtype: String, compressor: String,
+        filters: String, fill: String, chunks: Map[Int, Array[Byte]]): Unit = {
+      val dir = Paths.get(root, "meta", name)
+      val doc =
+        s"""{"zarr_format":2,"shape":[$rows],"chunks":[$chunkLen],"dtype":"$dtype",
+           |"compressor":$compressor,"fill_value":$fill,"order":"C","filters":$filters}"""
+          .stripMargin.replace("\n", "")
+      zarrayDocs(name) = doc
+      writeJson(dir.resolve(".zarray"), doc)
+      chunks.foreach { case (i, bytes) =>
+        Files.createDirectories(dir)
+        Files.write(dir.resolve(i.toString), bytes)
+      }
+    }
+    writeJson(Paths.get(root, ".zgroup"), """{"zarr_format":2}""")
+    writeJson(Paths.get(root, "meta", ".zgroup"), """{"zarr_format":2}""")
+
+    def leLongs(vs: Long*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putLong); b.array()
+    }
+    def leInts(vs: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putInt); b.array()
+    }
+    def leFloats(vs: Float*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putFloat); b.array()
+    }
+    def u32(le: Boolean, units: Int)(vs: String*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * units * 4)
+        .order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      vs.foreach { s =>
+        val cps = s.codePoints().toArray
+        require(cps.length <= units, s"'$s' exceeds $units units")
+        cps.foreach(b.putInt)
+        (cps.length until units).foreach(_ => b.putInt(0)) // NUL padding
+      }
+      b.array()
+    }
+    // id: cumulative 0,10,30,60,100,150,210 — delta then lz4
+    writeArray("id", "<i8", """{"id":"lz4","acceleration":1}""",
+      """[{"id":"delta","dtype":"<i8"}]""", "0", Map(
+        0 -> lz4(delta(8)(leLongs(0, 10, 30))),
+        1 -> lz4(delta(8)(leLongs(60, 100, 150))),
+        2 -> lz4(delta(8)(leLongs(210, 0, 0)))))
+    // cnt: delta THEN shuffle (declared order), then lz4 — decode must undo
+    // lz4, unshuffle, then prefix-sum
+    def deltaShuffle(b: Array[Byte]): Array[Byte] =
+      Blosc.shuffleBuffer(4, delta(4)(b))
+    writeArray("cnt", "<i4", """{"id":"lz4","acceleration":1}""",
+      """[{"id":"delta","dtype":"<i4","astype":"<i4"},{"id":"shuffle","elementsize":4}]""",
+      "0", Map(
+        0 -> lz4(deltaShuffle(leInts(5, 4, 6))),
+        1 -> lz4(deltaShuffle(leInts(3, 7, 2))),
+        2 -> lz4(deltaShuffle(leInts(8, 0, 0)))))
+    // temp: shuffle alone, zlib
+    writeArray("temp", "<f4", """{"id":"zlib","level":6}""",
+      """[{"id":"shuffle","elementsize":4}]""", "0.0", Map(
+        0 -> zlib(Blosc.shuffleBuffer(4, leFloats(1.5f, -2.25f, 3.0f))),
+        1 -> zlib(Blosc.shuffleBuffer(4, leFloats(0.5f, 10.0f, -0.75f))),
+        2 -> zlib(Blosc.shuffleBuffer(4, leFloats(99.5f, 0f, 0f)))))
+    // label: little-endian fixed unicode with non-ASCII and empty elements
+    writeArray("label", "<U4", """{"id":"lz4","acceleration":1}""", "null",
+      "\"\"", Map(
+        0 -> lz4(u32(le = true, 4)("aa", "béta", "")),
+        1 -> lz4(u32(le = true, 4)("日本", "x", "yy")),
+        2 -> lz4(u32(le = true, 4)("zzz", "", ""))))
+    // tag: big-endian fixed unicode, no compressor
+    writeArray("tag", ">U3", "null", "null", "\"\"", Map(
+      0 -> u32(le = false, 3)("t0", "t1", "t2"),
+      1 -> u32(le = false, 3)("t3", "t4", "t5"),
+      2 -> u32(le = false, 3)("t6", "", "")))
+    val consolidated = (Seq("\".zgroup\":{\"zarr_format\":2}") ++
+      zarrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
+    writeJson(Paths.get(root, "meta", ".zmetadata"),
+      s"""{"metadata":{$consolidated},"zarr_consolidated_format":1}""")
+  }
+
+  /**
    * The reference's golden fixture: /meta group, 3 rows —
    * collections a/b/c, dates 2023-01-01..03, bbox = WKT boxes ±10/±20/±30.
    */

@@ -204,4 +204,123 @@ class ZarrV2Spec extends SparkSpec {
       Seq("flag", "id", "name", "score", "temp", "ts"))
     assert(df.count() == 7)
   }
+
+  // ---------------------------------------------- numcodecs filter surface
+
+  private lazy val filtersFixture: String = {
+    val dir = Files.createTempDirectory("graft_v2filt").resolve("store.zarr")
+    ZarrWriter.writeV2FiltersFixture(dir.toString)
+    dir.toString
+  }
+
+  test("v2 filters: lz4 compressor, delta, shuffle, chained order, fixed unicode") {
+    val df = spark.read.format("zarr").option("group", "/meta").load(filtersFixture)
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("cnt", IntegerType), ("id", LongType), ("label", StringType),
+      ("tag", StringType), ("temp", FloatType)))
+    val rows = df.orderBy("id").collect()
+    // delta + lz4: per-chunk prefix sums restore the cumulative sequence
+    assert(rows.map(_.getAs[Long]("id")).toSeq ==
+      Seq(0L, 10L, 30L, 60L, 100L, 150L, 210L))
+    // delta then shuffle (declared order) then lz4 — undone in reverse
+    assert(rows.map(_.getAs[Int]("cnt")).toSeq == Seq(5, 4, 6, 3, 7, 2, 8))
+    // shuffle alone under zlib
+    assert(rows.map(_.getAs[Float]("temp")).toSeq ==
+      Seq(1.5f, -2.25f, 3.0f, 0.5f, 10.0f, -0.75f, 99.5f))
+    // <U4: non-ASCII and empty elements, NUL padding trimmed
+    assert(rows.map(_.getAs[String]("label")).toSeq ==
+      Seq("aa", "béta", "", "日本", "x", "yy", "zzz"))
+    // >U3: big-endian code units
+    assert(rows.map(_.getAs[String]("tag")).toSeq == (0 to 6).map("t" + _))
+  }
+
+  test("v2 filter rejections: delta/shuffle configs that cannot round-trip") {
+    def arr(json: String): ZarrException =
+      intercept[ZarrException](ZarrMeta.parseArrayV2("g/x", "x", json))
+    // astype different from dtype would need numpy cast semantics
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C",
+        "filters":[{"id":"delta","dtype":"<i8","astype":"<i4"}]}""")
+      .getMessage.contains("astype"))
+    // filter dtype narrower than the array dtype
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C",
+        "filters":[{"id":"delta","dtype":"<i4"}]}""")
+      .getMessage.contains("does not match array dtype"))
+    // byte-order mismatch between filter and array
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C",
+        "filters":[{"id":"delta","dtype":">i8"}]}""")
+      .getMessage.contains("does not match array dtype"))
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C",
+        "filters":[{"id":"delta"}]}""")
+      .getMessage.contains("missing dtype"))
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C",
+        "filters":[{"id":"shuffle","elementsize":0}]}""")
+      .getMessage.contains("elementsize"))
+  }
+
+  test("hostile lz4 and fixed-unicode chunks fail typed, never trusted") {
+    import graft.zarr.{ZarrArrayMeta, ZarrCodec, ZarrCodecs, ZarrType}
+    val lz4Meta = ZarrArrayMeta("x", "g/x", 4, 4, ZarrType.ZInt64,
+      Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.Lz4Codec),
+      "/", "0", v2Keys = true)
+    // shorter than the 4-byte size header
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk(Array[Byte](1, 2), lz4Meta))
+      .getMessage.contains("size header"))
+    // a size claim far beyond LZ4's possible expansion must be rejected
+    // BEFORE allocation (a forged header would otherwise allocate GBs)
+    val forged = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue).array()
+    assert(intercept[ZarrException](ZarrCodecs.decodeChunk(forged, lz4Meta))
+      .getMessage.contains("claims"))
+    // truncated block: decodes fewer bytes than the header promises
+    val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val good = new Array[Byte](32)
+    val comp = new Array[Byte](4 + c.maxCompressedLength(32))
+    java.nio.ByteBuffer.wrap(comp, 0, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(32)
+    val n = c.compress(good, 0, 32, comp, 4, comp.length - 4)
+    val truncated = java.util.Arrays.copyOfRange(comp, 0, 4 + n - 1)
+    assert(intercept[ZarrException](ZarrCodecs.decodeChunk(truncated, lz4Meta))
+      .getMessage.toLowerCase.contains("lz4"))
+    // fixed-unicode: a surrogate code point is not valid UTF-32
+    val uMeta = ZarrArrayMeta("x", "g/x", 2, 2, ZarrType.ZString,
+      Seq(ZarrCodec.FixedUnicodeCodec(2, littleEndian = true)),
+      "/", "\"\"", v2Keys = true)
+    val surrogate = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt('a').putInt(0xD800).putInt('b').putInt(0).array()
+    assert(intercept[ZarrException](ZarrCodecs.decodeChunk(surrogate, uMeta))
+      .getMessage.contains("code point"))
+    // short buffer
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk(new Array[Byte](8), uMeta))
+      .getMessage.contains("needs"))
+    // delta buffer not a multiple of the element width
+    val dMeta = ZarrArrayMeta("x", "g/x", 4, 4, ZarrType.ZInt32,
+      Seq(ZarrCodec.BytesCodec(littleEndian = true),
+        ZarrCodec.DeltaCodec(4, littleEndian = true, float = false)),
+      "/", "0", v2Keys = true)
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk(new Array[Byte](15), dMeta))
+      .getMessage.contains("multiple"))
+  }
+
+  test("v2 filters store mounts as a catalog table too") {
+    spark.conf.set("spark.sql.catalog.zv2f", "graft.sources.ZarrCatalog")
+    spark.conf.set("spark.sql.catalog.zv2f.root", filtersFixture)
+    try {
+      val rows = spark.sql(
+        "SELECT id, label FROM zv2f.meta WHERE id >= 100 ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((100L, "x"), (150L, "yy"), (210L, "zzz")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.zv2f")
+      spark.conf.unset("spark.sql.catalog.zv2f.root")
+    }
+  }
 }
