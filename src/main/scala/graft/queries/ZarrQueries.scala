@@ -80,10 +80,14 @@ object ZarrQueries {
     buildFixtureAtomically("graft_zarr_v2_fixture", ".zmetadata",
       ZarrWriter.writeV2Fixture)
 
-  /** Second V2 store covering lz4/delta/shuffle/fixed-unicode
-   *  (see [[ZarrWriter.writeV2FiltersFixture]]). */
+  /** Second V2 store covering lz4/bz2/lzma-xz compressors, delta/shuffle/
+   *  packbits filters, and fixed-unicode dtypes
+   *  (see [[ZarrWriter.writeV2FiltersFixture]]). The cache name carries a
+   *  version suffix: the probe file can't tell fixture revisions apart, so
+   *  changing the fixture definition MUST bump the suffix or machines with
+   *  an older build keep serving the stale store. */
   lazy val v2FiltersFixturePath: String =
-    buildFixtureAtomically("graft_zarr_v2_filters_fixture", ".zmetadata",
+    buildFixtureAtomically("graft_zarr_v2_filters_fixture_v2", ".zmetadata",
       ZarrWriter.writeV2FiltersFixture)
 
   /** Flagship: the full search predicate over the Zarr table. */
@@ -342,20 +346,21 @@ object ZarrQueries {
       (s, _) => s.read.format("zarr").option("group", "/meta")
         .load(v2FixturePath).orderBy("id")),
 
-    // Zarr V2 numcodecs filter surface: lz4 compressor (u32-LE size header
-    // + raw block), delta and shuffle filters alone and CHAINED in declared
-    // order, fixed-width unicode (<U4 with non-ASCII/empty elements, >U3
-    // big-endian). Deterministic byte-level fixture → literal oracle.
+    // Zarr V2 numcodecs surface beyond the base fixture: lz4/bz2/lzma-xz
+    // compressors, delta/shuffle/packbits filters alone and CHAINED in
+    // declared order, fixed-width unicode (<U4 with non-ASCII/empty
+    // elements, >U3 big-endian). Deterministic byte-level fixture →
+    // literal oracle.
     Q("q_zarr_v2_filters", Some("""
       SELECT * FROM (VALUES
-        (CAST(5 AS INTEGER), CAST(0 AS BIGINT),   'aa',   't0', CAST(1.5 AS REAL)),
-        (4,                  10,                  'béta', 't1', CAST(-2.25 AS REAL)),
-        (6,                  30,                  '',     't2', CAST(3.0 AS REAL)),
-        (3,                  60,                  '日本', 't3', CAST(0.5 AS REAL)),
-        (7,                  100,                 'x',    't4', CAST(10.0 AS REAL)),
-        (2,                  150,                 'yy',   't5', CAST(-0.75 AS REAL)),
-        (8,                  210,                 'zzz',  't6', CAST(99.5 AS REAL)))
-        AS t(cnt, id, label, tag, temp)
+        (CAST(5 AS INTEGER), true,  CAST(0 AS BIGINT), 'aa',   't0', CAST(1.5 AS REAL),   CAST(0.125 AS DOUBLE)),
+        (4,                  false, 10,                'béta', 't1', CAST(-2.25 AS REAL), 0.25),
+        (6,                  true,  30,                '',     't2', CAST(3.0 AS REAL),   0.5),
+        (3,                  false, 60,                '日本', 't3', CAST(0.5 AS REAL),   1.0),
+        (7,                  false, 100,               'x',    't4', CAST(10.0 AS REAL),  2.0),
+        (2,                  true,  150,               'yy',   't5', CAST(-0.75 AS REAL), 4.0),
+        (8,                  true,  210,               'zzz',  't6', CAST(99.5 AS REAL),  8.0))
+        AS t(cnt, flag, id, label, tag, temp, wt)
       ORDER BY id"""),
       (s, _) => s.read.format("zarr").option("group", "/meta")
         .load(v2FiltersFixturePath).orderBy("id")),

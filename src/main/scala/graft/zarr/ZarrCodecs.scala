@@ -89,6 +89,9 @@ object ZarrCodecs {
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
       case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path)
       case ZarrCodec.Lz4Codec        => bytes = lz4Decompress(bytes, meta.path)
+      case ZarrCodec.Bz2Codec        => bytes = bz2Decompress(bytes, meta.path)
+      case ZarrCodec.XzCodec         => bytes = xzDecompress(bytes, meta.path)
+      case ZarrCodec.PackBitsCodec   => bytes = packBitsDecode(bytes, meta.path)
       case ZarrCodec.ShuffleCodec(es) =>
         if (es > 1) bytes = Blosc.unshuffleBuffer(es, bytes)
       case ZarrCodec.DeltaCodec(w, le, fl) =>
@@ -206,6 +209,56 @@ object ZarrCodecs {
       case e: java.util.zip.DataFormatException =>
         throw new ZarrException(s"corrupt zlib chunk at $path", e)
     } finally inf.end()
+  }
+
+  /** numcodecs `bz2` (Zarr v2): a standard bzip2 stream. */
+  private def bz2Decompress(bytes: Array[Byte], path: String): Array[Byte] = {
+    // the constructor itself rejects bad magic with IOException
+    val in =
+      try new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException =>
+        throw new ZarrException(s"corrupt bz2 chunk at $path", e) }
+    try in.readAllBytes()
+    catch { case e: java.io.IOException =>
+      throw new ZarrException(s"corrupt bz2 chunk at $path", e) }
+    finally in.close()
+  }
+
+  /** numcodecs `lzma` with FORMAT_XZ: one .xz stream (xz-java via
+   *  commons-compress, both on Spark's standard classpath). */
+  private def xzDecompress(bytes: Array[Byte], path: String): Array[Byte] = {
+    val in =
+      try new org.apache.commons.compress.compressors.xz
+        .XZCompressorInputStream(new ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException =>
+        throw new ZarrException(s"corrupt xz chunk at $path", e) }
+    try in.readAllBytes()
+    catch { case e: java.io.IOException =>
+      throw new ZarrException(s"corrupt xz chunk at $path", e) }
+    finally in.close()
+  }
+
+  /** Undo a numcodecs `packbits` filter: header byte = leftover bits in
+   *  the final packed byte (0 = it is full), then MSB-first packed bits;
+   *  output is the bool chunk's 0/1 byte buffer. */
+  private def packBitsDecode(bytes: Array[Byte], path: String): Array[Byte] = {
+    if (bytes.length < 1)
+      throw new ZarrException(s"packbits chunk missing its header byte at $path")
+    val leftover = bytes(0) & 0xFF
+    if (leftover > 7)
+      throw new ZarrException(s"packbits header claims $leftover leftover bits at $path")
+    val packed = bytes.length - 1
+    if (leftover > 0 && packed == 0)
+      throw new ZarrException(s"packbits leftover bits without a packed byte at $path")
+    val n = if (leftover == 0) packed * 8 else (packed - 1) * 8 + leftover
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(1 + (i >> 3)) >> (7 - (i & 7))) & 1).toByte
+      i += 1
+    }
+    out
   }
 
   /** numcodecs `lz4` (Zarr v2): u32-LE original size, then one raw LZ4

@@ -57,6 +57,14 @@ object ZarrCodec {
    *  followed by ONE raw LZ4 block — distinct from blosc's lz4 (blosc1
    *  frame) and from the LZ4 frame format. */
   case object Lz4Codec extends ZarrCodec
+  /** numcodecs `bz2` (Zarr v2 compressor): a standard bzip2 stream. */
+  case object Bz2Codec extends ZarrCodec
+  /** numcodecs `lzma` with format=FORMAT_XZ (its default): an .xz stream. */
+  case object XzCodec extends ZarrCodec
+  /** numcodecs `packbits` filter (bool arrays only): 1 header byte holding
+   *  `n % 8` (leftover bits in the final packed byte, 0 = none), then
+   *  MSB-first `np.packbits` output. */
+  case object PackBitsCodec extends ZarrCodec
   /** numcodecs `delta` filter: element-wise differences in the dtype's own
    *  arithmetic (first element stored verbatim); decode is a running prefix
    *  sum over the fixed-width buffer. `width`/`littleEndian`/`float` come
@@ -226,6 +234,11 @@ object ZarrMeta {
               if (es < 1)
                 throw new ZarrException(s"shuffle filter elementsize $es at $path")
               out += ShuffleCodec(es)
+            case "packbits" =>
+              if (dtype != ZarrType.ZBool)
+                throw new ZarrException(
+                  s"packbits filter is bool-only, array dtype is '$typestr' at $path")
+              out += PackBitsCodec
             case other => throw new ZarrException(s"unsupported v2 filter '$other' at $path")
           }
         }
@@ -257,6 +270,15 @@ object ZarrMeta {
         case "zlib" => Seq(ZlibCodec)
         case "gzip" => Seq(GzipCodec(comp.path("level").asInt(5)))
         case "lz4"  => Seq(Lz4Codec) // `acceleration` only tunes encode speed
+        case "bz2"  => Seq(Bz2Codec)
+        case "lzma" =>
+          // numcodecs LZMA: format 1 = FORMAT_XZ (its default). ALONE/RAW
+          // formats would need the python lzma filter-chain model — reject.
+          val fmt = comp.path("format").asInt(1)
+          if (fmt != 1)
+            throw new ZarrException(
+              s"lzma compressor format $fmt not supported (only XZ=1) at $path")
+          Seq(XzCodec)
         case other => throw new ZarrException(s"unsupported v2 compressor '$other' at $path")
       }
     val terminal: Seq[ZarrCodec] = unicodeUnits match {

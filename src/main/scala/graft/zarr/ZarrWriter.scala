@@ -471,6 +471,8 @@ object ZarrWriter {
    *  - `temp`  `<f4`, filters=[shuffle es=4], zlib
    *  - `label` `<U4`, lz4 (non-ASCII + empty elements)
    *  - `tag`   `>U3`, raw (big-endian unicode)
+   *  - `flag`  `|b1`, filters=[packbits], bz2
+   *  - `wt`    `<f8`, lzma (FORMAT_XZ)
    */
   def writeV2FiltersFixture(root: String): Unit = {
     val rows = 7
@@ -581,6 +583,45 @@ object ZarrWriter {
       0 -> u32(le = false, 3)("t0", "t1", "t2"),
       1 -> u32(le = false, 3)("t3", "t4", "t5"),
       2 -> u32(le = false, 3)("t6", "", "")))
+    // flag: bools through packbits (1-byte leftover header + MSB-first
+    // np.packbits bits) then a bzip2 stream
+    def packbits(vs: Boolean*): Array[Byte] = {
+      val out = new Array[Byte](1 + (vs.length + 7) / 8)
+      out(0) = (vs.length % 8).toByte
+      vs.zipWithIndex.foreach { case (v, i) =>
+        if (v) out(1 + (i >> 3)) = (out(1 + (i >> 3)) | (1 << (7 - (i & 7)))).toByte
+      }
+      out
+    }
+    def bz2(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos)
+      out.write(b); out.close()
+      bos.toByteArray
+    }
+    writeArray("flag", "|b1", """{"id":"bz2","level":9}""",
+      """[{"id":"packbits"}]""", "false", Map(
+        0 -> bz2(packbits(true, false, true)),
+        1 -> bz2(packbits(false, false, true)),
+        2 -> bz2(packbits(true, false, false))))
+    // wt: float64 through an .xz stream (numcodecs lzma FORMAT_XZ default)
+    def leDoubles(vs: Double*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble); b.array()
+    }
+    def xz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.apache.commons.compress.compressors.xz
+        .XZCompressorOutputStream(bos)
+      out.write(b); out.close()
+      bos.toByteArray
+    }
+    writeArray("wt", "<f8", """{"id":"lzma","format":1,"check":-1}""", "null",
+      "0.0", Map(
+        0 -> xz(leDoubles(0.125, 0.25, 0.5)),
+        1 -> xz(leDoubles(1.0, 2.0, 4.0)),
+        2 -> xz(leDoubles(8.0, 0, 0))))
     val consolidated = (Seq("\".zgroup\":{\"zarr_format\":2}") ++
       zarrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
     writeJson(Paths.get(root, "meta", ".zmetadata"),

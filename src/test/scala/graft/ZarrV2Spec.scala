@@ -144,7 +144,7 @@ class ZarrV2Spec extends SparkSpec {
         "compressor":null,"fill_value":0,"order":"C","filters":null}""")
       .getMessage.contains("dtype"))
     assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
-        "compressor":{"id":"lzma"},"fill_value":0,"order":"C","filters":null}""")
+        "compressor":{"id":"zfpy"},"fill_value":0,"order":"C","filters":null}""")
       .getMessage.contains("compressor"))
     assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"|O",
         "compressor":null,"fill_value":null,"order":"C","filters":null}""")
@@ -216,9 +216,16 @@ class ZarrV2Spec extends SparkSpec {
   test("v2 filters: lz4 compressor, delta, shuffle, chained order, fixed unicode") {
     val df = spark.read.format("zarr").option("group", "/meta").load(filtersFixture)
     assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
-      ("cnt", IntegerType), ("id", LongType), ("label", StringType),
-      ("tag", StringType), ("temp", FloatType)))
+      ("cnt", IntegerType), ("flag", BooleanType), ("id", LongType),
+      ("label", StringType), ("tag", StringType), ("temp", FloatType),
+      ("wt", DoubleType)))
     val rows = df.orderBy("id").collect()
+    // packbits under bz2: leftover-bit header + MSB-first bit unpack
+    assert(rows.map(_.getAs[Boolean]("flag")).toSeq ==
+      Seq(true, false, true, false, false, true, true))
+    // lzma FORMAT_XZ stream
+    assert(rows.map(_.getAs[Double]("wt")).toSeq ==
+      Seq(0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0))
     // delta + lz4: per-chunk prefix sums restore the cumulative sequence
     assert(rows.map(_.getAs[Long]("id")).toSeq ==
       Seq(0L, 10L, 30L, 60L, 100L, 150L, 210L))
@@ -260,6 +267,46 @@ class ZarrV2Spec extends SparkSpec {
         "compressor":null,"fill_value":0,"order":"C",
         "filters":[{"id":"shuffle","elementsize":0}]}""")
       .getMessage.contains("elementsize"))
+    // packbits is bool-only — on any other dtype the bit count is ambiguous
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C",
+        "filters":[{"id":"packbits"}]}""")
+      .getMessage.contains("bool-only"))
+    // lzma formats other than XZ need python's filter-chain model
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":{"id":"lzma","format":3},"fill_value":0,"order":"C",
+        "filters":null}""")
+      .getMessage.contains("lzma"))
+  }
+
+  test("hostile packbits/bz2/xz chunks fail typed") {
+    import graft.zarr.{ZarrArrayMeta, ZarrCodec, ZarrCodecs, ZarrType}
+    val pbMeta = ZarrArrayMeta("x", "g/x", 3, 3, ZarrType.ZBool,
+      Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.PackBitsCodec),
+      "/", "false", v2Keys = true)
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk(Array.empty[Byte], pbMeta))
+      .getMessage.contains("header"))
+    // a header byte claiming >7 leftover bits is not a np.packbits output
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk(Array[Byte](9, 0x55), pbMeta))
+      .getMessage.contains("leftover"))
+    // leftover bits declared but zero packed bytes follow
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk(Array[Byte](3), pbMeta))
+      .getMessage.contains("leftover"))
+    val bz2Meta = ZarrArrayMeta("x", "g/x", 4, 4, ZarrType.ZInt64,
+      Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.Bz2Codec),
+      "/", "0", v2Keys = true)
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk("not bzip2".getBytes, bz2Meta))
+      .getMessage.contains("bz2"))
+    val xzMeta = ZarrArrayMeta("x", "g/x", 4, 4, ZarrType.ZInt64,
+      Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.XzCodec),
+      "/", "0", v2Keys = true)
+    assert(intercept[ZarrException](
+      ZarrCodecs.decodeChunk("not an xz stream".getBytes, xzMeta))
+      .getMessage.contains("xz"))
   }
 
   test("hostile lz4 and fixed-unicode chunks fail typed, never trusted") {
