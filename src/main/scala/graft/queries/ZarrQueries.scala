@@ -77,7 +77,7 @@ object ZarrQueries {
   /** Hand-crafted Zarr V2 store, written once per machine (byte-level
    *  numcodecs encodings — see [[ZarrWriter.writeV2Fixture]]). */
   lazy val v2FixturePath: String =
-    buildFixtureAtomically("graft_zarr_v2_fixture", ".zmetadata",
+    buildFixtureAtomically("graft_zarr_v2_fixture", "meta/.zmetadata",
       ZarrWriter.writeV2Fixture)
 
   /** Second V2 store covering lz4/bz2/lzma-xz compressors, delta/shuffle/
@@ -87,7 +87,7 @@ object ZarrQueries {
    *  changing the fixture definition MUST bump the suffix or machines with
    *  an older build keep serving the stale store. */
   lazy val v2FiltersFixturePath: String =
-    buildFixtureAtomically("graft_zarr_v2_filters_fixture_v2", ".zmetadata",
+    buildFixtureAtomically("graft_zarr_v2_filters_fixture_v2", "meta/.zmetadata",
       ZarrWriter.writeV2FiltersFixture)
 
   /** Flagship: the full search predicate over the Zarr table. */

@@ -348,9 +348,6 @@ object Blosc {
     if (!ok || opos >= len) null else java.util.Arrays.copyOfRange(out, 0, opos)
   }
 
-  /** Block-local byte unshuffle: shuffled layout stores byte-plane j of all
-   *  elements contiguously; the `bsize % typesize` tail is stored verbatim
-   *  (matches c-blosc shuffle.c). Writes the restored block at `destOff`. */
   /** Whole-buffer byte-unshuffle (numcodecs standalone `shuffle` filter
    *  uses the same plane transform as blosc, without framing). */
   private[zarr] def unshuffleBuffer(typesize: Int, data: Array[Byte]): Array[Byte] = {
@@ -364,6 +361,9 @@ object Blosc {
   private[zarr] def shuffleBuffer(typesize: Int, data: Array[Byte]): Array[Byte] =
     shuffleBlock(typesize, data, 0, data.length)
 
+  /** Block-local byte unshuffle: shuffled layout stores byte-plane j of all
+   *  elements contiguously; the `bsize % typesize` tail is stored verbatim
+   *  (matches c-blosc shuffle.c). Writes the restored block at `destOff`. */
   private def unshuffle(typesize: Int, block: Array[Byte], out: Array[Byte], destOff: Int): Unit = {
     val bsize = block.length
     val nel = bsize / typesize

@@ -81,16 +81,20 @@ object ZarrCodecs {
       case _ =>
     }
     var bytes = raw
+    // decoded-size bound for the stream decompressors: chunk framing is
+    // attacker-controlled on foreign stores, and a kilobyte-scale bomb
+    // would otherwise expand until the executor OOMs
+    val cap = maxDecodedBytes(meta)
     // undo byte-stream codecs, innermost-last
     meta.codecs.reverse.foreach {
-      case ZarrCodec.ZstdCodec(_, _) => bytes = zstdDecompress(bytes)
-      case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes)
-      case ZarrCodec.ZlibCodec       => bytes = zlibDecompress(bytes, meta.path)
+      case ZarrCodec.ZstdCodec(_, _) => bytes = zstdDecompress(bytes, cap, meta.path)
+      case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes, cap, meta.path)
+      case ZarrCodec.ZlibCodec       => bytes = zlibDecompress(bytes, cap, meta.path)
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
       case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path)
       case ZarrCodec.Lz4Codec        => bytes = lz4Decompress(bytes, meta.path)
-      case ZarrCodec.Bz2Codec        => bytes = bz2Decompress(bytes, meta.path)
-      case ZarrCodec.XzCodec         => bytes = xzDecompress(bytes, meta.path)
+      case ZarrCodec.Bz2Codec        => bytes = bz2Decompress(bytes, cap, meta.path)
+      case ZarrCodec.XzCodec         => bytes = xzDecompress(bytes, cap, meta.path)
       case ZarrCodec.PackBitsCodec   => bytes = packBitsDecode(bytes, meta.path)
       case ZarrCodec.ShuffleCodec(es) =>
         if (es > 1) bytes = Blosc.unshuffleBuffer(es, bytes)
@@ -178,23 +182,57 @@ object ZarrCodecs {
     }
   }
 
-  private def zstdDecompress(bytes: Array[Byte]): Array[Byte] = {
-    val in = new ZstdInputStreamNoFinalizer(new ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
+  /** Max legitimate decoded size of one chunk, from metadata alone: the
+   *  fixed element width times the chunk length (with slack for packbits
+   *  framing), or a 1 GiB backstop when the dtype is variable-length and
+   *  the metadata carries no bound. */
+  private def maxDecodedBytes(meta: ZarrArrayMeta): Long = {
+    val width: Option[Long] = meta.codecs
+      .collectFirst { case ZarrCodec.FixedUnicodeCodec(u, _) => 4L * u }
+      .orElse(if (meta.dtype.byteSize > 0) Some(meta.dtype.byteSize.toLong) else None)
+    width match {
+      case Some(w) => meta.chunkLength * w + 64
+      case None    => 1L << 30
+    }
   }
 
-  private def gzipDecompress(bytes: Array[Byte]): Array[Byte] = {
+  /** Drain a decompression stream, failing typed past `cap` bytes. */
+  private def readBounded(in: java.io.InputStream, cap: Long, what: String,
+      path: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      total += n
+      if (total > cap)
+        throw new ZarrException(
+          s"$what chunk decodes past its $cap-byte metadata bound at $path")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  private def zstdDecompress(bytes: Array[Byte], cap: Long, path: String): Array[Byte] = {
+    val in = new ZstdInputStreamNoFinalizer(new ByteArrayInputStream(bytes))
+    try readBounded(in, cap, "zstd", path) finally in.close()
+  }
+
+  private def gzipDecompress(bytes: Array[Byte], cap: Long, path: String): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
+    try readBounded(in, cap, "gzip", path) finally in.close()
   }
 
   /** numcodecs `zlib` (Zarr v2): RFC-1950 stream via JDK Inflater. */
-  private def zlibDecompress(bytes: Array[Byte], path: String): Array[Byte] = {
+  private def zlibDecompress(bytes: Array[Byte], cap: Long, path: String): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(bytes)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(64, math.min(cap, bytes.length * 4L).toInt))
       val buf = new Array[Byte](8192)
+      var total = 0L
       while (!inf.finished()) {
         val n = inf.inflate(buf)
         // needsDictionary: FDICT-flagged stream — inflate() returns 0 with
@@ -202,6 +240,10 @@ object ZarrCodecs {
         // chunk spins the reader task instead of throwing
         if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
           throw new ZarrException(s"truncated or preset-dictionary zlib chunk at $path")
+        total += n
+        if (total > cap)
+          throw new ZarrException(
+            s"zlib chunk decodes past its $cap-byte metadata bound at $path")
         out.write(buf, 0, n)
       }
       out.toByteArray
@@ -212,14 +254,14 @@ object ZarrCodecs {
   }
 
   /** numcodecs `bz2` (Zarr v2): a standard bzip2 stream. */
-  private def bz2Decompress(bytes: Array[Byte], path: String): Array[Byte] = {
+  private def bz2Decompress(bytes: Array[Byte], cap: Long, path: String): Array[Byte] = {
     // the constructor itself rejects bad magic with IOException
     val in =
       try new org.apache.commons.compress.compressors.bzip2
         .BZip2CompressorInputStream(new ByteArrayInputStream(bytes))
       catch { case e: java.io.IOException =>
         throw new ZarrException(s"corrupt bz2 chunk at $path", e) }
-    try in.readAllBytes()
+    try readBounded(in, cap, "bz2", path)
     catch { case e: java.io.IOException =>
       throw new ZarrException(s"corrupt bz2 chunk at $path", e) }
     finally in.close()
@@ -227,13 +269,13 @@ object ZarrCodecs {
 
   /** numcodecs `lzma` with FORMAT_XZ: one .xz stream (xz-java via
    *  commons-compress, both on Spark's standard classpath). */
-  private def xzDecompress(bytes: Array[Byte], path: String): Array[Byte] = {
+  private def xzDecompress(bytes: Array[Byte], cap: Long, path: String): Array[Byte] = {
     val in =
       try new org.apache.commons.compress.compressors.xz
         .XZCompressorInputStream(new ByteArrayInputStream(bytes))
       catch { case e: java.io.IOException =>
         throw new ZarrException(s"corrupt xz chunk at $path", e) }
-    try in.readAllBytes()
+    try readBounded(in, cap, "xz", path)
     catch { case e: java.io.IOException =>
       throw new ZarrException(s"corrupt xz chunk at $path", e) }
     finally in.close()

@@ -208,14 +208,16 @@ object ZarrMeta {
     if (order != "C" && order != "F") // identical for 1-D, but reject garbage
       throw new ZarrException(s"unsupported order '$order' at $path")
     val typestr = n.path("dtype").asText()
-    val (dtype, littleEndian) = parseDTypeV2(typestr, path)
-    // numpy fixed-width unicode (`<U5`): ZString plus a terminal codec
-    // carrying the UTF-32 element width
-    val unicodeUnits: Option[Int] = {
-      val body = if ("<>|=".contains(typestr.charAt(0))) typestr.substring(1) else typestr
-      if (body.length > 1 && body.startsWith("U") && body.drop(1).forall(_.isDigit))
-        Some(body.drop(1).toInt)
-      else None
+    val pd = parseDTypeV2(typestr, path)
+    val dtype = pd.dtype
+    val littleEndian = pd.littleEndian
+    // the chunk's decoded byte size when the dtype is fixed-width — the
+    // bound hostile filter/codec parameters are validated against
+    val chunkByteSize: Option[Long] = pd.unicodeUnits match {
+      case Some(u) => Some(chunks.get(0).asLong() * 4L * u)
+      case None if dtype != null && dtype.byteSize > 0 =>
+        Some(chunks.get(0).asLong() * dtype.byteSize)
+      case None => None
     }
     val filters = n.path("filters")
     val filterCodecs: Seq[ZarrCodec] =
@@ -231,7 +233,10 @@ object ZarrMeta {
             case "delta"      => out += parseDeltaV2(f, dtype, littleEndian, path)
             case "shuffle" =>
               val es = f.path("elementsize").asInt(4) // numcodecs default
-              if (es < 1)
+              // upper bound too: a forged elementsize in the billions makes
+              // the unshuffle plane loop spin ~elementsize times per chunk
+              // (nel=0) — a metadata-driven CPU DoS on foreign stores
+              if (es < 1 || es > chunkByteSize.getOrElse(1L << 20))
                 throw new ZarrException(s"shuffle filter elementsize $es at $path")
               out += ShuffleCodec(es)
             case "packbits" =>
@@ -281,7 +286,7 @@ object ZarrMeta {
           Seq(XzCodec)
         case other => throw new ZarrException(s"unsupported v2 compressor '$other' at $path")
       }
-    val terminal: Seq[ZarrCodec] = unicodeUnits match {
+    val terminal: Seq[ZarrCodec] = pd.unicodeUnits match {
       case Some(u) => Seq(FixedUnicodeCodec(u, littleEndian))
       case None => resolved match {
         case ZarrType.ZString | ZarrType.ZBytes => Seq.empty // vlen filter is terminal
@@ -314,7 +319,8 @@ object ZarrMeta {
     val dts = f.path("dtype").asText("")
     if (dts.isEmpty)
       throw new ZarrException(s"delta filter missing dtype at $path")
-    val (fdt, fle) = parseDTypeV2(dts, path)
+    val fpd = parseDTypeV2(dts, path)
+    val (fdt, fle) = (fpd.dtype, fpd.littleEndian)
     val (width, float) = fdt match {
       case ZInt8 | ZUInt8                  => (1, false)
       case ZInt16 | ZUInt16                => (2, false)
@@ -328,7 +334,7 @@ object ZarrMeta {
     }
     if (f.has("astype") && !f.path("astype").isNull) {
       val ats = f.path("astype").asText("")
-      if (parseDTypeV2(ats, path) != ((fdt, fle)))
+      if (parseDTypeV2(ats, path) != fpd)
         throw new ZarrException(
           s"delta filter astype '$ats' != dtype '$dts' not supported at $path")
     }
@@ -343,7 +349,24 @@ object ZarrMeta {
     ZarrCodec.DeltaCodec(width, fle, float)
   }
 
-  private def parseDTypeV2(typestr: String, path: String): (ZarrType, Boolean) = {
+  /** A parsed numpy typestr: `dtype` is null for `|O` (object — the real
+   *  type comes from a vlen filter); `unicodeUnits` is set for fixed-width
+   *  unicode (`<U5` → ZString plus a FixedUnicodeCodec terminal). */
+  private final case class V2DType(dtype: ZarrType, littleEndian: Boolean,
+      unicodeUnits: Option[Int])
+
+  /** Bounded parse of a typestr's width digits: the value is hostile on
+   *  foreign stores, so an absurd width is a typed rejection, not a raw
+   *  NumberFormatException or a gigabyte per-element allocation. */
+  private def parseWidthV2(digits: String, typestr: String, path: String): Int = {
+    // ≤7 digits can't overflow Int; the 1 MiB/element cap is far above any
+    // real numpy fixed-width dtype
+    if (digits.length > 7 || digits.toInt > (1 << 20))
+      throw new ZarrException(s"v2 dtype '$typestr' width out of range at $path")
+    digits.toInt
+  }
+
+  private def parseDTypeV2(typestr: String, path: String): V2DType = {
     import ZarrType._
     if (typestr.isEmpty) throw new ZarrException(s"missing v2 dtype at $path")
     val le = typestr.charAt(0) != '>'
@@ -369,12 +392,13 @@ object ZarrMeta {
             throw new ZarrException(s"unsupported v2 datetime64 unit '$other' at $path")
         }
       case s if s.startsWith("S") && s.drop(1).forall(_.isDigit) && s.length > 1 =>
-        ZRaw(s.drop(1).toInt * 8) // fixed-width bytes
+        ZRaw(parseWidthV2(s.drop(1), typestr, path) * 8) // fixed-width bytes
       case s if s.startsWith("U") && s.drop(1).forall(_.isDigit) && s.length > 1 =>
-        ZString // fixed-width UTF-32; parseArrayV2 attaches FixedUnicodeCodec
+        return V2DType(ZString, le,
+          Some(parseWidthV2(s.drop(1), typestr, path))) // fixed-width UTF-32
       case other => throw new ZarrException(s"unsupported v2 dtype '$typestr' ($other) at $path")
     }
-    (t, le)
+    V2DType(t, le, None)
   }
 
   /** Zarr v3 dtype → internal type. Rejections mirror reference src/schema.rs:89-122. */

@@ -363,19 +363,15 @@ object ZarrWriter {
    *  - `flag`   `|b1`, blosc compressor (numcodecs-style blosc1 frame)
    *  - `score`  `<f8`, zlib, chunk 1 MISSING → rows 3-5 read fill_value 1.5
    */
-  def writeV2Fixture(root: String): Unit = {
-    val rows = 7
-    val chunkLen = 3
-    def zlib(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(6)
-      try {
-        d.setInput(b); d.finish()
-        val out = new Array[Byte](b.length + 64)
-        val n = d.deflate(out)
-        java.util.Arrays.copyOfRange(out, 0, n)
-      } finally d.end()
-    }
-    val zarrayDocs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+  // --- shared scaffolding for the hand-crafted v2 fixtures ---------------
+
+  /** One fixture store under `root`/meta: `.zarray` docs, group docs, and
+   *  the consolidated `.zmetadata` generated from the SAME doc strings as
+   *  the per-array files so the two can never diverge. */
+  private final class V2FixtureStore(root: String, rows: Int, chunkLen: Int) {
+    private val zarrayDocs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    writeJson(Paths.get(root, ".zgroup"), """{"zarr_format":2}""")
+    writeJson(Paths.get(root, "meta", ".zgroup"), """{"zarr_format":2}""")
     def writeArray(name: String, dtype: String, compressor: String,
         filters: String, fill: String, chunks: Map[Int, Array[Byte]]): Unit = {
       val dir = Paths.get(root, "meta", name)
@@ -390,13 +386,49 @@ object ZarrWriter {
         Files.write(dir.resolve(i.toString), bytes)
       }
     }
-    writeJson(Paths.get(root, ".zgroup"), """{"zarr_format":2}""")
-    writeJson(Paths.get(root, "meta", ".zgroup"), """{"zarr_format":2}""")
-
-    def leLongs(vs: Long*): Array[Byte] = {
-      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putLong); b.array()
+    def writeConsolidated(): Unit = {
+      val consolidated = (Seq("\".zgroup\":{\"zarr_format\":2}") ++
+        zarrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
+      writeJson(Paths.get(root, "meta", ".zmetadata"),
+        s"""{"metadata":{$consolidated},"zarr_consolidated_format":1}""")
     }
+  }
+
+  private def v2Zlib(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length + 64)
+      val n = d.deflate(out)
+      java.util.Arrays.copyOfRange(out, 0, n)
+    } finally d.end()
+  }
+
+  private def leLongs(vs: Long*): Array[Byte] = {
+    val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(b.putLong); b.array()
+  }
+
+  private def leInts(vs: Int*): Array[Byte] = {
+    val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(b.putInt); b.array()
+  }
+
+  private def leFloats(vs: Float*): Array[Byte] = {
+    val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(b.putFloat); b.array()
+  }
+
+  private def leDoubles(vs: Double*): Array[Byte] = {
+    val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(b.putDouble); b.array()
+  }
+
+  def writeV2Fixture(root: String): Unit = {
+    val store = new V2FixtureStore(root, rows = 7, chunkLen = 3)
+    import store.writeArray
+    def zlib(b: Array[Byte]): Array[Byte] = v2Zlib(b)
+
     // id: 0..6, padded full last chunk (v2 chunk objects are always full)
     writeArray("id", "<i8", """{"id":"zlib","level":6}""", "null", "0", Map(
       0 -> zlib(leLongs(0, 1, 2)),
@@ -443,20 +475,10 @@ object ZarrWriter {
         1 -> blosc(bools(false, false, true)),
         2 -> blosc(bools(true, false, false))))
     // score: chunk 1 deliberately MISSING → fill_value 1.5 for rows 3-5
-    def leDoubles(vs: Double*): Array[Byte] = {
-      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putDouble); b.array()
-    }
     writeArray("score", "<f8", """{"id":"zlib","level":6}""", "null", "1.5", Map(
       0 -> zlib(leDoubles(0.25, 0.5, 0.75)),
       2 -> zlib(leDoubles(6.25, 0, 0))))
-    // consolidated metadata at the group (zarr-python's .zmetadata): one
-    // read resolves every child .zarray — generated from the SAME doc
-    // strings as the per-array files so the two can never diverge
-    val consolidated = (Seq("\".zgroup\":{\"zarr_format\":2}") ++
-      zarrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
-    writeJson(Paths.get(root, "meta", ".zmetadata"),
-      s"""{"metadata":{$consolidated},"zarr_consolidated_format":1}""")
+    store.writeConsolidated()
   }
 
   /**
@@ -475,23 +497,15 @@ object ZarrWriter {
    *  - `wt`    `<f8`, lzma (FORMAT_XZ)
    */
   def writeV2FiltersFixture(root: String): Unit = {
-    val rows = 7
-    val chunkLen = 3
+    val store = new V2FixtureStore(root, rows = 7, chunkLen = 3)
+    import store.writeArray
+    def zlib(b: Array[Byte]): Array[Byte] = v2Zlib(b)
     def lz4(b: Array[Byte]): Array[Byte] = {
       val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
       val out = new Array[Byte](4 + c.maxCompressedLength(b.length))
       ByteBuffer.wrap(out, 0, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(b.length)
       val n = c.compress(b, 0, b.length, out, 4, out.length - 4)
       java.util.Arrays.copyOfRange(out, 0, 4 + n)
-    }
-    def zlib(b: Array[Byte]): Array[Byte] = {
-      val d = new java.util.zip.Deflater(6)
-      try {
-        d.setInput(b); d.finish()
-        val out = new Array[Byte](b.length + 64)
-        val n = d.deflate(out)
-        java.util.Arrays.copyOfRange(out, 0, n)
-      } finally d.end()
     }
     // per-chunk delta encode, exactly numcodecs.Delta: first element
     // verbatim, then wrapping differences in the dtype's own width
@@ -508,36 +522,6 @@ object ZarrWriter {
         i -= 1
       }
       out
-    }
-    val zarrayDocs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def writeArray(name: String, dtype: String, compressor: String,
-        filters: String, fill: String, chunks: Map[Int, Array[Byte]]): Unit = {
-      val dir = Paths.get(root, "meta", name)
-      val doc =
-        s"""{"zarr_format":2,"shape":[$rows],"chunks":[$chunkLen],"dtype":"$dtype",
-           |"compressor":$compressor,"fill_value":$fill,"order":"C","filters":$filters}"""
-          .stripMargin.replace("\n", "")
-      zarrayDocs(name) = doc
-      writeJson(dir.resolve(".zarray"), doc)
-      chunks.foreach { case (i, bytes) =>
-        Files.createDirectories(dir)
-        Files.write(dir.resolve(i.toString), bytes)
-      }
-    }
-    writeJson(Paths.get(root, ".zgroup"), """{"zarr_format":2}""")
-    writeJson(Paths.get(root, "meta", ".zgroup"), """{"zarr_format":2}""")
-
-    def leLongs(vs: Long*): Array[Byte] = {
-      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putLong); b.array()
-    }
-    def leInts(vs: Int*): Array[Byte] = {
-      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putInt); b.array()
-    }
-    def leFloats(vs: Float*): Array[Byte] = {
-      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putFloat); b.array()
     }
     def u32(le: Boolean, units: Int)(vs: String*): Array[Byte] = {
       val b = ByteBuffer.allocate(vs.length * units * 4)
@@ -606,10 +590,6 @@ object ZarrWriter {
         1 -> bz2(packbits(false, false, true)),
         2 -> bz2(packbits(true, false, false))))
     // wt: float64 through an .xz stream (numcodecs lzma FORMAT_XZ default)
-    def leDoubles(vs: Double*): Array[Byte] = {
-      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putDouble); b.array()
-    }
     def xz(b: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new org.apache.commons.compress.compressors.xz
@@ -622,10 +602,7 @@ object ZarrWriter {
         0 -> xz(leDoubles(0.125, 0.25, 0.5)),
         1 -> xz(leDoubles(1.0, 2.0, 4.0)),
         2 -> xz(leDoubles(8.0, 0, 0))))
-    val consolidated = (Seq("\".zgroup\":{\"zarr_format\":2}") ++
-      zarrayDocs.map { case (n, d) => s""""$n/.zarray":$d""" }).mkString(",")
-    writeJson(Paths.get(root, "meta", ".zmetadata"),
-      s"""{"metadata":{$consolidated},"zarr_consolidated_format":1}""")
+    store.writeConsolidated()
   }
 
   /**

@@ -277,6 +277,52 @@ class ZarrV2Spec extends SparkSpec {
         "compressor":{"id":"lzma","format":3},"fill_value":0,"order":"C",
         "filters":null}""")
       .getMessage.contains("lzma"))
+    // a forged elementsize in the billions would spin the unshuffle plane
+    // loop ~elementsize times per chunk — bounded by the chunk byte size
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<i8",
+        "compressor":null,"fill_value":0,"order":"C",
+        "filters":[{"id":"shuffle","elementsize":2147483647}]}""")
+      .getMessage.contains("elementsize"))
+    // absurd fixed-unicode/bytes widths fail typed, not NumberFormatException
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],
+        "dtype":"<U9999999999","compressor":null,"fill_value":"",
+        "order":"C","filters":null}""")
+      .getMessage.contains("width out of range"))
+    assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],
+        "dtype":"|S99999999","compressor":null,"fill_value":null,
+        "order":"C","filters":null}""")
+      .getMessage.contains("width out of range"))
+  }
+
+  test("decompression bombs stop at the metadata-derived size bound") {
+    import graft.zarr.{ZarrArrayMeta, ZarrCodec, ZarrCodecs, ZarrType}
+    // an 8 MiB zero bomb deflates to ~8 KiB; the chunk's metadata says it
+    // may hold 4 longs — decode must stop at the bound, not materialize it
+    val bomb = {
+      val d = new java.util.zip.Deflater(9)
+      d.setInput(new Array[Byte](8 << 20)); d.finish()
+      val out = new Array[Byte](1 << 20)
+      val n = d.deflate(out)
+      d.end()
+      java.util.Arrays.copyOfRange(out, 0, n)
+    }
+    val meta = ZarrArrayMeta("x", "g/x", 4, 4, ZarrType.ZInt64,
+      Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.ZlibCodec),
+      "/", "0", v2Keys = true)
+    assert(intercept[ZarrException](ZarrCodecs.decodeChunk(bomb, meta))
+      .getMessage.contains("bound"))
+    // same bomb through bz2 (the stream-reader path)
+    val bz2Bomb = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos)
+      out.write(new Array[Byte](8 << 20)); out.close()
+      bos.toByteArray
+    }
+    val bz2Meta = meta.copy(codecs =
+      Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.Bz2Codec))
+    assert(intercept[ZarrException](ZarrCodecs.decodeChunk(bz2Bomb, bz2Meta))
+      .getMessage.contains("bound"))
   }
 
   test("hostile packbits/bz2/xz chunks fail typed") {
