@@ -49,7 +49,7 @@ class ZarrColumnarPartitionReader(
         val r = row + written
         val ci = r / meta.chunkLength
         if (ci != chunkIdx(c)) {
-          chunks(c) = ZarrCodecs.decodeChunk(store.readBytesIfExists(meta.chunkPath(ci)), meta)
+          chunks(c) = ZarrCodecs.fetchChunk(store, meta, ci)
           chunkIdx(c) = ci
         }
         val within = (r % meta.chunkLength).toInt

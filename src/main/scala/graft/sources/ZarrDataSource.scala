@@ -442,7 +442,7 @@ class ZarrPartitionReader(
       val meta = columns(c)
       val ci = row / meta.chunkLength
       if (ci != chunkIdx(c)) {
-        chunks(c) = ZarrCodecs.decodeChunk(store.readBytesIfExists(meta.chunkPath(ci)), meta)
+        chunks(c) = ZarrCodecs.fetchChunk(store, meta, ci)
         chunkIdx(c) = ci
       }
       current(c) = chunks(c).get((row % meta.chunkLength).toInt)

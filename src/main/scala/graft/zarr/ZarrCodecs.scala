@@ -68,6 +68,34 @@ object ZarrCodecs {
       throw new ZarrException(s"unsupported vector value ${other.getClass.getName}")
   }
 
+  /** Sharded chunk objects at or below this size are fetched with ONE whole
+   *  GET; above it the RANGED path reads the index + only the inner chunks
+   *  actually accessed (`sharding_indexed` exists to permit exactly this on
+   *  object stores), holding one decoded inner chunk at a time instead of
+   *  the whole compressed shard (which for >2 GiB objects cannot even be a
+   *  single JVM array). Overridable by tests. */
+  @volatile private[graft] var rangedShardThresholdBytes: Long = 4L << 20
+
+  /**
+   * Fetch-and-decode chunk `ci` of `meta` from `store` — the partition
+   * readers' entry point. Non-sharded chunks and small shards are one whole
+   * object read; large shards go through the ranged path (1 stat + 1 index
+   * range read + 1 range read per ACCESSED inner chunk, so a LIMIT that
+   * stops after the first rows of a gigabyte shard transfers kilobytes).
+   */
+  def fetchChunk(store: graft.zarr.ZarrStore, meta: ZarrArrayMeta, ci: Long): ColumnChunk =
+    meta.codecs match {
+      case Seq(sc: ZarrCodec.ShardingCodec) =>
+        val rel = meta.chunkPath(ci)
+        val totalLen = store.objectLengthIfExists(rel)
+        if (totalLen < 0 || totalLen <= rangedShardThresholdBytes)
+          decodeChunk(store.readBytesIfExists(rel), meta)
+        else
+          shardChunk(totalLen, (off, len) => store.readRange(rel, off, len),
+            meta, sc, memoAll = false)
+      case _ => decodeChunk(store.readBytesIfExists(meta.chunkPath(ci)), meta)
+    }
+
   /** Decode one stored chunk (or synthesize a fill-value chunk if bytes==null). */
   def decodeChunk(raw: Array[Byte], meta: ZarrArrayMeta): ColumnChunk = {
     val chunkLen = meta.chunkLength.toInt
@@ -127,18 +155,32 @@ object ZarrCodecs {
    * fill values, like missing chunk objects.
    */
   private def decodeShard(raw: Array[Byte], meta: ZarrArrayMeta,
-      sc: ZarrCodec.ShardingCodec): ColumnChunk = {
+      sc: ZarrCodec.ShardingCodec): ColumnChunk =
+    shardChunk(raw.length,
+      (off, len) => java.util.Arrays.copyOfRange(raw, off.toInt, off.toInt + len),
+      meta, sc, memoAll = true)
+
+  /**
+   * Generalized shard decode over a range-read function: `readRange(off,
+   * len)` returns exactly that byte range of the shard object. Backs both
+   * the in-memory path (`readRange` = array slice, all inner chunks
+   * memoized) and the RANGED object-store path (`readRange` = positioned
+   * read, single-slot memo so a task holds ONE decoded inner chunk — not
+   * the whole shard — regardless of shard size; row access is sequential,
+   * so the slot almost never refetches).
+   */
+  private def shardChunk(totalLen: Long, readRange: (Long, Int) => Array[Byte],
+      meta: ZarrArrayMeta, sc: ZarrCodec.ShardingCodec,
+      memoAll: Boolean): ColumnChunk = {
     val shardLen = meta.chunkLength.toInt
     val innerLen = sc.innerChunk.toInt
     require(innerLen > 0, s"bad inner chunk shape at ${meta.path}")
     val nInner = (shardLen + innerLen - 1) / innerLen
     val idxSize = nInner * 16 +
       (if (sc.indexCodecs.contains(ZarrCodec.Crc32cCodec)) 4 else 0)
-    if (raw.length < idxSize)
+    if (totalLen < idxSize)
       throw new ZarrException(s"shard at ${meta.path} shorter than its index ($idxSize bytes)")
-    var idx =
-      if (sc.indexAtEnd) java.util.Arrays.copyOfRange(raw, raw.length - idxSize, raw.length)
-      else java.util.Arrays.copyOfRange(raw, 0, idxSize)
+    var idx = readRange(if (sc.indexAtEnd) totalLen - idxSize else 0L, idxSize)
     sc.indexCodecs.reverse.foreach {
       case ZarrCodec.Crc32cCodec => idx = stripCrc32c(idx, meta.path + " shard index")
       case ZarrCodec.BytesCodec(le) =>
@@ -148,22 +190,28 @@ object ZarrCodecs {
     }
     val bb = ByteBuffer.wrap(idx).order(ByteOrder.LITTLE_ENDIAN)
     val innerMeta = meta.copy(chunkLength = innerLen, codecs = sc.innerCodecs)
-    val decoded = new Array[ColumnChunk](nInner)
-    def innerChunk(i: Int): ColumnChunk = {
-      if (decoded(i) == null) {
-        val off = bb.getLong(i * 16)
-        val len = bb.getLong(i * 16 + 8)
-        decoded(i) =
-          if (off == -1L && len == -1L) decodeChunk(null, innerMeta) // missing → fill
-          // subtraction form: `off + len` can wrap negative for hostile
-          // offsets near Long.MaxValue and slip past an addition check
-          else if (off < 0 || len < 0 || len > raw.length - off)
-            throw new ZarrException(s"shard index entry $i out of bounds at ${meta.path}")
-          else decodeChunk(
-            java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), innerMeta)
-      }
-      decoded(i)
+    def decodeInner(i: Int): ColumnChunk = {
+      val off = bb.getLong(i * 16)
+      val len = bb.getLong(i * 16 + 8)
+      if (off == -1L && len == -1L) decodeChunk(null, innerMeta) // missing → fill
+      // subtraction form: `off + len` can wrap negative for hostile
+      // offsets near Long.MaxValue and slip past an addition check;
+      // inner chunks above 2 GiB can't be materialized as one array
+      else if (off < 0 || len < 0 || len > totalLen - off || len > Int.MaxValue)
+        throw new ZarrException(s"shard index entry $i out of bounds at ${meta.path}")
+      else decodeChunk(readRange(off, len.toInt), innerMeta)
     }
+    val decoded = if (memoAll) new Array[ColumnChunk](nInner) else null
+    var slotIdx = -1
+    var slot: ColumnChunk = null
+    def innerChunk(i: Int): ColumnChunk =
+      if (memoAll) {
+        if (decoded(i) == null) decoded(i) = decodeInner(i)
+        decoded(i)
+      } else {
+        if (i != slotIdx) { slot = decodeInner(i); slotIdx = i }
+        slot
+      }
     new ColumnChunk {
       val length = shardLen
       def get(i: Int): Any = innerChunk(i / innerLen).get(i % innerLen)

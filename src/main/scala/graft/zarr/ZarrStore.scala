@@ -31,6 +31,27 @@ final class ZarrStore(rootUri: String, conf: Configuration) {
     new String(b, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Object size in bytes, or -1 if missing — one stat RPC. */
+  def objectLengthIfExists(relPath: String): Long =
+    try fs.getFileStatus(new Path(root, relPath)).getLen
+    catch { case _: java.io.FileNotFoundException => -1L }
+
+  /** Positioned range read (a ranged GET on object stores): exactly
+   *  [offset, offset+len) of the object. Callers bound the range against
+   *  the object length first; a short read still means the object changed
+   *  underneath us or the range was corrupt — typed error either way. */
+  def readRange(relPath: String, offset: Long, len: Int): Array[Byte] = {
+    val p = new Path(root, relPath)
+    val buf = new Array[Byte](len)
+    try {
+      val in = fs.open(p)
+      try { in.readFully(offset, buf, 0, len); buf } finally in.close()
+    } catch {
+      case e: java.io.IOException =>
+        throw new ZarrException(s"range read [$offset, +$len) failed: $rootUri/$relPath", e)
+    }
+  }
+
   def exists(relPath: String): Boolean = fs.exists(new Path(root, relPath))
 
   /** Names of child directories of a group dir (candidate child arrays).

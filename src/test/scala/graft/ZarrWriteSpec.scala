@@ -187,6 +187,64 @@ class ZarrWriteSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == ref)
   }
 
+  test("ranged shard reads: identical rows via row AND columnar readers") {
+    // force every shard object over the ranged threshold: the scan must go
+    // through stat + index range read + per-inner-chunk range reads with
+    // the single-slot memo, and produce byte-identical results
+    val dir = tempDir("zw_shard_ranged") + "/store.zarr"
+    val df = spark.range(100).select(
+      col("id"),
+      (col("id").cast("double") / 4.0).as("score"),
+      concat(lit("n_"), format_string("%03d", col("id"))).as("name"))
+    df.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "40").option("shard_rows", "10")
+      .mode("overwrite").save(dir)
+    val whole = spark.read.format("zarr").option("group", "/t").load(dir)
+      .select("id", "score", "name").orderBy("id").collect().map(_.toSeq).toSeq
+    graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 0L
+    try {
+      for (columnar <- Seq("true", "false")) {
+        val ranged = spark.read.format("zarr").option("group", "/t")
+          .option("columnar", columnar).load(dir)
+          .select("id", "score", "name").orderBy("id").collect().map(_.toSeq).toSeq
+        assert(ranged == whole, s"columnar=$columnar")
+      }
+      // filters crossing inner-chunk boundaries exercise slot re-decode
+      val f = spark.read.format("zarr").option("group", "/t").load(dir)
+        .filter(col("id") % 10 === 9).select("id")
+      assert(f.collect().map(_.getLong(0)).sorted.toSeq == (9L until 100L by 10L))
+    } finally graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 4L << 20
+  }
+
+  test("ranged shard reads transfer only the inner chunks a LIMIT touches") {
+    val dir = tempDir("zw_shard_rpc")
+    spark.range(400).select(col("id"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "400").option("shard_rows", "10")
+      .mode("overwrite").save(dir)
+    spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl",
+      classOf[MockObjectStoreFileSystem].getName)
+    val m = MockObjectStoreFileSystem
+    graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 0L
+    try {
+      m.reset()
+      // pushed-down LIMIT 5 over a 400-row / 40-inner-chunk shard (no sort
+      // above it — a sort would force the full scan): the ranged path must
+      // open the one shard object only for its index plus the FIRST inner
+      // chunk — not transfer the whole object
+      val rows = spark.read.format("zarr").option("group", "/t")
+        .load(s"mockfs://$dir").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == (0L until 5L))
+      val chunkOpens = m.chunkOpens.get
+      assert(chunkOpens <= 3L, // index read + inner chunk 0 (+1 slack)
+        s"ranged LIMIT read opened the shard $chunkOpens times")
+    } finally {
+      graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 4L << 20
+      m.reset()
+    }
+  }
+
   test("corrupted shard index fails loudly (crc32c on the index)") {
     val dir = tempDir("zw_shard_crc") + "/store.zarr"
     spark.range(40).select(col("id"))
