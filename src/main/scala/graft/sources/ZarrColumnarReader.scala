@@ -49,6 +49,7 @@ class ZarrColumnarPartitionReader(
         val r = row + written
         val ci = r / meta.chunkLength
         if (ci != chunkIdx(c)) {
+          if (chunks(c) != null) chunks(c).close()
           chunks(c) = ZarrCodecs.fetchChunk(store, meta, ci)
           chunkIdx(c) = ci
         }
@@ -65,5 +66,9 @@ class ZarrColumnarPartitionReader(
   }
 
   override def get(): ColumnarBatch = batch
-  override def close(): Unit = batch.close()
+  override def close(): Unit = {
+    var c = 0
+    while (c < ncols) { if (chunks(c) != null) chunks(c).close(); c += 1 }
+    batch.close()
+  }
 }

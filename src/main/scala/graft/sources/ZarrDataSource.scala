@@ -442,6 +442,7 @@ class ZarrPartitionReader(
       val meta = columns(c)
       val ci = row / meta.chunkLength
       if (ci != chunkIdx(c)) {
+        if (chunks(c) != null) chunks(c).close()
         chunks(c) = ZarrCodecs.fetchChunk(store, meta, ci)
         chunkIdx(c) = ci
       }
@@ -452,5 +453,8 @@ class ZarrPartitionReader(
   }
 
   override def get(): InternalRow = new GenericInternalRow(current.clone())
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    var c = 0
+    while (c < ncols) { if (chunks(c) != null) chunks(c).close(); c += 1 }
+  }
 }

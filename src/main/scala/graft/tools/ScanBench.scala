@@ -20,31 +20,9 @@ import org.apache.spark.sql.functions._
  */
 object ScanBench {
 
-  private def session(cpus: Int): SparkSession = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
-
-  private def timeBest(runs: Int)(body: => Unit): Double = {
-    var best = Double.MaxValue
-    (1 to runs).foreach { i =>
-      System.gc() // don't bill one variant for the previous variant's garbage
-      val t0 = System.nanoTime()
-      body
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scanbench] attempt $i: $sec%.3fs")
-      best = math.min(best, sec)
-    }
-    best
-  }
+  import BenchHarness.session
+  private def timeBest(runs: Int)(body: => Unit): Double =
+    BenchHarness.timeBest(runs, "scanbench")(body)
 
   private def read(spark: SparkSession, dir: String, columnar: Boolean, targetRows: Long): DataFrame =
     spark.read.format("zarr").option("group", "/t")

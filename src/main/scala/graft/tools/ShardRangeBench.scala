@@ -22,31 +22,9 @@ import org.apache.spark.sql.functions._
  */
 object ShardRangeBench {
 
-  private def session(cpus: Int): SparkSession = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
-
-  private def timeBest(runs: Int)(body: => Unit): Double = {
-    var best = Double.MaxValue
-    (1 to runs).foreach { i =>
-      System.gc()
-      val t0 = System.nanoTime()
-      body
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[shardrange] attempt $i: $sec%.3fs")
-      best = math.min(best, sec)
-    }
-    best
-  }
+  import BenchHarness.session
+  private def timeBest(runs: Int)(body: => Unit): Double =
+    BenchHarness.timeBest(runs, "shardrange")(body)
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 16L * 1024 * 1024

@@ -89,25 +89,12 @@ object V2ScanBench {
         else Option(f.listFiles).map(_.map(du).sum).getOrElse(0L)
       du(new java.io.File(dir))
     }
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = BenchHarness.session(32)
     def scan(columnar: Boolean): Long =
       read(spark, dir, columnar, chunkRows.toLong)
         .select(sum("v"), sum("x")).collect().head.getLong(0)
-    def timeBest(body: => Unit): Double = {
-      var best = Double.MaxValue
-      (1 to runs).foreach { _ =>
-        System.gc()
-        val s = System.nanoTime()
-        body
-        best = math.min(best, (System.nanoTime() - s) / 1e9)
-      }
-      best
-    }
+    def timeBest(body: => Unit): Double =
+      BenchHarness.timeBest(runs, "v2scanbench")(body)
     val expected = { // recompute the generator's masked sum (no closed form)
       var acc = 0L; var g = 0L
       while (g < rows) { acc += (g * 2654435761L) & ((1L << 38) - 1); g += 1 }

@@ -75,7 +75,7 @@ object Blosc {
 
   /** Decode one blosc1 frame to its raw bytes. `where` names the chunk in
    *  errors (store path + chunk key). */
-  def decode(frame: Array[Byte], where: String): Array[Byte] = {
+  def decode(frame: Array[Byte], where: String, cap: Long = Long.MaxValue): Array[Byte] = {
     if (frame.length < 16)
       throw new ZarrException(s"blosc chunk shorter than its 16-byte header at $where")
     val hdr = ByteBuffer.wrap(frame).order(ByteOrder.LITTLE_ENDIAN)
@@ -90,6 +90,13 @@ object Blosc {
     if (nbytes < 0 || cbytes < 16 || cbytes > frame.length)
       throw new ZarrException(
         s"corrupt blosc header at $where (nbytes=$nbytes cbytes=$cbytes frame=${frame.length})")
+    // the nbytes claim is attacker-controlled on foreign stores: a 20-byte
+    // frame claiming a 2 GiB decode (nblocks=1, huge blocksize) passes the
+    // structural checks below — bound it by the metadata-derived cap
+    // BEFORE the allocation
+    if (nbytes > cap)
+      throw new ZarrException(
+        s"blosc chunk claims $nbytes decoded bytes past its $cap-byte metadata bound at $where")
     if (nbytes == 0) return new Array[Byte](0)
     if ((flags & FlagMemcpyed) != 0) {
       if (cbytes != nbytes + 16)

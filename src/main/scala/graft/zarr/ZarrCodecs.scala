@@ -42,6 +42,11 @@ sealed trait ColumnChunk {
     var i = 0
     while (i < n) { ZarrCodecs.writeValue(vec, destPos + i, get(srcPos + i)); i += 1 }
   }
+
+  /** Release any resource backing the chunk (the ranged shard path holds an
+   *  open object stream). Readers call this when a chunk is replaced and
+   *  when the reader closes; in-memory chunks are no-ops. */
+  def close(): Unit = {}
 }
 
 object ZarrCodecs {
@@ -79,20 +84,37 @@ object ZarrCodecs {
   /**
    * Fetch-and-decode chunk `ci` of `meta` from `store` — the partition
    * readers' entry point. Non-sharded chunks and small shards are one whole
-   * object read; large shards go through the ranged path (1 stat + 1 index
-   * range read + 1 range read per ACCESSED inner chunk, so a LIMIT that
-   * stops after the first rows of a gigabyte shard transfers kilobytes).
+   * object read; large shards go through the ranged path (1 stat + 1 open,
+   * then positioned reads for the index and each ACCESSED inner chunk on
+   * that single held stream — a LIMIT that stops after the first rows of a
+   * gigabyte shard transfers kilobytes). Whether a shard is "large" is
+   * first estimated from metadata alone (chunk length × element width), so
+   * below-threshold shards keep the 1-GET/no-stat RPC profile.
    */
   def fetchChunk(store: graft.zarr.ZarrStore, meta: ZarrArrayMeta, ci: Long): ColumnChunk =
     meta.codecs match {
-      case Seq(sc: ZarrCodec.ShardingCodec) =>
+      case Seq(sc: ZarrCodec.ShardingCodec)
+          if maxDecodedBytes(meta) > rangedShardThresholdBytes =>
         val rel = meta.chunkPath(ci)
+        // the uncompressed estimate over-states the stored size, so this
+        // stat only fires where a big transfer was plausible anyway
         val totalLen = store.objectLengthIfExists(rel)
         if (totalLen < 0 || totalLen <= rangedShardThresholdBytes)
           decodeChunk(store.readBytesIfExists(rel), meta)
-        else
-          shardChunk(totalLen, (off, len) => store.readRange(rel, off, len),
-            meta, sc, memoAll = false)
+        else {
+          val in = store.openStream(rel)
+          def readRange(off: Long, len: Int): Array[Byte] = {
+            val buf = new Array[Byte](len)
+            try in.readFully(off, buf, 0, len)
+            catch { case e: java.io.IOException =>
+              throw new ZarrException(
+                s"range read [$off, +$len) failed at ${meta.path}", e) }
+            buf
+          }
+          try shardChunk(totalLen, readRange, meta, sc, memoAll = false,
+            closer = () => in.close())
+          catch { case t: Throwable => in.close(); throw t }
+        }
       case _ => decodeChunk(store.readBytesIfExists(meta.chunkPath(ci)), meta)
     }
 
@@ -119,8 +141,8 @@ object ZarrCodecs {
       case ZarrCodec.GzipCodec(_)    => bytes = gzipDecompress(bytes, cap, meta.path)
       case ZarrCodec.ZlibCodec       => bytes = zlibDecompress(bytes, cap, meta.path)
       case ZarrCodec.Crc32cCodec     => bytes = stripCrc32c(bytes, meta.path)
-      case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path)
-      case ZarrCodec.Lz4Codec        => bytes = lz4Decompress(bytes, meta.path)
+      case _: ZarrCodec.BloscCodec   => bytes = Blosc.decode(bytes, meta.path, cap)
+      case ZarrCodec.Lz4Codec        => bytes = lz4Decompress(bytes, cap, meta.path)
       case ZarrCodec.Bz2Codec        => bytes = bz2Decompress(bytes, cap, meta.path)
       case ZarrCodec.XzCodec         => bytes = xzDecompress(bytes, cap, meta.path)
       case ZarrCodec.PackBitsCodec   => bytes = packBitsDecode(bytes, meta.path)
@@ -171,7 +193,7 @@ object ZarrCodecs {
    */
   private def shardChunk(totalLen: Long, readRange: (Long, Int) => Array[Byte],
       meta: ZarrArrayMeta, sc: ZarrCodec.ShardingCodec,
-      memoAll: Boolean): ColumnChunk = {
+      memoAll: Boolean, closer: () => Unit = () => ()): ColumnChunk = {
     val shardLen = meta.chunkLength.toInt
     val innerLen = sc.innerChunk.toInt
     require(innerLen > 0, s"bad inner chunk shape at ${meta.path}")
@@ -227,6 +249,7 @@ object ZarrCodecs {
           written += take
         }
       }
+      override def close(): Unit = closer()
     }
   }
 
@@ -277,8 +300,10 @@ object ZarrCodecs {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(bytes)
+      // clamp BEFORE toInt: cap can exceed Int.MaxValue (vlen backstop),
+      // and a >512 MiB input would wrap bytes.length*4 negative
       val out = new java.io.ByteArrayOutputStream(
-        math.max(64, math.min(cap, bytes.length * 4L).toInt))
+        math.max(64L, math.min(math.min(cap, Int.MaxValue.toLong), bytes.length * 4L)).toInt)
       val buf = new Array[Byte](8192)
       var total = 0L
       while (!inf.finished()) {
@@ -354,13 +379,14 @@ object ZarrCodecs {
   /** numcodecs `lz4` (Zarr v2): u32-LE original size, then one raw LZ4
    *  block. The header is attacker-controlled on foreign stores, so the
    *  claimed size is bounded before any allocation. */
-  private def lz4Decompress(bytes: Array[Byte], path: String): Array[Byte] = {
+  private def lz4Decompress(bytes: Array[Byte], cap: Long, path: String): Array[Byte] = {
     if (bytes.length < 4)
       throw new ZarrException(s"lz4 chunk shorter than its size header at $path")
     val dstLen = ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-    // LZ4 blocks expand at most ~255x; a size claim beyond that is corrupt
-    // framing, not data — reject instead of allocating gigabytes
-    if (dstLen < 0 || dstLen > math.max(64L, (bytes.length - 4) * 255L))
+    // LZ4 blocks expand at most ~255x, and the chunk can't legitimately
+    // decode past its metadata-derived size — reject either violation
+    // instead of allocating gigabytes
+    if (dstLen < 0 || dstLen > math.min(cap, math.max(64L, (bytes.length - 4) * 255L)))
       throw new ZarrException(s"lz4 chunk claims $dstLen decoded bytes at $path")
     val dst = new Array[Byte](dstLen)
     val n =

@@ -235,8 +235,12 @@ object ZarrMeta {
               val es = f.path("elementsize").asInt(4) // numcodecs default
               // upper bound too: a forged elementsize in the billions makes
               // the unshuffle plane loop spin ~elementsize times per chunk
-              // (nel=0) — a metadata-driven CPU DoS on foreign stores
-              if (es < 1 || es > chunkByteSize.getOrElse(1L << 20))
+              // (nel=0) — a metadata-driven CPU DoS on foreign stores. The
+              // 64-byte floor keeps legitimate tiny-chunk stores readable:
+              // numcodecs' default elementsize 4 on a 2-byte chunk decodes
+              // fine (nel=0 → verbatim), so it must not be rejected
+              if (es < 1 ||
+                  es > math.max(64L, chunkByteSize.getOrElse(1L << 20)))
                 throw new ZarrException(s"shuffle filter elementsize $es at $path")
               out += ShuffleCodec(es)
             case "packbits" =>

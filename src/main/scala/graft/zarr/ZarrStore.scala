@@ -36,21 +36,19 @@ final class ZarrStore(rootUri: String, conf: Configuration) {
     try fs.getFileStatus(new Path(root, relPath)).getLen
     catch { case _: java.io.FileNotFoundException => -1L }
 
-  /** Positioned range read (a ranged GET on object stores): exactly
-   *  [offset, offset+len) of the object. Callers bound the range against
-   *  the object length first; a short read still means the object changed
-   *  underneath us or the range was corrupt — typed error either way. */
-  def readRange(relPath: String, offset: Long, len: Int): Array[Byte] = {
-    val p = new Path(root, relPath)
-    val buf = new Array[Byte](len)
-    try {
-      val in = fs.open(p)
-      try { in.readFully(offset, buf, 0, len); buf } finally in.close()
-    } catch {
+  /** Open the object for positioned reads (ranged GETs on object stores).
+   *  ONE held-open stream per shard is what makes ranged shard reads
+   *  snapshot-consistent: on POSIX filesystems the open inode survives a
+   *  rename-replace, so a shard rewritten mid-scan keeps serving the bytes
+   *  its index was read from; s3a pins the object version by ETag and
+   *  fails a changed object with an error instead of silently mixing a
+   *  stale index with new data. */
+  def openStream(relPath: String): org.apache.hadoop.fs.FSDataInputStream =
+    try fs.open(new Path(root, relPath))
+    catch {
       case e: java.io.IOException =>
-        throw new ZarrException(s"range read [$offset, +$len) failed: $rootUri/$relPath", e)
+        throw new ZarrException(s"cannot open object: $rootUri/$relPath", e)
     }
-  }
 
   def exists(relPath: String): Boolean = fs.exists(new Path(root, relPath))
 

@@ -323,6 +323,32 @@ class ZarrV2Spec extends SparkSpec {
       Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.Bz2Codec))
     assert(intercept[ZarrException](ZarrCodecs.decodeChunk(bz2Bomb, bz2Meta))
       .getMessage.contains("bound"))
+    // a 20-byte blosc frame claiming a ~2 GiB decode (nblocks=1, huge
+    // blocksize) passes the structural checks — the metadata bound must
+    // reject it BEFORE the nbytes allocation
+    val bloscBomb = {
+      val b = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(1.toByte).put(0.toByte).put(8.toByte) // ver, verlz, flags, typesize
+      b.putInt(0x7FFF0000)  // nbytes claim
+      b.putInt(0x7FFF0000)  // blocksize → nblocks = 1
+      b.putInt(20)          // cbytes == frame length
+      b.putInt(20)          // bstarts[0]
+      b.array()
+    }
+    val bloscMeta = meta.copy(codecs = Seq(
+      ZarrCodec.BytesCodec(littleEndian = true),
+      ZarrCodec.BloscCodec("blosclz", 5, "noshuffle", 8, 0)))
+    assert(intercept[ZarrException](ZarrCodecs.decodeChunk(bloscBomb, bloscMeta))
+      .getMessage.contains("bound"))
+    // lz4's size claim is bounded by the metadata cap too, not only by
+    // the 255x expansion limit
+    val lz4Bomb = java.nio.ByteBuffer.allocate(1 << 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x7FF0000).array()
+    val lz4Meta = meta.copy(codecs =
+      Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.Lz4Codec))
+    assert(intercept[ZarrException](ZarrCodecs.decodeChunk(lz4Bomb, lz4Meta))
+      .getMessage.contains("claims"))
   }
 
   test("hostile packbits/bz2/xz chunks fail typed") {

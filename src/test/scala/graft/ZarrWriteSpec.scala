@@ -201,6 +201,7 @@ class ZarrWriteSpec extends SparkSpec {
       .mode("overwrite").save(dir)
     val whole = spark.read.format("zarr").option("group", "/t").load(dir)
       .select("id", "score", "name").orderBy("id").collect().map(_.toSeq).toSeq
+    val prev = graft.zarr.ZarrCodecs.rangedShardThresholdBytes
     graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 0L
     try {
       for (columnar <- Seq("true", "false")) {
@@ -213,7 +214,7 @@ class ZarrWriteSpec extends SparkSpec {
       val f = spark.read.format("zarr").option("group", "/t").load(dir)
         .filter(col("id") % 10 === 9).select("id")
       assert(f.collect().map(_.getLong(0)).sorted.toSeq == (9L until 100L by 10L))
-    } finally graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 4L << 20
+    } finally graft.zarr.ZarrCodecs.rangedShardThresholdBytes = prev
   }
 
   test("ranged shard reads transfer only the inner chunks a LIMIT touches") {
@@ -225,6 +226,7 @@ class ZarrWriteSpec extends SparkSpec {
     spark.sparkContext.hadoopConfiguration.set("fs.mockfs.impl",
       classOf[MockObjectStoreFileSystem].getName)
     val m = MockObjectStoreFileSystem
+    val prev = graft.zarr.ZarrCodecs.rangedShardThresholdBytes
     graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 0L
     try {
       m.reset()
@@ -240,7 +242,7 @@ class ZarrWriteSpec extends SparkSpec {
       assert(chunkOpens <= 3L, // index read + inner chunk 0 (+1 slack)
         s"ranged LIMIT read opened the shard $chunkOpens times")
     } finally {
-      graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 4L << 20
+      graft.zarr.ZarrCodecs.rangedShardThresholdBytes = prev
       m.reset()
     }
   }
