@@ -174,31 +174,39 @@ object ZarrWriteSupport {
    * so omitting them from the union never over-prunes.
    */
   def chunkEnvelope(values: Array[Any], count: Int): Array[Double] = {
-    var minx = Double.PositiveInfinity
-    var miny = Double.PositiveInfinity
-    var maxx = Double.NegativeInfinity
-    var maxy = Double.NegativeInfinity
-    var any = false
+    val acc = new ChunkEnvelopeAcc
     var i = 0
-    try {
-      while (i < count) {
-        values(i) match {
-          case s: String =>
-            val e = graft.functions.Wkt.envelope(s)
-            if (e != null) {
-              if (e(0) < minx) minx = e(0)
-              if (e(1) < miny) miny = e(1)
-              if (e(2) > maxx) maxx = e(2)
-              if (e(3) > maxy) maxy = e(3)
-              any = true
-            }
-          case _ =>
-        }
-        i += 1
-      }
-    } catch { case _: NumberFormatException => return null } // garbage WKT → unknown
-    if (!any) null // all-empty chunk: no finite box to record (JSON-safe), keep
-    else Array(minx, miny, maxx, maxy)
+    while (i < count) { acc.observe(values(i)); i += 1 }
+    acc.result()
+  }
+
+  /** Incremental per-chunk geometry envelope — the single definition behind
+   *  [[chunkEnvelope]]. Garbage WKT anywhere in the chunk poisons the
+   *  envelope to null ("unknown", never pruned); an all-empty chunk also
+   *  records null (no finite box, JSON-safe, kept by the scan). */
+  final class ChunkEnvelopeAcc {
+    private var minx = Double.PositiveInfinity
+    private var miny = Double.PositiveInfinity
+    private var maxx = Double.NegativeInfinity
+    private var maxy = Double.NegativeInfinity
+    private var any = false
+    private var poisoned = false
+    def observe(v: Any): Unit = if (!poisoned) v match {
+      case s: String =>
+        try {
+          val e = graft.functions.Wkt.envelope(s)
+          if (e != null) {
+            if (e(0) < minx) minx = e(0)
+            if (e(1) < miny) miny = e(1)
+            if (e(2) > maxx) maxx = e(2)
+            if (e(3) > maxy) maxy = e(3)
+            any = true
+          }
+        } catch { case _: NumberFormatException => poisoned = true }
+      case _ =>
+    }
+    def result(): Array[Double] =
+      if (poisoned || !any) null else Array(minx, miny, maxx, maxy)
   }
 
   /** Element byte width as recorded in blosc `typesize` (drives shuffle). */
@@ -251,15 +259,38 @@ object ZarrWriteSupport {
    * and make pruning unsound). min/max are null when every value is null.
    */
   def chunkColumnStats(dt: DataType, values: Array[Any], count: Int): (String, String, Long) = {
-    // binary columns carry no orderable bounds (no comparison filter is ever
-    // prunable for them) and nulls are written as empty bytes → non-null read
-    if (dt == BinaryType) return (null, null, 0L)
-    // Stats must describe what a READER sees. Nulls are encoded as fill
-    // values for every type except timestamp (NaT reads back as a real
-    // null), so null slots enter min/max as their fill and only timestamp
-    // chunks carry a null count — otherwise IsNotNull pruning would skip
-    // chunks whose fill-value rows are non-null on read.
-    val nullSeenAs: Any = dt match {
+    val acc = new ChunkStatsAcc(dt)
+    var i = 0
+    while (i < count) { acc.observe(values(i)); i += 1 }
+    acc.result()
+  }
+
+  /**
+   * Incremental per-chunk (min, max, nullCount) — the single definition
+   * behind [[chunkColumnStats]], usable row-by-row so the streaming sharded
+   * write path needs no whole-chunk value buffer.
+   *
+   * Semantics (all load-bearing for pruning soundness):
+   *  - binary columns carry no orderable bounds (no comparison filter is
+   *    ever prunable for them), nulls written as empty bytes → non-null read;
+   *  - stats must describe what a READER sees: nulls are encoded as fill
+   *    values for every type except timestamp (NaT reads back as a real
+   *    null), so null slots enter min/max as their fill and only timestamp
+   *    chunks carry a null count — otherwise IsNotNull pruning would skip
+   *    chunks whose fill-value rows are non-null on read;
+   *  - NaN-aware total order (NaN largest), matching Spark's
+   *    nanSafeCompareDoubles: primitive '<' would drop NaN from the
+   *    recorded max, and pruning would then skip ranges for `col > v` that
+   *    contain matching NaN rows — the Parquet NaN-stats hazard;
+   *  - string order uses UTF8String binary comparison (a java.String
+   *    compare would disagree on supplementary chars);
+   *  - -0.0 normalizes to 0.0 in the recorded bound: Spark comparisons
+   *    treat them as equal, but the NaN-aware compare orders -0.0 < 0.0 —
+   *    a min/max of "-0.0" could prune a range whose -0.0 rows satisfy
+   *    `col = 0.0`.
+   */
+  final class ChunkStatsAcc(dt: DataType) {
+    private val nullSeenAs: Any = dt match {
       case TimestampNTZType => null
       case StringType => ""
       case DoubleType => 0.0
@@ -270,12 +301,7 @@ object ZarrWriteSupport {
       case IntegerType => java.lang.Integer.valueOf(0)
       case _ => java.lang.Long.valueOf(0L)
     }
-    def less(a: Any, b: Any): Boolean = dt match {
-      // NaN-aware total order (NaN largest), matching Spark's
-      // nanSafeCompareDoubles: primitive '<' would drop NaN from the
-      // recorded max, and pruning would then skip ranges for `col > v`
-      // that contain matching NaN rows — wrong results, the Parquet
-      // NaN-stats hazard
+    private def less(a: Any, b: Any): Boolean = dt match {
       case DoubleType => java.lang.Double.compare(
         a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
       case FloatType => java.lang.Float.compare(
@@ -286,11 +312,7 @@ object ZarrWriteSupport {
       case BooleanType => a == java.lang.Boolean.FALSE && b == java.lang.Boolean.TRUE
       case _ => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
     }
-    def enc(v: Any): String = if (v == null) null else dt match {
-      // -0.0 is normalized to 0.0 in the recorded bound: Spark comparisons
-      // treat them as equal, but the NaN-aware compare orders -0.0 < 0.0 —
-      // a min/max of "-0.0" could prune a range whose -0.0 rows satisfy
-      // `col = 0.0`
+    private def enc(v: Any): String = if (v == null) null else dt match {
       case DoubleType =>
         val d = v.asInstanceOf[Double]; (if (d == 0.0) 0.0 else d).toString
       case FloatType => // read side compares as double
@@ -298,20 +320,19 @@ object ZarrWriteSupport {
       case StringType | BooleanType => v.toString
       case _ => v.asInstanceOf[Number].longValue.toString // ints + timestamp micros
     }
-    var nulls = 0L
-    var min: Any = null
-    var max: Any = null
-    var i = 0
-    while (i < count) {
-      val v = if (values(i) == null) nullSeenAs else values(i)
+    private var nulls = 0L
+    private var min: Any = null
+    private var max: Any = null
+    def observe(v0: Any): Unit = if (dt != BinaryType) {
+      val v = if (v0 == null) nullSeenAs else v0
       if (v == null) nulls += 1
       else {
         if (min == null || less(v, min)) min = v
         if (max == null || less(max, v)) max = v
       }
-      i += 1
     }
-    (enc(min), enc(max), nulls)
+    def result(): (String, String, Long) =
+      if (dt == BinaryType) (null, null, 0L) else (enc(min), enc(max), nulls)
   }
 
   /** Write the group + per-array `zarr.json` documents for a committed table
@@ -775,13 +796,72 @@ class ZarrDataWriter(
   private val fs = new Path(path).getFileSystem(conf.value)
   private val dataOrdinals: Array[Int] =
     dataSchema.fields.map(f => schema.fieldIndex(f.name))
+  private val ncols = dataOrdinals.length
+  private val sharded = shardRows > 0
+  // sharded writes STREAM: buffer one INNER chunk of values, encode and
+  // append it to the open shard object as it fills, and accumulate chunk
+  // stats row-by-row — task memory is bounded by shard_rows regardless of
+  // chunk_rows, the write-side mirror of the reader's ranged shard path
+  // (a 1 GiB shard would otherwise hold ~chunk_rows boxed values plus the
+  // whole compressed shard in memory per column)
+  private val bufRows = if (sharded) shardRows else chunkRows
+  private val nInner = if (sharded) chunkRows / shardRows else 0
   private val buffers: Array[Array[Any]] =
-    dataSchema.fields.map(_ => new Array[Any](chunkRows))
+    dataSchema.fields.map(_ => new Array[Any](bufRows))
   private var currentChunk = -1L
-  private var count = 0
+  private var count = 0 // rows of the current chunk seen so far
   private var synthesized = 0L
   private val written = mutable.ArrayBuffer.empty[(Long, Int)]
   private val stats = mutable.ArrayBuffer.empty[ZarrChunkStatsMsg]
+  // streaming shard state (sharded only), reset per chunk
+  private var outs: Array[org.apache.hadoop.fs.FSDataOutputStream] = _
+  private var idxBufs: Array[ByteBuffer] = _
+  private var offs: Array[Long] = _
+  private var innerDone = 0
+  private var accs: Array[ZarrWriteSupport.ChunkStatsAcc] = _
+  private var envAccs: Array[ZarrWriteSupport.ChunkEnvelopeAcc] = _
+
+  private def chunkPathOf(name: String): Path = {
+    val arrayDir = if (groupRel.isEmpty) new Path(path, name)
+      else new Path(new Path(path, groupRel), name)
+    // v3 default chunk-key encoding "c/<i>" vs v2's bare "<i>"
+    if (v2Keys) new Path(arrayDir, currentChunk.toString)
+    else new Path(new Path(arrayDir, "c"), currentChunk.toString)
+  }
+
+  private def openShardChunk(): Unit = {
+    outs = new Array(ncols)
+    idxBufs = new Array(ncols)
+    offs = new Array(ncols)
+    accs = new Array(ncols)
+    envAccs = new Array(ncols)
+    innerDone = 0
+    var c = 0
+    while (c < ncols) {
+      val f = dataSchema.fields(c)
+      outs(c) = fs.create(chunkPathOf(f.name), true)
+      idxBufs(c) = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+      accs(c) = new ZarrWriteSupport.ChunkStatsAcc(f.dataType)
+      if (ZarrWriteSupport.isGeoColumn(f))
+        envAccs(c) = new ZarrWriteSupport.ChunkEnvelopeAcc
+      c += 1
+    }
+  }
+
+  /** Encode and append one inner chunk of `n` buffered rows (0 = all-fill
+   *  padding, exactly what the buffered encodeShard emitted). */
+  private def writeInner(n: Int): Unit = {
+    var c = 0
+    while (c < ncols) {
+      val bytes = ZarrWriteSupport.encodeChunk(
+        dataSchema.fields(c).dataType, buffers(c), n, shardRows, compression)
+      outs(c).write(bytes)
+      idxBufs(c).putLong(offs(c)).putLong(bytes.length.toLong)
+      offs(c) += bytes.length
+      c += 1
+    }
+    innerDone += 1
+  }
 
   override def write(row: InternalRow): Unit = {
     val pos = idxOrdinal match {
@@ -798,54 +878,72 @@ class ZarrDataWriter(
     if (chunk != currentChunk) {
       flush()
       currentChunk = chunk
+      if (sharded) openShardChunk()
     }
     if (off != count)
       throw new ZarrException(
         s"zarr write: row at position $pos arrived out of order (expected offset " +
           s"$count in chunk $chunk) — sortWithinPartitions(row_index) required")
+    val slot = if (sharded) count - innerDone * shardRows else count
     var c = 0
-    while (c < dataOrdinals.length) {
+    while (c < ncols) {
       val f = dataSchema.fields(c)
-      buffers(c)(count) =
+      val v =
         if (row.isNullAt(dataOrdinals(c))) null
         else row.get(dataOrdinals(c), f.dataType) match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case v => v
+          case other => other
         }
+      buffers(c)(slot) = v
+      if (sharded) {
+        accs(c).observe(v)
+        if (envAccs(c) != null) envAccs(c).observe(v)
+      }
       c += 1
     }
     count += 1
+    if (sharded && count - innerDone * shardRows == shardRows) writeInner(shardRows)
     if (count == chunkRows) flush()
   }
 
   private def flush(): Unit = {
     if (currentChunk >= 0 && count > 0) {
-      val mins = new Array[String](dataOrdinals.length)
-      val maxs = new Array[String](dataOrdinals.length)
-      val nulls = new Array[Long](dataOrdinals.length)
-      val envs = new Array[Array[Double]](dataOrdinals.length)
-      var c = 0
-      while (c < dataOrdinals.length) {
-        val f = dataSchema.fields(c)
-        val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
-        mins(c) = mn; maxs(c) = mx; nulls(c) = nl
-        if (ZarrWriteSupport.isGeoColumn(f))
-          envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
-        val bytes =
-          if (shardRows > 0)
-            ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows,
-              shardRows, compression)
-          else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows,
-            compression)
-        val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
-          else new Path(new Path(path, groupRel), f.name)
-        // v3 default chunk-key encoding "c/<i>" vs v2's bare "<i>"
-        val chunkPath =
-          if (v2Keys) new Path(arrayDir, currentChunk.toString)
-          else new Path(new Path(arrayDir, "c"), currentChunk.toString)
-        val out = fs.create(chunkPath, true)
-        try out.write(bytes) finally out.close()
-        c += 1
+      val mins = new Array[String](ncols)
+      val maxs = new Array[String](ncols)
+      val nulls = new Array[Long](ncols)
+      val envs = new Array[Array[Double]](ncols)
+      if (sharded) {
+        val residual = count - innerDone * shardRows
+        if (residual > 0) writeInner(residual)
+        while (innerDone < nInner) writeInner(0) // trailing all-fill inners
+        var c = 0
+        while (c < ncols) {
+          val idx = idxBufs(c).array()
+          val crc = new java.util.zip.CRC32C()
+          crc.update(idx)
+          outs(c).write(idx)
+          outs(c).write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            .putInt(crc.getValue.toInt).array())
+          outs(c).close(); outs(c) = null
+          val (mn, mx, nl) = accs(c).result()
+          mins(c) = mn; maxs(c) = mx; nulls(c) = nl
+          if (envAccs(c) != null) envs(c) = envAccs(c).result()
+          c += 1
+        }
+      } else {
+        var c = 0
+        while (c < ncols) {
+          val f = dataSchema.fields(c)
+          val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
+          mins(c) = mn; maxs(c) = mx; nulls(c) = nl
+          if (ZarrWriteSupport.isGeoColumn(f))
+            envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
+          val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count,
+            chunkRows, compression)
+          val out = fs.create(chunkPathOf(f.name), true)
+          try out.write(bytes) finally out.close()
+          c += 1
+        }
       }
       written += ((currentChunk, count))
       stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls, envs)
@@ -854,7 +952,20 @@ class ZarrDataWriter(
     currentChunk = -1
   }
 
+  /** Close any open shard streams (failed task): released, never published —
+   *  the commit protocol only exposes tables via metadata written at commit. */
+  private def releaseStreams(): Unit = if (outs != null) {
+    var c = 0
+    while (c < ncols) {
+      if (outs(c) != null) {
+        try outs(c).close() catch { case _: java.io.IOException => }
+        outs(c) = null
+      }
+      c += 1
+    }
+  }
+
   override def commit(): WriterCommitMessage = { flush(); ZarrCommit(written.toSeq, stats.toSeq) }
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = releaseStreams()
+  override def close(): Unit = releaseStreams()
 }

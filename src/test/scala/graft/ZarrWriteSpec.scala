@@ -187,6 +187,36 @@ class ZarrWriteSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == ref)
   }
 
+  test("streamed shard write is byte-identical to the buffered encodeShard") {
+    // the writer streams inner chunks + index incrementally (memory bounded
+    // by shard_rows); the bytes on disk must be EXACTLY what the buffered
+    // encoder produces — same parts, same index, same crc — or readers of
+    // either vintage would disagree
+    val dir = tempDir("zw_shard_bytes") + "/store.zarr"
+    val n = 100 // partial final inner chunk (100 = 2 full shards of 40 + 20)
+    spark.range(n).select(col("id"), concat(lit("s"), col("id")).as("s"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "40").option("shard_rows", "10")
+      .mode("overwrite").save(dir)
+    import org.apache.spark.sql.types.{LongType, StringType}
+    for ((name, dt, mk) <- Seq(
+        ("id", LongType, (i: Int) => java.lang.Long.valueOf(i.toLong): Any),
+        ("s", StringType, (i: Int) => s"s$i": Any))) {
+      for (chunk <- 0 until 3) {
+        val from = chunk * 40
+        val cnt = math.min(40, n - from)
+        val vals = new Array[Any](40)
+        (0 until cnt).foreach(i => vals(i) = mk(from + i))
+        val expected = graft.sources.ZarrWriteSupport.encodeShard(
+          dt, vals, cnt, 40, 10)
+        val actual = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "t", name, "c", chunk.toString))
+        assert(java.util.Arrays.equals(actual, expected),
+          s"$name chunk $chunk: streamed bytes differ from buffered encodeShard")
+      }
+    }
+  }
+
   test("ranged shard reads: identical rows via row AND columnar readers") {
     // force every shard object over the ranged threshold: the scan must go
     // through stat + index range read + per-inner-chunk range reads with
