@@ -542,13 +542,23 @@ object ZarrWriteSupport {
     val idx = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
     var off = 0L
     parts.foreach { p => idx.putLong(off).putLong(p.length.toLong); off += p.length }
-    val crc = new java.util.zip.CRC32C()
-    crc.update(idx.array())
-    val out = ByteBuffer.allocate(dataLen + nInner * 16 + 4).order(ByteOrder.LITTLE_ENDIAN)
+    val trailer = shardIndexTrailer(idx.array())
+    val out = ByteBuffer.allocate(dataLen + trailer.length).order(ByteOrder.LITTLE_ENDIAN)
     parts.foreach(out.put)
-    out.put(idx.array())
-    out.putInt(crc.getValue.toInt)
+    out.put(trailer)
     out.array()
+  }
+
+  /** The `sharding_indexed` shard trailer: the (offset, nbytes) u64-LE
+   *  index entries followed by their little-endian crc32c
+   *  (index_location=end, index_codecs bytes+crc32c) — the ONE definition
+   *  shared by the buffered [[encodeShard]] and the streaming
+   *  [[ZarrDataWriter]] so the two writers can never diverge. */
+  def shardIndexTrailer(idxEntries: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32C()
+    crc.update(idxEntries)
+    ByteBuffer.allocate(idxEntries.length + 4).order(ByteOrder.LITTLE_ENDIAN)
+      .put(idxEntries).putInt(crc.getValue.toInt).array()
   }
 }
 
@@ -800,10 +810,13 @@ class ZarrDataWriter(
   private val sharded = shardRows > 0
   // sharded writes STREAM: buffer one INNER chunk of values, encode and
   // append it to the open shard object as it fills, and accumulate chunk
-  // stats row-by-row — task memory is bounded by shard_rows regardless of
-  // chunk_rows, the write-side mirror of the reader's ranged shard path
-  // (a 1 GiB shard would otherwise hold ~chunk_rows boxed values plus the
-  // whole compressed shard in memory per column)
+  // stats row-by-row — the write-side mirror of the reader's ranged shard
+  // path. Task memory is O(ncols × (shard_rows values + one open output
+  // stream's buffer)): rows arrive row-wise across all columns, so every
+  // column's shard object stays open for the chunk's lifetime (on s3a
+  // fast-upload that is one multipart buffer per column). Still far below
+  // the buffered path's O(ncols × chunk_rows values + whole compressed
+  // shard), which for 1 GiB shards was gigabytes per column per task.
   private val bufRows = if (sharded) shardRows else chunkRows
   private val nInner = if (sharded) chunkRows / shardRows else 0
   private val buffers: Array[Array[Any]] =
@@ -918,12 +931,7 @@ class ZarrDataWriter(
         while (innerDone < nInner) writeInner(0) // trailing all-fill inners
         var c = 0
         while (c < ncols) {
-          val idx = idxBufs(c).array()
-          val crc = new java.util.zip.CRC32C()
-          crc.update(idx)
-          outs(c).write(idx)
-          outs(c).write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-            .putInt(crc.getValue.toInt).array())
+          outs(c).write(ZarrWriteSupport.shardIndexTrailer(idxBufs(c).array()))
           outs(c).close(); outs(c) = null
           val (mn, mx, nl) = accs(c).result()
           mins(c) = mn; maxs(c) = mx; nulls(c) = nl

@@ -93,14 +93,29 @@ object ZarrCodecs {
    */
   def fetchChunk(store: graft.zarr.ZarrStore, meta: ZarrArrayMeta, ci: Long): ColumnChunk =
     meta.codecs match {
-      case Seq(sc: ZarrCodec.ShardingCodec)
-          if maxDecodedBytes(meta) > rangedShardThresholdBytes =>
+      case Seq(sc: ZarrCodec.ShardingCodec) =>
         val rel = meta.chunkPath(ci)
-        // the uncompressed estimate over-states the stored size, so this
-        // stat only fires where a big transfer was plausible anyway
+        val est = maxDecodedBytes(meta)
+        if (est <= rangedShardThresholdBytes) {
+          // small ESTIMATE: read the whole object in the usual single GET —
+          // but bounded, because the estimate comes from metadata and the
+          // object from the (possibly hostile) store: a multi-GiB object
+          // under small-chunk metadata must not reach an unbounded
+          // readAllBytes. The bound is generous for every legitimate
+          // layout (compressed data ≤ raw + per-inner-chunk framing, plus
+          // the index); an object past it falls back to the ranged path,
+          // which transfers only what the index says to.
+          val innerLen = math.max(1L, sc.innerChunk)
+          val nInner = (meta.chunkLength + innerLen - 1) / innerLen
+          val plausible = est + nInner * 144L + 4096L
+          val raw = store.readBytesIfExistsUpTo(rel, plausible)
+          if (!(raw.asInstanceOf[AnyRef] eq graft.zarr.ZarrStore.TooLarge))
+            return decodeChunk(raw, meta)
+        }
         val totalLen = store.objectLengthIfExists(rel)
-        if (totalLen < 0 || totalLen <= rangedShardThresholdBytes)
-          decodeChunk(store.readBytesIfExists(rel), meta)
+        if (totalLen < 0) decodeChunk(null, meta) // vanished → fill (as whole-read does)
+        else if (totalLen <= rangedShardThresholdBytes)
+          decodeChunk(store.readBytesIfExists(rel), meta) // small after all: 1 GET
         else {
           val in = store.openStream(rel)
           def readRange(off: Long, len: Int): Array[Byte] = {

@@ -25,6 +25,36 @@ final class ZarrStore(rootUri: String, conf: Configuration) {
     }
   }
 
+  /** Whole-object read bounded at `limit` bytes: returns the bytes if the
+   *  object fits, null if missing, and [[ZarrStore.TooLarge]] if the object
+   *  exceeds the limit — one RPC either way, so a caller with a size
+   *  ESTIMATE can read opportunistically and only fall back to
+   *  stat + ranged reads when the object proves bigger than plausible
+   *  (a hostile store serving a multi-GiB object under small-chunk
+   *  metadata must never reach an unbounded readAllBytes). */
+  def readBytesIfExistsUpTo(relPath: String, limit: Long): Array[Byte] = {
+    val p = new Path(root, relPath)
+    val cap = math.min(limit, Int.MaxValue.toLong - 16).toInt
+    try {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream(8192)
+        val buf = new Array[Byte](65536)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) {
+          total += n
+          if (total > cap) return ZarrStore.TooLarge
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => null
+    }
+  }
+
   def readString(relPath: String): String = {
     val b = readBytesIfExists(relPath)
     if (b == null) throw new ZarrException(s"missing object: $rootUri/$relPath")
@@ -64,6 +94,12 @@ final class ZarrStore(rootUri: String, conf: Configuration) {
         throw new ZarrException(s"no such group dir: $dir")
     }
   }
+}
+
+object ZarrStore {
+  /** Sentinel returned by [[ZarrStore.readBytesIfExistsUpTo]] when the
+   *  object exceeds the caller's limit (distinct from null = missing). */
+  val TooLarge: Array[Byte] = new Array[Byte](0)
 }
 
 /**

@@ -342,9 +342,11 @@ class ZarrV2Spec extends SparkSpec {
     assert(intercept[ZarrException](ZarrCodecs.decodeChunk(bloscBomb, bloscMeta))
       .getMessage.contains("bound"))
     // lz4's size claim is bounded by the metadata cap too, not only by
-    // the 255x expansion limit
+    // the 255x expansion limit: 1 MiB claimed from a 64 KiB frame is well
+    // inside 255x (~16.7 MB) but far past this chunk's ~96-byte cap — only
+    // the metadata-cap term can reject it
     val lz4Bomb = java.nio.ByteBuffer.allocate(1 << 16)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x7FF0000).array()
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1 << 20).array()
     val lz4Meta = meta.copy(codecs =
       Seq(ZarrCodec.BytesCodec(littleEndian = true), ZarrCodec.Lz4Codec))
     assert(intercept[ZarrException](ZarrCodecs.decodeChunk(lz4Bomb, lz4Meta))

@@ -193,7 +193,10 @@ class ZarrWriteSpec extends SparkSpec {
     // encoder produces — same parts, same index, same crc — or readers of
     // either vintage would disagree
     val dir = tempDir("zw_shard_bytes") + "/store.zarr"
-    val n = 100 // partial final inner chunk (100 = 2 full shards of 40 + 20)
+    // 95 = 2 full chunks of 40 + a final chunk of 15: one full inner chunk
+    // of 10 plus a RESIDUAL inner chunk of 5 plus two all-fill pads — the
+    // residual path (writeInner(n < shardRows)) must be exercised here
+    val n = 95
     spark.range(n).select(col("id"), concat(lit("s"), col("id")).as("s"))
       .coalesce(1).write.format("zarr").option("group", "/t")
       .option("chunk_rows", "40").option("shard_rows", "10")
@@ -275,6 +278,41 @@ class ZarrWriteSpec extends SparkSpec {
       graft.zarr.ZarrCodecs.rangedShardThresholdBytes = prev
       m.reset()
     }
+  }
+
+  test("oversized shard object under small-estimate metadata never reads unbounded") {
+    // hostile stores control the OBJECT, metadata controls the ESTIMATE: a
+    // multi-GiB object under small-chunk metadata must not reach an
+    // unbounded readAllBytes. The bounded opportunistic read detects the
+    // mismatch and falls back to stat + ranged reads, which transfer only
+    // the index region — here garbage, so the failure is the index crc,
+    // typed, after kilobytes not gigabytes
+    val dir = tempDir("zw_shard_oversize") + "/store.zarr"
+    spark.range(40).select(col("id"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "40").option("shard_rows", "10")
+      .mode("overwrite").save(dir)
+    val chunk = java.nio.file.Paths.get(dir, "t", "id", "c", "0")
+    val pad = new Array[Byte](6000) // past the plausible bound for 40 longs
+    java.nio.file.Files.write(chunk, pad,
+      java.nio.file.StandardOpenOption.APPEND)
+    // drop Hadoop's local checksum sidecar: the append invalidated it, and
+    // this test is about OUR bound, not LocalFileSystem's crc
+    java.nio.file.Files.deleteIfExists(chunk.resolveSibling(".0.crc"))
+    val metaJson = graft.zarr.ZarrMeta.parseArray("t/id", "id",
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "t", "id", "zarr.json")), "UTF-8"))
+    val store = new graft.zarr.ZarrStore(dir,
+      spark.sparkContext.hadoopConfiguration)
+    val prev = graft.zarr.ZarrCodecs.rangedShardThresholdBytes
+    graft.zarr.ZarrCodecs.rangedShardThresholdBytes = 1000L
+    try {
+      val e = intercept[graft.zarr.ZarrException] {
+        graft.zarr.ZarrCodecs.fetchChunk(store, metaJson, 0L).get(0)
+      }
+      assert(e.getMessage.contains("crc32c") || e.getMessage.contains("index"),
+        e.getMessage)
+    } finally graft.zarr.ZarrCodecs.rangedShardThresholdBytes = prev
   }
 
   test("corrupted shard index fails loudly (crc32c on the index)") {
