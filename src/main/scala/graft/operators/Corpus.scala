@@ -160,6 +160,41 @@ object Corpus {
   }
 
   /**
+   * Deterministic epoch shuffle — the reproducible global permutation every
+   * training run needs ("same seed → same order on any cluster"): order by
+   * a seeded hash of the id, id as tiebreak. Emits the hash as `sort_key`
+   * rather than materializing ordinal positions: a global `row_number()`
+   * collapses Spark to one partition, while ORDER BY a key is a
+   * range-partitioned sort that scales — downstream sequential consumers
+   * (packing, sharded export) key off the order itself. A new seed is a
+   * fresh, uncorrelated permutation (md5 avalanches), identical on every
+   * engine/run/cluster size (the md5 trick [[hashSplit]] uses).
+   */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("sort_key",
+        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+      .orderBy(col("sort_key"), col(idCol))
+
+  /**
+   * Token-budget data mixing — take documents per source until that
+   * source's budget is exhausted (how corpus mixing weights become an
+   * actual training set): within each source, docs in deterministic
+   * md5-of-id order accumulate their cost (e.g. char or token count) and a
+   * doc survives iff its RUNNING TOTAL fits the budget. One shuffle on the
+   * natural source key plus a window cumsum; membership is reproducible on
+   * any engine/run/cluster size. Sources skewed enough to matter are
+   * exactly the ones a budget is for.
+   */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, idCol: String,
+      costCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+      .filter(col("cum_cost") <= budget)
+  }
+
+  /**
    * Fixed-budget contiguous sequence packing, concatenate-then-chop style
    * (how LLM pretraining fills context windows): within each `groupCol`,
    * docs in `orderCol` order are laid end to end and each doc is assigned

@@ -91,6 +91,38 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_sampled"), countDistinct("doc_id").as("n_docs"))
         .orderBy("lang")),
 
+    // Deterministic epoch shuffle: seeded md5 permutation, identical on
+    // both engines — the first 20 rows of epoch 7's order. Row order IS
+    // the output, so the oracle recomputes the same seeded hash sort.
+    Q("q_shuffle_epoch", Some("""
+      SELECT doc_id, sort_key FROM (
+        SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents)
+      ORDER BY sort_key, doc_id
+      LIMIT 20"""),
+      (s, dir) => Corpus.epochShuffle(
+        t(s, dir, "documents").select("doc_id"), "doc_id", seed = 7L)
+        .limit(20)),
+
+    // Token-budget mixing: per source, docs in md5 order accumulate
+    // n_chars and survive while the running total fits the budget —
+    // DuckDB recomputes the identical window cumsum.
+    Q("q_mix_token_budget", Some("""
+      SELECT source, doc_id, cum_cost FROM (
+        SELECT source, doc_id,
+               CAST(sum(n_chars) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+        FROM documents)
+      WHERE cum_cost <= 20000
+      ORDER BY source, cum_cost"""),
+      (s, dir) => Corpus.tokenBudgetMix(
+        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars", budget = 20000L)
+        .select("source", "doc_id", "cum_cost")
+        .orderBy("source", "cum_cost")),
+
     // Benchmark decontamination: docs with id % 50 == 0 act as the "eval
     // set"; any other doc sharing a word-8-gram with them is dropped.
     // DuckDB recomputes the same 8-gram overlap from scratch.

@@ -214,4 +214,43 @@ class CorpusSpec extends SparkSpec {
       ("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
       ("doc-x", "doc-x"), ("doc-y", "doc-x")))
   }
+
+  test("epochShuffle: a permutation, deterministic per seed, different across seeds") {
+    import spark.implicits._
+    val df = spark.range(200).toDF("doc_id")
+    val e1 = graft.operators.Corpus.epochShuffle(df, "doc_id", 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e1b = graft.operators.Corpus.epochShuffle(df, "doc_id", 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e2 = graft.operators.Corpus.epochShuffle(df, "doc_id", 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(e1 == e1b, "same seed must reproduce the same order")
+    assert(e1.sorted == (0L until 200L) && e2.sorted == (0L until 200L),
+      "every row appears exactly once")
+    assert(e1 != e2, "different seeds must permute differently")
+    assert(e1 != (0L until 200L).toSeq, "the permutation actually shuffles")
+  }
+
+  test("tokenBudgetMix: running total never exceeds the budget, order deterministic") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (if (i % 2 == 0) "web" else "code", i.toLong, 100L))
+      .toDF("source", "doc_id", "n_chars")
+    val out = graft.operators.Corpus.tokenBudgetMix(
+      df, "source", "doc_id", "n_chars", budget = 900L)
+      .select("source", "doc_id", "cum_cost")
+    val rows = out.collect()
+    // 25 docs x 100 chars per source, budget 900 → exactly 9 per source
+    assert(rows.length == 18)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length == 9)
+      assert(rs.map(_.getLong(2)).max == 900L)
+    }
+    // membership is hash-of-id determined, not id-ordered
+    val kept = rows.map(_.getLong(1)).toSet
+    assert(kept != (0L until 18L).toSet)
+    val again = graft.operators.Corpus.tokenBudgetMix(
+      df, "source", "doc_id", "n_chars", budget = 900L)
+      .collect().map(_.getLong(1)).toSet
+    assert(again == kept)
+  }
 }
