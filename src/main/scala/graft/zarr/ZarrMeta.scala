@@ -119,7 +119,10 @@ final case class ZarrArrayMeta(
     codecs: Seq[ZarrCodec],
     separator: String,   // chunk-key separator, "/" or "."
     fillValueJson: String, // raw JSON text of fill_value (decoded lazily)
-    v2Keys: Boolean = false // "v2" chunk_key_encoding: bare <i>, no "c" prefix
+    v2Keys: Boolean = false, // "v2" chunk_key_encoding: bare <i>, no "c" prefix
+    attrsJson: String = null // raw user attributes JSON (v3 `attributes` /
+                             // v2 `.zattrs`), null = none — surfaced as
+                             // Spark column metadata
 ) extends Serializable {
   def numChunks: Long = if (length == 0) 0 else (length + chunkLength - 1) / chunkLength
   /** Store-relative path of chunk i under the array's chunk-key encoding. */
@@ -165,6 +168,7 @@ object ZarrMeta {
         if (s.isEmpty) "." else s
       case other => throw new ZarrException(s"unsupported chunk_key_encoding '$other' at $path")
     }
+    val attrs = n.path("attributes")
     ZarrArrayMeta(
       name = name,
       path = path,
@@ -174,7 +178,8 @@ object ZarrMeta {
       codecs = parseCodecs(n.path("codecs"), path),
       separator = sep,
       fillValueJson = n.path("fill_value").toString,
-      v2Keys = v2Keys
+      v2Keys = v2Keys,
+      attrsJson = if (attrs.isObject && attrs.size() > 0) attrs.toString else null
     )
   }
 

@@ -48,17 +48,26 @@ object ZarrSchema {
 
   def toField(meta: ZarrArrayMeta): StructField = {
     val dt = catalystType(meta.dtype)
+    // user attributes (v3 `attributes` / v2 `.zattrs`) ride on the column
+    // as Spark metadata under "zarr.attributes" (raw JSON) — units,
+    // _ARRAY_DIMENSIONS etc. survive into DataFrame schemas
+    def withAttrs(base: Metadata): Metadata =
+      if (meta.attrsJson == null) base
+      else new MetadataBuilder().withMetadata(base)
+        .putString("zarr.attributes", meta.attrsJson).build()
     if (meta.name == "bbox") {
       if (dt != StringType)
         throw new ZarrException(s"bbox column must be a string array, got ${meta.dtype}")
-      StructField("bbox", StringType, nullable = false, metadata = BboxMetadata)
+      StructField("bbox", StringType, nullable = false,
+        metadata = withAttrs(BboxMetadata))
     } else {
       // Deviation from the reference's blanket nullable=false
       // (src/schema.rs:64): datetime64 columns are nullable because numpy's
       // NaT sentinel (i64.MIN) decodes to null rather than a garbage
       // timestamp (see ZarrCodecs datetime decode).
       val nullable = dt == TimestampNTZType
-      StructField(meta.name, dt, nullable = nullable)
+      StructField(meta.name, dt, nullable = nullable,
+        metadata = withAttrs(Metadata.empty))
     }
   }
 
@@ -119,8 +128,14 @@ object ZarrSchema {
               (k, k.stripPrefix(keyPrefix).dropRight("/.zarray".length)) }
             .filter { case (_, child) => child.nonEmpty && !child.contains("/") }
             .sortBy(_._2)
-            .map { case (k, child) => ZarrMeta.parseArrayV2(arrayDir(child), child,
-              md.get(k).toString) }
+            .map { case (k, child) =>
+              val meta = ZarrMeta.parseArrayV2(arrayDir(child), child, md.get(k).toString)
+              // v2 keeps user attributes in a sibling .zattrs document —
+              // consolidated stores carry it inline, zero extra RPCs
+              val za = md.path(s"$keyPrefix$child/.zattrs")
+              if (za.isObject && za.size() > 0) meta.copy(attrsJson = za.toString)
+              else meta
+            }
           if (out.nonEmpty) Some(out) else None
         } catch { case _: Exception => None } // malformed → list instead
       }
@@ -143,8 +158,21 @@ object ZarrSchema {
       } else {
         val v2Text = store.readBytesIfExists(s"$arrayDir/.zarray")
         if (v2Text == null) None // not a zarr node; skip
-        else Some(ZarrMeta.parseArrayV2(arrayDir, child,
-          new String(v2Text, java.nio.charset.StandardCharsets.UTF_8)))
+        else {
+          val meta = ZarrMeta.parseArrayV2(arrayDir, child,
+            new String(v2Text, java.nio.charset.StandardCharsets.UTF_8))
+          // one extra read per column, on the LISTING path only — object
+          // stores plan through consolidated metadata and never get here
+          val za = store.readBytesIfExists(s"$arrayDir/.zattrs")
+          val attrs =
+            if (za == null) null
+            else try {
+              val node = ZarrMeta.parseJson(
+                new String(za, java.nio.charset.StandardCharsets.UTF_8))
+              if (node.isObject && node.size() > 0) node.toString else null
+            } catch { case _: Exception => null } // malformed attrs → none
+          Some(if (attrs == null) meta else meta.copy(attrsJson = attrs))
+        }
       }
     }
   }

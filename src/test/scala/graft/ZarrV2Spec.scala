@@ -205,6 +205,51 @@ class ZarrV2Spec extends SparkSpec {
     assert(df.count() == 7)
   }
 
+  test("user attributes surface as column metadata (v2 .zattrs, v3 attributes)") {
+    // v2: our own writer emits .zattrs with _ARRAY_DIMENSIONS — reading the
+    // store back must carry them on the column (xarray users key off this)
+    val dir = Files.createTempDirectory("graft_attrs").resolve("v2.zarr")
+    spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.format("zarr").option("group", "/meta")
+      .option("zarr_format", "2").mode("overwrite").save(dir.toString)
+    val df = spark.read.format("zarr").option("group", "/meta").load(dir.toString)
+    for (f <- df.schema.fields) {
+      assert(f.metadata.contains("zarr.attributes"), f.name)
+      assert(f.metadata.getString("zarr.attributes").contains("_ARRAY_DIMENSIONS"))
+    }
+    // consolidated-only resolution carries them too (no .zattrs reads)
+    Files.list(dir.resolve("meta")).forEach { child =>
+      for (doc <- Seq(".zarray", ".zattrs")) {
+        val p = child.resolve(doc)
+        if (Files.exists(p)) Files.delete(p)
+      }
+    }
+    val cons = spark.read.format("zarr").option("group", "/meta").load(dir.toString)
+    assert(cons.schema.fields.forall(_.metadata.contains("zarr.attributes")))
+    // v3: `attributes` in the array document itself
+    val v3 = Files.createTempDirectory("graft_attrs3").resolve("v3.zarr")
+    spark.range(5).selectExpr("id")
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .mode("overwrite").save(v3.toString)
+    val metaPath = v3.resolve("t").resolve("id").resolve("zarr.json")
+    Files.writeString(metaPath, Files.readString(metaPath).replace(
+      "\"attributes\":{}", """"attributes":{"units":"meters"}"""))
+    // the group doc embeds consolidated metadata that still has empty
+    // attrs — drop it so the per-array document is authoritative
+    val groupPath = v3.resolve("t").resolve("zarr.json")
+    val groupDoc = Files.readString(groupPath)
+    Files.writeString(groupPath,
+      """{"attributes":{},"zarr_format":3,"node_type":"group"}""")
+    // direct edits invalidate Hadoop's local .crc sidecars — drop them
+    for (p <- Seq(metaPath, groupPath))
+      Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+    val v3df = spark.read.format("zarr").option("group", "/t").load(v3.toString)
+    val idField = v3df.schema.fields.find(_.name == "id").get
+    assert(idField.metadata.contains("zarr.attributes"), groupDoc)
+    assert(idField.metadata.getString("zarr.attributes") ==
+      """{"units":"meters"}""")
+  }
+
   // ---------------------------------------------- numcodecs filter surface
 
   private lazy val filtersFixture: String = {
