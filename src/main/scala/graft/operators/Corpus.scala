@@ -168,11 +168,15 @@ object Corpus {
    * range-partitioned sort that scales — downstream sequential consumers
    * (packing, sharded export) key off the order itself. A new seed is a
    * fresh, uncorrelated permutation (md5 avalanches), identical on every
-   * engine/run/cluster size (the md5 trick [[hashSplit]] uses).
+   * engine/run/cluster size (the md5 trick [[hashSplit]] uses). A null id
+   * hashes as the empty string — a NULL sort key would otherwise land
+   * NULLS FIRST on Spark but NULLS LAST on engines with the other default,
+   * breaking the cross-engine order this exists for.
    */
   def epochShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
     df.withColumn("sort_key",
-        md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))))
+        md5(concat(lit(seed.toString), lit(":"),
+          coalesce(col(idCol).cast("string"), lit("")))))
       .orderBy(col("sort_key"), col(idCol))
 
   /**
@@ -187,9 +191,12 @@ object Corpus {
    */
   def tokenBudgetMix(df: DataFrame, sourceCol: String, idCol: String,
       costCol: String, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // explicit ROWS frame: the RANGE default gives ordering ties their
+    // COMBINED peer total (duplicate ids would drop both rows where a
+    // running total keeps one); null ids hash as '' like [[epochShuffle]]
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(coalesce(col(idCol).cast("string"), lit(""))), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_cost", sum(col(costCol)).over(w))
       .filter(col("cum_cost") <= budget)
   }

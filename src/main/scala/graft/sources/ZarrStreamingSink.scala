@@ -221,6 +221,16 @@ class ZarrStreamingWrite(
       shardRows, rowIdxOrdinal)
   }
 
+  /** Per-array user attributes of the CURRENT table, read before the epoch
+   *  republishes zarr.json — appending must not wipe attributes a foreign
+   *  writer (e.g. xarray: units, _ARRAY_DIMENSIONS) put there. A fresh
+   *  table (or unreadable metadata) yields none. */
+  private def existingAttrs(): Map[String, String] =
+    try graft.zarr.ZarrSchema.listArrays(new ZarrStore(path, conf.value),
+        if (groupRel.isEmpty) "/" else s"/$groupRel")
+      .flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap
+    catch { case _: Exception => Map.empty }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ZarrStreamEpochCommit => m }
     if (msgs.isEmpty) return
@@ -236,7 +246,7 @@ class ZarrStreamingWrite(
       if (e >= 0)
         ZarrWriteSupport.writeTableMetadata(
           new Path(path).getFileSystem(conf.value), path, groupRel, dataSchema,
-          rows, chunkRows, shardRows)
+          rows, chunkRows, shardRows, attrsByName = existingAttrs())
       return
     }
     val chunks = msgs.flatMap(_.chunks).sortBy(_._1)
@@ -278,11 +288,13 @@ class ZarrStreamingWrite(
     // publish so a crash in between is healed by the replay branch above;
     // metadata-before-marker on a marker-less table would instead replay
     // into silent duplicates (published-length fallback already grown).
+    // attrs read BEFORE the republish below overwrites the documents
+    val attrs = existingAttrs()
     mergeStats(merged).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
     writeFile(ZarrStreamCommit.relPath(groupRel),
       s"""{"epoch":$epochId,"rows":${merged.totalRows}}""")
     ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, merged.totalRows,
-      chunkRows, shardRows)
+      chunkRows, shardRows, attrsByName = attrs)
   }
 
   /** Fold this epoch's chunk stats into the existing sidecar (rewritten tail

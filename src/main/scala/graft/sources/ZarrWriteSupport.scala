@@ -339,7 +339,8 @@ object ZarrWriteSupport {
    *  (readers key off these, so writing them LAST makes commits atomic). */
   def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
       groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
-      shardRows: Int = 0, compression: String = "zstd"): Unit = {
+      shardRows: Int = 0, compression: String = "zstd",
+      attrsByName: Map[String, String] = Map.empty): Unit = {
     // atomic publish: the streaming sink REWRITES these documents on every
     // epoch while the micro-batch source polls them for growth — a truncate-
     // then-write create() lets the reader observe a partial document. Write
@@ -372,7 +373,7 @@ object ZarrWriteSupport {
            |"fill_value":${fillJson(f.dataType)},
            |"codecs":${if (shardRows > 0) codecsJsonSharded(f.dataType, shardRows, compression)
                        else codecsJson(f.dataType, compression)},
-           |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+           |"attributes":${attrsByName.getOrElse(f.name, "{}")},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
           .stripMargin
       f.name -> meta
     }

@@ -215,6 +215,19 @@ class CorpusSpec extends SparkSpec {
       ("doc-x", "doc-x"), ("doc-y", "doc-x")))
   }
 
+  test("tokenBudgetMix: duplicate ids keep running-total (ROWS) semantics") {
+    import spark.implicits._
+    // a RANGE-framed cumsum (Spark's ORDER BY default) would give both tied
+    // rows the combined peer total 1200 and drop BOTH; the running total
+    // must keep exactly one at 600
+    val df = Seq(("web", 1L, 600L), ("web", 1L, 600L))
+      .toDF("source", "doc_id", "n_chars")
+    val out = graft.operators.Corpus.tokenBudgetMix(
+      df, "source", "doc_id", "n_chars", budget = 900L)
+      .select("doc_id", "cum_cost").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 600L)
+  }
+
   test("epochShuffle: a permutation, deterministic per seed, different across seeds") {
     import spark.implicits._
     val df = spark.range(200).toDF("doc_id")

@@ -203,6 +203,47 @@ class ZarrStreamSinkSpec extends SparkSpec {
     assert(ZarrStreamCommit.read(store, "t")._2 == 9L)
   }
 
+  test("appending preserves foreign user attributes on the arrays") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_attrs") + "/store.zarr"
+    spark.range(4).select(col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("w"), col("id")).as("word"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "4").mode("overwrite").save(dir)
+    // a foreign writer (xarray-style) adds attributes to an array document;
+    // drop the group's consolidated copy so the per-array doc is
+    // authoritative, and Hadoop's local .crc sidecars after direct edits
+    val idMeta = java.nio.file.Paths.get(dir, "t", "id", "zarr.json")
+    java.nio.file.Files.writeString(idMeta,
+      java.nio.file.Files.readString(idMeta).replace(
+        "\"attributes\":{}", """"attributes":{"units":"meters"}"""))
+    val groupMeta = java.nio.file.Paths.get(dir, "t", "zarr.json")
+    java.nio.file.Files.writeString(groupMeta,
+      """{"attributes":{},"zarr_format":3,"node_type":"group"}""")
+    for (p <- Seq(idMeta, groupMeta))
+      java.nio.file.Files.deleteIfExists(
+        p.resolveSibling("." + p.getFileName + ".crc"))
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_attrs_ckpt"))
+      .start(dir)
+    try {
+      mem.addData(Doc(4, "w4"), Doc(5, "w5"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the epoch republished zarr.json — the attributes must have survived
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+    assert(back.count() == 6)
+    val idField = back.schema.fields.find(_.name == "id").get
+    assert(idField.metadata.contains("zarr.attributes"),
+      "epoch republish wiped the array's user attributes")
+    assert(idField.metadata.getString("zarr.attributes") ==
+      """{"units":"meters"}""")
+  }
+
   test("streaming append to a SHARDED table writes shards of the same inner grid") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

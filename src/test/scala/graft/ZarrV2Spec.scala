@@ -218,12 +218,13 @@ class ZarrV2Spec extends SparkSpec {
       assert(f.metadata.getString("zarr.attributes").contains("_ARRAY_DIMENSIONS"))
     }
     // consolidated-only resolution carries them too (no .zattrs reads)
-    Files.list(dir.resolve("meta")).forEach { child =>
+    val children = Files.list(dir.resolve("meta"))
+    try children.forEach { child =>
       for (doc <- Seq(".zarray", ".zattrs")) {
         val p = child.resolve(doc)
         if (Files.exists(p)) Files.delete(p)
       }
-    }
+    } finally children.close()
     val cons = spark.read.format("zarr").option("group", "/meta").load(dir.toString)
     assert(cons.schema.fields.forall(_.metadata.contains("zarr.attributes")))
     // v3: `attributes` in the array document itself
