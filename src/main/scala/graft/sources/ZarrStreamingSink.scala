@@ -225,11 +225,16 @@ class ZarrStreamingWrite(
    *  republishes zarr.json — appending must not wipe attributes a foreign
    *  writer (e.g. xarray: units, _ARRAY_DIMENSIONS) put there. A fresh
    *  table (or unreadable metadata) yields none. */
-  private def existingAttrs(): Map[String, String] =
-    try graft.zarr.ZarrSchema.listArrays(new ZarrStore(path, conf.value),
-        if (groupRel.isEmpty) "/" else s"/$groupRel")
-      .flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap
-    catch { case _: Exception => Map.empty }
+  private def existingAttrs(): Map[String, String] = {
+    val fromStore =
+      try graft.zarr.ZarrSchema.listArrays(new ZarrStore(path, conf.value),
+          if (groupRel.isEmpty) "/" else s"/$groupRel")
+        .flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap
+      catch { case _: Exception => Map.empty[String, String] }
+    // schema-carried attrs seed a FRESH table; the live store's win on an
+    // existing one (they're the most current)
+    ZarrWriteSupport.attrsFromSchema(dataSchema) ++ fromStore
+  }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ZarrStreamEpochCommit => m }

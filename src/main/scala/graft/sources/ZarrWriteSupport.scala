@@ -337,6 +337,27 @@ object ZarrWriteSupport {
 
   /** Write the group + per-array `zarr.json` documents for a committed table
    *  (readers key off these, so writing them LAST makes commits atomic). */
+  /** Per-column user attributes carried on the schema (the `zarr.attributes`
+   *  metadata the READ side surfaces) — so read → transform → write keeps
+   *  units/_ARRAY_DIMENSIONS on the new store. The JSON is embedded
+   *  verbatim into metadata documents, so garbage fails typed here rather
+   *  than corrupting the published zarr.json. */
+  def attrsFromSchema(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (!f.metadata.contains("zarr.attributes")) None
+      else {
+        val json = f.metadata.getString("zarr.attributes")
+        // re-render through jackson: validates, and canonicalizes away any
+        // raw newlines hand-written metadata could smuggle into the
+        // single-line consolidated document
+        val node = try graft.zarr.ZarrMeta.parseJson(json)
+          catch { case _: Exception => null }
+        if (node == null || !node.isObject) throw new ZarrException(
+          s"column '${f.name}' carries non-object zarr.attributes metadata: $json")
+        Some(f.name -> node.toString)
+      }
+    }.toMap
+
   def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
       groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
       shardRows: Int = 0, compression: String = "zstd",
@@ -429,11 +450,21 @@ object ZarrWriteSupport {
     // xarray's open_zarr requires the _ARRAY_DIMENSIONS attribute (its
     // netCDF-style dimension naming); zarr-python ignores unknown attrs,
     // so carrying it costs nothing and makes the store an xarray Dataset
-    // of 1-D "row" variables out of the box
-    val attrsDoc = """{"_ARRAY_DIMENSIONS":["row"]}"""
+    // of 1-D "row" variables out of the box. Schema-carried user attrs
+    // (the read side's zarr.attributes metadata) merge in; OUR
+    // _ARRAY_DIMENSIONS wins a conflict (this store's dimension is "row")
+    val userAttrs = attrsFromSchema(dataSchema)
+    def attrsDocFor(name: String): String = userAttrs.get(name) match {
+      case None => """{"_ARRAY_DIMENSIONS":["row"]}"""
+      case Some(json) =>
+        val node = graft.zarr.ZarrMeta.parseJson(json)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        node.putArray("_ARRAY_DIMENSIONS").add("row")
+        node.toString
+    }
     arrayDocs.foreach { case (name, doc) =>
       writeJson(new Path(new Path(groupDir, name), ".zarray"), doc)
-      writeJson(new Path(new Path(groupDir, name), ".zattrs"), attrsDoc)
+      writeJson(new Path(new Path(groupDir, name), ".zattrs"), attrsDocFor(name))
     }
     val groupDoc = """{"zarr_format":2}"""
     // ancestors root-down, table group last among the markers
@@ -446,7 +477,7 @@ object ZarrWriteSupport {
     val consolidated =
       (Seq(s"""".zgroup":$groupDoc""") ++
         arrayDocs.flatMap { case (n, d) =>
-          Seq(s""""$n/.zarray":$d""", s""""$n/.zattrs":$attrsDoc""") }).mkString(",")
+          Seq(s""""$n/.zarray":$d""", s""""$n/.zattrs":${attrsDocFor(n)}""") }).mkString(",")
     writeJson(new Path(groupDir, ".zmetadata"),
       s"""{"zarr_consolidated_format":1,"metadata":{$consolidated}}""")
   }
@@ -765,7 +796,8 @@ class ZarrWrite(
         chunkRows, compression)
     else
       ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows,
-        chunkRows, shardRows, compression)
+        chunkRows, shardRows, compression,
+        attrsByName = ZarrWriteSupport.attrsFromSchema(dataSchema))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

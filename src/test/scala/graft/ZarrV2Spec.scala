@@ -249,6 +249,22 @@ class ZarrV2Spec extends SparkSpec {
     assert(idField.metadata.contains("zarr.attributes"), groupDoc)
     assert(idField.metadata.getString("zarr.attributes") ==
       """{"units":"meters"}""")
+    // read → write carries the attributes to the NEW store (both formats):
+    // v3 embeds them in the array document, v2 merges them into .zattrs
+    // next to our _ARRAY_DIMENSIONS
+    val copy3 = Files.createTempDirectory("graft_attrs_rt").resolve("copy3.zarr")
+    v3df.coalesce(1).write.format("zarr").option("group", "/t")
+      .mode("overwrite").save(copy3.toString)
+    val back3 = spark.read.format("zarr").option("group", "/t").load(copy3.toString)
+    assert(back3.schema.fields.find(_.name == "id").get
+      .metadata.getString("zarr.attributes") == """{"units":"meters"}""")
+    val copy2 = Files.createTempDirectory("graft_attrs_rt2").resolve("copy2.zarr")
+    v3df.coalesce(1).write.format("zarr").option("group", "/t")
+      .option("zarr_format", "2").mode("overwrite").save(copy2.toString)
+    val attrs2 = spark.read.format("zarr").option("group", "/t").load(copy2.toString)
+      .schema.fields.find(_.name == "id").get.metadata.getString("zarr.attributes")
+    assert(attrs2.contains("\"units\":\"meters\"") &&
+      attrs2.contains("_ARRAY_DIMENSIONS"), attrs2)
   }
 
   // ---------------------------------------------- numcodecs filter surface
