@@ -168,15 +168,18 @@ object Corpus {
    * range-partitioned sort that scales — downstream sequential consumers
    * (packing, sharded export) key off the order itself. A new seed is a
    * fresh, uncorrelated permutation (md5 avalanches), identical on every
-   * engine/run/cluster size (the md5 trick [[hashSplit]] uses). A null id
-   * hashes as the empty string — a NULL sort key would otherwise land
-   * NULLS FIRST on Spark but NULLS LAST on engines with the other default,
-   * breaking the cross-engine order this exists for.
+   * engine/run/cluster size (the md5 trick [[hashSplit]] uses). Null ids
+   * hash via a COLLISION-FREE encoding ('v'+value, null → 'null'): a NULL
+   * sort key would land NULLS FIRST on Spark but NULLS LAST on engines
+   * with the other default, and coalescing to '' would collide null with
+   * a genuine empty-string id and push the divergence into the tiebreak.
    */
+  private[operators] def hashId(idCol: String) =
+    coalesce(concat(lit("v"), col(idCol).cast("string")), lit("null"))
+
   def epochShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
     df.withColumn("sort_key",
-        md5(concat(lit(seed.toString), lit(":"),
-          coalesce(col(idCol).cast("string"), lit("")))))
+        md5(concat(lit(seed.toString), lit(":"), hashId(idCol))))
       .orderBy(col("sort_key"), col(idCol))
 
   /**
@@ -193,9 +196,12 @@ object Corpus {
       costCol: String, budget: Long): DataFrame = {
     // explicit ROWS frame: the RANGE default gives ordering ties their
     // COMBINED peer total (duplicate ids would drop both rows where a
-    // running total keeps one); null ids hash as '' like [[epochShuffle]]
+    // running total keeps one). The cost column joins the ordering so
+    // duplicate ids with DIFFERING costs accumulate in a fixed order —
+    // without it, which tied row's cost counts first is run-dependent and
+    // so is membership. Null ids hash collision-free like [[epochShuffle]].
     val w = Window.partitionBy(col(sourceCol))
-      .orderBy(md5(coalesce(col(idCol).cast("string"), lit(""))), col(idCol))
+      .orderBy(md5(hashId(idCol)), col(idCol), col(costCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_cost", sum(col(costCol)).over(w))
       .filter(col("cum_cost") <= budget)

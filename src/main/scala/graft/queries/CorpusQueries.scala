@@ -97,7 +97,7 @@ object CorpusQueries {
     Q("q_shuffle_epoch", Some("""
       SELECT doc_id, sort_key FROM (
         SELECT doc_id,
-               md5('7:' || COALESCE(CAST(doc_id AS VARCHAR), '')) AS sort_key
+               md5('7:' || COALESCE('v' || CAST(doc_id AS VARCHAR), 'null')) AS sort_key
         FROM documents)
       ORDER BY sort_key, doc_id
       LIMIT 20"""),
@@ -113,7 +113,8 @@ object CorpusQueries {
         SELECT source, doc_id,
                CAST(sum(n_chars) OVER (
                  PARTITION BY source
-                 ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '')), doc_id
+                 ORDER BY md5(COALESCE('v' || CAST(doc_id AS VARCHAR), 'null')),
+                          doc_id, n_chars
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
         FROM documents)
       WHERE cum_cost <= 20000

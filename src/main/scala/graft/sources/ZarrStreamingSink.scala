@@ -223,18 +223,24 @@ class ZarrStreamingWrite(
 
   /** Per-array user attributes of the CURRENT table, read before the epoch
    *  republishes zarr.json — appending must not wipe attributes a foreign
-   *  writer (e.g. xarray: units, _ARRAY_DIMENSIONS) put there. A fresh
-   *  table (or unreadable metadata) yields none. */
-  private def existingAttrs(): Map[String, String] = {
-    val fromStore =
-      try graft.zarr.ZarrSchema.listArrays(new ZarrStore(path, conf.value),
-          if (groupRel.isEmpty) "/" else s"/$groupRel")
-        .flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap
-      catch { case _: Exception => Map.empty[String, String] }
-    // schema-carried attrs seed a FRESH table; the live store's win on an
-    // existing one (they're the most current)
-    ZarrWriteSupport.attrsFromSchema(dataSchema) ++ fromStore
-  }
+   *  writer (e.g. xarray: units, _ARRAY_DIMENSIONS) put there.
+   *
+   *  - Existing table: its live attributes are AUTHORITATIVE, including
+   *    absence — an attribute the user deleted from the store must not be
+   *    resurrected from stale schema metadata every epoch.
+   *  - Fresh table (typed ZarrException: no group yet): schema-carried
+   *    attrs seed it.
+   *  - Transient I/O failure: PROPAGATE and fail the epoch (retried) —
+   *    treating it as "fresh" would republish with schema-only attrs and
+   *    permanently wipe the foreign writer's metadata on one flaky read. */
+  private def existingAttrs(): Map[String, String] =
+    try graft.zarr.ZarrSchema.listArrays(new ZarrStore(path, conf.value),
+        if (groupRel.isEmpty) "/" else s"/$groupRel")
+      .flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap
+    catch {
+      case _: graft.zarr.ZarrException =>
+        ZarrWriteSupport.attrsFromSchema(dataSchema)
+    }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ZarrStreamEpochCommit => m }

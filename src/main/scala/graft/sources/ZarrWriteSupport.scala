@@ -346,7 +346,10 @@ object ZarrWriteSupport {
     schema.fields.flatMap { f =>
       if (!f.metadata.contains("zarr.attributes")) None
       else {
-        val json = f.metadata.getString("zarr.attributes")
+        val json =
+          try f.metadata.getString("zarr.attributes")
+          catch { case _: ClassCastException => throw new ZarrException(
+            s"column '${f.name}' zarr.attributes metadata must be a JSON string") }
         // re-render through jackson: validates, and canonicalizes away any
         // raw newlines hand-written metadata could smuggle into the
         // single-line consolidated document
@@ -381,7 +384,6 @@ object ZarrWriteSupport {
           throw new ZarrException(s"cannot publish metadata document $p")
       }
     }
-    val groupDoc = """{"attributes":{},"zarr_format":3,"node_type":"group"}"""
     // array docs FIRST, the table group's doc LAST: the group doc is the
     // publish point, and it embeds a consolidated copy of every child array
     // document (zarr-python v3's consolidated_metadata convention) so a
@@ -406,20 +408,46 @@ object ZarrWriteSupport {
     val consolidated = arrayDocs
       .map { case (name, meta) => s""""$name":${meta.replace("\n", "")}""" }
       .mkString(",")
-    val tableGroupDoc =
-      s"""{"attributes":{},"zarr_format":3,"node_type":"group",
+    // GROUP attributes are user data the engine never owns: every group
+    // document this publish rewrites (root, ancestors, the table group)
+    // keeps whatever attributes the existing document carried — a foreign
+    // writer's dataset-level attrs (xarray title/history/conventions) must
+    // survive epoch republishes and table overwrites inside a shared store
+    def existingGroupAttrs(dir: Path): String = {
+      val p = new Path(dir, "zarr.json")
+      if (!fs.exists(p)) "{}" // fresh group
+      else {
+        // I/O failures PROPAGATE (fail the commit, retried) — swallowing
+        // them would republish with empty attrs and wipe a foreign
+        // writer's dataset-level metadata on one transient read error
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        try {
+          val attrs = graft.zarr.ZarrMeta.parseJson(text).path("attributes")
+          if (attrs.isObject) attrs.toString else "{}"
+        } catch { case _: Exception => "{}" } // garbage doc → fresh
+      }
+    }
+    def groupDocAt(dir: Path): String =
+      s"""{"attributes":${existingGroupAttrs(dir)},"zarr_format":3,"node_type":"group"}"""
+    def tableGroupDocAt(dir: Path): String =
+      s"""{"attributes":${existingGroupAttrs(dir)},"zarr_format":3,"node_type":"group",
          |"consolidated_metadata":{"kind":"inline","must_understand":false,
          |"metadata":{$consolidated}}}""".stripMargin.replace("\n", "")
-    if (groupRel.isEmpty) writeJson(new Path(path, "zarr.json"), tableGroupDoc)
-    else {
-      writeJson(new Path(path, "zarr.json"), groupDoc)
+    if (groupRel.isEmpty) {
+      val dir = new Path(path)
+      writeJson(new Path(dir, "zarr.json"), tableGroupDocAt(dir))
+    } else {
+      writeJson(new Path(path, "zarr.json"), groupDocAt(new Path(path)))
       val segs = groupRel.split("/")
       var acc = new Path(path)
       segs.dropRight(1).foreach { seg =>
         acc = new Path(acc, seg)
-        writeJson(new Path(acc, "zarr.json"), groupDoc)
+        writeJson(new Path(acc, "zarr.json"), groupDocAt(acc))
       }
-      writeJson(new Path(new Path(acc, segs.last), "zarr.json"), tableGroupDoc)
+      val tableDir = new Path(acc, segs.last)
+      writeJson(new Path(tableDir, "zarr.json"), tableGroupDocAt(tableDir))
     }
   }
 
@@ -454,17 +482,21 @@ object ZarrWriteSupport {
     // (the read side's zarr.attributes metadata) merge in; OUR
     // _ARRAY_DIMENSIONS wins a conflict (this store's dimension is "row")
     val userAttrs = attrsFromSchema(dataSchema)
-    def attrsDocFor(name: String): String = userAttrs.get(name) match {
-      case None => """{"_ARRAY_DIMENSIONS":["row"]}"""
-      case Some(json) =>
-        val node = graft.zarr.ZarrMeta.parseJson(json)
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        node.putArray("_ARRAY_DIMENSIONS").add("row")
-        node.toString
-    }
+    // built ONCE per column: the .zattrs file and its consolidated copy
+    // below come from the same string and can never diverge
+    val attrsDocs: Map[String, String] = dataSchema.fields.map { f =>
+      f.name -> (userAttrs.get(f.name) match {
+        case None => """{"_ARRAY_DIMENSIONS":["row"]}"""
+        case Some(json) =>
+          val node = graft.zarr.ZarrMeta.parseJson(json)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          node.putArray("_ARRAY_DIMENSIONS").add("row")
+          node.toString
+      })
+    }.toMap
     arrayDocs.foreach { case (name, doc) =>
       writeJson(new Path(new Path(groupDir, name), ".zarray"), doc)
-      writeJson(new Path(new Path(groupDir, name), ".zattrs"), attrsDocFor(name))
+      writeJson(new Path(new Path(groupDir, name), ".zattrs"), attrsDocs(name))
     }
     val groupDoc = """{"zarr_format":2}"""
     // ancestors root-down, table group last among the markers
@@ -477,7 +509,7 @@ object ZarrWriteSupport {
     val consolidated =
       (Seq(s"""".zgroup":$groupDoc""") ++
         arrayDocs.flatMap { case (n, d) =>
-          Seq(s""""$n/.zarray":$d""", s""""$n/.zattrs":${attrsDocFor(n)}""") }).mkString(",")
+          Seq(s""""$n/.zarray":$d""", s""""$n/.zattrs":${attrsDocs(n)}""") }).mkString(",")
     writeJson(new Path(groupDir, ".zmetadata"),
       s"""{"zarr_consolidated_format":1,"metadata":{$consolidated}}""")
   }
@@ -706,11 +738,15 @@ class ZarrWrite(
     // once the committed row count stops being chunk-aligned), and the
     // caller repartitions on (row_index div chunk_rows) exactly like the
     // distributed batch write. Without it: arrival order, one task.
+    ZarrWriteSupport.attrsFromSchema(dataSchema) // fail-fast, as in batch
     new ZarrStreamingWrite(path, groupRel, schema, dataSchema, chunkRows, conf,
       shardRows, rowIndexCol.map(c => schema.fieldIndex(c)))
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // fail-fast on garbage zarr.attributes metadata BEFORE any task runs —
+    // commit-time rejection would discard a whole distributed write's work
+    ZarrWriteSupport.attrsFromSchema(dataSchema)
     // overwrite: clear existing array dirs under the group BEFORE tasks write
     if (doTruncate) {
       val fs = new Path(path).getFileSystem(conf.value)

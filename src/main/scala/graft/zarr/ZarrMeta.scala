@@ -141,6 +141,13 @@ object ZarrMeta {
   def isGroup(node: JsonNode): Boolean =
     node.path("node_type").asText() == "group"
 
+  /** Normalize a user-attributes node to its raw JSON, or null when absent/
+   *  empty/malformed — the ONE definition behind every read path (v3
+   *  inline, consolidated v2, listed `.zattrs`), so consolidated and
+   *  listed resolution of the same store can never disagree. */
+  def attrsJsonOf(node: JsonNode): String =
+    if (node != null && node.isObject && node.size() > 0) node.toString else null
+
   /** Parse one array `zarr.json`. `path` is the store-relative array dir. */
   def parseArray(path: String, name: String, text: String): ZarrArrayMeta = {
     val n = parseJson(text)
@@ -168,7 +175,6 @@ object ZarrMeta {
         if (s.isEmpty) "." else s
       case other => throw new ZarrException(s"unsupported chunk_key_encoding '$other' at $path")
     }
-    val attrs = n.path("attributes")
     ZarrArrayMeta(
       name = name,
       path = path,
@@ -179,7 +185,7 @@ object ZarrMeta {
       separator = sep,
       fillValueJson = n.path("fill_value").toString,
       v2Keys = v2Keys,
-      attrsJson = if (attrs.isObject && attrs.size() > 0) attrs.toString else null
+      attrsJson = attrsJsonOf(n.path("attributes"))
     )
   }
 

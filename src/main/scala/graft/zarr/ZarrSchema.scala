@@ -132,9 +132,8 @@ object ZarrSchema {
               val meta = ZarrMeta.parseArrayV2(arrayDir(child), child, md.get(k).toString)
               // v2 keeps user attributes in a sibling .zattrs document —
               // consolidated stores carry it inline, zero extra RPCs
-              val za = md.path(s"$keyPrefix$child/.zattrs")
-              if (za.isObject && za.size() > 0) meta.copy(attrsJson = za.toString)
-              else meta
+              val attrs = ZarrMeta.attrsJsonOf(md.path(s"$keyPrefix$child/.zattrs"))
+              if (attrs != null) meta.copy(attrsJson = attrs) else meta
             }
           if (out.nonEmpty) Some(out) else None
         } catch { case _: Exception => None } // malformed → list instead
@@ -166,11 +165,9 @@ object ZarrSchema {
           val za = store.readBytesIfExists(s"$arrayDir/.zattrs")
           val attrs =
             if (za == null) null
-            else try {
-              val node = ZarrMeta.parseJson(
-                new String(za, java.nio.charset.StandardCharsets.UTF_8))
-              if (node.isObject && node.size() > 0) node.toString else null
-            } catch { case _: Exception => null } // malformed attrs → none
+            else try ZarrMeta.attrsJsonOf(ZarrMeta.parseJson(
+              new String(za, java.nio.charset.StandardCharsets.UTF_8)))
+            catch { case _: Exception => null } // malformed attrs → none
           Some(if (attrs == null) meta else meta.copy(attrsJson = attrs))
         }
       }

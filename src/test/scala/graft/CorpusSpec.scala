@@ -226,6 +226,25 @@ class CorpusSpec extends SparkSpec {
       df, "source", "doc_id", "n_chars", budget = 900L)
       .select("doc_id", "cum_cost").collect()
     assert(out.length == 1 && out.head.getLong(1) == 600L)
+    // duplicate ids with DIFFERING costs: the cost joins the ordering, so
+    // the smaller cost accumulates first on every run/engine — without the
+    // tiebreak, which row survives budget 900 here would be run-dependent
+    val df2 = Seq(("web", 1L, 900L), ("web", 1L, 100L))
+      .toDF("source", "doc_id", "n_chars")
+    val out2 = graft.operators.Corpus.tokenBudgetMix(
+      df2, "source", "doc_id", "n_chars", budget = 900L)
+      .select("cum_cost").collect()
+    assert(out2.map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
+  test("epochShuffle: null id and empty-string id get distinct sort keys") {
+    import spark.implicits._
+    // a plain coalesce-to-'' encoding would hash both identically and push
+    // the divergence into the NULLS FIRST/LAST tiebreak across engines
+    val df = Seq(Some(""), None).toDF("doc_id")
+    val keys = graft.operators.Corpus.epochShuffle(df, "doc_id", 1L)
+      .select("sort_key").collect().map(_.getString(0))
+    assert(keys.toSet.size == 2)
   }
 
   test("epochShuffle: a permutation, deterministic per seed, different across seeds") {

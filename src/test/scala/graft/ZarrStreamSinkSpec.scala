@@ -221,7 +221,7 @@ class ZarrStreamSinkSpec extends SparkSpec {
         "\"attributes\":{}", """"attributes":{"units":"meters"}"""))
     val groupMeta = java.nio.file.Paths.get(dir, "t", "zarr.json")
     java.nio.file.Files.writeString(groupMeta,
-      """{"attributes":{},"zarr_format":3,"node_type":"group"}""")
+      """{"attributes":{"title":"my dataset"},"zarr_format":3,"node_type":"group"}""")
     for (p <- Seq(idMeta, groupMeta))
       java.nio.file.Files.deleteIfExists(
         p.resolveSibling("." + p.getFileName + ".crc"))
@@ -242,6 +242,11 @@ class ZarrStreamSinkSpec extends SparkSpec {
       "epoch republish wiped the array's user attributes")
     assert(idField.metadata.getString("zarr.attributes") ==
       """{"units":"meters"}""")
+    // GROUP-level (dataset) attributes survive the republish too
+    val groupAfter = java.nio.file.Files.readString(groupMeta)
+    assert(groupAfter.contains("\"title\":\"my dataset\""),
+      s"epoch republish wiped the group's attributes: $groupAfter")
+    assert(groupAfter.contains("consolidated_metadata"))
   }
 
   test("streaming append to a SHARDED table writes shards of the same inner grid") {
