@@ -199,11 +199,15 @@ object Corpus {
     // running total keeps one). The cost column joins the ordering so
     // duplicate ids with DIFFERING costs accumulate in a fixed order —
     // without it, which tied row's cost counts first is run-dependent and
-    // so is membership. Null ids hash collision-free like [[epochShuffle]].
+    // so is membership. Null ids hash collision-free like [[epochShuffle]];
+    // null COSTS are dropped up front — a doc with no cost cannot be
+    // budgeted, and a NULL in the ordering tiebreak would land NULLS FIRST
+    // on Spark but NULLS LAST elsewhere, diverging membership.
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(md5(hashId(idCol)), col(idCol), col(costCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_cost", sum(col(costCol)).over(w))
+    df.filter(col(costCol).isNotNull)
+      .withColumn("cum_cost", sum(col(costCol)).over(w))
       .filter(col("cum_cost") <= budget)
   }
 

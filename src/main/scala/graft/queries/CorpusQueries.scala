@@ -116,7 +116,7 @@ object CorpusQueries {
                  ORDER BY md5(COALESCE('v' || CAST(doc_id AS VARCHAR), 'null')),
                           doc_id, n_chars
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
-        FROM documents)
+        FROM documents WHERE n_chars IS NOT NULL)
       WHERE cum_cost <= 20000
       ORDER BY source, cum_cost"""),
       (s, dir) => Corpus.tokenBudgetMix(

@@ -238,8 +238,16 @@ class ZarrStreamingWrite(
         if (groupRel.isEmpty) "/" else s"/$groupRel")
       .flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap
     catch {
-      case _: graft.zarr.ZarrException =>
-        ZarrWriteSupport.attrsFromSchema(dataSchema)
+      case e: graft.zarr.ZarrException =>
+        // "not a group" can also be a foreign delete-then-recreate window
+        // on a LIVE table — the commit marker survives such races and
+        // proves the table existed, so seed-from-schema would be a wipe:
+        // fail the epoch instead (retried)
+        val markerSaysExists =
+          try ZarrStreamCommit.read(new ZarrStore(path, conf.value), groupRel)._1 >= 0
+          catch { case _: Exception => false }
+        if (markerSaysExists) throw e
+        ZarrWriteSupport.attrsFromSchema(dataSchema) // genuinely fresh: seed
     }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

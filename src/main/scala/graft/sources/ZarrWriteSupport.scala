@@ -335,8 +335,6 @@ object ZarrWriteSupport {
       if (dt == BinaryType) (null, null, 0L) else (enc(min), enc(max), nulls)
   }
 
-  /** Write the group + per-array `zarr.json` documents for a committed table
-   *  (readers key off these, so writing them LAST makes commits atomic). */
   /** Per-column user attributes carried on the schema (the `zarr.attributes`
    *  metadata the READ side surfaces) — so read → transform → write keeps
    *  units/_ARRAY_DIMENSIONS on the new store. The JSON is embedded
@@ -361,6 +359,8 @@ object ZarrWriteSupport {
       }
     }.toMap
 
+  /** Write the group + per-array `zarr.json` documents for a committed table
+   *  (readers key off these, so writing them LAST makes commits atomic). */
   def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
       groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
       shardRows: Int = 0, compression: String = "zstd",
@@ -411,23 +411,28 @@ object ZarrWriteSupport {
     // GROUP attributes are user data the engine never owns: every group
     // document this publish rewrites (root, ancestors, the table group)
     // keeps whatever attributes the existing document carried — a foreign
-    // writer's dataset-level attrs (xarray title/history/conventions) must
-    // survive epoch republishes and table overwrites inside a shared store
+    // writer's dataset-level attrs (xarray title/history/conventions)
+    // survive epoch republishes, and ANCESTOR/root docs survive overwrites
+    // of a sibling table. (mode("overwrite") deletes the table group dir
+    // itself first — replacing the table deliberately resets ITS attrs.)
     def existingGroupAttrs(dir: Path): String = {
       val p = new Path(dir, "zarr.json")
-      if (!fs.exists(p)) "{}" // fresh group
-      else {
-        // I/O failures PROPAGATE (fail the commit, retried) — swallowing
-        // them would republish with empty attrs and wipe a foreign
-        // writer's dataset-level metadata on one transient read error
-        val in = fs.open(p)
-        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
+      // one open, no exists() probe (object-store RPC rule); failures
+      // other than not-found PROPAGATE and fail the commit (retried) —
+      // swallowing a torn/partial read as "{}" would wipe a foreign
+      // writer's dataset-level metadata on one racy read. A document that
+      // exists but does not parse is a broken store: fail loud, not wipe.
+      val text =
         try {
-          val attrs = graft.zarr.ZarrMeta.parseJson(text).path("attributes")
-          if (attrs.isObject) attrs.toString else "{}"
-        } catch { case _: Exception => "{}" } // garbage doc → fresh
-      }
+          val in = fs.open(p)
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => return "{}" }
+      val attrs =
+        try graft.zarr.ZarrMeta.parseJson(text).path("attributes")
+        catch { case e: Exception => throw new ZarrException(
+          s"cannot preserve attributes: unparseable group document $p", e) }
+      if (attrs.isObject) attrs.toString else "{}"
     }
     def groupDocAt(dir: Path): String =
       s"""{"attributes":${existingGroupAttrs(dir)},"zarr_format":3,"node_type":"group"}"""

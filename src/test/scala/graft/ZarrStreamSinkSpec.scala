@@ -249,6 +249,29 @@ class ZarrStreamSinkSpec extends SparkSpec {
     assert(groupAfter.contains("consolidated_metadata"))
   }
 
+  test("a fresh stream-created table is seeded with schema-carried attributes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_seed") + "/store.zarr"
+    val mem = MemoryStream[Doc]
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("zarr.attributes", """{"units":"count"}""").build()
+    val q = mem.toDF().select(col("id").as("id", meta), col("word"))
+      .writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_seed_ckpt"))
+      .start(dir)
+    try {
+      mem.addData(Doc(0, "w0"), Doc(1, "w1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val idField = spark.read.format("zarr").option("group", "/t").load(dir)
+      .schema.fields.find(_.name == "id").get
+    assert(idField.metadata.contains("zarr.attributes"),
+      "fresh table was not seeded from schema-carried attributes")
+    assert(idField.metadata.getString("zarr.attributes") == """{"units":"count"}""")
+  }
+
   test("streaming append to a SHARDED table writes shards of the same inner grid") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
