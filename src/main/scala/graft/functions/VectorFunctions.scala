@@ -75,6 +75,11 @@ object VectorKernels {
 
   private def signTable(planes: Int, offset: Int, n: Int): Array[Double] = {
     if (signTables.size > 64) return null // unbounded dims guard
+    // per-entry budget: n comes from each ROW's array length, so one
+    // pathological multi-million-element vector must not materialize a
+    // planes×n table (16 × 100M = ~12.8 GB) inside computeIfAbsent —
+    // fall back to the inline planeSign path past 1M elements
+    if (planes.toLong * n > (1L << 20)) return null
     signTables.computeIfAbsent((planes, offset, n), _ => {
       val t = new Array[Double](planes * n)
       var j = 0

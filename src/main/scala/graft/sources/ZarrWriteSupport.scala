@@ -54,19 +54,33 @@ object ZarrWriteSupport {
   /** Write-aside + atomic rename (the pattern writeTableMetadata uses for
    *  zarr.json): an in-place truncate-then-write of an object a concurrent
    *  reader may fetch (the streaming sink's tail-chunk rewrite covers
-   *  already-published rows) can expose a partial object mid-write. */
+   *  already-published rows) can expose a partial object mid-write.
+   *
+   *  The rename-with-OVERWRITE is the whole point: a delete-then-rename
+   *  fallback would open a window in which a concurrent reader finds the
+   *  chunk object missing and silently decodes fill values for rows the
+   *  sink already published. So transient rename failures are retried and
+   *  a filesystem that cannot atomically overwrite fails the task loudly
+   *  (Spark's task retry covers transient causes; a genuinely unsupported
+   *  filesystem must not silently lose the atomicity guarantee). */
   def atomicWrite(fs: org.apache.hadoop.fs.FileSystem, p: Path, bytes: Array[Byte]): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    try
-      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
-        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch { case _: Exception =>
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new ZarrException(s"cannot publish chunk object $p")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+    var attempt = 0
+    var lastFailure: Throwable = null
+    while (attempt < 3) {
+      try {
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        return
+      } catch { case e: Exception => lastFailure = e; attempt += 1 }
     }
+    throw new ZarrException(
+      s"cannot atomically publish chunk object $p after 3 attempts — " +
+        "this filesystem must support FileContext.rename(OVERWRITE); a " +
+        "delete-then-rename fallback would expose a missing-object window " +
+        s"to concurrent readers (last failure: $lastFailure)")
   }
 
 
@@ -181,32 +195,34 @@ object ZarrWriteSupport {
   }
 
   /** Incremental per-chunk geometry envelope — the single definition behind
-   *  [[chunkEnvelope]]. Garbage WKT anywhere in the chunk poisons the
-   *  envelope to null ("unknown", never pruned); an all-empty chunk also
-   *  records null (no finite box, JSON-safe, kept by the scan). */
+   *  [[chunkEnvelope]]. The envelope is the union of the envelopes of the
+   *  chunk's PARSEABLE rows only: [[graft.functions.Wkt.envelope]] maps
+   *  malformed/non-2-D WKT to null (it never throws), and both scan-side
+   *  predicates ([[graft.functions.Wkt.envelopeIntersects]] and the
+   *  `bbox_envelope` expression) likewise treat unparseable WKT as
+   *  no-match — a row that cannot parse can never satisfy an envelope
+   *  predicate, so excluding it from the union cannot cause a false prune.
+   *  A chunk with no parseable row records null ("unknown", never pruned). */
   final class ChunkEnvelopeAcc {
     private var minx = Double.PositiveInfinity
     private var miny = Double.PositiveInfinity
     private var maxx = Double.NegativeInfinity
     private var maxy = Double.NegativeInfinity
     private var any = false
-    private var poisoned = false
-    def observe(v: Any): Unit = if (!poisoned) v match {
+    def observe(v: Any): Unit = v match {
       case s: String =>
-        try {
-          val e = graft.functions.Wkt.envelope(s)
-          if (e != null) {
-            if (e(0) < minx) minx = e(0)
-            if (e(1) < miny) miny = e(1)
-            if (e(2) > maxx) maxx = e(2)
-            if (e(3) > maxy) maxy = e(3)
-            any = true
-          }
-        } catch { case _: NumberFormatException => poisoned = true }
+        val e = graft.functions.Wkt.envelope(s)
+        if (e != null) {
+          if (e(0) < minx) minx = e(0)
+          if (e(1) < miny) miny = e(1)
+          if (e(2) > maxx) maxx = e(2)
+          if (e(3) > maxy) maxy = e(3)
+          any = true
+        }
       case _ =>
     }
     def result(): Array[Double] =
-      if (poisoned || !any) null else Array(minx, miny, maxx, maxy)
+      if (!any) null else Array(minx, miny, maxx, maxy)
   }
 
   /** Element byte width as recorded in blosc `typesize` (drives shuffle). */

@@ -148,6 +148,18 @@ object ZarrMeta {
   def attrsJsonOf(node: JsonNode): String =
     if (node != null && node.isObject && node.size() > 0) node.toString else null
 
+  /** A hostile/corrupt metadata document with `chunks: [0]` reaches
+   *  `numChunks` as a divide-by-zero, and a negative chunk length turns
+   *  every decoded-size bound negative so each chunk fails with a
+   *  misleading "decodes past its bound" — reject both up front with the
+   *  same typed rejection every other hostile field gets. */
+  private def validateDims(length: Long, chunkLength: Long, path: String): Unit = {
+    if (length < 0)
+      throw new ZarrException(s"negative array shape $length at $path")
+    if (chunkLength <= 0)
+      throw new ZarrException(s"non-positive chunk shape $chunkLength at $path")
+  }
+
   /** Parse one array `zarr.json`. `path` is the store-relative array dir. */
   def parseArray(path: String, name: String, text: String): ZarrArrayMeta = {
     val n = parseJson(text)
@@ -160,6 +172,7 @@ object ZarrMeta {
     if (grid.path("name").asText() != "regular")
       throw new ZarrException(s"unsupported chunk_grid '${grid.path("name").asText()}' at $path")
     val chunkShape = grid.path("configuration").path("chunk_shape")
+    validateDims(shape.get(0).asLong(), chunkShape.get(0).asLong(), path)
     val cke = n.path("chunk_key_encoding")
     // "default": keys are c<sep><i> (sep defaults "/"); "v2" (zarr-v2
     // migrated stores): bare <i> keys, no "c" prefix (sep, default ".",
@@ -215,6 +228,7 @@ object ZarrMeta {
     val chunks = n.path("chunks")
     if (chunks.size() != 1)
       throw new ZarrException(s"chunks rank must match shape rank at $path")
+    validateDims(shape.get(0).asLong(), chunks.get(0).asLong(), path)
     val order = n.path("order").asText("C")
     if (order != "C" && order != "F") // identical for 1-D, but reject garbage
       throw new ZarrException(s"unsupported order '$order' at $path")

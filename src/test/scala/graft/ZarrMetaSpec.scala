@@ -31,6 +31,24 @@ class ZarrMetaSpec extends SparkSpec {
     intercept[ZarrException](ZarrMeta.parseArray("p", "x", meta("\"r12\""))) // not byte-aligned
   }
 
+  test("zero/negative chunk shape and negative array shape are typed rejections") {
+    // chunks:[0] would otherwise reach numChunks as divide-by-zero; a
+    // negative chunk length turns every decode bound negative (misleading
+    // "decodes past its bound" per-chunk failures instead of one clear error)
+    val zeroChunk = meta("\"int64\"").replace("\"chunk_shape\":[3]", "\"chunk_shape\":[0]")
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", zeroChunk))
+    val negChunk = meta("\"int64\"").replace("\"chunk_shape\":[3]", "\"chunk_shape\":[-3]")
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", negChunk))
+    val negShape = meta("\"int64\"").replace("\"shape\":[3]", "\"shape\":[-1]")
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", negShape))
+    def v2(shape: String, chunks: String) =
+      s"""{"zarr_format":2,"shape":[$shape],"chunks":[$chunks],"dtype":"<i8",
+         |"order":"C","filters":null,"compressor":null,"fill_value":0}""".stripMargin
+    intercept[ZarrException](ZarrMeta.parseArrayV2("p", "x", v2("3", "0")))
+    intercept[ZarrException](ZarrMeta.parseArrayV2("p", "x", v2("3", "-3")))
+    intercept[ZarrException](ZarrMeta.parseArrayV2("p", "x", v2("-1", "3")))
+  }
+
   test("2-D arrays and non-regular chunk grids are rejected") {
     val twoD = meta("\"int64\"").replace("\"shape\":[3]", "\"shape\":[3,3]")
     intercept[ZarrException](ZarrMeta.parseArray("p", "x", twoD))
