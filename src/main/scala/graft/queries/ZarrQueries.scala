@@ -382,6 +382,60 @@ object ZarrQueries {
         val back = s.read.format("zarr").option("group", "/meta").load(out)
           .select("s_suppkey", "s_name", "s_acctbal")
         selfCheck(back, src)
+      }),
+
+    // n-D (k≥2-D) Zarr arrays as nested-ArrayType columns — round 9's main
+    // extension (neither the reference nor plain 1-D table engines read
+    // these, yet real-world Zarr is overwhelmingly n-D). The byte-level
+    // fixture (ZarrWriter.writeNdFixture, an independent builder) covers
+    // the contiguous fast path (emb), the chunked-trailing general path
+    // with a missing grid cell → fill (grid), and both 3-D paths (cube,
+    // tail). Arrays serialize to CSV strings for the oracle compare
+    // (integral values, so the int cast is exact).
+    Q("q_zarr_nd", Some("""
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), '0,1,2,10,11,12',      '0,1,2,3',     '0,1,2,3,4,5',
+         '0,1,2,3,4,5,6,7,8'),
+        (1, '100,101,102,110,111,112', '10,11,12,13', '100,101,102,103,104,105',
+         '9,10,11,12,13,14,15,16,17'),
+        (2, '200,201,202,210,211,212', '20,21,22,23', '200,201,202,-1,-1,-1',
+         '18,19,20,21,22,23,24,25,26'),
+        (3, '300,301,302,310,311,312', '30,31,32,33', '300,301,302,-1,-1,-1',
+         '27,28,29,30,31,32,33,34,35'),
+        (4, '400,401,402,410,411,412', '40,41,42,43', '400,401,402,403,404,405',
+         '36,37,38,39,40,41,42,43,44'))
+        AS t(id, cube, emb, grid, tail)
+      ORDER BY id"""),
+      (s, _) => s.read.format("zarr").option("group", "/nd").load(ndFixturePath)
+        .select(col("id"),
+          concat_ws(",", flatten(col("cube")).cast("array<int>").cast("array<string>")).as("cube"),
+          concat_ws(",", col("emb").cast("array<int>").cast("array<string>")).as("emb"),
+          concat_ws(",", col("grid").cast("array<string>")).as("grid"),
+          concat_ws(",", flatten(col("tail")).cast("array<string>")).as("tail"))
+        .orderBy("id")),
+
+    // n-D WRITE: the sf embeddings table (a real Array[Float] column) to a
+    // 2-D float32 Zarr array through the DSv2 sink (trailing dims from the
+    // data, k-D chunk keys, shape [n, dim]), read back through the n-D
+    // scan — self-check contract: every row survives, zero mismatches.
+    Q("q_zarr_nd_roundtrip", Some("""
+      SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+             CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val out = scratchDir("zarr_nd") + "/out.zarr"
+        val src = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"), col("label"))
+        src.coalesce(1).write.format("zarr").option("group", "/e")
+          .mode("overwrite").save(out)
+        val back = s.read.format("zarr").option("group", "/e").load(out)
+          .select("vec_id", "embedding", "label")
+        selfCheck(back, src)
       })
   )
+
+  /** The n-D golden fixture, written once per machine
+   *  (see [[ZarrWriter.writeNdFixture]]). */
+  lazy val ndFixturePath: String =
+    buildFixtureAtomically("graft_zarr_nd_fixture", "zarr.json",
+      ZarrWriter.writeNdFixture)
 }

@@ -156,8 +156,10 @@ class ZarrScanBuilder(
   private var countStar = false
   private var pruningFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
+  // rank-1 only: a filter on a k-D (ArrayType) column has no scalar
+  // min/max semantics, so it must never be treated as prunable
   private def dtypeOf(name: String): Option[ZarrType] =
-    arrays.find(_.name == name).map(_.dtype)
+    arrays.find(a => a.name == name && a.rank == 1).map(_.dtype)
 
   /** Accept filters for CHUNK PRUNING only: everything is returned as a
    *  residual (Spark re-applies it above the scan), so a missing or stale
@@ -299,7 +301,9 @@ class ZarrScan(
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = {
-      val perRow = requiredArrays.map(a => math.max(a.dtype.byteSize, 16)).sum
+      // k-D columns carry rowElems elements per row
+      val perRow = requiredArrays
+        .map(a => math.max(a.dtype.byteSize, 16).toLong * a.rowElems).sum
       OptionalLong.of(estimatedRows * math.max(perRow, 1))
     }
     override def numRows(): OptionalLong = OptionalLong.of(estimatedRows)
@@ -403,7 +407,10 @@ class ZarrPartitionReaderFactory(
     columnar: Boolean = true,
     batchSize: Int = 4096)
   extends PartitionReaderFactory {
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  // k-D columns produce nested ArrayData rows; the vectorized reader's
+  // fixed-width vector writes don't apply, so those scans stay row-based
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && columns.forall(_.rank == 1)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
     new ZarrPartitionReader(new ZarrStore(path, conf.value), columns, p.start, p.end)

@@ -106,7 +106,31 @@ object ZarrWriteSupport {
             "(zarr.json, dot-prefixed v2 documents, graft sidecars) — rename it")
     }
 
-  def dtypeJson(dt: DataType): String = dt match {
+  /** (leaf element type, trailing rank): (IntegerType, 0) for a scalar
+   *  column, (FloatType, 1) for `ArrayType(Float)`, (DoubleType, 2) for
+   *  `ArrayType(ArrayType(Double))` — the write-side mirror of the read
+   *  side's nested-ArrayType mapping (dim 0 = rows, one ArrayType level
+   *  per trailing dim). */
+  def leafType(dt: DataType): (DataType, Int) = dt match {
+    case ArrayType(inner, _) => val (l, d) = leafType(inner); (l, d + 1)
+    case other => (other, 0)
+  }
+
+  /** Array columns must have fixed-width leaves: Zarr k-D chunks are dense
+   *  C-order blocks, and a vlen element type has no per-element extent. */
+  def validateArrayLeaf(f: StructField): Unit = {
+    val (leaf, depth) = leafType(f.dataType)
+    if (depth > 0) leaf match {
+      case StringType | BinaryType | _: StructType | _: MapType =>
+        throw new ZarrException(
+          s"zarr write: array column '${f.name}' has ${leaf.simpleString} " +
+            "elements — only fixed-width numeric/boolean/timestamp elements " +
+            "can be stored as a k-D Zarr array")
+      case _ => ()
+    }
+  }
+
+  def dtypeJson(dt0: DataType): String = leafType(dt0)._1 match {
     case LongType => "\"int64\""
     case IntegerType => "\"int32\""
     case ShortType => "\"int16\""
@@ -121,7 +145,7 @@ object ZarrWriteSupport {
     case other => throw new ZarrException(s"zarr write: unsupported column type $other")
   }
 
-  def fillJson(dt: DataType): String = dt match {
+  def fillJson(dt0: DataType): String = leafType(dt0)._1 match {
     case StringType | BinaryType => "\"\""
     case TimestampNTZType => Long.MinValue.toString
     case BooleanType => "false"
@@ -134,7 +158,7 @@ object ZarrWriteSupport {
    *  strings/binary are object dtype `|O` whose real type lives in the
    *  vlen filter — the exact convention [[graft.zarr.ZarrMeta.parseArrayV2]]
    *  reads back, and what zarr-python 2.x itself writes. */
-  def dtypeV2(dt: DataType): String = dt match {
+  def dtypeV2(dt0: DataType): String = leafType(dt0)._1 match {
     case LongType => "<i8"
     case IntegerType => "<i4"
     case ShortType => "<i2"
@@ -149,7 +173,7 @@ object ZarrWriteSupport {
 
   /** v2 `filters` list: numcodecs vlen framing for object columns ([[
    *  encodeChunk]] already writes the VLen* u32-count header), else null. */
-  def filtersV2Json(dt: DataType): String = dt match {
+  def filtersV2Json(dt0: DataType): String = leafType(dt0)._1 match {
     case StringType => """[{"id":"vlen-utf8"}]"""
     case BinaryType => """[{"id":"vlen-bytes"}]"""
     case _ => "null"
@@ -171,7 +195,7 @@ object ZarrWriteSupport {
   /** v2 `fill_value`: same encodings as the v3 [[fillJson]] except object
    *  (vlen) arrays, which use JSON null — zarr-python's own convention; the
    *  v2 read path defaults a null fill to ""/empty bytes. */
-  def fillV2Json(dt: DataType): String = dt match {
+  def fillV2Json(dt0: DataType): String = leafType(dt0)._1 match {
     case StringType | BinaryType => "null"
     case other => fillJson(other)
   }
@@ -226,7 +250,7 @@ object ZarrWriteSupport {
   }
 
   /** Element byte width as recorded in blosc `typesize` (drives shuffle). */
-  private def typeWidth(dt: DataType): Int = dt match {
+  private def typeWidth(dt0: DataType): Int = leafType(dt0)._1 match {
     case LongType | DoubleType | TimestampNTZType => 8
     case IntegerType | FloatType => 4
     case ShortType => 2
@@ -306,6 +330,10 @@ object ZarrWriteSupport {
    *    `col = 0.0`.
    */
   final class ChunkStatsAcc(dt: DataType) {
+    // binary has no orderable bounds; k-D (array) columns carry no scalar
+    // min/max either — both record nothing and no filter on them is ever
+    // treated as prunable by the scan
+    private val inert = dt == BinaryType || dt.isInstanceOf[ArrayType]
     private val nullSeenAs: Any = dt match {
       case TimestampNTZType => null
       case StringType => ""
@@ -339,7 +367,7 @@ object ZarrWriteSupport {
     private var nulls = 0L
     private var min: Any = null
     private var max: Any = null
-    def observe(v0: Any): Unit = if (dt != BinaryType) {
+    def observe(v0: Any): Unit = if (!inert) {
       val v = if (v0 == null) nullSeenAs else v0
       if (v == null) nulls += 1
       else {
@@ -348,7 +376,7 @@ object ZarrWriteSupport {
       }
     }
     def result(): (String, String, Long) =
-      if (dt == BinaryType) (null, null, 0L) else (enc(min), enc(max), nulls)
+      if (inert) (null, null, 0L) else (enc(min), enc(max), nulls)
   }
 
   /** Per-column user attributes carried on the schema (the `zarr.attributes`
@@ -380,7 +408,8 @@ object ZarrWriteSupport {
   def writeTableMetadata(fs: org.apache.hadoop.fs.FileSystem, path: String,
       groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
       shardRows: Int = 0, compression: String = "zstd",
-      attrsByName: Map[String, String] = Map.empty): Unit = {
+      attrsByName: Map[String, String] = Map.empty,
+      dimsByName: Map[String, Seq[Int]] = Map.empty): Unit = {
     // atomic publish: the streaming sink REWRITES these documents on every
     // epoch while the micro-batch source polls them for growth — a truncate-
     // then-write create() lets the reader observe a partial document. Write
@@ -405,9 +434,14 @@ object ZarrWriteSupport {
     // document (zarr-python v3's consolidated_metadata convention) so a
     // planner on an object store reads ONE metadata object, not O(columns)
     val arrayDocs = dataSchema.fields.map { f =>
+      // a k-D (ArrayType) column's trailing dims extend both shape and
+      // chunk_shape (trailing dims unchunked — one grid cell per row block)
+      val dims = dimsByName.getOrElse(f.name, Nil)
+      val shapeJson = (totalRows +: dims.map(_.toLong)).mkString(",")
+      val chunkJson = (chunkRows +: dims).mkString(",")
       val meta =
-        s"""{"shape":[$totalRows],"data_type":${dtypeJson(f.dataType)},
-           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkRows]}},
+        s"""{"shape":[$shapeJson],"data_type":${dtypeJson(f.dataType)},
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$chunkJson]}},
            |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
            |"fill_value":${fillJson(f.dataType)},
            |"codecs":${if (shardRows > 0) codecsJsonSharded(f.dataType, shardRows, compression)
@@ -484,13 +518,17 @@ object ZarrWriteSupport {
    */
   def writeTableMetadataV2(fs: org.apache.hadoop.fs.FileSystem, path: String,
       groupRel: String, dataSchema: StructType, totalRows: Long, chunkRows: Int,
-      compression: String = "zstd"): Unit = {
+      compression: String = "zstd",
+      dimsByName: Map[String, Seq[Int]] = Map.empty): Unit = {
     def writeJson(p: Path, text: String): Unit =
       atomicWrite(fs, p, text.getBytes(StandardCharsets.UTF_8))
     val groupDir = if (groupRel.isEmpty) new Path(path) else new Path(path, groupRel)
     val arrayDocs = dataSchema.fields.map { f =>
+      val dims = dimsByName.getOrElse(f.name, Nil)
+      val shapeJson = (totalRows +: dims.map(_.toLong)).mkString(",")
+      val chunkJson = (chunkRows +: dims).mkString(",")
       f.name ->
-        (s"""{"zarr_format":2,"shape":[$totalRows],"chunks":[$chunkRows],""" +
+        (s"""{"zarr_format":2,"shape":[$shapeJson],"chunks":[$chunkJson],""" +
           s""""dtype":"${dtypeV2(f.dataType)}",""" +
           s""""compressor":${compressorV2Json(f.dataType, compression)},""" +
           s""""fill_value":${fillV2Json(f.dataType)},"order":"C",""" +
@@ -506,12 +544,17 @@ object ZarrWriteSupport {
     // built ONCE per column: the .zattrs file and its consolidated copy
     // below come from the same string and can never diverge
     val attrsDocs: Map[String, String] = dataSchema.fields.map { f =>
+      // k-D columns name their trailing dims dim_1..dim_k after the row axis
+      val dimNames = "row" +:
+        dimsByName.getOrElse(f.name, Nil).indices.map(j => s"dim_${j + 1}")
       f.name -> (userAttrs.get(f.name) match {
-        case None => """{"_ARRAY_DIMENSIONS":["row"]}"""
+        case None =>
+          s"""{"_ARRAY_DIMENSIONS":[${dimNames.map(d => s""""$d"""").mkString(",")}]}"""
         case Some(json) =>
           val node = graft.zarr.ZarrMeta.parseJson(json)
             .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          node.putArray("_ARRAY_DIMENSIONS").add("row")
+          val arr = node.putArray("_ARRAY_DIMENSIONS")
+          dimNames.foreach(arr.add)
           node.toString
       })
     }.toMap
@@ -597,6 +640,117 @@ object ZarrWriteSupport {
   }
 
   /**
+   * Encode `count` buffered ROWS of a k-D array column into one chunk
+   * object: each buffered value is the row's FLATTENED leaf block (an
+   * `Array[Any]` of exactly `rowElems` Catalyst leaf values, produced by
+   * [[flattenNdRow]]) or null (whole-row fill). The chunk is the dense
+   * C-order block [chunkRows × rowElems] the k-D read path expects —
+   * trailing dims unchunked, which is also the layout the reader's
+   * contiguous fast path consumes. Null elements encode as the fill value
+   * (NaT for timestamps) exactly like 1-D nulls.
+   */
+  def encodeChunkNd(dt0: DataType, rowElems: Int, values: Array[Any], count: Int,
+      chunkRows: Int, compression: String = "zstd"): Array[Byte] = {
+    val leaf = leafType(dt0)._1
+    val width = leaf match {
+      case LongType | DoubleType | TimestampNTZType => 8
+      case IntegerType | FloatType => 4
+      case ShortType => 2
+      case ByteType | BooleanType => 1
+      case other => throw new ZarrException(s"unsupported array element type $other")
+    }
+    val out = ByteBuffer.allocate(width * chunkRows * rowElems)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def putLeaf(v: Any): Unit = leaf match {
+      case LongType => out.putLong(if (v == null) 0L else v.asInstanceOf[Long])
+      case TimestampNTZType =>
+        out.putLong(if (v == null) Long.MinValue else v.asInstanceOf[Long]) // null → NaT
+      case DoubleType => out.putDouble(if (v == null) 0.0 else v.asInstanceOf[Double])
+      case IntegerType => out.putInt(if (v == null) 0 else v.asInstanceOf[Int])
+      case FloatType => out.putFloat(if (v == null) 0f else v.asInstanceOf[Float])
+      case ShortType => out.putShort(if (v == null) 0 else v.asInstanceOf[Short])
+      case ByteType => out.put(if (v == null) 0.toByte else v.asInstanceOf[Byte])
+      case BooleanType =>
+        out.put(if (v != null && v.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
+      case _ => ()
+    }
+    var i = 0
+    while (i < chunkRows) {
+      val flat = if (i < count) values(i).asInstanceOf[Array[Any]] else null
+      var e = 0
+      while (e < rowElems) { putLeaf(if (flat == null) null else flat(e)); e += 1 }
+      i += 1
+    }
+    compression match {
+      case "zstd" => Zstd.compress(out.array(), 0)
+      case "blosc" =>
+        graft.zarr.Blosc.encode(out.array(), width, "lz4", 5, "shuffle")
+      case other => throw new ZarrException(
+        s"zarr write: unsupported compression '$other' (use zstd or blosc)")
+    }
+  }
+
+  /** Flatten one row's (possibly nested) ArrayData into `rowElems` leaf
+   *  values in C order, validating the row's extents against the column's
+   *  established trailing dims — ragged rows cannot be stored in a dense
+   *  chunk grid and fail typed, naming the column. */
+  def flattenNdRow(col: String, a: org.apache.spark.sql.catalyst.util.ArrayData,
+      dims: Array[Int], leaf: DataType): Array[Any] = {
+    var rowElems = 1
+    var d = 0
+    while (d < dims.length) { rowElems *= dims(d); d += 1 }
+    val out = new Array[Any](rowElems)
+    var written = 0
+    def walk(v: org.apache.spark.sql.catalyst.util.ArrayData, level: Int): Unit = {
+      if (v == null)
+        throw new ZarrException(
+          s"zarr write: array column '$col' has a null nested array — only " +
+            "whole-row nulls are storable (they encode as fill values)")
+      if (v.numElements() != dims(level))
+        throw new ZarrException(
+          s"zarr write: array column '$col' is ragged — a row has " +
+            s"${v.numElements()} elements at depth $level, expected ${dims(level)} " +
+            "(all rows of a k-D Zarr array share one trailing shape)")
+      if (level == dims.length - 1) {
+        var i = 0
+        while (i < dims(level)) {
+          out(written) = if (v.isNullAt(i)) null else v.get(i, leaf)
+          written += 1
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < dims(level)) { walk(v.getArray(i), level + 1); i += 1 }
+      }
+    }
+    walk(a, 0)
+    out
+  }
+
+  /** Trailing dims of one row's nested array value (used for the column's
+   *  first non-null row; every later row is validated against it). */
+  def discoverDims(col: String, a: org.apache.spark.sql.catalyst.util.ArrayData,
+      depth: Int): Array[Int] = {
+    val dims = new Array[Int](depth)
+    var v = a
+    var level = 0
+    while (level < depth) {
+      if (v == null)
+        throw new ZarrException(
+          s"zarr write: array column '$col' has a null nested array — only " +
+            "whole-row nulls are storable")
+      dims(level) = v.numElements()
+      if (dims(level) == 0)
+        throw new ZarrException(
+          s"zarr write: array column '$col' has an empty array row — a k-D " +
+            "Zarr array needs at least one element per trailing dim")
+      level += 1
+      if (level < depth) v = v.getArray(0)
+    }
+    dims
+  }
+
+  /**
    * Encode one stored chunk as a `sharding_indexed` SHARD: `chunkRows /
    * shardRows` inner chunks, each run through the normal [[encodeChunk]]
    * codecs, concatenated, with the (offset, nbytes) u64-LE index + crc32c
@@ -674,8 +828,11 @@ case class ZarrChunkStatsMsg(
     chunk: Long, min: Array[String], max: Array[String], nulls: Array[Long],
     envs: Array[Array[Double]] = null)
 
-/** One task's report: the chunks it wrote, their row counts, and stats. */
-case class ZarrCommit(chunks: Seq[(Long, Int)], stats: Seq[ZarrChunkStatsMsg])
+/** One task's report: the chunks it wrote, their row counts, stats, and the
+ *  trailing dims observed for k-D (ArrayType) columns — the driver needs
+ *  them to write shape/chunk metadata, and validates tasks agree. */
+case class ZarrCommit(chunks: Seq[(Long, Int)], stats: Seq[ZarrChunkStatsMsg],
+    dims: Map[String, Seq[Int]] = Map.empty)
   extends WriterCommitMessage
 
 class ZarrWrite(
@@ -760,6 +917,10 @@ class ZarrWrite(
     // caller repartitions on (row_index div chunk_rows) exactly like the
     // distributed batch write. Without it: arrival order, one task.
     ZarrWriteSupport.attrsFromSchema(dataSchema) // fail-fast, as in batch
+    if (dataSchema.fields.exists(f => ZarrWriteSupport.leafType(f.dataType)._2 > 0))
+      throw new ZarrException(
+        "zarr streaming sink does not support array (k-D) columns yet — " +
+          "batch-write them with df.write.format(\"zarr\")")
     new ZarrStreamingWrite(path, groupRel, schema, dataSchema, chunkRows, conf,
       shardRows, rowIndexCol.map(c => schema.fieldIndex(c)))
   }
@@ -794,6 +955,12 @@ class ZarrWrite(
     if (zarrFormat == 2 && shardRows > 0)
       throw new ZarrException(
         "zarr v2 has no sharding extension — drop shard_rows or write zarr_format=3")
+    dataSchema.fields.foreach(ZarrWriteSupport.validateArrayLeaf)
+    if (shardRows > 0 &&
+        dataSchema.fields.exists(f => ZarrWriteSupport.leafType(f.dataType)._2 > 0))
+      throw new ZarrException(
+        "shard_rows with an array (k-D) column is not supported — " +
+          "sharding covers the 1-D row layout; drop shard_rows")
     // fail fast on unknown compression / unsupported v2 dtypes before any task runs
     if (zarrFormat == 2) {
       ZarrWriteSupport.compressorV2Json(StringType, compression)
@@ -818,6 +985,32 @@ class ZarrWrite(
           "a chunk was split across tasks; repartition on (row_index div chunk_rows)")
     }
     val totalRows = all.map(_._2.toLong).sum
+    // k-D columns: every task that saw rows reports the trailing dims it
+    // validated against; tasks must agree (ragged data already failed
+    // task-side, but two tasks CAN each be self-consistent with different
+    // shapes), and an ArrayType column with zero non-null rows anywhere
+    // has no storable shape at all
+    val dimsByName: Map[String, Seq[Int]] = {
+      val merged = scala.collection.mutable.Map.empty[String, Seq[Int]]
+      messages.foreach(_.asInstanceOf[ZarrCommit].dims.foreach { case (n, d) =>
+        merged.get(n) match {
+          case Some(prev) if prev != d =>
+            throw new ZarrException(
+              s"zarr write: array column '$n' has rows of trailing shape " +
+                s"${prev.mkString("[", ",", "]")} and ${d.mkString("[", ",", "]")} " +
+                "in different tasks — a k-D Zarr array needs one shape")
+          case _ => merged(n) = d
+        }
+      })
+      dataSchema.fields.foreach { f =>
+        if (ZarrWriteSupport.leafType(f.dataType)._2 > 0 && !merged.contains(f.name))
+          throw new ZarrException(
+            s"zarr write: array column '${f.name}' has no non-null row " +
+              "(or the table is empty) — cannot infer the k-D trailing " +
+              "shape; fill nulls upstream")
+      }
+      merged.toMap
+    }
     val fs = new Path(path).getFileSystem(conf.value)
     def writeJson(p: Path, text: String): Unit = {
       val out = fs.create(p, true)
@@ -850,11 +1043,12 @@ class ZarrWrite(
     }
     if (zarrFormat == 2)
       ZarrWriteSupport.writeTableMetadataV2(fs, path, groupRel, dataSchema, totalRows,
-        chunkRows, compression)
+        chunkRows, compression, dimsByName = dimsByName)
     else
       ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, totalRows,
         chunkRows, shardRows, compression,
-        attrsByName = ZarrWriteSupport.attrsFromSchema(dataSchema))
+        attrsByName = ZarrWriteSupport.attrsFromSchema(dataSchema),
+        dimsByName = dimsByName)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -898,6 +1092,12 @@ class ZarrDataWriter(
     dataSchema.fields.map(f => schema.fieldIndex(f.name))
   private val ncols = dataOrdinals.length
   private val sharded = shardRows > 0
+  // k-D (ArrayType) columns: leaf element type + trailing depth, and the
+  // trailing dims discovered from the first non-null row (all later rows
+  // validate against them — a dense chunk grid cannot hold ragged rows)
+  private val leafInfo: Array[(DataType, Int)] =
+    dataSchema.fields.map(f => ZarrWriteSupport.leafType(f.dataType))
+  private val colDims: Array[Array[Int]] = new Array(ncols)
   // sharded writes STREAM: buffer one INNER chunk of values, encode and
   // append it to the open shard object as it fills, and accumulate chunk
   // stats row-by-row — the write-side mirror of the reader's ranged shard
@@ -924,12 +1124,17 @@ class ZarrDataWriter(
   private var accs: Array[ZarrWriteSupport.ChunkStatsAcc] = _
   private var envAccs: Array[ZarrWriteSupport.ChunkEnvelopeAcc] = _
 
-  private def chunkPathOf(name: String): Path = {
+  private def chunkPathOf(name: String, depth: Int = 0): Path = {
     val arrayDir = if (groupRel.isEmpty) new Path(path, name)
       else new Path(new Path(path, groupRel), name)
-    // v3 default chunk-key encoding "c/<i>" vs v2's bare "<i>"
-    if (v2Keys) new Path(arrayDir, currentChunk.toString)
-    else new Path(new Path(arrayDir, "c"), currentChunk.toString)
+    // v3 default chunk-key encoding "c/<i>" vs v2's bare "<i>"; a k-D
+    // column's trailing dims are unchunked (one grid cell), so its keys
+    // carry `depth` trailing zero indices — "c/<i>/0" (v3) / "<i>.0" (v2)
+    if (v2Keys)
+      new Path(arrayDir, (currentChunk.toString +: Seq.fill(depth)("0")).mkString("."))
+    else
+      (0 until depth).foldLeft(
+        new Path(new Path(arrayDir, "c"), currentChunk.toString))((p, _) => new Path(p, "0"))
   }
 
   private def openShardChunk(): Unit = {
@@ -991,8 +1196,19 @@ class ZarrDataWriter(
     var c = 0
     while (c < ncols) {
       val f = dataSchema.fields(c)
+      val (leaf, depth) = leafInfo(c)
       val v =
         if (row.isNullAt(dataOrdinals(c))) null
+        else if (depth > 0) {
+          // flatten NOW: Spark reuses the incoming row's backing buffer, so
+          // a raw ArrayData reference would be invalid by flush time — and
+          // flattening validates the row's extents in the same pass
+          val a = row.get(dataOrdinals(c), f.dataType)
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          if (colDims(c) == null)
+            colDims(c) = ZarrWriteSupport.discoverDims(f.name, a, depth)
+          ZarrWriteSupport.flattenNdRow(f.name, a, colDims(c), leaf)
+        }
         else row.get(dataOrdinals(c), f.dataType) match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case other => other
@@ -1036,9 +1252,18 @@ class ZarrDataWriter(
           mins(c) = mn; maxs(c) = mx; nulls(c) = nl
           if (ZarrWriteSupport.isGeoColumn(f))
             envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
-          val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count,
-            chunkRows, compression)
-          val out = fs.create(chunkPathOf(f.name), true)
+          val bytes =
+            if (leafInfo(c)._2 > 0) {
+              if (colDims(c) == null)
+                throw new ZarrException(
+                  s"zarr write: array column '${f.name}' has only null rows in " +
+                    "a chunk before any non-null row established its trailing " +
+                    "dims — fill nulls upstream (a k-D chunk grid needs a shape)")
+              ZarrWriteSupport.encodeChunkNd(f.dataType, colDims(c).product,
+                buffers(c), count, chunkRows, compression)
+            } else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count,
+              chunkRows, compression)
+          val out = fs.create(chunkPathOf(f.name, leafInfo(c)._2), true)
           try out.write(bytes) finally out.close()
           c += 1
         }
@@ -1063,7 +1288,14 @@ class ZarrDataWriter(
     }
   }
 
-  override def commit(): WriterCommitMessage = { flush(); ZarrCommit(written.toSeq, stats.toSeq) }
+  override def commit(): WriterCommitMessage = {
+    flush()
+    val dims = dataSchema.fields.indices
+      .filter(c => colDims(c) != null)
+      .map(c => dataSchema.fields(c).name -> colDims(c).toSeq)
+      .toMap
+    ZarrCommit(written.toSeq, stats.toSeq, dims)
+  }
   override def abort(): Unit = releaseStreams()
   override def close(): Unit = releaseStreams()
 }

@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * micros for timestamps, Decimal for uint64) so the DSv2 reader never pivots
  * through external row types.
  */
-sealed trait ColumnChunk {
+trait ColumnChunk { // implemented here and by the n-D assembler (ZarrNd)
   def length: Int
   /** Catalyst internal value of element i. */
   def get(i: Int): Any
@@ -47,6 +47,18 @@ sealed trait ColumnChunk {
    *  open object stream). Readers call this when a chunk is replaced and
    *  when the reader closes; in-memory chunks are no-ops. */
   def close(): Unit = {}
+
+  /** Elements [from, from+n) as one Catalyst array — the n-D row assembler's
+   *  bulk path (a k-D row's innermost vectors are contiguous in the C-order
+   *  chunk buffer). Default: boxed copy via `get`; fixed-width numeric
+   *  chunks override with a primitive-array copy (UnsafeArrayData wraps a
+   *  primitive array with zero boxing). */
+  def sliceArray(from: Int, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = get(from + i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object ZarrCodecs {
@@ -92,7 +104,8 @@ object ZarrCodecs {
    * below-threshold shards keep the 1-GET/no-stat RPC profile.
    */
   def fetchChunk(store: graft.zarr.ZarrStore, meta: ZarrArrayMeta, ci: Long): ColumnChunk =
-    meta.codecs match {
+    if (meta.rank > 1) ZarrNd.fetchRowChunk(store, meta, ci)
+    else meta.codecs match {
       case Seq(sc: ZarrCodec.ShardingCodec) =>
         val rel = meta.chunkPath(ci)
         val est = maxDecodedBytes(meta)
@@ -577,6 +590,9 @@ object ZarrCodecs {
           def get(i: Int): Any = bytes(i)
           override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
             vec.putBytes(destPos, cnt, bytes, srcPos)
+          override def sliceArray(from: Int, cnt: Int) =
+            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+              java.util.Arrays.copyOfRange(bytes, from, from + cnt))
         }
       case ZInt16 =>
         chunk(n)(i => buf.getShort(i * 2))
@@ -587,6 +603,12 @@ object ZarrCodecs {
           override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
             if (littleEndian) vec.putIntsLittleEndian(destPos, cnt, bytes, srcPos * 4)
             else super.writeTo(vec, destPos, srcPos, cnt)
+          override def sliceArray(from: Int, cnt: Int) = {
+            val out = new Array[Int](cnt)
+            var i = 0
+            while (i < cnt) { out(i) = buf.getInt((from + i) * 4); i += 1 }
+            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+          }
         }
       case ZInt64 =>
         new ColumnChunk {
@@ -595,6 +617,12 @@ object ZarrCodecs {
           override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
             if (littleEndian) vec.putLongsLittleEndian(destPos, cnt, bytes, srcPos * 8)
             else super.writeTo(vec, destPos, srcPos, cnt)
+          override def sliceArray(from: Int, cnt: Int) = {
+            val out = new Array[Long](cnt)
+            var i = 0
+            while (i < cnt) { out(i) = buf.getLong((from + i) * 8); i += 1 }
+            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+          }
         }
       case ZUInt8 =>
         chunk(n)(i => (bytes(i) & 0xff).toShort) // widened: Spark has no unsigned
@@ -616,6 +644,12 @@ object ZarrCodecs {
           override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
             if (littleEndian) vec.putFloatsLittleEndian(destPos, cnt, bytes, srcPos * 4)
             else super.writeTo(vec, destPos, srcPos, cnt)
+          override def sliceArray(from: Int, cnt: Int) = {
+            val out = new Array[Float](cnt)
+            var i = 0
+            while (i < cnt) { out(i) = buf.getFloat((from + i) * 4); i += 1 }
+            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+          }
         }
       case ZFloat64 =>
         new ColumnChunk {
@@ -624,6 +658,12 @@ object ZarrCodecs {
           override def writeTo(vec: WCV, destPos: Int, srcPos: Int, cnt: Int): Unit =
             if (littleEndian) vec.putDoublesLittleEndian(destPos, cnt, bytes, srcPos * 8)
             else super.writeTo(vec, destPos, srcPos, cnt)
+          override def sliceArray(from: Int, cnt: Int) = {
+            val out = new Array[Double](cnt)
+            var i = 0
+            while (i < cnt) { out(i) = buf.getDouble((from + i) * 8); i += 1 }
+            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+          }
         }
       case ZDatetime64(unit, scale) =>
         // i64.MIN is numpy's NaT sentinel: detected BEFORE unit scaling

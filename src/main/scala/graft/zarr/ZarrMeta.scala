@@ -109,25 +109,48 @@ object ZarrCodec {
       indexAtEnd: Boolean) extends ZarrCodec
 }
 
-/** Metadata of one 1-D Zarr v3 array (= one table column). */
+/** Metadata of one Zarr array (= one table column).
+ *
+ *  The table model maps dimension 0 to the ROW axis; a k-D array (k ≥ 2,
+ *  C-order) contributes one column whose value is the trailing-dims block of
+ *  each row — `ArrayType(element)` for 2-D, nested for deeper ranks. Rows,
+ *  chunk partitioning, LIMIT, and COUNT(*) all remain dim-0 concepts;
+ *  `trailingShape`/`trailingChunk` describe dims 1..k-1 (empty for 1-D). */
 final case class ZarrArrayMeta(
     name: String,        // column name (array path minus group prefix)
     path: String,        // store-relative array dir, e.g. "meta/date"
-    length: Long,        // shape(0)
-    chunkLength: Long,   // regular chunk_grid chunk_shape(0)
+    length: Long,        // shape(0) — the row count
+    chunkLength: Long,   // regular chunk_grid chunk_shape(0) — rows per chunk
     dtype: ZarrType,
     codecs: Seq[ZarrCodec],
     separator: String,   // chunk-key separator, "/" or "."
     fillValueJson: String, // raw JSON text of fill_value (decoded lazily)
     v2Keys: Boolean = false, // "v2" chunk_key_encoding: bare <i>, no "c" prefix
-    attrsJson: String = null // raw user attributes JSON (v3 `attributes` /
+    attrsJson: String = null, // raw user attributes JSON (v3 `attributes` /
                              // v2 `.zattrs`), null = none — surfaced as
                              // Spark column metadata
+    trailingShape: Seq[Long] = Nil, // shape(1..) for k-D arrays, [] for 1-D
+    trailingChunk: Seq[Long] = Nil  // chunk shape along the trailing dims
 ) extends Serializable {
+  def rank: Int = 1 + trailingShape.length
+  /** Elements per ROW: the product of the trailing dims (1 for 1-D). */
+  def rowElems: Long = trailingShape.product
+  /** Elements per stored CHUNK OBJECT (edge chunks are stored full-size). */
+  def chunkElems: Long = chunkLength * trailingChunk.product
+  /** Chunk-grid extent along each trailing dim. */
+  def trailingChunkCounts: Seq[Long] =
+    trailingShape.lazyZip(trailingChunk).map((s, c) => (s + c - 1) / c)
   def numChunks: Long = if (length == 0) 0 else (length + chunkLength - 1) / chunkLength
   /** Store-relative path of chunk i under the array's chunk-key encoding. */
   def chunkPath(i: Long): String =
     if (v2Keys) s"$path/$i" else s"$path/c$separator$i"
+  /** Chunk path of the (dim-0 index, trailing indices) grid cell of a k-D
+   *  array: v3 default keys are `c<sep>i<sep>j…`; v2 keys are `i<sep>j…`
+   *  (sep "." for real v2 stores). */
+  def chunkPathNd(i: Long, trailing: Seq[Long]): String = {
+    val idx = (i +: trailing).mkString(separator)
+    if (v2Keys) s"$path/$idx" else s"$path/c$separator$idx"
+  }
 }
 
 /** Errors raised by the Zarr reader (reference: src/error.rs:4-42). */
@@ -160,19 +183,52 @@ object ZarrMeta {
       throw new ZarrException(s"non-positive chunk shape $chunkLength at $path")
   }
 
+  /** Shared tail of the v3/v2 array parsers for rank ≥ 2: read + validate
+   *  the trailing dims and bound the per-chunk / per-row element counts
+   *  (decode materializes one chunk object; a row must fit one ArrayData). */
+  private def parseTrailing(shapeAt: Int => Long, chunkAt: Int => Long,
+      rank: Int, chunkLen: Long, path: String): (Seq[Long], Seq[Long]) = {
+    val ts = (1 until rank).map(shapeAt)
+    val tc = (1 until rank).map(chunkAt)
+    ts.lazyZip(tc).foreach((s, c) => validateDims(s, c, path))
+    // overflow-safe products: dims are positive (validated above)
+    var chunkElems = chunkLen
+    var rowElems = 1L
+    ts.lazyZip(tc).foreach { (s, c) =>
+      chunkElems = if (chunkElems > Long.MaxValue / c) Long.MaxValue else chunkElems * c
+      val s1 = math.max(s, 1)
+      rowElems = if (rowElems > Long.MaxValue / s1) Long.MaxValue else rowElems * s1
+    }
+    if (chunkElems > Int.MaxValue - 8)
+      throw new ZarrException(
+        s"chunk grid of $chunkElems elements per chunk object cannot be " +
+          s"decoded as one in-memory chunk at $path — re-chunk the array")
+    if (rowElems > Int.MaxValue - 8)
+      throw new ZarrException(
+        s"rows of $rowElems elements exceed the maximum array column size at $path")
+    (ts, tc)
+  }
+
   /** Parse one array `zarr.json`. `path` is the store-relative array dir. */
   def parseArray(path: String, name: String, text: String): ZarrArrayMeta = {
     val n = parseJson(text)
     require(n.path("zarr_format").asInt() == 3, s"only Zarr v3 supported, at $path")
     require(n.path("node_type").asText() == "array", s"not an array node: $path")
     val shape = n.path("shape")
-    if (shape.size() != 1)
-      throw new ZarrException(s"only 1-D arrays supported, got ${shape.size()}-D at $path")
+    val rank = shape.size()
+    if (rank < 1)
+      throw new ZarrException(s"array with empty shape at $path")
     val grid = n.path("chunk_grid")
     if (grid.path("name").asText() != "regular")
       throw new ZarrException(s"unsupported chunk_grid '${grid.path("name").asText()}' at $path")
     val chunkShape = grid.path("configuration").path("chunk_shape")
+    if (chunkShape.size() != rank)
+      throw new ZarrException(s"chunk_shape rank must match shape rank at $path")
     validateDims(shape.get(0).asLong(), chunkShape.get(0).asLong(), path)
+    val (trailingShape, trailingChunk) =
+      if (rank == 1) (Nil, Nil)
+      else parseTrailing(i => shape.get(i).asLong(), i => chunkShape.get(i).asLong(),
+        rank, chunkShape.get(0).asLong(), path)
     val cke = n.path("chunk_key_encoding")
     // "default": keys are c<sep><i> (sep defaults "/"); "v2" (zarr-v2
     // migrated stores): bare <i> keys, no "c" prefix (sep, default ".",
@@ -188,17 +244,24 @@ object ZarrMeta {
         if (s.isEmpty) "." else s
       case other => throw new ZarrException(s"unsupported chunk_key_encoding '$other' at $path")
     }
+    val codecs = parseCodecs(n.path("codecs"), path, rank)
+    if (rank > 1 && codecs.exists(_.isInstanceOf[ZarrCodec.ShardingCodec]))
+      throw new ZarrException(
+        s"sharding_indexed on a $rank-D array is not supported at $path " +
+          "(shard the row dimension of a 1-D layout instead)")
     ZarrArrayMeta(
       name = name,
       path = path,
       length = shape.get(0).asLong(),
       chunkLength = chunkShape.get(0).asLong(),
       dtype = parseDType(n.path("data_type"), path),
-      codecs = parseCodecs(n.path("codecs"), path),
+      codecs = codecs,
       separator = sep,
       fillValueJson = n.path("fill_value").toString,
       v2Keys = v2Keys,
-      attrsJson = attrsJsonOf(n.path("attributes"))
+      attrsJson = attrsJsonOf(n.path("attributes")),
+      trailingShape = trailingShape,
+      trailingChunk = trailingChunk
     )
   }
 
@@ -216,32 +279,39 @@ object ZarrMeta {
    *    count header, which [[ZarrCodecs]] already auto-detects);
    *  - `compressor`: a numcodecs object — blosc (self-describing frame),
    *    zstd, zlib (RFC-1950 — distinct from v3 gzip), gzip;
-   *  - `order`: C and F are identical for 1-D; both accepted.
+   *  - `order`: C and F are identical for 1-D; both accepted there. k-D
+   *    arrays must be C-order (the row-block assembly math is C-order).
    */
   def parseArrayV2(path: String, name: String, text: String): ZarrArrayMeta = {
     import ZarrCodec._
     val n = parseJson(text)
     require(n.path("zarr_format").asInt() == 2, s"not a Zarr v2 array at $path")
     val shape = n.path("shape")
-    if (shape.size() != 1)
-      throw new ZarrException(s"only 1-D arrays supported, got ${shape.size()}-D at $path")
+    val rank = shape.size()
+    if (rank < 1)
+      throw new ZarrException(s"array with empty shape at $path")
     val chunks = n.path("chunks")
-    if (chunks.size() != 1)
+    if (chunks.size() != rank)
       throw new ZarrException(s"chunks rank must match shape rank at $path")
     validateDims(shape.get(0).asLong(), chunks.get(0).asLong(), path)
+    val (trailingShape, trailingChunk) =
+      if (rank == 1) (Nil, Nil)
+      else parseTrailing(i => shape.get(i).asLong(), i => chunks.get(i).asLong(),
+        rank, chunks.get(0).asLong(), path)
     val order = n.path("order").asText("C")
-    if (order != "C" && order != "F") // identical for 1-D, but reject garbage
-      throw new ZarrException(s"unsupported order '$order' at $path")
+    if (order != "C" && (order != "F" || rank > 1)) // F flips the layout for k-D
+      throw new ZarrException(s"unsupported order '$order' for $rank-D array at $path")
     val typestr = n.path("dtype").asText()
     val pd = parseDTypeV2(typestr, path)
     val dtype = pd.dtype
     val littleEndian = pd.littleEndian
+    val chunkElemCount = chunks.get(0).asLong() * trailingChunk.product
     // the chunk's decoded byte size when the dtype is fixed-width — the
     // bound hostile filter/codec parameters are validated against
     val chunkByteSize: Option[Long] = pd.unicodeUnits match {
-      case Some(u) => Some(chunks.get(0).asLong() * 4L * u)
+      case Some(u) => Some(chunkElemCount * 4L * u)
       case None if dtype != null && dtype.byteSize > 0 =>
-        Some(chunks.get(0).asLong() * dtype.byteSize)
+        Some(chunkElemCount * dtype.byteSize)
       case None => None
     }
     val filters = n.path("filters")
@@ -329,9 +399,14 @@ object ZarrMeta {
       chunkLength = chunks.get(0).asLong(),
       dtype = resolved,
       codecs = terminal ++ filterCodecs ++ compCodec,
-      separator = ".",
+      separator = n.path("dimension_separator").asText(".") match {
+        case "/" => "/"
+        case _   => "."
+      },
       fillValueJson = n.path("fill_value").toString,
-      v2Keys = true
+      v2Keys = true,
+      trailingShape = trailingShape,
+      trailingChunk = trailingChunk
     )
   }
 
@@ -475,7 +550,7 @@ object ZarrMeta {
     }
   }
 
-  def parseCodecs(codecs: JsonNode, path: String): Seq[ZarrCodec] = {
+  def parseCodecs(codecs: JsonNode, path: String, rank: Int = 1): Seq[ZarrCodec] = {
     import ZarrCodec._
     val it = codecs.elements()
     val out = Seq.newBuilder[ZarrCodec]
@@ -487,9 +562,12 @@ object ZarrMeta {
         case "vlen-utf8" => out += VlenUtf8Codec
         case "vlen-bytes" => out += VlenBytesCodec
         case "transpose" =>
-          // identity on 1-D arrays (order [0]); anything else has no 1-D meaning
+          // only the identity permutation keeps the C-order layout the
+          // decode math assumes; any real transposition is rejected typed
           val order = cfg.path("order")
-          if (!(order.isArray && order.size() == 1 && order.get(0).asInt(-1) == 0))
+          val identity = order.isArray && order.size() == rank &&
+            (0 until rank).forall(i => order.get(i).asInt(-1) == i)
+          if (!identity)
             throw new ZarrException(s"transpose codec with non-identity order at $path")
         case "zstd"      => out += ZstdCodec(cfg.path("level").asInt(0), cfg.path("checksum").asBoolean(false))
         case "gzip"      => out += GzipCodec(cfg.path("level").asInt(5))

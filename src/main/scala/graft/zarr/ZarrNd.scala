@@ -1,0 +1,139 @@
+package graft.zarr
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/**
+ * k-D (k ≥ 2) Zarr array → table-row assembly.
+ *
+ * The table model maps dimension 0 to the row axis; a row's value is the
+ * C-order block over the trailing dims, surfaced as a (nested) Catalyst
+ * `ArrayData`. Neither the reference (src/schema.rs:16-41 walks only 1-D
+ * children) nor earlier rounds of this repo read n-D stores, yet real-world
+ * Zarr is overwhelmingly n-D — this is the extension a user pointing
+ * `format("zarr")` at a climate grid or an image stack hits first.
+ *
+ * Layout handling:
+ *
+ *  - Chunk objects are full `chunk_shape` blocks in C order (edge chunks
+ *    are stored full-size, fill-padded — both v2 and v3). Each object
+ *    decodes through the SAME byte-stream/terminal codec pipeline as 1-D
+ *    chunks ([[ZarrCodecs.decodeChunk]] with an element-space view of the
+ *    metadata whose `chunkLength` is the chunk's total element count).
+ *  - FAST PATH (trailing dims unchunked — `chunks(j) == shape(j)` for
+ *    j ≥ 1, what our own write path emits and the common layout for
+ *    row-record data): a row's elements are one contiguous run of the
+ *    single chunk object; innermost vectors are built with primitive-array
+ *    slices (zero boxing for fixed-width numerics).
+ *  - GENERAL PATH (trailing dims chunked — climate-style grids): every row
+ *    spans every trailing-grid cell, so the assembler fetches each cell's
+ *    chunk object for the current dim-0 chunk once (memoized for the
+ *    task's lifetime of that dim-0 chunk) and gathers elements by C-order
+ *    index math. Memory is one dim-0 chunk-row slab (`chunk_rows ×
+ *    row_elems` elements) — the same slab a 1-D reader of an equivalent
+ *    flattened layout would hold.
+ *
+ * Partition planning, LIMIT, COUNT(*), and the stats sidecar all key off
+ * dim 0 and are untouched; rows are visited in ascending order so each
+ * chunk object is fetched and decoded exactly once per task.
+ */
+object ZarrNd {
+
+  /** All chunk data needed for the rows of dim-0 chunk `ci`, exposed with
+   *  the 1-D [[ColumnChunk]] contract: `get(r)` = row r's (nested) array. */
+  def fetchRowChunk(store: ZarrStore, meta: ZarrArrayMeta, ci: Long): ColumnChunk = {
+    // element-space view: same codecs/dtype/fill, chunkLength = elements
+    // per chunk OBJECT (validated ≤ Int.MaxValue at parse)
+    val elementMeta = meta.copy(
+      chunkLength = meta.chunkElems, trailingShape = Nil, trailingChunk = Nil)
+    val rowElems = meta.rowElems.toInt
+    val trailingDims = meta.trailingShape.map(_.toInt).toArray
+    val unchunkedTrailing = meta.trailingShape == meta.trailingChunk
+
+    if (unchunkedTrailing) {
+      val chunk = ZarrCodecs.decodeChunk(
+        store.readBytesIfExists(meta.chunkPathNd(ci, meta.trailingChunk.map(_ => 0L))),
+        elementMeta)
+      new ColumnChunk {
+        val length = meta.chunkLength.toInt
+        def get(r: Int): Any = nestContiguous(chunk, r * rowElems, trailingDims, 0)
+        override def close(): Unit = chunk.close()
+      }
+    } else {
+      val chunkDims = meta.trailingChunk.map(_.toInt).toArray
+      val gridCounts = meta.trailingChunkCounts.map(_.toInt).toArray
+      val k = trailingDims.length
+      val memo = mutable.LongMap.empty[ColumnChunk]
+      def cellChunk(cellId: Long, cell: Array[Long]): ColumnChunk =
+        memo.getOrElseUpdate(cellId, ZarrCodecs.decodeChunk(
+          store.readBytesIfExists(meta.chunkPathNd(ci, cell.toSeq)), elementMeta))
+      new ColumnChunk {
+        val length = meta.chunkLength.toInt
+        def get(r: Int): Any = {
+          // gather the row's rowElems elements in trailing C-order; the
+          // trailing coordinate vector advances odometer-style so the grid
+          // cell + in-chunk offset update incrementally, not by div/mod
+          // per element
+          val coord = new Array[Int](k)
+          val flat = new Array[Any](rowElems)
+          val cell = new Array[Long](k)
+          var e = 0
+          while (e < rowElems) {
+            var cellId = 0L
+            var off = r.toLong
+            var j = 0
+            while (j < k) {
+              val t = coord(j) / chunkDims(j)
+              cell(j) = t
+              cellId = cellId * gridCounts(j) + t
+              off = off * chunkDims(j) + (coord(j) - t * chunkDims(j))
+              j += 1
+            }
+            flat(e) = cellChunk(cellId, cell).get(off.toInt)
+            // odometer increment of the trailing coordinates
+            var d = k - 1
+            while (d >= 0 && { coord(d) += 1
+              if (coord(d) == trailingDims(d)) { coord(d) = 0; true } else false })
+              d -= 1
+            e += 1
+          }
+          nestBoxed(flat, trailingDims, 0, 0, rowElems)
+        }
+        override def close(): Unit = memo.values.foreach(_.close())
+      }
+    }
+  }
+
+  /** Nested ArrayData over a CONTIGUOUS element run of one decoded chunk:
+   *  dims(level..) describe the remaining trailing shape under `base`. */
+  private def nestContiguous(chunk: ColumnChunk, base: Int,
+      dims: Array[Int], level: Int): ArrayData =
+    if (level == dims.length - 1) chunk.sliceArray(base, dims(level))
+    else {
+      val n = dims(level)
+      var stride = 1
+      var j = level + 1
+      while (j < dims.length) { stride *= dims(j); j += 1 }
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = nestContiguous(chunk, base + i * stride, dims, level + 1); i += 1 }
+      new GenericArrayData(out)
+    }
+
+  /** Nested ArrayData over a flat boxed row gathered by the general path. */
+  private def nestBoxed(flat: Array[Any], dims: Array[Int], level: Int,
+      from: Int, count: Int): ArrayData =
+    if (level == dims.length - 1)
+      if (from == 0 && count == flat.length) new GenericArrayData(flat) // 2-D: zero copy
+      else new GenericArrayData(java.util.Arrays.copyOfRange(
+        flat.asInstanceOf[Array[AnyRef]], from, from + count))
+    else {
+      val n = dims(level)
+      val stride = count / n
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = nestBoxed(flat, dims, level + 1, from + i * stride, stride); i += 1 }
+      new GenericArrayData(out)
+    }
+}

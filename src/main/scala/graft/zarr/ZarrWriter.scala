@@ -605,6 +605,140 @@ object ZarrWriter {
     store.writeConsolidated()
   }
 
+  // --- n-D fixtures (independent byte-builders for the k-D read path) ----
+
+  /** Cartesian C-order iteration of a k-D index space: all coordinate
+   *  vectors of `dims`, last dim fastest. */
+  private def cOrder(dims: Seq[Int]): Iterator[Seq[Int]] =
+    dims.foldLeft(Iterator(Seq.empty[Int]))((it, d) =>
+      it.flatMap(prefix => (0 until d).iterator.map(prefix :+ _)))
+
+  /**
+   * Generic k-D fixed-width array writer, constructed strictly from the
+   * Zarr specs (both versions store every chunk as a FULL `chunks`-shaped
+   * C-order block, edge chunks padded with the fill value):
+   * `value(coord)` supplies each in-bounds element; `omitCells` lists chunk
+   * grid cells to leave unwritten (fill-value reads). v3 keys are
+   * `c/<i>/<j>…`; v2 keys are `<i>.<j>…` with a `.zarray` document.
+   * This builder shares NO code with the scan or the DSv2 write path —
+   * it is the independent producer the n-D read math is validated against.
+   */
+  def writeNdArray(root: String, group: String, name: String,
+      v2: Boolean, dtypeJson: String, width: Int,
+      put: (ByteBuffer, Any) => Unit, value: Seq[Int] => Any, pad: Any,
+      shape: Seq[Int], chunks: Seq[Int], fillJson: String,
+      compress: Boolean = true, bigEndian: Boolean = false,
+      omitCells: Set[Seq[Int]] = Set.empty): Unit = {
+    val g = group.stripPrefix("/").stripSuffix("/")
+    val dir = Paths.get(root, g, name)
+    val rank = shape.length
+    require(chunks.length == rank)
+    val endianChar = if (bigEndian) ">" else "<"
+    val metaJson =
+      if (v2)
+        s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
+          s""""chunks":[${chunks.mkString(",")}],""" +
+          s""""dtype":"$endianChar$dtypeJson","order":"C","filters":null,""" +
+          s""""compressor":${if (compress) """{"id":"zlib","level":6}""" else "null"},""" +
+          s""""fill_value":$fillJson}"""
+      else
+        s"""{"shape":[${shape.mkString(",")}],"data_type":$dtypeJson,
+           |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${chunks.mkString(",")}]}},
+           |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+           |"fill_value":$fillJson,
+           |"codecs":[{"name":"bytes","configuration":{"endian":"${if (bigEndian) "big" else "little"}"}}${
+             if (compress) """,{"name":"zstd","configuration":{"level":0,"checksum":false}}""" else ""}],
+           |"attributes":{"_ARRAY_DIMENSIONS":[${(0 until rank).map(d => s""""dim_$d"""").mkString(",")}]},
+           |"zarr_format":3,"node_type":"array","storage_transformers":[]}""".stripMargin
+    writeJson(dir.resolve(if (v2) ".zarray" else "zarr.json"), metaJson)
+    val gridCounts = shape.lazyZip(chunks).map((s, c) => (s + c - 1) / c)
+    cOrder(gridCounts).foreach { cell =>
+      if (!omitCells.contains(cell)) {
+        val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        val buf = ByteBuffer.allocate(width * chunks.product).order(order)
+        cOrder(chunks).foreach { within =>
+          val coord = cell.lazyZip(chunks).lazyZip(within).map((t, c, w) => t * c + w)
+          val inBounds = coord.lazyZip(shape).forall(_ < _)
+          put(buf, if (inBounds) value(coord) else pad)
+        }
+        val bytes =
+          if (!compress) buf.array()
+          else if (v2) v2Zlib(buf.array())
+          else zstdCompress(buf.array(), 0)
+        val chunkPath =
+          if (v2) dir.resolve(cell.mkString("."))
+          else cell.foldLeft(dir.resolve("c"))((p, i) => p.resolve(i.toString))
+        Files.createDirectories(chunkPath.getParent)
+        Files.write(chunkPath, bytes)
+      }
+    }
+  }
+
+  /**
+   * The n-D golden fixture, 5 rows under /nd (values follow closed
+   * formulas so specs and the q_zarr_nd literal oracle agree):
+   *
+   *  - `id`    1-D int64 [5] chunk [2] — the coordinate column
+   *  - `emb`   2-D float32 [5,4] chunk [2,4] (trailing UNCHUNKED — the
+   *            contiguous fast path), emb[r][j] = r*10 + j
+   *  - `grid`  2-D int32 [5,6] chunk [2,3] (trailing CHUNKED — the grid-
+   *            cell general path; cell (1,1) omitted → fill −1 for rows
+   *            2-3, cols 3-5), grid[r][j] = r*100 + j
+   *  - `cube`  3-D float64 [5,2,3] chunk [2,2,3] (nested fast path),
+   *            cube[r][i][j] = r*100 + i*10 + j
+   *  - `tail`  3-D int32 [5,3,3] chunk [2,2,2] (general path with EDGE
+   *            cells along both trailing dims), tail[r][i][j] = r*9+i*3+j
+   */
+  def writeNdFixture(root: String): Unit = {
+    writeGroup(root, "/nd")
+    writeLongArray(root, "/nd", "id", Seq(0L, 1L, 2L, 3L, 4L), 2)
+    writeNdArray(root, "/nd", "emb", v2 = false, "\"float32\"", 4,
+      (b, v) => b.putFloat(v.asInstanceOf[Float]),
+      c => (c(0) * 10 + c(1)).toFloat, 0f,
+      shape = Seq(5, 4), chunks = Seq(2, 4), fillJson = "0.0")
+    writeNdArray(root, "/nd", "grid", v2 = false, "\"int32\"", 4,
+      (b, v) => b.putInt(v.asInstanceOf[Int]),
+      c => c(0) * 100 + c(1), -1,
+      shape = Seq(5, 6), chunks = Seq(2, 3), fillJson = "-1",
+      omitCells = Set(Seq(1, 1)))
+    writeNdArray(root, "/nd", "cube", v2 = false, "\"float64\"", 8,
+      (b, v) => b.putDouble(v.asInstanceOf[Double]),
+      c => (c(0) * 100 + c(1) * 10 + c(2)).toDouble, 0.0,
+      shape = Seq(5, 2, 3), chunks = Seq(2, 2, 3), fillJson = "0.0")
+    writeNdArray(root, "/nd", "tail", v2 = false, "\"int32\"", 4,
+      (b, v) => b.putInt(v.asInstanceOf[Int]),
+      c => c(0) * 9 + c(1) * 3 + c(2), 0,
+      shape = Seq(5, 3, 3), chunks = Seq(2, 2, 2), fillJson = "0")
+  }
+
+  /**
+   * v2 n-D fixture, 5 rows under /nd: `.zarray` docs, dot-joined chunk
+   * keys, zlib/raw numcodecs encodings, one big-endian array —
+   * the foreign layout zarr-python 2.x writes for n-D data.
+   *
+   *  - `id`   1-D `<i8` zlib
+   *  - `emb`  2-D `<f4` [5,4] chunk [2,4] zlib, emb[r][j] = r*10 + j
+   *  - `grid` 2-D `>i4` [5,6] chunk [2,3] RAW big-endian (general path +
+   *           endianness), grid[r][j] = r*100 + j, cell (0,1) omitted →
+   *           fill 7 for rows 0-1, cols 3-5
+   */
+  def writeNdV2Fixture(root: String): Unit = {
+    writeJson(Paths.get(root, ".zgroup"), """{"zarr_format":2}""")
+    writeJson(Paths.get(root, "nd", ".zgroup"), """{"zarr_format":2}""")
+    writeNdArray(root, "/nd", "id", v2 = true, "i8", 8,
+      (b, v) => b.putLong(v.asInstanceOf[Long]),
+      c => c(0).toLong, 0L, shape = Seq(5), chunks = Seq(2), fillJson = "0")
+    writeNdArray(root, "/nd", "emb", v2 = true, "f4", 4,
+      (b, v) => b.putFloat(v.asInstanceOf[Float]),
+      c => (c(0) * 10 + c(1)).toFloat, 0f,
+      shape = Seq(5, 4), chunks = Seq(2, 4), fillJson = "0.0")
+    writeNdArray(root, "/nd", "grid", v2 = true, "i4", 4,
+      (b, v) => b.putInt(v.asInstanceOf[Int]),
+      c => c(0) * 100 + c(1), 7,
+      shape = Seq(5, 6), chunks = Seq(2, 3), fillJson = "7",
+      compress = false, bigEndian = true, omitCells = Set(Seq(0, 1)))
+  }
+
   /**
    * The reference's golden fixture: /meta group, 3 rows —
    * collections a/b/c, dates 2023-01-01..03, bbox = WKT boxes ±10/±20/±30.

@@ -49,9 +49,16 @@ class ZarrMetaSpec extends SparkSpec {
     intercept[ZarrException](ZarrMeta.parseArrayV2("p", "x", v2("-1", "3")))
   }
 
-  test("2-D arrays and non-regular chunk grids are rejected") {
-    val twoD = meta("\"int64\"").replace("\"shape\":[3]", "\"shape\":[3,3]")
-    intercept[ZarrException](ZarrMeta.parseArray("p", "x", twoD))
+  test("2-D arrays parse (trailing dims); non-regular chunk grids are rejected") {
+    // round 9: k-D arrays are table columns now — 2-D parses with trailing
+    // dims instead of rejecting (the rank mismatch case still rejects)
+    val twoD = meta("\"int64\"")
+      .replace("\"shape\":[3]", "\"shape\":[3,4]")
+      .replace("\"chunk_shape\":[3]", "\"chunk_shape\":[3,2]")
+    val m = ZarrMeta.parseArray("p", "x", twoD)
+    assert(m.trailingShape == Seq(4L) && m.trailingChunk == Seq(2L) && m.rank == 2)
+    val rankMismatch = meta("\"int64\"").replace("\"shape\":[3]", "\"shape\":[3,3]")
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x", rankMismatch))
     val weirdGrid = meta("\"int64\"").replace("\"name\":\"regular\"", "\"name\":\"rectilinear\"")
     intercept[ZarrException](ZarrMeta.parseArray("p", "x", weirdGrid))
   }

@@ -137,9 +137,11 @@ class ZarrV2Spec extends SparkSpec {
   test("v2 metadata rejections are typed and name the array") {
     def arr(json: String): ZarrException =
       intercept[ZarrException](ZarrMeta.parseArrayV2("g/x", "x", json))
-    assert(arr("""{"zarr_format":2,"shape":[2,2],"chunks":[1,1],"dtype":"<i8",
+    // round 9: 2-D parses (k-D support) — but a chunks/shape RANK mismatch
+    // is still a typed rejection
+    assert(arr("""{"zarr_format":2,"shape":[2,2],"chunks":[1],"dtype":"<i8",
         "compressor":null,"fill_value":0,"order":"C","filters":null}""")
-      .getMessage.contains("1-D"))
+      .getMessage.contains("rank"))
     assert(arr("""{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":"<c16",
         "compressor":null,"fill_value":0,"order":"C","filters":null}""")
       .getMessage.contains("dtype"))
