@@ -148,6 +148,15 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = ivfCodebook(corpus, nLists, idCol, vecCol)
     val assigned = ivfAssign(corpus, centroids, vecCol)
+    scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol)
+  }
+
+  /** Shared scoring tail of the in-memory and at-rest IVF paths: join the
+   *  assigned corpus to the broadcast probe→list fan-out, score candidates,
+   *  rank per probe. */
+  private def scoreProbeLists(assigned: DataFrame, probes: DataFrame,
+      centroids: Seq[Seq[Float]], k: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val probeLists = ivfProbeLists(probes, centroids, nProbe)
     val scored = assigned.join(broadcast(probeLists), "list_id")
       .filter(col("probe_id") =!= col(idCol))
@@ -158,6 +167,33 @@ object Similarity {
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
         round(col("cos"), 6).as("cosine"), col("rank"))
       .orderBy("probe_id", "rank")
+  }
+
+  /** Persist the assigned corpus AT REST, `partitionBy(list_id)` — the
+   *  100 TB layout: each inverted list is its own partition directory, so
+   *  a probe query's `list_id` filter prunes entire lists at PLANNING time
+   *  (the scan never lists, opens, or reads the other lists' files). */
+  def ivfWriteAtRest(corpus: DataFrame, centroids: Seq[Seq[Float]],
+      path: String, vecCol: String = "embedding"): Unit =
+    ivfAssign(corpus, centroids, vecCol)
+      .write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+  /**
+   * Probe an at-rest IVF table: the probes' wanted lists (≤ nProbe ×
+   * |probes|, and never more than the codebook size — a bounded collect of
+   * the trained model's keyspace, not of data) become a static `IN` filter
+   * on the partition column, so the parquet scan plans ONLY those
+   * partition directories. The spec asserts the FileSourceScan's selected
+   * partition count equals the wanted-list count.
+   */
+  def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, centroids: Seq[Seq[Float]], k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val wanted = ivfProbeLists(probes, centroids, nProbe)
+      .select("list_id").distinct().collect().map(_.getInt(0)).sorted
+    val assigned = spark.read.parquet(path)
+      .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
+    scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol)
   }
 
   /**

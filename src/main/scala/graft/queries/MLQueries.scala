@@ -17,6 +17,14 @@ object MLQueries {
 
   private val enStop = TextFunctions.StopwordSets.head._2
 
+  /** Per-JVM scratch dirs keyed by query (the ZarrQueries pattern): re-used
+   *  across bench attempts so overwrite-mode writers don't leak a table
+   *  copy per execution. */
+  private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(name: String): String =
+    scratch.computeIfAbsent(name,
+      n => java.nio.file.Files.createTempDirectory(s"graft_$n").toString)
+
   /** Oracle scaffold for the approximate-ANN queries: `triples` pins the
    *  (probe_id, neighbor_id, rank) rows the deterministic index selects on
    *  the sf0.01 corpus; the cosine column is NOT pinned — DuckDB recomputes
@@ -382,6 +390,29 @@ object MLQueries {
         val probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
         Similarity.ivfTopK(emb, probes, k = 5)
+      }),
+
+    // IVF AT REST — the 100 TB layout: the assigned corpus persisted
+    // partitionBy(list_id), probed through a static list_id filter so the
+    // parquet scan plans ONLY the nProbe×|probes| wanted partitions
+    // (partition-count asserted in SketchSpec; SCALE.md records the I/O
+    // ratio). The query's verdict: the at-rest probe must return EXACTLY
+    // the in-memory ivfTopK result on the same codebook — 5 probes × k=5
+    // rows, zero mismatches (symmetric exceptAll).
+    Q("q_sim_ivf_at_rest", Some("""
+      SELECT CAST(25 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val centroids = Similarity.ivfCodebook(emb)
+        val out = scratchDir("ivf_at_rest") + "/corpus.parquet"
+        Similarity.ivfWriteAtRest(emb, centroids, out)
+        val atRest = Similarity.ivfTopKAtRest(s, out, probes, centroids, k = 5)
+        val inMem = Similarity.ivfTopK(emb, probes, k = 5)
+        val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
+        atRest.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
       }),
 
     // Literal-VALUES oracle (the zarr-fixture pattern): the whole pipeline —

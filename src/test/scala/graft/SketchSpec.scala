@@ -141,6 +141,33 @@ class SketchSpec extends SparkSpec {
     assert(pruned.select("vec_id").collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("ivfTopKAtRest: the full probe query plans only the wanted partitions " +
+      "and equals the in-memory scoring") {
+    val dir = tempDir("ivf_rest_q") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    Similarity.ivfWriteAtRest(emb, centroids, dir)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    // AQE wraps the executed plan in adaptive stages the TreeNode collect
+    // can't see through before execution; the partition-count assertion
+    // needs the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    val (topk, scan) =
+      try {
+        val q = Similarity.ivfTopKAtRest(spark, dir, probe, centroids,
+          k = 3, nProbe = 2)
+        (q, q.queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", true)
+    // the probe query's own scan — not a hand-built filter — reads exactly
+    // the nProbe wanted lists of the 8 written
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"planned ${scan.selectedPartitions.partitionCount} partitions, want 2 of 8")
+    val inMem = Similarity.ivfTopK(emb, probe, k = 3, nLists = 8, nProbe = 2)
+    assert(topk.collect().toSeq == inMem.collect().toSeq)
+  }
+
   test("nearDupGroups: chains, multiple components, singleton pairs converge to min labels") {
     import spark.implicits._
     // component A: a 5-long CHAIN 10-11-12-13-14 (diameter 4 forces several
