@@ -98,22 +98,45 @@ object ZarrSchema {
         throw new ZarrException(s"'$group' is not a Zarr group")
       // consolidation is an OPTIMIZATION: a malformed/stale consolidated
       // block must degrade to listing the per-array documents, not fail a
-      // store whose real metadata is fine
-      try {
-        val cons = groupNode.path("consolidated_metadata").path("metadata")
-        if (cons.isObject) {
+      // store whose real metadata is fine. zarr-python 3.x layout:
+      // `consolidated_metadata: {kind: "inline", must_understand: false,
+      // metadata: {<path relative to THIS group>: <node document>}}` —
+      // `zarr.consolidate_metadata(store)` defaults to the ROOT group with
+      // keys like "meta/collection", so when the table group's own doc
+      // carries no consolidation we also probe the root document for
+      // group-prefixed keys (the same fallback the v2 .zmetadata path has).
+      def consolidatedV3(docNode: com.fasterxml.jackson.databind.JsonNode,
+          keyPrefix: String): Option[Seq[ZarrArrayMeta]] =
+        try {
+          val cons = docNode.path("consolidated_metadata").path("metadata")
+          if (!cons.isObject) return None
           val it = cons.fieldNames()
           val names = Seq.newBuilder[String]
           while (it.hasNext) names += it.next()
-          val out = names.result().filterNot(_.contains("/")).sorted.flatMap { child =>
-            val node = cons.get(child)
-            if (node.path("node_type").asText() == "array")
-              Some(ZarrMeta.parseArray(arrayDir(child), child, node.toString))
-            else None
-          }
-          if (out.nonEmpty) return out // empty/group-only consolidation → list
+          val out = names.result()
+            .collect { case k if k.startsWith(keyPrefix) =>
+              (k, k.stripPrefix(keyPrefix)) }
+            .filter { case (_, child) => child.nonEmpty && !child.contains("/") }
+            .sortBy(_._2)
+            .flatMap { case (k, child) =>
+              val node = cons.get(k)
+              if (node.path("node_type").asText() == "array")
+                Some(ZarrMeta.parseArray(arrayDir(child), child, node.toString))
+              else None
+            }
+          if (out.nonEmpty) Some(out) else None // empty/group-only → list
+        } catch { case _: Exception => None } // malformed → list instead
+      consolidatedV3(groupNode, "").orElse {
+        if (groupRel.isEmpty) None
+        else {
+          val rootDoc = store.readBytesIfExists("zarr.json")
+          if (rootDoc == null) None
+          else try consolidatedV3(ZarrMeta.parseJson(
+            new String(rootDoc, java.nio.charset.StandardCharsets.UTF_8)),
+            s"$groupRel/")
+          catch { case _: Exception => None }
         }
-      } catch { case _: Exception => } // fall through to listing
+      } match { case Some(out) => return out; case None => }
     } else {
       // group-level .zmetadata first; zarr-python consolidates at the STORE
       // ROOT with group-prefixed keys ("meta/id/.zarray"), so fall back to

@@ -31,6 +31,52 @@ class ZarrMetaSpec extends SparkSpec {
     intercept[ZarrException](ZarrMeta.parseArray("p", "x", meta("\"r12\""))) // not byte-aligned
   }
 
+  test("zarr-python 3.x ROOT-consolidated stores plan without per-array docs") {
+    // zarr.consolidate_metadata(store) writes the consolidation into the
+    // ROOT group document with keys RELATIVE TO ROOT ("meta/id"), group
+    // entries included — the layout below is that exact shape. Per-array
+    // zarr.json documents are DELIBERATELY omitted: successful inference +
+    // scan proves the reader plans from the root consolidation (a listing
+    // fallback would find no arrays).
+    val dir = java.nio.file.Paths.get(tempDir("v3_root_consolidated"))
+    def arrayDoc(n: Long) =
+      s"""{"shape":[$n],"data_type":"int64",
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[$n]}},
+         |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+         |"fill_value":0,
+         |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+         |"attributes":{},"zarr_format":3,"node_type":"array","storage_transformers":[]}"""
+        .stripMargin.replace("\n", "")
+    val root =
+      s"""{"zarr_format":3,"node_type":"group","attributes":{},
+         |"consolidated_metadata":{"kind":"inline","must_understand":false,
+         |"metadata":{
+         |"meta":{"zarr_format":3,"node_type":"group","attributes":{}},
+         |"meta/id":${arrayDoc(3)},
+         |"meta/val":${arrayDoc(3)}}}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.write(dir.resolve("zarr.json"),
+      root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the group's own doc exists (zarr-python keeps per-node docs) but has
+    // no consolidation block of its own
+    java.nio.file.Files.createDirectories(dir.resolve("meta"))
+    java.nio.file.Files.write(dir.resolve("meta").resolve("zarr.json"),
+      """{"zarr_format":3,"node_type":"group","attributes":{}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def chunk(vals: Long*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putLong); b.array()
+    }
+    java.nio.file.Files.createDirectories(dir.resolve("meta/id/c"))
+    java.nio.file.Files.write(dir.resolve("meta/id/c/0"), chunk(0, 1, 2))
+    java.nio.file.Files.createDirectories(dir.resolve("meta/val/c"))
+    java.nio.file.Files.write(dir.resolve("meta/val/c/0"), chunk(10, 20, 30))
+    val df = spark.read.format("zarr").option("group", "/meta").load(dir.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "val"))
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 10L), (1L, 20L), (2L, 30L)))
+  }
+
   test("zero/negative chunk shape and negative array shape are typed rejections") {
     // chunks:[0] would otherwise reach numChunks as divide-by-zero; a
     // negative chunk length turns every decode bound negative (misleading
