@@ -409,8 +409,18 @@ class ZarrStreamingDataWriter(
 
   private val dataOrdinals: Array[Int] =
     dataSchema.fields.map(f => schema.fieldIndex(f.name))
+  private val ncols = dataOrdinals.length
+  // sharded epochs STREAM (round 9, mirroring the batch writer's round-8
+  // rewrite): buffer ONE INNER CHUNK of values per column, encode and
+  // append each inner chunk to an open .tmp stream as it fills, publish by
+  // atomic rename at flush. Task memory is O(ncols × shard_rows values),
+  // not O(ncols × chunk_rows values + the whole compressed shard) — a
+  // multi-GiB tail shard never exists as one byte array in the task.
+  private val sharded = shardRows > 0
+  private val bufRows = if (sharded) shardRows else chunkRows
+  private val nInner = if (sharded) chunkRows / shardRows else 0
   private val buffers: Array[Array[Any]] =
-    dataSchema.fields.map(_ => new Array[Any](chunkRows))
+    dataSchema.fields.map(_ => new Array[Any](bufRows))
   private val tailChunkId = startRows / chunkRows
   private val tailFill = (startRows % chunkRows).toInt
   private var currentChunk = -1L
@@ -419,33 +429,114 @@ class ZarrStreamingDataWriter(
   private var localTotal = startRows
   private val written = mutable.ArrayBuffer.empty[(Long, Int)]
   private val stats = mutable.ArrayBuffer.empty[ZarrChunkStatsMsg]
+  // streaming shard state (sharded only), reset per chunk
+  private var outs: Array[org.apache.hadoop.fs.FSDataOutputStream] = _
+  private var tmps: Array[Path] = _
+  private var finals: Array[Path] = _
+  private var idxBufs: Array[java.nio.ByteBuffer] = _
+  private var offs: Array[Long] = _
+  private var innerDone = 0
+  private var accs: Array[ZarrWriteSupport.ChunkStatsAcc] = _
+  private var envAccs: Array[ZarrWriteSupport.ChunkEnvelopeAcc] = _
+
+  private def chunkObjPath(name: String): Path = {
+    val arrayDir = if (groupRel.isEmpty) new Path(path, name)
+      else new Path(new Path(path, groupRel), name)
+    new Path(new Path(arrayDir, "c"), currentChunk.toString)
+  }
+
+  private def openShardChunk(): Unit = {
+    outs = new Array(ncols)
+    tmps = new Array(ncols)
+    finals = new Array(ncols)
+    idxBufs = new Array(ncols)
+    offs = new Array(ncols)
+    accs = new Array(ncols)
+    envAccs = new Array(ncols)
+    innerDone = 0
+    var c = 0
+    while (c < ncols) {
+      val f = dataSchema.fields(c)
+      finals(c) = chunkObjPath(f.name)
+      // stream aside, publish by atomic rename: the tail rewrite covers
+      // rows concurrent readers can already see
+      tmps(c) = new Path(finals(c).getParent, finals(c).getName + ".tmp")
+      outs(c) = fs.create(tmps(c), true)
+      idxBufs(c) = java.nio.ByteBuffer.allocate(nInner * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      accs(c) = new ZarrWriteSupport.ChunkStatsAcc(f.dataType)
+      if (ZarrWriteSupport.isGeoColumn(f))
+        envAccs(c) = new ZarrWriteSupport.ChunkEnvelopeAcc
+      c += 1
+    }
+  }
+
+  /** Encode and append one inner chunk of `n` buffered rows (0 = all-fill
+   *  padding — the same bytes the buffered encodeShard emits). */
+  private def writeInner(n: Int): Unit = {
+    var c = 0
+    while (c < ncols) {
+      val bytes = ZarrWriteSupport.encodeChunk(
+        dataSchema.fields(c).dataType, buffers(c), n, shardRows)
+      outs(c).write(bytes)
+      idxBufs(c).putLong(offs(c)).putLong(bytes.length.toLong)
+      offs(c) += bytes.length
+      c += 1
+    }
+    innerDone += 1
+  }
+
+  /** Store one row's column value and advance the row counter, flushing a
+   *  filled inner chunk on the sharded path — the ONE ingest used by both
+   *  the tail merge and live rows (they must stay byte-identical). */
+  private def putRow(values: Int => Any): Unit = {
+    val slot = if (sharded) count - innerDone * shardRows else count
+    var c = 0
+    while (c < ncols) {
+      val v = values(c)
+      buffers(c)(slot) = v
+      if (sharded) {
+        accs(c).observe(v)
+        if (envAccs(c) != null) envAccs(c).observe(v)
+      }
+      c += 1
+    }
+    count += 1
+    if (sharded && count - innerDone * shardRows == shardRows) writeInner(shardRows)
+  }
 
   /** Merge the existing partial tail chunk so its rewrite keeps the old
-   *  rows. Runs lazily in whichever task first writes to the tail chunk —
-   *  in distributed mode only one task may (whole-chunk routing). */
+   *  rows — streamed through [[putRow]] like live rows (bounded memory even
+   *  for a multi-GiB sharded tail: fetchChunk's ranged path + one inner
+   *  chunk of buffered values). Runs lazily in whichever task first writes
+   *  to the tail chunk — in distributed mode only one task may
+   *  (whole-chunk routing). */
   private def mergeTail(): Unit = {
     val arrays = ZarrSchema.listArrays(store,
       if (groupRel.isEmpty) "/" else s"/$groupRel")
-    dataSchema.fields.zipWithIndex.foreach { case (f, c) =>
+    val old: Array[ColumnChunk] = dataSchema.fields.map { f =>
       val meta = arrays.find(_.name == f.name).getOrElse(
         throw new ZarrException(s"no existing array for streamed column '${f.name}'"))
-      val chunk = ZarrCodecs.decodeChunk(store.readBytesIfExists(meta.chunkPath(tailChunkId)), meta)
+      ZarrCodecs.fetchChunk(store, meta, tailChunkId)
+    }
+    try {
       var i = 0
       while (i < tailFill) {
-        buffers(c)(i) = chunk.get(i) match {
+        val row = i
+        putRow(c => old(c).get(row) match {
           case u: org.apache.spark.unsafe.types.UTF8String => u.toString
           case v => v
-        }
+        })
         i += 1
       }
-    }
+    } finally old.foreach(_.close())
   }
 
   private def openChunk(chunk: Long): Unit = {
     currentChunk = chunk
-    count =
-      if (chunk == tailChunkId && tailFill > 0) { mergeTail(); tailFill }
-      else 0
+    count = 0
+    if (sharded) openShardChunk()
+    if (chunk == tailChunkId && tailFill > 0) mergeTail()
   }
 
   override def write(row: InternalRow): Unit = {
@@ -476,45 +567,52 @@ class ZarrStreamingDataWriter(
           s"(expected offset $count in chunk $chunk) — row_index must be " +
           "globally dense with whole chunks per task " +
           "(repartition(row_index div chunk_rows))")
-    var c = 0
-    while (c < dataOrdinals.length) {
-      val f = dataSchema.fields(c)
-      buffers(c)(count) =
-        if (row.isNullAt(dataOrdinals(c))) null
-        else row.get(dataOrdinals(c), f.dataType) match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-          case v => v
-        }
-      c += 1
+    putRow { c =>
+      if (row.isNullAt(dataOrdinals(c))) null
+      else row.get(dataOrdinals(c), dataSchema.fields(c).dataType) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case v => v
+      }
     }
-    count += 1
     if (count == chunkRows) flushChunk()
   }
 
   private def flushChunk(): Unit = {
     if (currentChunk >= 0 && count > 0) {
-      val mins = new Array[String](dataSchema.fields.length)
-      val maxs = new Array[String](dataSchema.fields.length)
-      val nulls = new Array[Long](dataSchema.fields.length)
-      val envs = new Array[Array[Double]](dataSchema.fields.length)
-      var c = 0
-      while (c < dataSchema.fields.length) {
-        val f = dataSchema.fields(c)
-        val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
-        mins(c) = mn; maxs(c) = mx; nulls(c) = nl
-        if (ZarrWriteSupport.isGeoColumn(f))
-          envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
-        val bytes =
-          if (shardRows > 0)
-            ZarrWriteSupport.encodeShard(f.dataType, buffers(c), count, chunkRows, shardRows)
-          else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
-        val arrayDir = if (groupRel.isEmpty) new Path(path, f.name)
-          else new Path(new Path(path, groupRel), f.name)
-        // atomic publish: the tail-chunk rewrite covers rows readers can
-        // already see — truncate-then-write would expose a partial object
-        ZarrWriteSupport.atomicWrite(fs,
-          new Path(new Path(arrayDir, "c"), currentChunk.toString), bytes)
-        c += 1
+      val mins = new Array[String](ncols)
+      val maxs = new Array[String](ncols)
+      val nulls = new Array[Long](ncols)
+      val envs = new Array[Array[Double]](ncols)
+      if (sharded) {
+        val residual = count - innerDone * shardRows
+        if (residual > 0) writeInner(residual)
+        while (innerDone < nInner) writeInner(0) // trailing all-fill inners
+        var c = 0
+        while (c < ncols) {
+          outs(c).write(ZarrWriteSupport.shardIndexTrailer(idxBufs(c).array()))
+          outs(c).close(); outs(c) = null
+          // atomic publish: the tail-shard rewrite covers rows readers can
+          // already see — the streamed object replaces the old one whole
+          ZarrWriteSupport.atomicRename(fs, tmps(c), finals(c))
+          val (mn, mx, nl) = accs(c).result()
+          mins(c) = mn; maxs(c) = mx; nulls(c) = nl
+          if (envAccs(c) != null) envs(c) = envAccs(c).result()
+          c += 1
+        }
+      } else {
+        var c = 0
+        while (c < ncols) {
+          val f = dataSchema.fields(c)
+          val (mn, mx, nl) = ZarrWriteSupport.chunkColumnStats(f.dataType, buffers(c), count)
+          mins(c) = mn; maxs(c) = mx; nulls(c) = nl
+          if (ZarrWriteSupport.isGeoColumn(f))
+            envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
+          val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
+          // atomic publish: the tail-chunk rewrite covers rows readers can
+          // already see — truncate-then-write would expose a partial object
+          ZarrWriteSupport.atomicWrite(fs, chunkObjPath(f.name), bytes)
+          c += 1
+        }
       }
       written += ((currentChunk, count))
       stats += ZarrChunkStatsMsg(currentChunk, mins, maxs, nulls, envs)
@@ -525,10 +623,24 @@ class ZarrStreamingDataWriter(
     count = 0
   }
 
+  /** Close + remove any open streamed tmp objects (failed/aborted task):
+   *  unpublished — the final chunk object is only replaced by the rename. */
+  private def releaseStreams(): Unit = if (outs != null) {
+    var c = 0
+    while (c < ncols) {
+      if (outs(c) != null) {
+        try outs(c).close() catch { case _: java.io.IOException => }
+        try fs.delete(tmps(c), false) catch { case _: java.io.IOException => }
+        outs(c) = null
+      }
+      c += 1
+    }
+  }
+
   override def commit(): WriterCommitMessage = {
     if (!replay) flushChunk()
     ZarrStreamEpochCommit(written.toSeq, stats.toSeq, localTotal, replay)
   }
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = releaseStreams()
+  override def close(): Unit = releaseStreams()
 }

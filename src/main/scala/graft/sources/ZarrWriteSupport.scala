@@ -67,6 +67,14 @@ object ZarrWriteSupport {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    atomicRename(fs, tmp, p)
+  }
+
+  /** The publish half of [[atomicWrite]], usable when the object was
+   *  STREAMED to `tmp` (the sink's sharded tail path writes gigabyte-scale
+   *  shards through an open stream — they must never exist as one byte
+   *  array — yet still needs the same atomic replace). */
+  def atomicRename(fs: org.apache.hadoop.fs.FileSystem, tmp: Path, p: Path): Unit = {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
     var attempt = 0
     var lastFailure: Throwable = null

@@ -334,6 +334,55 @@ class ZarrStreamSinkSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("must match")))
   }
 
+  test("sharded streaming append STREAMS: bytes identical to the buffered " +
+      "encodeShard, tmp objects cleaned up") {
+    // round 9: the sink's sharded path buffers ONE INNER CHUNK of values
+    // and appends inner chunks to an open .tmp stream (task memory
+    // O(ncols × shard_rows), no whole-shard byte array), publishing by
+    // atomic rename. The on-disk bytes must be EXACTLY what the buffered
+    // encodeShard produces for the merged chunk contents — including the
+    // tail-shard rewrite that merges batch-written rows — or readers of
+    // either vintage would disagree.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_shard_bytes") + "/store.zarr"
+    spark.range(6).select(col("id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("w"), col("id")).as("word"))
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "8").option("shard_rows", "4")
+      .mode("overwrite").save(dir)
+    val mem = MemoryStream[Doc]
+    val q = mem.toDF().writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "8")
+      .option("checkpointLocation", tempDir("zsink_shard_bytes_ckpt"))
+      .start(dir)
+    try {
+      // tail rewrite (rows 6-7 into chunk 0's shard) + a partial chunk 1
+      mem.addData(Doc(6, "w6"), Doc(7, "w7"), Doc(8, "w8"), Doc(9, "w9"))
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.types.{LongType, StringType}
+    for ((name, dt, mk) <- Seq(
+        ("id", LongType, (i: Int) => java.lang.Long.valueOf(i.toLong): Any),
+        ("word", StringType, (i: Int) => s"w$i": Any))) {
+      for ((chunk, cnt) <- Seq((0, 8), (1, 2))) {
+        val vals = new Array[Any](8)
+        (0 until cnt).foreach(i => vals(i) = mk(chunk * 8 + i))
+        val expected = graft.sources.ZarrWriteSupport.encodeShard(dt, vals, cnt, 8, 4)
+        val actual = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "t", name, "c", chunk.toString))
+        assert(java.util.Arrays.equals(actual, expected),
+          s"$name chunk $chunk: streamed sink bytes differ from buffered encodeShard")
+      }
+      // no .tmp residue under the chunk dir after a clean commit
+      val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "t", name, "c")).toArray
+        .map(_.toString).filter(_.endsWith(".tmp"))
+      assert(leftovers.isEmpty, s"$name: leftover tmp objects ${leftovers.toSeq}")
+    }
+  }
+
   case class IdxDoc(idx: Long, id: Long, word: String)
 
   test("distributed epochs: row_index routes whole chunks across >=4 tasks") {
