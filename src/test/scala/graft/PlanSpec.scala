@@ -147,7 +147,9 @@ class PlanSpec extends SparkSpec {
       "q_search_bm25",         // broadcast of a 1-row corpus-stats frame
       "q_zarr_roundtrip", "q_zarr_write_roundtrip", "q_zarr_shard_roundtrip",
       "q_zarr_binary_roundtrip", "q_zarr_v2_roundtrip",
-      "q_zarr_stream_sink") // 1-row self-check counts
+      "q_zarr_stream_sink",
+      "q_zarr_nd_roundtrip",   // 1-row self-check counts (round 9)
+      "q_sim_ivf_at_rest")     // 1-row at-rest≡in-memory mismatch count
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(legitimate)
       .flatMap { name =>
