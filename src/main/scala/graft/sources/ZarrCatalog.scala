@@ -54,7 +54,7 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
     // through createTable's default path unchecked and reach the writer as
     // a divide-by-zero inside tasks
     targetRows = ZarrDataSource.numericOption(options, "target_partition_rows", 1L << 20, 1)
-    chunkRows = ZarrDataSource.numericOption(options, "chunk_rows", 1 << 20, 1).toInt
+    chunkRows = ZarrDataSource.numericIntOption(options, "chunk_rows", 1 << 20, 1)
   }
 
   override def name(): String = catalogName
@@ -144,10 +144,10 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("zarr tables do not support partitioning transforms")
     val opts = new CaseInsensitiveStringMap(properties)
-    val tChunkRows = ZarrDataSource.numericOption(opts, "chunk_rows", chunkRows, 1).toInt
-    val tShardRows = ZarrDataSource.numericOption(opts, "shard_rows", 0, 0).toInt
+    val tChunkRows = ZarrDataSource.numericIntOption(opts, "chunk_rows", chunkRows, 1)
+    val tShardRows = ZarrDataSource.numericIntOption(opts, "shard_rows", 0, 0)
     val compression = Option(opts.get("compression")).getOrElse("zstd")
-    val zarrFormat = ZarrDataSource.numericOption(opts, "zarr_format", 3, 2).toInt
+    val zarrFormat = ZarrDataSource.numericIntOption(opts, "zarr_format", 3, 2)
     if (zarrFormat != 2 && zarrFormat != 3)
       throw new ZarrException(s"zarr option zarr_format must be 2 or 3, got $zarrFormat")
     val relG = rel(ident.namespace.toSeq :+ ident.name)
@@ -167,7 +167,10 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     val fs = new Path(rootUri).getFileSystem(hadoopConf)
-    fs.delete(new Path(rootUri, rel(ident.namespace.toSeq :+ ident.name)), true)
+    val dropped = fs.delete(new Path(rootUri, rel(ident.namespace.toSeq :+ ident.name)), true)
+    // a root .zmetadata would still describe the dropped table (see helper)
+    if (dropped) ZarrWriteSupport.invalidateRootConsolidation(fs, rootUri)
+    dropped
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -206,7 +209,10 @@ class ZarrCatalog extends TableCatalog with SupportsNamespaces {
     if (ns.isEmpty || !isGroup(ns)) return false
     if (!cascade && childGroups(ns).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
-    new Path(rootUri).getFileSystem(hadoopConf).delete(new Path(rootUri, ns), true)
+    val fs = new Path(rootUri).getFileSystem(hadoopConf)
+    val dropped = fs.delete(new Path(rootUri, ns), true)
+    if (dropped) ZarrWriteSupport.invalidateRootConsolidation(fs, rootUri)
+    dropped
   }
 
   /** Write group `zarr.json` docs for every level root → relPath, through

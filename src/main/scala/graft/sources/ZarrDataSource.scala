@@ -57,6 +57,18 @@ object ZarrDataSource {
       if (n < min) throw new ZarrException(s"zarr option $name must be >= $min, got $n")
       n
     }.getOrElse(default)
+
+  /** Int-ranged option: every consumer of chunk_rows/shard_rows/batch_size
+   *  does Int arithmetic, and an unchecked `.toLong.toInt` would wrap
+   *  4294967296 → 0 — recreating the divide-by-zero/empty-batch-forever
+   *  hazards the Long validation exists to prevent. */
+  private[sources] def numericIntOption(options: CaseInsensitiveStringMap,
+      name: String, default: Int, min: Int): Int = {
+    val n = numericOption(options, name, default, min)
+    if (n > Int.MaxValue)
+      throw new ZarrException(s"zarr option $name must be <= ${Int.MaxValue}, got $n")
+    n.toInt
+  }
 }
 
 class ZarrDataSource extends TableProvider with DataSourceRegister {
@@ -85,13 +97,13 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     val path = storePath(options)
     val group = Option(options.get("group")).getOrElse("/")
     val targetRows = ZarrDataSource.numericOption(options, "target_partition_rows", 1L << 20, 1)
-    val chunkRows = ZarrDataSource.numericOption(options, "chunk_rows", 1 << 20, 1).toInt
-    val shardRows = ZarrDataSource.numericOption(options, "shard_rows", 0, 0).toInt
+    val chunkRows = ZarrDataSource.numericIntOption(options, "chunk_rows", 1 << 20, 1)
+    val shardRows = ZarrDataSource.numericIntOption(options, "shard_rows", 0, 0)
     val rowIndexCol = Option(options.get("row_index"))
     val compression = Option(options.get("compression")).getOrElse("zstd")
     // write-side store format: 3 (default) or 2 (.zarray/.zgroup layout for
     // zarr-python 2.x readers); reads auto-detect and ignore this option
-    val zarrFormat = ZarrDataSource.numericOption(options, "zarr_format", 3, 2).toInt
+    val zarrFormat = ZarrDataSource.numericIntOption(options, "zarr_format", 3, 2)
     if (zarrFormat != 2 && zarrFormat != 3)
       throw new ZarrException(s"zarr option zarr_format must be 2 or 3, got $zarrFormat")
     // a write target may not exist yet — build the table with the write
@@ -128,7 +140,7 @@ class ZarrTable(
     // columnar=false forces the row reader (benchmark/debug escape hatch);
     // batch_size tunes ColumnarBatch row count (default 4096, parquet's)
     val columnar = Option(options.get("columnar")).forall(_.toBoolean)
-    val batchSize = ZarrDataSource.numericOption(options, "batch_size", 4096, 1).toInt
+    val batchSize = ZarrDataSource.numericIntOption(options, "batch_size", 4096, 1)
     new ZarrScanBuilder(path, group, arrays, tableSchema, targetRows, columnar, batchSize)
   }
 
@@ -289,15 +301,20 @@ class ZarrScan(
    *  computed once per scan (one sidecar read). */
   private lazy val estimatedRows: Long =
     if (pruningFilters.isEmpty && bboxFilter.isEmpty) tableRows
-    else {
-      val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
-      val step = math.max(align, (targetRows / align) * align)
-      val keep = rangeKeeper
-      Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows)
-        .map(s => (s, math.min(s + step, tableRows)))
-        .collect { case (s, e) if keep(s, e) => e - s }
-        .sum
-    }
+    else plannedRanges().map { case (s, e) => e - s }.sum
+
+  /** The ONE aligned-coalesced-pruned range enumeration behind BOTH
+   *  [[estimateStatistics]] and [[planInputPartitions]] — if they diverged,
+   *  reported statistics would describe partitions the scan doesn't plan. */
+  private def plannedRanges(): Iterator[(Long, Long)] = {
+    if (tableRows == 0) return Iterator.empty
+    val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
+    val step = math.max(align, (targetRows / align) * align)
+    val keep = rangeKeeper
+    Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows)
+      .map(start => (start, math.min(start + step, tableRows)))
+      .filter { case (s, e) => keep(s, e) }
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = {
@@ -315,17 +332,8 @@ class ZarrScan(
    * the stats sidecar proves empty for the pushed filters are dropped here —
    * pruned chunks cost no task, no fetch, no decode.
    */
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (tableRows == 0) return Array.empty
-    val align = math.max(1L, requiredArrays.map(_.chunkLength).maxOption.getOrElse(tableRows))
-    val step = math.max(align, (targetRows / align) * align)
-    val keep = rangeKeeper
-    val parts = Iterator.iterate(0L)(_ + step).takeWhile(_ < tableRows)
-      .map(start => (start, math.min(start + step, tableRows)))
-      .filter { case (s, e) => keep(s, e) }
-      .map { case (s, e) => ZarrInputPartition(s, e): InputPartition }
-    parts.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedRanges().map { case (s, e) => ZarrInputPartition(s, e): InputPartition }.toArray
 
   /** Range-level keep/skip decision from the stats sidecar; keeps everything
    *  when there are no pruning filters or no (valid) sidecar. A sidecar whose

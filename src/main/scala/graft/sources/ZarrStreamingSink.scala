@@ -59,16 +59,28 @@ object ZarrStreamCommit {
   def relPath(groupRel: String): String =
     if (groupRel.isEmpty) FileName else s"$groupRel/$FileName"
 
-  /** (last committed epoch, committed row count); (-1, 0) for a fresh store. */
-  def read(store: ZarrStore, groupRel: String): (Long, Long) =
-    try {
-      val b = store.readBytesIfExists(relPath(groupRel))
-      if (b == null) (-1L, 0L)
-      else {
+  /** (last committed epoch, committed row count); (-1, 0) for a fresh store.
+   *
+   *  Only a genuinely ABSENT or unparseable-but-readable marker degrades to
+   *  (-1, 0): the replay guard and committed-offset derive from this, so a
+   *  TRANSIENT store failure (S3 500, network blip) must PROPAGATE and fail
+   *  the task (retried) — swallowing it as "fresh store" would make a
+   *  replayed epoch look new and silently append its rows a second time,
+   *  the same corrupt-state hazard existingAttrs documents. */
+  def read(store: ZarrStore, groupRel: String): (Long, Long) = {
+    val b = store.readBytesIfExists(relPath(groupRel))
+    if (b == null) (-1L, 0L)
+    else
+      try {
         val n = ZarrMeta.parseJson(new String(b, StandardCharsets.UTF_8))
         (n.path("epoch").asLong(-1L), n.path("rows").asLong(0L))
+      } catch { case _: Exception =>
+        // the document was READ successfully but does not parse: a broken
+        // store, not a race — fail loud, never "fresh"
+        throw new ZarrException(
+          s"unparseable stream-commit marker at ${relPath(groupRel)}")
       }
-    } catch { case _: Exception => (-1L, 0L) }
+  }
 
   /** Marker if present, else the PUBLISHED array length: a table created by
    *  the batch writer has zarr.json but no stream marker, and starting at
@@ -242,11 +254,13 @@ class ZarrStreamingWrite(
         // "not a group" can also be a foreign delete-then-recreate window
         // on a LIVE table — the commit marker survives such races and
         // proves the table existed, so seed-from-schema would be a wipe:
-        // fail the epoch instead (retried)
-        val markerSaysExists =
-          try ZarrStreamCommit.read(new ZarrStore(path, conf.value), groupRel)._1 >= 0
-          catch { case _: Exception => false }
-        if (markerSaysExists) throw e
+        // fail the epoch instead (retried). The confirming marker read must
+        // NOT swallow failures either: a transient store error (or an
+        // unparseable-but-present marker, which read() now throws on)
+        // proves nothing about freshness — only a CLEAN (-1, _) "no marker"
+        // answer may seed. Any failure here propagates and fails the epoch.
+        if (ZarrStreamCommit.read(new ZarrStore(path, conf.value), groupRel)._1 >= 0)
+          throw e
         ZarrWriteSupport.attrsFromSchema(dataSchema) // genuinely fresh: seed
     }
 

@@ -70,6 +70,20 @@ object ZarrWriteSupport {
     atomicRename(fs, tmp, p)
   }
 
+  /** Delete a stale store-root consolidated `.zmetadata` after a
+   *  destructive operation (overwrite, DROP TABLE/NAMESPACE): zarr-python
+   *  consolidates at the STORE ROOT with group-prefixed keys, so the
+   *  document may still describe the group just deleted — a consolidated
+   *  reader would plan the OLD shape/dtypes against whatever replaces it.
+   *  The document is a cache by spec: deleting it is always safe (readers
+   *  fall back to listing). The ONE definition shared by the batch
+   *  overwrite path and the catalog's DROP operations. */
+  def invalidateRootConsolidation(fs: org.apache.hadoop.fs.FileSystem,
+      storeRoot: String): Unit = {
+    val rootZmeta = new Path(storeRoot, ".zmetadata")
+    if (fs.exists(rootZmeta)) fs.delete(rootZmeta, false)
+  }
+
   /** The publish half of [[atomicWrite]], usable when the object was
    *  STREAMED to `tmp` (the sink's sharded tail path writes gigabyte-scale
    *  shards through an open stream — they must never exist as one byte
@@ -929,6 +943,15 @@ class ZarrWrite(
       throw new ZarrException(
         "zarr streaming sink does not support array (k-D) columns yet — " +
           "batch-write them with df.write.format(\"zarr\")")
+    // the sink encodes zstd (its epoch metadata republish and tail rewrites
+    // assume one codec for the table's lifetime); silently dropping a
+    // requested codec is the bug class the catalog's TBLPROPERTIES
+    // validation exists for — reject loudly instead
+    if (compression != "zstd")
+      throw new ZarrException(
+        s"zarr streaming sink writes zstd-compressed chunks only (got " +
+          s"compression '$compression') — batch-write $compression tables " +
+          "with df.write")
     new ZarrStreamingWrite(path, groupRel, schema, dataSchema, chunkRows, conf,
       shardRows, rowIndexCol.map(c => schema.fieldIndex(c)))
   }
@@ -942,15 +965,9 @@ class ZarrWrite(
       val fs = new Path(path).getFileSystem(conf.value)
       val g = if (groupRel.isEmpty) new Path(path) else new Path(path, groupRel)
       if (fs.exists(g)) fs.delete(g, true)
-      // a STORE-ROOT consolidated .zmetadata (zarr-python's standard
-      // consolidation location, group-prefixed keys) may still describe the
-      // group just deleted — a consolidated reader would then plan the OLD
-      // shape/dtypes against the new chunks. The document is a cache by
-      // spec, so deleting it is always safe (readers fall back to listing).
-      if (groupRel.nonEmpty) {
-        val rootZmeta = new Path(path, ".zmetadata")
-        if (fs.exists(rootZmeta)) fs.delete(rootZmeta, false)
-      }
+      // root-group overwrite deletes the whole store dir (incl. .zmetadata)
+      if (groupRel.nonEmpty)
+        ZarrWriteSupport.invalidateRootConsolidation(fs, path)
     }
     if (rowIndexCol.isEmpty && info.numPartitions > 1)
       throw new ZarrException(

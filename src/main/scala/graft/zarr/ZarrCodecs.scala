@@ -595,7 +595,16 @@ object ZarrCodecs {
               java.util.Arrays.copyOfRange(bytes, from, from + cnt))
         }
       case ZInt16 =>
-        chunk(n)(i => buf.getShort(i * 2))
+        new ColumnChunk {
+          val length = n
+          def get(i: Int): Any = buf.getShort(i * 2)
+          override def sliceArray(from: Int, cnt: Int) = {
+            val out = new Array[Short](cnt)
+            var i = 0
+            while (i < cnt) { out(i) = buf.getShort((from + i) * 2); i += 1 }
+            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+          }
+        }
       case ZInt32 =>
         new ColumnChunk {
           val length = n

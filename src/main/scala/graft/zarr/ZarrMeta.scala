@@ -206,6 +206,26 @@ object ZarrMeta {
     if (rowElems > Int.MaxValue - 8)
       throw new ZarrException(
         s"rows of $rowElems elements exceed the maximum array column size at $path")
+    // the row-SLAB bound: producing the rows of one dim-0 chunk requires
+    // every trailing cell of that chunk in memory at once (a row spans the
+    // whole trailing space), and cells are WHOLE decoded chunks — each
+    // trailing dim rounds UP to a chunk multiple (shape 1025 with chunk
+    // 1024 materializes 2048). Bound the chunk-rounded product like a
+    // single decoded chunk, or a grid whose individual dims all pass would
+    // still OOM an executor the moment one row is read.
+    var slabTrailing = 1L
+    ts.lazyZip(tc).foreach { (s, c) =>
+      val rounded = ((s + c - 1) / c) * c
+      slabTrailing = if (slabTrailing > Long.MaxValue / math.max(rounded, 1)) Long.MaxValue
+        else slabTrailing * math.max(rounded, 1)
+    }
+    val slabElems =
+      if (chunkLen > (Int.MaxValue - 8) / math.max(slabTrailing, 1)) Long.MaxValue
+      else chunkLen * slabTrailing
+    if (slabElems > Int.MaxValue - 8)
+      throw new ZarrException(
+        s"reading one dim-0 chunk of this grid needs $chunkLen × $slabTrailing " +
+          s"decoded elements in memory at $path — use a smaller dim-0 chunk size")
     (ts, tc)
   }
 

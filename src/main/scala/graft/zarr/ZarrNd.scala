@@ -64,39 +64,62 @@ object ZarrNd {
       val chunkDims = meta.trailingChunk.map(_.toInt).toArray
       val gridCounts = meta.trailingChunkCounts.map(_.toInt).toArray
       val k = trailingDims.length
+      // memo holds every trailing cell of THIS dim-0 chunk: a row spans the
+      // whole trailing space, so all cells are needed for every row. The
+      // total is the row slab (chunkLength × rowElems elements), bounded at
+      // parse time exactly like a single decoded chunk.
       val memo = mutable.LongMap.empty[ColumnChunk]
       def cellChunk(cellId: Long, cell: Array[Long]): ColumnChunk =
         memo.getOrElseUpdate(cellId, ZarrCodecs.decodeChunk(
           store.readBytesIfExists(meta.chunkPathNd(ci, cell.toSeq)), elementMeta))
+      val lastDim = k - 1
+      val outerDims = trailingDims.take(lastDim) // dims 1..k-1 of the row block
       new ColumnChunk {
         val length = meta.chunkLength.toInt
         def get(r: Int): Any = {
-          // gather the row's rowElems elements in trailing C-order; the
-          // trailing coordinate vector advances odometer-style so the grid
-          // cell + in-chunk offset update incrementally, not by div/mod
-          // per element
-          val coord = new Array[Int](k)
+          // gather the row's elements as CONTIGUOUS RUNS along the last
+          // trailing dim: per (outer coordinate, last-dim cell) the cell id
+          // and base in-chunk offset are computed once, then a tight loop
+          // copies the run — cell/offset math is per RUN, not per element
           val flat = new Array[Any](rowElems)
+          val outer = new Array[Int](math.max(lastDim, 1))
           val cell = new Array[Long](k)
-          var e = 0
-          while (e < rowElems) {
-            var cellId = 0L
-            var off = r.toLong
+          val nOuter = if (lastDim == 0) 1 else outerDims.product
+          var flatBase = 0
+          var o = 0
+          while (o < nOuter) {
+            // cell coords + within-cell offset contribution of the outer dims
+            var cellIdOuter = 0L
+            var offOuter = r.toLong
             var j = 0
-            while (j < k) {
-              val t = coord(j) / chunkDims(j)
+            while (j < lastDim) {
+              val t = outer(j) / chunkDims(j)
               cell(j) = t
-              cellId = cellId * gridCounts(j) + t
-              off = off * chunkDims(j) + (coord(j) - t * chunkDims(j))
+              cellIdOuter = cellIdOuter * gridCounts(j) + t
+              offOuter = offOuter * chunkDims(j) + (outer(j) - t * chunkDims(j))
               j += 1
             }
-            flat(e) = cellChunk(cellId, cell).get(off.toInt)
-            // odometer increment of the trailing coordinates
-            var d = k - 1
-            while (d >= 0 && { coord(d) += 1
-              if (coord(d) == trailingDims(d)) { coord(d) = 0; true } else false })
+            // walk the last dim cell by cell, copying each contiguous run
+            var x = 0
+            while (x < trailingDims(lastDim)) {
+              val t = x / chunkDims(lastDim)
+              cell(lastDim) = t
+              val run = math.min(chunkDims(lastDim) - (x - t * chunkDims(lastDim)),
+                trailingDims(lastDim) - x)
+              val chunk = cellChunk(cellIdOuter * gridCounts(lastDim) + t, cell)
+              val off = (offOuter * chunkDims(lastDim) +
+                (x - t * chunkDims(lastDim))).toInt
+              var i = 0
+              while (i < run) { flat(flatBase + x + i) = chunk.get(off + i); i += 1 }
+              x += run
+            }
+            // odometer increment of the outer coordinates
+            var d = lastDim - 1
+            while (d >= 0 && { outer(d) += 1
+              if (outer(d) == trailingDims(d)) { outer(d) = 0; true } else false })
               d -= 1
-            e += 1
+            flatBase += trailingDims(lastDim)
+            o += 1
           }
           nestBoxed(flat, trailingDims, 0, 0, rowElems)
         }

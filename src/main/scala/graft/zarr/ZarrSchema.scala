@@ -60,7 +60,11 @@ object ZarrSchema {
       if (meta.attrsJson == null) base
       else new MetadataBuilder().withMetadata(base)
         .putString("zarr.attributes", meta.attrsJson).build()
-    if (meta.name == "bbox") {
+    // the WKT-geometry special case is a 1-D convention (one WKT string per
+    // row); a k-D array named "bbox" (e.g. a numeric [n,4] box table — the
+    // standard layout in geo/ML datasets) is a plain nested column, not an
+    // error
+    if (meta.name == "bbox" && meta.rank == 1) {
       if (dt != StringType)
         throw new ZarrException(s"bbox column must be a string array, got ${meta.dtype}")
       StructField("bbox", StringType, nullable = false,

@@ -233,5 +233,28 @@ class ZarrNdSpec extends SparkSpec {
       doc("10,1000000000", "10,1000000000"))) // 10B elements per chunk object
     intercept[ZarrException](ZarrMeta.parseArray("p", "x", doc("4,3", "2,0")))
     intercept[ZarrException](ZarrMeta.parseArray("p", "x", doc("4,-3", "2,3")))
+    // the row-SLAB bound: every individual dim passes (chunkElems 1e5,
+    // rowElems 1e6) but reading ONE dim-0 chunk would need 1e10 elements
+    // (every trailing cell at once) — rejected at parse, not executor OOM
+    intercept[ZarrException](ZarrMeta.parseArray("p", "x",
+      doc("1000000000,1000000", "10000,10")))
+  }
+
+  test("a k-D array named 'bbox' is a plain nested column, not a WKT error") {
+    // numeric [n,4] box tables are the standard geo/ML layout; the WKT
+    // special case is a 1-D convention and must not make the store unreadable
+    val dir = java.nio.file.Paths.get(tempDir("nd_bbox"))
+    graft.zarr.ZarrWriter.writeGroup(dir.toString, "/g")
+    graft.zarr.ZarrWriter.writeLongArray(dir.toString, "/g", "id", Seq(0L, 1L), 2)
+    graft.zarr.ZarrWriter.writeNdArray(dir.toString, "/g", "bbox", v2 = false,
+      "\"float64\"", 8, (b, v) => b.putDouble(v.asInstanceOf[Double]),
+      c => (c(0) * 10 + c(1)).toDouble, 0.0,
+      shape = Seq(2, 4), chunks = Seq(2, 4), fillJson = "0.0")
+    val df = spark.read.format("zarr").option("group", "/g").load(dir.toString)
+    assert(df.schema("bbox").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getSeq[Double](0)).toSeq ==
+      Seq(Seq(0.0, 1.0, 2.0, 3.0), Seq(10.0, 11.0, 12.0, 13.0)))
   }
 }
