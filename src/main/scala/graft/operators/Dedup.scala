@@ -308,11 +308,24 @@ object Dedup {
       shingleWords: Int = 3, bucketCap: Int = 64, minEstimate: Double = 0.5,
       idleTimeout: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    // the keyed-state encoder below is typed (Long, Seq[Long], Int, Long) —
+    // a string/UUID id would be silently cast to null keys (the id-type
+    // trap the batch path's nearDupGroups documents avoiding), so reject
+    // non-integral id columns loudly up front
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"streamingNearDupCandidates: id column '$idCol' must be integral " +
+          s"(the keyed state is Long-typed), got ${other.simpleString} — " +
+          "derive a long id (e.g. xxhash64) upstream")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val rows = numHashes / bands
-    val banded = docs.select(col(idCol).as("id"),
+    val banded = docs.select(col(idCol).cast("long").as("id"),
         signatureFromShingles(
           TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
       .select(col("id"), col("sig"),

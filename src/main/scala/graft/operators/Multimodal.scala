@@ -324,8 +324,9 @@ object Multimodal {
   }
 
   /**
-   * Byte-projection fallback decoder — kept for payloads that are not a
-   * decodable container (and as the checksum helper). Deterministic.
+   * Byte-projection fallback decoder — the degrade path [[extractFeatures]]
+   * takes for payloads the real codecs reject (and the checksum helper).
+   * Deterministic.
    */
   object MediaCodecStub {
     val FeatureDim = 8
@@ -395,18 +396,31 @@ object Multimodal {
   /**
    * The batched decode/feature-extract pass. `mapPartitions` keeps the codec
    * initialization per-task (not per-row) — the property that matters when
-   * the decoder has setup cost. Images go through the REAL PNG decode;
-   * audio/video through the stub.
+   * the decoder has setup cost. Every media type goes through its REAL
+   * decoder (PNG / WAV / the documented video stand-in); a payload the
+   * decoder rejects degrades to [[MediaCodecStub.decodeAndEmbed]]'s
+   * byte-projection features instead of killing the task — at pipeline
+   * scale one corrupt blob among billions must not fail the stage, and the
+   * deterministic fallback keeps the row (with its checksum) visible for
+   * downstream quality filters to drop.
    */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val feats = a.media_type match {
-          case "image" => ImageCodec.embed(ImageCodec.decode(a.payload))
-          case "audio" => AudioCodec.embed(AudioCodec.decode(a.payload))
-          case _ => VideoCodec.embed(VideoCodec.decodeFrames(a.payload))
-        }
+        val feats =
+          try a.media_type match {
+            case "image" => ImageCodec.embed(ImageCodec.decode(a.payload))
+            case "audio" => AudioCodec.embed(AudioCodec.decode(a.payload))
+            case _ =>
+              val frames = VideoCodec.decodeFrames(a.payload)
+              // the GIF reader yields ZERO frames for a non-GIF payload
+              // rather than throwing — zero frames is "not decodable" too
+              require(frames.nonEmpty, "no decodable frames")
+              VideoCodec.embed(frames)
+          } catch { case scala.util.control.NonFatal(_) =>
+            MediaCodecStub.decodeAndEmbed(a.payload)
+          }
         MediaFeatures(a.asset_id, a.media_type, a.payload.length,
           MediaCodecStub.checksum(a.payload), feats)
       }

@@ -17,13 +17,7 @@ object MLQueries {
 
   private val enStop = TextFunctions.StopwordSets.head._2
 
-  /** Per-JVM scratch dirs keyed by query (the ZarrQueries pattern): re-used
-   *  across bench attempts so overwrite-mode writers don't leak a table
-   *  copy per execution. */
-  private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def scratchDir(name: String): String =
-    scratch.computeIfAbsent(name,
-      n => java.nio.file.Files.createTempDirectory(s"graft_$n").toString)
+  private def scratchDir(name: String): String = QueryScratch.dir(name)
 
   /** Oracle scaffold for the approximate-ANN queries: `triples` pins the
    *  (probe_id, neighbor_id, rank) rows the deterministic index selects on

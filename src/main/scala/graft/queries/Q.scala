@@ -16,6 +16,23 @@ final case class Q(
     oracle: Option[String],
     fn: (SparkSession, String) => DataFrame)
 
+/** Per-JVM scratch dirs keyed by query — the ONE leak guard behind every
+ *  query that writes a table: roundtrip queries re-run every bench attempt,
+ *  and a fresh createTempDirectory per EXECUTION leaked a full table copy
+ *  each time (gigabytes per round at sf0.1). Overwrite-mode writers reuse
+ *  the cached dir; [[fresh]] wipes it for append-only/streaming targets. */
+private[queries] object QueryScratch {
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def dir(name: String): String =
+    dirs.computeIfAbsent(name,
+      n => java.nio.file.Files.createTempDirectory(s"graft_$n").toString)
+  def fresh(name: String): String = {
+    val d = dir(name)
+    org.apache.commons.io.FileUtils.cleanDirectory(new java.io.File(d))
+    d
+  }
+}
+
 object Tables {
   /**
    * events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which the Spark

@@ -48,20 +48,9 @@ object ZarrQueries {
     dir.toString
   }
 
-  /** Per-JVM scratch dirs keyed by query: roundtrip queries re-run every
-   *  bench attempt, and a fresh createTempDirectory per EXECUTION leaked a
-   *  full table copy each time (gigabytes per round at sf0.1). Overwrite-
-   *  mode writers reuse the cached dir; [[freshScratch]] wipes it for
-   *  append-only/streaming targets. */
-  private val scratch = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def scratchDir(name: String): String =
-    scratch.computeIfAbsent(name,
-      n => Files.createTempDirectory(s"graft_$n").toString)
-  private def freshScratch(name: String): String = {
-    val d = scratchDir(name)
-    org.apache.commons.io.FileUtils.cleanDirectory(new java.io.File(d))
-    d
-  }
+  // the shared per-JVM scratch-dir leak guard (see [[QueryScratch]])
+  private def scratchDir(name: String): String = QueryScratch.dir(name)
+  private def freshScratch(name: String): String = QueryScratch.fresh(name)
 
   def zarrTable(s: SparkSession): DataFrame =
     s.read.format("zarr").option("group", "/meta").load(fixturePath)

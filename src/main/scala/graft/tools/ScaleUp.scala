@@ -53,7 +53,10 @@ object ScaleUp {
         mutate(shifted, i)
       }.reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[scaleup] $name -> ${out.count()} rows")
+      // count the WRITTEN parquet: counting `out` would re-run the whole
+      // read-shift-union pipeline a second time just for the log line
+      val n = spark.read.parquet(s"$dst/$name.parquet").count()
+      println(s"[scaleup] $name -> $n rows")
     }
 
     // constant-size dimensions: copy once

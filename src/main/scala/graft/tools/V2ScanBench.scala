@@ -20,7 +20,14 @@ object V2ScanBench {
 
   private def writeStore(dir: String, rows: Long, chunkRows: Int): Unit = {
     val root = Paths.get(dir)
-    if (Files.exists(root.resolve(".zmetadata"))) return // reuse across runs
+    // reuse across runs — the consolidated doc lives at t/.zmetadata, and
+    // the shape must match (a stale store of another size would silently
+    // flow into the sum check and fail it confusingly)
+    val zmeta = root.resolve("t/.zmetadata")
+    if (Files.exists(zmeta) &&
+        new String(Files.readAllBytes(zmeta), "UTF-8")
+          .contains(s""""shape":[$rows]"""))
+      return
     def zlib(b: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater(1)
       try {

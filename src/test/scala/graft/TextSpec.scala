@@ -222,6 +222,23 @@ class TextSpec extends SparkSpec {
     assert(summary.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
   }
 
+  test("multimodal: an undecodable payload degrades to the byte-projection " +
+      "fallback instead of killing the task") {
+    import spark.implicits._
+    val garbage = "not a PNG at all".getBytes("UTF-8")
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", garbage, 0, 0, 0),
+      Multimodal.MediaAsset(2L, "audio", garbage, 0, 0, 0),
+      Multimodal.MediaAsset(3L, "video", garbage, 0, 0, 0)).toDS()
+    val feats = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(feats.length == 3)
+    val expected = Multimodal.MediaCodecStub.decodeAndEmbed(garbage).toSeq
+    feats.foreach { f =>
+      assert(f.features.toSeq == expected, f.media_type)
+      assert(f.checksum == Multimodal.MediaCodecStub.checksum(garbage))
+    }
+  }
+
   test("multimodal resize and frame-sample keep metadata and payload consistent") {
     val assets = Multimodal.syntheticAssets(spark, docs.limit(100))
     val resized = Multimodal.resize(assets, 64, 64).collect()
