@@ -74,6 +74,11 @@ object VectorKernels {
   }
 
   private def signTable(planes: Int, offset: Int, n: Int): Array[Double] = {
+    // CACHED entries stay usable past the cap: the size guard gates only
+    // NEW materializations, or crossing 64 distinct shapes would silently
+    // demote every hot shape to the 2048-hashes/row inline path forever
+    val hit = signTables.get((planes, offset, n))
+    if (hit != null) return hit
     if (signTables.size > 64) return null // unbounded dims guard
     // per-entry budget: n comes from each ROW's array length, so one
     // pathological multi-million-element vector must not materialize a

@@ -31,13 +31,17 @@ object Wkt {
     while (i < n) {
       val c = s.charAt(i)
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) {
-        val partOfNumber = i > 0 && {
-          val p = s.charAt(i - 1); (p >= '0' && p <= '9') || p == '.'
-        }
         var j = i + 1
         while (j < n && { val d = s.charAt(j)
           (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') }) j += 1
-        if (!partOfNumber &&
+        // the only alpha allowed inside a number is a lone exponent 'e'/'E'
+        // after a digit/dot — a broader "follows a digit" exemption let
+        // "POINT(1x2 3)" through, and the x/y parity flip then produced a
+        // CORRUPT envelope instead of the contractual null
+        val exponent = (c == 'e' || c == 'E') && j == i + 1 && i > 0 && {
+          val p = s.charAt(i - 1); (p >= '0' && p <= '9') || p == '.'
+        }
+        if (!exponent &&
             !Keywords.contains(s.substring(i, j).toLowerCase(java.util.Locale.ROOT)))
           return false
         i = j

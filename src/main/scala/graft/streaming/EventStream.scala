@@ -46,9 +46,10 @@ object EventStream {
 
   /**
    * Gap-based sessionization: a user's session closes after `gapMinutes`
-   * of silence, enforced by an event-time timeout — the session is emitted
-   * when the watermark passes (last event + gap). In-batch gaps close
-   * sessions immediately.
+   * of silence. Every session is emitted when the WATERMARK passes
+   * (last event + gap) — in-batch gaps close the interval logically, but
+   * emission still waits for the watermark, because an out-of-order
+   * on-time event may yet merge into it (append mode cannot retract).
    */
   /**
    * Declarative BATCH sessionization with the same gap semantics as the
@@ -75,54 +76,73 @@ object EventStream {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Timestamp → epoch micros (getTime alone is MILLIS — the batch twin
+   *  compares unix_micros, and a ms-truncated gap merges sessions the
+   *  batch definition splits when timestamps carry sub-ms components). */
+  private def usOf(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
     val gapMs = gapMinutes * 60000L
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAgg, Session](
+      .flatMapGroupsWithState[Seq[SessionAgg], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[Event], state: GroupState[SessionAgg]) =>
-          if (state.hasTimedOut) {
-            val a = state.get
-            state.remove()
-            Iterator(Session(user, new Timestamp(a.start), new Timestamp(a.end), a.n, a.total))
-          } else {
-            // Interval-merge, not append-into-state: a cross-batch
-            // out-of-order event EARLIER than the stored session previously
-            // force-merged (t - end is negative, trivially <= gap) without
-            // ever lowering session_start — and an event more than a gap
-            // BEFORE the stored session belongs to its own earlier session,
-            // not the stored one. Build the batch's event intervals, merge
-            // them chronologically with the stored interval under the gap
-            // rule (exactly sessionizeBatch's grouping), close everything
-            // but the chronologically last, and keep that in state.
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            val evIvs = sorted.foldLeft(List.empty[SessionAgg]) { (acc, e) =>
-              val t = e.ts.getTime
-              acc match {
-                case h :: tl if t - h.end <= gapMs =>
-                  SessionAgg(h.start, math.max(h.end, t), h.n + 1, h.total + e.value) :: tl
-                case _ => SessionAgg(t, t, 1, e.value) :: acc
-              }
-            }.reverse
-            val all = (state.getOption.toList ++ evIvs).sortBy(_.start)
-            val merged = all.foldLeft(List.empty[SessionAgg]) { (acc, iv) =>
-              acc match {
-                case h :: tl if iv.start - h.end <= gapMs =>
-                  SessionAgg(math.min(h.start, iv.start), math.max(h.end, iv.end),
-                    h.n + iv.n, h.total + iv.total) :: tl
-                case _ => iv :: acc
-              }
-            }.reverse
-            val last = merged.last
-            state.update(last)
-            state.setTimeoutTimestamp(last.end + gapMs)
-            merged.dropRight(1).map(a =>
-              Session(user, new Timestamp(a.start), new Timestamp(a.end), a.n, a.total))
-              .iterator
+        (user: Long, it: Iterator[Event], state: GroupState[Seq[SessionAgg]]) =>
+          // Interval-merge, not append-into-state: a cross-batch
+          // out-of-order event EARLIER than the stored intervals must merge
+          // under the same gap rule as sessionizeBatch (or open its own
+          // earlier session). State holds ALL intervals not yet provably
+          // final; an interval is emitted only once the WATERMARK passes
+          // its end + gap — emitting earlier would be wrong, because a
+          // later on-time event (ts ≥ watermark, ts − end ≤ gap) could
+          // still merge into it and append mode cannot retract. Timestamps
+          // compare in MICROS, matching the batch twin's unix_micros.
+          val pending0 = state.getOption.getOrElse(Seq.empty).toList
+          val merged =
+            if (!it.hasNext) pending0
+            else {
+              val sorted = it.toSeq.sortBy(e => usOf(e.ts))
+              val evIvs = sorted.foldLeft(List.empty[SessionAgg]) { (acc, e) =>
+                val t = usOf(e.ts)
+                acc match {
+                  case h :: tl if t - h.end <= gapUs =>
+                    SessionAgg(h.start, math.max(h.end, t), h.n + 1, h.total + e.value) :: tl
+                  case _ => SessionAgg(t, t, 1, e.value) :: acc
+                }
+              }.reverse
+              val all = (pending0 ++ evIvs).sortBy(_.start)
+              all.foldLeft(List.empty[SessionAgg]) { (acc, iv) =>
+                acc match {
+                  case h :: tl if iv.start - h.end <= gapUs =>
+                    SessionAgg(math.min(h.start, iv.start), math.max(h.end, iv.end),
+                      h.n + iv.n, h.total + iv.total) :: tl
+                  case _ => iv :: acc
+                }
+              }.reverse
+            }
+          // FINAL iff no on-time event can reach it: watermark > end + gap
+          // (late rows below the watermark never arrive here)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = merged.partition(iv => iv.end + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // earliest pending finalization; +1 ms so the event-time
+            // timeout lands strictly past end+gap (and past the watermark)
+            state.setTimeoutTimestamp(open.map(_.end).min / 1000L + gapMs + 1)
           }
+          done.sortBy(_.start).map(a =>
+            Session(user, tsOf(a.start), tsOf(a.end), a.n, a.total)).iterator
       }
   }
 }

@@ -45,27 +45,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("sessionization: in-batch gap closes immediately, timeout closes the rest") {
+  test("sessionization: sessions emit only when the watermark finalizes them") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]
     val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions").outputMode("append").start()
     try {
-      // user 1: two bursts 100 min apart in ONE batch → first closes
-      // in-batch. NOTE events start at t=1min: a first-batch event at
-      // exactly t=0 is filtered as late (ts <= initial watermark 0).
+      // user 1: two bursts 100 min apart in ONE batch. The first interval
+      // closes LOGICALLY in-batch but must NOT emit yet: the watermark is
+      // still behind its end+gap, so an on-time out-of-order event could
+      // still merge into it (round 9 — emitting early produced
+      // split/contradictory sessions vs the batch definition). NOTE events
+      // start at t=1min: a first-batch event at exactly t=0 is filtered as
+      // late (ts <= initial watermark 0).
       mem.addData(
         Event(1, ts(1), 1, "click", 1.0),
         Event(2, ts(10), 1, "click", 1.0),
         Event(3, ts(110), 1, "view", 2.0),
         Event(4, ts(115), 2, "click", 5.0))
       q.processAllAvailable()
+      // the drain advances the watermark to 105 (115 − 10) and fires the
+      // finalization: [1,10] (end+gap 40 < 105) emits; [110] and [115]
+      // (end+gap ≥ 140) stay open
       val first = spark.table("sessions").collect()
       assert(first.length == 1, s"rows=${first.map(_.toSeq).toList}")
       assert(first.head.getLong(0) == 1L && first.head.getLong(3) == 2L,
         s"rows=${first.map(_.toSeq).toList}")
-      // advance watermark far past (115 + 30 + watermark 10) → timeouts fire
+      // watermark → 290 (300-10): finalizes every interval ending ≤ 260;
+      // the emission happens on the NEXT batch after the watermark update
       mem.addData(Event(5, ts(300), 3, "click", 0.0))
       q.processAllAvailable()
       mem.addData(Event(6, ts(400), 3, "click", 0.0))
@@ -232,6 +240,45 @@ class StreamingSpec extends SparkSpec {
     val batch = graft.queries.Tables.t(spark, sf, "events")
     val out = EventStream.windowedCounts(batch).collect()
     assert(out.nonEmpty)
+  }
+
+  test("sessionization: an in-batch-closed interval is NOT emitted while an " +
+      "on-time out-of-order event can still merge into it") {
+    // round 9 regression: with the watermark delay WIDER than the gap, an
+    // interval whose in-batch successor is > gap away is logically closed
+    // but not FINAL — a later on-time event between them can merge the two.
+    // The old early-emission produced a [100,100] session AND a merged
+    // [100,135] session (contradictory, append cannot retract).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30, watermark = "120 minutes")
+      .writeStream.format("memory").queryName("late_merge_sessions")
+      .outputMode("append").start()
+    try {
+      // one batch, gap 35 > 30 between the two events → two open intervals;
+      // watermark after the batch is 15 (135 − 120): neither is final
+      mem.addData(Event(1, ts(100), 1, "click", 1.0), Event(2, ts(135), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("late_merge_sessions").collect().isEmpty,
+        "no interval may emit while the watermark is behind its end+gap")
+      // on-time out-of-order bridge event: within gap of BOTH intervals
+      mem.addData(Event(3, ts(128), 1, "view", 4.0))
+      q.processAllAvailable()
+      // sentinels push the watermark past everything
+      mem.addData(Event(90, ts(500), 99, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(91, ts(900), 99, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("late_merge_sessions")
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1)
+      .collect().map(r => (r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3), r.getDouble(4))).toSeq
+    // ONE merged session 100-135 with all three events — same as the batch
+    // definition over the full event set
+    assert(got == Seq((100L, 135L, 3L, 7.0)), got.toString)
   }
 
   test("sessionization: cross-batch OUT-OF-ORDER events merge like the batch oracle") {

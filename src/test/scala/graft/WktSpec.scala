@@ -83,6 +83,11 @@ class WktSpec extends AnyFunSuite {
     assert(Wkt.envelope("POINT ZM (1 2 3 4)") == null)
     assert(Wkt.envelope("SRID=4326;POINT (1 2)") == null)
     assert(Wkt.envelope("approximately 3 by 4 meters") == null)
+    // round-9 regression: an alpha run that merely FOLLOWS a digit is not
+    // an exponent — "1x2" would parity-flip into a corrupt [1,2,3,2] box
+    assert(Wkt.envelope("POINT(1x2 3)") == null)
+    assert(Wkt.envelope("POLYGON((1deg 2, 3 4))") == null)
+    assert(Wkt.envelope("POINT(1ex 2)") == null) // 'ex' run: not a lone exponent
     assert(!Wkt.envelopeIntersects("POINT Z (1 2 3)", 0, 0, 10, 10))
     // 2-D forms with exponents and the full keyword set still parse
     assert(Wkt.envelope("POINT (1e2 -2.5E-1)").toSeq == Seq(100.0, -0.25, 100.0, -0.25))
