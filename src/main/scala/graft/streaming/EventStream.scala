@@ -45,13 +45,6 @@ object EventStream {
         col("n"), col("total_value"))
 
   /**
-   * Gap-based sessionization: a user's session closes after `gapMinutes`
-   * of silence. Every session is emitted when the WATERMARK passes
-   * (last event + gap) — in-batch gaps close the interval logically, but
-   * emission still waits for the watermark, because an out-of-order
-   * on-time event may yet merge into it (append mode cannot retract).
-   */
-  /**
    * Declarative BATCH sessionization with the same gap semantics as the
    * streaming [[sessionize]] (a gap strictly greater than `gapMinutes`
    * closes the session): lag marks session starts, a running sum numbers
@@ -88,6 +81,13 @@ object EventStream {
     t
   }
 
+  /**
+   * Gap-based sessionization: a user's session closes after `gapMinutes`
+   * of silence. Every session is emitted when the WATERMARK passes
+   * (last event + gap) — in-batch gaps close the interval logically, but
+   * emission still waits for the watermark, because an out-of-order
+   * on-time event may yet merge into it (append mode cannot retract).
+   */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
       watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -110,7 +110,8 @@ class CorpusSpec extends SparkSpec {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     def ts(min: Long) = new Timestamp(min * 60000L)
-    // user 1: two sessions split by a 100-min gap (first closes in-batch);
+    // user 1: two sessions split by a 100-min gap (both emit once the
+    // watermark passes their end+gap — nothing emits early);
     // user 2: one session. Sentinel user 99 advances the watermark far
     // enough that every real session times out and is emitted.
     val real = Seq(

@@ -251,7 +251,6 @@ class StreamingSpec extends SparkSpec {
     // [100,135] session (contradictory, append cannot retract).
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val mem = MemoryStream[Event]
     val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30, watermark = "120 minutes")
       .writeStream.format("memory").queryName("late_merge_sessions")
@@ -284,7 +283,6 @@ class StreamingSpec extends SparkSpec {
   test("sessionization: cross-batch OUT-OF-ORDER events merge like the batch oracle") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val mem = MemoryStream[Event]
     // watermark wider than the gap: with delay <= gap, an event more than a
     // gap earlier than an open session is always late-dropped before the
