@@ -403,6 +403,24 @@ object ZarrQueries {
           concat_ws(",", flatten(col("tail")).cast("array<string>")).as("tail"))
         .orderBy("id")),
 
+    // the v2 n-D surface: dot-joined multi-index chunk keys, zlib and RAW
+    // big-endian cells, a missing grid cell reading as fill — the foreign
+    // layout zarr-python 2.x writes for n-D data (byte-level fixture)
+    Q("q_zarr_nd_v2", Some("""
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), '0,1,2,3',     '0,1,2,7,7,7'),
+        (1, '10,11,12,13', '100,101,102,7,7,7'),
+        (2, '20,21,22,23', '200,201,202,203,204,205'),
+        (3, '30,31,32,33', '300,301,302,303,304,305'),
+        (4, '40,41,42,43', '400,401,402,403,404,405'))
+        AS t(id, emb, grid)
+      ORDER BY id"""),
+      (s, _) => s.read.format("zarr").option("group", "/nd").load(ndV2FixturePath)
+        .select(col("id"),
+          concat_ws(",", col("emb").cast("array<int>").cast("array<string>")).as("emb"),
+          concat_ws(",", col("grid").cast("array<string>")).as("grid"))
+        .orderBy("id")),
+
     // n-D WRITE: the sf embeddings table (a real Array[Float] column) to a
     // 2-D float32 Zarr array through the DSv2 sink (trailing dims from the
     // data, k-D chunk keys, shape [n, dim]), read back through the n-D
@@ -427,4 +445,9 @@ object ZarrQueries {
   lazy val ndFixturePath: String =
     buildFixtureAtomically("graft_zarr_nd_fixture", "zarr.json",
       ZarrWriter.writeNdFixture)
+
+  /** The v2 n-D fixture (see [[ZarrWriter.writeNdV2Fixture]]). */
+  lazy val ndV2FixturePath: String =
+    buildFixtureAtomically("graft_zarr_nd_v2_fixture", ".zgroup",
+      ZarrWriter.writeNdV2Fixture)
 }

@@ -30,7 +30,7 @@ class ZarrColumnarPartitionReader(
   private val ncols = columns.length
   private val metas = columns.toArray
   private val vectors: Array[OnHeapColumnVector] =
-    metas.map(m => new OnHeapColumnVector(batchSize, ZarrSchema.catalystType(m.dtype)))
+    metas.map(m => new OnHeapColumnVector(batchSize, ZarrSchema.columnType(m)))
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private val chunkIdx = Array.fill[Long](ncols)(-1L)
   private val chunks = new Array[ColumnChunk](ncols)

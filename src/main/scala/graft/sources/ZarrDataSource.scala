@@ -415,10 +415,10 @@ class ZarrPartitionReaderFactory(
     columnar: Boolean = true,
     batchSize: Int = 4096)
   extends PartitionReaderFactory {
-  // k-D columns produce nested ArrayData rows; the vectorized reader's
-  // fixed-width vector writes don't apply, so those scans stay row-based
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && columns.forall(_.rank == 1)
+  // k-D columns are columnar too (round 9): rows land in nested ArrayType
+  // vectors — the contiguous fast path bulk-copies each row's element
+  // block into the leaf child vector
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ZarrInputPartition]
     new ZarrPartitionReader(new ZarrStore(path, conf.value), columns, p.start, p.end)

@@ -58,6 +58,19 @@ object ZarrNd {
       new ColumnChunk {
         val length = meta.chunkLength.toInt
         def get(r: Int): Any = nestContiguous(chunk, r * rowElems, trailingDims, 0)
+        // columnar path: each row's whole element block is one contiguous
+        // run of the decoded chunk, so the leaf level lands in the child
+        // vector via the element chunk's BULK writeTo (single primitive
+        // memcopies for fixed-width dtypes), with only the per-level
+        // putArray offset bookkeeping on top
+        override def writeTo(vec: WCV, destPos: Int, srcPos: Int, n: Int): Unit = {
+          var i = 0
+          while (i < n) {
+            putContiguousRow(vec, destPos + i, chunk, (srcPos + i) * rowElems,
+              trailingDims, 0)
+            i += 1
+          }
+        }
         override def close(): Unit = chunk.close()
       }
     } else {
@@ -74,8 +87,19 @@ object ZarrNd {
           store.readBytesIfExists(meta.chunkPathNd(ci, cell.toSeq)), elementMeta))
       val lastDim = k - 1
       val outerDims = trailingDims.take(lastDim) // dims 1..k-1 of the row block
+      val leafDt = ZarrSchema.catalystType(meta.dtype)
       new ColumnChunk {
         val length = meta.chunkLength.toInt
+        // columnar path: gather the row (same code as `get`), then unfold
+        // the nested ArrayData into the vector tree
+        override def writeTo(vec: WCV, destPos: Int, srcPos: Int, n: Int): Unit = {
+          var i = 0
+          while (i < n) {
+            putArrayData(vec, destPos + i,
+              get(srcPos + i).asInstanceOf[ArrayData], leafDt, trailingDims.length)
+            i += 1
+          }
+        }
         def get(r: Int): Any = {
           // gather the row's elements as CONTIGUOUS RUNS along the last
           // trailing dim: per (outer coordinate, last-dim cell) the cell id
@@ -126,6 +150,60 @@ object ZarrNd {
         override def close(): Unit = memo.values.foreach(_.close())
       }
     }
+  }
+
+  private type WCV = org.apache.spark.sql.execution.vectorized.WritableColumnVector
+
+  /** Write one row's CONTIGUOUS element block into an array-typed vector at
+   *  `destPos`: intermediate levels are putArray offset entries over the
+   *  child vector (cursor = the child's elementsAppended, the bookkeeping
+   *  Spark's own nested readers use); the leaf level is the element chunk's
+   *  bulk [[ColumnChunk.writeTo]]. */
+  private def putContiguousRow(vec: WCV, destPos: Int, chunk: ColumnChunk,
+      base: Int, dims: Array[Int], level: Int): Unit = {
+    val child = vec.arrayData()
+    val off = child.getElementsAppended
+    val n = dims(level)
+    if (level == dims.length - 1) {
+      child.reserve(off + n)
+      chunk.writeTo(child, off, base, n)
+      child.addElementsAppended(n)
+    } else {
+      var stride = 1
+      var j = level + 1
+      while (j < dims.length) { stride *= dims(j); j += 1 }
+      child.reserve(off + n)
+      var i = 0
+      while (i < n) {
+        putContiguousRow(child, off + i, chunk, base + i * stride, dims, level + 1)
+        i += 1
+      }
+      child.addElementsAppended(n)
+    }
+    vec.putArray(destPos, off, n)
+  }
+
+  /** Write a (possibly nested) ArrayData into an array-typed vector at
+   *  `destPos` — the general (gathered) path's columnar write. */
+  private def putArrayData(vec: WCV, destPos: Int, a: ArrayData,
+      leafDt: org.apache.spark.sql.types.DataType, depth: Int): Unit = {
+    val child = vec.arrayData()
+    val off = child.getElementsAppended
+    val n = a.numElements()
+    child.reserve(off + n)
+    if (depth == 1) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) child.putNull(off + i)
+        else ZarrCodecs.writeValue(child, off + i, a.get(i, leafDt))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) { putArrayData(child, off + i, a.getArray(i), leafDt, depth - 1); i += 1 }
+    }
+    child.addElementsAppended(n)
+    vec.putArray(destPos, off, n)
   }
 
   /** Nested ArrayData over a CONTIGUOUS element run of one decoded chunk:

@@ -46,13 +46,20 @@ object ZarrSchema {
     }
   }
 
-  def toField(meta: ZarrArrayMeta): StructField = {
+  /** The full Catalyst column type of an array, nesting included: a k-D
+   *  array maps to one nested-ArrayType column — dim 0 is the row axis,
+   *  each trailing dim adds one ArrayType level. Elements are only nullable
+   *  for datetime64 (NaT); the arrays themselves always exist. The ONE
+   *  definition shared by schema inference and the columnar reader's
+   *  vector allocation. */
+  def columnType(meta: ZarrArrayMeta): DataType = {
     val leaf = catalystType(meta.dtype)
-    // a k-D array maps to one nested-ArrayType column: dim 0 is the row
-    // axis, each trailing dim adds one ArrayType level. Elements are only
-    // nullable for datetime64 (NaT); the arrays themselves always exist.
-    val dt = meta.trailingShape.foldLeft(leaf)((inner, _) =>
-      ArrayType(inner, containsNull = leaf == TimestampNTZType)): DataType
+    meta.trailingShape.foldLeft(leaf)((inner, _) =>
+      ArrayType(inner, containsNull = leaf == TimestampNTZType))
+  }
+
+  def toField(meta: ZarrArrayMeta): StructField = {
+    val dt = columnType(meta)
     // user attributes (v3 `attributes` / v2 `.zattrs`) ride on the column
     // as Spark metadata under "zarr.attributes" (raw JSON) — units,
     // _ARRAY_DIMENSIONS etc. survive into DataFrame schemas

@@ -88,6 +88,24 @@ class ZarrNdSpec extends SparkSpec {
     }
   }
 
+  test("columnar and row readers return identical n-D rows (fast + general paths)") {
+    // the vectorized path writes nested ArrayType vectors (contiguous rows
+    // bulk-copied at the leaf level; gathered rows unfolded per element) —
+    // both fixtures' full tables must be byte-identical through either
+    // reader, and the default scan must actually BE columnar
+    for (path <- Seq(v3Path, v2Path)) {
+      val columnar = spark.read.format("zarr").option("group", "/nd").load(path)
+      val rowBased = spark.read.format("zarr").option("group", "/nd")
+        .option("columnar", "false").load(path)
+      val a = columnar.collect().map(_.toSeq).sortBy(_.toString)
+      val b = rowBased.collect().map(_.toSeq).sortBy(_.toString)
+      assert(a.toSeq == b.toSeq, s"reader divergence at $path")
+    }
+    val plan = spark.read.format("zarr").option("group", "/nd").load(v3Path)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"n-D scan fell off the columnar path:\n$plan")
+  }
+
   test("projection pushdown still prunes: reading only id opens no n-D chunks") {
     // 1-D-only projection over a table that also has k-D columns must use
     // the columnar reader (rank check is per-SCAN columns, not per table)
