@@ -29,8 +29,18 @@ class ZarrColumnarPartitionReader(
 
   private val ncols = columns.length
   private val metas = columns.toArray
+  // k-D columns buffer rowElems LEAF elements per row per batch: the batch
+  // row count must shrink accordingly, or a large-row store (a 3000×3000
+  // grid per row is valid metadata) would allocate batchSize × rowElems
+  // child-vector slots — tens of GB, and past 2^31 leaf elements the
+  // append cursor arithmetic would wrap. 4M elements/batch keeps the
+  // 1-D default (4096 rows) unchanged up to 1k-element rows.
+  private val effectiveBatch: Int = {
+    val maxRowElems = math.max(1L, metas.map(_.rowElems).max)
+    math.max(1L, math.min(batchSize.toLong, (4L << 20) / maxRowElems)).toInt
+  }
   private val vectors: Array[OnHeapColumnVector] =
-    metas.map(m => new OnHeapColumnVector(batchSize, ZarrSchema.columnType(m)))
+    metas.map(m => new OnHeapColumnVector(effectiveBatch, ZarrSchema.columnType(m)))
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private val chunkIdx = Array.fill[Long](ncols)(-1L)
   private val chunks = new Array[ColumnChunk](ncols)
@@ -38,7 +48,7 @@ class ZarrColumnarPartitionReader(
 
   override def next(): Boolean = {
     if (row >= end) return false
-    val n = math.min(batchSize.toLong, end - row).toInt
+    val n = math.min(effectiveBatch.toLong, end - row).toInt
     var c = 0
     while (c < ncols) {
       val vec = vectors(c)

@@ -107,8 +107,8 @@ class ZarrNdSpec extends SparkSpec {
   }
 
   test("projection pushdown still prunes: reading only id opens no n-D chunks") {
-    // 1-D-only projection over a table that also has k-D columns must use
-    // the columnar reader (rank check is per-SCAN columns, not per table)
+    // every scan is columnar since round 9; a 1-D-only projection over a
+    // table that also has k-D columns keeps the plain scalar-vector path
     val df = ndTable(v3Path).select("id")
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
     val plan = df.queryExecution.executedPlan.toString
