@@ -103,12 +103,16 @@ object ZarrStreamCommit {
 
 /** One epoch's report from one task: chunks written (id → rows now in that
  *  chunk, merged tail rows included), their stats, the task-local resulting
- *  row count, and whether this was a no-op replay. */
+ *  row count, whether this was a no-op replay, and the trailing dims
+ *  observed for k-D (ArrayType) columns (the driver validates agreement —
+ *  with other tasks AND with the existing table — before republishing
+ *  shape metadata). */
 case class ZarrStreamEpochCommit(
     chunks: Seq[(Long, Int)],
     stats: Seq[ZarrChunkStatsMsg],
     totalRows: Long,
-    replayed: Boolean) extends WriterCommitMessage
+    replayed: Boolean,
+    dims: Map[String, Seq[Int]] = Map.empty) extends WriterCommitMessage
 
 class ZarrStreamingWrite(
     path: String,
@@ -128,10 +132,11 @@ class ZarrStreamingWrite(
 
   /** The ZarrType [[ZarrWriteSupport.dtypeJson]] would publish for a Spark
    *  type — what an existing array must already be for an append to be
-   *  byte-compatible. */
-  private def expectedZarrType(dt: org.apache.spark.sql.types.DataType): ZarrType = {
+   *  byte-compatible. ArrayType columns compare by their LEAF type (the
+   *  rank is checked separately against the existing trailing dims). */
+  private def expectedZarrType(dt0: org.apache.spark.sql.types.DataType): ZarrType = {
     import org.apache.spark.sql.types._
-    dt match {
+    ZarrWriteSupport.leafType(dt0)._1 match {
       case LongType => ZarrType.ZInt64
       case IntegerType => ZarrType.ZInt32
       case ShortType => ZarrType.ZInt16
@@ -179,12 +184,27 @@ class ZarrStreamingWrite(
       // chunk as int64 — all old rows read back as garbage bit patterns
       dataSchema.fields.foreach { f =>
         val expected = expectedZarrType(f.dataType)
+        val depth = ZarrWriteSupport.leafType(f.dataType)._2
         existing.find(_.name == f.name).foreach { a =>
           if (a.dtype != expected)
             throw new ZarrException(
               s"zarr streaming sink: column '${f.name}' is ${a.dtype} in the " +
                 s"existing table but the stream writes ${f.dataType} " +
                 s"($expected) — appending would re-declare committed chunks")
+          // rank too: republishing a k-D array's metadata from a scalar
+          // stream (or vice versa) would re-declare its whole grid. The
+          // trailing EXTENTS are validated at commit against the dims the
+          // tasks actually saw.
+          if (a.rank != depth + 1)
+            throw new ZarrException(
+              s"zarr streaming sink: column '${f.name}' is ${a.rank}-D in the " +
+                s"existing table but the stream writes rank ${depth + 1} — " +
+                "appending would re-declare committed chunks")
+          if (depth > 0 && a.trailingChunk != a.trailingShape)
+            throw new ZarrException(
+              s"zarr streaming sink: existing k-D array '${f.name}' has " +
+                "chunked trailing dims; the sink writes trailing-unchunked " +
+                "row blocks — rewrite the table first")
         }
       }
       val grid = existing.head.chunkLength
@@ -229,6 +249,13 @@ class ZarrStreamingWrite(
             "with compression=zstd and default chunk keys first")
       }
     }
+    // a RESOLVED sharded grid (option, or inherited from the existing
+    // table) cannot carry k-D columns — mirror the batch writer's stance
+    if (shardRows > 0 &&
+        dataSchema.fields.exists(f => ZarrWriteSupport.leafType(f.dataType)._2 > 0))
+      throw new ZarrException(
+        "zarr streaming sink: sharded tables cannot carry array (k-D) " +
+          "columns — sharding covers the 1-D row layout")
     new ZarrStreamingWriterFactory(path, groupRel, schema, dataSchema, chunkRows, conf,
       shardRows, rowIdxOrdinal)
   }
@@ -264,6 +291,44 @@ class ZarrStreamingWrite(
         ZarrWriteSupport.attrsFromSchema(dataSchema) // genuinely fresh: seed
     }
 
+  /** Trailing dims of the CURRENT table's k-D arrays (authoritative for a
+   *  republish with no fresh rows; commit validates task-observed dims
+   *  against them otherwise). Empty for a fresh/scalar table. */
+  private def existingDims(): Map[String, Seq[Int]] =
+    (try ZarrSchema.listArrays(new ZarrStore(path, conf.value),
+        if (groupRel.isEmpty) "/" else s"/$groupRel")
+      catch { case _: ZarrException => Seq.empty })
+      .filter(_.rank > 1)
+      .map(a => a.name -> a.trailingShape.map(_.toInt))
+      .toMap
+
+  /** Merge + validate the epoch's task-observed k-D trailing dims against
+   *  each other and the existing table; fall back to the table's own dims
+   *  for columns with no fresh rows. A column that has NEITHER (fresh k-D
+   *  table whose first epoch saw only nulls) cannot be published. */
+  private def resolveDims(msgs: Seq[ZarrStreamEpochCommit]): Map[String, Seq[Int]] = {
+    val existing = existingDims()
+    val merged = scala.collection.mutable.Map.empty[String, Seq[Int]] ++ existing
+    msgs.foreach(_.dims.foreach { case (n, d) =>
+      merged.get(n) match {
+        case Some(prev) if prev != d =>
+          throw new ZarrException(
+            s"zarr streaming sink: array column '$n' has trailing shape " +
+              s"${prev.mkString("[", ",", "]")} (existing table or another " +
+              s"task) but a task observed ${d.mkString("[", ",", "]")} — a " +
+              "k-D Zarr array needs one shape")
+        case _ => merged(n) = d
+      }
+    })
+    dataSchema.fields.foreach { f =>
+      if (ZarrWriteSupport.leafType(f.dataType)._2 > 0 && !merged.contains(f.name))
+        throw new ZarrException(
+          s"zarr streaming sink: array column '${f.name}' has no non-null " +
+            "row and no existing shape — cannot publish the k-D grid")
+    }
+    merged.toMap
+  }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ZarrStreamEpochCommit => m }
     if (msgs.isEmpty) return
@@ -279,7 +344,8 @@ class ZarrStreamingWrite(
       if (e >= 0)
         ZarrWriteSupport.writeTableMetadata(
           new Path(path).getFileSystem(conf.value), path, groupRel, dataSchema,
-          rows, chunkRows, shardRows, attrsByName = existingAttrs())
+          rows, chunkRows, shardRows, attrsByName = existingAttrs(),
+          dimsByName = resolveDims(msgs))
       return
     }
     val chunks = msgs.flatMap(_.chunks).sortBy(_._1)
@@ -321,13 +387,14 @@ class ZarrStreamingWrite(
     // publish so a crash in between is healed by the replay branch above;
     // metadata-before-marker on a marker-less table would instead replay
     // into silent duplicates (published-length fallback already grown).
-    // attrs read BEFORE the republish below overwrites the documents
+    // attrs + k-D dims read BEFORE the republish below overwrites the docs
     val attrs = existingAttrs()
+    val dims = resolveDims(msgs)
     mergeStats(merged).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
     writeFile(ZarrStreamCommit.relPath(groupRel),
       s"""{"epoch":$epochId,"rows":${merged.totalRows}}""")
     ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, merged.totalRows,
-      chunkRows, shardRows, attrsByName = attrs)
+      chunkRows, shardRows, attrsByName = attrs, dimsByName = dims)
   }
 
   /** Fold this epoch's chunk stats into the existing sidecar (rewritten tail
@@ -424,6 +491,12 @@ class ZarrStreamingDataWriter(
   private val dataOrdinals: Array[Int] =
     dataSchema.fields.map(f => schema.fieldIndex(f.name))
   private val ncols = dataOrdinals.length
+  // k-D (ArrayType) columns: leaf type + trailing depth; dims discovered
+  // from the first non-null row this task ingests (tail-merge rows count —
+  // they arrive through the same ingest), later rows validate against them
+  private val leafInfo: Array[(org.apache.spark.sql.types.DataType, Int)] =
+    dataSchema.fields.map(f => ZarrWriteSupport.leafType(f.dataType))
+  private val colDims: Array[Array[Int]] = new Array(ncols)
   // sharded epochs STREAM (round 9, mirroring the batch writer's round-8
   // rewrite): buffer ONE INNER CHUNK of values per column, encode and
   // append each inner chunk to an open .tmp stream as it fills, publish by
@@ -453,10 +526,13 @@ class ZarrStreamingDataWriter(
   private var accs: Array[ZarrWriteSupport.ChunkStatsAcc] = _
   private var envAccs: Array[ZarrWriteSupport.ChunkEnvelopeAcc] = _
 
-  private def chunkObjPath(name: String): Path = {
+  private def chunkObjPath(name: String, depth: Int = 0): Path = {
     val arrayDir = if (groupRel.isEmpty) new Path(path, name)
       else new Path(new Path(path, groupRel), name)
-    new Path(new Path(arrayDir, "c"), currentChunk.toString)
+    // k-D columns write trailing-unchunked row blocks: one grid cell per
+    // dim-0 chunk, keys carry `depth` trailing zero indices ("c/<i>/0")
+    (0 until depth).foldLeft(
+      new Path(new Path(arrayDir, "c"), currentChunk.toString))((p, _) => new Path(p, "0"))
   }
 
   private def openShardChunk(): Unit = {
@@ -502,12 +578,21 @@ class ZarrStreamingDataWriter(
 
   /** Store one row's column value and advance the row counter, flushing a
    *  filled inner chunk on the sharded path — the ONE ingest used by both
-   *  the tail merge and live rows (they must stay byte-identical). */
+   *  the tail merge and live rows (they must stay byte-identical). k-D
+   *  values (ArrayData, from live rows AND the decoded tail) flatten here,
+   *  discovering/validating the column's trailing dims in the same pass. */
   private def putRow(values: Int => Any): Unit = {
     val slot = if (sharded) count - innerDone * shardRows else count
     var c = 0
     while (c < ncols) {
-      val v = values(c)
+      val v = values(c) match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData if leafInfo(c)._2 > 0 =>
+          val f = dataSchema.fields(c)
+          if (colDims(c) == null)
+            colDims(c) = ZarrWriteSupport.discoverDims(f.name, a, leafInfo(c)._2)
+          ZarrWriteSupport.flattenNdRow(f.name, a, colDims(c), leafInfo(c)._1)
+        case other => other
+      }
       buffers(c)(slot) = v
       if (sharded) {
         accs(c).observe(v)
@@ -621,10 +706,19 @@ class ZarrStreamingDataWriter(
           mins(c) = mn; maxs(c) = mx; nulls(c) = nl
           if (ZarrWriteSupport.isGeoColumn(f))
             envs(c) = ZarrWriteSupport.chunkEnvelope(buffers(c), count)
-          val bytes = ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
+          val bytes =
+            if (leafInfo(c)._2 > 0) {
+              if (colDims(c) == null)
+                throw new ZarrException(
+                  s"zarr streaming sink: array column '${f.name}' has only " +
+                    "null rows in a chunk before any non-null row established " +
+                    "its trailing dims — fill nulls upstream")
+              ZarrWriteSupport.encodeChunkNd(f.dataType, colDims(c).product,
+                buffers(c), count, chunkRows)
+            } else ZarrWriteSupport.encodeChunk(f.dataType, buffers(c), count, chunkRows)
           // atomic publish: the tail-chunk rewrite covers rows readers can
           // already see — truncate-then-write would expose a partial object
-          ZarrWriteSupport.atomicWrite(fs, chunkObjPath(f.name), bytes)
+          ZarrWriteSupport.atomicWrite(fs, chunkObjPath(f.name, leafInfo(c)._2), bytes)
           c += 1
         }
       }
@@ -653,7 +747,11 @@ class ZarrStreamingDataWriter(
 
   override def commit(): WriterCommitMessage = {
     if (!replay) flushChunk()
-    ZarrStreamEpochCommit(written.toSeq, stats.toSeq, localTotal, replay)
+    val dims = dataSchema.fields.indices
+      .filter(c => colDims(c) != null)
+      .map(c => dataSchema.fields(c).name -> colDims(c).toSeq)
+      .toMap
+    ZarrStreamEpochCommit(written.toSeq, stats.toSeq, localTotal, replay, dims)
   }
   override def abort(): Unit = releaseStreams()
   override def close(): Unit = releaseStreams()

@@ -939,10 +939,12 @@ class ZarrWrite(
     // caller repartitions on (row_index div chunk_rows) exactly like the
     // distributed batch write. Without it: arrival order, one task.
     ZarrWriteSupport.attrsFromSchema(dataSchema) // fail-fast, as in batch
-    if (dataSchema.fields.exists(f => ZarrWriteSupport.leafType(f.dataType)._2 > 0))
+    dataSchema.fields.foreach(ZarrWriteSupport.validateArrayLeaf)
+    if (shardRows > 0 &&
+        dataSchema.fields.exists(f => ZarrWriteSupport.leafType(f.dataType)._2 > 0))
       throw new ZarrException(
-        "zarr streaming sink does not support array (k-D) columns yet — " +
-          "batch-write them with df.write.format(\"zarr\")")
+        "shard_rows with an array (k-D) column is not supported — " +
+          "sharding covers the 1-D row layout; drop shard_rows")
     // the sink encodes zstd (its epoch metadata republish and tail rewrites
     // assume one codec for the table's lifetime); silently dropping a
     // requested codec is the bug class the catalog's TBLPROPERTIES

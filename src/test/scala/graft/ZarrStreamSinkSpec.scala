@@ -383,6 +383,76 @@ class ZarrStreamSinkSpec extends SparkSpec {
     }
   }
 
+  test("streaming append of ARRAY columns: fresh 2-D table grows across epochs, " +
+      "tail merge keeps old vectors, batch-written tables extend") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // fresh stream-created 2-D table, chunk=4: epoch 1 leaves a partial
+    // tail, epoch 2 crosses the chunk boundary through a tail rewrite
+    val dir = tempDir("zsink_nd") + "/store.zarr"
+    def vec(i: Long): Seq[Float] = (0 until 3).map(j => (i * 10 + j).toFloat)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("id", "vec").writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_nd_ckpt"))
+      .start(dir)
+    try {
+      mem.addData((0L, vec(0)), (1L, vec(1)))
+      q.processAllAvailable()
+      mem.addData((2L, vec(2)), (3L, vec(3)), (4L, vec(4)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("zarr").option("group", "/t").load(dir)
+      .collect().sortBy(_.getLong(0))
+    assert(back.length == 5)
+    back.foreach(r => assert(r.getSeq[Float](r.fieldIndex("vec")) == vec(r.getLong(0))))
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t", "vec", "zarr.json")), "UTF-8")
+    assert(metaJson.contains("\"shape\":[5,3]") &&
+      metaJson.contains("\"chunk_shape\":[4,3]"), metaJson)
+
+    // appending onto a BATCH-written 2-D table extends it
+    val dir2 = tempDir("zsink_nd_batch") + "/store.zarr"
+    Seq((0L, vec(0)), (1L, vec(1))).toDF("id", "vec")
+      .coalesce(1).write.format("zarr").option("group", "/t")
+      .option("chunk_rows", "4").mode("overwrite").save(dir2)
+    val mem2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = mem2.toDF().toDF("id", "vec").writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_nd_batch_ckpt"))
+      .start(dir2)
+    try {
+      mem2.addData((2L, vec(2)), (3L, vec(3)), (4L, vec(4)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val back2 = spark.read.format("zarr").option("group", "/t").load(dir2)
+      .collect().sortBy(_.getLong(0))
+    assert(back2.length == 5)
+    back2.foreach(r => assert(r.getSeq[Float](r.fieldIndex("vec")) == vec(r.getLong(0))))
+
+    // a stream whose vectors disagree with the table's trailing shape
+    // fails typed (the tail merge establishes the table's dims first).
+    // NOTE the fresh checkpoint restarts at epoch 0, which the table's
+    // commit marker already records — that first batch is a replay no-op
+    // by design, so the bad row is fed in epoch 1
+    val mem3 = MemoryStream[(Long, Seq[Float])]
+    mem3.addData((5L, vec(5)))
+    val q3 = mem3.toDF().toDF("id", "vec").writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_nd_bad_ckpt"))
+      .start(dir2)
+    q3.processAllAvailable() // epoch 0: replayed no-op
+    mem3.addData((5L, (0 until 4).map(_.toFloat)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("ragged") || m.contains("trailing")),
+      messages(e).mkString(" | "))
+  }
+
   case class IdxDoc(idx: Long, id: Long, word: String)
 
   test("distributed epochs: row_index routes whole chunks across >=4 tasks") {
