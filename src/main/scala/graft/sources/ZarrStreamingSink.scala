@@ -82,6 +82,33 @@ object ZarrStreamCommit {
       }
   }
 
+  /** k-D trailing dims recorded in the marker (written with every epoch) —
+   *  the DURABLE record that lets the marker-before-metadata crash window
+   *  heal for array columns, whose shape exists nowhere else before the
+   *  first metadata publish. Empty when absent (older markers, scalar
+   *  tables, fresh stores). */
+  def readDims(store: ZarrStore, groupRel: String): Map[String, Seq[Int]] = {
+    val b = store.readBytesIfExists(relPath(groupRel))
+    if (b == null) return Map.empty
+    try {
+      val d = ZarrMeta.parseJson(new String(b, StandardCharsets.UTF_8)).path("dims")
+      if (!d.isObject) return Map.empty
+      val it = d.fieldNames()
+      val out = Map.newBuilder[String, Seq[Int]]
+      while (it.hasNext) {
+        val name = it.next()
+        val arr = d.get(name)
+        out += name -> (0 until arr.size()).map(arr.get(_).asInt())
+      }
+      out.result()
+    } catch { case _: Exception => Map.empty } // advisory: degrade, read() rejects
+  }
+
+  def dimsJson(dims: Map[String, Seq[Int]]): String =
+    if (dims.isEmpty) "{}"
+    else dims.toSeq.sortBy(_._1).map { case (n, d) =>
+      s""""$n":[${d.mkString(",")}]""" }.mkString("{", ",", "}")
+
   /** Marker if present, else the PUBLISHED array length: a table created by
    *  the batch writer has zarr.json but no stream marker, and starting at
    *  row 0 would silently overwrite it. The marker keeps precedence so
@@ -272,61 +299,35 @@ class ZarrStreamingWrite(
    *  - Transient I/O failure: PROPAGATE and fail the epoch (retried) —
    *    treating it as "fresh" would republish with schema-only attrs and
    *    permanently wipe the foreign writer's metadata on one flaky read. */
-  private def existingAttrs(): Map[String, String] =
-    try graft.zarr.ZarrSchema.listArrays(new ZarrStore(path, conf.value),
+  /** (per-array user attrs, k-D trailing dims) of the CURRENT table — ONE
+   *  metadata listing serving both halves of the epoch republish (the
+   *  object-store RPC budget is per epoch).
+   *
+   *  When the table's group document is DEFINITELY ABSENT (readBytesIfExists
+   *  null — not a transient failure, which propagates): this is either a
+   *  genuinely fresh store or the marker-before-metadata crash window the
+   *  heal branch exists for. Both seed attrs from the schema and recover
+   *  dims from the MARKER (written durably with every epoch) — retrying
+   *  forever here would permanently wedge a fresh table that crashed in
+   *  the window, scalar or k-D alike. A group document that EXISTS but
+   *  fails to list (parse error, torn read) still fails the epoch: the
+   *  table's live state is authoritative and must not be wiped by a seed. */
+  private def existingState(): (Map[String, String], Map[String, Seq[Int]]) = {
+    val store = new ZarrStore(path, conf.value)
+    try {
+      val arrays = graft.zarr.ZarrSchema.listArrays(store,
         if (groupRel.isEmpty) "/" else s"/$groupRel")
-      .flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap
-    catch {
+      (arrays.flatMap(m => Option(m.attrsJson).map(m.name -> _)).toMap,
+        arrays.filter(_.rank > 1)
+          .map(a => a.name -> a.trailingShape.map(_.toInt)).toMap)
+    } catch {
       case e: graft.zarr.ZarrException =>
-        // "not a group" can also be a foreign delete-then-recreate window
-        // on a LIVE table — the commit marker survives such races and
-        // proves the table existed, so seed-from-schema would be a wipe:
-        // fail the epoch instead (retried). The confirming marker read must
-        // NOT swallow failures either: a transient store error (or an
-        // unparseable-but-present marker, which read() now throws on)
-        // proves nothing about freshness — only a CLEAN (-1, _) "no marker"
-        // answer may seed. Any failure here propagates and fails the epoch.
-        if (ZarrStreamCommit.read(new ZarrStore(path, conf.value), groupRel)._1 >= 0)
-          throw e
-        ZarrWriteSupport.attrsFromSchema(dataSchema) // genuinely fresh: seed
+        val groupDoc =
+          if (groupRel.isEmpty) "zarr.json" else s"$groupRel/zarr.json"
+        if (store.readBytesIfExists(groupDoc) != null) throw e
+        (ZarrWriteSupport.attrsFromSchema(dataSchema),
+          ZarrStreamCommit.readDims(store, groupRel))
     }
-
-  /** Trailing dims of the CURRENT table's k-D arrays (authoritative for a
-   *  republish with no fresh rows; commit validates task-observed dims
-   *  against them otherwise). Empty for a fresh/scalar table. */
-  private def existingDims(): Map[String, Seq[Int]] =
-    (try ZarrSchema.listArrays(new ZarrStore(path, conf.value),
-        if (groupRel.isEmpty) "/" else s"/$groupRel")
-      catch { case _: ZarrException => Seq.empty })
-      .filter(_.rank > 1)
-      .map(a => a.name -> a.trailingShape.map(_.toInt))
-      .toMap
-
-  /** Merge + validate the epoch's task-observed k-D trailing dims against
-   *  each other and the existing table; fall back to the table's own dims
-   *  for columns with no fresh rows. A column that has NEITHER (fresh k-D
-   *  table whose first epoch saw only nulls) cannot be published. */
-  private def resolveDims(msgs: Seq[ZarrStreamEpochCommit]): Map[String, Seq[Int]] = {
-    val existing = existingDims()
-    val merged = scala.collection.mutable.Map.empty[String, Seq[Int]] ++ existing
-    msgs.foreach(_.dims.foreach { case (n, d) =>
-      merged.get(n) match {
-        case Some(prev) if prev != d =>
-          throw new ZarrException(
-            s"zarr streaming sink: array column '$n' has trailing shape " +
-              s"${prev.mkString("[", ",", "]")} (existing table or another " +
-              s"task) but a task observed ${d.mkString("[", ",", "]")} — a " +
-              "k-D Zarr array needs one shape")
-        case _ => merged(n) = d
-      }
-    })
-    dataSchema.fields.foreach { f =>
-      if (ZarrWriteSupport.leafType(f.dataType)._2 > 0 && !merged.contains(f.name))
-        throw new ZarrException(
-          s"zarr streaming sink: array column '${f.name}' has no non-null " +
-            "row and no existing shape — cannot publish the k-D grid")
-    }
-    merged.toMap
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -341,11 +342,14 @@ class ZarrStreamingWrite(
       // a metadata-first crash would re-append the epoch's rows at the new
       // offset: silent duplicates.
       val (e, rows) = ZarrStreamCommit.read(new ZarrStore(path, conf.value), groupRel)
-      if (e >= 0)
+      if (e >= 0) {
+        val (attrs, tableDims) = existingState()
         ZarrWriteSupport.writeTableMetadata(
           new Path(path).getFileSystem(conf.value), path, groupRel, dataSchema,
-          rows, chunkRows, shardRows, attrsByName = existingAttrs(),
-          dimsByName = resolveDims(msgs))
+          rows, chunkRows, shardRows, attrsByName = attrs,
+          dimsByName = ZarrWriteSupport.mergeDims(tableDims, msgs.map(_.dims),
+            dataSchema, "zarr streaming sink"))
+      }
       return
     }
     val chunks = msgs.flatMap(_.chunks).sortBy(_._1)
@@ -388,11 +392,16 @@ class ZarrStreamingWrite(
     // metadata-before-marker on a marker-less table would instead replay
     // into silent duplicates (published-length fallback already grown).
     // attrs + k-D dims read BEFORE the republish below overwrites the docs
-    val attrs = existingAttrs()
-    val dims = resolveDims(msgs)
+    // (one metadata listing for both)
+    val (attrs, tableDims) = existingState()
+    val dims = ZarrWriteSupport.mergeDims(tableDims, msgs.map(_.dims),
+      dataSchema, "zarr streaming sink")
     mergeStats(merged).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
+    // the marker carries the k-D dims: the durable record that lets a crash
+    // between this write and the metadata publish heal on replay
     writeFile(ZarrStreamCommit.relPath(groupRel),
-      s"""{"epoch":$epochId,"rows":${merged.totalRows}}""")
+      s"""{"epoch":$epochId,"rows":${merged.totalRows},""" +
+        s""""dims":${ZarrStreamCommit.dimsJson(dims)}}""")
     ZarrWriteSupport.writeTableMetadata(fs, path, groupRel, dataSchema, merged.totalRows,
       chunkRows, shardRows, attrsByName = attrs, dimsByName = dims)
   }

@@ -749,6 +749,36 @@ object ZarrWriteSupport {
     out
   }
 
+  /** Merge per-task k-D trailing-dims reports over a `seed` (the existing
+   *  table's dims for streaming appends; empty for batch): tasks must agree
+   *  with the seed and each other, and every ArrayType column must end up
+   *  with SOME shape — the ONE dims-agreement definition shared by the
+   *  batch and streaming commits. */
+  def mergeDims(seed: Map[String, Seq[Int]],
+      observed: Iterable[Map[String, Seq[Int]]], dataSchema: StructType,
+      context: String): Map[String, Seq[Int]] = {
+    val merged = scala.collection.mutable.Map.empty[String, Seq[Int]] ++ seed
+    observed.foreach(_.foreach { case (n, d) =>
+      merged.get(n) match {
+        case Some(prev) if prev != d =>
+          throw new ZarrException(
+            s"$context: array column '$n' has trailing shape " +
+              s"${prev.mkString("[", ",", "]")} (existing table or another " +
+              s"task) but a task observed ${d.mkString("[", ",", "]")} — a " +
+              "k-D Zarr array needs one shape")
+        case _ => merged(n) = d
+      }
+    })
+    dataSchema.fields.foreach { f =>
+      if (leafType(f.dataType)._2 > 0 && !merged.contains(f.name))
+        throw new ZarrException(
+          s"$context: array column '${f.name}' has no non-null row " +
+            "(or the table is empty) — cannot infer the k-D trailing " +
+            "shape; fill nulls upstream")
+    }
+    merged.toMap
+  }
+
   /** Trailing dims of one row's nested array value (used for the column's
    *  first non-null row; every later row is validated against it). */
   def discoverDims(col: String, a: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -1017,27 +1047,9 @@ class ZarrWrite(
     // task-side, but two tasks CAN each be self-consistent with different
     // shapes), and an ArrayType column with zero non-null rows anywhere
     // has no storable shape at all
-    val dimsByName: Map[String, Seq[Int]] = {
-      val merged = scala.collection.mutable.Map.empty[String, Seq[Int]]
-      messages.foreach(_.asInstanceOf[ZarrCommit].dims.foreach { case (n, d) =>
-        merged.get(n) match {
-          case Some(prev) if prev != d =>
-            throw new ZarrException(
-              s"zarr write: array column '$n' has rows of trailing shape " +
-                s"${prev.mkString("[", ",", "]")} and ${d.mkString("[", ",", "]")} " +
-                "in different tasks — a k-D Zarr array needs one shape")
-          case _ => merged(n) = d
-        }
-      })
-      dataSchema.fields.foreach { f =>
-        if (ZarrWriteSupport.leafType(f.dataType)._2 > 0 && !merged.contains(f.name))
-          throw new ZarrException(
-            s"zarr write: array column '${f.name}' has no non-null row " +
-              "(or the table is empty) — cannot infer the k-D trailing " +
-              "shape; fill nulls upstream")
-      }
-      merged.toMap
-    }
+    val dimsByName: Map[String, Seq[Int]] = ZarrWriteSupport.mergeDims(
+      Map.empty, messages.map(_.asInstanceOf[ZarrCommit].dims).toSeq,
+      dataSchema, "zarr write")
     val fs = new Path(path).getFileSystem(conf.value)
     def writeJson(p: Path, text: String): Unit = {
       val out = fs.create(p, true)

@@ -149,6 +149,46 @@ class ZarrStreamSinkSpec extends SparkSpec {
     assert(healed.map(_.getLong(healed.head.fieldIndex("id"))).toSeq == (0L until 9L))
   }
 
+  test("replay heals the marker-before-FIRST-metadata crash window; k-D dims " +
+      "recover from the marker") {
+    // fresh stream-created 2-D table, then simulate the crash window where
+    // the marker was written but NO metadata document ever was: every
+    // zarr.json vanishes, only chunks + marker + sidecars remain. The
+    // replayed epoch must republish the table — the trailing dims exist
+    // nowhere but the marker (round 9: it records them for exactly this).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = tempDir("zsink_nd_heal") + "/store.zarr"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("id", "vec").writeStream.format("zarr")
+      .option("group", "/t").option("chunk_rows", "4")
+      .option("checkpointLocation", tempDir("zsink_nd_heal_ckpt"))
+      .start(dir)
+    try {
+      mem.addData((0L, Seq(1f, 2f)), (1L, Seq(3f, 4f)), (2L, Seq(5f, 6f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    for (doc <- Seq("zarr.json", "t/zarr.json", "t/id/zarr.json", "t/vec/zarr.json"))
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, doc))
+    intercept[Exception] { // table really is unreadable in the window
+      spark.read.format("zarr").option("group", "/t").load(dir).collect()
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("vec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))))
+    val write = new graft.sources.ZarrStreamingWrite(dir, "t", schema, schema, 4,
+      new graft.zarr.SerializableHadoopConf(hconf))
+    write.commit(0L, Array(
+      graft.sources.ZarrStreamEpochCommit(Seq.empty, Seq.empty, 3L, replayed = true)))
+    val healed = spark.read.format("zarr").option("group", "/t").load(dir)
+      .collect().sortBy(_.getLong(0))
+    assert(healed.length == 3)
+    assert(healed.map(_.getSeq[Float](healed.head.fieldIndex("vec")).toSeq).toSeq ==
+      Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(5f, 6f)))
+  }
+
   test("store-to-store relay: zarr source tails what the zarr sink appends") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
