@@ -66,7 +66,8 @@ object ZarrStreamCommit {
    *  TRANSIENT store failure (S3 500, network blip) must PROPAGATE and fail
    *  the task (retried) — swallowing it as "fresh store" would make a
    *  replayed epoch look new and silently append its rows a second time,
-   *  the same corrupt-state hazard existingAttrs documents. */
+   *  the same corrupt-state hazard [[ZarrStreamingWrite.existingState]]
+   *  documents. */
   def read(store: ZarrStore, groupRel: String): (Long, Long) = {
     val b = store.readBytesIfExists(relPath(groupRel))
     if (b == null) (-1L, 0L)
@@ -104,6 +105,10 @@ object ZarrStreamCommit {
     } catch { case _: Exception => Map.empty } // advisory: degrade, read() rejects
   }
 
+  /** Column names interpolate into the marker JSON unescaped — safe because
+   *  [[ZarrWriteSupport.validateColumnNames]] (run for every write,
+   *  streaming included, in ZarrWrite's constructor) rejects quotes,
+   *  backslashes, and control characters before any task or commit runs. */
   def dimsJson(dims: Map[String, Seq[Int]]): String =
     if (dims.isEmpty) "{}"
     else dims.toSeq.sortBy(_._1).map { case (n, d) =>
@@ -287,32 +292,32 @@ class ZarrStreamingWrite(
       shardRows, rowIdxOrdinal)
   }
 
-  /** Per-array user attributes of the CURRENT table, read before the epoch
-   *  republishes zarr.json — appending must not wipe attributes a foreign
-   *  writer (e.g. xarray: units, _ARRAY_DIMENSIONS) put there.
-   *
-   *  - Existing table: its live attributes are AUTHORITATIVE, including
-   *    absence — an attribute the user deleted from the store must not be
-   *    resurrected from stale schema metadata every epoch.
-   *  - Fresh table (typed ZarrException: no group yet): schema-carried
-   *    attrs seed it.
-   *  - Transient I/O failure: PROPAGATE and fail the epoch (retried) —
-   *    treating it as "fresh" would republish with schema-only attrs and
-   *    permanently wipe the foreign writer's metadata on one flaky read. */
   /** (per-array user attrs, k-D trailing dims) of the CURRENT table — ONE
    *  metadata listing serving both halves of the epoch republish (the
-   *  object-store RPC budget is per epoch).
+   *  object-store RPC budget is per epoch). An existing table's live state
+   *  is AUTHORITATIVE, including attribute absence — an attribute the user
+   *  deleted must not be resurrected from schema metadata every epoch.
    *
    *  When the table's group document is DEFINITELY ABSENT (readBytesIfExists
-   *  null — not a transient failure, which propagates): this is either a
-   *  genuinely fresh store or the marker-before-metadata crash window the
-   *  heal branch exists for. Both seed attrs from the schema and recover
-   *  dims from the MARKER (written durably with every epoch) — retrying
-   *  forever here would permanently wedge a fresh table that crashed in
-   *  the window, scalar or k-D alike. A group document that EXISTS but
-   *  fails to list (parse error, torn read) still fails the epoch: the
-   *  table's live state is authoritative and must not be wiped by a seed. */
-  private def existingState(): (Map[String, String], Map[String, Seq[Int]]) = {
+   *  null — a clean not-found; transient failures propagate and fail the
+   *  epoch):
+   *
+   *  - `healAbsent = true` (the REPLAY branch): this is the marker-before-
+   *    metadata crash window the heal exists for — seed attrs from the
+   *    schema and recover dims from the MARKER (one extra marker GET on
+   *    this rare path; the dims exist nowhere else before the first
+   *    publish). Retrying forever would permanently wedge a fresh table
+   *    that crashed in the window, scalar or k-D alike.
+   *  - `healAbsent = false` (a LIVE epoch with fresh rows): absence with a
+   *    committed marker is a foreign delete-then-recreate race on a live
+   *    table — seeding would wipe the foreign writer's attrs, so fail the
+   *    epoch (the retry lists the recreated table). Without a marker the
+   *    table is genuinely fresh: seed (the normal first-epoch path).
+   *
+   *  A group document that EXISTS but fails to list (parse error, torn
+   *  read) always fails the epoch. */
+  private def existingState(healAbsent: Boolean)
+      : (Map[String, String], Map[String, Seq[Int]]) = {
     val store = new ZarrStore(path, conf.value)
     try {
       val arrays = graft.zarr.ZarrSchema.listArrays(store,
@@ -325,6 +330,8 @@ class ZarrStreamingWrite(
         val groupDoc =
           if (groupRel.isEmpty) "zarr.json" else s"$groupRel/zarr.json"
         if (store.readBytesIfExists(groupDoc) != null) throw e
+        if (!healAbsent &&
+            ZarrStreamCommit.read(store, groupRel)._1 >= 0) throw e
         (ZarrWriteSupport.attrsFromSchema(dataSchema),
           ZarrStreamCommit.readDims(store, groupRel))
     }
@@ -343,7 +350,7 @@ class ZarrStreamingWrite(
       // offset: silent duplicates.
       val (e, rows) = ZarrStreamCommit.read(new ZarrStore(path, conf.value), groupRel)
       if (e >= 0) {
-        val (attrs, tableDims) = existingState()
+        val (attrs, tableDims) = existingState(healAbsent = true)
         ZarrWriteSupport.writeTableMetadata(
           new Path(path).getFileSystem(conf.value), path, groupRel, dataSchema,
           rows, chunkRows, shardRows, attrsByName = attrs,
@@ -393,7 +400,7 @@ class ZarrStreamingWrite(
     // into silent duplicates (published-length fallback already grown).
     // attrs + k-D dims read BEFORE the republish below overwrites the docs
     // (one metadata listing for both)
-    val (attrs, tableDims) = existingState()
+    val (attrs, tableDims) = existingState(healAbsent = false)
     val dims = ZarrWriteSupport.mergeDims(tableDims, msgs.map(_.dims),
       dataSchema, "zarr streaming sink")
     mergeStats(merged).foreach(s => writeFile(ZarrStats.relPath(groupRel), ZarrStats.toJson(s)))
