@@ -254,6 +254,15 @@ class ZarrStreamingWrite(
           s"zarr streaming sink: existing table's shard grid is " +
             s"${if (existingInner == 0) "unsharded" else s"$existingInner rows"}, " +
             s"option shard_rows=$optionShardRows — they must match to append")
+      // an INHERITED shard grid gets the same divisibility validation the
+      // option path enforces: a non-compliant store whose inner chunk does
+      // not divide the outer chunk would otherwise crash mid-epoch with a
+      // BufferOverflowException after shard data already streamed
+      if (existingInner > 0 && chunkRows % existingInner != 0)
+        throw new ZarrException(
+          s"zarr streaming sink: existing table's inner chunk " +
+            s"($existingInner rows) does not divide its outer chunk " +
+            s"($chunkRows rows) — the sink cannot append to this layout")
       shardRows = existingInner
       // the sink re-encodes tail chunks and republishes zarr.json with its
       // own codec chain ([vlen|bytes] + zstd, '/'-separated c/<i> keys) —
@@ -390,10 +399,14 @@ class ZarrStreamingWrite(
     val merged =
       ZarrStreamEpochCommit(chunks.toSeq, allStats.toSeq, totalRows, replayed = false)
     val fs = new Path(path).getFileSystem(conf.value)
-    def writeFile(rel: String, text: String): Unit = {
-      val out = fs.create(new Path(path, rel), true)
-      try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    }
+    // ATOMIC publish for the sidecar and especially the MARKER: the marker
+    // is the one document whose unparseability is a designed hard failure
+    // (read() wedges the stream on a torn marker, by contract) — a
+    // truncate-then-write crash window here would turn a driver crash into
+    // a permanently dead stream
+    def writeFile(rel: String, text: String): Unit =
+      ZarrWriteSupport.atomicWrite(fs, new Path(path, rel),
+        text.getBytes(StandardCharsets.UTF_8))
     // order: stats → MARKER → metadata. The marker precedes the shape
     // publish so a crash in between is healed by the replay branch above;
     // metadata-before-marker on a marker-less table would instead replay
