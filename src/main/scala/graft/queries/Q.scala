@@ -35,18 +35,26 @@ private[queries] object QueryScratch {
 
 object Tables {
   /**
-   * events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which the Spark
-   * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
-   * plain longs and rebuild a micros timestamp with integer division — the
-   * generator emits microsecond-precision values, so this is lossless and
-   * bit-identical to what DuckDB (which reads nanos natively) computes.
+   * The generator has emitted events.ts under two encodings across rounds:
+   * INT64 TIMESTAMP(NANOS), which the Spark parquet reader rejects outright
+   * (PARQUET_TYPE_ILLEGAL) unless nanosAsLong maps it to a raw long, and
+   * plain naive TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ.
+   * Normalize both to TimestampType by inspecting the landed schema — every
+   * session here pins spark.sql.session.timeZone=UTC, so the NTZ→TZ cast is
+   * wall-clock lossless and matches what DuckDB (naive either way) computes.
    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
+    } else df
   }
 
   val names = Seq("region", "nation", "customer", "supplier", "part",
