@@ -78,12 +78,18 @@ object Bench {
       (kept ++ more).mkString("[", ",", "]")
     }
     val errJson = errJsonCapped(20, 400)
-    val total = results.map(_._2).sum
+    // total over SUCCESSFUL queries only: an errored query fails fast
+    // (~0.05s) and would make totals non-comparable across runs with
+    // different error sets (r09 advice) — the errors array plus the
+    // completed-count make any exclusion visible
+    val failedSet = errors.toSet
+    val total = results.collect { case (k, v) if !failedSet(k) => v }.sum
     // full per-query detail (unbounded, full precision) goes to BENCH.json
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val completed = results.length - errors.length
     Files.writeString(Paths.get("BENCH.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"${esc(sfDir)}"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","completed":$completed,"queries":$fullQs,"errors":$errJson,"sf":"${esc(sfDir)}"}""" + "\n")
     // The PRINTED line must survive the driver's stdout capture, which keeps
     // only the last 2000 chars (with sbt's "[success] ..." line after ours):
     // r01-r03 all recorded parsed:null because the full per-query map is
@@ -96,7 +102,7 @@ object Bench {
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val errJsonLine = errJsonCapped(3, 120)
     val suffixFor = (omitted: Int) =>
-      s"""},"queries_omitted":$omitted,"errors":$errJsonLine,"sf":"${esc(sfDir)}"}"""
+      s"""},"queries_omitted":$omitted,"completed":$completed,"errors":$errJsonLine,"sf":"${esc(sfDir)}"}"""
     val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val budget = 1800 - prefix.length - suffixFor(results.length).length
     var used = 0

@@ -46,15 +46,20 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") {
-      import org.apache.spark.sql.functions.{col, expr}
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      df.schema("ts").dataType match {
-        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-        case _                => df
-      }
-    } else df
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** Schema-dispatch normalization of the three `ts` encodings seen from the
+   *  generator (raw nanos long via nanosAsLong, TIMESTAMP_NTZ from naive
+   *  micros, TimestampType already) — exposed for TablesSpec. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   val names = Seq("region", "nation", "customer", "supplier", "part",
