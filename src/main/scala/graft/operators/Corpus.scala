@@ -98,6 +98,86 @@ object Corpus {
   }
 
   /**
+   * [[decontaminate]] with a BLOOM-FILTER prefilter — the shape for when
+   * the benchmark/eval gram set is too large to broadcast as a join table.
+   * An aggregate builds Spark's own bloom filter over the benchmark grams
+   * (one serialized binary, ≤ `spark.sql.optimizer.runtime.bloomFilter
+   * .maxNumBits`, default 8 MiB — a bounded driver collect of a trained
+   * model, not of data); every training gram then tests against it
+   * SCAN-LOCALLY (codegen'd, no join, no broadcast table), and only the
+   * surviving grams — true hits plus the filter's ~1% false positives —
+   * enter the exact verification join. Bloom filters have no false
+   * negatives, so the result is IDENTICAL to [[decontaminate]]: the
+   * verify join (deliberately un-hinted — candidates ≪ corpus, so
+   * whatever strategy Catalyst/AQE picks shuffles candidates only, never
+   * the corpus gram stream) removes the false positives.
+   */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", ngram: Int = 8,
+      estimatedGrams: Long = 1000000L): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.wordShingles(col(textCol), ngram)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val bloom = benchGrams
+      .agg(graft.functions.SketchFunctions.bloom_agg(xxhash64(col("g")), estimatedGrams))
+      .head.getAs[Array[Byte]](0)
+    val candGrams = docs.select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), ngram)).as("g"))
+      .filter(graft.functions.SketchFunctions.bloom_contains(bloom, xxhash64(col("g"))))
+    val contaminated = candGrams.join(benchGrams, "g").select(idCol).distinct()
+    val out = docs.join(contaminated, Seq(idCol), "left_anti")
+    // materialize before releasing the gram cache (it fed both the bloom
+    // build and the verify join)
+    Dedup.materializeThenFree(out, benchGrams)
+  }
+
+  /**
+   * Exact repeated-SPAN removal (the "dedup training data at substring
+   * granularity" operator, à la Lee et al. 2022 but word-k-gram based
+   * rather than suffix-array based): any token position covered by a
+   * word-k-gram whose exact text occurs in ≥ `minDocs` DISTINCT documents
+   * is dropped, and each document is rebuilt from its surviving tokens
+   * (over the normalized token stream — removal makes original spacing
+   * unreconstructable anyway). Within-doc repetition alone does NOT
+   * trigger removal (count distinct docs, not occurrences); documents
+   * shorter than k tokens pass through untouched.
+   *
+   * Plan, 100 TB shape: positional grams are built scan-locally (indexed
+   * `transform`, no UDF) and deliberately NOT materialized — the gram
+   * stream is corpus×k-sized, so it is recomputed for the duplicate join
+   * rather than cached; duplicated grams come from one count-distinct
+   * aggregate on the gram text; covered positions anti-shape back via one
+   * gram join (no broadcast assumption — the duplicated-gram set scales
+   * with the corpus); `collect_set` dedupes coverage map-side so the
+   * per-doc coverage needs one groupBy, and the rebuild is one final
+   * doc-key join + scan-local indexed filter. Four shuffles, all on
+   * natural keys, no collect, no UDF.
+   */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 8, minDocs: Long = 2): DataFrame = {
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
+    def grams = toks.filter(size(col("t")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => array_join(slice(col("t"), i + 1, lit(k)), " "))).as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val covered = grams.join(dupGrams, "gram")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy(idCol).agg(collect_set(col("p")).as("cov"))
+    toks.join(covered, Seq(idCol), "left")
+      .select(col(idCol), array_join(
+        filter(
+          transform(col("t"), (tok, i) =>
+            when(col("cov").isNotNull && array_contains(col("cov"), i), lit(null))
+              .otherwise(tok)),
+          x => x.isNotNull), " ").as("cleaned"))
+  }
+
+  /**
    * CCNet-style boilerplate removal: a segment (line by default) whose
    * EXACT text appears in at least `minDocs` distinct documents is
    * boilerplate — headers, navigation, cookie banners, newsletter pitches —

@@ -75,7 +75,7 @@ object Dedup {
     signatureFromShingles(TextFunctions.shingles(text, shingleSize), numHashes)
 
   /** Banded bucket keys for a signature: one (band, xxhash64(slice)) per band. */
-  private def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+  private[operators] def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
 

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+
+/**
+ * At-rest MinHash-LSH dedup index — the INCREMENTAL half of [[Dedup]].
+ *
+ * [[Dedup.nearDuplicates]] answers "which pairs inside this frame are
+ * near-dups" and re-signs the whole corpus every run. A growing corpus
+ * needs the other shape: dedup each ARRIVING batch against everything
+ * already accepted, without rescanning (or even re-reading) the accepted
+ * corpus. Same pattern as `Similarity.ivfWriteAtRest`: pay one layout
+ * write, then every probe is partition-pruned.
+ *
+ *  - [[writeAtRest]] signs the corpus once and stores its banded LSH keys
+ *    `(band, bucket, id)` hash-partitioned on `bucket_part =
+ *    pmod(xxhash64(band, bucket), nParts)`. Text and signatures stay OUT
+ *    of the index — it is O(bands) longs per document.
+ *  - [[probe]] signs only the batch, derives the touched `bucket_part`
+ *    values (a bounded collect of at most `nParts` partition keys — the
+ *    index layout's keyspace, not data), and scans ONLY those partition
+ *    directories for bucket collisions. Candidates verify with exact
+ *    word-shingle Jaccard, fetching text for candidate ids alone.
+ *
+ * At 100 TB: the index is ~1% of corpus bytes, a small batch touches a
+ * subset of its partitions (a single doc at most `bands` of them), and
+ * the accepted corpus's TEXT is read only for verified candidates via a
+ * semi-join — the steady-state ingest cost is proportional to the batch,
+ * not the corpus.
+ */
+object DedupIndex {
+
+  /**
+   * Sign `corpus` and write its banded LSH keys under `path`, partitioned
+   * by `bucket_part`. Buckets larger than `maxBucket` are dropped at write
+   * time (degenerate boilerplate buckets would contribute `k` candidate
+   * rows per probe doc forever); unlike the batch self-join, SINGLETON
+   * buckets are kept — a future batch doc can collide with a so-far-unique
+   * corpus doc.
+   */
+  def writeAtRest(corpus: DataFrame, path: String, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val banded = corpus.select(col(idCol).as("id"),
+        Dedup.signatureFromShingles(
+          TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(Dedup.bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select("band", "bucket")
+    banded.join(okBuckets, Seq("band", "bucket"))
+      .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
+      .select("bucket_part", "band", "bucket", "id")
+      .write.partitionBy("bucket_part").mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Near-duplicate pairs between an arriving `batch` and the indexed
+   * corpus: `(batch_id, corpus_id, jaccard)` for every verified pair with
+   * exact word-shingle Jaccard ≥ `threshold`. The signature/banding
+   * parameters MUST match the ones the index was written with — bucket
+   * keys are hashes, so a mismatch silently yields zero collisions; pass
+   * the same values, not new defaults.
+   *
+   * `corpus` supplies candidate TEXT only (semi-join-reduced fetch); its
+   * rows are never banded or shuffled wholesale.
+   */
+  def probe(spark: SparkSession, path: String, batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
+      nParts: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val batchSlim = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val batchBanded = batchSlim.select(col("id"),
+        Dedup.signatureFromShingles(
+          TextFunctions.wordShingles(col("text"), shingleWords), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(Dedup.bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+      .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // bounded collect: ≤ nParts partition KEYS (the layout constant), the
+    // static IN-filter that makes the parquet scan plan only the touched
+    // partition directories (FileSourceScan partition-count spec'd)
+    val parts = batchBanded.select("bucket_part").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(path)
+      .filter(col("bucket_part").isin(parts.map(_.asInstanceOf[Any]): _*))
+    val cand = batchBanded
+      .join(idx.select(col("bucket_part"), col("band"), col("bucket"),
+          col("id").as("corpus_id")),
+        Seq("bucket_part", "band", "bucket"))
+      // a batch doc already in the corpus under the same id is itself, not
+      // a duplicate pair
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id").as("batch_id"), col("corpus_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val shB = batchSlim
+      .join(cand.select(col("batch_id").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), TextFunctions.wordShingles(col("text"), shingleWords).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val shC = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(cand.select(col("corpus_id").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), TextFunctions.wordShingles(col("text"), shingleWords).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val out = cand
+      .join(shB.select(col("id").as("batch_id"), col("sh").as("sh_a")), "batch_id")
+      .join(shC.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("batch_id", "corpus_id")
+    Dedup.materializeThenFree(out, batchBanded, cand, shB, shC)
+  }
+
+  /** The admit decision built on [[probe]]: batch rows with NO verified
+   *  near-dup in the indexed corpus (the ones an ingest pipeline appends
+   *  and indexes next). */
+  def admitNew(spark: SparkSession, path: String, batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
+      nParts: Int = 16): DataFrame = {
+    val dups = probe(spark, path, batch, corpus, threshold, textCol, idCol,
+        numHashes, bands, shingleWords, nParts)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
+}

@@ -158,6 +158,43 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // The bloom-prefiltered twin: IDENTICAL semantics to exact
+    // decontamination (bloom has no false negatives; the exact verify join
+    // removes its false positives), so the oracle is the same exact-gram
+    // SQL — here with a % 10 benchmark split (6 contaminated docs at
+    // sf0.01, so the removal path is actually exercised) distinct from
+    // q_decontaminate's % 50 so the two queries can't mask each other's
+    // regressions.
+    Q("q_decontaminate_bloom", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN list_distinct(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM tok
+      ), bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g WHERE doc_id % 10 = 0
+      ), contaminated AS (
+        SELECT DISTINCT d.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 10 <> 0) d
+        JOIN bench USING (gram)
+      )
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Corpus.decontaminateBloom(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
     // CCNet-style boilerplate removal over sentence segments. The corpus
     // has no naturally repeated sentences (checked), so a boilerplate
     // sentence is PLANTED identically on both engine sides (appended to
@@ -185,6 +222,43 @@ object CorpusQueries {
           t(s, dir, "documents").select(col("doc_id"),
             concat(col("text"), lit(". Subscribe to our newsletter today")).as("text")),
           minDocs = 100, separator = ". ")
+        .orderBy("doc_id")),
+
+    // Exact repeated-span removal (substring-granularity dedup): every
+    // token position covered by a word-8-gram appearing in >= 2 distinct
+    // docs is dropped and the doc rebuilt from survivors. At sf0.01 this
+    // touches 47 docs / 2,430 token positions, so the removal path is
+    // genuinely exercised; DuckDB recomputes positional grams, coverage,
+    // and the ordered rebuild from scratch.
+    Q("q_dedup_spans", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id, gs - 1 AS pos0, array_to_string(t[gs:gs+7], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS gs FROM tok WHERE len(t) >= 8)
+      ), dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+      ), cov AS (
+        SELECT DISTINCT gd.doc_id, gd.pos0 + o.off AS p
+        FROM (SELECT g.doc_id, g.pos0 FROM g JOIN dup USING (gram)) gd
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS off) o
+      ), tokpos AS (
+        SELECT doc_id, gs - 1 AS p, t[gs] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS gs FROM tok)
+      ), kept AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.p
+        WHERE c.doc_id IS NULL
+      ), rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+        FROM kept GROUP BY doc_id
+      )
+      SELECT d.doc_id, COALESCE(r.cleaned, '') AS cleaned
+      FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+      ORDER BY d.doc_id"""),
+      (s, dir) => Corpus.removeRepeatedSpans(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
     // Per-group cap: top-3 largest docs per language.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, DedupIndex, Multimodal, Similarity}
 
 /**
  * Training-data pipeline surface: text analysis, dedup, similarity search,
@@ -258,6 +258,42 @@ object MLQueries {
       (s, dir) => Dedup.nearDupGroups(
           Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7))
         .orderBy("doc_id")),
+
+    // Incremental dedup against the at-rest LSH index: the corpus (doc_id
+    // % 7 <> 0) is signed and written ONCE, then the arriving batch (% 7
+    // = 0) probes only its touched bucket_part partitions and verifies
+    // candidates with exact Jaccard. Oracle = ground-truth exact cross
+    // Jaccard in DuckDB, same recall reasoning as q_dedup_minhash: this
+    // corpus's 9 true cross pairs all sit at j >= 0.9 (8x4 banding recall
+    // ~0.9998 there) and NO cross pair lands in [0.5, 0.9).
+    Q("q_dedup_incremental", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      )
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+                   / len(list_distinct(b.sh || c.sh)), 6) AS jaccard
+      FROM sh b JOIN sh c ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+      WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+            / len(list_distinct(b.sh || c.sh)) >= 0.7
+      ORDER BY batch_id, corpus_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+        val idx = scratchDir("dedup_lsh_index") + "/index.parquet"
+        DedupIndex.writeAtRest(corpus, idx)
+        DedupIndex.probe(s, idx, batch, corpus, threshold = 0.7)
+      }),
 
     // Pinned literal-VALUES oracle (SimhashOracle): simhash is an
     // engine-specific hash family, but deterministic — the full 840-row

@@ -286,4 +286,40 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(again == kept)
   }
+
+  test("removeRepeatedSpans drops cross-doc spans, keeps within-doc repetition") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val docs = Seq(
+      (1L, s"unique one two three $shared tail1 only"),
+      (2L, s"different prefix words here $shared tail2 words"),
+      // within-doc repetition of an 8-gram, but ONE doc → untouched
+      (3L, "repeat seven words again now ok fine yes " +
+        "repeat seven words again now ok fine yes"),
+      (4L, "short doc"), // < 8 tokens → untouched
+      (5L, "")).toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the shared 8-gram vanishes from BOTH docs; surrounding tokens survive
+    assert(out(1L) === "unique one two three tail1 only")
+    assert(out(2L) === "different prefix words here tail2 words")
+    assert(out(3L) === "repeat seven words again now ok fine yes " +
+      "repeat seven words again now ok fine yes")
+    assert(out(4L) === "short doc")
+    assert(out(5L) === "")
+  }
+
+  test("removeRepeatedSpans merges overlapping duplicated grams into one span") {
+    import spark.implicits._
+    // 9 shared tokens → two overlapping duplicated 8-grams; coverage must
+    // union to the 9 positions, not double-remove or leave a seam
+    val span9 = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, s"head $span9 tail"),
+      (2L, s"other words $span9 ending here")).toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "head tail")
+    assert(out(2L) === "other words ending here")
+  }
 }
