@@ -61,6 +61,43 @@ class DedupIndexSpec extends SparkSpec {
       s"planned ${scan.selectedPartitions.partitionCount} partitions, want <= 8 of 16")
   }
 
+  test("streaming ingest: micro-batches self-dedup, dedup against all prior batches, grow the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tempDir("lsh_ingest")
+    val idxPath = s"$root/index.parquet"
+    val corpPath = s"$root/corpus.parquet"
+    def doc(n: Int) = (0 until 12).map(i => s"w${n}t$i").mkString(" ") // 12 unique tokens
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.DedupIndex.ingestStream(
+      mem.toDF().toDF("doc_id", "text"), idxPath, corpPath, s"$root/ckpt")
+    try {
+      // batch 1: two originals + an exact in-batch copy of doc 1
+      mem.addData((1L, doc(1)), (2L, doc(2)), (3L, doc(1)))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after1 === Set(1L, 2L)) // 3 dropped: larger member of the (1,3) pair
+      // batch 2: a copy of an EARLIER batch's doc + a fresh doc
+      mem.addData((10L, doc(2)), (11L, doc(4)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after2 === Set(1L, 2L, 11L)) // 10 matched indexed doc 2 across batches
+      // batch 3: copies of docs from BOTH prior batches → nothing admits
+      mem.addData((20L, doc(1)), (21L, doc(4)))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(corpPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after3 === Set(1L, 2L, 11L))
+      // the index holds exactly the admitted docs' keys (bands each)
+      val idxIds = spark.read.parquet(idxPath).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(idxIds === Set(1L, 2L, 11L))
+    } finally q.stop()
+  }
+
   test("admitNew = batch minus the probe's matched ids") {
     val dir = tempDir("lsh_rest_admit") + "/index.parquet"
     DedupIndex.writeAtRest(corpus, dir)
