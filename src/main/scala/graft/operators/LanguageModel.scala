@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Character-trigram language-model quality scoring — the cheap stand-in
+ * for the KenLM-perplexity filter every large corpus pipeline runs: train
+ * trigram/bigram counts on a reference corpus, score each document by the
+ * mean log-probability of its trigrams under additive smoothing, drop the
+ * low-scoring tail (gibberish, wrong-language, OCR noise).
+ *
+ * The normalized alphabet ([a-z0-9 ], V = 37) BOUNDS the model: at most
+ * 37³ ≈ 50k trigram rows and 37² bigram rows regardless of corpus size —
+ * so the trained counts broadcast to the scoring join and the whole score
+ * is two aggregates + two broadcast joins + one per-doc average. No
+ * collect of data, no UDF; the trigram explode is scan-local.
+ */
+object LanguageModel {
+
+  /** Lowercased, non-alphanumerics collapsed to single spaces, trimmed —
+   *  the shared normalization (mirrored verbatim in the DuckDB oracle). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  private val V = 37.0 // |[a-z0-9 ]|: the smoothing vocabulary of the 3rd char
+  private val Alpha = 0.5
+
+  /** (id, tri) rows: every char trigram of the normalized text, in
+   *  position order (docs shorter than 3 normalized chars emit nothing). */
+  def trigrams(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = normalize(col(textCol))
+    docs.select(col(idCol), norm.as("_n"))
+      // the short-doc guard must be an explicit empty array: Spark's
+      // sequence(1, 0) COUNTS DOWN (implicit step -1) rather than being
+      // empty, which would hand every <3-char doc two phantom trigrams
+      .select(col(idCol), explode(
+        when(length(col("_n")) >= 3,
+          transform(sequence(lit(1), length(col("_n")) - 2),
+            i => col("_n").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))).as("tri"))
+  }
+
+  /**
+   * Mean trigram log-probability per document of `docs` under counts
+   * trained on `reference`: ln((c(tri) + α) / (c(bi) + α·V)) averaged over
+   * the doc's trigram positions, where c(bi) counts the trigram PREFIX
+   * bigrams of the reference (same position set, so the model is
+   * self-consistent). Unseen trigrams/bigrams fall back to the smoothing
+   * mass. Docs with no trigram are excluded (nothing to score).
+   */
+  def scoreDocs(docs: DataFrame, reference: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val refTri = trigrams(reference, textCol, idCol)
+    val triCnt = refTri.groupBy("tri").agg(count(lit(1)).as("tc"))
+    val biCnt = refTri.select(col("tri").substr(1, 2).as("bi"))
+      .groupBy("bi").agg(count(lit(1)).as("bc"))
+    trigrams(docs, textCol, idCol)
+      .join(broadcast(triCnt), Seq("tri"), "left")
+      .withColumn("bi", col("tri").substr(1, 2))
+      .join(broadcast(biCnt), Seq("bi"), "left")
+      .withColumn("logp",
+        log((coalesce(col("tc"), lit(0L)) + Alpha) /
+          (coalesce(col("bc"), lit(0L)) + Alpha * V)))
+      .groupBy(idCol)
+      .agg(round(avg(col("logp")), 6).as("lm_score"), count(lit(1)).as("n_trigrams"))
+  }
+}

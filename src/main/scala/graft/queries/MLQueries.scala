@@ -119,6 +119,40 @@ object MLQueries {
         TextFunctions.tokenCountBpeish(col("text")).cast("bigint").as("bpeish_tokens"))
         .orderBy("doc_id")),
 
+    // Char-trigram LM quality score (the KenLM-perplexity stand-in): counts
+    // trained on the %3 reference slice, every doc scored by mean smoothed
+    // trigram log-prob. The normalized alphabet bounds the model at 37³
+    // trigrams, so the trained counts BROADCAST — the whole score is two
+    // aggregates + two broadcast joins. DuckDB retrains and rescores from
+    // scratch with the identical formula.
+    Q("q_text_lm_score", Some("""
+      WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+        FROM documents
+      ), tri AS (
+        SELECT doc_id, substring(n, CAST(i AS INTEGER), 3) AS tri
+        FROM (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 1, 1))) AS i FROM norm)
+      ), tc AS (
+        SELECT tri, count(*) AS tc FROM tri WHERE doc_id % 3 = 0 GROUP BY tri
+      ), bc AS (
+        SELECT substring(tri, 1, 2) AS bi, count(*) AS bc
+        FROM tri WHERE doc_id % 3 = 0 GROUP BY 1
+      )
+      SELECT t.doc_id,
+             round(avg(ln((COALESCE(tc.tc, 0) + 0.5) / (COALESCE(bc.bc, 0) + 0.5 * 37))), 6) AS lm_score,
+             count(*) AS n_trigrams
+      FROM tri t
+      LEFT JOIN tc ON t.tri = tc.tri
+      LEFT JOIN bc ON substring(t.tri, 1, 2) = bc.bi
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.LanguageModel.scoreDocs(
+            docs, docs.filter(col("doc_id") % 3 === 0))
+          .orderBy("doc_id")
+      }),
+
     // minhash4 serialized to a string: the driver's pandas row-count pass
     // chokes on ndarray cells even for oracle-less queries (r01 crash).
     Q("q_text_fingerprint", Some(FingerprintOracle.sql),

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LanguageModel
+
+/** Char-trigram LM scoring: hand-computed probabilities, smoothing
+ *  fallback for unseen n-grams, and the fluency ordering the filter
+ *  exists for. */
+class LanguageModelSpec extends SparkSpec {
+
+  test("scores match the closed-form smoothed log-probs") {
+    import spark.implicits._
+    val ref = Seq((1L, "aaaa")).toDF("doc_id", "text") // tc(aaa)=2, bc(aa)=2
+    val out = LanguageModel.scoreDocs(
+        Seq((10L, "aaaa"), (11L, "bbbb"), (12L, "ab")).toDF("doc_id", "text"), ref)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val seen = math.log((2 + 0.5) / (2 + 0.5 * 37))
+    val unseen = math.log(0.5 / (0.5 * 37))
+    assert(out(10L) === ((math.rint(seen * 1e6) / 1e6, 2L)))
+    assert(out(11L) === ((math.rint(unseen * 1e6) / 1e6, 2L)))
+    assert(!out.contains(12L)) // too short for a trigram: excluded, not zero
+  }
+
+  test("reference-like text outscores gibberish on the real corpus") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    import spark.implicits._
+    val probes = Seq(
+      (9000001L, "the system reads the stream and writes the table"),
+      (9000002L, "zzqx vvkj qqzz xkcv jjww zzqq xxvv kkjj")).toDF("doc_id", "text")
+    val scored = LanguageModel.scoreDocs(probes, ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(9000001L) > scored(9000002L),
+      s"fluent ${scored(9000001L)} should beat gibberish ${scored(9000002L)}")
+  }
+
+  test("normalization collapses runs and trims, matching the oracle's regex") {
+    import spark.implicits._
+    val n = Seq("  Héllo,,  World!42  ").toDF("t")
+      .select(LanguageModel.normalize(col("t"))).head.getString(0)
+    assert(n === "h llo world 42")
+  }
+}
