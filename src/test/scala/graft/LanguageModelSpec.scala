@@ -35,6 +35,24 @@ class LanguageModelSpec extends SparkSpec {
       s"fluent ${scored(9000001L)} should beat gibberish ${scored(9000002L)}")
   }
 
+  test("the scoring plan broadcasts both trained-count joins (no corpus-wide shuffle join)") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    // AQE wraps the plan in adaptive stages the TreeNode collect can't see
+    // through before execution (SketchSpec's note) — assert the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    val plan =
+      try LanguageModel.scoreDocs(docs, docs.filter(col("doc_id") % 3 === 0))
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", true)
+    def count(p: org.apache.spark.sql.execution.SparkPlan, pred: Any => Boolean): Int =
+      p.collect { case n if pred(n) => 1 }.sum
+    val bhj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    val smj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    val shj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    assert(bhj === 2, s"want both count joins broadcast, got $bhj broadcast / $smj SMJ / $shj SHJ")
+    assert(smj + shj === 0, "a trained-model join must never shuffle the trigram stream")
+  }
+
   test("normalization collapses runs and trims, matching the oracle's regex") {
     import spark.implicits._
     val n = Seq("  Héllo,,  World!42  ").toDF("t")
