@@ -115,6 +115,17 @@ object DedupIndex {
     // partition directories (FileSourceScan partition-count spec'd)
     val parts = batchBanded.select("bucket_part").distinct()
       .collect().map(_.getLong(0)).sorted
+    if (parts.isEmpty) { // empty batch (e.g. an idle streaming trigger):
+      batchBanded.unpersist(blocking = false) // nothing to probe, no index read
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            batchSlim.schema("id").dataType),
+          org.apache.spark.sql.types.StructField("corpus_id",
+            batchSlim.schema("id").dataType),
+          org.apache.spark.sql.types.StructField("jaccard",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     // matched partitions' keys, with the write-time degenerate-bucket cap
     // RE-APPLIED at probe time: appendToIndex enforces the cap only within
     // each append, so a boilerplate bucket can accrete past it across

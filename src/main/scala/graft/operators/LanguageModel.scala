@@ -51,10 +51,14 @@ object LanguageModel {
    */
   def scoreDocs(docs: DataFrame, reference: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val refTri = trigrams(reference, textCol, idCol)
-    val triCnt = refTri.groupBy("tri").agg(count(lit(1)).as("tc"))
-    val biCnt = refTri.select(col("tri").substr(1, 2).as("bi"))
-      .groupBy("bi").agg(count(lit(1)).as("bc"))
+    val triCnt = trigrams(reference, textCol, idCol)
+      .groupBy("tri").agg(count(lit(1)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // prefix-bigram counts are a marginal of the trigram counts (same
+    // position set), so they roll up from the ≤37³-row model instead of
+    // re-scanning the reference corpus a second time
+    val biCnt = triCnt.groupBy(col("tri").substr(1, 2).as("bi"))
+      .agg(sum(col("tc")).as("bc"))
     trigrams(docs, textCol, idCol)
       .join(broadcast(triCnt), Seq("tri"), "left")
       .withColumn("bi", col("tri").substr(1, 2))

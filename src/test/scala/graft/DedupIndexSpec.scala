@@ -98,6 +98,16 @@ class DedupIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an empty batch probes to an empty result without reading the index") {
+    import spark.implicits._
+    val dir = tempDir("lsh_rest_empty") + "/index.parquet"
+    DedupIndex.writeAtRest(corpus, dir)
+    val out = DedupIndex.probe(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), corpus)
+    assert(out.columns.toSeq === Seq("batch_id", "corpus_id", "jaccard"))
+    assert(out.count() === 0L)
+  }
+
   test("admitNew = batch minus the probe's matched ids") {
     val dir = tempDir("lsh_rest_admit") + "/index.parquet"
     DedupIndex.writeAtRest(corpus, dir)
