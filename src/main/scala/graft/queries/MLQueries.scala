@@ -329,6 +329,60 @@ object MLQueries {
         DedupIndex.probe(s, idx, batch, corpus, threshold = 0.7)
       }),
 
+    // The full ingest micro-batch, end to end: corpus (%3 <> 0) seeds the
+    // at-rest index + text path, then ingestBatch runs the real loop on
+    // the %3 = 0 batch — greedy in-batch drop (3 true in-batch pairs at
+    // sf0.01) AND cross-corpus probe drop (10 cross pairs), appends, and
+    // the query returns the newly-admitted ids from the corpus path.
+    // DuckDB recomputes both drop sets from exact all-pairs Jaccard
+    // (every true pair sits at j >= 0.9; banding recall ~0.9998 there,
+    // nothing in [0.5, 0.9) to straddle the margin). QueryScratch.fresh
+    // wipes the append-mode targets per execution so bench re-runs don't
+    // accrete state.
+    Q("q_dedup_ingest", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), in_drop AS (
+        SELECT DISTINCT ib AS doc_id FROM pairs WHERE ia % 3 = 0 AND ib % 3 = 0
+      ), cross_drop AS (
+        SELECT DISTINCT CASE WHEN ia % 3 = 0 THEN ia ELSE ib END AS doc_id
+        FROM pairs WHERE (ia % 3 = 0) <> (ib % 3 = 0)
+      )
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM in_drop)
+        AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+        val root = QueryScratch.fresh("dedup_ingest")
+        val idx = root + "/index.parquet"
+        val corp = root + "/corpus.parquet"
+        corpus.select("doc_id", "text").write.parquet(corp)
+        DedupIndex.writeAtRest(corpus, idx)
+        DedupIndex.ingestBatch(batch.select("doc_id", "text"), idx, corp)
+        s.read.parquet(corp)
+          .filter(col("doc_id") % 3 === 0)
+          .select("doc_id")
+          .orderBy("doc_id")
+      }),
+
     // Pinned literal-VALUES oracle (SimhashOracle): simhash is an
     // engine-specific hash family, but deterministic — the full 840-row
     // output at sf0.01 is pinned, same pattern as q_text_fingerprint.
