@@ -261,6 +261,78 @@ object CorpusQueries {
       (s, dir) => Corpus.removeRepeatedSpans(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // The operators COMPOSE: a realistic four-stage corpus pipeline in one
+    // DAG — token-count filter (277 of 500 survive) → near-dup canonical
+    // dedup (12 verified pairs → 266) → benchmark decontamination (%50
+    // eval slice) → deterministic md5 split. Each stage is oracled in
+    // isolation elsewhere; this row proves the chained DAG end-to-end
+    // against DuckDB recomputing the whole pipeline from scratch.
+    Q("q_corpus_pipeline", Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), kept AS (
+        SELECT doc_id FROM tok WHERE len(t) >= 50
+      ), sh AS (
+        SELECT tok.doc_id, list_distinct(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok JOIN kept ON tok.doc_id = kept.doc_id
+      ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), edges AS (
+        SELECT id_a AS s, id_b AS dd FROM cand UNION ALL SELECT id_b, id_a FROM cand
+      ), closure(s, dd) AS (
+        SELECT s, dd FROM edges
+        UNION
+        SELECT c.s, e.dd FROM closure c JOIN edges e ON c.dd = e.s
+      ), canon AS (
+        SELECT s AS doc_id, least(s, min(dd)) AS canonical_id FROM closure GROUP BY s
+      ), deduped AS (
+        SELECT k.doc_id FROM kept k LEFT JOIN canon c ON k.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.canonical_id = k.doc_id
+      ), g8 AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN list_distinct(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM tok
+      ), bench AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g8 WHERE doc_id % 50 = 0
+      ), contaminated AS (
+        SELECT DISTINCT dg.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM g8 WHERE doc_id % 50 <> 0) dg
+        JOIN bench USING (gram)
+      )
+      SELECT d.doc_id, d.lang,
+             CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                  WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN deduped USING (doc_id)
+      WHERE d.doc_id % 50 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = docs.filter(
+          graft.functions.TextFunctions.tokenCount(col("text")) >= 50)
+        val groups = graft.operators.Dedup.nearDupGroups(
+          graft.operators.Dedup.nearDuplicates(kept, threshold = 0.7))
+        val deduped = kept.join(groups, Seq("doc_id"), "left")
+          .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+        val bench = docs.filter(col("doc_id") % 50 === 0)
+        val train = deduped.filter(col("doc_id") % 50 =!= 0)
+        Corpus.hashSplit(
+            Corpus.decontaminate(train, bench).select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id")
+      }),
+
     // Per-group cap: top-3 largest docs per language.
     Q("q_topk_per_group", Some("""
       SELECT lang, doc_id, n_chars,
