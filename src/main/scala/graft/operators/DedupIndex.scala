@@ -31,6 +31,15 @@ import graft.functions.TextFunctions
  * the accepted corpus's TEXT is read only for verified candidates via a
  * semi-join — the steady-state ingest cost is proportional to the batch,
  * not the corpus.
+ *
+ * Concurrency boundary: ONE writer (the ingest loop appends serially per
+ * micro-batch; Structured Streaming already serializes foreachBatch).
+ * Concurrent READERS are safe at file granularity — parquet appends
+ * commit files via rename, so a probe racing an append sees the index
+ * without some of the newest batch's keys (missing a just-admitted
+ * duplicate, the same window any ingest pipeline has) but never a torn
+ * file. Two concurrent WRITERS are not supported: both could admit the
+ * same near-duplicate before seeing each other's keys.
  */
 object DedupIndex {
 
