@@ -178,6 +178,18 @@ object Similarity {
     ivfAssign(corpus, centroids, vecCol)
       .write.partitionBy("list_id").mode("overwrite").parquet(path)
 
+  /** Vector INGEST for the at-rest IVF table: newly-arrived embeddings
+   *  assign to the EXISTING centroids (the codebook is the trained model —
+   *  appends must not re-train it, or every prior list assignment drifts)
+   *  and land in their lists' partition directories. Probes see them on
+   *  the next read with the same nProbe pruning; same single-writer /
+   *  file-granular-reader boundary as `DedupIndex`. Periodic re-training +
+   *  full rewrite handles codebook drift once appended mass dominates. */
+  def ivfAppendAtRest(newVecs: DataFrame, centroids: Seq[Seq[Float]],
+      path: String, vecCol: String = "embedding"): Unit =
+    ivfAssign(newVecs, centroids, vecCol)
+      .write.partitionBy("list_id").mode("append").parquet(path)
+
   /**
    * Probe an at-rest IVF table: the probes' wanted lists (≤ nProbe ×
    * |probes|, and never more than the codebook size — a bounded collect of

@@ -168,6 +168,37 @@ class SketchSpec extends SparkSpec {
     assert(topk.collect().toSeq == inMem.collect().toSeq)
   }
 
+  test("ivfAppendAtRest: appended vectors are probe-visible, pruning intact") {
+    import spark.implicits._
+    val dir = tempDir("ivf_append") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    Similarity.ivfWriteAtRest(emb, centroids, dir)
+    // plant a new arrival almost identical to vec 7 — it must land in 7's
+    // list under the EXISTING codebook and dominate 7's own probe
+    val planted = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001f).as("embedding"),
+        col("label"))
+    Similarity.ivfAppendAtRest(planted, centroids, dir)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    val (topk, scan) =
+      try {
+        val q = Similarity.ivfTopKAtRest(spark, dir, probe, centroids,
+          k = 2, nProbe = 2)
+        (q.collect(), q.queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", true)
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"append must not break pruning: ${scan.selectedPartitions.partitionCount} of 8")
+    // scoring excludes the probe's own id; the planted near-copy (cosine
+    // ~1.0 vs the corpus's ≤0.52 inter-pair max) must rank FIRST
+    val ids = topk.map(_.getLong(1))
+    assert(ids.head === 1000007L, s"planted arrival should rank 1st, got ${ids.toSeq}")
+  }
+
   test("nearDupGroups: chains, multiple components, singleton pairs converge to min labels") {
     import spark.implicits._
     // component A: a 5-long CHAIN 10-11-12-13-14 (diameter 4 forces several
