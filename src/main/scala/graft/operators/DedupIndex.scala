@@ -1,10 +1,11 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.TextFunctions
+import graft.functions.{SketchFunctions, TextFunctions}
 
 /**
  * At-rest MinHash-LSH dedup index — the INCREMENTAL half of [[Dedup]].
@@ -16,41 +17,43 @@ import graft.functions.TextFunctions
  * corpus. Same pattern as `Similarity.ivfWriteAtRest`: pay one layout
  * write, then every probe is partition-pruned.
  *
- *  - [[writeAtRest]] signs the corpus once and stores its banded LSH keys
- *    `(band, bucket, id)` hash-partitioned on `bucket_part =
- *    pmod(xxhash64(band, bucket), nParts)`. Text and signatures stay OUT
- *    of the index — it is O(bands) longs per document.
- *  - [[probe]] signs only the batch, derives the touched `bucket_part`
- *    values (a bounded collect of at most `nParts` partition keys — the
- *    index layout's keyspace, not data), and scans ONLY those partition
- *    directories for bucket collisions. Candidates verify with exact
- *    word-shingle Jaccard, fetching text for candidate ids alone.
+ * Both at-rest tables are ID-ADDRESSABLE layouts:
+ *
+ *  - the INDEX stores banded LSH keys `(band, bucket, id)` partitioned on
+ *    `bucket_part = pmod(xxhash64(band, bucket), nParts)`. Text and
+ *    signatures stay OUT of it — it is O(bands) longs per document.
+ *  - the CORPUS stores the accepted documents partitioned on
+ *    `id_part = pmod(xxhash64(id), corpusParts)`, so a probe's
+ *    candidate-TEXT fetch prunes to the candidate ids' partitions the
+ *    same way the index probe prunes to the batch's bucket partitions —
+ *    steady-state ingest I/O is batch-proportional on BOTH scans.
+ *
+ * [[probeAtRest]] signs only the batch, derives the touched partition
+ * keys (bounded collects of at most nParts / corpusParts layout keys,
+ * never data), and scans ONLY those partition directories. Candidates
+ * verify with exact word-shingle Jaccard. A bloom-filter sidecar over the
+ * index's (band, bucket) keys (`_bloom/`, maintained by every write)
+ * short-circuits the index read entirely when a batch shares no bucket
+ * with the index — the common case for mostly-novel streams.
  *
  * At 100 TB: the index is ~1% of corpus bytes, a small batch touches a
  * subset of its partitions (a single doc at most `bands` of them), and
- * the accepted corpus's TEXT is read only for verified candidates via a
- * semi-join — the steady-state ingest cost is proportional to the batch,
- * not the corpus.
+ * the accepted corpus is read only in the candidate ids' partitions —
+ * the steady-state ingest cost is proportional to the batch, not the
+ * corpus.
  *
  * Concurrency boundary: ONE writer (the ingest loop appends serially per
  * micro-batch; Structured Streaming already serializes foreachBatch).
- * Concurrent READERS are safe at file granularity — parquet appends
- * commit files via rename, so a probe racing an append sees the index
- * without some of the newest batch's keys (missing a just-admitted
- * duplicate, the same window any ingest pipeline has) but never a torn
- * file. Two concurrent WRITERS are not supported: both could admit the
- * same near-duplicate before seeing each other's keys.
+ * Concurrent READERS are safe at file granularity — batch publishes are
+ * single directory renames — but a probe racing a publish may miss the
+ * newest batch's keys (the same window any ingest pipeline has). Two
+ * concurrent WRITERS are not supported. [[compact]]/[[compactCorpus]]
+ * are OFFLINE maintenance passes: quiesce the stream first.
  */
 object DedupIndex {
 
-  /**
-   * Sign `corpus` and write its banded LSH keys under `path`, partitioned
-   * by `bucket_part`. Buckets larger than `maxBucket` are dropped at write
-   * time (degenerate boilerplate buckets would contribute `k` candidate
-   * rows per probe doc forever); unlike the batch self-join, SINGLETON
-   * buckets are kept — a future batch doc can collide with a so-far-unique
-   * corpus doc.
-   */
+  // ---------------------------------------------------------------- layout
+
   /** The banded LSH key stream of `docs`: (bucket_part, band, bucket, id),
    *  scan-local except the final layout column. Shared by the write, append
    *  and probe paths so key derivation cannot drift between them. */
@@ -76,23 +79,150 @@ object DedupIndex {
       .select("bucket_part", "band", "bucket", "id")
   }
 
+  /** The corpus layout column: `id_part = pmod(xxhash64(id), nParts)`.
+   *  xxhash64 is type-sensitive — the probe recomputes this from the
+   *  index's `id` column, which carries the corpus id's stored type, so
+   *  write and probe always hash the same representation. */
+  private def withIdPart(docs: DataFrame, idCol: String, nParts: Int): DataFrame =
+    docs.withColumn("id_part", pmod(xxhash64(col(idCol)), lit(nParts)))
+
+  // Both at-rest tables nest `ingest_batch=<n>/<layout>=<p>/` so a batch
+  // publish is ONE atomic directory rename (`ingest_batch=<batchId>`);
+  // seed writes and legacy appends use batch -1. Underscore-prefixed
+  // siblings (_staging_*, _bloom, _committed) are invisible to parquet
+  // partition discovery.
+  private val SeedBatch = -1L
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readFile(fs: FileSystem, p: Path): Array[Byte] = {
+    val st = fs.getFileStatus(p)
+    val in = fs.open(p)
+    try { val b = new Array[Byte](st.getLen.toInt); in.readFully(b); b } finally in.close()
+  }
+
+  /** Stage `df` under `root/_staging_<batchId>` (partitioned by
+   *  `layoutCol`), then publish it with one atomic rename to
+   *  `root/ingest_batch=<batchId>`. Idempotent: an already-published
+   *  target makes this a no-op, so a replayed micro-batch cannot
+   *  double-append. Overwrite mode clobbers a dead attempt's partial
+   *  staging. */
+  private def publishBatchDir(df: DataFrame, root: String, layoutCol: String,
+      batchId: Long): Unit = {
+    val fs = fsFor(df.sparkSession, root)
+    val target = new Path(root, s"ingest_batch=$batchId")
+    if (fs.exists(target)) return
+    val staging = new Path(root, s"_staging_$batchId")
+    df.write.partitionBy(layoutCol).mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"publish rename $staging -> $target failed")
+  }
+
+  // ----------------------------------------------------------- bloom sidecar
+
+  /** One serialized bloom filter per index write, over the written keys'
+   *  `xxhash64(band, bucket)` — `_bloom/bloom-<tag>.bin`. Blooms are
+   *  written BEFORE their data publishes (a bloom with extra keys is a
+   *  harmless false positive; data without a bloom would be a
+   *  correctness-breaking false negative). Probes test the batch's keys
+   *  against every sidecar bloom and skip the index scan when none might
+   *  match; [[compact]] collapses the accreted files into one. */
+  private def writeBloomFile(keys: DataFrame, indexRoot: String, tag: String): Unit = {
+    val hashed = keys.select(xxhash64(col("band"), col("bucket")).as("k")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val est = math.max(hashed.count(), 1L)
+      val bin = hashed.agg(SketchFunctions.bloom_agg(col("k"), est))
+        .head.getAs[Array[Byte]](0)
+      // zero keys (an index compacted to empty) -> no bloom; probes fall
+      // back to the (empty, cheap) full read
+      if (bin != null) {
+        val fs = fsFor(keys.sparkSession, indexRoot)
+        writeFile(fs, new Path(indexRoot, s"_bloom/bloom-$tag.bin"), bin)
+      }
+    } finally hashed.unpersist(blocking = false)
+  }
+
+  private def readBlooms(spark: SparkSession, indexRoot: String): Seq[Array[Byte]] = {
+    val fs = fsFor(spark, indexRoot)
+    val dir = new Path(indexRoot, "_bloom")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isFile).sortBy(_.getPath.getName.toString)
+      .map(st => readFile(fs, st.getPath)).toSeq
+  }
+
+  // ------------------------------------------------------------ write paths
+
+  /**
+   * Sign `corpus` and write its banded LSH keys under `path` as the seed
+   * batch. Buckets larger than `maxBucket` are dropped at write time
+   * (degenerate boilerplate buckets would contribute `k` candidate rows
+   * per probe doc forever); unlike the batch self-join, SINGLETON buckets
+   * are kept — a future batch doc can collide with a so-far-unique corpus
+   * doc. Not crash-atomic (it is the ONE overwrite bootstrap step): a
+   * failed seed write must simply be re-run.
+   */
   def writeAtRest(corpus: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
-      shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit =
-    capBuckets(bandedKeys(corpus, textCol, idCol, numHashes, bands, shingleWords, nParts),
+      shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit = {
+    val keys = capBuckets(
+        bandedKeys(corpus, textCol, idCol, numHashes, bands, shingleWords, nParts),
         maxBucket)
-      .write.partitionBy("bucket_part").mode("overwrite").parquet(path)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      keys.withColumn("ingest_batch", lit(SeedBatch))
+        .write.partitionBy("ingest_batch", "bucket_part").mode("overwrite").parquet(path)
+      writeBloomFile(keys, path, "seed")
+    } finally keys.unpersist(blocking = false)
+  }
 
   /** Append newly-admitted documents' keys to an existing index — the
-   *  index-maintenance step of an ingest loop. The degenerate-bucket cap
-   *  applies WITHIN this append only; across appends a bucket can accrete
-   *  past it, which is why [[probe]] re-applies the cap at read time. */
+   *  at-least-once maintenance step for DIRECT batch callers (the
+   *  exactly-once ingest loop publishes through a batch directory rename
+   *  instead, see [[ingestBatch]]). The degenerate-bucket cap applies
+   *  WITHIN this append only; across appends a bucket can accrete past
+   *  it, which is why [[probe]] re-applies the cap at read time and
+   *  [[compact]] drops the excess at rest. */
   def appendToIndex(docs: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
-      shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit =
-    capBuckets(bandedKeys(docs, textCol, idCol, numHashes, bands, shingleWords, nParts),
+      shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit = {
+    val keys = capBuckets(
+        bandedKeys(docs, textCol, idCol, numHashes, bands, shingleWords, nParts),
         maxBucket)
-      .write.partitionBy("bucket_part").mode("append").parquet(path)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // bloom first: committed keys must always be bloom-covered
+      writeBloomFile(keys, path, s"a${System.nanoTime()}")
+      keys.withColumn("ingest_batch", lit(SeedBatch))
+        .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(path)
+    } finally keys.unpersist(blocking = false)
+  }
+
+  /** Seed the id-addressable at-rest corpus: every column of `docs` plus
+   *  the `id_part` layout column, partitioned so candidate-text fetches
+   *  prune to the candidates' partitions. */
+  def writeCorpus(docs: DataFrame, path: String, idCol: String = "doc_id",
+      nParts: Int = 16): Unit =
+    withIdPart(docs, idCol, nParts)
+      .withColumn("ingest_batch", lit(SeedBatch))
+      .write.partitionBy("ingest_batch", "id_part").mode("overwrite").parquet(path)
+
+  // ------------------------------------------------------------ probe paths
+
+  private def emptyPairs(spark: SparkSession,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id", idType),
+        org.apache.spark.sql.types.StructField("corpus_id", idType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType))))
 
   /**
    * Near-duplicate pairs between an arriving `batch` and the indexed
@@ -102,16 +232,17 @@ object DedupIndex {
    * keys are hashes, so a mismatch silently yields zero collisions; pass
    * the same values, not new defaults.
    *
-   * `corpus` supplies candidate TEXT only (semi-join-reduced fetch); its
-   * rows are never banded or shuffled wholesale.
+   * `fetchText(candIds)` supplies `(id, text)` for the distinct candidate
+   * corpus ids — the ONLY corpus access the probe makes.
    */
-  def probe(spark: SparkSession, path: String, batch: DataFrame, corpus: DataFrame,
-      threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
-      numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
-      nParts: Int = 16, maxBucket: Int = 1000): DataFrame = {
+  private def probeCore(spark: SparkSession, path: String, batch: DataFrame,
+      fetchText: DataFrame => DataFrame, threshold: Double, textCol: String,
+      idCol: String, numHashes: Int, bands: Int, shingleWords: Int,
+      nParts: Int, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val batchSlim = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+    val idType = batchSlim.schema("id").dataType
     val batchBanded = batchSlim.select(col("id"),
         Dedup.signatureFromShingles(
           TextFunctions.wordShingles(col("text"), shingleWords), numHashes).as("sig"))
@@ -119,27 +250,30 @@ object DedupIndex {
         posexplode(Dedup.bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
       .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // bloom short-circuit: keys absent from EVERY sidecar bloom cannot
+    // collide (no false negatives), so drop them before deriving the
+    // partition list — and skip the index read outright when nothing
+    // survives (a fully-novel batch, the streaming common case)
+    val blooms = readBlooms(spark, path)
+    val hotKeys =
+      if (blooms.isEmpty) batchBanded
+      else batchBanded.filter(blooms
+        .map(b => SketchFunctions.bloom_contains(b, xxhash64(col("band"), col("bucket"))))
+        .reduce(_ || _))
     // bounded collect: ≤ nParts partition KEYS (the layout constant), the
     // static IN-filter that makes the parquet scan plan only the touched
     // partition directories (FileSourceScan partition-count spec'd)
-    val parts = batchBanded.select("bucket_part").distinct()
+    val parts = hotKeys.select("bucket_part").distinct()
       .collect().map(_.getLong(0)).sorted
-    if (parts.isEmpty) { // empty batch (e.g. an idle streaming trigger):
+    if (parts.isEmpty) { // empty batch, or no bloom might-contain hit:
       batchBanded.unpersist(blocking = false) // nothing to probe, no index read
-      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("batch_id",
-            batchSlim.schema("id").dataType),
-          org.apache.spark.sql.types.StructField("corpus_id",
-            batchSlim.schema("id").dataType),
-          org.apache.spark.sql.types.StructField("jaccard",
-            org.apache.spark.sql.types.DoubleType))))
+      return emptyPairs(spark, idType)
     }
     // matched partitions' keys, with the write-time degenerate-bucket cap
-    // RE-APPLIED at probe time: appendToIndex enforces the cap only within
-    // each append, so a boilerplate bucket can accrete past it across
-    // appends — without this every future probe touching that bucket would
-    // pay its full membership forever
+    // RE-APPLIED at probe time: across appends a bucket can accrete past
+    // the per-write cap ([[compact]] re-establishes it at rest) — without
+    // this every future probe touching that bucket would pay its full
+    // membership forever
     val matched = spark.read.parquet(path)
       .filter(col("bucket_part").isin(parts.map(_.asInstanceOf[Any]): _*))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -147,7 +281,7 @@ object DedupIndex {
       .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
       .select("bucket_part", "band", "bucket")
     val idx = matched.join(okBuckets, Seq("bucket_part", "band", "bucket"))
-    val cand = batchBanded
+    val cand = hotKeys
       .join(idx.select(col("bucket_part"), col("band"), col("bucket"),
           col("id").as("corpus_id")),
         Seq("bucket_part", "band", "bucket"))
@@ -160,8 +294,7 @@ object DedupIndex {
       .join(cand.select(col("batch_id").as("id")), Seq("id"), "left_semi")
       .select(col("id"), TextFunctions.wordShingles(col("text"), shingleWords).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val shC = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(cand.select(col("corpus_id").as("id")), Seq("id"), "left_semi")
+    val shC = fetchText(cand.select(col("corpus_id").as("id")).distinct())
       .select(col("id"), TextFunctions.wordShingles(col("text"), shingleWords).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val out = cand
@@ -176,24 +309,75 @@ object DedupIndex {
     Dedup.materializeThenFree(out, batchBanded, matched, cand, shB, shC)
   }
 
+  /** [[probeCore]] with an IN-MEMORY corpus frame supplying candidate
+   *  text via a semi-join-reduced fetch — for corpora already loaded (or
+   *  cached) by the caller. The at-rest ingest loop uses [[probeAtRest]],
+   *  whose text fetch also partition-prunes. */
+  def probe(spark: SparkSession, path: String, batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
+      nParts: Int = 16, maxBucket: Int = 1000): DataFrame =
+    probeCore(spark, path, batch,
+      ids => corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+        .join(ids, Seq("id"), "left_semi"),
+      threshold, textCol, idCol, numHashes, bands, shingleWords, nParts, maxBucket)
+
+  /**
+   * [[probeCore]] against a [[writeCorpus]]-laid-out at-rest corpus: the
+   * candidate ids' `id_part` keys (a bounded collect of ≤ `corpusParts`
+   * LAYOUT keys, the corpus twin of the index-probe collect) become a
+   * static IN partition filter, so the candidate-TEXT scan plans only the
+   * candidates' partition directories — steady-state ingest I/O stays
+   * batch-proportional on both the index AND the corpus side.
+   */
+  def probeAtRest(spark: SparkSession, indexPath: String, batch: DataFrame,
+      corpusPath: String, threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000,
+      corpusParts: Int = 16): DataFrame =
+    probeCore(spark, indexPath, batch,
+      ids => {
+        val idParts = ids.select(pmod(xxhash64(col("id")), lit(corpusParts)).as("p"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        if (idParts.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id", ids.schema("id").dataType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))))
+        else
+          spark.read.parquet(corpusPath)
+            .filter(col("id_part").isin(idParts.map(_.asInstanceOf[Any]): _*))
+            .select(col(idCol).as("id"), col(textCol).as("text"))
+            .join(ids, Seq("id"), "left_semi")
+      },
+      threshold, textCol, idCol, numHashes, bands, shingleWords, nParts, maxBucket)
+
   /** The admit decision built on [[probe]]: batch rows with NO verified
    *  near-dup in the indexed corpus (the ones an ingest pipeline appends
-   *  and indexes next). */
+   *  and indexes next). `maxBucket` forwards to the probe — it must match
+   *  the index's write-time cap, or accreted buckets silently re-cap at
+   *  the default. */
   def admitNew(spark: SparkSession, path: String, batch: DataFrame, corpus: DataFrame,
       threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
-      nParts: Int = 16): DataFrame = {
+      nParts: Int = 16, maxBucket: Int = 1000): DataFrame = {
     val dups = probe(spark, path, batch, corpus, threshold, textCol, idCol,
-        numHashes, bands, shingleWords, nParts)
+        numHashes, bands, shingleWords, nParts, maxBucket)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------------------ ingest loop
+
+  private def committedMarker(corpusPath: String, batchId: Long): Path =
+    new Path(corpusPath, s"_committed/batch-$batchId")
+
   /**
    * One micro-batch of the CONTINUOUS ingest loop: dedup `batch` within
-   * itself and against the accepted corpus, append the survivors' text to
-   * `corpusPath` and their LSH keys to `indexPath`. Returns the admitted
-   * count.
+   * itself and against the accepted corpus, publish the survivors' text
+   * to `corpusPath` and their LSH keys to `indexPath`. Returns the
+   * admitted count.
    *
    * Within-batch semantics are the greedy local rule — a doc is dropped
    * when it is the strictly-LARGER member of any verified pair — which
@@ -205,31 +389,42 @@ object DedupIndex {
    * Bootstrap: a missing/empty index means nothing is accepted yet — the
    * whole (self-deduped) first batch admits and seeds both paths.
    *
-   * Delivery: `foreachBatch` replays a batch after a failure, so the two
-   * appends are AT-LEAST-ONCE — a replayed batch can duplicate corpus rows
-   * and index keys. Duplicate keys only re-surface candidates that
-   * `probe`'s distinct already collapses; production sinks wanting
-   * exactly-once write per-batchId subdirectories and commit by rename.
+   * Delivery with `batchId >= 0` is EXACTLY-ONCE: each path's batch data
+   * stages under `_staging_<batchId>` and publishes with one atomic
+   * directory rename to `ingest_batch=<batchId>`, then a `_committed`
+   * marker (holding the admitted count) records completion. A replayed
+   * batch short-circuits on the marker; a replay after a partial crash
+   * recomputes the same admit set (the probe ignores same-id self-matches
+   * and a half-published index key finds no corpus text, so the decision
+   * is unchanged) and re-publishes only the missing renames. `batchId <
+   * 0` keeps the plain append path for direct one-shot callers
+   * (at-least-once under external retries).
    */
   def ingestBatch(batch: DataFrame, indexPath: String, corpusPath: String,
       threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
-      nParts: Int = 16, maxBucket: Int = 1000): Long = {
+      nParts: Int = 16, maxBucket: Int = 1000, batchId: Long = -1L,
+      corpusParts: Int = 16): Long = {
     val spark = batch.sparkSession
+    val fs = fsFor(spark, corpusPath)
+    if (batchId >= 0 && fs.exists(committedMarker(corpusPath, batchId)))
+      return new String(readFile(fs, committedMarker(corpusPath, batchId)),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
     val b = batch.select(col(idCol), col(textCol)).dropDuplicates(idCol)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val inBatchDrop = Dedup.nearDuplicates(b, textCol, idCol, threshold,
         shingleWords, numHashes, bands, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     val hasIndex = {
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
+      val p = new Path(indexPath)
+      val ifs = fsFor(spark, indexPath)
+      // data dirs only: _bloom/_staging/_committed don't make an index
+      ifs.exists(p) && ifs.listStatus(p).exists(_.getPath.getName.startsWith("ingest_batch="))
     }
     val crossDrop =
       if (hasIndex)
-        probe(spark, indexPath, b, spark.read.parquet(corpusPath), threshold,
-            textCol, idCol, numHashes, bands, shingleWords, nParts, maxBucket)
+        probeAtRest(spark, indexPath, b, corpusPath, threshold, textCol, idCol,
+            numHashes, bands, shingleWords, nParts, maxBucket, corpusParts)
           .select(col("batch_id").as(idCol)).distinct()
       else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         b.select(col(idCol)).schema)
@@ -238,32 +433,123 @@ object DedupIndex {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = admitted.count()
     if (n > 0) {
-      admitted.write.mode("append").parquet(corpusPath)
-      appendToIndex(admitted, indexPath, textCol, idCol, numHashes, bands,
-        shingleWords, maxBucket, nParts)
+      val keys = capBuckets(
+          bandedKeys(admitted, textCol, idCol, numHashes, bands, shingleWords, nParts),
+          maxBucket)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      if (batchId >= 0) {
+        // bloom before data: committed keys must always be bloom-covered
+        writeBloomFile(keys, indexPath, s"b$batchId")
+        publishBatchDir(keys, indexPath, "bucket_part", batchId)
+        publishBatchDir(withIdPart(admitted, idCol, corpusParts), corpusPath,
+          "id_part", batchId)
+      } else {
+        appendToIndex(admitted, indexPath, textCol, idCol, numHashes, bands,
+          shingleWords, maxBucket, nParts)
+        withIdPart(admitted, idCol, corpusParts)
+          .withColumn("ingest_batch", lit(SeedBatch))
+          .write.partitionBy("ingest_batch", "id_part").mode("append").parquet(corpusPath)
+      }
+      keys.unpersist(blocking = false)
     }
+    if (batchId >= 0)
+      writeFile(fs, committedMarker(corpusPath, batchId),
+        n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     admitted.unpersist(blocking = false)
     b.unpersist(blocking = false)
     n
   }
 
   /** The streaming wrapper: every micro-batch of `docs` flows through
-   *  [[ingestBatch]]. State lives in the two at-rest paths (corpus text +
-   *  LSH index), NOT in Spark streaming state — so it survives restarts,
-   *  is shared with batch probes, and is unbounded-corpus-safe (the
-   *  watermark-state alternative, [[Dedup.streamingNearDupCandidates]],
-   *  bounds state but forgets old buckets). */
+   *  [[ingestBatch]] with its foreachBatch batchId, making the loop
+   *  exactly-once end to end (state lives in the two at-rest paths, NOT
+   *  in Spark streaming state — it survives restarts, is shared with
+   *  batch probes, and is unbounded-corpus-safe; the watermark-state
+   *  alternative, [[Dedup.streamingNearDupCandidates]], bounds state but
+   *  forgets old buckets). */
   def ingestStream(docs: DataFrame, indexPath: String, corpusPath: String,
       checkpointPath: String, threshold: Double = 0.7, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
-      shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000,
+      corpusParts: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, id: Long) =>
         ingestBatch(b, indexPath, corpusPath, threshold, textCol, idCol,
-          numHashes, bands, shingleWords, nParts, maxBucket)
+          numHashes, bands, shingleWords, nParts, maxBucket, batchId = id,
+          corpusParts = corpusParts)
         ()
       }
       .start()
+
+  // ------------------------------------------------------------- compaction
+
+  /** A partitioned write of ZERO rows emits no files at all, which would
+   *  make the compacted table unreadable (no schema to infer). Land one
+   *  empty schema-bearing parquet file in that case — its layout column
+   *  simply becomes a data column of the empty read. */
+  private def ensureReadableIfEmpty(df: DataFrame, staging: Path): Unit = {
+    val fs = fsFor(df.sparkSession, staging.toString)
+    val hasData = fs.listStatus(staging)
+      .exists(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+    if (!hasData)
+      df.limit(0).write.mode("append").parquet(staging.toString)
+  }
+
+  private def listBatchDirs(fs: FileSystem, root: String): Seq[Path] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
+      .map(_.getPath).toSeq
+
+  /**
+   * OFFLINE index maintenance: rewrite the whole index into one merged
+   * seed batch — per-append small files collapse to one file per
+   * `bucket_part` directory, buckets accreted past `maxBucket` across
+   * appends drop AT REST (so the probe-side re-cap becomes a no-op), the
+   * bloom sidecar collapses to one filter, and `_committed` markers are
+   * preserved (a post-compaction stream restart still recognizes its
+   * replayed batchIds). Quiesce writers AND readers first: the swap
+   * (delete batch dirs, rename staging in) is not crash-atomic — the
+   * staged data survives any crash under `_compact_staging` for manual
+   * recovery, but readers racing the swap can see a partial index.
+   */
+  def compact(spark: SparkSession, path: String, maxBucket: Int = 1000,
+      nParts: Int = 16): Unit = {
+    val fs = fsFor(spark, path)
+    val all = spark.read.parquet(path)
+      .select(pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).as("bucket_part"),
+        col("band"), col("bucket"), col("id"))
+    // one task per layout key -> one file per partition directory
+    val capped = capBuckets(all, maxBucket).repartition(nParts, col("bucket_part"))
+    val staging = new Path(path, "_compact_staging")
+    capped.write.partitionBy("bucket_part").mode("overwrite").parquet(staging.toString)
+    ensureReadableIfEmpty(capped, staging)
+    listBatchDirs(fs, path).foreach(d => fs.delete(d, true))
+    val target = new Path(path, s"ingest_batch=$SeedBatch")
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"compact rename $staging -> $target failed")
+    // one merged bloom replaces the per-append accretion; an interrupted
+    // rewrite leaves _bloom empty = probes fall back to the full read
+    val bloomDir = new Path(path, "_bloom")
+    if (fs.exists(bloomDir)) fs.delete(bloomDir, true)
+    writeBloomFile(spark.read.parquet(path).select("band", "bucket"), path, "compact")
+  }
+
+  /** [[compact]]'s corpus twin: collapse the per-batch corpus directories
+   *  into one merged seed batch with one file per `id_part` directory.
+   *  Same offline/single-writer contract; `_committed` markers survive. */
+  def compactCorpus(spark: SparkSession, path: String, idCol: String = "doc_id",
+      nParts: Int = 16): Unit = {
+    val fs = fsFor(spark, path)
+    val all = spark.read.parquet(path).drop("ingest_batch", "id_part")
+    val laid = withIdPart(all, idCol, nParts).repartition(nParts, col("id_part"))
+    val staging = new Path(path, "_compact_staging")
+    laid.write.partitionBy("id_part").mode("overwrite").parquet(staging.toString)
+    ensureReadableIfEmpty(laid, staging)
+    listBatchDirs(fs, path).foreach(d => fs.delete(d, true))
+    val target = new Path(path, s"ingest_batch=$SeedBatch")
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"compact rename $staging -> $target failed")
+  }
 }

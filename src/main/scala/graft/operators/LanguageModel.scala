@@ -59,7 +59,7 @@ object LanguageModel {
     // re-scanning the reference corpus a second time
     val biCnt = triCnt.groupBy(col("tri").substr(1, 2).as("bi"))
       .agg(sum(col("tc")).as("bc"))
-    trigrams(docs, textCol, idCol)
+    val out = trigrams(docs, textCol, idCol)
       .join(broadcast(triCnt), Seq("tri"), "left")
       .withColumn("bi", col("tri").substr(1, 2))
       .join(broadcast(biCnt), Seq("bi"), "left")
@@ -68,5 +68,8 @@ object LanguageModel {
           (coalesce(col("bc"), lit(0L)) + Alpha * V)))
       .groupBy(idCol)
       .agg(round(avg(col("logp")), 6).as("lm_score"), count(lit(1)).as("n_trigrams"))
+    // materialize the scores while the (≤37³-row) model is cached, then
+    // release it — the repo convention for operator-lifetime persists
+    Dedup.materializeThenFree(out, triCnt)
   }
 }

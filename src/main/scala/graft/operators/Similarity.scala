@@ -151,6 +151,14 @@ object Similarity {
     scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol)
   }
 
+  /** [[ivfTopK]] under a CALLER-SUPPLIED codebook (e.g. one produced by
+   *  [[ivfTrainKmeans]]/[[ivfRetrain]]) — the in-memory comparator for
+   *  at-rest probes of the same model. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, centroids: Seq[Seq[Float]],
+      k: Int, nProbe: Int, idCol: String, vecCol: String): DataFrame =
+    scoreProbeLists(ivfAssign(corpus, centroids, vecCol), probes, centroids,
+      k, nProbe, idCol, vecCol)
+
   /** Shared scoring tail of the in-memory and at-rest IVF paths: join the
    *  assigned corpus to the broadcast probe→list fan-out, score candidates,
    *  rank per probe. */
@@ -189,6 +197,86 @@ object Similarity {
       path: String, vecCol: String = "embedding"): Unit =
     ivfAssign(newVecs, centroids, vecCol)
       .write.partitionBy("list_id").mode("append").parquet(path)
+
+  /**
+   * Lloyd's k-means on the embedding column — the IVF (re-)training step.
+   * Deterministic init from [[ivfCodebook]]'s hash-ordered sample, then
+   * `iters` assign/average rounds: each round is one scan-local argmax
+   * (centroids inlined as literals, no join) plus one (nLists × dim)-row
+   * aggregate; only the codebook itself — nLists vectors — ever reaches
+   * the driver. Lists that collect no members keep their previous
+   * centroid.
+   */
+  def ivfTrainKmeans(corpus: DataFrame, nLists: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Float]] = {
+    var cb = ivfCodebook(corpus, nLists, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(corpus, cb, vecCol)
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("list_id", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .collect() // bounded: nLists x dim rows, the model itself
+        .groupBy(_.getInt(0))
+      cb = cb.zipWithIndex.map { case (old, j) =>
+        means.get(j).fold(old) { rows =>
+          val arr = new Array[Float](old.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+          arr.toSeq
+        }
+      }
+    }
+    cb
+  }
+
+  /** Stage a full partitioned rewrite next to `path`, then swap it in —
+   *  the shared tail of [[ivfCompactAtRest]]/[[ivfRetrain]]. OFFLINE
+   *  maintenance (quiesce writers and readers): the delete+rename swap is
+   *  not crash-atomic, but the staged data survives any crash at
+   *  `<path>__rewrite` for manual recovery. */
+  private def swapRewrite(assigned: DataFrame, path: String): Unit = {
+    val spark = assigned.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + "__rewrite")
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(staging.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(path)))
+      throw new IllegalStateException(s"rewrite rename $staging -> $path failed")
+  }
+
+  /** OFFLINE maintenance, [[graft.operators.DedupIndex.compact]]'s IVF
+   *  twin: collapse the per-append small files to one file per list
+   *  directory (one shuffle task per list). Assignments are untouched —
+   *  probes with the existing codebook see identical results. */
+  def ivfCompactAtRest(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val all = spark.read.parquet(path)
+    val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
+    swapRewrite(all.repartition(nLists, col("list_id")), path)
+  }
+
+  /**
+   * Re-train the at-rest IVF table's codebook and rewrite it — the
+   * maintenance pass for codebook DRIFT: appended mass assigned under a
+   * stale codebook crowds into few lists, so probes of the new region
+   * scan arbitrarily many rows (with a sampling/k-means codebook the
+   * drift cost is list CROWDING — probe recall survives, because a probe
+   * near its neighbor ranks lists the same way the neighbor's assignment
+   * did, but pruning efficiency collapses; SketchSpec measures exactly
+   * this). Reads the table once for k-means and once for the rewrite;
+   * returns the new codebook, which the CALLER must use for all future
+   * appends and probes — old-codebook probes against the rewritten table
+   * are silently mis-pruned.
+   */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
+      nLists: Int = 16, iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Float]] = {
+    val cur = spark.read.parquet(path).drop("list_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val cb = ivfTrainKmeans(cur, nLists, iters, idCol, vecCol)
+      swapRewrite(ivfAssign(cur, cb, vecCol).repartition(nLists, col("list_id")), path)
+      cb
+    } finally cur.unpersist(blocking = false)
+  }
 
   /**
    * Probe an at-rest IVF table: the probes' wanted lists (≤ nProbe ×

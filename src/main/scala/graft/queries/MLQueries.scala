@@ -324,9 +324,53 @@ object MLQueries {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 7 =!= 0)
         val batch = docs.filter(col("doc_id") % 7 === 0)
-        val idx = scratchDir("dedup_lsh_index") + "/index.parquet"
+        val root = scratchDir("dedup_lsh_index")
+        val idx = root + "/index.parquet"
+        val corp = root + "/corpus.parquet"
         DedupIndex.writeAtRest(corpus, idx)
-        DedupIndex.probe(s, idx, batch, corpus, threshold = 0.7)
+        DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
+        DedupIndex.probeAtRest(s, idx, batch, corp, threshold = 0.7)
+      }),
+
+    // Same ground truth as q_dedup_incremental, but the index is built the
+    // way a long-running ingest leaves it — seeded from HALF the corpus,
+    // the other half APPENDED, then COMPACTED (per-append files merged,
+    // cross-append bucket accretion dropped at rest, bloom sidecar
+    // collapsed) — before the partition-pruned probe runs. Proves the
+    // maintenance pass is invisible to query results.
+    Q("q_dedup_compact", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      )
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+                   / len(list_distinct(b.sh || c.sh)), 6) AS jaccard
+      FROM sh b JOIN sh c ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+      WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+            / len(list_distinct(b.sh || c.sh)) >= 0.7
+      ORDER BY batch_id, corpus_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val batch = docs.filter(col("doc_id") % 7 === 0)
+        val root = QueryScratch.fresh("dedup_compact")
+        val idx = root + "/index.parquet"
+        val corp = root + "/corpus.parquet"
+        DedupIndex.writeAtRest(corpus.filter(col("doc_id") % 2 === 0), idx)
+        DedupIndex.appendToIndex(corpus.filter(col("doc_id") % 2 =!= 0), idx)
+        DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
+        DedupIndex.compact(s, idx)
+        DedupIndex.compactCorpus(s, corp)
+        DedupIndex.probeAtRest(s, idx, batch, corp, threshold = 0.7)
       }),
 
     // The full ingest micro-batch, end to end: corpus (%3 <> 0) seeds the
@@ -374,9 +418,9 @@ object MLQueries {
         val root = QueryScratch.fresh("dedup_ingest")
         val idx = root + "/index.parquet"
         val corp = root + "/corpus.parquet"
-        corpus.select("doc_id", "text").write.parquet(corp)
+        DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
         DedupIndex.writeAtRest(corpus, idx)
-        DedupIndex.ingestBatch(batch.select("doc_id", "text"), idx, corp)
+        DedupIndex.ingestBatch(batch.select("doc_id", "text"), idx, corp, batchId = 0L)
         s.read.parquet(corp)
           .filter(col("doc_id") % 3 === 0)
           .select("doc_id")
@@ -528,6 +572,38 @@ object MLQueries {
         Similarity.ivfWriteAtRest(emb, centroids, out)
         val atRest = Similarity.ivfTopKAtRest(s, out, probes, centroids, k = 5)
         val inMem = Similarity.ivfTopK(emb, probes, k = 5)
+        val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
+        atRest.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      }),
+
+    // IVF MAINTENANCE end to end: seed at rest under a sampled codebook,
+    // append a mean-shifted drift batch under the SAME (stale) codebook,
+    // then ivfRetrain — k-means over the full table, partitioned rewrite,
+    // new codebook returned. Verdict: the retrained at-rest probe equals
+    // the in-memory scoring of the full corpus under the same new
+    // codebook — 5 probes × k=5 rows, zero mismatches (symmetric
+    // exceptAll). QueryScratch.fresh wipes the append-mode target per
+    // execution so bench re-runs don't accrete drift replicas.
+    Q("q_sim_ivf_retrain", Some("""
+      SELECT CAST(25 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val out = QueryScratch.fresh("ivf_retrain_q") + "/corpus.parquet"
+        val oldCb = Similarity.ivfCodebook(emb)
+        Similarity.ivfWriteAtRest(emb, oldCb, out)
+        val drift = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.5f) + lit(0.5f)).as("embedding"),
+          col("label"))
+        Similarity.ivfAppendAtRest(drift, oldCb, out)
+        val newCb = Similarity.ivfRetrain(s, out, nLists = 16, iters = 2)
+        val full = emb.select("vec_id", "embedding")
+          .unionByName(drift.select("vec_id", "embedding"))
+        val atRest = Similarity.ivfTopKAtRest(s, out, probes, newCb, k = 5)
+        val inMem = Similarity.ivfTopK(full, probes, newCb, k = 5, nProbe = 4,
+          idCol = "vec_id", vecCol = "embedding")
         val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
         atRest.agg(count(lit(1)).as("n_rows"))
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))

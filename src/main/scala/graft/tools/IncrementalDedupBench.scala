@@ -86,6 +86,10 @@ object IncrementalDedupBench {
       println(f"[incbench] corpus=$nCorpus%8d batch=$nBatch%5d " +
         f"full=${tFull}%6.2fs (${mbFull}%7.1fMB shuffle)  indexWrite=${tWrite}%6.2fs  " +
         f"probe=${tProbe}%6.2fs (${mbProbe}%7.1fMB shuffle)")
+      // replicated corpora are multi-GB at high replica counts: reclaim
+      // each iteration's temp dirs instead of stranding them in /tmp
+      Seq(new java.io.File(corpusDir), new java.io.File(idx).getParentFile)
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     }
 
     val docs = Tables.t(spark, sfDir, "documents")

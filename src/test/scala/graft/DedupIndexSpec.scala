@@ -6,13 +6,27 @@ import graft.operators.{Dedup, DedupIndex}
 import graft.queries.Tables
 
 /** The at-rest LSH dedup index: probe results equal the in-memory operator
- *  restricted to cross (batch x corpus) pairs, probes partition-prune, and
- *  the admit decision drops exactly the matched batch docs. */
+ *  restricted to cross (batch x corpus) pairs, probes partition-prune BOTH
+ *  the index scan and the candidate-text scan, the bloom sidecar
+ *  short-circuits no-hit batches, ingest publishes are exactly-once under
+ *  replay, and compaction is invisible to probe results. */
 class DedupIndexSpec extends SparkSpec {
 
   private lazy val docs = Tables.t(spark, "/root/testdata/sf0.01", "documents")
   private lazy val corpus = docs.filter(col("doc_id") % 7 =!= 0)
   private lazy val batch = docs.filter(col("doc_id") % 7 === 0)
+
+  /** FileSourceScans of the probe's own plan whose path matches `marker`,
+   *  recursing through InMemoryTableScan cached plans (the probe persists
+   *  its intermediates). */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan, marker: String)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+    case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(marker)) =>
+      Seq(f)
+    case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      scansOf(m.relation.cachedPlan, marker)
+  }.flatten
 
   test("probe equals nearDuplicates restricted to cross pairs") {
     val dir = tempDir("lsh_rest") + "/index.parquet"
@@ -31,34 +45,48 @@ class DedupIndexSpec extends SparkSpec {
     assert(atRest.nonEmpty) // the sf0.01 corpus has 9 true cross pairs
   }
 
-  test("a small batch's probe scan plans only its touched bucket_part partitions") {
-    val dir = tempDir("lsh_rest_prune") + "/index.parquet"
-    DedupIndex.writeAtRest(corpus, dir, nParts = 16)
-    val nWritten = spark.read.parquet(dir)
-      .select("bucket_part").distinct().count()
-    assert(nWritten == 16) // sf0.01 populates every partition
-    // one doc explodes to `bands` = 8 bucket keys → at most 8 of 16 parts
-    val oneDoc = batch.filter(col("doc_id") === 0)
-    // the probe persists its intermediates (and its result), so the index
-    // scan sits under InMemoryTableScan nodes — recurse through cachedPlan
-    // to reach the probe query's OWN FileSourceScan, not a hand-built twin
-    def indexScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toString.contains("index.parquet")) =>
-        Seq(f)
-      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        indexScans(m.relation.cachedPlan)
-    }.flatten
+  test("probeAtRest against the id-addressable corpus equals the in-memory probe") {
+    val root = tempDir("lsh_atrest_eq")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    DedupIndex.writeAtRest(corpus, idx)
+    DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
+    val inMem = DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val atRest = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(atRest == inMem && atRest.nonEmpty)
+  }
+
+  test("a small batch's probe prunes BOTH the index scan and the corpus-text scan") {
+    val root = tempDir("lsh_rest_prune")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    DedupIndex.writeAtRest(corpus, idx, nParts = 16)
+    DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp, nParts = 16)
+    val nIdxParts = spark.read.parquet(idx).select("bucket_part").distinct().count()
+    val nCorpParts = spark.read.parquet(corp).select("id_part").distinct().count()
+    assert(nIdxParts == 16 && nCorpParts == 16) // sf0.01 populates every partition
+    // a batch doc KNOWN to collide (bloom prefilter rightly skips no-hit
+    // docs): take the smallest batch_id the full probe reports
+    val hitId = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .select(min("batch_id")).head.getLong(0)
+    val oneDoc = batch.filter(col("doc_id") === hitId)
     spark.conf.set("spark.sql.adaptive.enabled", false)
-    val scan =
+    val (idxScan, corpScan) =
       try {
-        val q = DedupIndex.probe(spark, dir, oneDoc, corpus, threshold = 0.7)
-        q.collect() // the pruned probe executes cleanly
-        indexScans(q.queryExecution.executedPlan).head
+        val q = DedupIndex.probeAtRest(spark, idx, oneDoc, corp, threshold = 0.7)
+        assert(q.count() > 0) // the pruned probe finds the known pair(s)
+        (scansOf(q.queryExecution.executedPlan, "index.parquet").head,
+          scansOf(q.queryExecution.executedPlan, "corpus.parquet").head)
       } finally spark.conf.set("spark.sql.adaptive.enabled", true)
-    assert(scan.selectedPartitions.partitionCount <= 8,
-      s"planned ${scan.selectedPartitions.partitionCount} partitions, want <= 8 of 16")
+    // one doc explodes to `bands` = 8 bucket keys -> at most 8 of 16 parts
+    assert(idxScan.selectedPartitions.partitionCount <= 8,
+      s"index scan planned ${idxScan.selectedPartitions.partitionCount} partitions, want <= 8 of 16")
+    // its candidates are a handful of ids -> a strict subset of id_parts:
+    // the corpus-TEXT fetch must NOT scan the whole corpus
+    assert(corpScan.selectedPartitions.partitionCount < 16,
+      s"corpus scan planned ${corpScan.selectedPartitions.partitionCount} partitions, want < 16")
   }
 
   test("streaming ingest: micro-batches self-dedup, dedup against all prior batches, grow the index") {
@@ -96,6 +124,112 @@ class DedupIndexSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(idxIds === Set(1L, 2L, 11L))
     } finally q.stop()
+  }
+
+  test("ingestBatch with a batchId is exactly-once under full and partial replay") {
+    import spark.implicits._
+    val root = tempDir("lsh_replay")
+    val idxPath = s"$root/index.parquet"
+    val corpPath = s"$root/corpus.parquet"
+    def doc(n: Int) = (0 until 12).map(i => s"r${n}t$i").mkString(" ")
+    val b0 = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    val n0 = DedupIndex.ingestBatch(b0, idxPath, corpPath, batchId = 0L)
+    assert(n0 === 2L)
+    // FULL replay (foreachBatch redelivery after the commit): marker
+    // short-circuits — same count back, no duplicate rows or keys
+    assert(DedupIndex.ingestBatch(b0, idxPath, corpPath, batchId = 0L) === 2L)
+    assert(spark.read.parquet(corpPath).count() === 2L)
+    assert(spark.read.parquet(idxPath).select("id").distinct().count() === 2L)
+    assert(spark.read.parquet(idxPath).count() === 2L * 8) // bands keys per doc, ONCE
+    // PARTIAL replay: batch 1 publishes its index dir but "crashes" before
+    // the corpus publish + marker (simulated by deleting both)
+    val b1 = Seq((10L, doc(3)), (11L, doc(1))).toDF("doc_id", "text") // 11 dups doc 1
+    assert(DedupIndex.ingestBatch(b1, idxPath, corpPath, batchId = 1L) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(corpPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(corpPath, "ingest_batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(corpPath, "_committed/batch-1"), false)
+    assert(DedupIndex.ingestBatch(b1, idxPath, corpPath, batchId = 1L) === 1L)
+    val corpIds = spark.read.parquet(corpPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpIds === Seq(1L, 2L, 10L)) // each exactly once, 11 dropped
+    assert(spark.read.parquet(idxPath).count() === 3L * 8) // no duplicate keys
+  }
+
+  test("compaction merges files, drops accreted buckets at rest, and leaves probe results unchanged") {
+    val root = tempDir("lsh_compact")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    // seed half the corpus, append the other half: two file-sets per
+    // touched partition, and any bucket straddling the split is capped
+    // only per-write
+    DedupIndex.writeAtRest(corpus.filter(col("doc_id") % 2 === 0), idx)
+    DedupIndex.appendToIndex(corpus.filter(col("doc_id") % 2 =!= 0), idx)
+    DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
+    val before = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def dataFiles(p: String): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet") && !f.contains("/_")) buf += f
+      }
+      buf.toSeq
+    }
+    val filesBefore = dataFiles(idx).size
+    val rowsBefore = spark.read.parquet(idx).count()
+    DedupIndex.compact(spark, idx)
+    DedupIndex.compactCorpus(spark, corp)
+    val filesAfter = dataFiles(idx).size
+    assert(filesAfter < filesBefore, s"$filesAfter files after vs $filesBefore before")
+    assert(filesAfter <= 16) // one file per bucket_part directory
+    assert(spark.read.parquet(idx).count() === rowsBefore) // nothing over the cap here
+    // at rest, every bucket is within the cap: the probe-side re-cap is a no-op
+    val maxAtRest = spark.read.parquet(idx).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).select(max("n")).head.getLong(0)
+    assert(maxAtRest <= 1000)
+    // one merged bloom file replaces the per-write accretion
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(idx, "_bloom")).length === 1)
+    val after = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === before && after.nonEmpty)
+  }
+
+  test("compaction drops a bucket accreted past maxBucket across appends") {
+    import spark.implicits._
+    val root = tempDir("lsh_compact_cap")
+    val idx = s"$root/index.parquet"
+    val txt = (0 until 12).map(i => s"cap$i").mkString(" ") // one shared bucket set
+    def clones(ids: Range) = ids.map(i => (i.toLong, txt)).toDF("doc_id", "text")
+    // per-write cap 4 holds (3 each), but the bucket accretes to 6 at rest
+    DedupIndex.writeAtRest(clones(0 until 3), idx, maxBucket = 4)
+    DedupIndex.appendToIndex(clones(10 until 13), idx, maxBucket = 4)
+    assert(spark.read.parquet(idx).groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).select(max("n")).head.getLong(0) === 6L)
+    DedupIndex.compact(spark, idx, maxBucket = 4)
+    assert(spark.read.parquet(idx).count() === 0L) // every bucket was degenerate
+  }
+
+  test("a no-hit batch short-circuits on the bloom sidecar without reading the index") {
+    import spark.implicits._
+    val dir = tempDir("lsh_bloom") + "/index.parquet"
+    DedupIndex.writeAtRest(corpus, dir)
+    // novel text shares no (band, bucket) with the index
+    val novel = Seq((900001L, (0 until 15).map(i => s"zq${i}xw").mkString(" ")))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    try {
+      val out = DedupIndex.probe(spark, dir, novel, corpus, threshold = 0.7)
+      assert(out.columns.toSeq === Seq("batch_id", "corpus_id", "jaccard"))
+      assert(out.count() === 0L)
+      // short-circuited: the result plan never scanned the index
+      assert(scansOf(out.queryExecution.executedPlan, "index.parquet").isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", true)
   }
 
   test("an empty batch probes to an empty result without reading the index") {

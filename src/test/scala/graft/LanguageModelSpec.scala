@@ -44,8 +44,14 @@ class LanguageModelSpec extends SparkSpec {
       try LanguageModel.scoreDocs(docs, docs.filter(col("doc_id") % 3 === 0))
         .queryExecution.executedPlan
       finally spark.conf.set("spark.sql.adaptive.enabled", true)
+    // the operator returns its result persisted (materializeThenFree), so
+    // the join plan sits under an InMemoryTableScan — recurse into it
     def count(p: org.apache.spark.sql.execution.SparkPlan, pred: Any => Boolean): Int =
-      p.collect { case n if pred(n) => 1 }.sum
+      p.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          count(m.relation.cachedPlan, pred)
+        case n if pred(n) => 1
+      }.sum
     val bhj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
     val smj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
     val shj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])

@@ -199,6 +199,91 @@ class SketchSpec extends SparkSpec {
     assert(ids.head === 1000007L, s"planted arrival should rank 1st, got ${ids.toSeq}")
   }
 
+  test("ivfCompactAtRest: per-append files collapse to one per list, probe results identical") {
+    val dir = tempDir("ivf_compact") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    Similarity.ivfWriteAtRest(emb, centroids, dir)
+    // three appends: each touched list directory accretes another file-set
+    (1 to 3).foreach { r =>
+      val arrivals = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + r * 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.0f + r * 0.001f)).as("embedding"),
+          col("label"))
+      Similarity.ivfAppendAtRest(arrivals, centroids, dir)
+    }
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    def files(): Int = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = Similarity.ivfTopKAtRest(spark, dir, probe, centroids, k = 5, nProbe = 2)
+      .collect().toSeq
+    val filesBefore = files()
+    Similarity.ivfCompactAtRest(spark, dir)
+    val filesAfter = files()
+    assert(filesAfter < filesBefore, s"$filesAfter files after vs $filesBefore")
+    assert(filesAfter <= 8) // one file per list directory
+    val after = Similarity.ivfTopKAtRest(spark, dir, probe, centroids, k = 5, nProbe = 2)
+      .collect().toSeq
+    assert(after === before && after.nonEmpty)
+  }
+
+  test("ivfRetrain: crowded drift mass re-spreads — probe scan shrinks, planted recall survives") {
+    // Codebook drift with a sampling/k-means codebook costs list CROWDING,
+    // not recall (a probe near its neighbor ranks lists exactly as the
+    // neighbor's assignment did): append 10x mass in a region the original
+    // codebook never saw, and the new region crowds into few stale lists —
+    // probes there scan ~the whole appended mass. Retraining re-spreads it.
+    val dir = tempDir("ivf_retrain") + "/corpus"
+    val oldCb = Similarity.ivfTrainKmeans(emb, nLists = 16, iters = 2)
+    Similarity.ivfWriteAtRest(emb, oldCb, dir)
+    val nBase = emb.count()
+    // 10x drift mass: mean-shifted well away from the base distribution,
+    // angular diversity retained (deterministic per-replica scaling)
+    def driftVec(r: Int) = transform(col("embedding"),
+      x => x * lit(0.45f + 0.01f * r) + lit(0.5f))
+    (0 until 10).foreach { r =>
+      Similarity.ivfAppendAtRest(
+        emb.select((col("vec_id") + (r + 1) * 1000000L).as("vec_id"),
+          driftVec(r).as("embedding"), col("label")),
+        oldCb, dir)
+    }
+    // probe: a near-copy of drift replica r=2 of base vec 3 (vec_id
+    // 3000003) — its planted nearest neighbor at cosine ~1.0
+    val probe = emb.filter(col("vec_id") === 3)
+      .select(lit(99000003L).as("probe_id"),
+        transform(driftVec(2), x => x * lit(1.001f)).as("probe_vec"))
+    def scannedRows(cb: Seq[Seq[Float]]): Long = {
+      val wanted = Similarity.ivfProbeLists(probe, cb, nProbe = 2)
+        .select("list_id").distinct().collect().map(_.getInt(0)).toSeq
+      spark.read.parquet(dir).filter(col("list_id").isin(wanted: _*)).count()
+    }
+    def top1(cb: Seq[Seq[Float]]): Long =
+      Similarity.ivfTopKAtRest(spark, dir, probe, cb, k = 1, nProbe = 2)
+        .collect().head.getLong(1)
+    def maxList(): Long = spark.read.parquet(dir).groupBy("list_id")
+      .agg(count(lit(1)).as("n")).select(max("n")).head.getLong(0)
+    val scannedBefore = scannedRows(oldCb)
+    val maxBefore = maxList()
+    assert(maxBefore >= 2 * nBase,
+      s"drift mass should crowd stale lists: max list $maxBefore of ${11 * nBase} rows")
+    assert(top1(oldCb) === 3000003L)
+    val newCb = Similarity.ivfRetrain(spark, dir, nLists = 16, iters = 3)
+    val scannedAfter = scannedRows(newCb)
+    val maxAfter = maxList()
+    assert(maxAfter * 2 <= maxBefore,
+      s"retrain should re-balance lists: max $maxAfter vs $maxBefore")
+    assert(scannedAfter < scannedBefore,
+      s"probe scan should shrink: $scannedAfter vs $scannedBefore")
+    // recall is not what drift degrades here — and retraining keeps it
+    assert(top1(newCb) === 3000003L)
+  }
+
   test("nearDupGroups: chains, multiple components, singleton pairs converge to min labels") {
     import spark.implicits._
     // component A: a 5-long CHAIN 10-11-12-13-14 (diameter 4 forces several
