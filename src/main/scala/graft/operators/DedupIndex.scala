@@ -133,11 +133,14 @@ object DedupIndex {
    *  correctness-breaking false negative). Probes test the batch's keys
    *  against every sidecar bloom and skip the index scan when none might
    *  match; [[compact]] collapses the accreted files into one. */
-  private def writeBloomFile(keys: DataFrame, indexRoot: String, tag: String): Unit = {
+  private def writeBloomFile(keys: DataFrame, indexRoot: String, tag: String,
+      estimatedKeys: Long = -1L): Unit = {
     val hashed = keys.select(xxhash64(col("band"), col("bucket")).as("k")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      val est = math.max(hashed.count(), 1L)
+      // a caller-known upper bound (e.g. admitted-rows × bands) skips the
+      // count job — an overestimate only lowers the false-positive rate
+      val est = if (estimatedKeys > 0) estimatedKeys else math.max(hashed.count(), 1L)
       val bin = hashed.agg(SketchFunctions.bloom_agg(col("k"), est))
         .head.getAs[Array[Byte]](0)
       // zero keys (an index compacted to empty) -> no bloom; probes fall
@@ -439,7 +442,7 @@ object DedupIndex {
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       if (batchId >= 0) {
         // bloom before data: committed keys must always be bloom-covered
-        writeBloomFile(keys, indexPath, s"b$batchId")
+        writeBloomFile(keys, indexPath, s"b$batchId", estimatedKeys = n * bands)
         publishBatchDir(keys, indexPath, "bucket_part", batchId)
         publishBatchDir(withIdPart(admitted, idCol, corpusParts), corpusPath,
           "id_part", batchId)
