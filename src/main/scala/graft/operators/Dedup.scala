@@ -285,6 +285,35 @@ object Dedup {
   }
 
   /**
+   * Cluster-representative selection by QUALITY, not id: production
+   * pipelines keep the BEST member of each near-dup cluster (longest,
+   * highest LM score, freshest crawl), not the minimum id. Components
+   * come from [[nearDupGroups]] over the verified `pairs`; within each,
+   * the kept doc maximizes `scoreCol`, ties broken by smallest id
+   * (deterministic). Returns `(doc_id, canonical_id, keep_id)` for every
+   * CLUSTERED doc — downstream keeps rows with `doc_id = keep_id` plus
+   * all unclustered singletons.
+   *
+   * Plan shape: the component labels join doc scores on the id key, and
+   * the per-cluster argmax is one window over `canonical_id` — clusters
+   * are tiny by construction (bucket caps bound them), so the window
+   * partition never skews; nothing here touches text or the full corpus
+   * beyond the single score-column join.
+   */
+  def nearDupKeepBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val groups = nearDupGroups(pairs)
+    val scored = groups.join(
+      docs.select(col(idCol).as("doc_id"), col(scoreCol).as("_score")), "doc_id")
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col("_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored.withColumn("keep_id", first(col("doc_id")).over(w))
+      .select("doc_id", "canonical_id", "keep_id")
+      .orderBy("doc_id")
+  }
+
+  /**
    * STREAMING MinHash-LSH near-duplicate candidates — ingest-time dedup for
    * a document firehose (`readStream` → this → route/drop), the streaming
    * twin of [[minhashCandidates]] built on `flatMapGroupsWithState`.

@@ -297,6 +297,93 @@ object Similarity {
   }
 
   /**
+   * One micro-batch of a VECTOR ingest loop over the at-rest IVF table —
+   * the embedding twin of [[graft.operators.DedupIndex.ingestBatch]]:
+   * an arrival drops when a near-duplicate (cosine ≥ `threshold`)
+   * already exists in the table, probing ONLY the arrival's `nProbe`
+   * nearest lists (a static IN partition filter, batch-proportional
+   * I/O), or earlier in the batch (exact all-pairs within the
+   * micro-batch via a broadcast non-equi self-join — batch² is the
+   * micro-batch regime, and exactness here avoids the LSH recall caveat
+   * entirely; the greedy rule drops the strictly-LARGER member of any
+   * pair). Survivors append under the EXISTING codebook. Returns the
+   * admitted count.
+   *
+   * Delivery: the append is at-least-once under external retries, but
+   * the admit decision is CONTENT-idempotent — a replayed batch's
+   * vectors find their previously-appended copies at cosine ~1.0 ≥
+   * threshold (same-id matches included by design: an at-rest row under
+   * the arrival's own id IS "already ingested") and drop, so the table
+   * converges to the same rows without commit markers; a replay whose
+   * first append never became visible simply re-admits.
+   *
+   * Recall caveat (cross-probe only): a true near-dup in a list outside
+   * the arrival's nProbe nearest can be missed — but near-duplicates
+   * rank lists almost identically to their twins, the regime this check
+   * exists for; SketchSpec exercises it with planted copies.
+   */
+  def ivfIngestBatch(newVecs: DataFrame, centroids: Seq[Seq[Float]], path: String,
+      threshold: Double = 0.95, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val spark = newVecs.sparkSession
+    val b = newVecs.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val lhs = b.select(col(idCol).as("_ia"), col(vecCol).as("_va"))
+    val rhs = b.select(col(idCol).as("_ib"), col(vecCol).as("_vb"))
+    val inDrop = lhs.join(broadcast(rhs), col("_ia") < col("_ib"))
+      .filter(cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("_ib").as(idCol)).distinct()
+    val hasTable = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("list_id="))
+    }
+    val crossDrop =
+      if (hasTable) {
+        val probes = b.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+        val probeLists = ivfProbeLists(probes, centroids, nProbe)
+        // bounded collect over the MODEL's keyspace (≤ nLists), the same
+        // static-IN pruning as ivfTopKAtRest
+        val wanted = probeLists.select("list_id").distinct()
+          .collect().map(_.getInt(0)).sorted
+        // no same-id exclusion here (unlike the pair-REPORTING probes):
+        // an arrival matching an at-rest row under its own id IS "already
+        // ingested" — dropping it is what makes replays content-idempotent
+        spark.read.parquet(path)
+          .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
+          .join(broadcast(probeLists), "list_id")
+          .filter(cosine(col("probe_vec"), col(vecCol)) >= threshold)
+          .select(col("probe_id").as(idCol)).distinct()
+      } else
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          b.select(col(idCol)).schema)
+    val admitted = b.join(inDrop.unionByName(crossDrop).distinct(), Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val n = admitted.count()
+    if (n > 0) ivfAppendAtRest(admitted, centroids, path, vecCol)
+    admitted.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+    n
+  }
+
+  /** The streaming wrapper, mirroring
+   *  [[graft.operators.DedupIndex.ingestStream]]: every micro-batch of
+   *  `vecs` flows through [[ivfIngestBatch]]; durable state is the
+   *  at-rest IVF table itself. The codebook is fixed for the stream's
+   *  lifetime — re-train offline with [[ivfRetrain]] and restart. */
+  def ivfIngestStream(vecs: DataFrame, centroids: Seq[Seq[Float]], path: String,
+      checkpointPath: String, threshold: Double = 0.95, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        ivfIngestBatch(b, centroids, path, threshold, nProbe, idCol, vecCol)
+        ()
+      }
+      .start()
+
+  /**
    * Embedding near-duplicate pairs via BANDED sign-LSH + cosine threshold.
    *
    * `tables` independent signatures of `planesPerTable` bits each (the same

@@ -293,6 +293,54 @@ object MLQueries {
           Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.7))
         .orderBy("doc_id")),
 
+    // Quality-aware representative selection: within each near-dup
+    // cluster keep the doc with the most characters (tie → smallest id) —
+    // what a production dedup actually keeps, vs q_dedup_groups' min-id
+    // canonical. DuckDB recomputes clusters from the exact all-pairs
+    // Jaccard (RECURSIVE closure) and picks keepers with the same window.
+    Q("q_dedup_keep_best", Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand
+      ), closure(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT c.s, e.d FROM closure c JOIN edges e ON c.d = e.s
+      ), groups AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+        FROM closure GROUP BY s
+      ), ranked AS (
+        SELECT g.doc_id, g.canonical_id, d.n_chars,
+               row_number() OVER (PARTITION BY g.canonical_id
+                                  ORDER BY d.n_chars DESC, g.doc_id) AS rn
+        FROM groups g JOIN documents d USING (doc_id)
+      )
+      SELECT r.doc_id, r.canonical_id, k.doc_id AS keep_id
+      FROM ranked r
+      JOIN ranked k ON k.canonical_id = r.canonical_id AND k.rn = 1
+      ORDER BY r.doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.nearDupKeepBest(docs,
+          Dedup.nearDuplicates(docs, threshold = 0.7), "n_chars")
+      }),
+
     // Incremental dedup against the at-rest LSH index: the corpus (doc_id
     // % 7 <> 0) is signed and written ONCE, then the arriving batch (% 7
     // = 0) probes only its touched bucket_part partitions and verifies
@@ -607,6 +655,67 @@ object MLQueries {
         val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
         atRest.agg(count(lit(1)).as("n_rows"))
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      }),
+
+    // The VECTOR ingest micro-batch end to end (the embedding twin of
+    // q_dedup_ingest): the corpus seeds the at-rest IVF table, then
+    // ivfIngestBatch runs the real loop on a planted batch — 10
+    // near-copies of corpus vectors (x*1.001f, cosine ~1.0 -> cross-probe
+    // drop), 10 mean-shifted novels (x*0.9f + 0.1f: max 0.79 vs corpus,
+    // 0.66 in-batch — all admit), and 2 in-batch plants (copies of two
+    // novels at larger ids -> greedy in-batch drop). DuckDB recomputes
+    // BOTH drop rules from exact cosines over the same float32-transformed
+    // vectors; every decision sits >= 0.03 from the 0.95 threshold, so
+    // engine float noise cannot flip it. QueryScratch.fresh wipes the
+    // append-mode table per execution.
+    Q("q_sim_ivf_ingest", Some("""
+      WITH corp AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), batch AS (
+        SELECT vec_id + 2000 AS bid,
+               CAST(list_transform(embedding, x -> x * CAST(1.001 AS FLOAT)) AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 10
+        UNION ALL
+        SELECT vec_id + 1000,
+               CAST(list_transform(embedding, x -> x * CAST(0.9 AS FLOAT) + CAST(0.1 AS FLOAT)) AS DOUBLE[])
+        FROM embeddings WHERE vec_id >= 50 AND vec_id < 60
+        UNION ALL
+        SELECT vec_id + 5000,
+               CAST(list_transform(list_transform(embedding, x -> x * CAST(0.9 AS FLOAT) + CAST(0.1 AS FLOAT)),
+                 y -> CAST(y AS FLOAT) * CAST(1.002 AS FLOAT)) AS DOUBLE[])
+        FROM embeddings WHERE vec_id >= 50 AND vec_id < 52
+      ), in_drop AS (
+        SELECT DISTINCT b.bid FROM batch a JOIN batch b ON a.bid < b.bid
+        WHERE list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.95
+      ), cross_drop AS (
+        SELECT DISTINCT b.bid FROM batch b JOIN corp c
+          ON list_inner_product(b.v, c.v)
+             / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(c.v, c.v))) >= 0.95
+      )
+      SELECT bid AS vec_id FROM batch
+      WHERE bid NOT IN (SELECT bid FROM in_drop)
+        AND bid NOT IN (SELECT bid FROM cross_drop)
+      ORDER BY vec_id"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val out = QueryScratch.fresh("ivf_ingest_q") + "/corpus.parquet"
+        val cb = Similarity.ivfCodebook(emb)
+        Similarity.ivfWriteAtRest(emb.select("vec_id", "embedding"), cb, out)
+        val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+          .select((col("vec_id") + 1000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.9f) + lit(0.1f)).as("embedding"))
+        val batch = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 2000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+          .unionByName(novel)
+          .unionByName(novel.filter(col("vec_id") < 1052)
+            .select((col("vec_id") + 4000L).as("vec_id"),
+              transform(col("embedding"), y => y * lit(1.002f)).as("embedding")))
+        Similarity.ivfIngestBatch(batch, cb, out, threshold = 0.95)
+        s.read.parquet(out)
+          .filter(col("vec_id") >= 1000L)
+          .select("vec_id").orderBy("vec_id")
       }),
 
     // Literal-VALUES oracle (the zarr-fixture pattern): the whole pipeline —

@@ -284,6 +284,33 @@ class SketchSpec extends SparkSpec {
     assert(top1(newCb) === 3000003L)
   }
 
+  test("ivfIngestBatch: cross-probe and in-batch drops, append visible, replay content-idempotent") {
+    val dir = tempDir("ivf_ingest") + "/corpus"
+    val cb = Similarity.ivfCodebook(emb, nLists = 16)
+    Similarity.ivfWriteAtRest(emb.select("vec_id", "embedding"), cb, dir)
+    val nSeed = spark.read.parquet(dir).count()
+    val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9f) + lit(0.1f)).as("embedding"))
+    val batch = emb.filter(col("vec_id") < 10) // near-copies: cross-probe drop
+      .select((col("vec_id") + 2000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      .unionByName(novel) // mean-shifted: all admit (max 0.79 vs corpus)
+      .unionByName(novel.filter(col("vec_id") < 1052) // in-batch plants: greedy drop
+        .select((col("vec_id") + 4000L).as("vec_id"),
+          transform(col("embedding"), y => y * lit(1.002f)).as("embedding")))
+    val n1 = Similarity.ivfIngestBatch(batch, cb, dir, threshold = 0.95)
+    assert(n1 === 10L) // exactly the 10 novels
+    val admitted = spark.read.parquet(dir).filter(col("vec_id") >= 1000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(admitted === (1050L to 1059L).toSet)
+    // replay the whole batch: every member now has a near-dup at rest
+    // (its own appended copy for the novels) -> nothing re-admits
+    val n2 = Similarity.ivfIngestBatch(batch, cb, dir, threshold = 0.95)
+    assert(n2 === 0L, s"replay admitted $n2")
+    assert(spark.read.parquet(dir).count() === nSeed + 10L)
+  }
+
   test("nearDupGroups: chains, multiple components, singleton pairs converge to min labels") {
     import spark.implicits._
     // component A: a 5-long CHAIN 10-11-12-13-14 (diameter 4 forces several
@@ -299,6 +326,22 @@ class SketchSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L,
       30L -> 30L, 31L -> 30L))
+  }
+
+  test("nearDupKeepBest: highest score wins the cluster, ties break to smallest id") {
+    import spark.implicits._
+    // chain component {10,11,12} (11 scores highest) and pair {20,21}
+    // (tied scores -> smallest id keeps)
+    val pairs = Seq((10L, 11L, 0.9), (11L, 12L, 0.9), (20L, 21L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val docs = Seq((10L, 100L), (11L, 500L), (12L, 300L), (20L, 70L), (21L, 70L),
+        (99L, 9999L)) // singleton: not clustered, must not appear
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.nearDupKeepBest(docs, pairs, "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (10L, 10L, 11L), (11L, 10L, 11L), (12L, 10L, 11L),
+      (20L, 20L, 20L), (21L, 20L, 20L)))
   }
 
   test("exact dedup: planted exact copies found with correct canonical id") {
