@@ -328,6 +328,70 @@ object Corpus {
   val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val UrlRe = "(?i)https?://[^\\s]+"
 
+  /**
+   * Train a byte-pair-encoding merge table (Sennrich et al. 2016, the
+   * word-frequency formulation — the tokenizer-training step of a data
+   * pipeline): the corpus is scanned ONCE to build the word-frequency
+   * table, and every merge round then runs on that table alone — explode
+   * adjacent symbol pairs weighted by word count, pick the most frequent
+   * pair (ties: lexicographically smallest), rewrite the symbol arrays
+   * with the merge applied greedily left-to-right. Only the winning pair
+   * — ONE row — reaches the driver per round; stops early when no
+   * adjacent pair remains.
+   *
+   * Returns `(rank, left, right, merged, pair_count)`, rank 1 first.
+   * Words carry the standard `</w>` end-of-word marker so word-final
+   * subwords can differ from word-internal ones.
+   *
+   * 100 TB shape: the corpus cost is one token groupBy (shuffles one
+   * row per distinct word); the iterative half touches only the vocab
+   * table, frequency-capped at `maxVocab` against unbounded word tails
+   * and localCheckpointed per round so plans don't nest (the
+   * [[Dedup.nearDupGroups]] lesson). The per-round argmax is a 1-row
+   * driver collect of the MODEL, never data.
+   */
+  def trainBpe(docs: DataFrame, textCol: String = "text", numMerges: Int = 30,
+      maxVocab: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    def mergeSym(sym: org.apache.spark.sql.Column, a: String, b: String) =
+      aggregate(sym, typedLit(Seq.empty[String]), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("w")).limit(maxVocab)
+      .select(col("wc"), concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    var rank = 1
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab.filter(size(col("sym")) >= 2)
+        .select(col("wc"),
+          explode(transform(sequence(lit(1), size(col("sym")) - 1), j =>
+            struct(element_at(col("sym"), j).as("a"),
+              element_at(col("sym"), j + lit(1)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, a + b, n))
+        vocab = vocab.select(col("wc"), mergeSym(col("sym"), a, b).as("sym"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+      .select(col("rank").cast("bigint"), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+      .orderBy("rank")
+  }
+
   /** PII scrubbing: replace emails then URLs with typed placeholders and
    *  count what was redacted (the audit trail a compliance pass needs).
    *  Pure regexp_replace/regexp_count — codegen'd, scan-local. */

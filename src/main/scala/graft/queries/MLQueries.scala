@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, DedupIndex, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, DedupIndex, Multimodal, Similarity}
 
 /**
  * Training-data pipeline surface: text analysis, dedup, similarity search,
@@ -656,6 +656,30 @@ object MLQueries {
         atRest.agg(count(lit(1)).as("n_rows"))
           .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
       }),
+
+    // Tokenizer training: the BPE merge table (Sennrich-style word-
+    // frequency formulation — one corpus scan builds the vocab, then 20
+    // argmax/rewrite rounds over the vocab alone). Deterministic (ties
+    // break lexicographically), so the full sf0.01 merge table is pinned
+    // as a literal-VALUES oracle (FingerprintOracle pattern; regenerate
+    // with `tools.DumpBpe`).
+    Q("q_text_bpe", Some("""
+      SELECT CAST(c0 AS BIGINT) AS rank, c1 AS "left", c2 AS "right",
+             c3 AS merged, CAST(c4 AS BIGINT) AS pair_count
+      FROM (VALUES
+        (1, 'e', 'r', 'er', 4568),(2, 'e', '</w>', 'e</w>', 4473),
+        (3, 'n', '</w>', 'n</w>', 2834),(4, 'er', '</w>', 'er</w>', 2779),
+        (5, 'o', 'w', 'ow', 2747),(6, 'ow', '</w>', 'ow</w>', 2747),
+        (7, 'o', 'r', 'or', 2696),(8, 's', 't', 'st', 2676),
+        (9, 'h', '</w>', 'h</w>', 1884),(10, 'a', 't', 'at', 1845),
+        (11, 'l', 'u', 'lu', 1831),(12, 'i', 'n', 'in', 1796),
+        (13, 'a', '</w>', 'a</w>', 1788),(14, 'g', '</w>', 'g</w>', 1777),
+        (15, 'y', '</w>', 'y</w>', 1767),(16, 'a', 'r', 'ar', 1758),
+        (17, 'p', 'ar', 'par', 1758),(18, 't', '</w>', 't</w>', 1750),
+        (19, 'i', 'n</w>', 'in</w>', 964),(20, 'j', 'o', 'jo', 964))
+        AS v(c0, c1, c2, c3, c4)
+      ORDER BY rank"""),
+      (s, dir) => Corpus.trainBpe(t(s, dir, "documents"), numMerges = 20)),
 
     // The VECTOR ingest micro-batch end to end (the embedding twin of
     // q_dedup_ingest): the corpus seeds the at-rest IVF table, then

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerate q_text_bpe's pinned oracle: prints the merge table of
+  * `Corpus.trainBpe(documents, numMerges=20)` at the given sfDir as SQL
+  * VALUES rows. `runMain graft.tools.DumpBpe [sfDir]`. */
+object DumpBpe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.queries.Tables.t(spark, sfDir, "documents")
+    val rows = graft.operators.Corpus.trainBpe(docs, numMerges = 20).collect()
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    println("[bpe] " + rows.map(r =>
+      s"(${r.getLong(0)}, ${q(r.getString(1))}, ${q(r.getString(2))}, " +
+        s"${q(r.getString(3))}, ${r.getLong(4)})").mkString(","))
+    spark.stop()
+  }
+}

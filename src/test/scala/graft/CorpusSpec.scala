@@ -287,6 +287,37 @@ class CorpusSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("trainBpe: hand-computed merge sequence, lexicographic tie-break, early stop") {
+    import spark.implicits._
+    // words: ab ×3, abc ×2 → syms [a,b,</w>] wc3, [a,b,c,</w>] wc2
+    // pairs: (a,b)=5, (b,</w>)=3, (b,c)=2, (c,</w>)=2     → merge 1: (a,b,5)
+    // then [ab,</w>]/[ab,c,</w>]: (ab,</w>)=3, (ab,c)=2, (c,</w>)=2 → merge 2
+    // then [ab</w>]/[ab,c,</w>]: (ab,c)=2 TIES (c,</w>)=2 → lexicographic:
+    // "ab" < "c" → merge 3 = (ab,c,2); merge 4 = (abc,</w>,2); then no
+    // pair remains → early stop despite numMerges=10
+    val docs = Seq("ab ab", "ab abc", "abc").toDF("text")
+    val got = Corpus.trainBpe(docs, numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      (1L, "a", "b", "ab", 5L),
+      (2L, "ab", "</w>", "ab</w>", 3L),
+      (3L, "ab", "c", "abc", 2L),
+      (4L, "abc", "</w>", "abc</w>", 2L)))
+  }
+
+  test("trainBpe: greedy left-to-right non-overlapping merge inside a run") {
+    import spark.implicits._
+    // one word "aaaa" = [a,a,a,a,</w>]: (a,a) counts 3 adjacent positions;
+    // the merge must yield non-overlapping [aa, aa, </w>] — then round 2
+    // ties (aa,aa)=(aa,</w>)=1 and "</w>" < "aa" lexicographically, so the
+    // full sequence pins both the greedy rewrite and the tie-break
+    val docs = Seq("aaaa").toDF("text")
+    val got = Corpus.trainBpe(docs, numMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got === Seq((1L, "a", "a", 3L), (2L, "aa", "</w>", 1L), (3L, "aa", "aa</w>", 1L)))
+  }
+
   test("removeRepeatedSpans drops cross-doc spans, keeps within-doc repetition") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
