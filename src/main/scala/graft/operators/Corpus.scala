@@ -350,18 +350,25 @@ object Corpus {
    * [[Dedup.nearDupGroups]] lesson). The per-round argmax is a 1-row
    * driver collect of the MODEL, never data.
    */
+  /** One greedy left-to-right application of merge (a, b) to a symbol
+   *  array — the shared rewrite of BPE training and encoding. */
+  private def mergeSym(sym: org.apache.spark.sql.Column, a: String, b: String) =
+    aggregate(sym, typedLit(Seq.empty[String]), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** A word's initial BPE symbols: characters plus the `</w>` marker. */
+  private def initialSym(word: org.apache.spark.sql.Column) =
+    concat(split(word, ""), array(lit("</w>")))
+
   def trainBpe(docs: DataFrame, textCol: String = "text", numMerges: Int = 30,
       maxVocab: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
-    def mergeSym(sym: org.apache.spark.sql.Column, a: String, b: String) =
-      aggregate(sym, typedLit(Seq.empty[String]), (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
     var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .orderBy(col("wc").desc, col("w")).limit(maxVocab)
-      .select(col("wc"), concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
+      .select(col("wc"), initialSym(col("w")).as("sym"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -390,6 +397,33 @@ object Corpus {
       .select(col("rank").cast("bigint"), col("left"), col("right"),
         col("merged"), col("pair_count"))
       .orderBy("rank")
+  }
+
+  /**
+   * ENCODE with a trained merge table — the inference half of
+   * [[trainBpe]]: each word becomes its subword sequence by applying the
+   * merges in RANK ORDER, each greedily left-to-right (the exact
+   * training contract, so encoding the training corpus reproduces the
+   * training-time symbol states). Returns per-document REAL subword
+   * counts `(idCol, n_subwords)` — the number a data-mixing budget
+   * actually needs, vs the `tokenCountBpeish` proxy.
+   *
+   * Scan-local: the merge table is inlined as a fixed expression chain
+   * (one fold per merge), so there is no join, no shuffle, no state —
+   * a document's cost is O(merges × word length) and the operator
+   * pipelines inside the scan at any corpus size. Word caching (encode
+   * each DISTINCT word once, join back) is the alternative when the
+   * merge table is large; at the tens-of-merges scale the inline chain
+   * wins by staying shuffle-free.
+   */
+  def bpeEncodeCounts(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val encodedLen: Column => Column = w =>
+      size(merges.foldLeft(initialSym(w)) { case (sym, (a, b)) => mergeSym(sym, a, b) })
+    docs.select(col(idCol),
+        aggregate(transform(tokens(col(textCol)), encodedLen), lit(0),
+          (acc, x) => acc + x).cast("bigint").as("n_subwords"))
+      .orderBy(idCol)
   }
 
   /** PII scrubbing: replace emails then URLs with typed placeholders and

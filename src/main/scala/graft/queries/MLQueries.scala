@@ -681,6 +681,20 @@ object MLQueries {
       ORDER BY rank"""),
       (s, dir) => Corpus.trainBpe(t(s, dir, "documents"), numMerges = 20)),
 
+    // The ENCODE half: apply q_text_bpe's 20 merges back to the corpus and
+    // count REAL subwords per document (the number a token-budget mix
+    // actually needs, vs the bpeish proxy). Scan-local merge chain — no
+    // join, no shuffle. Oracle = pinned per-doc counts (BpeOracle,
+    // regenerate with tools.DumpBpe); the training merges are re-derived
+    // in-query so train and encode can never drift.
+    Q("q_text_bpe_encode", Some(BpeOracle.encodeSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Corpus.trainBpe(docs, numMerges = 20).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Corpus.bpeEncodeCounts(docs, merges)
+      }),
+
     // The VECTOR ingest micro-batch end to end (the embedding twin of
     // q_dedup_ingest): the corpus seeds the at-rest IVF table, then
     // ivfIngestBatch runs the real loop on a planted batch — 10

@@ -21,6 +21,11 @@ object DumpBpe {
     println("[bpe] " + rows.map(r =>
       s"(${r.getLong(0)}, ${q(r.getString(1))}, ${q(r.getString(2))}, " +
         s"${q(r.getString(3))}, ${r.getLong(4)})").mkString(","))
+    // the encode oracle: per-doc subword counts under those 20 merges
+    val merges = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val counts = graft.operators.Corpus.bpeEncodeCounts(docs, merges).collect()
+    println("[bpe-encode] " + counts.map(r =>
+      s"(${r.getLong(0)},${r.getLong(1)})").mkString(","))
     spark.stop()
   }
 }

@@ -318,6 +318,19 @@ class CorpusSpec extends SparkSpec {
     assert(got === Seq((1L, "a", "a", 3L), (2L, "aa", "</w>", 1L), (3L, "aa", "aa</w>", 1L)))
   }
 
+  test("bpeEncodeCounts: merges applied in rank order, per-doc subword totals") {
+    import spark.implicits._
+    // merges [(a,b),(ab,</w>)]: "ab"->[ab</w>] (1), "abc"->[ab,c,</w>] (3)
+    val docs = Seq((1L, "ab ab"), (2L, "ab abc"), (3L, "abc")).toDF("doc_id", "text")
+    val got = Corpus.bpeEncodeCounts(docs, Seq(("a", "b"), ("ab", "</w>")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 4L), (3L, 3L)))
+    // and with NO merges every word is chars + marker
+    val raw = Corpus.bpeEncodeCounts(docs, Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(raw === Seq((1L, 6L), (2L, 7L), (3L, 4L)))
+  }
+
   test("removeRepeatedSpans drops cross-doc spans, keeps within-doc repetition") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens

@@ -311,6 +311,37 @@ class SketchSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === nSeed + 10L)
   }
 
+  test("ivfIngestStream: micro-batches dedup against the at-rest table and each other") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir("ivf_ingest_stream") + "/corpus"
+    val cb = Similarity.ivfCodebook(emb, nLists = 16)
+    Similarity.ivfWriteAtRest(emb.select("vec_id", "embedding"), cb, dir)
+    def vec(source: Long, scale: Float): Array[Float] =
+      emb.filter(col("vec_id") === source).select("embedding")
+        .head.getSeq[Float](0).map(x => x * 0.9f + 0.1f * scale).toArray
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.ivfIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), cb, dir,
+      tempDir("ivf_ingest_ckpt"), threshold = 0.95)
+    try {
+      // batch 1: one novel + one near-copy of it (in-batch drop)
+      mem.addData((7001L, vec(7, 1f)), (7002L, vec(7, 1f).map(_ * 1.001f)))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(dir).filter(col("vec_id") >= 7000L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(after1 === Set(7001L))
+      // batch 2: a near-copy of batch 1's admit (cross-table drop) + a
+      // fresh novel from a different shift
+      mem.addData((7010L, vec(7, 1f).map(_ * 1.002f)), (7011L, vec(8, 1f)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(dir).filter(col("vec_id") >= 7000L)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(after2 === Set(7001L, 7011L))
+    } finally q.stop()
+  }
+
   test("nearDupGroups: chains, multiple components, singleton pairs converge to min labels") {
     import spark.implicits._
     // component A: a 5-long CHAIN 10-11-12-13-14 (diameter 4 forces several
