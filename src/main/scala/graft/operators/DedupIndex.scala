@@ -539,6 +539,57 @@ object DedupIndex {
     writeBloomFile(spark.read.parquet(path).select("band", "bucket"), path, "compact")
   }
 
+  /**
+   * OFFLINE quality recheck — the "offline compaction pass can still
+   * apply the transitive canonical later" promised by [[ingestBatch]]'s
+   * greedy rule: the stream admits with a LOCAL drop rule and banded
+   * recall < 1, so the at-rest corpus can accumulate stragglers —
+   * verified near-dup clusters whose members were all admitted (across
+   * distant batches, or missed by a band collision). This pass re-runs
+   * the full batch near-dup pipeline over the at-rest corpus, keeps each
+   * cluster's BEST member ([[Dedup.nearDupKeepBest]]; `score` defaults
+   * to text length — longest survives), rewrites the corpus
+   * id-addressably, and REBUILDS the index + bloom sidecar from the
+   * survivors (dropped docs' keys must leave the index, or future
+   * probes fetch text for ghosts). Returns the dropped-document count;
+   * 0 leaves both paths untouched. Same offline/single-writer contract
+   * as [[compact]].
+   */
+  def recheckCorpus(spark: SparkSession, corpusPath: String, indexPath: String,
+      threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
+      maxBucket: Int = 1000, nParts: Int = 16, corpusParts: Int = 16,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_)): Long = {
+    val fs = fsFor(spark, corpusPath)
+    val corpus = spark.read.parquet(corpusPath).drop("ingest_batch", "id_part")
+    val pairs = Dedup.nearDuplicates(corpus, textCol, idCol, threshold,
+      shingleWords, numHashes, bands, maxBucket)
+    val best = Dedup.nearDupKeepBest(
+      corpus.withColumn("_score", score(col(textCol))), pairs, "_score", idCol)
+    val dropIds = best.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val nDropped = dropIds.count()
+    if (nDropped > 0) {
+      // corpus swap first (staged while the source is intact), then the
+      // index rebuild reads the REWRITTEN corpus — one source of truth
+      val survivors = withIdPart(corpus.join(dropIds, Seq(idCol), "left_anti"),
+          idCol, corpusParts)
+        .repartition(corpusParts, col("id_part"))
+      val staging = new Path(corpusPath, "_compact_staging")
+      survivors.write.partitionBy("id_part").mode("overwrite").parquet(staging.toString)
+      ensureReadableIfEmpty(survivors, staging)
+      listBatchDirs(fs, corpusPath).foreach(d => fs.delete(d, true))
+      val target = new Path(corpusPath, s"ingest_batch=$SeedBatch")
+      if (!fs.rename(staging, target))
+        throw new IllegalStateException(s"recheck rename $staging -> $target failed")
+      writeAtRest(spark.read.parquet(corpusPath), indexPath, textCol, idCol,
+        numHashes, bands, shingleWords, maxBucket, nParts)
+    }
+    dropIds.unpersist(blocking = false)
+    nDropped
+  }
+
   /** [[compact]]'s corpus twin: collapse the per-batch corpus directories
    *  into one merged seed batch with one file per `id_part` directory.
    *  Same offline/single-writer contract; `_committed` markers survive. */

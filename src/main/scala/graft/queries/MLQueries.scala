@@ -475,6 +475,133 @@ object MLQueries {
           .orderBy("doc_id")
       }),
 
+    // OFFLINE quality recheck of an at-rest corpus: every document lands
+    // at rest (simulating greedy-admit stragglers), then recheckCorpus
+    // re-runs the full near-dup pass, keeps each cluster's LONGEST member
+    // (ties: smallest id), rewrites the corpus and rebuilds the index.
+    // The query returns the surviving ids from the corpus path; DuckDB
+    // recomputes clusters from exact all-pairs Jaccard (RECURSIVE
+    // closure) and applies the identical keeper window.
+    Q("q_dedup_recheck", Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand
+      ), closure(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT c.s, e.d FROM closure c JOIN edges e ON c.d = e.s
+      ), groups AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+        FROM closure GROUP BY s
+      ), ranked AS (
+        SELECT g.doc_id,
+               row_number() OVER (PARTITION BY g.canonical_id
+                                  ORDER BY length(d.text) DESC, g.doc_id) AS rn
+        FROM groups g JOIN documents d USING (doc_id)
+      )
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = QueryScratch.fresh("dedup_recheck")
+        val idx = root + "/index.parquet"
+        val corp = root + "/corpus.parquet"
+        DedupIndex.writeCorpus(docs, corp)
+        DedupIndex.writeAtRest(docs, idx)
+        DedupIndex.recheckCorpus(s, corp, idx, threshold = 0.7)
+        s.read.parquet(corp).select("doc_id").orderBy("doc_id")
+      }),
+
+    // COMPOSITION of the round-11 operators as one pipeline: quality-
+    // keeper near-dup dedup (keep the LONGEST cluster member, by n_chars)
+    // → REAL subword counts under the corpus-trained BPE merges →
+    // token-budget data mix per source on those counts. DuckDB recomputes
+    // the cluster/keeper stages from exact all-pairs Jaccard (RECURSIVE
+    // closure) and joins the pinned per-doc BPE counts (BpeOracle — the
+    // same pins q_text_bpe_encode verifies row-by-row), then applies the
+    // identical running-total window.
+    Q("q_corpus_pipeline_tokens", Some(s"""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand
+      ), closure(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT c.s, e.d FROM closure c JOIN edges e ON c.d = e.s
+      ), groups AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+        FROM closure GROUP BY s
+      ), ranked AS (
+        SELECT g.doc_id,
+               row_number() OVER (PARTITION BY g.canonical_id
+                                  ORDER BY d.n_chars DESC, g.doc_id) AS rn
+        FROM groups g JOIN documents d USING (doc_id)
+      ), bpe(bdoc_id, n_subwords) AS (SELECT * FROM (VALUES ${BpeOracle.countValues})),
+      kept AS (
+        SELECT d.source, d.doc_id, CAST(bpe.n_subwords AS BIGINT) AS n_subwords
+        FROM documents d JOIN bpe ON bpe.bdoc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+      )
+      SELECT source, doc_id, cum_cost FROM (
+        SELECT source, doc_id,
+               CAST(sum(n_subwords) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(COALESCE('v' || CAST(doc_id AS VARCHAR), 'null')),
+                          doc_id, n_subwords
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+        FROM kept)
+      WHERE cum_cost <= 15000
+      ORDER BY source, cum_cost"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val best = Dedup.nearDupKeepBest(docs,
+          Dedup.nearDuplicates(docs, threshold = 0.7), "n_chars")
+        val kept = docs.join(
+          best.filter(col("doc_id") =!= col("keep_id")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val merges = Corpus.trainBpe(docs, numMerges = 20).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val counts = Corpus.bpeEncodeCounts(kept, merges)
+        Corpus.tokenBudgetMix(
+            kept.select("source", "doc_id").join(counts, "doc_id"),
+            "source", "doc_id", "n_subwords", budget = 15000L)
+          .select("source", "doc_id", "cum_cost")
+          .orderBy("source", "cum_cost")
+      }),
+
     // Pinned literal-VALUES oracle (SimhashOracle): simhash is an
     // engine-specific hash family, but deterministic — the full 840-row
     // output at sf0.01 is pinned, same pattern as q_text_fingerprint.

@@ -215,6 +215,34 @@ class DedupIndexSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() === 0L) // every bucket was degenerate
   }
 
+  test("recheckCorpus drops at-rest stragglers, keeps the longest, rebuilds the index") {
+    import spark.implicits._
+    val root = tempDir("lsh_recheck")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(n: Int, extra: Int = 0) =
+      ((0 until 12).map(i => s"rk${n}t$i") ++ (0 until extra).map(i => s"x$i")).mkString(" ")
+    // docs 1/2 are a near-dup pair BOTH at rest (the greedy-miss shape);
+    // 2 is longer and must be the keeper; 3 is a singleton
+    val corpus = Seq((1L, doc(1)), (2L, doc(1, 2)), (3L, doc(3))).toDF("doc_id", "text")
+    DedupIndex.writeCorpus(corpus, corp)
+    DedupIndex.writeAtRest(corpus, idx)
+    val dropped = DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5)
+    assert(dropped === 1L)
+    val left = spark.read.parquet(corp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(left === Set(2L, 3L)) // 1 dropped: 2 is the longer cluster member
+    assert(spark.read.parquet(idx).select("id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L)) // no ghost keys
+    // a probe matching the dropped doc's text hits the KEPT doc
+    val probeOut = DedupIndex.probeAtRest(spark, idx,
+        Seq((90L, doc(1))).toDF("doc_id", "text"), corp, threshold = 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(probeOut === Set(2L))
+    // idempotent: a second recheck finds nothing
+    assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 0L)
+  }
+
   test("a no-hit batch short-circuits on the bloom sidecar without reading the index") {
     import spark.implicits._
     val dir = tempDir("lsh_bloom") + "/index.parquet"
