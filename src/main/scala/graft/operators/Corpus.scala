@@ -426,6 +426,40 @@ object Corpus {
       .orderBy(idCol)
   }
 
+  /**
+   * Split documents into overlapping token windows — the chunker every
+   * RAG / context-window pipeline needs: windows of `chunkTokens` tokens
+   * starting every `chunkTokens - overlap` positions over the normalized
+   * token stream, the final partial window kept (≥ 1 token). Emits
+   * `(idCol, chunk_index, chunk_text, n_tokens)`; `chunk_index` is
+   * 0-based. Scan-local (one indexed-transform + posexplode, no UDF, no
+   * shuffle) — at 100 TB the chunk stream pipelines straight into the
+   * next stage (embed, pack, write) without materializing.
+   */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap ($overlap) < chunkTokens ($chunkTokens)")
+    val step = chunkTokens - overlap
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+    // starts: 0, step, 2*step, ... keeping only chunks that contribute at
+    // least one token beyond the previous chunk's coverage (start <
+    // n_tokens - overlap) — a tail window fully contained in its
+    // predecessor is noise, not a chunk. slice is 1-based.
+    toks.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            (floor(greatest(size(col("t")) - overlap - 1, lit(0)) / step) * step)
+              .cast("int"),
+            lit(step)),
+          s => slice(col("t"), s + 1, lit(chunkTokens)))).as(Seq("chunk_index", "c")))
+      .select(col(idCol), col("chunk_index").cast("bigint").as("chunk_index"),
+        concat_ws(" ", col("c")).as("chunk_text"),
+        size(col("c")).cast("bigint").as("n_tokens"))
+      .orderBy(idCol, "chunk_index")
+  }
+
   /** PII scrubbing: replace emails then URLs with typed placeholders and
    *  count what was redacted (the audit trail a compliance pass needs).
    *  Pure regexp_replace/regexp_count — codegen'd, scan-local. */

@@ -529,6 +529,28 @@ object MLQueries {
         s.read.parquet(corp).select("doc_id").orderBy("doc_id")
       }),
 
+    // Document chunking (the RAG / context-window splitter): overlapping
+    // 64-token windows, stride 48, tail windows kept unless fully
+    // contained in their predecessor. DuckDB recomputes the identical
+    // windows with list slicing.
+    Q("q_text_chunks", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 16 - 1, 0) // 48 * 48 + 1, 48)) AS s
+        FROM tok WHERE len(t) > 0
+      )
+      SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_index,
+             array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text,
+             CAST(len(t[s + 1 : s + 64]) AS BIGINT) AS n_tokens
+      FROM starts
+      ORDER BY doc_id, chunk_index"""),
+      (s, dir) => Corpus.chunkDocs(t(s, dir, "documents"),
+        chunkTokens = 64, overlap = 16)),
+
     // COMPOSITION of the round-11 operators as one pipeline: quality-
     // keeper near-dup dedup (keep the LONGEST cluster member, by n_chars)
     // → REAL subword counts under the corpus-trained BPE merges →

@@ -331,6 +331,27 @@ class CorpusSpec extends SparkSpec {
     assert(raw === Seq((1L, 6L), (2L, 7L), (3L, 4L)))
   }
 
+  test("chunkDocs: overlapping windows, partial tail kept, contained tail dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "s0 s1 s2"),                      // shorter than one chunk
+      (3L, "")                               // empty: no chunks
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkDocs(docs, chunkTokens = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    // doc 1, step 3: starts 0,3,6 — start 9's [t9] is inside [t6..t9], dropped
+    assert(got === Seq(
+      (1L, 0L, "t0 t1 t2 t3 t4", 5L),
+      (1L, 1L, "t3 t4 t5 t6 t7", 5L),
+      (1L, 2L, "t6 t7 t8 t9", 4L),
+      (2L, 0L, "s0 s1 s2", 3L)))
+    // no overlap: clean partition into ceil(n/chunk) windows
+    val flat = Corpus.chunkDocs(docs.filter(col("doc_id") === 1L), 4)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(flat === Seq((0L, "t0 t1 t2 t3"), (1L, "t4 t5 t6 t7"), (2L, "t8 t9")))
+  }
+
   test("removeRepeatedSpans drops cross-doc spans, keeps within-doc repetition") {
     import spark.implicits._
     val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
