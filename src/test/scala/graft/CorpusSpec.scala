@@ -320,15 +320,17 @@ class CorpusSpec extends SparkSpec {
 
   test("bpeEncodeCounts: merges applied in rank order, per-doc subword totals") {
     import spark.implicits._
-    // merges [(a,b),(ab,</w>)]: "ab"->[ab</w>] (1), "abc"->[ab,c,</w>] (3)
-    val docs = Seq((1L, "ab ab"), (2L, "ab abc"), (3L, "abc")).toDF("doc_id", "text")
+    // merges [(a,b),(ab,</w>)]: "ab"->[ab</w>] (1), "abc"->[ab,c,</w>] (3);
+    // tokenless doc 4 counts zero
+    val docs = Seq((1L, "ab ab"), (2L, "ab abc"), (3L, "abc"), (4L, ""))
+      .toDF("doc_id", "text")
     val got = Corpus.bpeEncodeCounts(docs, Seq(("a", "b"), ("ab", "</w>")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got === Seq((1L, 2L), (2L, 4L), (3L, 3L)))
+    assert(got === Seq((1L, 2L), (2L, 4L), (3L, 3L), (4L, 0L)))
     // and with NO merges every word is chars + marker
     val raw = Corpus.bpeEncodeCounts(docs, Seq.empty)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(raw === Seq((1L, 6L), (2L, 7L), (3L, 4L)))
+    assert(raw === Seq((1L, 6L), (2L, 7L), (3L, 4L), (4L, 0L)))
   }
 
   test("chunkDocs: overlapping windows, partial tail kept, contained tail dropped") {
