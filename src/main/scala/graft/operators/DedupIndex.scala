@@ -256,10 +256,14 @@ object DedupIndex {
     // bloom short-circuit: keys absent from EVERY sidecar bloom cannot
     // collide (no false negatives), so drop them before deriving the
     // partition list — and skip the index read outright when nothing
-    // survives (a fully-novel batch, the streaming common case)
+    // survives (a fully-novel batch, the streaming common case). One
+    // sidecar accretes per publish and the test is an OR across all of
+    // them, so past 64 uncompacted sidecars the predicate stops paying
+    // for its own plan size — fall back to the (always-correct) full
+    // probe until [[compact]] collapses them to one.
     val blooms = readBlooms(spark, path)
     val hotKeys =
-      if (blooms.isEmpty) batchBanded
+      if (blooms.isEmpty || blooms.size > 64) batchBanded
       else batchBanded.filter(blooms
         .map(b => SketchFunctions.bloom_contains(b, xxhash64(col("band"), col("bucket"))))
         .reduce(_ || _))
@@ -332,6 +336,11 @@ object DedupIndex {
    * static IN partition filter, so the candidate-TEXT scan plans only the
    * candidates' partition directories — steady-state ingest I/O stays
    * batch-proportional on both the index AND the corpus side.
+   *
+   * Planning still LISTS both tables' partition directories (one
+   * directory per committed batch per layout key until [[compact]]/
+   * [[compactCorpus]] collapse them) — data I/O is pruned every probe,
+   * listing cost is bounded by the compaction cadence.
    */
   def probeAtRest(spark: SparkSession, indexPath: String, batch: DataFrame,
       corpusPath: String, threshold: Double = 0.7, textCol: String = "text",
