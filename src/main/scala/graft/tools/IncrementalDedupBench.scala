@@ -75,20 +75,27 @@ object IncrementalDedupBench {
         Dedup.nearDuplicates(whole, threshold = 0.7).queryExecution.toRdd.count()
         freeCaches()
       }
-      val idx = java.nio.file.Files.createTempDirectory("incbench_idx").toString + "/index.parquet"
-      val (tWrite, _) = timedMB { DedupIndex.writeAtRest(corpus, idx) }
+      val restDir = java.nio.file.Files.createTempDirectory("incbench_idx").toString
+      val idx = restDir + "/index.parquet"
+      val corpRest = restDir + "/corpus.parquet"
+      val (tWrite, _) = timedMB {
+        DedupIndex.writeAtRest(corpus, idx)
+        DedupIndex.writeCorpus(corpus, corpRest)
+      }
+      // the round-11 steady-state path: index probe AND candidate-text
+      // fetch both partition-pruned against the id-addressable layouts
       val (tProbe, mbProbe) = timedMB {
-        DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7)
+        DedupIndex.probeAtRest(spark, idx, batch, corpRest, threshold = 0.7)
           .queryExecution.toRdd.count()
         freeCaches()
       }
       val nCorpus = corpus.count()
       println(f"[incbench] corpus=$nCorpus%8d batch=$nBatch%5d " +
-        f"full=${tFull}%6.2fs (${mbFull}%7.1fMB shuffle)  indexWrite=${tWrite}%6.2fs  " +
-        f"probe=${tProbe}%6.2fs (${mbProbe}%7.1fMB shuffle)")
+        f"full=${tFull}%6.2fs (${mbFull}%7.1fMB shuffle)  atRestWrite=${tWrite}%6.2fs  " +
+        f"probeAtRest=${tProbe}%6.2fs (${mbProbe}%7.1fMB shuffle)")
       // replicated corpora are multi-GB at high replica counts: reclaim
       // each iteration's temp dirs instead of stranding them in /tmp
-      Seq(new java.io.File(corpusDir), new java.io.File(idx).getParentFile)
+      Seq(new java.io.File(corpusDir), new java.io.File(restDir))
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     }
 
