@@ -98,6 +98,36 @@ object Corpus {
   }
 
   /**
+   * The AUDIT companion to [[decontaminate]]: per BENCHMARK document, how
+   * many training documents share at least one word n-gram with it and
+   * how many distinct grams leak. Decontamination DROPS; a release review
+   * also wants the evidence — which eval items are compromised and how
+   * badly. Benchmark docs with zero leakage report (0, 0).
+   *
+   * Same plan shape as [[decontaminate]] (bench grams broadcast, training
+   * grams scan-local, one aggregate on the hit stream), so the corpus
+   * never shuffles text at any scale.
+   */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", ngram: Int = 8): DataFrame = {
+    val benchGrams = benchmark.select(col(idCol).as("bench_doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), ngram)).as("g"))
+      .distinct()
+    val docGrams = docs.select(col(idCol).as("_doc"),
+      explode(TextFunctions.wordShingles(col(textCol), ngram)).as("g"))
+    val hits = docGrams.join(broadcast(benchGrams), "g")
+      .groupBy("bench_doc_id")
+      .agg(countDistinct(col("_doc")).as("n_contaminated_docs"),
+        countDistinct(col("g")).as("n_leaked_grams"))
+    benchmark.select(col(idCol).as("bench_doc_id"))
+      .join(hits, Seq("bench_doc_id"), "left")
+      .select(col("bench_doc_id"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
+      .orderBy("bench_doc_id")
+  }
+
+  /**
    * [[decontaminate]] with a BLOOM-FILTER prefilter — the shape for when
    * the benchmark/eval gram set is too large to broadcast as a join table.
    * An aggregate builds Spark's own bloom filter over the benchmark grams

@@ -158,6 +158,43 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // The AUDIT companion: per benchmark doc, how many training docs
+    // share an 8-gram with it and how many distinct grams leak — the
+    // eval-integrity evidence next to q_decontaminate's drop. Zero-leak
+    // bench docs report (0, 0).
+    Q("q_contamination_report", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN list_distinct(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM tok
+      ), hits AS (
+        SELECT b.doc_id AS bench_doc_id,
+               count(DISTINCT d.doc_id) AS n_contaminated_docs,
+               count(DISTINCT gram) AS n_leaked_grams
+        FROM (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 50 = 0) b
+        JOIN (SELECT doc_id, unnest(g) AS gram FROM g WHERE doc_id % 50 <> 0) d
+          USING (gram)
+        GROUP BY 1
+      )
+      SELECT doc_id AS bench_doc_id,
+             COALESCE(h.n_contaminated_docs, 0) AS n_contaminated_docs,
+             COALESCE(h.n_leaked_grams, 0) AS n_leaked_grams
+      FROM documents LEFT JOIN hits h ON h.bench_doc_id = doc_id
+      WHERE doc_id % 50 = 0
+      ORDER BY bench_doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Corpus.contaminationReport(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0))
+      }),
+
     // The bloom-prefiltered twin: IDENTICAL semantics to exact
     // decontamination (bloom has no false negatives; the exact verify join
     // removes its false positives), so the oracle is the same exact-gram

@@ -126,6 +126,41 @@ class DedupIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestStream restart on the same checkpoint: batchIds continue, no duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tempDir("lsh_restart")
+    val idxPath = s"$root/index.parquet"
+    val corpPath = s"$root/corpus.parquet"
+    def doc(n: Int) = (0 until 12).map(i => s"rs${n}t$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    def start() = graft.operators.DedupIndex.ingestStream(
+      mem.toDF().toDF("doc_id", "text"), idxPath, corpPath, s"$root/ckpt")
+    val q1 = start()
+    try {
+      mem.addData((1L, doc(1)), (2L, doc(2)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart mid-stream (the compaction-window / crash-recovery path)
+    val q2 = start()
+    try {
+      mem.addData((10L, doc(1)), (11L, doc(3))) // 10 dups batch-0's doc 1
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(corpPath).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 11L))
+      // the restarted query's batch published under a CONTINUED batchId
+      // (ingest_batch=1), not a reused 0 — the exactly-once markers and
+      // dirs stay per-batch-unique across restarts
+      val fs = new org.apache.hadoop.fs.Path(corpPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(corpPath, "ingest_batch=1")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(corpPath, "_committed/batch-1")))
+      assert(spark.read.parquet(idxPath).count() === 3L * 8) // no key dup
+    } finally q2.stop()
+  }
+
   test("ingestBatch with a batchId is exactly-once under full and partial replay") {
     import spark.implicits._
     val root = tempDir("lsh_replay")
