@@ -96,9 +96,16 @@ object DedupIndex {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Write-then-rename, so no reader (or replay) ever sees a partial
+   *  file — every sidecar/marker the recovery path depends on goes
+   *  through here. */
   private def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent, s".tmp-${p.getName}")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"atomic write rename $tmp -> $p failed")
   }
 
   private def readFile(fs: FileSystem, p: Path): Array[Byte] = {
@@ -156,7 +163,9 @@ object DedupIndex {
     val fs = fsFor(spark, indexRoot)
     val dir = new Path(indexRoot, "_bloom")
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).filter(_.isFile).sortBy(_.getPath.getName.toString)
+    else fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
       .map(st => readFile(fs, st.getPath)).toSeq
   }
 
@@ -352,11 +361,7 @@ object DedupIndex {
         val idParts = ids.select(pmod(xxhash64(col("id")), lit(corpusParts)).as("p"))
           .distinct().collect().map(_.getLong(0)).sorted
         if (idParts.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id", ids.schema("id").dataType),
-              org.apache.spark.sql.types.StructField("text",
-                org.apache.spark.sql.types.StringType))))
+          ids.select(col("id"), lit(null).cast("string").as("text")).limit(0)
         else
           spark.read.parquet(corpusPath)
             .filter(col("id_part").isin(idParts.map(_.asInstanceOf[Any]): _*))
@@ -419,9 +424,29 @@ object DedupIndex {
       corpusParts: Int = 16): Long = {
     val spark = batch.sparkSession
     val fs = fsFor(spark, corpusPath)
-    if (batchId >= 0 && fs.exists(committedMarker(corpusPath, batchId)))
-      return new String(readFile(fs, committedMarker(corpusPath, batchId)),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    if (batchId >= 0 && fs.exists(committedMarker(corpusPath, batchId))) {
+      // markers are written atomically (writeFile renames), but tolerate a
+      // corrupt one anyway: an unparsable marker means NOT committed — the
+      // partial-replay path below recomputes and re-publishes safely
+      val txt = new String(readFile(fs, committedMarker(corpusPath, batchId)),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      txt.toLongOption match {
+        case Some(n) => return n
+        case None => fs.delete(committedMarker(corpusPath, batchId), false)
+      }
+    }
+    if (batchId >= 0) {
+      // a batch dir WITHOUT its marker is a half-published crash leftover:
+      // un-publish it before recomputing, so the replay's probe sees the
+      // exact pre-attempt state and the admit decision is bit-identical
+      // (a half-published index key could otherwise tip a bucket over the
+      // probe-side maxBucket re-cap and flip a candidate)
+      val ifs = fsFor(spark, indexPath)
+      val idxDir = new Path(indexPath, s"ingest_batch=$batchId")
+      if (ifs.exists(idxDir)) ifs.delete(idxDir, true)
+      val corpDir = new Path(corpusPath, s"ingest_batch=$batchId")
+      if (fs.exists(corpDir)) fs.delete(corpDir, true)
+    }
     val b = batch.select(col(idCol), col(textCol)).dropDuplicates(idCol)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val inBatchDrop = Dedup.nearDuplicates(b, textCol, idCol, threshold,
@@ -430,7 +455,15 @@ object DedupIndex {
     val hasIndex = {
       val p = new Path(indexPath)
       val ifs = fsFor(spark, indexPath)
-      // data dirs only: _bloom/_staging/_committed don't make an index
+      // data dirs only: _bloom/_staging/_committed don't make an index.
+      // A flat `bucket_part=` root is the PRE-round-11 layout — mixing it
+      // with per-batch dirs would corrupt partition discovery, and
+      // silently treating it as absent would skip dedup entirely; compact()
+      // reads the flat layout fine and rewrites it into the current one
+      if (ifs.exists(p) &&
+          ifs.listStatus(p).exists(_.getPath.getName.startsWith("bucket_part=")))
+        throw new IllegalStateException(
+          s"$indexPath uses the legacy flat layout; run DedupIndex.compact to migrate")
       ifs.exists(p) && ifs.listStatus(p).exists(_.getPath.getName.startsWith("ingest_batch="))
     }
     val crossDrop =
@@ -438,8 +471,7 @@ object DedupIndex {
         probeAtRest(spark, indexPath, b, corpusPath, threshold, textCol, idCol,
             numHashes, bands, shingleWords, nParts, maxBucket, corpusParts)
           .select(col("batch_id").as(idCol)).distinct()
-      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        b.select(col(idCol)).schema)
+      else b.select(col(idCol)).limit(0)
     val admitted = b.join(inBatchDrop.unionByName(crossDrop).distinct(),
         Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -508,10 +540,17 @@ object DedupIndex {
       df.limit(0).write.mode("append").parquet(staging.toString)
   }
 
-  private def listBatchDirs(fs: FileSystem, root: String): Seq[Path] =
+  /** The data directories a compaction swap replaces: the per-batch dirs
+   *  plus any LEGACY flat-layout dirs of `layoutCol` (pre-round-11 roots
+   *  had `bucket_part=`/`id_part=` directly at top level — compaction is
+   *  the migration path, so it must sweep those too or the rewrite would
+   *  leave a mixed-depth, undiscoverable layout). */
+  private def listBatchDirs(fs: FileSystem, root: String, layoutCol: String): Seq[Path] =
     if (!fs.exists(new Path(root))) Seq.empty
     else fs.listStatus(new Path(root))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("ingest_batch=") ||
+          st.getPath.getName.startsWith(layoutCol + "=")))
       .map(_.getPath).toSeq
 
   /**
@@ -537,15 +576,19 @@ object DedupIndex {
     val staging = new Path(path, "_compact_staging")
     capped.write.partitionBy("bucket_part").mode("overwrite").parquet(staging.toString)
     ensureReadableIfEmpty(capped, staging)
-    listBatchDirs(fs, path).foreach(d => fs.delete(d, true))
+    listBatchDirs(fs, path, "bucket_part").foreach(d => fs.delete(d, true))
     val target = new Path(path, s"ingest_batch=$SeedBatch")
     if (!fs.rename(staging, target))
       throw new IllegalStateException(s"compact rename $staging -> $target failed")
-    // one merged bloom replaces the per-append accretion; an interrupted
-    // rewrite leaves _bloom empty = probes fall back to the full read
+    // one merged bloom replaces the per-append accretion, rebuilt from the
+    // COMPACTED output (merged, one file per partition — not a second scan
+    // of the fragmented source; a cached frame would not be crash-safe
+    // here, since eviction would recompute from the just-deleted dirs).
+    // An interrupted rewrite leaves _bloom empty = probes full-read.
     val bloomDir = new Path(path, "_bloom")
     if (fs.exists(bloomDir)) fs.delete(bloomDir, true)
-    writeBloomFile(spark.read.parquet(path).select("band", "bucket"), path, "compact")
+    writeBloomFile(spark.read.parquet(target.toString).select("band", "bucket"),
+      path, "compact")
   }
 
   /**
@@ -588,7 +631,7 @@ object DedupIndex {
       val staging = new Path(corpusPath, "_compact_staging")
       survivors.write.partitionBy("id_part").mode("overwrite").parquet(staging.toString)
       ensureReadableIfEmpty(survivors, staging)
-      listBatchDirs(fs, corpusPath).foreach(d => fs.delete(d, true))
+      listBatchDirs(fs, corpusPath, "id_part").foreach(d => fs.delete(d, true))
       val target = new Path(corpusPath, s"ingest_batch=$SeedBatch")
       if (!fs.rename(staging, target))
         throw new IllegalStateException(s"recheck rename $staging -> $target failed")
@@ -610,7 +653,7 @@ object DedupIndex {
     val staging = new Path(path, "_compact_staging")
     laid.write.partitionBy("id_part").mode("overwrite").parquet(staging.toString)
     ensureReadableIfEmpty(laid, staging)
-    listBatchDirs(fs, path).foreach(d => fs.delete(d, true))
+    listBatchDirs(fs, path, "id_part").foreach(d => fs.delete(d, true))
     val target = new Path(path, s"ingest_batch=$SeedBatch")
     if (!fs.rename(staging, target))
       throw new IllegalStateException(s"compact rename $staging -> $target failed")

@@ -354,9 +354,7 @@ object Similarity {
           .join(broadcast(probeLists), "list_id")
           .filter(cosine(col("probe_vec"), col(vecCol)) >= threshold)
           .select(col("probe_id").as(idCol)).distinct()
-      } else
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          b.select(col(idCol)).schema)
+      } else b.select(col(idCol)).limit(0)
     val admitted = b.join(inDrop.unionByName(crossDrop).distinct(), Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = admitted.count()

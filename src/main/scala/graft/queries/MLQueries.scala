@@ -859,15 +859,15 @@ object MLQueries {
       WITH corp AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       ), batch AS (
-        SELECT vec_id + 2000 AS bid,
+        SELECT vec_id + 2000000 AS bid,
                CAST(list_transform(embedding, x -> x * CAST(1.001 AS FLOAT)) AS DOUBLE[]) AS v
         FROM embeddings WHERE vec_id < 10
         UNION ALL
-        SELECT vec_id + 1000,
+        SELECT vec_id + 1000000,
                CAST(list_transform(embedding, x -> x * CAST(0.9 AS FLOAT) + CAST(0.1 AS FLOAT)) AS DOUBLE[])
         FROM embeddings WHERE vec_id >= 50 AND vec_id < 60
         UNION ALL
-        SELECT vec_id + 5000,
+        SELECT vec_id + 5000000,
                CAST(list_transform(list_transform(embedding, x -> x * CAST(0.9 AS FLOAT) + CAST(0.1 AS FLOAT)),
                  y -> CAST(y AS FLOAT) * CAST(1.002 AS FLOAT)) AS DOUBLE[])
         FROM embeddings WHERE vec_id >= 50 AND vec_id < 52
@@ -890,18 +890,18 @@ object MLQueries {
         val cb = Similarity.ivfCodebook(emb)
         Similarity.ivfWriteAtRest(emb.select("vec_id", "embedding"), cb, out)
         val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
-          .select((col("vec_id") + 1000L).as("vec_id"),
+          .select((col("vec_id") + 1000000L).as("vec_id"),
             transform(col("embedding"), x => x * lit(0.9f) + lit(0.1f)).as("embedding"))
         val batch = emb.filter(col("vec_id") < 10)
-          .select((col("vec_id") + 2000L).as("vec_id"),
+          .select((col("vec_id") + 2000000L).as("vec_id"),
             transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
           .unionByName(novel)
-          .unionByName(novel.filter(col("vec_id") < 1052)
-            .select((col("vec_id") + 4000L).as("vec_id"),
+          .unionByName(novel.filter(col("vec_id") < 1000052L)
+            .select((col("vec_id") + 4000000L).as("vec_id"),
               transform(col("embedding"), y => y * lit(1.002f)).as("embedding")))
         Similarity.ivfIngestBatch(batch, cb, out, threshold = 0.95)
         s.read.parquet(out)
-          .filter(col("vec_id") >= 1000L)
+          .filter(col("vec_id") >= 1000000L)
           .select("vec_id").orderBy("vec_id")
       }),
 
