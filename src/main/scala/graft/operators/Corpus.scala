@@ -373,12 +373,18 @@ object Corpus {
    * Words carry the standard `</w>` end-of-word marker so word-final
    * subwords can differ from word-internal ones.
    *
-   * 100 TB shape: the corpus cost is one token groupBy (shuffles one
-   * row per distinct word); the iterative half touches only the vocab
-   * table, frequency-capped at `maxVocab` against unbounded word tails
-   * and localCheckpointed per round so plans don't nest (the
-   * [[Dedup.nearDupGroups]] lesson). The per-round argmax is a 1-row
-   * driver collect of the MODEL, never data.
+   * 100 TB shape: the corpus cost is ONE token groupBy (shuffles one
+   * row per distinct word, capped at `maxVocab` by frequency); the
+   * merge loop then runs DRIVER-SIDE over the collected vocab — the
+   * vocab is the bounded MODEL (Zipf: it grows orders of magnitude
+   * slower than the corpus), so collecting it is the ivfTrainKmeans
+   * pattern, not a data collect. A real tokenizer's 30k–50k merges are
+   * tens of thousands of rounds: as Spark jobs that is a driver-
+   * coordinated latency wall (the round-11 formulation paid a
+   * pair-count aggregate + checkpoint rewrite per round); in memory
+   * each round is microseconds via the classic Sennrich incremental
+   * structure (pair counts plus a pair→words index, so a merge touches
+   * only the words that contain it).
    */
   /** One greedy left-to-right application of merge (a, b) to a symbol
    *  array — the shared rewrite of BPE training and encoding. */
@@ -392,35 +398,83 @@ object Corpus {
   private def initialSym(word: org.apache.spark.sql.Column) =
     concat(split(word, ""), array(lit("</w>")))
 
+  /** One greedy left-to-right application of merge (a, b) to a symbol
+   *  array, driver-side — the exact JVM mirror of [[mergeSym]]'s fold
+   *  (a freshly-merged symbol is compared as a WHOLE string, so e.g.
+   *  merging (a,a) over [a,a,a] yields [aa,a], not [aa,aa]). */
+  private[operators] def applyMergeLocal(sym: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+    var i = 0
+    while (i < sym.length) {
+      if (out.nonEmpty && out.last == a && sym(i) == b) out(out.length - 1) = a + b
+      else out += sym(i)
+      i += 1
+    }
+    out.toArray
+  }
+
   def trainBpe(docs: DataFrame, textCol: String = "text", numMerges: Int = 30,
       maxVocab: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
-    var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+    // the ONE distributed pass: word frequencies, frequency-capped at
+    // maxVocab (ties at the cap break deterministically on the word), then
+    // a bounded collect of the MODEL — at most maxVocab (word, count) rows
+    val vocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .orderBy(col("wc").desc, col("w")).limit(maxVocab)
-      .select(col("wc"), initialSym(col("w")).as("sym"))
-      .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var exhausted = false
-    var rank = 1
-    while (rank <= numMerges && !exhausted) {
-      val top = vocab.filter(size(col("sym")) >= 2)
-        .select(col("wc"),
-          explode(transform(sequence(lit(1), size(col("sym")) - 1), j =>
-            struct(element_at(col("sym"), j).as("a"),
-              element_at(col("sym"), j + lit(1)).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("wc")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, a, b, a + b, n))
-        vocab = vocab.select(col("wc"), mergeSym(col("sym"), a, b).as("sym"))
-          .localCheckpoint(true)
-        rank += 1
+      .collect()
+    val words: Array[Array[String]] =
+      vocab.map(r => (r.getString(0).map(_.toString) :+ "</w>").toArray)
+    val wc: Array[Long] = vocab.map(_.getLong(1))
+    // Sennrich incremental structure: global pair counts + pair → the set
+    // of words currently containing it, so each merge round re-derives
+    // pairs ONLY for the touched words. Symbols are ASCII ([a-z0-9] tokens
+    // plus the '</w>' marker), so the lexicographic (a, b) tie-break below
+    // matches the former Spark orderBy's UTF8 binary ordering exactly.
+    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap.empty[(String, String),
+      scala.collection.mutable.HashSet[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = stats.getOrElse(p, 0L) + sign * wc(i)
+        if (n == 0L) stats.remove(p) else stats.update(p, n)
+        if (sign > 0) index.getOrElseUpdate(p,
+          scala.collection.mutable.HashSet.empty[Int]) += i
+        j += 1
       }
+      // stale index entries (words that no longer contain a pair) are
+      // filtered lazily at merge time — deleting here would need a second
+      // containment scan per pair per word
+    }
+    var i = 0
+    while (i < words.length) { addWord(i, 1L); i += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges && stats.nonEmpty) {
+      // argmax by (count desc, a asc, b asc) — the exact former SQL order
+      var best: ((String, String), Long) = null
+      for (e <- stats) {
+        if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+      }
+      val ((a, b), n) = best
+      merges += ((rank, a, b, a + b, n))
+      val touched = index.remove((a, b)).getOrElse(
+        scala.collection.mutable.HashSet.empty[Int])
+      for (w <- touched) {
+        // lazy-index filter: the word may have been rewritten since it was
+        // indexed under this pair — re-derive its pairs from its CURRENT
+        // symbols (addWord(-1) subtracts exactly what it contributes now)
+        addWord(w, -1L)
+        words(w) = applyMergeLocal(words(w), a, b)
+        addWord(w, 1L)
+      }
+      rank += 1
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")

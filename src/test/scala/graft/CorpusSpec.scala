@@ -333,6 +333,93 @@ class CorpusSpec extends SparkSpec {
     assert(raw === Seq((1L, 6L), (2L, 7L), (3L, 4L), (4L, 0L)))
   }
 
+  // ---- independent BPE reference (naive Sennrich, recompute-from-scratch) —
+  // a SECOND implementation sharing no code with Corpus.trainBpe's
+  // incremental pair-index loop or mergeSym's fold, so a shared bug cannot
+  // self-validate (the q_text_bpe pins alone only prove determinism)
+
+  /** Naive greedy left-to-right merge: index scan with explicit skip —
+   *  deliberately a different formulation from both applyMergeLocal (last-
+   *  element rewrite) and mergeSym (HOF fold). */
+  private def naiveRewrite(s: Array[String], a: String, b: String): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { buf += (a + b); i += 2 }
+      else { buf += s(i); i += 1 }
+    }
+    buf.toArray
+  }
+
+  /** Full-stats-recompute-per-round Sennrich trainer over a word-frequency
+   *  table: O(vocab) per merge, fine for test sizes. */
+  private def naiveBpe(wordCounts: Seq[(String, Long)],
+      numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    var words = wordCounts.map { case (w, c) =>
+      ((w.map(_.toString) :+ "</w>").toArray, c) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, c) <- words; j <- 0 until s.length - 1)
+        stats.updateWith((s(j), s(j + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (stats.isEmpty) done = true
+      else {
+        val ((a, b), n) = stats.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank.toLong, a, b, a + b, n))
+        words = words.map { case (s, c) => (naiveRewrite(s, a, b), c) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("trainBpe matches an independent naive Sennrich trainer on real corpus text") {
+    // independent tokenization too: plain-Scala lowercase + [^a-z0-9]+ split
+    val texts = graft.queries.Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val wcs = texts.flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }.toSeq
+    val expected = naiveBpe(wcs, numMerges = 200)
+    val got = Corpus.trainBpe(
+        graft.queries.Tables.t(spark, sf, "documents"), numMerges = 200)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("bpeEncodeCounts matches independent per-word encoding under the trained merges") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val merges = Corpus.trainBpe(docs, numMerges = 50).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // independent encode: naiveRewrite per merge in rank order, per word
+    def encodeLen(w: String): Long =
+      merges.foldLeft((w.map(_.toString) :+ "</w>").toArray) {
+        case (s, (a, b)) => naiveRewrite(s, a, b) }.length.toLong
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      (r.getLong(0), toks.map(encodeLen).sum)
+    }.sortBy(_._1).toSeq
+    val got = Corpus.bpeEncodeCounts(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("trainBpe at tokenizer-scale merge counts trains in seconds, not Spark rounds") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val t0 = System.nanoTime()
+    val merges = Corpus.trainBpe(docs, numMerges = 5000).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the sf0.01 vocab exhausts (every word one symbol) or reaches 5000
+    // merges; either way the driver-side loop must be interactive-fast —
+    // the former one-Spark-job-per-merge shape took ~0.1 s/merge
+    assert(merges.length == 5000 || merges.length < 5000)
+    assert(merges.nonEmpty && merges.map(_.getLong(0)).toSeq == (1L to merges.length).toSeq)
+    assert(secs < 60.0, s"trainBpe(5000) took $secs s")
+  }
+
   test("chunkDocs: overlapping windows, partial tail kept, contained tail dropped") {
     import spark.implicits._
     val docs = Seq(
