@@ -525,8 +525,11 @@ object Corpus {
    * token stream, the final partial window kept (≥ 1 token). Emits
    * `(idCol, chunk_index, chunk_text, n_tokens)`; `chunk_index` is
    * 0-based. Scan-local (one indexed-transform + posexplode, no UDF, no
-   * shuffle) — at 100 TB the chunk stream pipelines straight into the
-   * next stage (embed, pack, write) without materializing.
+   * shuffle, no sort) — at 100 TB the chunk stream pipelines straight
+   * into the next stage (embed, pack, write) without materializing.
+   * Output order is whatever the scan produces; consumers needing a
+   * deterministic order sort on (idCol, chunk_index) themselves (the
+   * q_text_chunks wrapper does, for oracle comparison).
    */
   def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -549,7 +552,6 @@ object Corpus {
       .select(col(idCol), col("chunk_index").cast("bigint").as("chunk_index"),
         concat_ws(" ", col("c")).as("chunk_text"),
         size(col("c")).cast("bigint").as("n_tokens"))
-      .orderBy(idCol, "chunk_index")
   }
 
   /** PII scrubbing: replace emails then URLs with typed placeholders and

@@ -466,6 +466,18 @@ object DedupIndex {
           s"$indexPath uses the legacy flat layout; run DedupIndex.compact to migrate")
       ifs.exists(p) && ifs.listStatus(p).exists(_.getPath.getName.startsWith("ingest_batch="))
     }
+    // legacy flat CORPUS guard, mirroring the index side: a pre-round-11
+    // corpus (plain append — part files or bare id_part= dirs at root, no
+    // ingest_batch= nesting) would otherwise surface later as an opaque
+    // unresolved-column/isin error on id_part inside probeAtRest; fail
+    // HERE, pointing at the migration path
+    val corpRoot = new Path(corpusPath)
+    if (fs.exists(corpRoot) && fs.listStatus(corpRoot).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("ingest_batch=")
+      })
+      throw new IllegalStateException(
+        s"$corpusPath uses a legacy flat corpus layout; run DedupIndex.compactCorpus to migrate")
     val crossDrop =
       if (hasIndex)
         probeAtRest(spark, indexPath, b, corpusPath, threshold, textCol, idCol,

@@ -549,7 +549,10 @@ object MLQueries {
       FROM starts
       ORDER BY doc_id, chunk_index"""),
       (s, dir) => Corpus.chunkDocs(t(s, dir, "documents"),
-        chunkTokens = 64, overlap = 16)),
+        chunkTokens = 64, overlap = 16)
+        // determinism sort lives in the WRAPPER: the operator itself stays
+        // sort-free so the chunk stream pipelines at scale
+        .orderBy("doc_id", "chunk_index")),
 
     // COMPOSITION of the round-11 operators as one pipeline: quality-
     // keeper near-dup dedup (keep the LONGEST cluster member, by n_chars)

@@ -428,6 +428,7 @@ class CorpusSpec extends SparkSpec {
       (3L, "")                               // empty: no chunks
     ).toDF("doc_id", "text")
     val got = Corpus.chunkDocs(docs, chunkTokens = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_index") // the operator itself is sort-free
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
     // doc 1, step 3: starts 0,3,6 — start 9's [t9] is inside [t6..t9], dropped
     assert(got === Seq(
@@ -437,6 +438,7 @@ class CorpusSpec extends SparkSpec {
       (2L, 0L, "s0 s1 s2", 3L)))
     // no overlap: clean partition into ceil(n/chunk) windows
     val flat = Corpus.chunkDocs(docs.filter(col("doc_id") === 1L), 4)
+      .orderBy("chunk_index")
       .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
     assert(flat === Seq((0L, "t0 t1 t2 t3"), (1L, "t4 t5 t6 t7"), (2L, "t8 t9")))
   }

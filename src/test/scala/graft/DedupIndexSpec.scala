@@ -191,6 +191,22 @@ class DedupIndexSpec extends SparkSpec {
     assert(spark.read.parquet(idxPath).count() === 3L * 8) // no duplicate keys
   }
 
+  test("a legacy flat corpus layout fails loudly with the migration path") {
+    import spark.implicits._
+    val root = tempDir("lsh_legacy_corp")
+    val idxPath = s"$root/index.parquet"
+    val corpPath = s"$root/corpus.parquet"
+    // the pre-round-11 corpus shape: a plain parquet append, no
+    // ingest_batch=/id_part= nesting
+    Seq((1L, "legacy doc one two three")).toDF("doc_id", "text")
+      .write.parquet(corpPath)
+    val b = Seq((2L, "some new doc four five six")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      DedupIndex.ingestBatch(b, idxPath, corpPath, batchId = 0L)
+    }
+    assert(e.getMessage.contains("compactCorpus"))
+  }
+
   test("compaction merges files, drops accreted buckets at rest, and leaves probe results unchanged") {
     val root = tempDir("lsh_compact")
     val idx = s"$root/index.parquet"
