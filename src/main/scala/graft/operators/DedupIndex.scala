@@ -42,13 +42,27 @@ import graft.functions.{SketchFunctions, TextFunctions}
  * the steady-state ingest cost is proportional to the batch, not the
  * corpus.
  *
- * Concurrency boundary: ONE writer (the ingest loop appends serially per
- * micro-batch; Structured Streaming already serializes foreachBatch).
- * Concurrent READERS are safe at file granularity — batch publishes are
- * single directory renames — but a probe racing a publish may miss the
- * newest batch's keys (the same window any ingest pipeline has). Two
- * concurrent WRITERS are not supported. [[compact]]/[[compactCorpus]]
- * are OFFLINE maintenance passes: quiesce the stream first.
+ * Both tables are SELF-DESCRIBING and VERSIONED (see [[AtRest]]):
+ * `_meta.json` persists the signature/layout parameters and every
+ * probe/append/maintenance entry point validates against it — a
+ * parameter mismatch is a LOUD typed error, not silent zero collisions;
+ * maintenance rewrites ([[compact]]/[[compactCorpus]]/[[recheckCorpus]])
+ * stage a complete new version directory and swap a pointer file with
+ * one atomic rename, so a reader racing the swap sees the old or the
+ * new table, never a mix. Readers outside this object go through
+ * [[readCorpus]]/[[readIndex]] (raw root reads fail loudly by design).
+ *
+ * Concurrency boundary: ONE writer, now ENFORCED by a lease file
+ * (`_lease`, [[AtRest.acquireLease]]) — a second concurrent writer
+ * fails loudly instead of corrupting. [[ingestStream]] holds the lease
+ * for the stream's lifetime (released on termination, broken by TTL
+ * after a crash); batch entry points fence per call. Concurrent READERS
+ * are safe at file granularity — batch publishes are single directory
+ * renames, maintenance swaps retain the replaced version for one
+ * generation — but a probe racing a publish may miss the newest batch's
+ * keys (the same window any ingest pipeline has).
+ * [[compact]]/[[compactCorpus]] remain OFFLINE maintenance passes:
+ * quiesce the stream first (the lease makes forgetting that loud).
  */
 object DedupIndex {
 
@@ -89,58 +103,54 @@ object DedupIndex {
   // Both at-rest tables nest `ingest_batch=<n>/<layout>=<p>/` so a batch
   // publish is ONE atomic directory rename (`ingest_batch=<batchId>`);
   // seed writes and legacy appends use batch -1. Underscore-prefixed
-  // siblings (_staging_*, _bloom, _committed) are invisible to parquet
-  // partition discovery.
+  // siblings (_staging_*, _bloom, _committed, _v<N>, _meta.json, _lease)
+  // are invisible to parquet partition discovery.
   private val SeedBatch = -1L
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtRest.fsFor(spark, path)
 
-  /** Write-then-rename, so no reader (or replay) ever sees a partial
-   *  file — every sidecar/marker the recovery path depends on goes
-   *  through here. */
-  private def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(p.getParent, s".tmp-${p.getName}")
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"atomic write rename $tmp -> $p failed")
-  }
-
-  private def readFile(fs: FileSystem, p: Path): Array[Byte] = {
-    val st = fs.getFileStatus(p)
-    val in = fs.open(p)
-    try { val b = new Array[Byte](st.getLen.toInt); in.readFully(b); b } finally in.close()
-  }
-
-  /** Stage `df` under `root/_staging_<batchId>` (partitioned by
+  /** Stage `df` under `dir/_staging_<batchId>` (partitioned by
    *  `layoutCol`), then publish it with one atomic rename to
-   *  `root/ingest_batch=<batchId>`. Idempotent: an already-published
+   *  `dir/ingest_batch=<batchId>`. Idempotent: an already-published
    *  target makes this a no-op, so a replayed micro-batch cannot
    *  double-append. Overwrite mode clobbers a dead attempt's partial
    *  staging. */
-  private def publishBatchDir(df: DataFrame, root: String, layoutCol: String,
+  private def publishBatchDir(df: DataFrame, dir: String, layoutCol: String,
       batchId: Long): Unit = {
-    val fs = fsFor(df.sparkSession, root)
-    val target = new Path(root, s"ingest_batch=$batchId")
+    val fs = fsFor(df.sparkSession, dir)
+    val target = new Path(dir, s"ingest_batch=$batchId")
     if (fs.exists(target)) return
-    val staging = new Path(root, s"_staging_$batchId")
+    val staging = new Path(dir, s"_staging_$batchId")
     df.write.partitionBy(layoutCol).mode("overwrite").parquet(staging.toString)
     if (!fs.rename(staging, target))
       throw new IllegalStateException(s"publish rename $staging -> $target failed")
   }
 
+  // ------------------------------------------------------------ meta sidecar
+
+  private def indexMeta(numHashes: Int, bands: Int, shingleWords: Int,
+      nParts: Int, maxBucket: Int): Map[String, String] = Map(
+    "kind" -> "lsh_index", "numHashes" -> numHashes.toString,
+    "bands" -> bands.toString, "shingleWords" -> shingleWords.toString,
+    "nParts" -> nParts.toString, "maxBucket" -> maxBucket.toString)
+
+  private def corpusMeta(idCol: String, corpusParts: Int): Map[String, String] = Map(
+    "kind" -> "dedup_corpus", "idCol" -> idCol,
+    "corpusParts" -> corpusParts.toString)
+
   // ----------------------------------------------------------- bloom sidecar
 
   /** One serialized bloom filter per index write, over the written keys'
-   *  `xxhash64(band, bucket)` — `_bloom/bloom-<tag>.bin`. Blooms are
-   *  written BEFORE their data publishes (a bloom with extra keys is a
-   *  harmless false positive; data without a bloom would be a
-   *  correctness-breaking false negative). Probes test the batch's keys
-   *  against every sidecar bloom and skip the index scan when none might
-   *  match; [[compact]] collapses the accreted files into one. */
-  private def writeBloomFile(keys: DataFrame, indexRoot: String, tag: String,
+   *  `xxhash64(band, bucket)` — `<dir>/_bloom/bloom-<tag>.bin`, living in
+   *  the VERSION directory beside the data it covers (a maintenance swap
+   *  replaces data and blooms together). Blooms are written BEFORE their
+   *  data publishes (a bloom with extra keys is a harmless false
+   *  positive; data without a bloom would be a correctness-breaking false
+   *  negative). Probes test the batch's keys against every sidecar bloom
+   *  and skip the index scan when none might match; [[compact]] collapses
+   *  the accreted files into one. */
+  private def writeBloomFile(keys: DataFrame, dir: String, tag: String,
       estimatedKeys: Long = -1L): Unit = {
     val hashed = keys.select(xxhash64(col("band"), col("bucket")).as("k")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -153,77 +163,119 @@ object DedupIndex {
       // zero keys (an index compacted to empty) -> no bloom; probes fall
       // back to the (empty, cheap) full read
       if (bin != null) {
-        val fs = fsFor(keys.sparkSession, indexRoot)
-        writeFile(fs, new Path(indexRoot, s"_bloom/bloom-$tag.bin"), bin)
+        val fs = fsFor(keys.sparkSession, dir)
+        AtRest.writeFile(fs, new Path(dir, s"_bloom/bloom-$tag.bin"), bin)
       }
     } finally hashed.unpersist(blocking = false)
   }
 
-  private def readBlooms(spark: SparkSession, indexRoot: String): Seq[Array[Byte]] = {
-    val fs = fsFor(spark, indexRoot)
-    val dir = new Path(indexRoot, "_bloom")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir)
+  private def readBlooms(spark: SparkSession, dir: String): Seq[Array[Byte]] = {
+    val fs = fsFor(spark, dir)
+    val d = new Path(dir, "_bloom")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-      .map(st => readFile(fs, st.getPath)).toSeq
+      .map(st => AtRest.readFile(fs, st.getPath)).toSeq
   }
+
+  // ------------------------------------------------------------- public reads
+
+  /** The at-rest corpus as a DataFrame (current version resolved) — the
+   *  supported external read; a raw `spark.read.parquet(root)` on a
+   *  versioned root fails loudly by design. */
+  def readCorpus(spark: SparkSession, corpusPath: String): DataFrame =
+    spark.read.parquet(AtRest.resolve(spark, corpusPath))
+
+  /** The at-rest index keys as a DataFrame (current version resolved). */
+  def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(AtRest.resolve(spark, indexPath))
 
   // ------------------------------------------------------------ write paths
 
   /**
    * Sign `corpus` and write its banded LSH keys under `path` as the seed
-   * batch. Buckets larger than `maxBucket` are dropped at write time
+   * batch of a FRESH VERSION (staged completely, then pointer-swapped —
+   * re-seeding an existing index is crash-atomic too). Writes the
+   * `_meta.json` parameter sidecar that all later probes/appends validate
+   * against. Buckets larger than `maxBucket` are dropped at write time
    * (degenerate boilerplate buckets would contribute `k` candidate rows
    * per probe doc forever); unlike the batch self-join, SINGLETON buckets
    * are kept — a future batch doc can collide with a so-far-unique corpus
-   * doc. Not crash-atomic (it is the ONE overwrite bootstrap step): a
-   * failed seed write must simply be re-run.
+   * doc.
    */
   def writeAtRest(corpus: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit = {
-    val keys = capBuckets(
-        bandedKeys(corpus, textCol, idCol, numHashes, bands, shingleWords, nParts),
-        maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      keys.withColumn("ingest_batch", lit(SeedBatch))
-        .write.partitionBy("ingest_batch", "bucket_part").mode("overwrite").parquet(path)
-      writeBloomFile(keys, path, "seed")
-    } finally keys.unpersist(blocking = false)
+    val spark = corpus.sparkSession
+    AtRest.withLease(spark, path) {
+      val fs = fsFor(spark, path)
+      val keys = capBuckets(
+          bandedKeys(corpus, textCol, idCol, numHashes, bands, shingleWords, nParts),
+          maxBucket)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        val (v, staging) = AtRest.nextStaging(fs, path)
+        keys.write.partitionBy("bucket_part").mode("overwrite")
+          .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
+        writeBloomFile(keys, staging.toString, "seed")
+        // a seed REDEFINES the table's parameters — overwrite, don't validate
+        AtRest.writeMeta(spark, path, indexMeta(numHashes, bands, shingleWords,
+          nParts, maxBucket))
+        AtRest.publishVersion(spark, path, v, "bucket_part")
+      } finally keys.unpersist(blocking = false)
+    }
   }
 
   /** Append newly-admitted documents' keys to an existing index — the
    *  at-least-once maintenance step for DIRECT batch callers (the
    *  exactly-once ingest loop publishes through a batch directory rename
-   *  instead, see [[ingestBatch]]). The degenerate-bucket cap applies
-   *  WITHIN this append only; across appends a bucket can accrete past
-   *  it, which is why [[probe]] re-applies the cap at read time and
-   *  [[compact]] drops the excess at rest. */
+   *  instead, see [[ingestBatch]]). Parameters validate against the
+   *  index's `_meta.json` (legacy tables adopt one). The degenerate-
+   *  bucket cap applies WITHIN this append only; across appends a bucket
+   *  can accrete past it, which is why [[probe]] re-applies the cap at
+   *  read time and [[compact]] drops the excess at rest. */
   def appendToIndex(docs: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit = {
-    val keys = capBuckets(
-        bandedKeys(docs, textCol, idCol, numHashes, bands, shingleWords, nParts),
-        maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      // bloom first: committed keys must always be bloom-covered
-      writeBloomFile(keys, path, s"a${System.nanoTime()}")
-      keys.withColumn("ingest_batch", lit(SeedBatch))
-        .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(path)
-    } finally keys.unpersist(blocking = false)
+    val spark = docs.sparkSession
+    AtRest.withLease(spark, path) {
+      AtRest.validateOrAdoptMeta(spark, path,
+        indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
+      val dir = AtRest.ensureVersioned(spark, path)
+      val keys = capBuckets(
+          bandedKeys(docs, textCol, idCol, numHashes, bands, shingleWords, nParts),
+          maxBucket)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        // bloom first: committed keys must always be bloom-covered
+        writeBloomFile(keys, dir, s"a${System.nanoTime()}")
+        keys.withColumn("ingest_batch", lit(SeedBatch))
+          .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(dir)
+      } finally keys.unpersist(blocking = false)
+    }
   }
 
   /** Seed the id-addressable at-rest corpus: every column of `docs` plus
    *  the `id_part` layout column, partitioned so candidate-text fetches
-   *  prune to the candidates' partitions. */
+   *  prune to the candidates' partitions. A fresh seed resets the replay
+   *  history (`_committed` markers) along with the data — staged as a new
+   *  version, pointer-swapped. */
   def writeCorpus(docs: DataFrame, path: String, idCol: String = "doc_id",
-      nParts: Int = 16): Unit =
-    withIdPart(docs, idCol, nParts)
-      .withColumn("ingest_batch", lit(SeedBatch))
-      .write.partitionBy("ingest_batch", "id_part").mode("overwrite").parquet(path)
+      nParts: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    AtRest.withLease(spark, path) {
+      val fs = fsFor(spark, path)
+      val (v, staging) = AtRest.nextStaging(fs, path)
+      withIdPart(docs, idCol, nParts)
+        .write.partitionBy("id_part").mode("overwrite")
+        .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
+      AtRest.writeMeta(spark, path, corpusMeta(idCol, nParts))
+      val markers = new Path(path, "_committed")
+      if (fs.exists(markers)) fs.delete(markers, true)
+      AtRest.publishVersion(spark, path, v, "id_part")
+    }
+  }
 
   // ------------------------------------------------------------ probe paths
 
@@ -241,8 +293,9 @@ object DedupIndex {
    * corpus: `(batch_id, corpus_id, jaccard)` for every verified pair with
    * exact word-shingle Jaccard ≥ `threshold`. The signature/banding
    * parameters MUST match the ones the index was written with — bucket
-   * keys are hashes, so a mismatch silently yields zero collisions; pass
-   * the same values, not new defaults.
+   * keys are hashes, so a mismatch would silently yield zero collisions;
+   * the `_meta.json` sidecar makes that LOUD (validated here; absent only
+   * on pre-sidecar tables).
    *
    * `fetchText(candIds)` supplies `(id, text)` for the distinct candidate
    * corpus ids — the ONLY corpus access the probe makes.
@@ -252,6 +305,9 @@ object DedupIndex {
       idCol: String, numHashes: Int, bands: Int, shingleWords: Int,
       nParts: Int, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    AtRest.validateMeta(spark, path,
+      indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
+    val dir = AtRest.resolve(spark, path)
     val rows = numHashes / bands
     val batchSlim = batch.select(col(idCol).as("id"), col(textCol).as("text"))
     val idType = batchSlim.schema("id").dataType
@@ -270,7 +326,7 @@ object DedupIndex {
     // them, so past 64 uncompacted sidecars the predicate stops paying
     // for its own plan size — fall back to the (always-correct) full
     // probe until [[compact]] collapses them to one.
-    val blooms = readBlooms(spark, path)
+    val blooms = readBlooms(spark, dir)
     val hotKeys =
       if (blooms.isEmpty || blooms.size > 64) batchBanded
       else batchBanded.filter(blooms
@@ -290,7 +346,7 @@ object DedupIndex {
     // the per-write cap ([[compact]] re-establishes it at rest) — without
     // this every future probe touching that bucket would pay its full
     // membership forever
-    val matched = spark.read.parquet(path)
+    val matched = spark.read.parquet(dir)
       .filter(col("bucket_part").isin(parts.map(_.asInstanceOf[Any]): _*))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val okBuckets = matched.groupBy("bucket_part", "band", "bucket")
@@ -345,6 +401,7 @@ object DedupIndex {
    * static IN partition filter, so the candidate-TEXT scan plans only the
    * candidates' partition directories — steady-state ingest I/O stays
    * batch-proportional on both the index AND the corpus side.
+   * `corpusParts`/`idCol` validate against the corpus `_meta.json`.
    *
    * Planning still LISTS both tables' partition directories (one
    * directory per committed batch per layout key until [[compact]]/
@@ -355,7 +412,9 @@ object DedupIndex {
       corpusPath: String, threshold: Double = 0.7, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000,
-      corpusParts: Int = 16): DataFrame =
+      corpusParts: Int = 16): DataFrame = {
+    AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
+    val corpDir = AtRest.resolve(spark, corpusPath)
     probeCore(spark, indexPath, batch,
       ids => {
         val idParts = ids.select(pmod(xxhash64(col("id")), lit(corpusParts)).as("p"))
@@ -363,18 +422,19 @@ object DedupIndex {
         if (idParts.isEmpty)
           ids.select(col("id"), lit(null).cast("string").as("text")).limit(0)
         else
-          spark.read.parquet(corpusPath)
+          spark.read.parquet(corpDir)
             .filter(col("id_part").isin(idParts.map(_.asInstanceOf[Any]): _*))
             .select(col(idCol).as("id"), col(textCol).as("text"))
             .join(ids, Seq("id"), "left_semi")
       },
       threshold, textCol, idCol, numHashes, bands, shingleWords, nParts, maxBucket)
+  }
 
   /** The admit decision built on [[probe]]: batch rows with NO verified
    *  near-dup in the indexed corpus (the ones an ingest pipeline appends
    *  and indexes next). `maxBucket` forwards to the probe — it must match
-   *  the index's write-time cap, or accreted buckets silently re-cap at
-   *  the default. */
+   *  the index's write-time cap, which the `_meta.json` validation now
+   *  enforces loudly. */
   def admitNew(spark: SparkSession, path: String, batch: DataFrame, corpus: DataFrame,
       threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
@@ -404,7 +464,8 @@ object DedupIndex {
    * compaction pass can still apply later).
    *
    * Bootstrap: a missing/empty index means nothing is accepted yet — the
-   * whole (self-deduped) first batch admits and seeds both paths.
+   * whole (self-deduped) first batch admits and seeds both paths (and
+   * their `_meta.json` sidecars; later batches validate).
    *
    * Delivery with `batchId >= 0` is EXACTLY-ONCE: each path's batch data
    * stages under `_staging_<batchId>` and publishes with one atomic
@@ -416,25 +477,54 @@ object DedupIndex {
    * is unchanged) and re-publishes only the missing renames. `batchId <
    * 0` keeps the plain append path for direct one-shot callers
    * (at-least-once under external retries).
+   *
+   * Writer fencing: the call runs under both roots' leases
+   * (`leaseOwner` null = a transient per-call owner; [[ingestStream]]
+   * passes its stream-lifetime owner so its own batches refresh rather
+   * than re-claim).
    */
   def ingestBatch(batch: DataFrame, indexPath: String, corpusPath: String,
       threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
       nParts: Int = 16, maxBucket: Int = 1000, batchId: Long = -1L,
-      corpusParts: Int = 16): Long = {
+      corpusParts: Int = 16, leaseOwner: String = null): Long = {
     val spark = batch.sparkSession
     val fs = fsFor(spark, corpusPath)
     if (batchId >= 0 && fs.exists(committedMarker(corpusPath, batchId))) {
       // markers are written atomically (writeFile renames), but tolerate a
       // corrupt one anyway: an unparsable marker means NOT committed — the
       // partial-replay path below recomputes and re-publishes safely
-      val txt = new String(readFile(fs, committedMarker(corpusPath, batchId)),
+      val txt = new String(AtRest.readFile(fs, committedMarker(corpusPath, batchId)),
         java.nio.charset.StandardCharsets.UTF_8).trim
       txt.toLongOption match {
         case Some(n) => return n
         case None => fs.delete(committedMarker(corpusPath, batchId), false)
       }
     }
+    val owner = if (leaseOwner != null) leaseOwner
+      else java.util.UUID.randomUUID().toString
+    AtRest.acquireLease(spark, indexPath, owner)
+    try {
+      AtRest.acquireLease(spark, corpusPath, owner)
+      try ingestBatchFenced(batch, indexPath, corpusPath, threshold, textCol,
+        idCol, numHashes, bands, shingleWords, nParts, maxBucket, batchId,
+        corpusParts)
+      // transient per-call fence; a stream's lifetime lease stays held
+      finally if (leaseOwner == null) AtRest.releaseLease(spark, corpusPath, owner)
+    } finally if (leaseOwner == null) AtRest.releaseLease(spark, indexPath, owner)
+  }
+
+  private def ingestBatchFenced(batch: DataFrame, indexPath: String,
+      corpusPath: String, threshold: Double, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleWords: Int, nParts: Int,
+      maxBucket: Int, batchId: Long, corpusParts: Int): Long = {
+    val spark = batch.sparkSession
+    val fs = fsFor(spark, corpusPath)
+    AtRest.validateOrAdoptMeta(spark, indexPath,
+      indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
+    AtRest.validateOrAdoptMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
+    val idxDir = AtRest.ensureVersioned(spark, indexPath)
+    val corpDir = AtRest.ensureVersioned(spark, corpusPath)
     if (batchId >= 0) {
       // a batch dir WITHOUT its marker is a half-published crash leftover:
       // un-publish it before recomputing, so the replay's probe sees the
@@ -442,10 +532,10 @@ object DedupIndex {
       // (a half-published index key could otherwise tip a bucket over the
       // probe-side maxBucket re-cap and flip a candidate)
       val ifs = fsFor(spark, indexPath)
-      val idxDir = new Path(indexPath, s"ingest_batch=$batchId")
-      if (ifs.exists(idxDir)) ifs.delete(idxDir, true)
-      val corpDir = new Path(corpusPath, s"ingest_batch=$batchId")
-      if (fs.exists(corpDir)) fs.delete(corpDir, true)
+      val idxBatch = new Path(idxDir, s"ingest_batch=$batchId")
+      if (ifs.exists(idxBatch)) ifs.delete(idxBatch, true)
+      val corpBatch = new Path(corpDir, s"ingest_batch=$batchId")
+      if (fs.exists(corpBatch)) fs.delete(corpBatch, true)
     }
     val b = batch.select(col(idCol), col(textCol)).dropDuplicates(idCol)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -453,13 +543,13 @@ object DedupIndex {
         shingleWords, numHashes, bands, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     val hasIndex = {
-      val p = new Path(indexPath)
       val ifs = fsFor(spark, indexPath)
       // data dirs only: _bloom/_staging/_committed don't make an index.
       // A flat `bucket_part=` root is the PRE-round-11 layout — mixing it
       // with per-batch dirs would corrupt partition discovery, and
       // silently treating it as absent would skip dedup entirely; compact()
       // reads the flat layout fine and rewrites it into the current one
+      val p = new Path(idxDir)
       if (ifs.exists(p) &&
           ifs.listStatus(p).exists(_.getPath.getName.startsWith("bucket_part=")))
         throw new IllegalStateException(
@@ -471,8 +561,7 @@ object DedupIndex {
     // ingest_batch= nesting) would otherwise surface later as an opaque
     // unresolved-column/isin error on id_part inside probeAtRest; fail
     // HERE, pointing at the migration path
-    val corpRoot = new Path(corpusPath)
-    if (fs.exists(corpRoot) && fs.listStatus(corpRoot).exists { st =>
+    if (fs.exists(new Path(corpDir)) && fs.listStatus(new Path(corpDir)).exists { st =>
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") && !n.startsWith("ingest_batch=")
       })
@@ -495,21 +584,22 @@ object DedupIndex {
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       if (batchId >= 0) {
         // bloom before data: committed keys must always be bloom-covered
-        writeBloomFile(keys, indexPath, s"b$batchId", estimatedKeys = n * bands)
-        publishBatchDir(keys, indexPath, "bucket_part", batchId)
-        publishBatchDir(withIdPart(admitted, idCol, corpusParts), corpusPath,
+        writeBloomFile(keys, idxDir, s"b$batchId", estimatedKeys = n * bands)
+        publishBatchDir(keys, idxDir, "bucket_part", batchId)
+        publishBatchDir(withIdPart(admitted, idCol, corpusParts), corpDir,
           "id_part", batchId)
       } else {
-        appendToIndex(admitted, indexPath, textCol, idCol, numHashes, bands,
-          shingleWords, maxBucket, nParts)
+        writeBloomFile(keys, idxDir, s"a${System.nanoTime()}")
+        keys.withColumn("ingest_batch", lit(SeedBatch))
+          .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(idxDir)
         withIdPart(admitted, idCol, corpusParts)
           .withColumn("ingest_batch", lit(SeedBatch))
-          .write.partitionBy("ingest_batch", "id_part").mode("append").parquet(corpusPath)
+          .write.partitionBy("ingest_batch", "id_part").mode("append").parquet(corpDir)
       }
       keys.unpersist(blocking = false)
     }
     if (batchId >= 0)
-      writeFile(fs, committedMarker(corpusPath, batchId),
+      AtRest.writeFile(fs, committedMarker(corpusPath, batchId),
         n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     admitted.unpersist(blocking = false)
     b.unpersist(blocking = false)
@@ -522,21 +612,58 @@ object DedupIndex {
    *  in Spark streaming state — it survives restarts, is shared with
    *  batch probes, and is unbounded-corpus-safe; the watermark-state
    *  alternative, [[Dedup.streamingNearDupCandidates]], bounds state but
-   *  forgets old buckets). */
+   *  forgets old buckets).
+   *
+   *  Holds both roots' writer leases for the STREAM's lifetime — a
+   *  second concurrent ingest stream fails at start() instead of
+   *  silently corrupting. The owner derives from the checkpoint path, so
+   *  a restart on the same checkpoint re-claims its own lease; the lease
+   *  releases on query termination (and goes stale by TTL if the driver
+   *  dies hard). */
   def ingestStream(docs: DataFrame, indexPath: String, corpusPath: String,
       checkpointPath: String, threshold: Double = 0.7, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000,
-      corpusParts: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        ingestBatch(b, indexPath, corpusPath, threshold, textCol, idCol,
-          numHashes, bands, shingleWords, nParts, maxBucket, batchId = id,
-          corpusParts = corpusParts)
-        ()
+      corpusParts: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val owner = s"ckpt:$checkpointPath"
+    AtRest.acquireLease(spark, indexPath, owner)
+    try AtRest.acquireLease(spark, corpusPath, owner)
+    catch { case e: Throwable =>
+      AtRest.releaseLease(spark, indexPath, owner); throw e
+    }
+    val query =
+      try docs.writeStream
+        .option("checkpointLocation", checkpointPath)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          ingestBatch(b, indexPath, corpusPath, threshold, textCol, idCol,
+            numHashes, bands, shingleWords, nParts, maxBucket, batchId = id,
+            corpusParts = corpusParts, leaseOwner = owner)
+          ()
+        }
+        .start()
+      catch {
+        case e: Throwable =>
+          AtRest.releaseLease(spark, indexPath, owner)
+          AtRest.releaseLease(spark, corpusPath, owner)
+          throw e
       }
-      .start()
+    val qid = query.id
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          AtRest.releaseLease(spark, indexPath, owner)
+          AtRest.releaseLease(spark, corpusPath, owner)
+          spark.streams.removeListener(this)
+        }
+    })
+    query
+  }
 
   // ------------------------------------------------------------- compaction
 
@@ -544,26 +671,13 @@ object DedupIndex {
    *  make the compacted table unreadable (no schema to infer). Land one
    *  empty schema-bearing parquet file in that case — its layout column
    *  simply becomes a data column of the empty read. */
-  private def ensureReadableIfEmpty(df: DataFrame, staging: Path): Unit = {
-    val fs = fsFor(df.sparkSession, staging.toString)
-    val hasData = fs.listStatus(staging)
+  private def ensureReadableIfEmpty(df: DataFrame, dir: Path): Unit = {
+    val fs = fsFor(df.sparkSession, dir.toString)
+    val hasData = fs.exists(dir) && fs.listStatus(dir)
       .exists(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
     if (!hasData)
-      df.limit(0).write.mode("append").parquet(staging.toString)
+      df.limit(0).write.mode("append").parquet(dir.toString)
   }
-
-  /** The data directories a compaction swap replaces: the per-batch dirs
-   *  plus any LEGACY flat-layout dirs of `layoutCol` (pre-round-11 roots
-   *  had `bucket_part=`/`id_part=` directly at top level — compaction is
-   *  the migration path, so it must sweep those too or the rewrite would
-   *  leave a mixed-depth, undiscoverable layout). */
-  private def listBatchDirs(fs: FileSystem, root: String, layoutCol: String): Seq[Path] =
-    if (!fs.exists(new Path(root))) Seq.empty
-    else fs.listStatus(new Path(root))
-      .filter(st => st.isDirectory &&
-        (st.getPath.getName.startsWith("ingest_batch=") ||
-          st.getPath.getName.startsWith(layoutCol + "=")))
-      .map(_.getPath).toSeq
 
   /**
    * OFFLINE index maintenance: rewrite the whole index into one merged
@@ -572,35 +686,38 @@ object DedupIndex {
    * appends drop AT REST (so the probe-side re-cap becomes a no-op), the
    * bloom sidecar collapses to one filter, and `_committed` markers are
    * preserved (a post-compaction stream restart still recognizes its
-   * replayed batchIds). Quiesce writers AND readers first: the swap
-   * (delete batch dirs, rename staging in) is not crash-atomic — the
-   * staged data survives any crash under `_compact_staging` for manual
-   * recovery, but readers racing the swap can see a partial index.
+   * replayed batchIds). The rewrite stages a COMPLETE new version
+   * (data + bloom) and publishes it with one atomic pointer swap — a
+   * crash at any point leaves the live version intact, and a reader
+   * racing the swap sees old or new, never a mix (the replaced version
+   * survives one maintenance generation as reader grace). Still quiesce
+   * WRITERS first: the lease enforces that loudly.
    */
   def compact(spark: SparkSession, path: String, maxBucket: Int = 1000,
-      nParts: Int = 16): Unit = {
+      nParts: Int = 16): Unit = AtRest.withLease(spark, path) {
     val fs = fsFor(spark, path)
-    val all = spark.read.parquet(path)
+    val cur = AtRest.resolve(spark, path)
+    val all = spark.read.parquet(cur)
       .select(pmod(xxhash64(col("band"), col("bucket")), lit(nParts)).as("bucket_part"),
         col("band"), col("bucket"), col("id"))
     // one task per layout key -> one file per partition directory
     val capped = capBuckets(all, maxBucket).repartition(nParts, col("bucket_part"))
-    val staging = new Path(path, "_compact_staging")
-    capped.write.partitionBy("bucket_part").mode("overwrite").parquet(staging.toString)
-    ensureReadableIfEmpty(capped, staging)
-    listBatchDirs(fs, path, "bucket_part").foreach(d => fs.delete(d, true))
-    val target = new Path(path, s"ingest_batch=$SeedBatch")
-    if (!fs.rename(staging, target))
-      throw new IllegalStateException(s"compact rename $staging -> $target failed")
-    // one merged bloom replaces the per-append accretion, rebuilt from the
+    val (v, staging) = AtRest.nextStaging(fs, path)
+    val dataDir = new Path(staging, s"ingest_batch=$SeedBatch")
+    capped.write.partitionBy("bucket_part").mode("overwrite").parquet(dataDir.toString)
+    ensureReadableIfEmpty(capped, dataDir)
+    // one merged bloom beside the new version's data, rebuilt from the
     // COMPACTED output (merged, one file per partition — not a second scan
-    // of the fragmented source; a cached frame would not be crash-safe
-    // here, since eviction would recompute from the just-deleted dirs).
-    // An interrupted rewrite leaves _bloom empty = probes full-read.
-    val bloomDir = new Path(path, "_bloom")
-    if (fs.exists(bloomDir)) fs.delete(bloomDir, true)
-    writeBloomFile(spark.read.parquet(target.toString).select("band", "bucket"),
-      path, "compact")
+    // of the fragmented source), BEFORE the swap: the published version is
+    // complete the instant it becomes current
+    writeBloomFile(spark.read.parquet(dataDir.toString).select("band", "bucket"),
+      staging.toString, "compact")
+    // compaction re-derives the layout but not the signature: keep the
+    // stored signature params, update what this pass can change
+    val merged = AtRest.readMeta(spark, path).getOrElse(Map("kind" -> "lsh_index")) ++
+      Map("nParts" -> nParts.toString, "maxBucket" -> maxBucket.toString)
+    AtRest.writeMeta(spark, path, merged)
+    AtRest.publishVersion(spark, path, v, "bucket_part")
   }
 
   /**
@@ -613,19 +730,21 @@ object DedupIndex {
    * the full batch near-dup pipeline over the at-rest corpus, keeps each
    * cluster's BEST member ([[Dedup.nearDupKeepBest]]; `score` defaults
    * to text length — longest survives), rewrites the corpus
-   * id-addressably, and REBUILDS the index + bloom sidecar from the
-   * survivors (dropped docs' keys must leave the index, or future
-   * probes fetch text for ghosts). Returns the dropped-document count;
-   * 0 leaves both paths untouched. Same offline/single-writer contract
-   * as [[compact]].
+   * id-addressably (staged version + atomic pointer swap), and REBUILDS
+   * the index + bloom sidecar from the survivors (dropped docs' keys
+   * must leave the index, or future probes fetch text for ghosts).
+   * Returns the dropped-document count; 0 leaves both paths untouched.
+   * Same offline/lease-fenced contract as [[compact]].
    */
   def recheckCorpus(spark: SparkSession, corpusPath: String, indexPath: String,
       threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
       maxBucket: Int = 1000, nParts: Int = 16, corpusParts: Int = 16,
-      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_)): Long = {
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_))
+      : Long = AtRest.withLease(spark, corpusPath) {
+    AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
     val fs = fsFor(spark, corpusPath)
-    val corpus = spark.read.parquet(corpusPath).drop("ingest_batch", "id_part")
+    val corpus = readCorpus(spark, corpusPath).drop("ingest_batch", "id_part")
     val pairs = Dedup.nearDuplicates(corpus, textCol, idCol, threshold,
       shingleWords, numHashes, bands, maxBucket)
     val best = Dedup.nearDupKeepBest(
@@ -640,14 +759,12 @@ object DedupIndex {
       val survivors = withIdPart(corpus.join(dropIds, Seq(idCol), "left_anti"),
           idCol, corpusParts)
         .repartition(corpusParts, col("id_part"))
-      val staging = new Path(corpusPath, "_compact_staging")
-      survivors.write.partitionBy("id_part").mode("overwrite").parquet(staging.toString)
-      ensureReadableIfEmpty(survivors, staging)
-      listBatchDirs(fs, corpusPath, "id_part").foreach(d => fs.delete(d, true))
-      val target = new Path(corpusPath, s"ingest_batch=$SeedBatch")
-      if (!fs.rename(staging, target))
-        throw new IllegalStateException(s"recheck rename $staging -> $target failed")
-      writeAtRest(spark.read.parquet(corpusPath), indexPath, textCol, idCol,
+      val (v, staging) = AtRest.nextStaging(fs, corpusPath)
+      val dataDir = new Path(staging, s"ingest_batch=$SeedBatch")
+      survivors.write.partitionBy("id_part").mode("overwrite").parquet(dataDir.toString)
+      ensureReadableIfEmpty(survivors, dataDir)
+      AtRest.publishVersion(spark, corpusPath, v, "id_part")
+      writeAtRest(readCorpus(spark, corpusPath), indexPath, textCol, idCol,
         numHashes, bands, shingleWords, maxBucket, nParts)
     }
     dropIds.unpersist(blocking = false)
@@ -655,19 +772,22 @@ object DedupIndex {
   }
 
   /** [[compact]]'s corpus twin: collapse the per-batch corpus directories
-   *  into one merged seed batch with one file per `id_part` directory.
-   *  Same offline/single-writer contract; `_committed` markers survive. */
+   *  into one merged seed batch with one file per `id_part` directory —
+   *  staged as a complete new version, atomic pointer swap, `_committed`
+   *  markers survive. Same offline/lease-fenced contract. */
   def compactCorpus(spark: SparkSession, path: String, idCol: String = "doc_id",
-      nParts: Int = 16): Unit = {
+      nParts: Int = 16): Unit = AtRest.withLease(spark, path) {
     val fs = fsFor(spark, path)
-    val all = spark.read.parquet(path).drop("ingest_batch", "id_part")
+    val all = spark.read.parquet(AtRest.resolve(spark, path))
+      .drop("ingest_batch", "id_part")
     val laid = withIdPart(all, idCol, nParts).repartition(nParts, col("id_part"))
-    val staging = new Path(path, "_compact_staging")
-    laid.write.partitionBy("id_part").mode("overwrite").parquet(staging.toString)
-    ensureReadableIfEmpty(laid, staging)
-    listBatchDirs(fs, path, "id_part").foreach(d => fs.delete(d, true))
-    val target = new Path(path, s"ingest_batch=$SeedBatch")
-    if (!fs.rename(staging, target))
-      throw new IllegalStateException(s"compact rename $staging -> $target failed")
+    val (v, staging) = AtRest.nextStaging(fs, path)
+    val dataDir = new Path(staging, s"ingest_batch=$SeedBatch")
+    laid.write.partitionBy("id_part").mode("overwrite").parquet(dataDir.toString)
+    ensureReadableIfEmpty(laid, dataDir)
+    val merged = AtRest.readMeta(spark, path).getOrElse(Map("kind" -> "dedup_corpus")) ++
+      Map("idCol" -> idCol, "corpusParts" -> nParts.toString)
+    AtRest.writeMeta(spark, path, merged)
+    AtRest.publishVersion(spark, path, v, "id_part")
   }
 }

@@ -469,7 +469,7 @@ object MLQueries {
         DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
         DedupIndex.writeAtRest(corpus, idx)
         DedupIndex.ingestBatch(batch.select("doc_id", "text"), idx, corp, batchId = 0L)
-        s.read.parquet(corp)
+        DedupIndex.readCorpus(s, corp)
           .filter(col("doc_id") % 3 === 0)
           .select("doc_id")
           .orderBy("doc_id")
@@ -526,7 +526,7 @@ object MLQueries {
         DedupIndex.writeCorpus(docs, corp)
         DedupIndex.writeAtRest(docs, idx)
         DedupIndex.recheckCorpus(s, corp, idx, threshold = 0.7)
-        s.read.parquet(corp).select("doc_id").orderBy("doc_id")
+        DedupIndex.readCorpus(s, corp).select("doc_id").orderBy("doc_id")
       }),
 
     // Document chunking (the RAG / context-window splitter): overlapping

@@ -70,7 +70,11 @@ object IngestSoakBench {
       out.toSeq
     }
 
-    def countFiles(p: String): Int = {
+    def countFiles(root: String): Int = {
+      // count the LIVE version only — a maintenance swap retains the
+      // replaced version for one generation of reader grace, which would
+      // otherwise double-count
+      val p = graft.operators.AtRest.resolve(spark, root)
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(p))) 0
@@ -109,6 +113,11 @@ object IngestSoakBench {
       println(f"""{"batch":$b,"wall":$wall%.3f,"admitted":$adm,"cum_admitted":$cum}""")
       if (b == compactAt) {
         q.stop()
+        // the stream's lifetime lease releases on a LISTENER event, which
+        // is asynchronous — release it explicitly (idempotent) so the
+        // immediate maintenance pass can't race a not-yet-fired listener
+        graft.operators.AtRest.releaseLease(spark, idxPath, s"ckpt:$root/ckpt")
+        graft.operators.AtRest.releaseLease(spark, corpPath, s"ckpt:$root/ckpt")
         val before = (countFiles(idxPath), countFiles(corpPath))
         val t1 = System.nanoTime()
         DedupIndex.compact(spark, idxPath)
@@ -128,7 +137,7 @@ object IngestSoakBench {
     val offlineSurvivors = all.count() -
       Dedup.nearDupGroups(Dedup.nearDuplicates(all, threshold = 0.7))
         .filter(col("doc_id") =!= col("canonical_id")).count()
-    val corpusRows = spark.read.parquet(corpPath).count()
+    val corpusRows = DedupIndex.readCorpus(spark, corpPath).count()
     val head = walls.take(10).sum / math.min(10, walls.length)
     val tail = walls.takeRight(10).sum / math.min(10, walls.length)
     println(f"""{"summary":{"batches":$nBatches,"docs":${texts.length},"stream_admitted":$cum,"corpus_rows":$corpusRows,"offline_survivors":$offlineSurvivors,"wall_first10_avg":$head%.3f,"wall_last10_avg":$tail%.3f,"idx_files_final":${countFiles(idxPath)},"corp_files_final":${countFiles(corpPath)},"idx_files_precompact":${filesAtCompact._1},"corp_files_precompact":${filesAtCompact._2}}}""")

@@ -64,8 +64,8 @@ class DedupIndexSpec extends SparkSpec {
     val corp = s"$root/corpus.parquet"
     DedupIndex.writeAtRest(corpus, idx, nParts = 16)
     DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp, nParts = 16)
-    val nIdxParts = spark.read.parquet(idx).select("bucket_part").distinct().count()
-    val nCorpParts = spark.read.parquet(corp).select("id_part").distinct().count()
+    val nIdxParts = DedupIndex.readIndex(spark, idx).select("bucket_part").distinct().count()
+    val nCorpParts = DedupIndex.readCorpus(spark, corp).select("id_part").distinct().count()
     assert(nIdxParts == 16 && nCorpParts == 16) // sf0.01 populates every partition
     // a batch doc KNOWN to collide (bloom prefilter rightly skips no-hit
     // docs): take the smallest batch_id the full probe reports
@@ -104,23 +104,23 @@ class DedupIndexSpec extends SparkSpec {
       // batch 1: two originals + an exact in-batch copy of doc 1
       mem.addData((1L, doc(1)), (2L, doc(2)), (3L, doc(1)))
       q.processAllAvailable()
-      val after1 = spark.read.parquet(corpPath).select("doc_id")
+      val after1 = DedupIndex.readCorpus(spark, corpPath).select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(after1 === Set(1L, 2L)) // 3 dropped: larger member of the (1,3) pair
       // batch 2: a copy of an EARLIER batch's doc + a fresh doc
       mem.addData((10L, doc(2)), (11L, doc(4)))
       q.processAllAvailable()
-      val after2 = spark.read.parquet(corpPath).select("doc_id")
+      val after2 = DedupIndex.readCorpus(spark, corpPath).select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(after2 === Set(1L, 2L, 11L)) // 10 matched indexed doc 2 across batches
       // batch 3: copies of docs from BOTH prior batches → nothing admits
       mem.addData((20L, doc(1)), (21L, doc(4)))
       q.processAllAvailable()
-      val after3 = spark.read.parquet(corpPath).select("doc_id")
+      val after3 = DedupIndex.readCorpus(spark, corpPath).select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(after3 === Set(1L, 2L, 11L))
       // the index holds exactly the admitted docs' keys (bands each)
-      val idxIds = spark.read.parquet(idxPath).select("id")
+      val idxIds = DedupIndex.readIndex(spark, idxPath).select("id")
         .collect().map(_.getLong(0)).toSet
       assert(idxIds === Set(1L, 2L, 11L))
     } finally q.stop()
@@ -147,7 +147,7 @@ class DedupIndexSpec extends SparkSpec {
     try {
       mem.addData((10L, doc(1)), (11L, doc(3))) // 10 dups batch-0's doc 1
       q2.processAllAvailable()
-      val ids = spark.read.parquet(corpPath).select("doc_id")
+      val ids = DedupIndex.readCorpus(spark, corpPath).select("doc_id")
         .collect().map(_.getLong(0)).toSet
       assert(ids === Set(1L, 2L, 11L))
       // the restarted query's batch published under a CONTINUED batchId
@@ -155,9 +155,10 @@ class DedupIndexSpec extends SparkSpec {
       // dirs stay per-batch-unique across restarts
       val fs = new org.apache.hadoop.fs.Path(corpPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.exists(new org.apache.hadoop.fs.Path(corpPath, "ingest_batch=1")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        graft.operators.AtRest.resolve(spark, corpPath), "ingest_batch=1")))
       assert(fs.exists(new org.apache.hadoop.fs.Path(corpPath, "_committed/batch-1")))
-      assert(spark.read.parquet(idxPath).count() === 3L * 8) // no key dup
+      assert(DedupIndex.readIndex(spark, idxPath).count() === 3L * 8) // no key dup
     } finally q2.stop()
   }
 
@@ -173,22 +174,23 @@ class DedupIndexSpec extends SparkSpec {
     // FULL replay (foreachBatch redelivery after the commit): marker
     // short-circuits — same count back, no duplicate rows or keys
     assert(DedupIndex.ingestBatch(b0, idxPath, corpPath, batchId = 0L) === 2L)
-    assert(spark.read.parquet(corpPath).count() === 2L)
-    assert(spark.read.parquet(idxPath).select("id").distinct().count() === 2L)
-    assert(spark.read.parquet(idxPath).count() === 2L * 8) // bands keys per doc, ONCE
+    assert(DedupIndex.readCorpus(spark, corpPath).count() === 2L)
+    assert(DedupIndex.readIndex(spark, idxPath).select("id").distinct().count() === 2L)
+    assert(DedupIndex.readIndex(spark, idxPath).count() === 2L * 8) // bands keys per doc, ONCE
     // PARTIAL replay: batch 1 publishes its index dir but "crashes" before
     // the corpus publish + marker (simulated by deleting both)
     val b1 = Seq((10L, doc(3)), (11L, doc(1))).toDF("doc_id", "text") // 11 dups doc 1
     assert(DedupIndex.ingestBatch(b1, idxPath, corpPath, batchId = 1L) === 1L)
     val fs = new org.apache.hadoop.fs.Path(corpPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(corpPath, "ingest_batch=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      graft.operators.AtRest.resolve(spark, corpPath), "ingest_batch=1"), true)
     fs.delete(new org.apache.hadoop.fs.Path(corpPath, "_committed/batch-1"), false)
     assert(DedupIndex.ingestBatch(b1, idxPath, corpPath, batchId = 1L) === 1L)
-    val corpIds = spark.read.parquet(corpPath).select("doc_id")
+    val corpIds = DedupIndex.readCorpus(spark, corpPath).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(corpIds === Seq(1L, 2L, 10L)) // each exactly once, 11 dropped
-    assert(spark.read.parquet(idxPath).count() === 3L * 8) // no duplicate keys
+    assert(DedupIndex.readIndex(spark, idxPath).count() === 3L * 8) // no duplicate keys
   }
 
   test("a legacy flat corpus layout fails loudly with the migration path") {
@@ -219,33 +221,40 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
     val before = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    def dataFiles(p: String): Seq[String] = {
+    def dataFiles(root: String): Seq[String] = {
+      // the LIVE version only (the replaced version survives one
+      // generation as reader grace and must not be counted)
+      val p = graft.operators.AtRest.resolve(spark, root)
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
-        val f = it.next().getPath.toString
-        if (f.endsWith(".parquet") && !f.contains("/_")) buf += f
+        val f = it.next().getPath.toString // file:-schemed URI, longer than p
+        val i = f.indexOf(p)
+        if (f.endsWith(".parquet") && i >= 0 &&
+            !f.substring(i + p.length).contains("/_")) buf += f
       }
       buf.toSeq
     }
     val filesBefore = dataFiles(idx).size
-    val rowsBefore = spark.read.parquet(idx).count()
+    val rowsBefore = DedupIndex.readIndex(spark, idx).count()
     DedupIndex.compact(spark, idx)
     DedupIndex.compactCorpus(spark, corp)
     val filesAfter = dataFiles(idx).size
     assert(filesAfter < filesBefore, s"$filesAfter files after vs $filesBefore before")
     assert(filesAfter <= 16) // one file per bucket_part directory
-    assert(spark.read.parquet(idx).count() === rowsBefore) // nothing over the cap here
+    assert(DedupIndex.readIndex(spark, idx).count() === rowsBefore) // nothing over the cap here
     // at rest, every bucket is within the cap: the probe-side re-cap is a no-op
-    val maxAtRest = spark.read.parquet(idx).groupBy("band", "bucket")
+    val maxAtRest = DedupIndex.readIndex(spark, idx).groupBy("band", "bucket")
       .agg(count(lit(1)).as("n")).select(max("n")).head.getLong(0)
     assert(maxAtRest <= 1000)
-    // one merged bloom file replaces the per-write accretion
+    // one merged bloom file (in the live version dir) replaces the
+    // per-write accretion
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(idx, "_bloom")).length === 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+      graft.operators.AtRest.resolve(spark, idx), "_bloom")).length === 1)
     val after = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(after === before && after.nonEmpty)
@@ -260,10 +269,10 @@ class DedupIndexSpec extends SparkSpec {
     // per-write cap 4 holds (3 each), but the bucket accretes to 6 at rest
     DedupIndex.writeAtRest(clones(0 until 3), idx, maxBucket = 4)
     DedupIndex.appendToIndex(clones(10 until 13), idx, maxBucket = 4)
-    assert(spark.read.parquet(idx).groupBy("band", "bucket")
+    assert(DedupIndex.readIndex(spark, idx).groupBy("band", "bucket")
       .agg(count(lit(1)).as("n")).select(max("n")).head.getLong(0) === 6L)
     DedupIndex.compact(spark, idx, maxBucket = 4)
-    assert(spark.read.parquet(idx).count() === 0L) // every bucket was degenerate
+    assert(DedupIndex.readIndex(spark, idx).count() === 0L) // every bucket was degenerate
   }
 
   test("recheckCorpus drops at-rest stragglers, keeps the longest, rebuilds the index") {
@@ -280,10 +289,10 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.writeAtRest(corpus, idx)
     val dropped = DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5)
     assert(dropped === 1L)
-    val left = spark.read.parquet(corp).select("doc_id")
+    val left = DedupIndex.readCorpus(spark, corp).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(left === Set(2L, 3L)) // 1 dropped: 2 is the longer cluster member
-    assert(spark.read.parquet(idx).select("id").distinct()
+    assert(DedupIndex.readIndex(spark, idx).select("id").distinct()
       .collect().map(_.getLong(0)).toSet === Set(2L, 3L)) // no ghost keys
     // a probe matching the dropped doc's text hits the KEPT doc
     val probeOut = DedupIndex.probeAtRest(spark, idx,
@@ -319,6 +328,136 @@ class DedupIndexSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), corpus)
     assert(out.columns.toSeq === Seq("batch_id", "corpus_id", "jaccard"))
     assert(out.count() === 0L)
+  }
+
+  test("a probe with mismatched banding parameters fails loudly against _meta.json") {
+    val root = tempDir("lsh_meta")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    DedupIndex.writeAtRest(corpus, idx) // numHashes=32, bands=8
+    DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp) // corpusParts=16
+    // the old failure mode: different banding hashes to different buckets →
+    // SILENT zero collisions → every duplicate admitted. Now: loud.
+    val e1 = intercept[IllegalStateException] {
+      DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7, bands = 4)
+    }
+    assert(e1.getMessage.contains("bands") && e1.getMessage.contains("_meta.json"))
+    val e2 = intercept[IllegalStateException] {
+      DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7, corpusParts = 8)
+    }
+    assert(e2.getMessage.contains("corpusParts"))
+    // appends and maintenance validate too
+    val e3 = intercept[IllegalStateException] {
+      DedupIndex.appendToIndex(batch, idx, numHashes = 64, bands = 8)
+    }
+    assert(e3.getMessage.contains("numHashes"))
+    val e4 = intercept[IllegalStateException] {
+      DedupIndex.ingestBatch(batch.select("doc_id", "text"), idx, corp,
+        batchId = 7L, shingleWords = 5)
+    }
+    assert(e4.getMessage.contains("shingleWords"))
+    // matching parameters still pass (the default-path probe)
+    assert(DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .count() > 0)
+  }
+
+  test("a crashed compact leaves the live version intact; a re-run converges") {
+    val root = tempDir("lsh_crash_compact")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    DedupIndex.writeAtRest(corpus, idx)
+    DedupIndex.writeCorpus(corpus.select("doc_id", "text"), corp)
+    val before = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // simulate a compact killed mid-staging: a partial next-version dir
+    // exists, the pointer was never flipped
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partial = new org.apache.hadoop.fs.Path(idx, "_v1/ingest_batch=-1/bucket_part=0")
+    fs.mkdirs(partial)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(partial, "part-junk.parquet"), true)
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    // readers are untouched: the live version is still _v0
+    val during = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(during === before)
+    // a re-run compact clobbers the partial staging and converges
+    DedupIndex.compact(spark, idx)
+    val after = DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === before && after.nonEmpty)
+  }
+
+  test("a reader that resolved before a maintenance swap still reads a complete table") {
+    val root = tempDir("lsh_reader_grace")
+    val idx = s"$root/index.parquet"
+    DedupIndex.writeAtRest(corpus, idx)
+    val oldDir = graft.operators.AtRest.resolve(spark, idx)
+    val oldRows = spark.read.parquet(oldDir).count()
+    DedupIndex.compact(spark, idx)
+    val newDir = graft.operators.AtRest.resolve(spark, idx)
+    assert(newDir != oldDir) // the swap happened
+    // one-generation reader grace: the replaced version is complete on disk
+    assert(spark.read.parquet(oldDir).count() === oldRows)
+    assert(spark.read.parquet(newDir).count() === oldRows)
+    // the NEXT maintenance pass garbage-collects it
+    DedupIndex.compact(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(oldDir)))
+  }
+
+  test("writer lease: a live foreign lease fails loudly, a stale one is broken") {
+    import spark.implicits._
+    val root = tempDir("lsh_lease")
+    val idxPath = s"$root/index.parquet"
+    val corpPath = s"$root/corpus.parquet"
+    val b = Seq((1L, "lease test doc one two three")).toDF("doc_id", "text")
+    // someone else's live lease on the index root
+    graft.operators.AtRest.acquireLease(spark, idxPath, "other-writer")
+    val e = intercept[IllegalStateException] {
+      DedupIndex.ingestBatch(b, idxPath, corpPath, batchId = 0L)
+    }
+    assert(e.getMessage.contains("write-locked") && e.getMessage.contains("other-writer"))
+    // age the lease past the TTL: the next writer breaks it and proceeds
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(idxPath, "_lease"),
+      System.currentTimeMillis() - 11 * 60 * 1000L, -1)
+    assert(DedupIndex.ingestBatch(b, idxPath, corpPath, batchId = 0L) === 1L)
+    // the transient fence released on exit
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_lease")))
+  }
+
+  test("a second concurrent ingest stream on the same tables fails at start") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tempDir("lsh_two_streams")
+    val idxPath = s"$root/index.parquet"
+    val corpPath = s"$root/corpus.parquet"
+    val memA = MemoryStream[(Long, String)]
+    val qA = DedupIndex.ingestStream(
+      memA.toDF().toDF("doc_id", "text"), idxPath, corpPath, s"$root/ckptA")
+    try {
+      memA.addData((1L, "stream a doc one two three"))
+      qA.processAllAvailable()
+      // a SECOND stream (different checkpoint = different writer identity)
+      // on the same at-rest tables must fail loudly at start, not corrupt
+      val memB = MemoryStream[(Long, String)]
+      val e = intercept[IllegalStateException] {
+        DedupIndex.ingestStream(
+          memB.toDF().toDF("doc_id", "text"), idxPath, corpPath, s"$root/ckptB")
+      }
+      assert(e.getMessage.contains("write-locked"))
+    } finally qA.stop()
+    // termination releases the lease (listener fires asynchronously)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + 10000
+    while (fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_lease")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_lease")))
   }
 
   test("admitNew = batch minus the probe's matched ids") {
