@@ -177,26 +177,141 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // ------------------------------------------------------- codebook sidecar
+
+  /** The codebook persisted BESIDE the data it assigned — in the VERSION
+   *  directory, so a retrain's rewrite and its new codebook swap in
+   *  atomically together (a root-level codebook would open a window where
+   *  probes pair a new codebook with old assignments or vice versa).
+   *  Text format, float bits, exact roundtrip. */
+  private def codebookFile(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_codebook/codebook.txt")
+
+  private def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cb: Seq[Seq[Float]]): Unit = {
+    val body = s"${cb.length} ${cb.headOption.map(_.length).getOrElse(0)}\n" +
+      cb.map(_.map(java.lang.Float.floatToIntBits).mkString(" ")).mkString("\n")
+    AtRest.writeFile(AtRest.fsFor(spark, dir), codebookFile(dir),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The codebook persisted with the table's CURRENT version — what
+   *  probes/appends should use; None only on pre-sidecar tables. */
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Seq[Seq[Float]]] = {
+    val dir = AtRest.resolve(spark, path)
+    val fs = AtRest.fsFor(spark, dir)
+    val f = codebookFile(dir)
+    if (!fs.exists(f)) None
+    else {
+      val lines = new String(AtRest.readFile(fs, f),
+        java.nio.charset.StandardCharsets.UTF_8).trim.linesIterator.toSeq
+      Some(lines.drop(1).map(_.split(" ")
+        .map(s => java.lang.Float.intBitsToFloat(s.toInt)).toSeq))
+    }
+  }
+
+  private def sameCodebook(a: Seq[Seq[Float]], b: Seq[Seq[Float]]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      x.length == y.length && x.zip(y).forall { case (f, g) =>
+        java.lang.Float.floatToIntBits(f) == java.lang.Float.floatToIntBits(g) } }
+
+  /** A caller-supplied codebook must BIT-MATCH the persisted one — a
+   *  stale codebook against a retrained table silently mis-prunes
+   *  (wrong lists probed, wrong results); the sidecar makes it loud. */
+  private def validateCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Seq[Seq[Float]]): Unit =
+    readCodebook(spark, path).foreach { stored =>
+      if (!sameCodebook(stored, centroids))
+        throw new IllegalStateException(
+          s"caller codebook does not match the one persisted beside $path " +
+            "(a stale codebook silently mis-prunes probes and mis-assigns " +
+            "appends) — reload it with Similarity.readCodebook, or rewrite " +
+            "the table with ivfWriteAtRest/ivfRetrain")
+    }
+
+  private def storedCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Float]] =
+    readCodebook(spark, path).getOrElse(throw new IllegalStateException(
+      s"$path has no persisted codebook (pre-sidecar table) — pass the " +
+        "centroids explicitly, or re-seed with ivfWriteAtRest"))
+
+  /** The current version's DATA directory for appends: versioned tables
+   *  nest `ingest_batch=<B>/list_id=<L>` (batch publishes are one atomic
+   *  rename, like [[DedupIndex]]); a legacy flat table (bare `list_id=`
+   *  at its root) keeps its flat shape — mixing depths would corrupt
+   *  partition discovery. [[ivfCompactAtRest]] migrates. */
+  private def appendDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Boolean) = {
+    val fs = AtRest.fsFor(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val legacyFlat = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("list_id="))
+    if (legacyFlat) (dir, true)
+    else (new org.apache.hadoop.fs.Path(dir, "ingest_batch=-1").toString, false)
+  }
+
+  private def ivfMeta(cb: Seq[Seq[Float]]): Map[String, String] = Map(
+    "kind" -> "ivf_table", "nLists" -> cb.length.toString,
+    "dim" -> cb.headOption.map(_.length).getOrElse(0).toString)
+
+  // ---------------------------------------------------------- at-rest table
+
+  /** The at-rest IVF table as a DataFrame (current version resolved) —
+   *  the supported external read; a raw `spark.read.parquet(root)` on a
+   *  versioned root fails loudly by design. */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(AtRest.resolve(spark, path))
+
   /** Persist the assigned corpus AT REST, `partitionBy(list_id)` — the
    *  100 TB layout: each inverted list is its own partition directory, so
    *  a probe query's `list_id` filter prunes entire lists at PLANNING time
-   *  (the scan never lists, opens, or reads the other lists' files). */
+   *  (the scan never lists, opens, or reads the other lists' files).
+   *  Staged as a complete version (data + codebook sidecar) and published
+   *  with one atomic pointer swap; `_meta.json` records nLists/dim and a
+   *  fresh seed resets the `_committed` replay markers. */
   def ivfWriteAtRest(corpus: DataFrame, centroids: Seq[Seq[Float]],
-      path: String, vecCol: String = "embedding"): Unit =
-    ivfAssign(corpus, centroids, vecCol)
-      .write.partitionBy("list_id").mode("overwrite").parquet(path)
+      path: String, vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    AtRest.withLease(spark, path) {
+      val fs = AtRest.fsFor(spark, path)
+      val (v, staging) = AtRest.nextStaging(fs, path)
+      ivfAssign(corpus, centroids, vecCol)
+        .write.partitionBy("list_id").mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
+      writeCodebook(spark, staging.toString, centroids)
+      AtRest.writeMeta(spark, path, ivfMeta(centroids))
+      val markers = new org.apache.hadoop.fs.Path(path, "_committed")
+      if (fs.exists(markers)) fs.delete(markers, true)
+      AtRest.publishVersion(spark, path, v, "list_id")
+    }
+  }
 
   /** Vector INGEST for the at-rest IVF table: newly-arrived embeddings
    *  assign to the EXISTING centroids (the codebook is the trained model —
-   *  appends must not re-train it, or every prior list assignment drifts)
-   *  and land in their lists' partition directories. Probes see them on
-   *  the next read with the same nProbe pruning; same single-writer /
-   *  file-granular-reader boundary as `DedupIndex`. Periodic re-training +
-   *  full rewrite handles codebook drift once appended mass dominates. */
+   *  appends must not re-train it, or every prior list assignment drifts;
+   *  the caller's codebook validates against the persisted sidecar) and
+   *  land in their lists' partition directories. Probes see them on the
+   *  next read with the same nProbe pruning; lease-fenced single writer.
+   *  Periodic re-training + full rewrite ([[ivfRetrain]]) handles
+   *  codebook drift once appended mass dominates. */
   def ivfAppendAtRest(newVecs: DataFrame, centroids: Seq[Seq[Float]],
-      path: String, vecCol: String = "embedding"): Unit =
-    ivfAssign(newVecs, centroids, vecCol)
-      .write.partitionBy("list_id").mode("append").parquet(path)
+      path: String, vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    AtRest.withLease(spark, path) {
+      validateCodebook(spark, path, centroids)
+      val dir = AtRest.ensureVersioned(spark, path)
+      // pre-sidecar tables adopt the caller's codebook (their first append
+      // under a DIFFERENT codebook would already have corrupted them)
+      if (readCodebook(spark, path).isEmpty) {
+        writeCodebook(spark, dir, centroids)
+        AtRest.writeMeta(spark, path, ivfMeta(centroids))
+      }
+      val (target, _) = appendDir(spark, dir)
+      ivfAssign(newVecs, centroids, vecCol)
+        .write.partitionBy("list_id").mode("append").parquet(target)
+    }
+  }
 
   /**
    * Lloyd's k-means on the embedding column — the IVF (re-)training step.
@@ -227,30 +342,43 @@ object Similarity {
     cb
   }
 
-  /** Stage a full partitioned rewrite next to `path`, then swap it in —
-   *  the shared tail of [[ivfCompactAtRest]]/[[ivfRetrain]]. OFFLINE
-   *  maintenance (quiesce writers and readers): the delete+rename swap is
-   *  not crash-atomic, but the staged data survives any crash at
-   *  `<path>__rewrite` for manual recovery. */
-  private def swapRewrite(assigned: DataFrame, path: String): Unit = {
+  /** Stage a full partitioned rewrite as the NEXT VERSION (with the
+   *  codebook that assigned it), then swap the pointer — the shared,
+   *  crash-atomic tail of [[ivfCompactAtRest]]/[[ivfRetrain]]. A crash at
+   *  any point leaves the live version intact; a reader racing the swap
+   *  sees old or new, never a mix (the replaced version survives one
+   *  maintenance generation as reader grace). Quiesce WRITERS first —
+   *  the callers hold the lease. */
+  private def swapRewrite(assigned: DataFrame, path: String,
+      cb: Seq[Seq[Float]]): Unit = {
     val spark = assigned.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(path + "__rewrite")
-    assigned.write.partitionBy("list_id").mode("overwrite").parquet(staging.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    if (!fs.rename(staging, new org.apache.hadoop.fs.Path(path)))
-      throw new IllegalStateException(s"rewrite rename $staging -> $path failed")
+    val fs = AtRest.fsFor(spark, path)
+    val (v, staging) = AtRest.nextStaging(fs, path)
+    assigned.write.partitionBy("list_id").mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
+    writeCodebook(spark, staging.toString, cb)
+    AtRest.writeMeta(spark, path, ivfMeta(cb))
+    AtRest.publishVersion(spark, path, v, "list_id")
   }
 
   /** OFFLINE maintenance, [[graft.operators.DedupIndex.compact]]'s IVF
-   *  twin: collapse the per-append small files to one file per list
-   *  directory (one shuffle task per list). Assignments are untouched —
-   *  probes with the existing codebook see identical results. */
-  def ivfCompactAtRest(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val all = spark.read.parquet(path)
+   *  twin: collapse the per-append/per-batch small files to one file per
+   *  list directory (one shuffle task per list). Assignments and codebook
+   *  are untouched — probes see identical results — and a legacy flat
+   *  table migrates to the versioned layout here. `centroids` is only
+   *  needed for pre-sidecar tables (whose codebook was never persisted);
+   *  omit it otherwise. */
+  def ivfCompactAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[Seq[Float]] = null): Unit = AtRest.withLease(spark, path) {
+    if (centroids != null) validateCodebook(spark, path, centroids)
+    val cb = readCodebook(spark, path)
+      .orElse(Option(centroids))
+      .getOrElse(throw new IllegalStateException(
+        s"$path has no persisted codebook (pre-sidecar table) — pass the " +
+          "centroids so compaction can persist them"))
+    val all = spark.read.parquet(AtRest.resolve(spark, path)).drop("ingest_batch")
     val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
-    swapRewrite(all.repartition(nLists, col("list_id")), path)
+    swapRewrite(all.repartition(nLists, col("list_id")), path, cb)
   }
 
   /**
@@ -262,21 +390,25 @@ object Similarity {
    * near its neighbor ranks lists the same way the neighbor's assignment
    * did, but pruning efficiency collapses; SketchSpec measures exactly
    * this). Reads the table once for k-means and once for the rewrite;
-   * returns the new codebook, which the CALLER must use for all future
-   * appends and probes — old-codebook probes against the rewritten table
-   * are silently mis-pruned.
+   * returns the new codebook, which is ALSO persisted inside the new
+   * version — the rewrite and its codebook swap in atomically together,
+   * and a straggler caller still holding the old codebook now fails
+   * loudly instead of silently mis-pruning.
    */
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
       nLists: Int = 16, iters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Seq[Seq[Float]] = {
-    val cur = spark.read.parquet(path).drop("list_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      val cb = ivfTrainKmeans(cur, nLists, iters, idCol, vecCol)
-      swapRewrite(ivfAssign(cur, cb, vecCol).repartition(nLists, col("list_id")), path)
-      cb
-    } finally cur.unpersist(blocking = false)
-  }
+      vecCol: String = "embedding"): Seq[Seq[Float]] =
+    AtRest.withLease(spark, path) {
+      val cur = spark.read.parquet(AtRest.resolve(spark, path))
+        .drop("list_id", "ingest_batch")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        val cb = ivfTrainKmeans(cur, nLists, iters, idCol, vecCol)
+        swapRewrite(ivfAssign(cur, cb, vecCol).repartition(nLists, col("list_id")),
+          path, cb)
+        cb
+      } finally cur.unpersist(blocking = false)
+    }
 
   /**
    * Probe an at-rest IVF table: the probes' wanted lists (≤ nProbe ×
@@ -284,17 +416,28 @@ object Similarity {
    * the trained model's keyspace, not of data) become a static `IN` filter
    * on the partition column, so the parquet scan plans ONLY those
    * partition directories. The spec asserts the FileSourceScan's selected
-   * partition count equals the wanted-list count.
+   * partition count equals the wanted-list count. A caller-supplied
+   * `centroids` must bit-match the persisted codebook (loud error
+   * otherwise); the overload without it loads the persisted one.
    */
   def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, centroids: Seq[Seq[Float]], k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    validateCodebook(spark, path, centroids)
     val wanted = ivfProbeLists(probes, centroids, nProbe)
       .select("list_id").distinct().collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(path)
+    val assigned = spark.read.parquet(AtRest.resolve(spark, path))
       .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
     scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol)
   }
+
+  /** [[ivfTopKAtRest]] under the table's OWN persisted codebook — the
+   *  default read path: no way to hold a stale model. */
+  def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, k: Int, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame =
+    ivfTopKAtRest(spark, path, probes, storedCodebook(spark, path), k, nProbe,
+      idCol, vecCol)
 
   /**
    * One micro-batch of a VECTOR ingest loop over the at-rest IVF table —
@@ -302,20 +445,26 @@ object Similarity {
    * an arrival drops when a near-duplicate (cosine ≥ `threshold`)
    * already exists in the table, probing ONLY the arrival's `nProbe`
    * nearest lists (a static IN partition filter, batch-proportional
-   * I/O), or earlier in the batch (exact all-pairs within the
-   * micro-batch via a broadcast non-equi self-join — batch² is the
-   * micro-batch regime, and exactness here avoids the LSH recall caveat
-   * entirely; the greedy rule drops the strictly-LARGER member of any
-   * pair). Survivors append under the EXISTING codebook. Returns the
-   * admitted count.
+   * I/O), or earlier in the batch. The in-batch check is an exact
+   * all-pairs broadcast self-join up to `maxExactBatch` rows — batch²
+   * is the micro-batch regime, and exactness there avoids the LSH
+   * recall caveat entirely — and falls back to banded sign-LSH
+   * ([[embeddingDuplicates]]) above it, so a caller bulk-loading
+   * through this entry point cannot detonate a quadratic join (the
+   * greedy rule either way: drop the strictly-LARGER member of any
+   * pair). Survivors append under the EXISTING codebook (validated
+   * against the persisted sidecar). Returns the admitted count.
    *
-   * Delivery: the append is at-least-once under external retries, but
-   * the admit decision is CONTENT-idempotent — a replayed batch's
-   * vectors find their previously-appended copies at cosine ~1.0 ≥
-   * threshold (same-id matches included by design: an at-rest row under
-   * the arrival's own id IS "already ingested") and drop, so the table
-   * converges to the same rows without commit markers; a replay whose
-   * first append never became visible simply re-admits.
+   * Delivery with `batchId >= 0` is EXACTLY-ONCE, the same protocol as
+   * the dedup loop: the admitted vectors stage under
+   * `_staging_<batchId>` and publish with one atomic rename to
+   * `ingest_batch=<batchId>`, then a `_committed` marker (holding the
+   * admitted count) records completion; replays short-circuit on the
+   * marker, partial crashes un-publish and recompute. The admit
+   * decision is ALSO content-idempotent as defense in depth — a
+   * replayed vector finds its previously-appended copy at cosine ~1.0
+   * (same-id matches included by design) and drops. `batchId < 0`
+   * keeps the plain at-least-once append for direct one-shot callers.
    *
    * Recall caveat (cross-probe only): a true near-dup in a list outside
    * the arrival's nProbe nearest can be missed — but near-duplicates
@@ -324,62 +473,156 @@ object Similarity {
    */
   def ivfIngestBatch(newVecs: DataFrame, centroids: Seq[Seq[Float]], path: String,
       threshold: Double = 0.95, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      batchId: Long = -1L, maxExactBatch: Long = 10000L,
+      leaseOwner: String = null): Long = {
     val spark = newVecs.sparkSession
-    val b = newVecs.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val lhs = b.select(col(idCol).as("_ia"), col(vecCol).as("_va"))
-    val rhs = b.select(col(idCol).as("_ib"), col(vecCol).as("_vb"))
-    val inDrop = lhs.join(broadcast(rhs), col("_ia") < col("_ib"))
-      .filter(cosine(col("_va"), col("_vb")) >= threshold)
-      .select(col("_ib").as(idCol)).distinct()
-    val hasTable = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("list_id="))
+    val fs = AtRest.fsFor(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(path, s"_committed/batch-$batchId")
+    if (batchId >= 0 && fs.exists(marker)) {
+      val txt = new String(AtRest.readFile(fs, marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      txt.toLongOption match {
+        case Some(n) => return n
+        case None => fs.delete(marker, false)
+      }
     }
-    val crossDrop =
-      if (hasTable) {
-        val probes = b.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-        val probeLists = ivfProbeLists(probes, centroids, nProbe)
-        // bounded collect over the MODEL's keyspace (≤ nLists), the same
-        // static-IN pruning as ivfTopKAtRest
-        val wanted = probeLists.select("list_id").distinct()
-          .collect().map(_.getInt(0)).sorted
-        // no same-id exclusion here (unlike the pair-REPORTING probes):
-        // an arrival matching an at-rest row under its own id IS "already
-        // ingested" — dropping it is what makes replays content-idempotent
-        spark.read.parquet(path)
-          .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
-          .join(broadcast(probeLists), "list_id")
-          .filter(cosine(col("probe_vec"), col(vecCol)) >= threshold)
-          .select(col("probe_id").as(idCol)).distinct()
-      } else b.select(col(idCol)).limit(0)
-    val admitted = b.join(inDrop.unionByName(crossDrop).distinct(), Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val n = admitted.count()
-    if (n > 0) ivfAppendAtRest(admitted, centroids, path, vecCol)
-    admitted.unpersist(blocking = false)
-    b.unpersist(blocking = false)
-    n
+    val owner = if (leaseOwner != null) leaseOwner
+      else java.util.UUID.randomUUID().toString
+    AtRest.acquireLease(spark, path, owner)
+    try {
+      validateCodebook(spark, path, centroids)
+      val dir = AtRest.ensureVersioned(spark, path)
+      val (_, legacyFlat) = appendDir(spark, dir)
+      if (batchId >= 0 && legacyFlat)
+        throw new IllegalStateException(
+          s"$path uses the legacy flat layout; run ivfCompactAtRest to migrate " +
+            "before exactly-once batch ingest")
+      if (batchId >= 0) {
+        // un-publish a half-published crash leftover so the replay's probe
+        // sees the exact pre-attempt state
+        val batchDir = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
+        if (fs.exists(batchDir)) fs.delete(batchDir, true)
+      }
+      val b = newVecs.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val nB = b.count()
+      val inDrop =
+        if (nB <= maxExactBatch) {
+          val lhs = b.select(col(idCol).as("_ia"), col(vecCol).as("_va"))
+          val rhs = b.select(col(idCol).as("_ib"), col(vecCol).as("_vb"))
+          lhs.join(broadcast(rhs), col("_ia") < col("_ib"))
+            .filter(cosine(col("_va"), col("_vb")) >= threshold)
+            .select(col("_ib").as(idCol)).distinct()
+        } else
+          // bulk-load guard: banded sign-LSH candidates + exact verify —
+          // no broadcast NLJ in the plan, linear-ish in the batch
+          embeddingDuplicates(b, threshold, idCol = idCol, vecCol = vecCol)
+            .select(col("id_b").as(idCol)).distinct()
+      val hasTable = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        fs.exists(p) && fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          n.startsWith("list_id=") || n.startsWith("ingest_batch=")
+        }
+      }
+      val crossDrop =
+        if (hasTable) {
+          val probes = b.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+          val probeLists = ivfProbeLists(probes, centroids, nProbe)
+          // bounded collect over the MODEL's keyspace (≤ nLists), the same
+          // static-IN pruning as ivfTopKAtRest
+          val wanted = probeLists.select("list_id").distinct()
+            .collect().map(_.getInt(0)).sorted
+          // no same-id exclusion here (unlike the pair-REPORTING probes):
+          // an arrival matching an at-rest row under its own id IS "already
+          // ingested" — dropping it is what makes replays content-idempotent
+          spark.read.parquet(dir)
+            .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
+            .join(broadcast(probeLists), "list_id")
+            .filter(cosine(col("probe_vec"), col(vecCol)) >= threshold)
+            .select(col("probe_id").as(idCol)).distinct()
+        } else b.select(col(idCol)).limit(0)
+      val admitted = b.join(inDrop.unionByName(crossDrop).distinct(),
+          Seq(idCol), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val n = admitted.count()
+      if (n > 0) {
+        val assigned = ivfAssign(admitted, centroids, vecCol)
+        if (batchId >= 0) {
+          // stage + one atomic rename, the exactly-once publish
+          val target = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
+          if (!fs.exists(target)) {
+            val staging = new org.apache.hadoop.fs.Path(dir, s"_staging_$batchId")
+            assigned.write.partitionBy("list_id").mode("overwrite")
+              .parquet(staging.toString)
+            if (!fs.rename(staging, target))
+              throw new IllegalStateException(
+                s"publish rename $staging -> $target failed")
+          }
+        } else {
+          val (target, _) = appendDir(spark, dir)
+          assigned.write.partitionBy("list_id").mode("append").parquet(target)
+        }
+      }
+      if (batchId >= 0)
+        AtRest.writeFile(fs, marker,
+          n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      admitted.unpersist(blocking = false)
+      b.unpersist(blocking = false)
+      n
+    } finally if (leaseOwner == null) AtRest.releaseLease(spark, path, owner)
   }
+
+  /** [[ivfIngestBatch]] under the table's OWN persisted codebook. */
+  def ivfIngestBatch(newVecs: DataFrame, path: String, threshold: Double,
+      nProbe: Int, idCol: String, vecCol: String, batchId: Long): Long =
+    ivfIngestBatch(newVecs, storedCodebook(newVecs.sparkSession, path), path,
+      threshold, nProbe, idCol, vecCol, batchId)
 
   /** The streaming wrapper, mirroring
    *  [[graft.operators.DedupIndex.ingestStream]]: every micro-batch of
-   *  `vecs` flows through [[ivfIngestBatch]]; durable state is the
-   *  at-rest IVF table itself. The codebook is fixed for the stream's
-   *  lifetime — re-train offline with [[ivfRetrain]] and restart. */
+   *  `vecs` flows through [[ivfIngestBatch]] with its foreachBatch
+   *  batchId — exactly-once end to end, durable state being the at-rest
+   *  IVF table itself. Holds the table's writer lease for the stream's
+   *  lifetime (owner derived from the checkpoint, released on
+   *  termination) — a second concurrent vector ingest stream fails at
+   *  start(). The codebook is fixed for the stream's lifetime — re-train
+   *  offline with [[ivfRetrain]] and restart. */
   def ivfIngestStream(vecs: DataFrame, centroids: Seq[Seq[Float]], path: String,
       checkpointPath: String, threshold: Double = 0.95, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    vecs.writeStream
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        ivfIngestBatch(b, centroids, path, threshold, nProbe, idCol, vecCol)
-        ()
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vecs.sparkSession
+    val owner = s"ckpt:$checkpointPath"
+    AtRest.acquireLease(spark, path, owner)
+    val query =
+      try vecs.writeStream
+        .option("checkpointLocation", checkpointPath)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          ivfIngestBatch(b, centroids, path, threshold, nProbe, idCol, vecCol,
+            batchId = id, leaseOwner = owner)
+          ()
+        }
+        .start()
+      catch { case e: Throwable =>
+        AtRest.releaseLease(spark, path, owner); throw e
       }
-      .start()
+    val qid = query.id
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          AtRest.releaseLease(spark, path, owner)
+          spark.streams.removeListener(this)
+        }
+    })
+    query
+  }
 
   /**
    * Embedding near-duplicate pairs via BANDED sign-LSH + cosine threshold.

@@ -903,7 +903,7 @@ object MLQueries {
             .select((col("vec_id") + 4000000L).as("vec_id"),
               transform(col("embedding"), y => y * lit(1.002f)).as("embedding")))
         Similarity.ivfIngestBatch(batch, cb, out, threshold = 0.95)
-        s.read.parquet(out)
+        Similarity.ivfRead(s, out)
           .filter(col("vec_id") >= 1000000L)
           .select("vec_id").orderBy("vec_id")
       }),

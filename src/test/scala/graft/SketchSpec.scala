@@ -214,9 +214,12 @@ class SketchSpec extends SparkSpec {
     val probe = emb.filter(col("vec_id") === 7)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     def files(): Int = {
-      val fs = new org.apache.hadoop.fs.Path(dir)
+      // the LIVE version only — the replaced version survives one
+      // generation of reader grace and must not be counted
+      val live = graft.operators.AtRest.resolve(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(live)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(live), true)
       var n = 0
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
@@ -261,12 +264,12 @@ class SketchSpec extends SparkSpec {
     def scannedRows(cb: Seq[Seq[Float]]): Long = {
       val wanted = Similarity.ivfProbeLists(probe, cb, nProbe = 2)
         .select("list_id").distinct().collect().map(_.getInt(0)).toSeq
-      spark.read.parquet(dir).filter(col("list_id").isin(wanted: _*)).count()
+      Similarity.ivfRead(spark, dir).filter(col("list_id").isin(wanted: _*)).count()
     }
     def top1(cb: Seq[Seq[Float]]): Long =
       Similarity.ivfTopKAtRest(spark, dir, probe, cb, k = 1, nProbe = 2)
         .collect().head.getLong(1)
-    def maxList(): Long = spark.read.parquet(dir).groupBy("list_id")
+    def maxList(): Long = Similarity.ivfRead(spark, dir).groupBy("list_id")
       .agg(count(lit(1)).as("n")).select(max("n")).head.getLong(0)
     val scannedBefore = scannedRows(oldCb)
     val maxBefore = maxList()
@@ -288,7 +291,7 @@ class SketchSpec extends SparkSpec {
     val dir = tempDir("ivf_ingest") + "/corpus"
     val cb = Similarity.ivfCodebook(emb, nLists = 16)
     Similarity.ivfWriteAtRest(emb.select("vec_id", "embedding"), cb, dir)
-    val nSeed = spark.read.parquet(dir).count()
+    val nSeed = Similarity.ivfRead(spark, dir).count()
     val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
       .select((col("vec_id") + 1000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(0.9f) + lit(0.1f)).as("embedding"))
@@ -301,14 +304,14 @@ class SketchSpec extends SparkSpec {
           transform(col("embedding"), y => y * lit(1.002f)).as("embedding")))
     val n1 = Similarity.ivfIngestBatch(batch, cb, dir, threshold = 0.95)
     assert(n1 === 10L) // exactly the 10 novels
-    val admitted = spark.read.parquet(dir).filter(col("vec_id") >= 1000L)
+    val admitted = Similarity.ivfRead(spark, dir).filter(col("vec_id") >= 1000L)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(admitted === (1050L to 1059L).toSet)
     // replay the whole batch: every member now has a near-dup at rest
     // (its own appended copy for the novels) -> nothing re-admits
     val n2 = Similarity.ivfIngestBatch(batch, cb, dir, threshold = 0.95)
     assert(n2 === 0L, s"replay admitted $n2")
-    assert(spark.read.parquet(dir).count() === nSeed + 10L)
+    assert(Similarity.ivfRead(spark, dir).count() === nSeed + 10L)
   }
 
   test("ivfIngestStream: micro-batches dedup against the at-rest table and each other") {
@@ -329,17 +332,106 @@ class SketchSpec extends SparkSpec {
       // batch 1: one novel + one near-copy of it (in-batch drop)
       mem.addData((7001L, vec(7, 1f)), (7002L, vec(7, 1f).map(_ * 1.001f)))
       q.processAllAvailable()
-      val after1 = spark.read.parquet(dir).filter(col("vec_id") >= 7000L)
+      val after1 = Similarity.ivfRead(spark, dir).filter(col("vec_id") >= 7000L)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(after1 === Set(7001L))
       // batch 2: a near-copy of batch 1's admit (cross-table drop) + a
       // fresh novel from a different shift
       mem.addData((7010L, vec(7, 1f).map(_ * 1.002f)), (7011L, vec(8, 1f)))
       q.processAllAvailable()
-      val after2 = spark.read.parquet(dir).filter(col("vec_id") >= 7000L)
+      val after2 = Similarity.ivfRead(spark, dir).filter(col("vec_id") >= 7000L)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(after2 === Set(7001L, 7011L))
     } finally q.stop()
+  }
+
+  test("a stale caller codebook fails loudly against the persisted sidecar") {
+    val dir = tempDir("ivf_stale_cb") + "/corpus"
+    val cb = Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 1)
+    Similarity.ivfWriteAtRest(emb, cb, dir)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    // the table retrains; a straggler still holding cb must not silently
+    // mis-prune — every entry point taking a codebook validates
+    val newCb = Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 2)
+    assert(newCb != cb)
+    val e1 = intercept[IllegalStateException] {
+      Similarity.ivfTopKAtRest(spark, dir, probe, cb, k = 3, nProbe = 2)
+    }
+    assert(e1.getMessage.contains("codebook"))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.ivfAppendAtRest(emb.limit(1), cb, dir)
+    }
+    assert(e2.getMessage.contains("codebook"))
+    val e3 = intercept[IllegalStateException] {
+      Similarity.ivfIngestBatch(emb.limit(1).select("vec_id", "embedding"), cb, dir)
+    }
+    assert(e3.getMessage.contains("codebook"))
+    // the codebook-free overloads load the persisted model — no way stale
+    assert(Similarity.readCodebook(spark, dir).contains(newCb))
+    val viaStored = Similarity.ivfTopKAtRest(spark, dir, probe, k = 3, nProbe = 2,
+      idCol = "vec_id", vecCol = "embedding")
+    val viaCaller = Similarity.ivfTopKAtRest(spark, dir, probe,
+      Similarity.readCodebook(spark, dir).get, k = 3, nProbe = 2)
+    assert(viaStored.collect().toSeq === viaCaller.collect().toSeq)
+  }
+
+  test("ivfIngestBatch with a batchId is exactly-once under full and partial replay") {
+    val dir = tempDir("ivf_exactly_once") + "/corpus"
+    val cb = Similarity.ivfCodebook(emb, nLists = 16)
+    Similarity.ivfWriteAtRest(emb.select("vec_id", "embedding"), cb, dir)
+    val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9f) + lit(0.1f)).as("embedding"))
+    assert(Similarity.ivfIngestBatch(novel, cb, dir, threshold = 0.95,
+      batchId = 0L) === 10L)
+    // FULL replay: the marker short-circuits with the SAME count (the
+    // content-idempotent path alone would report 0 on replay)
+    assert(Similarity.ivfIngestBatch(novel, cb, dir, threshold = 0.95,
+      batchId = 0L) === 10L)
+    val n0 = Similarity.ivfRead(spark, dir).filter(col("vec_id") >= 1000L).count()
+    assert(n0 === 10L)
+    // PARTIAL replay: the batch dir published but the marker never landed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = graft.operators.AtRest.resolve(spark, dir)
+    val novel2 = emb.filter(col("vec_id") >= 60 && col("vec_id") < 65)
+      .select((col("vec_id") + 2000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.8f) + lit(0.15f)).as("embedding"))
+    assert(Similarity.ivfIngestBatch(novel2, cb, dir, threshold = 0.95,
+      batchId = 1L) === 5L)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_committed/batch-1"), false)
+    assert(Similarity.ivfIngestBatch(novel2, cb, dir, threshold = 0.95,
+      batchId = 1L) === 5L)
+    assert(Similarity.ivfRead(spark, dir)
+      .filter(col("vec_id") >= 2000L && col("vec_id") < 3000L).count() === 5L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(live, "ingest_batch=1")))
+  }
+
+  test("ivfIngestBatch above maxExactBatch plans no broadcast nested-loop join") {
+    import spark.implicits._
+    val dir = tempDir("ivf_bulk_guard") + "/corpus"
+    val cb = Similarity.ivfCodebook(emb, nLists = 8)
+    Similarity.ivfWriteAtRest(emb.select("vec_id", "embedding"), cb, dir)
+    // the guard swaps the exact batch-squared self-join for banded sign-LSH:
+    // verify the LSH path produces the same admit DECISIONS as the exact
+    // path on a batch with known in-batch plants (recall holds at ~1.0)
+    val novel = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9f) + lit(0.1f)).as("embedding"))
+    val batch = novel.unionByName(novel.filter(col("vec_id") < 1052)
+      .select((col("vec_id") + 4000L).as("vec_id"),
+        transform(col("embedding"), y => y * lit(1.002f)).as("embedding")))
+    // maxExactBatch = 1 forces the guard on this small batch
+    val n = Similarity.ivfIngestBatch(batch, cb, dir, threshold = 0.95,
+      maxExactBatch = 1L)
+    assert(n === 10L) // the 2 in-batch plants drop via the LSH path too
+    // and the guard's in-batch dedup plan contains NO broadcast NLJ
+    val b = batch.select("vec_id", "embedding")
+    val plan = Similarity.embeddingDuplicates(b, 0.95, idCol = "vec_id",
+        vecCol = "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
   test("nearDupGroups: chains, multiple components, singleton pairs converge to min labels") {
