@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * A fastText-style linear text classifier on HASHED n-gram features —
+ * the learned third leg of the text-quality family next to the heuristic
+ * `quality_score` kernel and the char-trigram LM perplexity: production
+ * pipelines label a slice (heuristics, a rule-based labeler, an LLM
+ * judge), train a cheap supervised linear model on it, and score the
+ * whole corpus with that model.
+ *
+ * Model: L2-regularized logistic regression over binary presence
+ * features of word unigrams + bigrams hashed into `dim` buckets, plus an
+ * intercept. The feature map is the engine-portable md5 trick (first 8
+ * hex chars as an integer, mod dim), so an external SQL engine
+ * reproduces scoring bit-for-bit from the trained weights.
+ *
+ * Training is distributed IRLS (damped Newton — the optimizer Spark
+ * MLlib's own GLMs use): each round aggregates the exact gradient
+ * (≤ dim+1 rows) and the exact Hessian (≤ (dim+1)² `(f1, f2, Σ p(1-p))`
+ * rows — the model's keyspace squared, a few MB, NOT data) and solves
+ * the damped normal equations on the driver. Full-batch gradient descent
+ * needs thousands of rounds on this geometry; IRLS converges in ~2-4,
+ * which is what makes in-query training affordable.
+ *
+ * Determinism: probabilities quantize to a 1e-6 grid and weights live on
+ * a 1e-9 grid, so every distributed sum is over LONGs — exact and
+ * order-independent regardless of partitioning — and the driver-side
+ * solve is sequential. Trained weights are therefore bit-reproducible
+ * and pinnable as a regression oracle (`tools.DumpClassifier`).
+ *
+ * At 100 TB: the gram stream is scan-local (no text shuffle); per round
+ * the exchanges are one doc-keyed sum, one feature-keyed sum, and one
+ * feature-pair-keyed sum (dim-bounded). Scoring broadcasts the weights
+ * as a literal array — scan-local except the final doc-keyed sum.
+ */
+object TextClassifier {
+
+  /** Distinct hashed features per document: `(id, f)` for every distinct
+   *  unigram/bigram hash bucket the doc's tokens touch. Presence (not
+   *  count) keeps the distributed sums integer-exact and the margin
+   *  bounded by the doc's distinct-feature count. */
+  def features(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", dim: Int = 512): DataFrame = {
+    val t = graft.functions.TextFunctions.tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
+      .otherwise(typedLit(Seq.empty[String]))
+    docs.select(col(idCol).as("id"), explode(concat(t, bigrams)).as("g"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("f"))
+      .distinct()
+  }
+
+  /** Per-doc weight sum over present features — NANO units, an exact
+   *  LONG, so the later long→double division is the same double on
+   *  every engine. */
+  private def docSums(feats: DataFrame, weightsNano: Seq[Long]): DataFrame =
+    feats.groupBy("id")
+      .agg(sum(element_at(typedLit(weightsNano), (col("f") + 1).cast("int")))
+        .as("s"))
+
+  /** Sequential Gaussian elimination with partial pivoting — a
+   *  deterministic dense solve of the (dim+1)² damped normal equations;
+   *  ~1e8 flops at dim 512, driver-side milliseconds. */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val d = b.length
+    for (c <- 0 until d) {
+      var piv = c
+      for (r <- c + 1 until d) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t
+        val tb = b(piv); b(piv) = b(c); b(c) = tb }
+      val p = a(c)(c)
+      for (r <- c + 1 until d) {
+        val m = a(r)(c) / p
+        if (m != 0.0) {
+          var k = c
+          while (k < d) { a(r)(k) -= m * a(c)(k); k += 1 }
+          b(r) -= m * b(c)
+        }
+      }
+    }
+    val x = new Array[Double](d)
+    for (c <- d - 1 to 0 by -1) {
+      var s = b(c)
+      var k = c + 1
+      while (k < d) { s -= a(c)(k) * x(k); k += 1 }
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
+  /**
+   * Train on `docs` with a 0/1 `labelCol`; returns `(biasNano,
+   * weightsNano)` on the 1e-9 fixed-point grid that [[score]] and the
+   * SQL oracle consume. `lambda` is the per-document L2 strength (it
+   * also keeps separable data from driving weights to infinity);
+   * `rounds` IRLS iterations.
+   */
+  def train(docs: DataFrame, labelCol: String, textCol: String = "text",
+      idCol: String = "doc_id", dim: Int = 512, rounds: Int = 3,
+      lambda: Double = 0.01): (Long, Array[Long]) = {
+    val spark = docs.sparkSession
+    // the intercept rides as virtual feature `dim`, present in every doc
+    val feats = features(docs, textCol, idCol, dim)
+      .unionByName(docs.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val labels = docs.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("y"))
+    val nDocs = math.max(labels.count(), 1L).toDouble
+    val d = dim + 1
+    var w = new Array[Long](d)
+    for (_ <- 0 until rounds) {
+      // forward pass on the current weights: error e = p_q - y (1e-6
+      // grid) and curvature pq = p_q(1-p_q) (1e-6 grid), both LONGs
+      val z = coalesce(col("s"), lit(0L)) / lit(1e9)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val scored = labels.join(docSums(feats, w.toSeq), Seq("id"), "left")
+        .select(col("id"),
+          (round(p * 1e6).cast("long") - col("y") * 1000000L).as("e"),
+          round(p * (lit(1.0) - p) * 1e6).cast("long").as("pq"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val joined = feats.join(scored, Seq("id"))
+      val grad = joined.groupBy("f").agg(sum(col("e")).as("g")).collect()
+      // the Hessian: Σ_d pq_d over every PAIR of the doc's features —
+      // (dim+1)²-bounded keys, the model squared, not data
+      val hess = joined.select(col("id"), col("f").as("f1"), col("pq"))
+        .join(feats.select(col("id"), col("f").as("f2")), Seq("id"))
+        .groupBy("f1", "f2").agg(sum(col("pq")).as("h"))
+        .collect()
+      scored.unpersist(blocking = false)
+      // damped normal equations in real units, solved sequentially
+      val a = Array.fill(d)(new Array[Double](d))
+      val g = new Array[Double](d)
+      hess.foreach(r =>
+        a(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2) / 1e6 / nDocs)
+      grad.foreach(r => g(r.getLong(0).toInt) = r.getLong(1) / 1e6 / nDocs)
+      for (j <- 0 until d) {
+        a(j)(j) += lambda
+        g(j) += lambda * (w(j) / 1e9)
+      }
+      val delta = solve(a, g)
+      w = Array.tabulate(d)(j => w(j) - math.round(delta(j) * 1e9))
+    }
+    feats.unpersist(blocking = false)
+    (w(dim), w.take(dim))
+  }
+
+  /** Score `docs` under a trained model: `(id, prob, predicted)` with
+   *  prob rounded to 6 (the cross-engine comparison grid) and predicted
+   *  = 1 iff the margin is ≥ 0. Scan-local feature hashing + one
+   *  doc-keyed exact LONG sum; the weights ride along as one literal
+   *  array, no join. */
+  def score(docs: DataFrame, biasNano: Long, weightsNano: Seq[Long],
+      textCol: String = "text", idCol: String = "doc_id",
+      dim: Int = 512): DataFrame = {
+    val z = (lit(biasNano) + coalesce(col("s"), lit(0L))) / lit(1e9)
+    docs.select(col(idCol).as("id"))
+      .join(docSums(features(docs, textCol, idCol, dim), weightsNano),
+        Seq("id"), "left")
+      .select(col("id").as(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("prob"),
+        when(z >= 0, 1L).otherwise(0L).as("predicted"))
+  }
+}

@@ -153,6 +153,65 @@ object MLQueries {
           .orderBy("doc_id")
       }),
 
+    // The LEARNED text classifier (fastText-style hashed-ngram logistic
+    // regression, IRLS-trained): labels come from the rule-based language
+    // labeler (weak supervision — a labeler labels, the model learns to
+    // reproduce it), training re-runs IN-QUERY (bit-deterministic: every
+    // distributed sum is an exact LONG, the solve is sequential), and the
+    // oracle scores the corpus under the PINNED trained weights
+    // (ClassifierOracle, regenerate with tools.DumpClassifier) while
+    // recomputing the labels from scratch — so a training drift OR a
+    // scoring bug both go red. The md5 feature map is engine-portable.
+    Q("q_text_classifier", Some {
+      val langs = TextFunctions.StopwordSets.map(_._1)
+      val hits = TextFunctions.StopwordSets.map { case (lang, words) =>
+        s"len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))," +
+          s" [${words.map(w => s"'$w'").mkString(", ")}])) AS h_$lang"
+      }.mkString(",\n             ")
+      val enWins = langs.filter(_ != "en").map(o => s"h_en >= h_$o").mkString(" AND ")
+      s"""
+      WITH w(f, wn) AS (SELECT * FROM (VALUES ${ClassifierOracle.weightValues})),
+      lbl AS (
+        SELECT doc_id, CASE WHEN h_en > 0 AND $enWins THEN 1 ELSE 0 END AS label
+        FROM (SELECT doc_id, $hits FROM documents)
+      ), tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id, unnest(t || CASE WHEN len(t) >= 2
+            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS g
+        FROM tok
+      ), feats AS (
+        SELECT DISTINCT doc_id,
+               CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS UBIGINT) % 512 AS BIGINT) AS f
+        FROM grams
+      ), sums AS (
+        SELECT fe.doc_id, sum(w.wn) AS s FROM feats fe JOIN w ON w.f = fe.f
+        GROUP BY fe.doc_id
+      ), zz AS (
+        SELECT d.doc_id, (${ClassifierOracle.biasNano} + COALESCE(s.s, 0)) / 1e9 AS z
+        FROM documents d LEFT JOIN sums s USING (doc_id)
+      )
+      SELECT zz.doc_id, CAST(l.label AS BIGINT) AS label,
+             round(1 / (1 + exp(-zz.z)), 6) AS prob,
+             CAST(CASE WHEN zz.z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+      FROM zz JOIN lbl l USING (doc_id)
+      ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val labeled = docs.withColumn("label",
+          (TextFunctions.langId(col("text")) === "en").cast("int"))
+        val (b, w) = graft.operators.TextClassifier.train(labeled, "label")
+        graft.operators.TextClassifier.score(docs, b, w.toSeq)
+          .join(labeled.select(col("doc_id"),
+            col("label").cast("bigint").as("label")), "doc_id")
+          .select(col("doc_id"), col("label"), col("prob"), col("predicted"))
+          .orderBy("doc_id")
+      }),
+
     // minhash4 serialized to a string: the driver's pandas row-count pass
     // chokes on ndarray cells even for oracle-less queries (r01 crash).
     Q("q_text_fingerprint", Some(FingerprintOracle.sql),

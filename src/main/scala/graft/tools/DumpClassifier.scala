@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Regenerate q_text_classifier's pinned oracle: trains
+  * `TextClassifier.train(documents, label = (lang = 'en'))` at the given
+  * sfDir and prints the bias + non-zero weights as SQL VALUES rows, plus
+  * the training accuracy. `runMain graft.tools.DumpClassifier [sfDir]`. */
+object DumpClassifier {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // the label is the rule-based language labeler's verdict — the
+    // weak-supervision shape: a cheap labeler labels, the classifier
+    // learns to reproduce it from hashed features
+    val docs = graft.queries.Tables.t(spark, sfDir, "documents")
+      .withColumn("label",
+        (graft.functions.TextFunctions.langId(col("text")) === "en").cast("int"))
+    val (bNano, w) = graft.operators.TextClassifier.train(docs, "label")
+    println(s"[classifier-bias] $bNano")
+    println("[classifier-weights] " + w.zipWithIndex.collect {
+      case (wn, f) if wn != 0L => s"($f,$wn)"
+    }.mkString(","))
+    val scoredAcc = graft.operators.TextClassifier
+      .score(docs, bNano, w.toSeq)
+      .join(docs.select(col("doc_id"), col("label")), "doc_id")
+      .select(avg((col("predicted") === col("label").cast("long")).cast("double")))
+      .head.getDouble(0)
+    println(f"[classifier-train-accuracy] $scoredAcc%.4f")
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextClassifier
+
+/** The IRLS-trained hashed-ngram text classifier: separates a planted
+ *  marker vocabulary, trains bit-deterministically, reproduces the
+ *  rule-based language labeler on real corpus text, and hashes features
+ *  identically to the SQL oracle's md5 formulation. */
+class ClassifierSpec extends SparkSpec {
+
+  test("features: unigrams + bigrams, distinct presence, empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val f = TextClassifier.features(docs)
+    // doc 1: unigrams {alpha, beta} + bigrams {alpha beta, beta alpha} = 4
+    // distinct grams (the repeated 'alpha' dedupes); doc 2: 1; doc 3: none
+    val counts = f.groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 4L, 2L -> 1L))
+    assert(f.agg(min("f"), max("f")).head match {
+      case r => r.getLong(0) >= 0 && r.getLong(1) < 512
+    })
+  }
+
+  test("train separates a planted marker vocabulary and scores it ~certain") {
+    import spark.implicits._
+    // class 1 docs carry 'goodmark', class 0 docs 'badmark'; shared filler
+    val docs = (0 until 40).map { i =>
+      val mark = if (i % 2 == 0) "goodmark" else "badmark"
+      (i.toLong, s"common filler words here $mark tail token t$i", (i + 1) % 2)
+    }.toDF("doc_id", "text", "label")
+    val (b, w) = TextClassifier.train(docs, "label", rounds = 2)
+    val scored = TextClassifier.score(docs, b, w.toSeq)
+      .join(docs.select(col("doc_id"), col("label").cast("long").as("y")), "doc_id")
+    val acc = scored.agg(avg((col("predicted") === col("y")).cast("double")))
+      .head.getDouble(0)
+    assert(acc === 1.0, s"marker vocabulary should separate perfectly, got $acc")
+    // and the margins are confident, not coin flips
+    val probs = scored.select(col("y"), col("prob")).collect()
+    probs.foreach { r =>
+      if (r.getLong(0) == 1L) assert(r.getDouble(1) > 0.9)
+      else assert(r.getDouble(1) < 0.1)
+    }
+  }
+
+  test("training is bit-deterministic across runs and repartitionings") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .withColumn("label", (TextFunctions.langId(col("text")) === "en").cast("int"))
+    val (b1, w1) = TextClassifier.train(docs, "label")
+    val (b2, w2) = TextClassifier.train(docs.repartition(7), "label")
+    assert(b1 === b2)
+    assert(w1.toSeq === w2.toSeq)
+  }
+
+  test("reproduces the rule-based language labeler on the sf0.01 corpus (acc >= 0.9)") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .withColumn("label", (TextFunctions.langId(col("text")) === "en").cast("int"))
+    val (b, w) = TextClassifier.train(docs, "label")
+    val acc = TextClassifier.score(docs, b, w.toSeq)
+      .join(docs.select(col("doc_id"), col("label").cast("long").as("y")), "doc_id")
+      .agg(avg((col("predicted") === col("y")).cast("double")))
+      .head.getDouble(0)
+    assert(acc >= 0.9, s"train accuracy $acc")
+  }
+}
