@@ -370,6 +370,145 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // The CORPUS CARD — the per-source release-review table a data lead
+    // runs before shipping a corpus snapshot: doc/token volume, near-dup
+    // membership, benchmark contamination, PII incidence, and
+    // quality/LM-fluency buckets, computed over the AT-REST corpus
+    // (seeded through DedupIndex.writeCorpus, read back through the
+    // versioned resolver). Every column is an integer count/sum over
+    // per-doc values whose formulas are oracled in isolation elsewhere
+    // (q_dedup_minhash, q_decontaminate, q_text_redact, q_text_quality,
+    // q_text_lm_score), so both engines agree exactly; DuckDB recomputes
+    // the whole card from raw documents.
+    Q("q_corpus_card", Some(s"""
+      WITH corpus AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0
+      ), tokAll AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), tok AS (
+        SELECT c.doc_id, tokAll.t FROM tokAll JOIN corpus c USING (doc_id)
+      ), sh AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), cand AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), dup AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT ia AS doc_id FROM cand UNION ALL SELECT ib AS doc_id FROM cand)
+      ), g8 AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN list_distinct(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' ')))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM tokAll
+      ), benchg AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g8 WHERE doc_id % 50 = 0
+      ), contaminated AS (
+        SELECT DISTINCT dg.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM g8 WHERE doc_id % 50 <> 0) dg
+        JOIN benchg USING (gram)
+      ), qbase AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_char,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS n_alnum,
+               CAST(len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+                   [${graft.functions.TextFunctions.StopwordSets.head._2.map(w => s"'$w'").mkString(", ")}])) AS DOUBLE) AS stop_hits
+        FROM corpus
+      ), q AS (
+        SELECT doc_id,
+               round(least(n_char / 500.0, 1.0) * 0.3
+                   + (CASE WHEN n_tok > 0 AND n_alnum / n_tok BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.5 END) * 0.2
+                   + (CASE WHEN n_char > 0 THEN n_alnum / n_char ELSE 0.0 END) * 0.3
+                   + (CASE WHEN n_tok > 0 THEN stop_hits / least(n_tok, 10.0) ELSE 0.0 END) * 0.2,
+                 6) AS quality
+        FROM qbase
+      ), norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+        FROM corpus
+      ), tri AS (
+        SELECT doc_id, substring(n, CAST(i AS INTEGER), 3) AS tri
+        FROM (SELECT doc_id, n, unnest(range(1, greatest(len(n) - 1, 1))) AS i FROM norm)
+      ), tc AS (
+        SELECT tri, count(*) AS tc FROM tri WHERE doc_id % 3 = 0 GROUP BY tri
+      ), bc AS (
+        SELECT substring(tri, 1, 2) AS bi, count(*) AS bc
+        FROM tri WHERE doc_id % 3 = 0 GROUP BY 1
+      ), lm AS (
+        SELECT t.doc_id,
+               round(avg(ln((COALESCE(tc.tc, 0) + 0.5) / (COALESCE(bc.bc, 0) + 0.5 * 37))), 6) AS lm_score
+        FROM tri t
+        LEFT JOIN tc ON t.tri = tc.tri
+        LEFT JOIN bc ON substring(t.tri, 1, 2) = bc.bi
+        GROUP BY t.doc_id
+      )
+      SELECT c.source,
+             count(*) AS n_docs,
+             CAST(sum(len(tok.t)) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(sum(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+             CAST(sum(CASE WHEN len(regexp_extract_all(c.text, '${Corpus.EmailRe}'))
+                            + len(regexp_extract_all(c.text, '${Corpus.UrlRe}')) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+             CAST(sum(CASE WHEN q.quality < 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_low,
+             CAST(sum(CASE WHEN lm.lm_score < -0.82 THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_low
+      FROM corpus c
+      JOIN tok ON tok.doc_id = c.doc_id
+      LEFT JOIN dup ON dup.doc_id = c.doc_id
+      LEFT JOIN contaminated ct ON ct.doc_id = c.doc_id
+      JOIN q ON q.doc_id = c.doc_id
+      LEFT JOIN lm ON lm.doc_id = c.doc_id
+      GROUP BY c.source
+      ORDER BY c.source"""),
+      (s, dir) => {
+        val docsAll = t(s, dir, "documents")
+        val bench = docsAll.filter(col("doc_id") % 50 === 0)
+        val root = QueryScratch.fresh("corpus_card")
+        val corp = root + "/corpus.parquet"
+        graft.operators.DedupIndex.writeCorpus(
+          docsAll.filter(col("doc_id") % 50 =!= 0)
+            .select("doc_id", "source", "text"), corp)
+        val atRest = graft.operators.DedupIndex.readCorpus(s, corp)
+          .drop("ingest_batch", "id_part")
+        val pairs = graft.operators.Dedup.nearDuplicates(atRest, threshold = 0.7)
+        val dupIds = pairs.select(col("id_a").as("doc_id"))
+          .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+          .withColumn("is_dup", lit(1L))
+        val contamIds = atRest.select("doc_id")
+          .join(Corpus.decontaminate(atRest, bench), Seq("doc_id"), "left_anti")
+          .withColumn("is_contam", lit(1L))
+        val lm = graft.operators.LanguageModel.scoreDocs(atRest,
+            atRest.filter(col("doc_id") % 3 === 0))
+          .select(col("doc_id"), col("lm_score"))
+        val (_, nEmail, nUrl) = Corpus.redact(col("text"))
+        atRest.select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+            graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
+            (nEmail + nUrl).as("pii"))
+          .join(dupIds, Seq("doc_id"), "left")
+          .join(contamIds, Seq("doc_id"), "left")
+          .join(lm, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+            sum(coalesce(col("is_contam"), lit(0L))).as("n_contaminated"),
+            sum(when(col("pii") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+            sum(when(col("quality") < 0.6, 1L).otherwise(0L)).as("n_quality_low"),
+            sum(when(col("lm_score") < -0.82, 1L).otherwise(0L)).as("n_lm_low"))
+          .orderBy("source")
+      }),
+
     // Per-group cap: top-3 largest docs per language.
     Q("q_topk_per_group", Some("""
       SELECT lang, doc_id, n_chars,
