@@ -34,8 +34,12 @@ import org.apache.spark.storage.StorageLevel
  *
  * At 100 TB: the gram stream is scan-local (no text shuffle); per round
  * the exchanges are one doc-keyed sum, one feature-keyed sum, and one
- * feature-pair-keyed sum (dim-bounded). Scoring broadcasts the weights
- * as a literal array — scan-local except the final doc-keyed sum.
+ * feature-pair-keyed sum (dim-bounded keys; row volume is
+ * docs × active-features², so at full scale one TRAINS on the labeled
+ * sample — the production shape anyway: labels only exist for a slice —
+ * and scores the whole corpus with the broadcast model). Scoring
+ * broadcasts the weights as a literal array — scan-local except the
+ * final doc-keyed sum.
  */
 object TextClassifier {
 
@@ -45,12 +49,19 @@ object TextClassifier {
    *  bounded by the doc's distinct-feature count. */
   def features(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", dim: Int = 512): DataFrame = {
-    val t = graft.functions.TextFunctions.tokens(col(textCol))
+    // bind the token array ONCE through a projection before the bigram
+    // lambdas reference it — inlining tokens() into every element_at
+    // would re-run the regex tokenizer per bigram, O(tokens²) per doc
+    // (the r11 per-occurrence-HOF lesson; CollapseProject keeps the
+    // barrier because the alias is non-cheap and multiply referenced)
+    val toks = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+    val t = col("t")
     val bigrams = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
       .otherwise(typedLit(Seq.empty[String]))
-    docs.select(col(idCol).as("id"), explode(concat(t, bigrams)).as("g"))
+    toks.select(col("id"), explode(concat(t, bigrams)).as("g"))
       .select(col("id"),
         pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
           lit(dim.toLong)).as("f"))
@@ -103,7 +114,7 @@ object TextClassifier {
    * `rounds` IRLS iterations.
    */
   def train(docs: DataFrame, labelCol: String, textCol: String = "text",
-      idCol: String = "doc_id", dim: Int = 512, rounds: Int = 3,
+      idCol: String = "doc_id", dim: Int = 512, rounds: Int = 2,
       lambda: Double = 0.01): (Long, Array[Long]) = {
     val spark = docs.sparkSession
     // the intercept rides as virtual feature `dim`, present in every doc
@@ -125,10 +136,14 @@ object TextClassifier {
           (round(p * 1e6).cast("long") - col("y") * 1000000L).as("e"),
           round(p * (lit(1.0) - p) * 1e6).cast("long").as("pq"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      val joined = feats.join(scored, Seq("id"))
+      // the per-doc error/curvature frame is ≤ |labeled docs| rows —
+      // broadcast it so neither the gradient nor the Hessian pair stream
+      // ever shuffles feature rows on the join key
+      val joined = feats.join(broadcast(scored), Seq("id"))
       val grad = joined.groupBy("f").agg(sum(col("e")).as("g")).collect()
       // the Hessian: Σ_d pq_d over every PAIR of the doc's features —
-      // (dim+1)²-bounded keys, the model squared, not data
+      // (dim+1)²-bounded keys, the model squared, not data; the pair
+      // stream flows straight into map-side partial aggregation
       val hess = joined.select(col("id"), col("f").as("f1"), col("pq"))
         .join(feats.select(col("id"), col("f").as("f2")), Seq("id"))
         .groupBy("f1", "f2").agg(sum(col("pq")).as("h"))

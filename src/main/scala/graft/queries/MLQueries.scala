@@ -204,7 +204,11 @@ object MLQueries {
         val docs = t(s, dir, "documents")
         val labeled = docs.withColumn("label",
           (TextFunctions.langId(col("text")) === "en").cast("int"))
-        val (b, w) = graft.operators.TextClassifier.train(labeled, "label")
+        // train on the labeled SLICE (%2), score the whole corpus — the
+        // weak-supervision production shape (labels only ever exist for a
+        // sample), and what bounds training cost at any corpus scale
+        val (b, w) = graft.operators.TextClassifier.train(
+          labeled.filter(col("doc_id") % 2 === 0), "label")
         graft.operators.TextClassifier.score(docs, b, w.toSeq)
           .join(labeled.select(col("doc_id"),
             col("label").cast("bigint").as("label")), "doc_id")

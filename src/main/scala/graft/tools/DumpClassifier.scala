@@ -23,7 +23,11 @@ object DumpClassifier {
     val docs = graft.queries.Tables.t(spark, sfDir, "documents")
       .withColumn("label",
         (graft.functions.TextFunctions.langId(col("text")) === "en").cast("int"))
-    val (bNano, w) = graft.operators.TextClassifier.train(docs, "label")
+    // train on the labeled SLICE (%2), score the whole corpus — the
+    // weak-supervision production shape, and what keeps training cost a
+    // fifth of the corpus at any scale
+    val (bNano, w) = graft.operators.TextClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0), "label")
     println(s"[classifier-bias] $bNano")
     println("[classifier-weights] " + w.zipWithIndex.collect {
       case (wn, f) if wn != 0L => s"($f,$wn)"
