@@ -171,8 +171,18 @@ object AtRest {
     val fs = fsFor(spark, root)
     val p = new Path(root, "_meta.json")
     if (!fs.exists(p)) None
-    else Some(MetaEntry.findAllMatchIn(utf8(readFile(fs, p)))
-      .map(m => m.group(1) -> m.group(2)).toMap)
+    else {
+      val parsed = MetaEntry.findAllMatchIn(utf8(readFile(fs, p)))
+        .map(m => m.group(1) -> m.group(2)).toMap
+      // a PRESENT but unparsable sidecar must not silently disable
+      // validation (the exact failure mode the sidecar exists to catch) —
+      // writes are atomic, so garbage here means external damage
+      if (parsed.isEmpty)
+        throw new IllegalStateException(
+          s"$root/_meta.json exists but holds no parameters — restore it or " +
+            "delete it to explicitly mark the table legacy/unvalidated")
+      Some(parsed)
+    }
   }
 
   /** Throw unless every `params` entry matches the persisted sidecar

@@ -910,6 +910,26 @@ object MLQueries {
         Corpus.bpeEncodeCounts(docs, merges)
       }),
 
+    // The full tokenizer OUTPUT: per-document token-ID sequences under
+    // the trained merges and the deterministic vocab map (</w>=0, base
+    // alphabet, then merges by rank) — what sequence packing actually
+    // consumes, vs q_text_bpe_encode's lengths. The doc_id < 40 slice's
+    // complete id streams are pinned (BpeOracle.idValues, regenerate
+    // with tools.DumpBpe); CorpusSpec proves corpus-wide that the ids
+    // decode back to the exact token stream and their lengths equal the
+    // counts operator. Merges re-derived in-query so train/encode can't
+    // drift; ids serialize to CSV for the driver compare.
+    Q("q_text_bpe_ids", Some(BpeOracle.idsSql),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = Corpus.trainBpe(docs, numMerges = 20).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Corpus.bpeEncode(docs.filter(col("doc_id") < 40), merges)
+          .select(col("doc_id"),
+            concat_ws(",", col("token_ids")).as("token_ids_csv"))
+          .orderBy("doc_id")
+      }),
+
     // The VECTOR ingest micro-batch end to end (the embedding twin of
     // q_dedup_ingest): the corpus seeds the at-rest IVF table, then
     // ivfIngestBatch runs the real loop on a planted batch — 10

@@ -26,6 +26,12 @@ object DumpBpe {
     val counts = graft.operators.Corpus.bpeEncodeCounts(docs, merges).collect()
     println("[bpe-encode] " + counts.map(r =>
       s"(${r.getLong(0)},${r.getLong(1)})").mkString(","))
+    // the token-id oracle: full id sequences for the doc_id < 40 slice
+    import org.apache.spark.sql.functions.col
+    val ids = graft.operators.Corpus.bpeEncode(docs.filter(col("doc_id") < 40), merges)
+      .orderBy("doc_id").collect()
+    println("[bpe-ids] " + ids.map(r =>
+      s"(${r.getLong(0)},'${r.getSeq[Int](1).mkString(",")}')").mkString(","))
     spark.stop()
   }
 }

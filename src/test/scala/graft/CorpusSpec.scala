@@ -407,6 +407,41 @@ class CorpusSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bpeEncode: token-id sequences under the deterministic vocab map") {
+    import spark.implicits._
+    // vocab: </w>=0, '0'..'9'=1..10, 'a'..'z'=11..36, then merges:
+    // "ab"=37, "ab</w>"=38. "ab" -> [ab</w>] -> [38]; "abc" ->
+    // [ab, c, </w>] -> [37, 13, 0]; empty doc -> []
+    val docs = Seq((1L, "ab ab"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val got = Corpus.bpeEncode(docs, Seq(("a", "b"), ("ab", "</w>")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toList
+    assert(got === List((1L, List(38, 38)), (2L, List(37, 13, 0)), (3L, Nil)))
+  }
+
+  test("bpeEncode round-trips: lengths match counts, ids decode back to the token stream") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val merges = Corpus.trainBpe(docs, numMerges = 40).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val ids = Corpus.bpeEncode(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // every doc's id count equals the counts operator's subword count
+    val counts = Corpus.bpeEncodeCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.keySet === counts.keySet)
+    ids.foreach { case (d, seq) => assert(seq.length.toLong === counts(d), s"doc $d") }
+    // and decoding the ids reproduces the normalized token stream exactly
+    val inv = Corpus.bpeVocabIds(merges).map(_.swap)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (d, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toList
+      val decoded = ids(d).map(inv).mkString
+        .split(java.util.regex.Pattern.quote("</w>")).filter(_.nonEmpty).toList
+      assert(decoded === toks, s"doc $d")
+    }
+  }
+
   test("trainBpe at tokenizer-scale merge counts trains in seconds, not Spark rounds") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
     val t0 = System.nanoTime()

@@ -359,6 +359,15 @@ class DedupIndexSpec extends SparkSpec {
     // matching parameters still pass (the default-path probe)
     assert(DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
       .count() > 0)
+    // a CORRUPT sidecar must not silently disable validation
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(idx, "_meta.json"), true)
+    out.write("garbage not json".getBytes); out.close()
+    val e5 = intercept[IllegalStateException] {
+      DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7)
+    }
+    assert(e5.getMessage.contains("_meta.json"))
   }
 
   test("a crashed compact leaves the live version intact; a re-run converges") {
