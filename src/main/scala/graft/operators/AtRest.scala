@@ -225,6 +225,14 @@ object AtRest {
    * the heartbeat. Best-effort on stores without atomic create — the
    * contract is fail-loud-on-the-common-race, not distributed
    * consensus.
+   *
+   * One documented benign race: a stream restarting on the SAME
+   * checkpoint re-acquires its own (same-owner) lease before the
+   * previous query's termination listener fires; the late listener then
+   * releases the re-acquired lease. The window closes at the restarted
+   * stream's next micro-batch (per-batch same-owner re-acquire
+   * refreshes), and only a same-identity restart can hit it — a foreign
+   * writer in the window would be caught by that re-acquire.
    */
   def acquireLease(spark: SparkSession, root: String, owner: String,
       ttlMs: Long = 10 * 60 * 1000L): Unit = {

@@ -522,6 +522,44 @@ object CorpusQueries {
         .select("lang", "doc_id", "n_chars", "rank")
         .orderBy("lang", "rank")),
 
+    // The pretraining last mile, composed on REAL tokenizer output:
+    // deterministic md5 train/val/test split → per-split contiguous
+    // packing of documents into 2048-SUBWORD context windows, costs from
+    // the corpus-trained BPE (the same pinned per-doc counts
+    // q_text_bpe_encode verifies row-by-row). DuckDB recomputes the split
+    // and the identical running-total window over the pinned counts.
+    Q("q_pack_tokens", Some(s"""
+      WITH bpe(bdoc_id, n_subwords) AS (SELECT * FROM (VALUES ${BpeOracle.countValues})),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(bpe.n_subwords AS BIGINT) AS n
+        FROM documents JOIN bpe ON bpe.bdoc_id = doc_id
+      )
+      SELECT doc_id, split,
+             CAST(cum AS BIGINT) AS cum_cost,
+             CAST(floor((cum - n) / 2048.0) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, split, n,
+                   sum(n) OVER (PARTITION BY split ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM s)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.Corpus.trainBpe(docs, numMerges = 20).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val counts = graft.operators.Corpus.bpeEncodeCounts(docs, merges)
+        Corpus.packSequences(
+            Corpus.hashSplit(docs.select("doc_id"), "doc_id").join(counts, "doc_id"),
+            "split", "doc_id", "n_subwords", budget = 2048L)
+          .select(col("doc_id"), col("split"),
+            col("cum_cost").cast("bigint").as("cum_cost"),
+            col("pack_id").cast("bigint").as("pack_id"))
+          .orderBy("doc_id")
+      }),
+
     // Contiguous fixed-budget packing of docs into 4096-char packs per lang.
     Q("q_pack_sequences", Some("""
       SELECT doc_id, lang,
