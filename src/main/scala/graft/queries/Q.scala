@@ -14,7 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     oracle: Option[String],
-    fn: (SparkSession, String) => DataFrame)
+    fn: (SparkSession, String) => DataFrame,
+    /** Optional SEED phase, run before `fn` on every execution but NOT
+     *  timed by the bench: the heavy at-rest rows re-seed complete
+     *  tables per attempt (so bench re-runs can't accrete state), which
+     *  made their suite numbers measure mostly seeding — the phase
+     *  split keeps totals comparable as seeds evolve across rounds
+     *  while Verify still runs both phases for correctness. */
+    prepare: Option[(SparkSession, String) => Unit] = None)
 
 /** Per-JVM scratch dirs keyed by query — the ONE leak guard behind every
  *  query that writes a table: roundtrip queries re-run every bench attempt,

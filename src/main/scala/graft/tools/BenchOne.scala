@@ -34,11 +34,16 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
+    val prep = SparkEntry.prepares.get(name)
     (1 to runs).foreach { i =>
+      val tp0 = System.nanoTime()
+      prep.foreach(_(spark, sfDir))
+      val prepSec = (System.nanoTime() - tp0) / 1e9
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[benchone] $name attempt $i: $sec%.3fs (unpersistBetween=$unpersistBetween)")
+      val prepNote = if (prep.isDefined) f" (+ untimed prepare $prepSec%.3fs)" else ""
+      println(f"[benchone] $name attempt $i: $sec%.3fs (unpersistBetween=$unpersistBetween)$prepNote")
       if (unpersistBetween) {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         // unpersist drops blocks but leaves CacheManager plan entries; clear

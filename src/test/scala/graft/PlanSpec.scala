@@ -11,8 +11,10 @@ import graft.queries.Tables
  */
 class PlanSpec extends SparkSpec {
 
-  private def planOf(name: String): String =
+  private def planOf(name: String): String = {
+    SparkEntry.prepares.get(name).foreach(_(spark, sf))
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("EXPLAIN surface works via SQL") {
     Tables.registerAll(spark, sf)
@@ -155,7 +157,7 @@ class PlanSpec extends SparkSpec {
       .filterNot(legitimate)
       .flatMap { name =>
         val p =
-          try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+          try planOf(name)
           catch { case e: Exception =>
             throw new RuntimeException(s"query '$name' failed to plan", e) }
         if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
