@@ -642,6 +642,44 @@ object MLQueries {
         // sort-free so the chunk stream pipelines at scale
         .orderBy("doc_id", "chunk_index")),
 
+    // Chunk-granularity exact dedup — the RAG-index hygiene step: chunk
+    // every document into overlapping 64-token windows, then find window
+    // TEXTS that repeat (within a doc via self-repetition, or across the
+    // corpus's near/exact duplicate docs) — exactly what gets dropped
+    // before embedding a retrieval index so duplicate passages can't
+    // dominate nearest-neighbor results. Composes chunkDocs with the
+    // md5-group exact-dedup shape; DuckDB recomputes the identical
+    // windows and grouping from scratch.
+    Q("q_chunk_dedup", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 16 - 1, 0) // 48 * 48 + 1, 48)) AS s
+        FROM tok WHERE len(t) > 0
+      ), chunks AS (
+        SELECT doc_id, array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+        FROM starts
+      )
+      SELECT md5(chunk_text) AS content_hash,
+             count(*) AS n_copies,
+             count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS canonical_doc_id
+      FROM chunks
+      GROUP BY 1
+      HAVING count(*) > 1
+      ORDER BY content_hash"""),
+      (s, dir) => Corpus.chunkDocs(t(s, dir, "documents"),
+          chunkTokens = 64, overlap = 16)
+        .groupBy(md5(col("chunk_text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("canonical_doc_id"))
+        .filter(col("n_copies") > 1)
+        .orderBy("content_hash")),
+
     // COMPOSITION of the round-11 operators as one pipeline: quality-
     // keeper near-dup dedup (keep the LONGEST cluster member, by n_chars)
     // → REAL subword counts under the corpus-trained BPE merges →
