@@ -191,6 +191,15 @@ class DedupIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(corpIds === Seq(1L, 2L, 10L)) // each exactly once, 11 dropped
     assert(DedupIndex.readIndex(spark, idxPath).count() === 3L * 8) // no duplicate keys
+    // THIRD crash shape: both data dirs published, only the marker lost —
+    // the replay un-publishes both, recomputes the identical admit set,
+    // and re-publishes; still exactly once
+    fs.delete(new org.apache.hadoop.fs.Path(corpPath, "_committed/batch-1"), false)
+    assert(DedupIndex.ingestBatch(b1, idxPath, corpPath, batchId = 1L) === 1L)
+    assert(DedupIndex.readCorpus(spark, corpPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 10L))
+    assert(DedupIndex.readIndex(spark, idxPath).count() === 3L * 8)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(corpPath, "_committed/batch-1")))
   }
 
   test("a legacy flat corpus layout fails loudly with the migration path") {
