@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * {{{
  *   root/_current            <- pointer file: the live version number
  *   root/_v<N>/...           <- one complete table per version
- *   root/_meta.json          <- layout parameters (version-independent)
+ *   root/_v<N>/_meta.json    <- layout parameters (swap atomically with data;
+ *                               legacy placement at root/_meta.json still read)
  *   root/_lease              <- writer fence
  *   root/_committed/batch-<B><- exactly-once ingest markers (corpus/IVF)
  * }}}
@@ -41,9 +42,13 @@ object AtRest {
 
   /** Write-then-rename, so no reader (or replay) ever sees a partial
    *  file — every pointer/sidecar/marker the recovery paths depend on
-   *  goes through here. */
+   *  goes through here. The tmp name is writer-unique so two concurrent
+   *  writers (e.g. sharded ingest streams adopting the same sidecar)
+   *  cannot clobber each other's in-flight tmp; the loser of the final
+   *  rename race fails loudly on stores where rename won't overwrite. */
   def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(p.getParent, s".tmp-${p.getName}")
+    val tmp = new Path(p.getParent,
+      s".tmp-${p.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
@@ -128,8 +133,24 @@ object AtRest {
    * then GC: every other version directory EXCEPT the one just replaced
    * is deleted (one-generation reader grace), and legacy at-root data
    * directories (`ingest_batch=` / `<layoutCol>=`) are swept — the
-   * migration step that makes the first versioned rewrite safe on a
-   * pre-versioning table.
+   * migration step that collapses a pre-versioning table into the
+   * versioned layout.
+   *
+   * MIGRATION CAVEAT (first versioned publish on a legacy table): the
+   * at-root legacy dirs are what pre-swap readers resolved to, and they
+   * are removed at swap time — unlike version-to-version swaps there is
+   * no grace copy for them (moving them aside would break an in-flight
+   * path-based scan just the same). The one-time migration publish
+   * therefore requires quiescing READERS as well as writers; every
+   * later maintenance pass is reader-safe under the version grace.
+   *
+   * Retention knob: `spark.graft.atrest.versionGraceMs` (default 0 =
+   * the one-generation rule). When > 0, a non-current version is only
+   * GC'd once its directory modification time is older than the grace —
+   * the time-based reader grace a long-lived deployment wants (a reader
+   * may hold a resolved version for the duration of its longest query).
+   * The just-replaced version is always retained one generation
+   * regardless, so grace = 0 never breaks the racing reader either.
    */
   def publishVersion(spark: SparkSession, root: String, v: Long,
       legacyLayoutCol: String): Unit = {
@@ -137,11 +158,16 @@ object AtRest {
     val prev = currentVersion(fs, root)
     writeFile(fs, currentPointer(root), utf8(v.toString))
     // the swap is done — everything below is cleanup of now-unreachable data
+    val graceMs = spark.conf.get("spark.graft.atrest.versionGraceMs", "0").toLong
+    val now = System.currentTimeMillis()
     val keep = Set(s"_v$v") ++ prev.map(p => s"_v$p")
     fs.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
+      val staleVersion = n.startsWith("_v") && !keep.contains(n) &&
+        n.drop(2).forall(_.isDigit) && n.length > 2 &&
+        (graceMs <= 0L || now - st.getModificationTime > graceMs)
       if (st.isDirectory &&
-          ((n.startsWith("_v") && !keep.contains(n) && n.drop(2).forall(_.isDigit)) ||
+          (staleVersion ||
             n.startsWith("ingest_batch=") || n.startsWith(legacyLayoutCol + "=")))
         fs.delete(st.getPath, true)
     }
@@ -156,32 +182,62 @@ object AtRest {
    * every duplicate). Written at table creation, validated by every
    * probe/append/maintenance entry point: mismatch = loud typed error,
    * absent = legacy table (adopted by the next write).
+   *
+   * LOCATION: the meta lives INSIDE the version directory (the pattern
+   * the IVF codebook uses), so a maintenance rewrite that changes layout
+   * parameters swaps meta and data in atomically together — a root-level
+   * sidecar written before (or after) the pointer flip opens a crash
+   * window where meta describes one version and `_current` points at
+   * another, and a caller whose params match the wrong side probes a
+   * mismatched layout CLEANLY (the silent failure the sidecar exists to
+   * kill). [[readMeta]] prefers the current version's copy and falls
+   * back to a root-level one (legacy tables, and versioned tables whose
+   * meta predates this placement).
    */
+  private def metaJson(params: Map[String, String]): Array[Byte] =
+    utf8(params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}"))
+
+  /** Write `_meta.json` into the CURRENT version dir (root itself for
+   *  legacy/fresh tables) — the adopt/in-place path. Staged rewrites use
+   *  [[writeMetaStaged]] so meta swaps with the data. */
   def writeMeta(spark: SparkSession, root: String, params: Map[String, String]): Unit = {
     val fs = fsFor(spark, root)
-    fs.mkdirs(new Path(root))
-    val json = params.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-    writeFile(fs, new Path(root, "_meta.json"), utf8(json))
+    val dir = resolve(spark, root)
+    fs.mkdirs(new Path(dir))
+    writeFile(fs, new Path(dir, "_meta.json"), metaJson(params))
+  }
+
+  /** Write `_meta.json` into a STAGING version directory, BEFORE
+   *  [[publishVersion]] — the pointer flip then publishes data and meta
+   *  atomically together (no window where they disagree). */
+  def writeMetaStaged(spark: SparkSession, stagingDir: Path,
+      params: Map[String, String]): Unit = {
+    val fs = fsFor(spark, stagingDir.toString)
+    fs.mkdirs(stagingDir)
+    writeFile(fs, new Path(stagingDir, "_meta.json"), metaJson(params))
   }
 
   private val MetaEntry = """"([^"]+)"\s*:\s*"([^"]*)"""".r
 
   def readMeta(spark: SparkSession, root: String): Option[Map[String, String]] = {
     val fs = fsFor(spark, root)
-    val p = new Path(root, "_meta.json")
-    if (!fs.exists(p)) None
-    else {
-      val parsed = MetaEntry.findAllMatchIn(utf8(readFile(fs, p)))
+    val vdir = resolve(spark, root)
+    // current version's copy wins; a root-level copy (legacy placement)
+    // backs it up so pre-migration tables stay validated
+    val p = Seq(new Path(vdir, "_meta.json"), new Path(root, "_meta.json"))
+      .distinct.find(fs.exists(_))
+    p.map { f =>
+      val parsed = MetaEntry.findAllMatchIn(utf8(readFile(fs, f)))
         .map(m => m.group(1) -> m.group(2)).toMap
       // a PRESENT but unparsable sidecar must not silently disable
       // validation (the exact failure mode the sidecar exists to catch) —
       // writes are atomic, so garbage here means external damage
       if (parsed.isEmpty)
         throw new IllegalStateException(
-          s"$root/_meta.json exists but holds no parameters — restore it or " +
+          s"$f exists but holds no parameters — restore it or " +
             "delete it to explicitly mark the table legacy/unvalidated")
-      Some(parsed)
+      parsed
     }
   }
 
@@ -247,14 +303,33 @@ object AtRest {
       } catch { case _: java.io.IOException => false }
     if (tryCreate()) return
     // taken: same owner refreshes; a live foreign holder is fatal; a
-    // stale one is broken (delete + one retry)
+    // stale one is broken (delete + one retry). An EMPTY/unreadable body
+    // (crash between create and write, external truncation) is treated
+    // as unparsable -> the stale-break path, never an exception
     val st = try Some(fs.getFileStatus(p)) catch {
       case _: java.io.FileNotFoundException => None
     }
-    val holder = st.map(_ => utf8(readFile(fs, p)).linesIterator.next()).getOrElse("")
-    if (holder == owner) { writeFile(fs, p, utf8(leaseBody(owner))); return }
+    val holder = st.map { _ =>
+      try utf8(readFile(fs, p)).linesIterator.nextOption().getOrElse("")
+      catch { case _: java.io.IOException => "" }
+    }.getOrElse("")
+    if (holder == owner && holder.nonEmpty) {
+      // refresh the heartbeat; writeFile's delete+rename opens a brief
+      // no-lease window, so a lost rename race must not abort a healthy
+      // same-owner stream — re-check who actually holds it instead
+      try writeFile(fs, p, utf8(leaseBody(owner)))
+      catch { case _: IllegalStateException =>
+        val now = try utf8(readFile(fs, p)).linesIterator.nextOption().getOrElse("")
+          catch { case _: java.io.IOException => "" }
+        if (now != owner)
+          throw new IllegalStateException(
+            s"$root lease refresh lost the fence to '$now' — a concurrent " +
+              "writer claimed the lease during the refresh window")
+      }
+      return
+    }
     val age = st.map(s => System.currentTimeMillis() - s.getModificationTime)
-    if (st.isDefined && age.exists(_ < ttlMs))
+    if (st.isDefined && holder.nonEmpty && age.exists(_ < ttlMs))
       throw new IllegalStateException(
         s"$root is write-locked by '$holder' (lease age ${age.get} ms < ttl $ttlMs ms); " +
           "two concurrent writers are not supported — stop the other writer or, " +
@@ -271,12 +346,16 @@ object AtRest {
     s"$owner\n$host pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}\n"
   }
 
-  /** Release only an own lease (a foreign holder's fence stays). */
+  /** Release only an own lease (a foreign holder's fence stays; an
+   *  empty/unreadable body is nobody's and stays for the stale-break). */
   def releaseLease(spark: SparkSession, root: String, owner: String): Unit = {
     val fs = fsFor(spark, root)
     val p = new Path(root, "_lease")
-    if (fs.exists(p) && utf8(readFile(fs, p)).linesIterator.next() == owner)
-      fs.delete(p, false)
+    val holder = try {
+      if (fs.exists(p)) utf8(readFile(fs, p)).linesIterator.nextOption().getOrElse("")
+      else ""
+    } catch { case _: java.io.IOException => "" }
+    if (holder == owner && holder.nonEmpty) fs.delete(p, false)
   }
 
   /** Run `body` under the root's writer lease with a fresh owner id —

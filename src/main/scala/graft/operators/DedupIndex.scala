@@ -219,9 +219,10 @@ object DedupIndex {
         keys.write.partitionBy("bucket_part").mode("overwrite")
           .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
         writeBloomFile(keys, staging.toString, "seed")
-        // a seed REDEFINES the table's parameters — overwrite, don't validate
-        AtRest.writeMeta(spark, path, indexMeta(numHashes, bands, shingleWords,
-          nParts, maxBucket))
+        // a seed REDEFINES the table's parameters — overwrite, don't
+        // validate; staged IN the version so meta and data swap together
+        AtRest.writeMetaStaged(spark, staging,
+          indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
         AtRest.publishVersion(spark, path, v, "bucket_part")
       } finally keys.unpersist(blocking = false)
     }
@@ -270,7 +271,7 @@ object DedupIndex {
       withIdPart(docs, idCol, nParts)
         .write.partitionBy("id_part").mode("overwrite")
         .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
-      AtRest.writeMeta(spark, path, corpusMeta(idCol, nParts))
+      AtRest.writeMetaStaged(spark, staging, corpusMeta(idCol, nParts))
       val markers = new Path(path, "_committed")
       if (fs.exists(markers)) fs.delete(markers, true)
       AtRest.publishVersion(spark, path, v, "id_part")
@@ -649,7 +650,7 @@ object DedupIndex {
           throw e
       }
     val qid = query.id
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
@@ -661,7 +662,16 @@ object DedupIndex {
           AtRest.releaseLease(spark, corpusPath, owner)
           spark.streams.removeListener(this)
         }
-    })
+    }
+    spark.streams.addListener(listener)
+    // a query that died BEFORE the listener registered never gets its
+    // termination event delivered — without this check its leases would
+    // sit until the TTL, blocking maintenance for ten minutes
+    if (!query.isActive) {
+      AtRest.releaseLease(spark, indexPath, owner)
+      AtRest.releaseLease(spark, corpusPath, owner)
+      spark.streams.removeListener(listener)
+    }
     query
   }
 
@@ -713,10 +723,12 @@ object DedupIndex {
     writeBloomFile(spark.read.parquet(dataDir.toString).select("band", "bucket"),
       staging.toString, "compact")
     // compaction re-derives the layout but not the signature: keep the
-    // stored signature params, update what this pass can change
+    // stored signature params, update what this pass can change — staged
+    // IN the new version, so a crash before the swap cannot leave meta
+    // describing an unpublished layout (the advisor's r12 window)
     val merged = AtRest.readMeta(spark, path).getOrElse(Map("kind" -> "lsh_index")) ++
       Map("nParts" -> nParts.toString, "maxBucket" -> maxBucket.toString)
-    AtRest.writeMeta(spark, path, merged)
+    AtRest.writeMetaStaged(spark, staging, merged)
     AtRest.publishVersion(spark, path, v, "bucket_part")
   }
 
@@ -763,6 +775,11 @@ object DedupIndex {
       val dataDir = new Path(staging, s"ingest_batch=$SeedBatch")
       survivors.write.partitionBy("id_part").mode("overwrite").parquet(dataDir.toString)
       ensureReadableIfEmpty(survivors, dataDir)
+      // carry the table's meta into the new version (meta lives in the
+      // version dir — a version published without one would lose the
+      // sidecar once the old generation GCs)
+      AtRest.readMeta(spark, corpusPath)
+        .foreach(m => AtRest.writeMetaStaged(spark, staging, m))
       AtRest.publishVersion(spark, corpusPath, v, "id_part")
       writeAtRest(readCorpus(spark, corpusPath), indexPath, textCol, idCol,
         numHashes, bands, shingleWords, maxBucket, nParts)
@@ -787,7 +804,7 @@ object DedupIndex {
     ensureReadableIfEmpty(laid, dataDir)
     val merged = AtRest.readMeta(spark, path).getOrElse(Map("kind" -> "dedup_corpus")) ++
       Map("idCol" -> idCol, "corpusParts" -> nParts.toString)
-    AtRest.writeMeta(spark, path, merged)
+    AtRest.writeMetaStaged(spark, staging, merged)
     AtRest.publishVersion(spark, path, v, "id_part")
   }
 }

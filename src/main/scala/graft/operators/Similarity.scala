@@ -280,7 +280,7 @@ object Similarity {
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
       writeCodebook(spark, staging.toString, centroids)
-      AtRest.writeMeta(spark, path, ivfMeta(centroids))
+      AtRest.writeMetaStaged(spark, staging, ivfMeta(centroids))
       val markers = new org.apache.hadoop.fs.Path(path, "_committed")
       if (fs.exists(markers)) fs.delete(markers, true)
       AtRest.publishVersion(spark, path, v, "list_id")
@@ -357,7 +357,7 @@ object Similarity {
     assigned.write.partitionBy("list_id").mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
     writeCodebook(spark, staging.toString, cb)
-    AtRest.writeMeta(spark, path, ivfMeta(cb))
+    AtRest.writeMetaStaged(spark, staging, ivfMeta(cb))
     AtRest.publishVersion(spark, path, v, "list_id")
   }
 
@@ -609,7 +609,7 @@ object Similarity {
         AtRest.releaseLease(spark, path, owner); throw e
       }
     val qid = query.id
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
@@ -620,7 +620,14 @@ object Similarity {
           AtRest.releaseLease(spark, path, owner)
           spark.streams.removeListener(this)
         }
-    })
+    }
+    spark.streams.addListener(listener)
+    // a query that died before the listener registered never gets its
+    // termination event — release now instead of waiting out the TTL
+    if (!query.isActive) {
+      AtRest.releaseLease(spark, path, owner)
+      spark.streams.removeListener(listener)
+    }
     query
   }
 

@@ -117,11 +117,15 @@ object TextClassifier {
       idCol: String = "doc_id", dim: Int = 512, rounds: Int = 2,
       lambda: Double = 0.01): (Long, Array[Long]) = {
     val spark = docs.sparkSession
+    // duplicate doc_ids would double-count the intercept/label rows and
+    // silently skew the exact sums (features() already dedups per-doc) —
+    // one defensive pass keeps every aggregate per-DOCUMENT
+    val d0 = docs.dropDuplicates(idCol)
     // the intercept rides as virtual feature `dim`, present in every doc
-    val feats = features(docs, textCol, idCol, dim)
-      .unionByName(docs.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
+    val feats = features(d0, textCol, idCol, dim)
+      .unionByName(d0.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val labels = docs.select(col(idCol).as("id"),
+    val labels = d0.select(col(idCol).as("id"),
       col(labelCol).cast("long").as("y"))
     val nDocs = math.max(labels.count(), 1L).toDouble
     val d = dim + 1

@@ -368,10 +368,13 @@ class DedupIndexSpec extends SparkSpec {
     // matching parameters still pass (the default-path probe)
     assert(DedupIndex.probeAtRest(spark, idx, batch, corp, threshold = 0.7)
       .count() > 0)
-    // a CORRUPT sidecar must not silently disable validation
+    // a CORRUPT sidecar must not silently disable validation — the meta
+    // lives in the CURRENT VERSION dir (it swaps atomically with the
+    // data), so corrupt it where readMeta actually resolves it
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(idx, "_meta.json"), true)
+    val metaDir = graft.operators.AtRest.resolve(spark, idx)
+    val out = fs.create(new org.apache.hadoop.fs.Path(metaDir, "_meta.json"), true)
     out.write("garbage not json".getBytes); out.close()
     val e5 = intercept[IllegalStateException] {
       DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7)
@@ -476,6 +479,73 @@ class DedupIndexSpec extends SparkSpec {
     while (fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_lease")) &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(idxPath, "_lease")))
+  }
+
+  test("meta swaps atomically with the version: a crashed rewrite's staged meta is invisible") {
+    val root = tempDir("lsh_meta_atomic")
+    val idx = s"$root/index.parquet"
+    DedupIndex.writeAtRest(corpus, idx) // nParts=16, maxBucket=1000
+    // simulate a compact(nParts=8) killed AFTER staging (data + meta in
+    // _v<next>) but BEFORE the pointer flip: stage a fake next version
+    // carrying the NEW parameters
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(idx, "_v1")
+    fs.mkdirs(staged)
+    graft.operators.AtRest.writeMetaStaged(spark, staged, Map(
+      "kind" -> "lsh_index", "numHashes" -> "32", "bands" -> "8",
+      "shingleWords" -> "3", "nParts" -> "8", "maxBucket" -> "500"))
+    // the LIVE version still resolves the OLD meta: an old-param probe
+    // passes, a new-param probe fails loudly — never the silent inverse
+    assert(DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7).count() > 0)
+    val e = intercept[IllegalStateException] {
+      DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7,
+        nParts = 8, maxBucket = 500)
+    }
+    assert(e.getMessage.contains("nParts"))
+    // the next real maintenance pass wipes the dead staging and converges
+    DedupIndex.compact(spark, idx, maxBucket = 500, nParts = 8)
+    assert(DedupIndex.probe(spark, idx, batch, corpus, threshold = 0.7,
+      nParts = 8, maxBucket = 500).count() > 0)
+  }
+
+  test("a zero-byte lease is unparsable -> stale-break path, not an exception") {
+    val root = tempDir("lsh_lease_zero")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window between create(p, false) and the body write
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    fs.create(new org.apache.hadoop.fs.Path(root, "_lease"), false).close()
+    // a new writer claims it (empty holder = nobody), no NoSuchElementException
+    graft.operators.AtRest.acquireLease(spark, root, "new-writer")
+    graft.operators.AtRest.releaseLease(spark, root, "new-writer")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_lease")))
+  }
+
+  test("time-based version grace retains aged-out generations until the TTL") {
+    val root = tempDir("lsh_grace")
+    val idx = s"$root/index.parquet"
+    DedupIndex.writeAtRest(corpus, idx) // _v0
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set("spark.graft.atrest.versionGraceMs", "3600000")
+    try {
+      DedupIndex.compact(spark, idx) // _v1; _v0 is just-replaced
+      DedupIndex.compact(spark, idx) // _v2; one-generation rule would kill _v0
+      assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "_v0")),
+        "an hour-long grace must retain _v0 past the one-generation rule")
+      // age _v0 beyond the grace: the next publish GCs it
+      fs.setTimes(new org.apache.hadoop.fs.Path(idx, "_v0"),
+        System.currentTimeMillis() - 2 * 3600000L, -1)
+      DedupIndex.compact(spark, idx) // _v3
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "_v0")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "_v2"))) // just-replaced
+    } finally spark.conf.set("spark.graft.atrest.versionGraceMs", "0")
+    // default (0) = the one-generation rule
+    DedupIndex.compact(spark, idx)
+    val vs = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(n => n.startsWith("_v") && n.drop(2).forall(_.isDigit))
+    assert(vs.toSet === Set("_v3", "_v4"))
   }
 
   test("admitNew = batch minus the probe's matched ids") {
