@@ -139,6 +139,167 @@ object DedupIndex {
     "kind" -> "dedup_corpus", "idCol" -> idCol,
     "corpusParts" -> corpusParts.toString)
 
+  // ------------------------------------------------------------------ ledger
+
+  /**
+   * INCREMENTAL corpus-stats ledger — the per-source release-card
+   * counters maintained AT REST, updated batch-proportionally by the
+   * ingest loop instead of recomputed corpus-wide per report (the last
+   * full-corpus sweep in an otherwise incremental pipeline; at 100 TB a
+   * weekly card re-reading every byte dwarfs the ingest itself).
+   *
+   * Enablement is a TABLE property: [[writeCorpus]] with `ledgerBy`
+   * records the grouping column in `_meta.json` and seeds the first
+   * delta; every later [[ingestBatch]] sees the property and maintains
+   * the ledger with no caller cooperation (a caller can't "forget" it and
+   * silently skew the card). Legacy/unledgered corpora migrate through
+   * [[enableLedger]] (one full recompute, then incremental forever).
+   *
+   * Layout: `<versionDir>/_ledger/ingest_batch=<B>/` holds one LONG-FORM
+   * delta `(grp, counter, value)` per committed batch — staged and
+   * published with the same atomic-rename + `_committed`-marker protocol
+   * as the batch's data (ledger publishes BEFORE the marker, so a crash
+   * between them replays and rewrites both), which makes the card
+   * exactly-once under replay. Living inside the version directory, the
+   * ledger swaps atomically with the data on maintenance rewrites:
+   * [[compactCorpus]] collapses the accreted deltas to one,
+   * [[recheckCorpus]] applies negative adjustments for the stragglers it
+   * removes. [[ledgerCard]] folds the deltas into the wide per-source
+   * card — a read of O(batches × sources × counters) tiny rows, never of
+   * the corpus.
+   *
+   * Counters (admitted-side ones recomputable exactly from the final
+   * corpus; drop-side ones are properties of the ingest HISTORY):
+   * `n_docs`, `n_tokens`, `n_pii_docs` (any email/url hit),
+   * `n_quality_low` (heuristic quality < 0.6), `n_dropped_batch`
+   * (in-batch near-dup drops), `n_dropped_cross` (cross-corpus drops,
+   * excluding docs already dropped in-batch), `n_removed_recheck`
+   * (offline recheck removals; their admitted-side counters are
+   * subtracted back out).
+   */
+  private val LedgerCounters = Seq("n_docs", "n_tokens", "n_pii_docs",
+    "n_quality_low", "n_dropped_batch", "n_dropped_cross", "n_removed_recheck")
+
+  /** The quality-bucket threshold the card counts against (matches the
+   *  release-card convention q_corpus_card pins). */
+  val LedgerQualityLow = 0.6
+
+  private def ledgerDirOf(corpDir: String) = new Path(corpDir, "_ledger")
+
+  private def requireCol(df: DataFrame, c: String, what: String): Unit =
+    require(df.columns.contains(c),
+      s"$what requires column '$c' (the corpus _meta.json declares ledgerBy=$c); " +
+        s"got ${df.columns.mkString("[", ", ", "]")}")
+
+  /** Admitted-side counters of `docs` as long-form rows, scan-local
+   *  kernels + one tiny grouped aggregate; `sign = -1` emits the negative
+   *  adjustment recheck removals apply. */
+  private def admittedStatsLong(docs: DataFrame, grp: String, textCol: String,
+      sign: Int = 1): DataFrame = {
+    requireCol(docs, grp, "ledger maintenance")
+    val (_, nEmail, nUrl) = Corpus.redact(col(textCol))
+    val s = lit(sign.toLong)
+    docs.groupBy(col(grp).cast("string").as("grp"))
+      .agg(
+        (count(lit(1)) * s).as("n_docs"),
+        (coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")), lit(0L)) * s)
+          .as("n_tokens"),
+        (coalesce(sum(when(nEmail + nUrl > 0, 1L).otherwise(0L)), lit(0L)) * s)
+          .as("n_pii_docs"),
+        (coalesce(sum(when(TextFunctions.qualityScore(col(textCol)) < LedgerQualityLow,
+          1L).otherwise(0L)), lit(0L)) * s).as("n_quality_low"))
+      .select(col("grp"),
+        expr("stack(4, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+          "'n_pii_docs', n_pii_docs, 'n_quality_low', n_quality_low)")
+          .as(Seq("counter", "value")))
+  }
+
+  /** One counter = the per-group row count of `docs`, long-form. */
+  private def countLong(docs: DataFrame, grp: String, counter: String): DataFrame =
+    docs.groupBy(col(grp).cast("string").as("grp"))
+      .agg(count(lit(1)).as("value"))
+      .select(col("grp"), lit(counter).as("counter"), col("value"))
+
+  /** Stage + atomic-rename publish of one ledger delta (idempotent: an
+   *  already-published ledger batch is a no-op, mirroring the data
+   *  path). Deltas are sources × counters rows — one file. */
+  private def publishLedgerDelta(delta: DataFrame, corpDir: String,
+      ledgerId: Long): Unit = {
+    val spark = delta.sparkSession
+    val fs = fsFor(spark, corpDir)
+    val ld = ledgerDirOf(corpDir)
+    fs.mkdirs(ld)
+    val target = new Path(ld, s"ingest_batch=$ledgerId")
+    if (fs.exists(target)) return
+    val staging = new Path(ld, s"_staging_$ledgerId")
+    delta.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, target))
+      throw new IllegalStateException(s"ledger publish rename $staging -> $target failed")
+  }
+
+  /** All deltas of a version dir's ledger, long-form; None = no ledger. */
+  private def ledgerLong(spark: SparkSession, corpDir: String): Option[DataFrame] = {
+    val fs = fsFor(spark, corpDir)
+    val ld = ledgerDirOf(corpDir)
+    if (!fs.exists(ld)) None
+    else Some(spark.read.parquet(ld.toString)
+      .select(col("grp"), col("counter"), col("value")))
+  }
+
+  private def collapseLedger(lf: DataFrame): DataFrame =
+    lf.groupBy("grp", "counter").agg(sum(col("value")).as("value"))
+      .select("grp", "counter", "value")
+
+  /** The ledgerBy table property, if the corpus maintains a ledger. */
+  private def ledgerByOf(spark: SparkSession, corpusPath: String): Option[String] =
+    AtRest.readMeta(spark, corpusPath).flatMap(_.get("ledgerBy"))
+
+  /**
+   * The per-source corpus card, READ FROM THE LEDGER — O(committed
+   * batches × sources × counters) rows, no corpus scan. One wide row per
+   * group value of the table's `ledgerBy` column; missing counters fold
+   * to 0. Loud error on unledgered corpora (a silent empty card would
+   * read as "clean corpus").
+   */
+  def ledgerCard(spark: SparkSession, corpusPath: String): DataFrame = {
+    val grpName = ledgerByOf(spark, corpusPath).getOrElse(
+      throw new IllegalStateException(
+        s"$corpusPath maintains no stats ledger — seed with " +
+          "writeCorpus(..., ledgerBy = <col>) or migrate with enableLedger"))
+    val dir = AtRest.resolve(spark, corpusPath)
+    val lf = ledgerLong(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$corpusPath declares ledgerBy=$grpName but has no _ledger deltas — " +
+          "the table is damaged; re-run enableLedger to rebuild"))
+    val aggs = LedgerCounters.map(c =>
+      sum(when(col("counter") === c, col("value")).otherwise(0L)).as(c))
+    lf.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("grp", grpName)
+      .orderBy(grpName)
+  }
+
+  /**
+   * Migrate an existing (unledgered) corpus to ledger maintenance: one
+   * full recompute of the admitted-side counters over the CURRENT
+   * corpus, written as the collapsed seed delta, plus the `ledgerBy`
+   * meta property that turns every later [[ingestBatch]] incremental.
+   * Drop-history counters start at 0 — the history before enablement
+   * was never recorded anywhere.
+   */
+  def enableLedger(spark: SparkSession, corpusPath: String, ledgerBy: String,
+      textCol: String = "text"): Unit = AtRest.withLease(spark, corpusPath) {
+    val meta = AtRest.readMeta(spark, corpusPath).getOrElse(
+      throw new IllegalStateException(
+        s"$corpusPath has no _meta.json — seed it through writeCorpus first"))
+    val dir = AtRest.resolve(spark, corpusPath)
+    val fs = fsFor(spark, corpusPath)
+    val ld = ledgerDirOf(dir)
+    if (fs.exists(ld)) fs.delete(ld, true)
+    val corpus = readCorpus(spark, corpusPath)
+    publishLedgerDelta(admittedStatsLong(corpus, ledgerBy, textCol), dir, SeedBatch)
+    AtRest.writeMeta(spark, corpusPath, meta + ("ledgerBy" -> ledgerBy))
+  }
+
   // ----------------------------------------------------------- bloom sidecar
 
   /** One serialized bloom filter per index write, over the written keys'
@@ -261,9 +422,13 @@ object DedupIndex {
    *  the `id_part` layout column, partitioned so candidate-text fetches
    *  prune to the candidates' partitions. A fresh seed resets the replay
    *  history (`_committed` markers) along with the data — staged as a new
-   *  version, pointer-swapped. */
+   *  version, pointer-swapped. A non-null `ledgerBy` turns on the
+   *  incremental stats [[ledgerCard ledger]]: the grouping column is
+   *  recorded as a table property and the seed docs' counters land as
+   *  the first delta (both staged, so they publish with the data). */
   def writeCorpus(docs: DataFrame, path: String, idCol: String = "doc_id",
-      nParts: Int = 16): Unit = {
+      nParts: Int = 16, ledgerBy: String = null,
+      textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     AtRest.withLease(spark, path) {
       val fs = fsFor(spark, path)
@@ -271,7 +436,12 @@ object DedupIndex {
       withIdPart(docs, idCol, nParts)
         .write.partitionBy("id_part").mode("overwrite")
         .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
-      AtRest.writeMetaStaged(spark, staging, corpusMeta(idCol, nParts))
+      val meta = corpusMeta(idCol, nParts) ++
+        Option(ledgerBy).map("ledgerBy" -> _).toMap
+      AtRest.writeMetaStaged(spark, staging, meta)
+      if (ledgerBy != null)
+        publishLedgerDelta(admittedStatsLong(docs, ledgerBy, textCol),
+          staging.toString, SeedBatch)
       val markers = new Path(path, "_committed")
       if (fs.exists(markers)) fs.delete(markers, true)
       AtRest.publishVersion(spark, path, v, "id_part")
@@ -537,8 +707,13 @@ object DedupIndex {
       if (ifs.exists(idxBatch)) ifs.delete(idxBatch, true)
       val corpBatch = new Path(corpDir, s"ingest_batch=$batchId")
       if (fs.exists(corpBatch)) fs.delete(corpBatch, true)
+      // the ledger delta rides the same exactly-once protocol
+      val ledgerBatch = new Path(ledgerDirOf(corpDir), s"ingest_batch=$batchId")
+      if (fs.exists(ledgerBatch)) fs.delete(ledgerBatch, true)
     }
-    val b = batch.select(col(idCol), col(textCol)).dropDuplicates(idCol)
+    // keep EVERY batch column (the corpus stores them, like writeCorpus;
+    // the ledger's grouping column in particular must survive to rest)
+    val b = batch.dropDuplicates(idCol)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val inBatchDrop = Dedup.nearDuplicates(b, textCol, idCol, threshold,
         shingleWords, numHashes, bands, maxBucket)
@@ -598,6 +773,22 @@ object DedupIndex {
           .write.partitionBy("ingest_batch", "id_part").mode("append").parquet(corpDir)
       }
       keys.unpersist(blocking = false)
+    }
+    // ledger delta (if the corpus maintains one): published AFTER the
+    // data, BEFORE the marker — a crash in between replays the whole
+    // batch and rewrites both, so card and corpus can never disagree.
+    // Even an all-dropped batch publishes (its drop counters are real).
+    ledgerByOf(spark, corpusPath).foreach { g =>
+      val crossOnly = crossDrop.join(inBatchDrop, Seq(idCol), "left_anti")
+      val delta = admittedStatsLong(admitted, g, textCol)
+        .unionByName(countLong(b.join(inBatchDrop, Seq(idCol), "left_semi"),
+          g, "n_dropped_batch"))
+        .unionByName(countLong(b.join(crossOnly, Seq(idCol), "left_semi"),
+          g, "n_dropped_cross"))
+      // ad-hoc (batchId < 0) deltas get a unique synthetic id — the same
+      // at-least-once contract as the ad-hoc data append path
+      val ledgerId = if (batchId >= 0) batchId else -System.nanoTime()
+      publishLedgerDelta(delta, corpDir, ledgerId)
     }
     if (batchId >= 0)
       AtRest.writeFile(fs, committedMarker(corpusPath, batchId),
@@ -778,8 +969,19 @@ object DedupIndex {
       // carry the table's meta into the new version (meta lives in the
       // version dir — a version published without one would lose the
       // sidecar once the old generation GCs)
-      AtRest.readMeta(spark, corpusPath)
-        .foreach(m => AtRest.writeMetaStaged(spark, staging, m))
+      val metaMap = AtRest.readMeta(spark, corpusPath)
+      metaMap.foreach(m => AtRest.writeMetaStaged(spark, staging, m))
+      // ledger adjustment: the removed stragglers' admitted-side counters
+      // subtract back out and count under n_removed_recheck — collapsed
+      // with the existing deltas into the new version, swapping atomically
+      metaMap.flatMap(_.get("ledgerBy")).foreach { g =>
+        val removed = corpus.join(dropIds, Seq(idCol), "left_semi")
+        val adjust = admittedStatsLong(removed, g, textCol, sign = -1)
+          .unionByName(countLong(removed, g, "n_removed_recheck"))
+        val merged = ledgerLong(spark, AtRest.resolve(spark, corpusPath))
+          .map(_.unionByName(adjust)).getOrElse(adjust)
+        publishLedgerDelta(collapseLedger(merged), staging.toString, SeedBatch)
+      }
       AtRest.publishVersion(spark, corpusPath, v, "id_part")
       writeAtRest(readCorpus(spark, corpusPath), indexPath, textCol, idCol,
         numHashes, bands, shingleWords, maxBucket, nParts)
@@ -795,13 +997,18 @@ object DedupIndex {
   def compactCorpus(spark: SparkSession, path: String, idCol: String = "doc_id",
       nParts: Int = 16): Unit = AtRest.withLease(spark, path) {
     val fs = fsFor(spark, path)
-    val all = spark.read.parquet(AtRest.resolve(spark, path))
+    val cur = AtRest.resolve(spark, path)
+    val all = spark.read.parquet(cur)
       .drop("ingest_batch", "id_part")
     val laid = withIdPart(all, idCol, nParts).repartition(nParts, col("id_part"))
     val (v, staging) = AtRest.nextStaging(fs, path)
     val dataDir = new Path(staging, s"ingest_batch=$SeedBatch")
     laid.write.partitionBy("id_part").mode("overwrite").parquet(dataDir.toString)
     ensureReadableIfEmpty(laid, dataDir)
+    // the ledger compacts with its corpus: all accreted deltas collapse
+    // into one seed delta inside the new version (same totals, one file)
+    ledgerLong(spark, cur).foreach(lf =>
+      publishLedgerDelta(collapseLedger(lf), staging.toString, SeedBatch))
     val merged = AtRest.readMeta(spark, path).getOrElse(Map("kind" -> "dedup_corpus")) ++
       Map("idCol" -> idCol, "corpusParts" -> nParts.toString)
     AtRest.writeMetaStaged(spark, staging, merged)

@@ -548,6 +548,89 @@ class DedupIndexSpec extends SparkSpec {
     assert(vs.toSet === Set("_v3", "_v4"))
   }
 
+  test("incremental stats ledger == full recompute across mixed batches, replays, compact and recheck") {
+    val root = tempDir("lsh_ledger")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    val d = docs.select("doc_id", "source", "text")
+    val seed = d.filter(col("doc_id") % 3 === 1)
+    DedupIndex.writeCorpus(seed, corp, ledgerBy = "source")
+    DedupIndex.writeAtRest(seed, idx)
+    val b1 = d.filter(col("doc_id") % 3 === 2)
+    val b2 = d.filter(col("doc_id") % 3 === 0)
+    DedupIndex.ingestBatch(b1, idx, corp, batchId = 0L)
+    DedupIndex.ingestBatch(b2, idx, corp, batchId = 1L)
+    // marker replay: the short-circuit must not double-count the ledger
+    DedupIndex.ingestBatch(b2, idx, corp, batchId = 1L)
+
+    def card(): Map[String, Seq[Long]] =
+      DedupIndex.ledgerCard(spark, corp).collect()
+        .map(r => r.getString(0) -> (1 to 7).map(r.getLong)).toMap
+    def recompute(): Map[String, Seq[Long]] = {
+      // the admitted-side counters, recomputed FROM the at-rest corpus
+      // with the same kernels — ledger must agree exactly
+      val atRest = DedupIndex.readCorpus(spark, corp)
+      val (_, nEmail, nUrl) = graft.operators.Corpus.redact(col("text"))
+      atRest.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(when(nEmail + nUrl > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+          sum(when(graft.functions.TextFunctions.qualityScore(col("text")) < 0.6, 1L)
+            .otherwise(0L)).as("n_quality_low"))
+        .collect().map(r => r.getString(0) -> (1 to 4).map(r.getLong)).toMap
+    }
+
+    val c1 = card()
+    assert(c1.view.mapValues(_.take(4)).toMap === recompute(),
+      "admitted-side counters must equal the full recompute")
+    // drop-side counters account for every non-admitted doc, per source
+    val inCorpus = DedupIndex.readCorpus(spark, corp)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, counters) <- c1) {
+      val dropped = counters(4) + counters(5) // n_dropped_batch + n_dropped_cross
+      assert(dropped === total(src) - inCorpus.getOrElse(src, 0L),
+        s"source $src: drops must cover exactly the non-admitted docs")
+    }
+    assert(c1.values.map(c => c(4) + c(5)).sum > 0, "the slices plant real dups")
+
+    // partial-crash replay: kill the marker, re-run -> identical card
+    val fs = new org.apache.hadoop.fs.Path(corp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(corp, "_committed/batch-1"), false)
+    DedupIndex.ingestBatch(b2, idx, corp, batchId = 1L)
+    assert(card() === c1)
+    // compaction collapses the deltas without changing totals
+    DedupIndex.compactCorpus(spark, corp)
+    assert(card() === c1)
+    val deltaDirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        graft.operators.AtRest.resolve(spark, corp), "_ledger"))
+      .count(_.getPath.getName.startsWith("ingest_batch="))
+    assert(deltaDirs === 1, "compaction collapses the ledger to one delta")
+    // recheck removals adjust the admitted-side counters and land in
+    // n_removed_recheck; the card STILL equals the recompute
+    val removed = DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.7)
+    val c2 = card()
+    assert(c2.view.mapValues(_.take(4)).toMap === recompute())
+    assert(c2.values.map(_(6)).sum === removed)
+  }
+
+  test("ledgerCard on an unledgered corpus fails loudly; enableLedger migrates") {
+    val root = tempDir("lsh_ledger_migrate")
+    val corp = s"$root/corpus.parquet"
+    val d = docs.select("doc_id", "source", "text").filter(col("doc_id") % 3 === 1)
+    DedupIndex.writeCorpus(d, corp) // no ledger
+    val e = intercept[IllegalStateException] {
+      DedupIndex.ledgerCard(spark, corp)
+    }
+    assert(e.getMessage.contains("ledger"))
+    DedupIndex.enableLedger(spark, corp, "source")
+    val card = DedupIndex.ledgerCard(spark, corp).collect()
+    assert(card.map(_.getLong(1)).sum === d.count()) // n_docs
+    assert(card.forall(_.getLong(5) === 0L)) // drop history starts at 0
+  }
+
   test("admitNew = batch minus the probe's matched ids") {
     val dir = tempDir("lsh_rest_admit") + "/index.parquet"
     DedupIndex.writeAtRest(corpus, dir)
