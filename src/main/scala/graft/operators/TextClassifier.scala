@@ -170,6 +170,117 @@ object TextClassifier {
     (w(dim), w.take(dim))
   }
 
+  /**
+   * HESSIAN-FREE training — same model, same determinism contract, no
+   * dim ceiling. [[train]] materializes the dense (dim+1)² Hessian
+   * (collected to the driver, O(dim³) Gaussian solve): perfect at
+   * dim 512, unusable at the ~16k-64k hashed dims production fastText
+   * uses (dim 16k is a 2.1e12-flop solve over a 2 GiB matrix). Here
+   * each damped-Newton step solves the same normal equations by
+   * CONJUGATE GRADIENT on Hessian-VECTOR products, so nothing
+   * (dim+1)²-sized ever exists:
+   *
+   *   (H + λI)v  with  H = FᵀDF/n  needs only
+   *   t_d = Σ_{f∈d} v_f        (one doc-keyed exact-LONG sum; v rides
+   *                             broadcast as a literal nano array)
+   *   u_d = round(pq_d·t_d/1e6) (per-row, deterministic double→long)
+   *   (Hv)_f = Σ_{d∋f} u_d / n (one feature-keyed exact-LONG sum)
+   *
+   * — two smaller aggregates per CG iteration than the dense path's
+   * Hessian pair stream, and the per-round data-side work is linear in
+   * the gram stream, never quadratic in active features. Determinism:
+   * every distributed sum is an exact LONG; CG's driver-side scalars
+   * (α, β, residual norms) derive only from those sums and from
+   * fixed-seed arithmetic; CG directions are re-quantized to the 1e-9
+   * grid before each product, and the stopping rule (fixed max
+   * iterations, deterministic residual floor) depends on deterministic
+   * quantities — so weights stay bit-reproducible under any
+   * partitioning, same as the dense path.
+   *
+   * Magnitude bound (why the LONG sums cannot overflow in the training
+   * regime): |t_d| ≤ activeFeats(d) × max|v|ₙₐₙₒ ~ 1e3 × 1e11 = 1e14;
+   * |u_d| ≤ 2.5e5 × 1e14 / 1e6 = 2.5e13; the feature-keyed sum then
+   * needs |labeled docs sharing a feature| × 2.5e13 < 9.2e18 — held by
+   * ~1e5-doc labeled slices, which is the documented training shape
+   * (labels only exist for a sample; the full corpus is SCORED, not
+   * trained on).
+   */
+  def trainCG(docs: DataFrame, labelCol: String, textCol: String = "text",
+      idCol: String = "doc_id", dim: Int = 16384, rounds: Int = 2,
+      lambda: Double = 0.01, cgIters: Int = 12): (Long, Array[Long]) = {
+    val d0 = docs.dropDuplicates(idCol)
+    val feats = features(d0, textCol, idCol, dim)
+      .unionByName(d0.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val labels = d0.select(col(idCol).as("id"), col(labelCol).cast("long").as("y"))
+    val nDocs = math.max(labels.count(), 1L).toDouble
+    val d = dim + 1
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < d) { s += a(i) * b(i); i += 1 }; s
+    }
+    var w = new Array[Long](d)
+    for (_ <- 0 until rounds) {
+      val z = coalesce(col("s"), lit(0L)) / lit(1e9)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val scored = labels.join(docSums(feats, w.toSeq), Seq("id"), "left")
+        .select(col("id"),
+          (round(p * 1e6).cast("long") - col("y") * 1000000L).as("e"),
+          round(p * (lit(1.0) - p) * 1e6).cast("long").as("pq"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      scored.count() // materialize once: reused by the gradient + every Hv
+      val g = new Array[Double](d)
+      feats.join(broadcast(scored), Seq("id"))
+        .groupBy("f").agg(sum(col("e")).as("g")).collect()
+        .foreach(r => g(r.getLong(0).toInt) = r.getLong(1) / 1e6 / nDocs)
+      for (j <- 0 until d) g(j) += lambda * (w(j) / 1e9)
+      def hv(vNano: Array[Long]): Array[Double] = {
+        val tDoc = feats.groupBy("id")
+          .agg(sum(element_at(typedLit(vNano.toSeq), (col("f") + 1).cast("int")))
+            .as("t"))
+        val u = scored.join(tDoc, Seq("id"))
+          .select(col("id"),
+            round(col("pq").cast("double") * col("t").cast("double") / lit(1e6))
+              .cast("long").as("u"))
+        val out = new Array[Double](d)
+        feats.join(broadcast(u), Seq("id"))
+          .groupBy("f").agg(sum(col("u")).as("hv")).collect()
+          .foreach(r => out(r.getLong(0).toInt) = r.getLong(1) / 1e9 / nDocs)
+        for (j <- 0 until d) out(j) += lambda * (vNano(j) / 1e9)
+        out
+      }
+      // CG on (H + λI)Δ = g from Δ = 0; directions re-quantized to the
+      // nano grid so each product is over exact LONGs
+      val delta = new Array[Double](d)
+      val r = g.clone()
+      var dir = r.clone()
+      var rs = dotv(r, r)
+      var it = 0
+      var stop = false
+      while (it < cgIters && rs > 1e-18 && !stop) {
+        val dirNano = dir.map(x => math.round(x * 1e9))
+        val dirQ = dirNano.map(_ / 1e9)
+        val hp = hv(dirNano)
+        val denom = dotv(dirQ, hp)
+        if (denom <= 0) stop = true // damped H is PD; quantization floor guard
+        else {
+          val alpha = rs / denom
+          var i = 0
+          while (i < d) { delta(i) += alpha * dirQ(i); r(i) -= alpha * hp(i); i += 1 }
+          val rs2 = dotv(r, r)
+          val beta = rs2 / rs
+          rs = rs2
+          i = 0
+          while (i < d) { dir(i) = r(i) + beta * dir(i); i += 1 }
+          it += 1
+        }
+      }
+      scored.unpersist(blocking = false)
+      w = Array.tabulate(d)(j => w(j) - math.round(delta(j) * 1e9))
+    }
+    feats.unpersist(blocking = false)
+    (w(dim), w.take(dim))
+  }
+
   /** Score `docs` under a trained model: `(id, prob, predicted)` with
    *  prob rounded to 6 (the cross-engine comparison grid) and predicted
    *  = 1 iff the margin is ≥ 0. Scan-local feature hashing + one

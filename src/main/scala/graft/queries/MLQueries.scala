@@ -37,6 +37,50 @@ object MLQueries {
       JOIN v b ON b.vec_id = p.neighbor_id
       ORDER BY probe_id, rank"""
 
+  /** Oracle scaffold shared by the classifier rows: rescore the corpus
+   *  under a PINNED trained model (f -> weight_nano VALUES) with the
+   *  engine-portable md5 feature hash mod `dim`, recomputing the
+   *  weak-supervision labels from scratch — a training drift (live
+   *  weights != pins) or a scoring bug both go red. */
+  private def classifierSql(dim: Int, biasNano: Long, weightValues: String): String = {
+    val langs = TextFunctions.StopwordSets.map(_._1)
+    val hits = TextFunctions.StopwordSets.map { case (lang, words) =>
+      s"len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))," +
+        s" [${words.map(w => s"'$w'").mkString(", ")}])) AS h_$lang"
+    }.mkString(",\n             ")
+    val enWins = langs.filter(_ != "en").map(o => s"h_en >= h_$o").mkString(" AND ")
+    s"""
+      WITH w(f, wn) AS (SELECT * FROM (VALUES $weightValues)),
+      lbl AS (
+        SELECT doc_id, CASE WHEN h_en > 0 AND $enWins THEN 1 ELSE 0 END AS label
+        FROM (SELECT doc_id, $hits FROM documents)
+      ), tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id, unnest(t || CASE WHEN len(t) >= 2
+            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS g
+        FROM tok
+      ), feats AS (
+        SELECT DISTINCT doc_id,
+               CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS UBIGINT) % $dim AS BIGINT) AS f
+        FROM grams
+      ), sums AS (
+        SELECT fe.doc_id, sum(w.wn) AS s FROM feats fe JOIN w ON w.f = fe.f
+        GROUP BY fe.doc_id
+      ), zz AS (
+        SELECT d.doc_id, ($biasNano + COALESCE(s.s, 0)) / 1e9 AS z
+        FROM documents d LEFT JOIN sums s USING (doc_id)
+      )
+      SELECT zz.doc_id, CAST(l.label AS BIGINT) AS label,
+             round(1 / (1 + exp(-zz.z)), 6) AS prob,
+             CAST(CASE WHEN zz.z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+      FROM zz JOIN lbl l USING (doc_id)
+      ORDER BY doc_id"""
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q_text_stats", Some(s"""
@@ -162,44 +206,9 @@ object MLQueries {
     // (ClassifierOracle, regenerate with tools.DumpClassifier) while
     // recomputing the labels from scratch — so a training drift OR a
     // scoring bug both go red. The md5 feature map is engine-portable.
-    Q("q_text_classifier", Some {
-      val langs = TextFunctions.StopwordSets.map(_._1)
-      val hits = TextFunctions.StopwordSets.map { case (lang, words) =>
-        s"len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))," +
-          s" [${words.map(w => s"'$w'").mkString(", ")}])) AS h_$lang"
-      }.mkString(",\n             ")
-      val enWins = langs.filter(_ != "en").map(o => s"h_en >= h_$o").mkString(" AND ")
-      s"""
-      WITH w(f, wn) AS (SELECT * FROM (VALUES ${ClassifierOracle.weightValues})),
-      lbl AS (
-        SELECT doc_id, CASE WHEN h_en > 0 AND $enWins THEN 1 ELSE 0 END AS label
-        FROM (SELECT doc_id, $hits FROM documents)
-      ), tok AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-        FROM documents
-      ), grams AS (
-        SELECT doc_id, unnest(t || CASE WHEN len(t) >= 2
-            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-            ELSE [] END) AS g
-        FROM tok
-      ), feats AS (
-        SELECT DISTINCT doc_id,
-               CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS UBIGINT) % 512 AS BIGINT) AS f
-        FROM grams
-      ), sums AS (
-        SELECT fe.doc_id, sum(w.wn) AS s FROM feats fe JOIN w ON w.f = fe.f
-        GROUP BY fe.doc_id
-      ), zz AS (
-        SELECT d.doc_id, (${ClassifierOracle.biasNano} + COALESCE(s.s, 0)) / 1e9 AS z
-        FROM documents d LEFT JOIN sums s USING (doc_id)
-      )
-      SELECT zz.doc_id, CAST(l.label AS BIGINT) AS label,
-             round(1 / (1 + exp(-zz.z)), 6) AS prob,
-             CAST(CASE WHEN zz.z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
-      FROM zz JOIN lbl l USING (doc_id)
-      ORDER BY doc_id"""
-    },
+    Q("q_text_classifier",
+      Some(classifierSql(512, ClassifierOracle.biasNano,
+        ClassifierOracle.weightValues)),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val labeled = docs.withColumn("label",
@@ -210,6 +219,31 @@ object MLQueries {
         val (b, w) = graft.operators.TextClassifier.train(
           labeled.filter(col("doc_id") % 2 === 0), "label")
         graft.operators.TextClassifier.score(docs, b, w.toSeq)
+          .join(labeled.select(col("doc_id"),
+            col("label").cast("bigint").as("label")), "doc_id")
+          .select(col("doc_id"), col("label"), col("prob"), col("predicted"))
+          .orderBy("doc_id")
+      }),
+
+    // The HESSIAN-FREE classifier (Newton-CG on Hessian-vector products)
+    // at dim 2048 — the scale path past the dense solver's dim ceiling
+    // (the dense Hessian is (dim+1)² driver keys + an O(dim³) solve;
+    // CG's per-iteration cost is two LONG aggregates linear in the gram
+    // stream). Training re-runs IN-QUERY, bit-deterministic under the
+    // same grid contract; the oracle rescores under the pinned CG model
+    // while recomputing the labels — training drift or scoring bugs both
+    // go red. More buckets = fewer hash collisions: train accuracy 0.972
+    // here vs 0.912 at dim 512.
+    Q("q_text_classifier_cg",
+      Some(classifierSql(2048, ClassifierOracle.cgBiasNano,
+        ClassifierOracle.cgWeightValues)),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val labeled = docs.withColumn("label",
+          (TextFunctions.langId(col("text")) === "en").cast("int"))
+        val (b, w) = graft.operators.TextClassifier.trainCG(
+          labeled.filter(col("doc_id") % 2 === 0), "label", dim = 2048)
+        graft.operators.TextClassifier.score(docs, b, w.toSeq, dim = 2048)
           .join(labeled.select(col("doc_id"),
             col("label").cast("bigint").as("label")), "doc_id")
           .select(col("doc_id"), col("label"), col("prob"), col("predicted"))

@@ -38,6 +38,19 @@ object DumpClassifier {
       .select(avg((col("predicted") === col("label").cast("long")).cast("double")))
       .head.getDouble(0)
     println(f"[classifier-train-accuracy] $scoredAcc%.4f")
+    // the Hessian-free (Newton-CG) model at dim 2048 — q_text_classifier_cg's pins
+    val (bCg, wCg) = graft.operators.TextClassifier.trainCG(
+      docs.filter(col("doc_id") % 2 === 0), "label", dim = 2048)
+    println(s"[classifier-cg-bias] $bCg")
+    println("[classifier-cg-weights] " + wCg.zipWithIndex.collect {
+      case (wn, f) if wn != 0L => s"($f,$wn)"
+    }.mkString(","))
+    val accCg = graft.operators.TextClassifier
+      .score(docs, bCg, wCg.toSeq, dim = 2048)
+      .join(docs.select(col("doc_id"), col("label")), "doc_id")
+      .select(avg((col("predicted") === col("label").cast("long")).cast("double")))
+      .head.getDouble(0)
+    println(f"[classifier-cg-train-accuracy] $accCg%.4f")
     spark.stop()
   }
 }

@@ -54,6 +54,48 @@ class ClassifierSpec extends SparkSpec {
     assert(w1.toSeq === w2.toSeq)
   }
 
+  test("trainCG at dim 16384: separates, bit-deterministic across repartitionings, bounded wall") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val mark = if (i % 2 == 0) "goodmark" else "badmark"
+      (i.toLong, s"common filler words here $mark tail token t$i", (i + 1) % 2)
+    }.toDF("doc_id", "text", "label")
+    val t0 = System.nanoTime()
+    val (b1, w1) = TextClassifier.trainCG(docs, "label", dim = 16384)
+    val wall = (System.nanoTime() - t0) / 1e9
+    // the DENSE path at this dim would collect a (16385)² Hessian and run
+    // a 2.1e12-flop solve; CG must stay interactive
+    assert(wall < 120.0, s"dim-16384 CG training took ${wall}s")
+    val (b2, w2) = TextClassifier.trainCG(docs.repartition(13), "label", dim = 16384)
+    assert(b1 === b2)
+    assert(w1.toSeq === w2.toSeq)
+    val scored = TextClassifier.score(docs, b1, w1.toSeq, dim = 16384)
+      .join(docs.select(col("doc_id"), col("label").cast("long").as("y")), "doc_id")
+    val acc = scored.agg(avg((col("predicted") === col("y")).cast("double")))
+      .head.getDouble(0)
+    assert(acc === 1.0, s"marker vocabulary should separate perfectly, got $acc")
+  }
+
+  test("trainCG agrees with the dense IRLS solver at dim 512") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .withColumn("label", (TextFunctions.langId(col("text")) === "en").cast("int"))
+    val y = docs.select(col("doc_id"), col("label").cast("long").as("y"))
+    val (bd, wd) = TextClassifier.train(docs, "label")
+    val (bc, wc) = TextClassifier.trainCG(docs, "label", dim = 512)
+    // different solvers for the same convex objective: identical bits are
+    // not expected, but the decision function must be the same in practice
+    val dense = TextClassifier.score(docs, bd, wd.toSeq).select(col("doc_id"),
+      col("predicted").as("pd"))
+    val cg = TextClassifier.score(docs, bc, wc.toSeq).select(col("doc_id"),
+      col("predicted").as("pc"))
+    val agree = dense.join(cg, "doc_id")
+      .agg(avg((col("pd") === col("pc")).cast("double"))).head.getDouble(0)
+    assert(agree >= 0.95, s"dense/CG prediction agreement $agree")
+    val accCg = cg.join(y, "doc_id")
+      .agg(avg((col("pc") === col("y")).cast("double"))).head.getDouble(0)
+    assert(accCg >= 0.9, s"CG train accuracy $accCg")
+  }
+
   test("reproduces the rule-based language labeler on the sf0.01 corpus (acc >= 0.9)") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
       .withColumn("label", (TextFunctions.langId(col("text")) === "en").cast("int"))
