@@ -914,6 +914,72 @@ object MLQueries {
         Similarity.ivfTopK(emb, probes, k = 5)
       }),
 
+    // ANN QUALITY, driver-visible: recall@10 of the at-rest IVF index vs
+    // exact brute-force cosine top-10, swept over nProbe 2/4/8 of 16
+    // lists — the recall/efficiency tradeoff curve a production deploy
+    // tunes (more lists probed = more I/O, higher recall; 0.31/0.48/0.70
+    // on the sf0.01 gaussian embeddings, where neighbors are nearly
+    // unclustered — the HARD regime; planted near-dup recall, the regime
+    // ANN dedup actually serves, is ~1.0 and spec'd in SketchSpec).
+    // DuckDB recomputes the EXACT top-10 from raw embeddings and derives
+    // recall against the PINNED deterministic IVF picks (RecallOracle,
+    // regenerate with tools.DumpRecall) — a drifted index, a broken
+    // pruning path, or a recall regression all go red.
+    Q("q_sim_recall", Some(s"""
+      WITH picked(n_probe, probe_id, neighbor_id) AS
+        (SELECT * FROM (VALUES ${RecallOracle.pickValues})),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      pr AS (SELECT vec_id AS probe_id, emb AS pemb FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT pr.probe_id, v.vec_id,
+               round(list_inner_product(pr.pemb, v.emb)
+                 / (sqrt(list_inner_product(pr.pemb, pr.pemb))
+                    * sqrt(list_inner_product(v.emb, v.emb))), 6) AS cos
+        FROM pr JOIN v ON v.vec_id <> pr.probe_id
+      ), exact AS (
+        SELECT probe_id, vec_id
+        FROM (SELECT probe_id, vec_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 10
+      )
+      SELECT CAST(p.n_probe AS BIGINT) AS n_probe,
+             CAST(count(e.vec_id) AS BIGINT) AS n_hit,
+             round(count(e.vec_id) / 100.0, 6) AS recall
+      FROM picked p
+      LEFT JOIN exact e ON e.probe_id = p.probe_id AND e.vec_id = p.neighbor_id
+      GROUP BY p.n_probe
+      ORDER BY n_probe"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val out = scratchDir("sim_recall") + "/corpus.parquet"
+        val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        Seq(2, 4, 8).map { nProbe =>
+          Similarity.ivfTopKAtRest(s, out, probes, k = 10, nProbe = nProbe,
+              idCol = "vec_id", vecCol = "embedding")
+            .select(lit(nProbe.toLong).as("n_probe"),
+              col("probe_id"), col("neighbor_id"))
+        }.reduce(_ unionAll _)
+          .join(exact.withColumn("hit", lit(1L)),
+            Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("n_probe")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("n_probe"), col("n_hit"),
+            round(col("n_hit") / 100.0, 6).as("recall"))
+          .orderBy("n_probe")
+      },
+      // seed (untimed): the timed number is the three pruned at-rest
+      // probes + one brute-force pass — the quality AUDIT a deploy runs
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfWriteAtRest(emb, Similarity.ivfCodebook(emb),
+          scratchDir("sim_recall") + "/corpus.parquet")
+      })),
+
     // IVF AT REST — the 100 TB layout: the assigned corpus persisted
     // partitionBy(list_id), probed through a static list_id filter so the
     // parquet scan plans ONLY the nProbe×|probes| wanted partitions

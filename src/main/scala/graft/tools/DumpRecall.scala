@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Regenerate q_sim_recall's pinned IVF picks: seeds the at-rest IVF
+  * table from `embeddings` at the given sfDir (sampled codebook, the
+  * q_sim_ivf_at_rest shape), probes vec_id < 10 at k = 10 / nProbe = 4,
+  * and prints the (probe_id, neighbor_id) picks as SQL VALUES rows plus
+  * the measured recall@10 vs brute force.
+  * `runMain graft.tools.DumpRecall [sfDir]`. */
+object DumpRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.queries.Tables.t(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val root = java.nio.file.Files.createTempDirectory("dump_recall").toString +
+      "/corpus.parquet"
+    Similarity.ivfWriteAtRest(emb, Similarity.ivfCodebook(emb), root)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nProbes = probes.count()
+    for (nProbe <- Seq(2, 4, 8)) {
+      val ivf = Similarity.ivfTopKAtRest(spark, root, probes, k = 10,
+        nProbe = nProbe, idCol = "vec_id", vecCol = "embedding")
+      val picks = ivf.select("probe_id", "neighbor_id", "rank")
+        .orderBy("probe_id", "rank").collect()
+      println(s"[recall-picks-$nProbe] " + picks.map(r =>
+        s"($nProbe,${r.getLong(0)},${r.getLong(1)})").mkString(","))
+      val hits = exact.join(ivf.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id"), "left_semi").count()
+      println(f"[recall-at-10-$nProbe] ${hits / (10.0 * nProbes)}%.3f")
+    }
+    spark.stop()
+  }
+}
