@@ -269,6 +269,66 @@ object AtRest {
     if (readMeta(spark, root).isEmpty) writeMeta(spark, root, params)
   }
 
+  // ------------------------------------------------------- marker retention
+
+  /**
+   * `_committed/_watermark`: every batchId STRICTLY BELOW it is committed
+   * history whose per-batch marker has been compacted away. Markers
+   * otherwise accrete one file per batch forever (O(1) to check, but a
+   * small-file problem at ~10⁶ batches); periodic [[compactMarkers]]
+   * bounds the count to the replayable window. The replay check consults
+   * the per-batch marker first (present wins — a crash between the
+   * watermark write and the marker sweep leaves both, consistently),
+   * then the watermark: a replay BELOW it means the streaming checkpoint
+   * was truncated or reset, and reprocessing would double-apply — the
+   * ingest entry points fail LOUDLY on it instead of guessing.
+   */
+  def markerWatermark(fs: FileSystem, root: String): Option[Long] = {
+    val p = new Path(root, "_committed/_watermark")
+    if (!fs.exists(p)) None
+    else utf8(readFile(fs, p)).trim.toLongOption match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"$p is unparsable; restore it to the oldest replayable batchId")
+    }
+  }
+
+  /** Set the watermark to `oldestReplayable` (derive it from the
+   *  streaming checkpoint's committed offsets — the caller asserts no
+   *  batch below it can replay) and delete the `batch-<n>` markers
+   *  below. Watermark first, then the sweep: a crash in between leaves
+   *  extra markers, never missing coverage. Monotonic — lowering an
+   *  existing watermark would un-commit history. */
+  def compactMarkers(spark: SparkSession, root: String,
+      oldestReplayable: Long): Unit = {
+    val fs = fsFor(spark, root)
+    markerWatermark(fs, root).foreach { prev =>
+      require(oldestReplayable >= prev,
+        s"marker watermark must be monotonic: $oldestReplayable < current $prev")
+    }
+    val dir = new Path(root, "_committed")
+    fs.mkdirs(dir)
+    writeFile(fs, new Path(dir, "_watermark"), utf8(oldestReplayable.toString))
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch-"))
+        n.drop(6).toLongOption.foreach(id =>
+          if (id < oldestReplayable) fs.delete(st.getPath, false))
+    }
+  }
+
+  /** The loud half of the watermark contract, shared by the ingest entry
+   *  points: called when `batchId`'s marker is ABSENT. */
+  def failIfBelowWatermark(fs: FileSystem, root: String, batchId: Long): Unit =
+    markerWatermark(fs, root).foreach { wm =>
+      if (batchId < wm)
+        throw new IllegalStateException(
+          s"batch $batchId replayed below $root's committed-marker watermark $wm — " +
+            "its marker was compacted away, so this replay means the streaming " +
+            "checkpoint was truncated or reset and reprocessing would " +
+            "double-apply; restore the checkpoint or re-seed the table")
+    }
+
   // ---------------------------------------------------------------- lease
 
   /**

@@ -672,6 +672,9 @@ object DedupIndex {
         case None => fs.delete(committedMarker(corpusPath, batchId), false)
       }
     }
+    // marker absent: a batchId below the compacted-marker watermark is a
+    // checkpoint-history violation, not a legitimate replay — fail loudly
+    if (batchId >= 0) AtRest.failIfBelowWatermark(fs, corpusPath, batchId)
     val owner = if (leaseOwner != null) leaseOwner
       else java.util.UUID.randomUUID().toString
     AtRest.acquireLease(spark, indexPath, owner)
@@ -864,6 +867,17 @@ object DedupIndex {
       spark.streams.removeListener(listener)
     }
     query
+  }
+
+  /** Retention maintenance for the corpus's `_committed` replay markers:
+   *  set the watermark to `oldestReplayable` (derive it from the ingest
+   *  stream's checkpoint — typically last committed batchId, below which
+   *  Spark will never replay) and sweep the markers below it. Keeps the
+   *  marker count bounded by the replayable window instead of the
+   *  table's lifetime batch count ([[AtRest.compactMarkers]]). */
+  def compactMarkers(spark: SparkSession, corpusPath: String,
+      oldestReplayable: Long): Unit = AtRest.withLease(spark, corpusPath) {
+    AtRest.compactMarkers(spark, corpusPath, oldestReplayable)
   }
 
   // ------------------------------------------------------------- compaction

@@ -487,6 +487,9 @@ object Similarity {
         case None => fs.delete(marker, false)
       }
     }
+    // marker absent below the compacted-marker watermark = checkpoint
+    // truncation, not a replay — fail loudly (AtRest.compactMarkers)
+    if (batchId >= 0) AtRest.failIfBelowWatermark(fs, path, batchId)
     val owner = if (leaseOwner != null) leaseOwner
       else java.util.UUID.randomUUID().toString
     AtRest.acquireLease(spark, path, owner)
@@ -572,6 +575,14 @@ object Similarity {
       b.unpersist(blocking = false)
       n
     } finally if (leaseOwner == null) AtRest.releaseLease(spark, path, owner)
+  }
+
+  /** Marker-retention maintenance for the IVF table, mirroring
+   *  [[graft.operators.DedupIndex.compactMarkers]]: watermark + sweep of
+   *  `_committed` markers below the oldest replayable batchId. */
+  def ivfCompactMarkers(spark: org.apache.spark.sql.SparkSession, path: String,
+      oldestReplayable: Long): Unit = AtRest.withLease(spark, path) {
+    AtRest.compactMarkers(spark, path, oldestReplayable)
   }
 
   /** [[ivfIngestBatch]] under the table's OWN persisted codebook. */

@@ -631,6 +631,39 @@ class DedupIndexSpec extends SparkSpec {
     assert(card.forall(_.getLong(5) === 0L)) // drop history starts at 0
   }
 
+  test("marker watermark: markers below compact away, replays below fail loudly") {
+    import spark.implicits._
+    val root = tempDir("lsh_watermark")
+    val idxPath = s"$root/index.parquet"
+    val corpPath = s"$root/corpus.parquet"
+    val mk = (i: Long) => (i, s"watermark doc number $i with distinct words w$i x$i y$i")
+    for (b <- 0L to 2L)
+      DedupIndex.ingestBatch(Seq(mk(b * 10), mk(b * 10 + 1)).toDF("doc_id", "text"),
+        idxPath, corpPath, batchId = b)
+    val fs = new org.apache.hadoop.fs.Path(corpPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marker(b: Long) = new org.apache.hadoop.fs.Path(corpPath, s"_committed/batch-$b")
+    assert((0L to 2L).forall(b => fs.exists(marker(b))))
+    DedupIndex.compactMarkers(spark, corpPath, oldestReplayable = 2L)
+    assert(!fs.exists(marker(0)) && !fs.exists(marker(1)) && fs.exists(marker(2)))
+    // a replay AT the watermark still short-circuits on its marker
+    assert(DedupIndex.ingestBatch(Seq(mk(20), mk(21)).toDF("doc_id", "text"),
+      idxPath, corpPath, batchId = 2L) === 2L)
+    // a replay BELOW it is a checkpoint-history violation -> loud
+    val e = intercept[IllegalStateException] {
+      DedupIndex.ingestBatch(Seq(mk(0), mk(1)).toDF("doc_id", "text"),
+        idxPath, corpPath, batchId = 0L)
+    }
+    assert(e.getMessage.contains("watermark"))
+    // new batches above continue normally; the watermark is monotonic
+    assert(DedupIndex.ingestBatch(Seq(mk(30), mk(31)).toDF("doc_id", "text"),
+      idxPath, corpPath, batchId = 3L) === 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.compactMarkers(spark, corpPath, oldestReplayable = 1L)
+    }
+    assert(e2.getMessage.contains("monotonic"))
+  }
+
   test("admitNew = batch minus the probe's matched ids") {
     val dir = tempDir("lsh_rest_admit") + "/index.parquet"
     DedupIndex.writeAtRest(corpus, dir)
