@@ -113,7 +113,13 @@ object AtRest {
         if (hasData) root
         else {
           fs.mkdirs(versionDir(root, 0L))
-          writeFile(fs, currentPointer(root), utf8("0"))
+          // two sharded writers can race the first-version bootstrap —
+          // both write "0", so a lost rename is benign if a pointer now
+          // exists (re-read rather than abort a healthy writer)
+          try writeFile(fs, currentPointer(root), utf8("0"))
+          catch { case e: IllegalStateException =>
+            if (currentVersion(fs, root).isEmpty) throw e
+          }
           versionDir(root, 0L).toString
         }
     }
@@ -262,11 +268,17 @@ object AtRest {
 
   /** Validate against an existing sidecar, then (re-)write it — the
    *  adopt-or-check step every writer runs: legacy tables gain a sidecar,
-   *  parameter drift fails loudly. */
+   *  parameter drift fails loudly. Two sharded writers adopting
+   *  concurrently both write the same params, so a lost rename race is
+   *  benign — re-validate instead of aborting. */
   def validateOrAdoptMeta(spark: SparkSession, root: String,
       params: Map[String, String]): Unit = {
     validateMeta(spark, root, params)
-    if (readMeta(spark, root).isEmpty) writeMeta(spark, root, params)
+    if (readMeta(spark, root).isEmpty) {
+      try writeMeta(spark, root, params)
+      catch { case _: IllegalStateException => () }
+      validateMeta(spark, root, params)
+    }
   }
 
   // ------------------------------------------------------- marker retention
@@ -353,8 +365,19 @@ object AtRest {
   def acquireLease(spark: SparkSession, root: String, owner: String,
       ttlMs: Long = 10 * 60 * 1000L): Unit = {
     val fs = fsFor(spark, root)
+    // a whole-root writer excludes live foreign SHARD writers too — the
+    // root lease claims every shard's range
+    liveForeignShardLease(fs, root, owner, ttlMs).foreach { case (name, holder) =>
+      throw new IllegalStateException(
+        s"$root is write-locked by shard lease $name (holder '$holder'); " +
+          "stop the sharded writers before taking the whole-root lease")
+    }
+    acquireLeaseAt(fs, root, new Path(root, "_lease"), owner, ttlMs)
+  }
+
+  private def acquireLeaseAt(fs: FileSystem, root: String, p: Path,
+      owner: String, ttlMs: Long): Unit = {
     fs.mkdirs(new Path(root))
-    val p = new Path(root, "_lease")
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false)
@@ -408,15 +431,92 @@ object AtRest {
 
   /** Release only an own lease (a foreign holder's fence stays; an
    *  empty/unreadable body is nobody's and stays for the stale-break). */
-  def releaseLease(spark: SparkSession, root: String, owner: String): Unit = {
-    val fs = fsFor(spark, root)
-    val p = new Path(root, "_lease")
-    val holder = try {
-      if (fs.exists(p)) utf8(readFile(fs, p)).linesIterator.nextOption().getOrElse("")
-      else ""
-    } catch { case _: java.io.IOException => "" }
-    if (holder == owner && holder.nonEmpty) fs.delete(p, false)
+  def releaseLease(spark: SparkSession, root: String, owner: String): Unit =
+    releaseLeaseAt(fsFor(spark, root), new Path(root, "_lease"), owner)
+
+  private def releaseLeaseAt(fs: FileSystem, p: Path, owner: String): Unit = {
+    val holder = liveHolderAt(fs, p, Long.MaxValue)
+    if (holder.contains(owner)) fs.delete(p, false)
   }
+
+  /** The lease file's holder if the file exists, its body parses and its
+   *  age is under `ttlMs` — "live" for conflict checks. */
+  private def liveHolderAt(fs: FileSystem, p: Path, ttlMs: Long): Option[String] =
+    try {
+      val st = fs.getFileStatus(p)
+      val holder = utf8(readFile(fs, p)).linesIterator.nextOption().getOrElse("")
+      if (holder.nonEmpty &&
+          System.currentTimeMillis() - st.getModificationTime < ttlMs) Some(holder)
+      else None
+    } catch { case _: java.io.IOException => None }
+
+  // -------------------------------------------------------- sharded leases
+
+  private val ShardLeaseName = """_lease\.s(\d+)of(\d+)""".r
+
+  private def shardLeasePath(root: String, shard: Int, nShards: Int): Path =
+    new Path(root, s"_lease.s${shard}of$nShards")
+
+  /** The first LIVE foreign shard lease under `root`, as (name, holder). */
+  private def liveForeignShardLease(fs: FileSystem, root: String, owner: String,
+      ttlMs: Long): Option[(String, String)] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) None
+    else fs.listStatus(rootPath).iterator
+      .filter(st => st.isFile && ShardLeaseName.matches(st.getPath.getName))
+      .flatMap(st => liveHolderAt(fs, st.getPath, ttlMs)
+        .filter(_ != owner).map(h => (st.getPath.getName, h)))
+      .nextOption()
+  }
+
+  /**
+   * SHARDED writer fence — N ingest streams sharing one corpus, each
+   * owning a disjoint id range: `shard` of `nShards` claims
+   * `_lease.s<shard>of<n>`. Conflict rules (each checked here, making
+   * every overlap loud):
+   *  - a live foreign WHOLE-ROOT lease blocks every shard (maintenance
+   *    passes and unsharded writers claim the full range);
+   *  - a live foreign whole-root acquire is blocked by any live shard
+   *    lease (see [[acquireLease]]) — so compaction cannot run under a
+   *    live sharded fleet;
+   *  - a live foreign shard lease under a DIFFERENT nShards blocks (two
+   *    partitioning schemes overlap in unknowable ways);
+   *  - the same (shard, nShards) follows the normal lease protocol
+   *    (same-owner refresh, TTL stale-break, foreign = loud).
+   * Same-shard writers are serialized exactly like the unsharded case;
+   * cross-shard near-duplicates are caught by the probe against
+   * already-PUBLISHED batches — two in-flight batches racing on a
+   * cross-shard pair can both admit (the same window any concurrent
+   * ingest has); the offline [[DedupIndex.recheckCorpus]] pass is the
+   * documented backstop, exactly as for banded-recall stragglers.
+   */
+  def acquireShardLease(spark: SparkSession, root: String, owner: String,
+      shard: Int, nShards: Int, ttlMs: Long = 10 * 60 * 1000L): Unit = {
+    require(nShards >= 1 && shard >= 0 && shard < nShards,
+      s"shard must be in [0, nShards): got $shard of $nShards")
+    val fs = fsFor(spark, root)
+    liveHolderAt(fs, new Path(root, "_lease"), ttlMs).filter(_ != owner)
+      .foreach(h => throw new IllegalStateException(
+        s"$root is write-locked whole-root by '$h'; a shard writer cannot " +
+          "start under a live whole-root lease"))
+    val rootPath = new Path(root)
+    if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
+      st.getPath.getName match {
+        case ShardLeaseName(_, n2) if st.isFile && n2.toInt != nShards =>
+          liveHolderAt(fs, st.getPath, ttlMs).filter(_ != owner).foreach(h =>
+            throw new IllegalStateException(
+              s"$root has a live shard lease ${st.getPath.getName} (holder '$h') " +
+                s"under a different scheme than $nShards shards — mixed shard " +
+                "schemes overlap; drain the other fleet first"))
+        case _ => ()
+      }
+    }
+    acquireLeaseAt(fs, root, shardLeasePath(root, shard, nShards), owner, ttlMs)
+  }
+
+  def releaseShardLease(spark: SparkSession, root: String, owner: String,
+      shard: Int, nShards: Int): Unit =
+    releaseLeaseAt(fsFor(spark, root), shardLeasePath(root, shard, nShards), owner)
 
   /** Run `body` under the root's writer lease with a fresh owner id —
    *  the wrapper every batch-entry writer uses. */

@@ -658,7 +658,8 @@ object DedupIndex {
       threshold: Double = 0.7, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
       nParts: Int = 16, maxBucket: Int = 1000, batchId: Long = -1L,
-      corpusParts: Int = 16, leaseOwner: String = null): Long = {
+      corpusParts: Int = 16, leaseOwner: String = null,
+      shard: Int = 0, nShards: Int = 1): Long = {
     val spark = batch.sparkSession
     val fs = fsFor(spark, corpusPath)
     if (batchId >= 0 && fs.exists(committedMarker(corpusPath, batchId))) {
@@ -677,21 +678,29 @@ object DedupIndex {
     if (batchId >= 0) AtRest.failIfBelowWatermark(fs, corpusPath, batchId)
     val owner = if (leaseOwner != null) leaseOwner
       else java.util.UUID.randomUUID().toString
-    AtRest.acquireLease(spark, indexPath, owner)
+    def acquire(p: String): Unit =
+      if (nShards <= 1) AtRest.acquireLease(spark, p, owner)
+      else AtRest.acquireShardLease(spark, p, owner, shard, nShards)
+    // transient per-call fence; a stream's lifetime lease stays held
+    def release(p: String): Unit = if (leaseOwner == null) {
+      if (nShards <= 1) AtRest.releaseLease(spark, p, owner)
+      else AtRest.releaseShardLease(spark, p, owner, shard, nShards)
+    }
+    acquire(indexPath)
     try {
-      AtRest.acquireLease(spark, corpusPath, owner)
+      acquire(corpusPath)
       try ingestBatchFenced(batch, indexPath, corpusPath, threshold, textCol,
         idCol, numHashes, bands, shingleWords, nParts, maxBucket, batchId,
-        corpusParts)
-      // transient per-call fence; a stream's lifetime lease stays held
-      finally if (leaseOwner == null) AtRest.releaseLease(spark, corpusPath, owner)
-    } finally if (leaseOwner == null) AtRest.releaseLease(spark, indexPath, owner)
+        corpusParts, shard, nShards)
+      finally release(corpusPath)
+    } finally release(indexPath)
   }
 
   private def ingestBatchFenced(batch: DataFrame, indexPath: String,
       corpusPath: String, threshold: Double, textCol: String, idCol: String,
       numHashes: Int, bands: Int, shingleWords: Int, nParts: Int,
-      maxBucket: Int, batchId: Long, corpusParts: Int): Long = {
+      maxBucket: Int, batchId: Long, corpusParts: Int,
+      shard: Int = 0, nShards: Int = 1): Long = {
     val spark = batch.sparkSession
     val fs = fsFor(spark, corpusPath)
     AtRest.validateOrAdoptMeta(spark, indexPath,
@@ -718,6 +727,18 @@ object DedupIndex {
     // the ledger's grouping column in particular must survive to rest)
     val b = batch.dropDuplicates(idCol)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // sharded fence: this writer's lease covers ONLY its id range — a
+    // misrouted row would race the owning shard's writer, so reject it
+    // loudly instead of silently writing outside the fence
+    if (nShards > 1) {
+      val nOutside = b.filter(
+        pmod(xxhash64(col(idCol)), lit(nShards.toLong)) =!= shard).count()
+      if (nOutside > 0)
+        throw new IllegalStateException(
+          s"$nOutside batch rows fall outside shard $shard of $nShards " +
+            s"(pmod(xxhash64($idCol), $nShards)); route every row to its owning " +
+            "shard's stream — ingestStreamSharded filters automatically")
+    }
     val inBatchDrop = Dedup.nearDuplicates(b, textCol, idCol, threshold,
         shingleWords, numHashes, bands, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
@@ -864,6 +885,89 @@ object DedupIndex {
     if (!query.isActive) {
       AtRest.releaseLease(spark, indexPath, owner)
       AtRest.releaseLease(spark, corpusPath, owner)
+      spark.streams.removeListener(listener)
+    }
+    query
+  }
+
+  /**
+   * SHARDED multi-writer ingest — N concurrent streams sharing one
+   * corpus/index pair, each owning the disjoint id range
+   * `pmod(xxhash64(id), nShards) = shard` (the same hash family the
+   * corpus `id_part` layout uses). Each stream:
+   *  - holds per-shard leases on both roots ([[AtRest.acquireShardLease]])
+   *    for its lifetime — a second stream on the SAME shard fails at
+   *    start(), a whole-root writer or maintenance pass fails while any
+   *    shard lease is live, and mixed shard schemes fail loudly;
+   *  - FILTERS its input to its own shard (so all N streams can consume
+   *    the same source; [[ingestBatch]] additionally rejects misrouted
+   *    rows loudly for direct callers);
+   *  - namespaces its foreachBatch ids as `batchId × nShards + shard`,
+   *    so batch directories, `_committed` markers, bloom tags and ledger
+   *    deltas never collide across shards and each shard's exactly-once
+   *    replay protocol is untouched.
+   *
+   * Cross-shard dedup contract: bucket keys derive from TEXT, not from
+   * the writer, so a cross-shard near-duplicate pair collides in the
+   * same index buckets regardless of which stream wrote each member —
+   * the probe catches it once the earlier member's batch is PUBLISHED.
+   * Two in-flight batches racing on a cross-shard pair can both admit
+   * (the same probe-racing-publish window a single stream has between
+   * its own batches, now also across writers); [[recheckCorpus]] is the
+   * documented offline backstop, exactly as for banded-recall
+   * stragglers. [[compactMarkers]] watermarks must use the MINIMUM of
+   * the shards' oldest replayable namespaced ids.
+   */
+  def ingestStreamSharded(docs: DataFrame, indexPath: String, corpusPath: String,
+      checkpointPath: String, shard: Int, nShards: Int,
+      threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000,
+      corpusParts: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nShards > 1 && shard >= 0 && shard < nShards,
+      s"ingestStreamSharded needs nShards > 1 and shard in [0, nShards): " +
+        s"got $shard of $nShards (single-writer = ingestStream)")
+    val spark = docs.sparkSession
+    val owner = s"ckpt:$checkpointPath"
+    def releaseBoth(): Unit = {
+      AtRest.releaseShardLease(spark, indexPath, owner, shard, nShards)
+      AtRest.releaseShardLease(spark, corpusPath, owner, shard, nShards)
+    }
+    AtRest.acquireShardLease(spark, indexPath, owner, shard, nShards)
+    try AtRest.acquireShardLease(spark, corpusPath, owner, shard, nShards)
+    catch { case e: Throwable =>
+      AtRest.releaseShardLease(spark, indexPath, owner, shard, nShards); throw e
+    }
+    val own = docs.filter(
+      pmod(xxhash64(col(idCol)), lit(nShards.toLong)) === shard)
+    val query =
+      try own.writeStream
+        .option("checkpointLocation", checkpointPath)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          ingestBatch(b, indexPath, corpusPath, threshold, textCol, idCol,
+            numHashes, bands, shingleWords, nParts, maxBucket,
+            batchId = id * nShards + shard, corpusParts = corpusParts,
+            leaseOwner = owner, shard = shard, nShards = nShards)
+          ()
+        }
+        .start()
+      catch { case e: Throwable => releaseBoth(); throw e }
+    val qid = query.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          releaseBoth()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!query.isActive) {
+      releaseBoth()
       spark.streams.removeListener(listener)
     }
     query

@@ -664,6 +664,89 @@ class DedupIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("monotonic"))
   }
 
+  test("sharded ingest: two concurrent disjoint-shard streams equal the single writer; conflicts loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tempDir("lsh_sharded")
+    // shard assignment is pmod(xxhash64(doc_id), 2) — compute it the way
+    // the operator does, then build a workload whose dup pairs stay
+    // within shards (cross-shard pairs are exercised separately below)
+    val shardOf = spark.range(0, 300)
+      .select(col("id").as("doc_id"), pmod(xxhash64(col("id")), lit(2L)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s0 = (0L until 300L).filter(shardOf(_) == 0L)
+    val s1 = (0L until 300L).filter(shardOf(_) == 1L)
+    def text(i: Long) = s"sharded doc $i unique words alpha$i beta$i gamma$i delta$i"
+    val base = (s0.take(8) ++ s1.take(8)).map(id => (id, text(id)))
+    // exact dups with LARGER ids in the SAME shard as their originals
+    val allDocs = base :+ (s0(8), text(s0.head)) :+ (s1(8), text(s1.head))
+
+    // single-writer ground truth: one batch over everything
+    val n1 = DedupIndex.ingestBatch(allDocs.toDF("doc_id", "text"),
+      s"$root/a_idx", s"$root/a_corp", batchId = 0L)
+    assert(n1 === 16L) // both dups dropped by the in-batch rule
+    val singleIds = DedupIndex.readCorpus(spark, s"$root/a_corp")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // sharded: two CONCURRENT streams, each fed the SAME full input
+    // (each filters to its own range), sharing one corpus/index pair
+    val idx = s"$root/b_idx"
+    val corp = s"$root/b_corp"
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    val q0 = DedupIndex.ingestStreamSharded(
+      memA.toDF().toDF("doc_id", "text"), idx, corp, s"$root/ckpt0", 0, 2)
+    val q1 = DedupIndex.ingestStreamSharded(
+      memB.toDF().toDF("doc_id", "text"), idx, corp, s"$root/ckpt1", 1, 2)
+    try {
+      memA.addData(allDocs: _*); memB.addData(allDocs: _*)
+      q0.processAllAvailable(); q1.processAllAvailable()
+      val shardedIds = DedupIndex.readCorpus(spark, corp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(shardedIds === singleIds,
+        "disjoint-shard streams must admit exactly the single-writer result")
+
+      // cross-shard near-dup: a shard-0 arrival copying a PUBLISHED
+      // shard-1 doc collides in the same text-derived buckets and drops
+      memA.addData((s0(9), text(s1.head)))
+      q0.processAllAvailable()
+      assert(DedupIndex.readCorpus(spark, corp).count() === 16L,
+        "a published cross-shard duplicate must be probe-dropped")
+
+      // same-shard second stream = same-fence conflict, loud at start
+      val memC = MemoryStream[(Long, String)]
+      val e1 = intercept[IllegalStateException] {
+        DedupIndex.ingestStreamSharded(
+          memC.toDF().toDF("doc_id", "text"), idx, corp, s"$root/ckptX", 0, 2)
+      }
+      assert(e1.getMessage.contains("write-locked"))
+      // whole-root maintenance under a live sharded fleet = loud
+      val e2 = intercept[IllegalStateException] { DedupIndex.compact(spark, idx) }
+      assert(e2.getMessage.contains("shard lease"))
+      // a different shard SCHEME overlaps = loud
+      val e3 = intercept[IllegalStateException] {
+        graft.operators.AtRest.acquireShardLease(spark, idx, "other-writer", 0, 3)
+      }
+      assert(e3.getMessage.contains("scheme"))
+    } finally { q0.stop(); q1.stop() }
+    // termination releases the shard leases (async listener)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + 10000
+    def anyLease() = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(_.getPath.getName.startsWith("_lease"))
+    while (anyLease() && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(!anyLease())
+
+    // direct batch callers: a misrouted row is rejected loudly
+    val e4 = intercept[IllegalStateException] {
+      DedupIndex.ingestBatch(Seq((s1.head, text(s1.head))).toDF("doc_id", "text"),
+        s"$root/c_idx", s"$root/c_corp", batchId = 0L, shard = 0, nShards = 2)
+    }
+    assert(e4.getMessage.contains("outside shard"))
+  }
+
   test("admitNew = batch minus the probe's matched ids") {
     val dir = tempDir("lsh_rest_admit") + "/index.parquet"
     DedupIndex.writeAtRest(corpus, dir)
