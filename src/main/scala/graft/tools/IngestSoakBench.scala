@@ -3,24 +3,34 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupIndex}
+import graft.operators.{AtRest, Dedup, DedupIndex}
 
 /**
  * Long-running ingest soak: `runMain graft.tools.IngestSoakBench
- * [nBatches] [docsPerBatch] [compactAt]` (defaults 100 / 50 / 66).
+ * [nBatches] [docsPerBatch] [compactAt] [nShards]` (defaults 100 / 50 /
+ * 66 / 1).
  *
- * Drives [[DedupIndex.ingestStream]] through `nBatches` MemoryStream
- * micro-batches of deterministic drift-y documents (a sliding vocabulary
- * window, ~20% cross-batch duplicates of earlier docs, ~10% in-batch
- * duplicates), measuring what a production stream would care about:
+ * Drives [[DedupIndex.ingestStream]] (or, with `nShards > 1`, a fleet of
+ * [[DedupIndex.ingestStreamSharded]] writers sharing the same two at-rest
+ * roots) through `nBatches` MemoryStream micro-batches of deterministic
+ * drift-y documents (a sliding vocabulary window, ~20% cross-batch
+ * duplicates of earlier docs, ~10% in-batch duplicates), measuring what a
+ * production stream would care about:
  *
  *  - per-batch wall clock: flat once the index holds thousands of docs —
  *    the id-addressable corpus + partition-pruned index probe keep each
  *    micro-batch's cost batch-proportional, not corpus-proportional;
- *  - file-count accretion: one file-set per batch per path until the
- *    mid-run [[DedupIndex.compact]]/[[DedupIndex.compactCorpus]] pass
- *    (stream stopped, compacted, RESTARTED on the same checkpoint —
- *    also exercising batchId continuity across a restart);
+ *  - the INCREMENTAL STATS LEDGER in the loop: [[DedupIndex.enableLedger]]
+ *    migrates the young corpus at batch 2 (stream quiesced — the lease
+ *    makes forgetting that loud), every later batch maintains it, and the
+ *    run ends by checking `ledgerCard` n_docs == corpus rows — the
+ *    batch-proportional card staying exact over a long stream;
+ *  - file/marker accretion: one file-set + one `_committed` marker per
+ *    batch per path until the mid-run maintenance pass (stream stopped,
+ *    [[DedupIndex.compact]]/[[DedupIndex.compactCorpus]] +
+ *    [[DedupIndex.compactMarkers]] watermark, RESTARTED on the same
+ *    checkpoint — exercising batchId continuity across a restart and the
+ *    marker-retention knob end to end);
  *  - admit/drop accounting vs an OFFLINE batch dedup of the identical
  *    document stream (`Dedup.nearDuplicates` over the union) — the
  *    sequential-greedy stream admits a superset of the offline
@@ -33,6 +43,8 @@ object IngestSoakBench {
     val nBatches = if (args.length > 0) args(0).toInt else 100
     val docsPer = if (args.length > 1) args(1).toInt else 50
     val compactAt = if (args.length > 2) args(2).toInt else 66
+    val nShards = if (args.length > 3) args(3).toInt else 1
+    val ledgerAt = 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,9 +61,10 @@ object IngestSoakBench {
     val corpPath = s"$root/corpus.parquet"
 
     // deterministic drift-y generator: vocabulary window slides with the
-    // batch number; duplicates copy an earlier doc's text verbatim
+    // batch number; duplicates copy an earlier doc's text verbatim; the
+    // source column exercises the per-source ledger grouping
     val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    def genBatch(b: Int): Seq[(Long, String)] = {
+    def genBatch(b: Int): Seq[(Long, String, String)] = {
       val rng = new scala.util.Random(42L + b)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
       (0 until docsPer).foreach { i =>
@@ -67,14 +80,14 @@ object IngestSoakBench {
         out += ((id, text))
       }
       texts ++= out
-      out.toSeq
+      out.toSeq.map { case (id, t) => (id, t, s"s${id % 3}") }
     }
 
     def countFiles(root: String): Int = {
       // count the LIVE version only — a maintenance swap retains the
       // replaced version for one generation of reader grace, which would
       // otherwise double-count
-      val p = graft.operators.AtRest.resolve(spark, root)
+      val p = AtRest.resolve(spark, root)
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(p))) 0
@@ -85,51 +98,90 @@ object IngestSoakBench {
         n
       }
     }
-    def admittedOf(batchId: Long): Long = {
-      val fs = new org.apache.hadoop.fs.Path(corpPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(corpPath, s"_committed/batch-$batchId")
-      val in = fs.open(p)
+    val corpFs = new org.apache.hadoop.fs.Path(corpPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countMarkers(): Int = {
+      val d = new org.apache.hadoop.fs.Path(corpPath, "_committed")
+      if (!corpFs.exists(d)) 0
+      else corpFs.listStatus(d).count(_.getPath.getName.startsWith("batch-"))
+    }
+    def admittedOf(markerId: Long): Long = {
+      val p = new org.apache.hadoop.fs.Path(corpPath, s"_committed/batch-$markerId")
+      val in = corpFs.open(p)
       try new String(org.apache.commons.io.IOUtils.toByteArray(in)).trim.toLong
       finally in.close()
     }
 
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    def startStream() = DedupIndex.ingestStream(
-      mem.toDF().toDF("doc_id", "text"), idxPath, corpPath, s"$root/ckpt")
-    var q = startStream()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val docsDf = mem.toDF().toDF("doc_id", "text", "source")
+    def owner(s: Int) = s"ckpt:$root/ckpt$s"
+    def startStreams(): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+      if (nShards == 1)
+        Seq(DedupIndex.ingestStream(docsDf, idxPath, corpPath, s"$root/ckpt0"))
+      else (0 until nShards).map(s => DedupIndex.ingestStreamSharded(
+        docsDf, idxPath, corpPath, s"$root/ckpt$s", s, nShards))
+    // the stream's lifetime lease releases on a LISTENER event, which is
+    // asynchronous — release explicitly (idempotent) so an immediate
+    // maintenance pass can't race a not-yet-fired listener
+    def releaseAll(): Unit = (0 until nShards).foreach { s =>
+      if (nShards == 1) {
+        AtRest.releaseLease(spark, idxPath, owner(s))
+        AtRest.releaseLease(spark, corpPath, owner(s))
+      } else {
+        AtRest.releaseShardLease(spark, idxPath, owner(s), s, nShards)
+        AtRest.releaseShardLease(spark, corpPath, owner(s), s, nShards)
+      }
+    }
+
+    var queries = startStreams()
+    var streamRound = 0 // each live stream's NEXT foreachBatch id
     var cum = 0L
     val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
     var filesAtCompact = (0, 0)
+    var markersAtCompact = 0
     (0 until nBatches).foreach { b =>
       val batch = genBatch(b)
       val t0 = System.nanoTime()
       mem.addData(batch: _*)
-      q.processAllAvailable()
+      queries.foreach(_.processAllAvailable())
       val wall = (System.nanoTime() - t0) / 1e9
       walls += wall
-      val adm = admittedOf(b.toLong)
+      // markers are namespaced per shard (round*nShards+shard)
+      val adm = (0 until nShards)
+        .map(s => admittedOf(streamRound.toLong * nShards + s)).sum
+      streamRound += 1
       cum += adm
       println(f"""{"batch":$b,"wall":$wall%.3f,"admitted":$adm,"cum_admitted":$cum}""")
+      if (b == ledgerAt) {
+        // migrate the young corpus to ledger maintenance (quiesced — the
+        // ledger backfill is a whole-root write)
+        queries.foreach(_.stop()); releaseAll()
+        val t1 = System.nanoTime()
+        DedupIndex.enableLedger(spark, corpPath, "source")
+        println(f"""{"ledger_enabled_at":$b,"wall":${(System.nanoTime() - t1) / 1e9}%.3f}""")
+        queries = startStreams()
+      }
       if (b == compactAt) {
-        q.stop()
-        // the stream's lifetime lease releases on a LISTENER event, which
-        // is asynchronous — release it explicitly (idempotent) so the
-        // immediate maintenance pass can't race a not-yet-fired listener
-        graft.operators.AtRest.releaseLease(spark, idxPath, s"ckpt:$root/ckpt")
-        graft.operators.AtRest.releaseLease(spark, corpPath, s"ckpt:$root/ckpt")
+        queries.foreach(_.stop()); releaseAll()
         val before = (countFiles(idxPath), countFiles(corpPath))
+        markersAtCompact = countMarkers()
         val t1 = System.nanoTime()
         DedupIndex.compact(spark, idxPath)
         DedupIndex.compactCorpus(spark, corpPath)
+        // retention: every round <= b is committed and fully processed —
+        // watermark at this round's first namespaced id keeps its
+        // markers, sweeps the history below
+        DedupIndex.compactMarkers(spark, corpPath,
+          oldestReplayable = (streamRound - 1).toLong * nShards)
         val tCompact = (System.nanoTime() - t1) / 1e9
         val after = (countFiles(idxPath), countFiles(corpPath))
         filesAtCompact = before
-        println(f"""{"compact_at":$b,"wall":$tCompact%.3f,"idx_files":[${before._1},${after._1}],"corp_files":[${before._2},${after._2}]}""")
-        q = startStream() // same checkpoint: batchIds continue
+        println(f"""{"compact_at":$b,"wall":$tCompact%.3f,"idx_files":[${before._1},${after._1}],"corp_files":[${before._2},${after._2}],"markers":[$markersAtCompact,${countMarkers()}]}""")
+        queries = startStreams() // same checkpoints: batchIds continue
       }
     }
-    q.stop()
+    queries.foreach(_.stop())
 
     // offline comparison on the identical stream: transitive canonical
     // survivors (the offline lower bound) vs the stream's greedy admits
@@ -138,9 +190,13 @@ object IngestSoakBench {
       Dedup.nearDupGroups(Dedup.nearDuplicates(all, threshold = 0.7))
         .filter(col("doc_id") =!= col("canonical_id")).count()
     val corpusRows = DedupIndex.readCorpus(spark, corpPath).count()
+    // the ledger must agree with the corpus it describes, batch-by-batch
+    // maintained since its backfill
+    val ledgerDocs = DedupIndex.ledgerCard(spark, corpPath)
+      .agg(sum(col("n_docs"))).head.getLong(0)
     val head = walls.take(10).sum / math.min(10, walls.length)
     val tail = walls.takeRight(10).sum / math.min(10, walls.length)
-    println(f"""{"summary":{"batches":$nBatches,"docs":${texts.length},"stream_admitted":$cum,"corpus_rows":$corpusRows,"offline_survivors":$offlineSurvivors,"wall_first10_avg":$head%.3f,"wall_last10_avg":$tail%.3f,"idx_files_final":${countFiles(idxPath)},"corp_files_final":${countFiles(corpPath)},"idx_files_precompact":${filesAtCompact._1},"corp_files_precompact":${filesAtCompact._2}}}""")
+    println(f"""{"summary":{"batches":$nBatches,"shards":$nShards,"docs":${texts.length},"stream_admitted":$cum,"corpus_rows":$corpusRows,"ledger_docs":$ledgerDocs,"offline_survivors":$offlineSurvivors,"wall_first10_avg":$head%.3f,"wall_last10_avg":$tail%.3f,"idx_files_final":${countFiles(idxPath)},"corp_files_final":${countFiles(corpPath)},"idx_files_precompact":${filesAtCompact._1},"corp_files_precompact":${filesAtCompact._2},"markers_final":${countMarkers()}}}""")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }
