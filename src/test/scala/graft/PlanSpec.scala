@@ -152,7 +152,10 @@ class PlanSpec extends SparkSpec {
       "q_zarr_stream_sink",
       "q_zarr_nd_roundtrip",   // 1-row self-check counts (round 9)
       "q_sim_ivf_at_rest",     // 1-row at-rest≡in-memory mismatch count
-      "q_sim_ivf_retrain")     // same 1-row self-check shape, post-retrain
+      "q_sim_ivf_retrain",     // same 1-row self-check shape, post-retrain
+      "q_sim_recall")          // recall audit embeds the brute-force exact
+                               //   pass BY DESIGN (10 probes broadcast) —
+                               //   the thing the IVF result is graded against
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(legitimate)
       .flatMap { name =>
