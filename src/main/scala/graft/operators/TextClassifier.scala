@@ -181,14 +181,16 @@ object TextClassifier {
    * (dim+1)²-sized ever exists:
    *
    *   (H + λI)v  with  H = FᵀDF/n  needs only
-   *   t_d = Σ_{f∈d} v_f        (one doc-keyed exact-LONG sum; v rides
-   *                             broadcast as a literal nano array)
+   *   t_d = Σ_{f∈d} v_f        (a SCAN-LOCAL exact-LONG array fold: the
+   *                             per-doc feature arrays are materialized
+   *                             once, v rides as a literal nano array)
    *   u_d = round(pq_d·t_d/1e6) (per-row, deterministic double→long)
-   *   (Hv)_f = Σ_{d∋f} u_d / n (one feature-keyed exact-LONG sum)
+   *   (Hv)_f = Σ_{d∋f} u_d / n (one feature-keyed exact-LONG sum,
+   *                             map-side combined into ≤ dim+1 keys)
    *
-   * — two smaller aggregates per CG iteration than the dense path's
-   * Hessian pair stream, and the per-round data-side work is linear in
-   * the gram stream, never quadratic in active features. Determinism:
+   * — ONE job per CG iteration with a single bounded-key exchange, and
+   * the per-round data-side work is linear in the gram stream, never
+   * quadratic in active features. Determinism:
    * every distributed sum is an exact LONG; CG's driver-side scalars
    * (α, β, residual norms) derive only from those sums and from
    * fixed-seed arithmetic; CG directions are re-quantized to the 1e-9
@@ -209,40 +211,51 @@ object TextClassifier {
       idCol: String = "doc_id", dim: Int = 16384, rounds: Int = 2,
       lambda: Double = 0.01, cgIters: Int = 12): (Long, Array[Long]) = {
     val d0 = docs.dropDuplicates(idCol)
-    val feats = features(d0, textCol, idCol, dim)
+    // ONE materialization of the per-doc feature ARRAYS (+ label): with
+    // the gram stream collapsed to |docs| cached rows, every per-doc sum
+    // (forward pass, the t of each Hv) is a scan-local array fold over
+    // the broadcast-literal model — no doc-keyed shuffle, no join, per
+    // CG iteration exactly ONE job whose only exchange is the map-side-
+    // combined feature-keyed sum into ≤ dim+1 keys. collect_list order
+    // is nondeterministic, which is safe here: every fold is an exact
+    // integer sum, order-independent by construction.
+    val docFeats = features(d0, textCol, idCol, dim)
       .unionByName(d0.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
+      .groupBy("id").agg(collect_list(col("f")).as("fs"))
+      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("long").as("y")),
+        Seq("id"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val labels = d0.select(col(idCol).as("id"), col(labelCol).cast("long").as("y"))
-    val nDocs = math.max(labels.count(), 1L).toDouble
+    val nDocs = math.max(docFeats.count(), 1L).toDouble
     val d = dim + 1
     def dotv(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0; while (i < d) { s += a(i) * b(i); i += 1 }; s
     }
+    // exact-LONG fold of the nano-grid vector over the doc's features
+    def foldNano(vNano: Array[Long]): Column = {
+      val vLit = typedLit(vNano.toSeq)
+      aggregate(col("fs"), lit(0L),
+        (acc, f) => acc + element_at(vLit, (f + lit(1)).cast("int")))
+    }
     var w = new Array[Long](d)
     for (_ <- 0 until rounds) {
-      val z = coalesce(col("s"), lit(0L)) / lit(1e9)
+      val z = foldNano(w) / lit(1e9)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val scored = labels.join(docSums(feats, w.toSeq), Seq("id"), "left")
-        .select(col("id"),
+      val scored = docFeats
+        .select(col("fs"),
           (round(p * 1e6).cast("long") - col("y") * 1000000L).as("e"),
           round(p * (lit(1.0) - p) * 1e6).cast("long").as("pq"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      scored.count() // materialize once: reused by the gradient + every Hv
       val g = new Array[Double](d)
-      feats.join(broadcast(scored), Seq("id"))
+      scored.select(explode(col("fs")).as("f"), col("e"))
         .groupBy("f").agg(sum(col("e")).as("g")).collect()
         .foreach(r => g(r.getLong(0).toInt) = r.getLong(1) / 1e6 / nDocs)
       for (j <- 0 until d) g(j) += lambda * (w(j) / 1e9)
       def hv(vNano: Array[Long]): Array[Double] = {
-        val tDoc = feats.groupBy("id")
-          .agg(sum(element_at(typedLit(vNano.toSeq), (col("f") + 1).cast("int")))
-            .as("t"))
-        val u = scored.join(tDoc, Seq("id"))
-          .select(col("id"),
-            round(col("pq").cast("double") * col("t").cast("double") / lit(1e6))
-              .cast("long").as("u"))
+        val u = round(col("pq").cast("double") *
+          foldNano(vNano).cast("double") / lit(1e6)).cast("long")
         val out = new Array[Double](d)
-        feats.join(broadcast(u), Seq("id"))
+        scored.select(col("fs"), u.as("u"))
+          .select(explode(col("fs")).as("f"), col("u"))
           .groupBy("f").agg(sum(col("u")).as("hv")).collect()
           .foreach(r => out(r.getLong(0).toInt) = r.getLong(1) / 1e9 / nDocs)
         for (j <- 0 until d) out(j) += lambda * (vNano(j) / 1e9)
@@ -277,7 +290,7 @@ object TextClassifier {
       scored.unpersist(blocking = false)
       w = Array.tabulate(d)(j => w(j) - math.round(delta(j) * 1e9))
     }
-    feats.unpersist(blocking = false)
+    docFeats.unpersist(blocking = false)
     (w(dim), w.take(dim))
   }
 

@@ -242,7 +242,8 @@ object MLQueries {
         val labeled = docs.withColumn("label",
           (TextFunctions.langId(col("text")) === "en").cast("int"))
         val (b, w) = graft.operators.TextClassifier.trainCG(
-          labeled.filter(col("doc_id") % 2 === 0), "label", dim = 2048)
+          labeled.filter(col("doc_id") % 4 === 0), "label", dim = 2048,
+          cgIters = 8)
         graft.operators.TextClassifier.score(docs, b, w.toSeq, dim = 2048)
           .join(labeled.select(col("doc_id"),
             col("label").cast("bigint").as("label")), "doc_id")

@@ -40,7 +40,7 @@ object DumpClassifier {
     println(f"[classifier-train-accuracy] $scoredAcc%.4f")
     // the Hessian-free (Newton-CG) model at dim 2048 — q_text_classifier_cg's pins
     val (bCg, wCg) = graft.operators.TextClassifier.trainCG(
-      docs.filter(col("doc_id") % 2 === 0), "label", dim = 2048)
+      docs.filter(col("doc_id") % 4 === 0), "label", dim = 2048, cgIters = 8)
     println(s"[classifier-cg-bias] $bCg")
     println("[classifier-cg-weights] " + wCg.zipWithIndex.collect {
       case (wn, f) if wn != 0L => s"($f,$wn)"
