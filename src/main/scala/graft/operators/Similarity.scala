@@ -475,7 +475,7 @@ object Similarity {
       threshold: Double = 0.95, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchId: Long = -1L, maxExactBatch: Long = 10000L,
-      leaseOwner: String = null): Long = {
+      leaseOwner: String = null, shard: Int = 0, nShards: Int = 1): Long = {
     val spark = newVecs.sparkSession
     val fs = AtRest.fsFor(spark, path)
     val marker = new org.apache.hadoop.fs.Path(path, s"_committed/batch-$batchId")
@@ -492,7 +492,8 @@ object Similarity {
     if (batchId >= 0) AtRest.failIfBelowWatermark(fs, path, batchId)
     val owner = if (leaseOwner != null) leaseOwner
       else java.util.UUID.randomUUID().toString
-    AtRest.acquireLease(spark, path, owner)
+    if (nShards <= 1) AtRest.acquireLease(spark, path, owner)
+    else AtRest.acquireShardLease(spark, path, owner, shard, nShards)
     try {
       validateCodebook(spark, path, centroids)
       val dir = AtRest.ensureVersioned(spark, path)
@@ -509,6 +510,17 @@ object Similarity {
       }
       val b = newVecs.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // sharded fence covers only this writer's id range — reject
+      // misrouted rows loudly (mirrors DedupIndex.ingestBatch)
+      if (nShards > 1) {
+        val nOutside = b.filter(
+          pmod(xxhash64(col(idCol)), lit(nShards.toLong)) =!= shard).count()
+        if (nOutside > 0)
+          throw new IllegalStateException(
+            s"$nOutside batch rows fall outside shard $shard of $nShards " +
+              s"(pmod(xxhash64($idCol), $nShards)); route rows to their owning " +
+              "shard's stream")
+      }
       val nB = b.count()
       val inDrop =
         if (nB <= maxExactBatch) {
@@ -574,7 +586,10 @@ object Similarity {
       admitted.unpersist(blocking = false)
       b.unpersist(blocking = false)
       n
-    } finally if (leaseOwner == null) AtRest.releaseLease(spark, path, owner)
+    } finally if (leaseOwner == null) {
+      if (nShards <= 1) AtRest.releaseLease(spark, path, owner)
+      else AtRest.releaseShardLease(spark, path, owner, shard, nShards)
+    }
   }
 
   /** Marker-retention maintenance for the IVF table, mirroring
@@ -637,6 +652,65 @@ object Similarity {
     // termination event — release now instead of waiting out the TTL
     if (!query.isActive) {
       AtRest.releaseLease(spark, path, owner)
+      spark.streams.removeListener(listener)
+    }
+    query
+  }
+
+  /** SHARDED vector ingest, mirroring
+   *  [[graft.operators.DedupIndex.ingestStreamSharded]]: N streams share
+   *  one at-rest IVF table over disjoint `pmod(xxhash64(id), nShards)`
+   *  ranges — per-shard leases (same loud conflict matrix), input
+   *  filtered to the own range, foreachBatch ids namespaced
+   *  `id × nShards + shard` so the exactly-once markers and batch dirs
+   *  never collide. The cross-probe dedup catches cross-shard near-dups
+   *  once the earlier member's batch is PUBLISHED; concurrently
+   *  in-flight cross-shard pairs share the single-stream race window,
+   *  with offline [[ivfCompactAtRest]]/[[ivfRetrain]]-time audits as
+   *  backstop. All shards must hold the SAME codebook (validated
+   *  against the persisted sidecar either way). */
+  def ivfIngestStreamSharded(vecs: DataFrame, centroids: Seq[Seq[Float]],
+      path: String, checkpointPath: String, shard: Int, nShards: Int,
+      threshold: Double = 0.95, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nShards > 1 && shard >= 0 && shard < nShards,
+      s"ivfIngestStreamSharded needs nShards > 1 and shard in [0, nShards): " +
+        s"got $shard of $nShards (single-writer = ivfIngestStream)")
+    val spark = vecs.sparkSession
+    val owner = s"ckpt:$checkpointPath"
+    AtRest.acquireShardLease(spark, path, owner, shard, nShards)
+    val own = vecs.filter(
+      pmod(xxhash64(col(idCol)), lit(nShards.toLong)) === shard)
+    val query =
+      try own.writeStream
+        .option("checkpointLocation", checkpointPath)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          ivfIngestBatch(b, centroids, path, threshold, nProbe, idCol, vecCol,
+            batchId = id * nShards + shard, leaseOwner = owner,
+            shard = shard, nShards = nShards)
+          ()
+        }
+        .start()
+      catch { case e: Throwable =>
+        AtRest.releaseShardLease(spark, path, owner, shard, nShards); throw e
+      }
+    val qid = query.id
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) {
+          AtRest.releaseShardLease(spark, path, owner, shard, nShards)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!query.isActive) {
+      AtRest.releaseShardLease(spark, path, owner, shard, nShards)
       spark.streams.removeListener(listener)
     }
     query

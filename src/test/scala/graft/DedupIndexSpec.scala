@@ -616,6 +616,19 @@ class DedupIndexSpec extends SparkSpec {
     assert(c2.values.map(_(6)).sum === removed)
   }
 
+  test("ledgerCard plans only _ledger delta scans — never a corpus data scan") {
+    val root = tempDir("lsh_ledger_plan")
+    val corp = s"$root/corpus.parquet"
+    DedupIndex.writeCorpus(docs.select("doc_id", "source", "text")
+      .filter(col("doc_id") % 3 === 1), corp, ledgerBy = "source")
+    // string form traverses AQE wrappers; every FileScan's location must
+    // be a _ledger delta dir
+    val plan = DedupIndex.ledgerCard(spark, corp).queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scanLines.nonEmpty && scanLines.forall(_.contains("_ledger")),
+      s"the card must be an O(batches x sources) ledger read, got: $scanLines")
+  }
+
   test("ledgerCard on an unledgered corpus fails loudly; enableLedger migrates") {
     val root = tempDir("lsh_ledger_migrate")
     val corp = s"$root/corpus.parquet"

@@ -479,6 +479,58 @@ class SketchSpec extends SparkSpec {
     assert(kept.count() == docs.count())
   }
 
+  test("sharded vector ingest: two concurrent disjoint-shard streams equal the single writer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tempDir("ivf_sharded")
+    val seedV = emb.filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val cb = Similarity.ivfCodebook(seedV, nLists = 8)
+    Similarity.ivfWriteAtRest(seedV, cb, s"$root/a")
+    Similarity.ivfWriteAtRest(seedV, cb, s"$root/b")
+    // arrivals: 20 novel gaussian vectors (admit — cosines ~0 at 0.95)
+    // + 5 exact copies of seed vectors under new ids (cross-probe drop);
+    // drop decisions depend only on the PUBLISHED seed, so shard
+    // interleaving cannot change the outcome
+    val arrivals = (emb.filter(col("vec_id").between(100, 119))
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      .unionAll(seedV.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // single-writer ground truth
+    val n1 = Similarity.ivfIngestBatch(
+      arrivals.toSeq.toDF("vec_id", "embedding"), cb, s"$root/a", batchId = 0L)
+    assert(n1 === 20L)
+    val singleIds = Similarity.ivfRead(spark, s"$root/a")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // two concurrent sharded streams fed the same full input
+    val memA = MemoryStream[(Long, Array[Float])]
+    val memB = MemoryStream[(Long, Array[Float])]
+    val q0 = Similarity.ivfIngestStreamSharded(
+      memA.toDF().toDF("vec_id", "embedding"), cb, s"$root/b", s"$root/ck0", 0, 2)
+    val q1 = Similarity.ivfIngestStreamSharded(
+      memB.toDF().toDF("vec_id", "embedding"), cb, s"$root/b", s"$root/ck1", 1, 2)
+    try {
+      memA.addData(arrivals.toSeq: _*); memB.addData(arrivals.toSeq: _*)
+      q0.processAllAvailable(); q1.processAllAvailable()
+      val shardedIds = Similarity.ivfRead(spark, s"$root/b")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(shardedIds === singleIds)
+      // same-shard second stream conflicts loudly; so does whole-root
+      // maintenance under the live fleet
+      val memC = MemoryStream[(Long, Array[Float])]
+      val e1 = intercept[IllegalStateException] {
+        Similarity.ivfIngestStreamSharded(
+          memC.toDF().toDF("vec_id", "embedding"), cb, s"$root/b", s"$root/ckX", 1, 2)
+      }
+      assert(e1.getMessage.contains("write-locked"))
+      val e2 = intercept[IllegalStateException] {
+        Similarity.ivfCompactAtRest(spark, s"$root/b")
+      }
+      assert(e2.getMessage.contains("shard lease"))
+    } finally { q0.stop(); q1.stop() }
+  }
+
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
     import spark.implicits._
     val corpus = (Seq((0L, Array.fill(8)(0.0f))) ++           // failed/padded row
