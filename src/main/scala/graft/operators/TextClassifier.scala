@@ -296,16 +296,43 @@ object TextClassifier {
 
   /** Score `docs` under a trained model: `(id, prob, predicted)` with
    *  prob rounded to 6 (the cross-engine comparison grid) and predicted
-   *  = 1 iff the margin is ≥ 0. Scan-local feature hashing + one
-   *  doc-keyed exact LONG sum; the weights ride along as one literal
-   *  array, no join. */
+   *  = 1 iff the margin is ≥ 0.
+   *
+   *  FULLY SCAN-LOCAL — scoring is the part that runs over the WHOLE
+   *  corpus (training sees only the labeled slice), so at 100 TB it must
+   *  not shuffle: each row builds its distinct gram array in a
+   *  projection (the token array bound first — inlining it into the
+   *  bigram lambdas would re-run the tokenizer per element), then one
+   *  exact-LONG `aggregate` fold hashes each gram and looks the weight
+   *  up in the broadcast-literal nano array. Same distinct-gram set,
+   *  same md5-bucket hash, same integer sum as the long-form
+   *  [[features]] stream — bit-identical output (the pinned oracles
+   *  hold across the formulations), zero exchanges in the plan
+   *  (spec-asserted). */
   def score(docs: DataFrame, biasNano: Long, weightsNano: Seq[Long],
       textCol: String = "text", idCol: String = "doc_id",
       dim: Int = 512): DataFrame = {
-    val z = (lit(biasNano) + coalesce(col("s"), lit(0L))) / lit(1e9)
-    docs.select(col(idCol).as("id"))
-      .join(docSums(features(docs, textCol, idCol, dim), weightsNano),
-        Seq("id"), "left")
+    val toks = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+    val t = col("t")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val wLit = typedLit(weightsNano)
+    // presence features are distinct per BUCKET (two grams colliding into
+    // one hash bucket count once — what features()' distinct() and the
+    // SQL oracle's DISTINCT (doc_id, f) both do), so dedupe the bucket
+    // array, not the gram array
+    val buckets = array_distinct(transform(col("g"), g =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(dim.toLong))))
+    val s = coalesce(
+      aggregate(buckets, lit(0L),
+        (acc, f) => acc + element_at(wLit, (f + lit(1)).cast("int"))),
+      lit(0L))
+    val z = (lit(biasNano) + s) / lit(1e9)
+    toks.select(col("id"), concat(t, bigrams).as("g"))
       .select(col("id").as(idCol),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("prob"),
         when(z >= 0, 1L).otherwise(0L).as("predicted"))

@@ -96,6 +96,15 @@ class ClassifierSpec extends SparkSpec {
     assert(accCg >= 0.9, s"CG train accuracy $accCg")
   }
 
+  test("scoring is fully scan-local: zero exchanges in the plan") {
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val plan = TextClassifier.score(docs, 0L, Seq.fill(512)(1000L))
+      .queryExecution.executedPlan.toString
+    // the corpus-wide path must not shuffle the gram stream — at 100 TB
+    // scoring touches every row; the model rides as a broadcast literal
+    assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n$plan")
+  }
+
   test("reproduces the rule-based language labeler on the sf0.01 corpus (acc >= 0.9)") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
       .withColumn("label", (TextFunctions.langId(col("text")) === "en").cast("int"))
