@@ -182,6 +182,19 @@ object Dedup {
     val sig = docsSlim.select(col("id"),
         signatureFromShingles(TextFunctions.wordShingles(col("text"), shingleWords), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    nearDuplicatesFromSigs(docsSlim, sig, threshold, shingleWords, bands, rows,
+      maxBucket, freeAlso = Seq(sig))
+  }
+
+  /** [[nearDuplicates]] from a CALLER-OWNED signature frame `(id, sig)` —
+   *  lets the ingest loop sign its batch ONCE and share the signatures
+   *  between the in-batch sweep, the index probe and the admitted-keys
+   *  write (previously three signature passes over the same text).
+   *  `docsSlim` must be `(id, text)`; frames in `freeAlso` are
+   *  unpersisted with the internals once the result materializes. */
+  private[operators] def nearDuplicatesFromSigs(docsSlim: DataFrame,
+      sig: DataFrame, threshold: Double, shingleWords: Int, bands: Int,
+      rows: Int, maxBucket: Int, freeAlso: Seq[DataFrame] = Nil): DataFrame = {
     val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // semi-join reduction: only candidate docs' shingle arrays enter the
@@ -205,7 +218,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
-    materializeThenFree(out, sig, pairs, shNeeded)
+    materializeThenFree(out, (Seq(pairs, shNeeded) ++ freeAlso): _*)
   }
 
   /**

@@ -474,7 +474,7 @@ object DedupIndex {
   private def probeCore(spark: SparkSession, path: String, batch: DataFrame,
       fetchText: DataFrame => DataFrame, threshold: Double, textCol: String,
       idCol: String, numHashes: Int, bands: Int, shingleWords: Int,
-      nParts: Int, maxBucket: Int): DataFrame = {
+      nParts: Int, maxBucket: Int, preBanded: DataFrame = null): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     AtRest.validateMeta(spark, path,
       indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
@@ -482,13 +482,19 @@ object DedupIndex {
     val rows = numHashes / bands
     val batchSlim = batch.select(col(idCol).as("id"), col(textCol).as("text"))
     val idType = batchSlim.schema("id").dataType
-    val batchBanded = batchSlim.select(col("id"),
-        Dedup.signatureFromShingles(
-          TextFunctions.wordShingles(col("text"), shingleWords), numHashes).as("sig"))
-      .select(col("id"),
-        posexplode(Dedup.bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-      .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // a CALLER-OWNED banded-key frame (the ingest loop signs its batch
+    // once and shares) skips the probe's own signature pass; ownership
+    // of its cache stays with the caller
+    val ownBanded = preBanded == null
+    val batchBanded =
+      if (!ownBanded) preBanded
+      else batchSlim.select(col("id"),
+          Dedup.signatureFromShingles(
+            TextFunctions.wordShingles(col("text"), shingleWords), numHashes).as("sig"))
+        .select(col("id"),
+          posexplode(Dedup.bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
+        .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // bloom short-circuit: keys absent from EVERY sidecar bloom cannot
     // collide (no false negatives), so drop them before deriving the
     // partition list — and skip the index read outright when nothing
@@ -509,7 +515,7 @@ object DedupIndex {
     val parts = hotKeys.select("bucket_part").distinct()
       .collect().map(_.getLong(0)).sorted
     if (parts.isEmpty) { // empty batch, or no bloom might-contain hit:
-      batchBanded.unpersist(blocking = false) // nothing to probe, no index read
+      if (ownBanded) batchBanded.unpersist(blocking = false) // nothing to probe
       return emptyPairs(spark, idType)
     }
     // matched partitions' keys, with the write-time degenerate-bucket cap
@@ -549,7 +555,9 @@ object DedupIndex {
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("batch_id", "corpus_id")
-    Dedup.materializeThenFree(out, batchBanded, matched, cand, shB, shC)
+    val free = Seq(matched, cand, shB, shC) ++
+      (if (ownBanded) Seq(batchBanded) else Nil)
+    Dedup.materializeThenFree(out, free: _*)
   }
 
   /** [[probeCore]] with an IN-MEMORY corpus frame supplying candidate
@@ -583,7 +591,7 @@ object DedupIndex {
       corpusPath: String, threshold: Double = 0.7, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000,
-      corpusParts: Int = 16): DataFrame = {
+      corpusParts: Int = 16, preBanded: DataFrame = null): DataFrame = {
     AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
     val corpDir = AtRest.resolve(spark, corpusPath)
     probeCore(spark, indexPath, batch,
@@ -598,7 +606,8 @@ object DedupIndex {
             .select(col(idCol).as("id"), col(textCol).as("text"))
             .join(ids, Seq("id"), "left_semi")
       },
-      threshold, textCol, idCol, numHashes, bands, shingleWords, nParts, maxBucket)
+      threshold, textCol, idCol, numHashes, bands, shingleWords, nParts, maxBucket,
+      preBanded)
   }
 
   /** The admit decision built on [[probe]]: batch rows with NO verified
@@ -739,8 +748,24 @@ object DedupIndex {
             s"(pmod(xxhash64($idCol), $nShards)); route every row to its owning " +
             "shard's stream — ingestStreamSharded filters automatically")
     }
-    val inBatchDrop = Dedup.nearDuplicates(b, textCol, idCol, threshold,
-        shingleWords, numHashes, bands, maxBucket)
+    // sign the batch ONCE: the signature frame feeds the in-batch sweep,
+    // the index probe AND the admitted-keys write (previously three
+    // independent shingle+minhash passes over the same batch text — the
+    // kernel is the dominant scan-local cost of the loop)
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val sigRows = numHashes / bands
+    val sigs = b.select(col(idCol).as("id"),
+        Dedup.signatureFromShingles(
+          TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val banded = sigs.select(col("id"),
+        posexplode(Dedup.bandBuckets(col("sig"), bands, sigRows)).as(Seq("band", "bucket")))
+      .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
+      .select("bucket_part", "band", "bucket", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val inBatchDrop = Dedup.nearDuplicatesFromSigs(
+        b.select(col(idCol).as("id"), col(textCol).as("text")), sigs,
+        threshold, shingleWords, bands, sigRows, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
     val hasIndex = {
       val ifs = fsFor(spark, indexPath)
@@ -770,7 +795,8 @@ object DedupIndex {
     val crossDrop =
       if (hasIndex)
         probeAtRest(spark, indexPath, b, corpusPath, threshold, textCol, idCol,
-            numHashes, bands, shingleWords, nParts, maxBucket, corpusParts)
+            numHashes, bands, shingleWords, nParts, maxBucket, corpusParts,
+            preBanded = banded)
           .select(col("batch_id").as(idCol)).distinct()
       else b.select(col(idCol)).limit(0)
     val admitted = b.join(inBatchDrop.unionByName(crossDrop).distinct(),
@@ -778,8 +804,10 @@ object DedupIndex {
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = admitted.count()
     if (n > 0) {
+      // the admitted docs' keys are a semi-join filter of the shared
+      // banded frame — no third signature pass
       val keys = capBuckets(
-          bandedKeys(admitted, textCol, idCol, numHashes, bands, shingleWords, nParts),
+          banded.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi"),
           maxBucket)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       if (batchId >= 0) {
@@ -817,6 +845,8 @@ object DedupIndex {
     if (batchId >= 0)
       AtRest.writeFile(fs, committedMarker(corpusPath, batchId),
         n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    banded.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
     admitted.unpersist(blocking = false)
     b.unpersist(blocking = false)
     n
