@@ -367,12 +367,24 @@ object AtRest {
     val fs = fsFor(spark, root)
     // a whole-root writer excludes live foreign SHARD writers too — the
     // root lease claims every shard's range
-    liveForeignShardLease(fs, root, owner, ttlMs).foreach { case (name, holder) =>
+    def shardConflict(): Option[(String, String)] =
+      liveForeignShardLease(fs, root, owner, ttlMs)
+    shardConflict().foreach { case (name, holder) =>
       throw new IllegalStateException(
         s"$root is write-locked by shard lease $name (holder '$holder'); " +
           "stop the sharded writers before taking the whole-root lease")
     }
     acquireLeaseAt(fs, root, new Path(root, "_lease"), owner, ttlMs)
+    // close the check-then-claim window: a shard writer that slipped in
+    // between the check and the create would otherwise run concurrently
+    // with this whole-root claim — re-check, back out, fail loudly
+    // (best-effort double-check, same contract as the base lease)
+    shardConflict().foreach { case (name, holder) =>
+      releaseLease(spark, root, owner)
+      throw new IllegalStateException(
+        s"$root lost the whole-root claim race to shard lease $name " +
+          s"(holder '$holder'); retry once the sharded writers stop")
+    }
   }
 
   private def acquireLeaseAt(fs: FileSystem, root: String, p: Path,
@@ -512,6 +524,16 @@ object AtRest {
       }
     }
     acquireLeaseAt(fs, root, shardLeasePath(root, shard, nShards), owner, ttlMs)
+    // symmetric double-check: a whole-root writer that claimed between
+    // our check and our create must win (it asserted the full range) —
+    // back the shard claim out and fail loudly
+    liveHolderAt(fs, new Path(root, "_lease"), ttlMs).filter(_ != owner)
+      .foreach { h =>
+        releaseShardLease(spark, root, owner, shard, nShards)
+        throw new IllegalStateException(
+          s"$root lost the shard-claim race to whole-root writer '$h'; " +
+            "retry once it releases")
+      }
   }
 
   def releaseShardLease(spark: SparkSession, root: String, owner: String,
