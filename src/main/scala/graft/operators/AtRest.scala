@@ -96,6 +96,52 @@ object AtRest {
     }
   }
 
+  /** Every COMMITTED version retained under `root`, oldest first, with
+   *  its currency flag — the time-travel catalog. Staging directories
+   *  (version numbers above `_current`, left by an in-flight or crashed
+   *  maintenance pass) are NOT versions: they are incomplete by
+   *  definition and never listed. Legacy roots (no `_current`) have no
+   *  version history. Retention bounds the window: GC keeps the current
+   *  and just-replaced generations plus whatever
+   *  `spark.graft.atrest.versionGraceMs` preserves. */
+  def listVersions(spark: SparkSession, root: String): Seq[(Long, Boolean)] = {
+    val fs = fsFor(spark, root)
+    currentVersion(fs, root) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        fs.listStatus(new Path(root)).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("_v") && n.length > 2 &&
+              n.drop(2).forall(_.isDigit)) n.drop(2).toLongOption
+          else None
+        }.filter(_ <= cur).sorted.map(v => (v, v == cur))
+    }
+  }
+
+  /** The directory holding version `v`'s complete table — the TIME-TRAVEL
+   *  resolve ([[resolve]]'s as-of twin). Loud on anything unreadable: a
+   *  legacy root has no versions, a GC'd generation is gone (the error
+   *  names what IS retained), and a number above `_current` is an
+   *  in-flight staging dir, incomplete by definition. */
+  def resolveAt(spark: SparkSession, root: String, version: Long): String = {
+    val fs = fsFor(spark, root)
+    val cur = currentVersion(fs, root).getOrElse(throw new IllegalStateException(
+      s"$root is a legacy (unversioned) table — no version history to read"))
+    if (version > cur)
+      throw new IllegalStateException(
+        s"$root version $version is above the current $cur — an uncommitted " +
+          "staging directory is not a readable version")
+    val dir = versionDir(root, version)
+    if (!fs.exists(dir)) {
+      val retained = listVersions(spark, root).map(_._1).mkString(", ")
+      throw new IllegalStateException(
+        s"$root no longer retains version $version (retained: $retained) — " +
+          "version GC keeps the current and just-replaced generations, plus " +
+          "the spark.graft.atrest.versionGraceMs window")
+    }
+    dir.toString
+  }
+
   /** The resolved dir for a table a WRITER is about to touch, creating
    *  the versioned layout for fresh roots: an existing `_current` wins;
    *  a root already holding data stays legacy (the first maintenance
@@ -227,12 +273,18 @@ object AtRest {
   private val MetaEntry = """"([^"]+)"\s*:\s*"([^"]*)"""".r
 
   def readMeta(spark: SparkSession, root: String): Option[Map[String, String]] = {
-    val fs = fsFor(spark, root)
     val vdir = resolve(spark, root)
     // current version's copy wins; a root-level copy (legacy placement)
     // backs it up so pre-migration tables stay validated
-    val p = Seq(new Path(vdir, "_meta.json"), new Path(root, "_meta.json"))
-      .distinct.find(fs.exists(_))
+    readMetaIn(spark, Seq(vdir, root))
+  }
+
+  /** The FIRST `_meta.json` found in `dirs`, parsed — the per-directory
+   *  primitive behind [[readMeta]]; time-travel readers pass a historical
+   *  version dir (falling back to the root-level legacy placement). */
+  def readMetaIn(spark: SparkSession, dirs: Seq[String]): Option[Map[String, String]] = {
+    val fs = fsFor(spark, dirs.head)
+    val p = dirs.map(d => new Path(d, "_meta.json")).distinct.find(fs.exists(_))
     p.map { f =>
       val parsed = MetaEntry.findAllMatchIn(utf8(readFile(fs, f)))
         .map(m => m.group(1) -> m.group(2)).toMap

@@ -304,21 +304,70 @@ object Corpus {
    */
   def tokenBudgetMix(df: DataFrame, sourceCol: String, idCol: String,
       costCol: String, budget: Long): DataFrame = {
-    // explicit ROWS frame: the RANGE default gives ordering ties their
-    // COMBINED peer total (duplicate ids would drop both rows where a
-    // running total keeps one). The cost column joins the ordering so
-    // duplicate ids with DIFFERING costs accumulate in a fixed order —
-    // without it, which tied row's cost counts first is run-dependent and
-    // so is membership. Null ids hash collision-free like [[epochShuffle]];
     // null COSTS are dropped up front — a doc with no cost cannot be
     // budgeted, and a NULL in the ordering tiebreak would land NULLS FIRST
-    // on Spark but NULLS LAST elsewhere, diverging membership.
+    // on Spark but NULLS LAST elsewhere, diverging membership
+    df.filter(col(costCol).isNotNull)
+      .withColumn("cum_cost", cumCost(sourceCol, idCol, costCol))
+      .filter(col("cum_cost") <= budget)
+  }
+
+  /** The deterministic per-source running total both mixers share: docs in
+   *  md5-of-id order accumulate `costCol`. Explicit ROWS frame (the RANGE
+   *  default gives ordering ties their COMBINED peer total) and the cost
+   *  column in the ordering tiebreak (duplicate ids with differing costs
+   *  accumulate in a fixed order) keep membership identical on any
+   *  engine/run/cluster size. Callers must drop null costs first. */
+  private def cumCost(sourceCol: String, idCol: String, costCol: String) = {
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(md5(hashId(idCol)), col(idCol), col(costCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(costCol).isNotNull)
-      .withColumn("cum_cost", sum(col(costCol)).over(w))
-      .filter(col("cum_cost") <= budget)
+    sum(col(costCol)).over(w)
+  }
+
+  /**
+   * Temperature-based mixture resampling — the multilingual-pretraining
+   * reweighting (XLM/mT5 style): a source's share of the output budget is
+   * proportional to `mass^alpha` rather than its raw mass, so `alpha < 1`
+   * upsamples the tail relative to the head (alpha = 1 keeps natural
+   * proportions, alpha = 0 gives every source an equal quota). Each source
+   * then fills its quota exactly like [[tokenBudgetMix]]: docs in
+   * deterministic md5-of-id order accumulate cost while the running total
+   * fits. Output adds `cum_cost` and the source's computed `quota`.
+   *
+   * Determinism across engines: per-source quotas are derived with EXACT
+   * integer arithmetic — the weight is `floor(sqrt(mass))` for the default
+   * alpha 0.5 (IEEE sqrt is correctly rounded everywhere, so the floor is
+   * portable ground truth; other alphas go through `pow`, which is only
+   * ~1-ulp on some libms — documented, and the floor makes a boundary hit
+   * astronomically unlikely) and `quota = totalBudget * w DIV sum(w)`, all
+   * in BIGINT. A float Σw would be partial-sum-order-dependent and could
+   * flip a quota by one cost unit between runs.
+   *
+   * Plan, 100 TB shape: one per-source mass aggregate (map-side combined
+   * into a source-bounded frame), the Σw reduced over that bounded frame
+   * and attached via a broadcast 1-row cross join, quotas broadcast back,
+   * then the same single window cumsum as tokenBudgetMix. No collect, no
+   * UDF; the only full-data shuffle is the window's source partitioning.
+   */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      costCol: String, totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val priced = df.filter(col(costCol).isNotNull)
+    val weightOf = (mass: Column) =>
+      if (alpha == 0.5) floor(sqrt(mass.cast("double"))).cast("long")
+      else floor(pow(mass.cast("double"), alpha)).cast("long")
+    val mass = priced.groupBy(col(sourceCol))
+      .agg(sum(col(costCol)).as("_mass"))
+      .withColumn("_w", weightOf(col("_mass")))
+    val wsum = mass.agg(sum(col("_w")).as("_wsum"))
+    val quota = mass.crossJoin(broadcast(wsum))
+      .select(col(sourceCol),
+        expr(s"${totalBudget}L * _w div _wsum").as("quota"))
+    priced
+      .withColumn("cum_cost", cumCost(sourceCol, idCol, costCol))
+      .join(broadcast(quota), Seq(sourceCol))
+      .filter(col("cum_cost") <= col("quota"))
   }
 
   /**

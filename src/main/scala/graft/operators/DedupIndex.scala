@@ -300,6 +300,66 @@ object DedupIndex {
     AtRest.writeMeta(spark, corpusPath, meta + ("ledgerBy" -> ledgerBy))
   }
 
+  // ------------------------------------------------------------- tombstones
+
+  /**
+   * DELETION VECTORS for the at-rest corpus — how [[recheckSince]] removes
+   * documents batch-proportionally. A full corpus rewrite (the
+   * [[recheckCorpus]] path) stages a complete new version: crash-atomic,
+   * but O(corpus) I/O per pass, which defeats an INCREMENTAL recheck. The
+   * public-design alternative (Iceberg delete files / Delta deletion
+   * vectors): publish the removed ids as a tiny sidecar table under
+   * `<versionDir>/_tombstones/recheck=<id>/` — one atomic directory
+   * rename, O(removed) bytes — and have every reader anti-join the
+   * tombstone set ([[readCorpus]], [[readCorpusAt]], the probe's
+   * candidate-text fetch). Removals are monotone, so a reader racing a
+   * tombstone publish sees the pre- or post-recheck rows, never a mix —
+   * the same window any batch publish has.
+   *
+   * Tombstones live INSIDE the version directory: a maintenance rewrite
+   * ([[compactCorpus]]/[[recheckCorpus]]) APPLIES them (the new version is
+   * written without the removed rows and without the sidecar), and a
+   * historical version read ([[readCorpusAt]]) sees exactly the tombstone
+   * set that version had — snapshot semantics for free.
+   *
+   * The removed docs' INDEX keys are left in place (their batch dirs
+   * cannot be rewritten cheaply): they are ghosts whose candidates die at
+   * the probe's candidate-text join (no text, inner join), costing at most
+   * a few excess candidate rows until the next [[recheckCorpus]]/
+   * [[writeAtRest]] index rebuild sweeps them.
+   */
+  private def tombstoneDirOf(corpDir: String) = new Path(corpDir, "_tombstones")
+
+  /** The version dir's tombstoned ids as a 1-col (`id`) frame; None = no
+   *  tombstones published. */
+  private def tombstoneIds(spark: SparkSession, corpDir: String): Option[DataFrame] = {
+    val fs = fsFor(spark, corpDir)
+    val td = tombstoneDirOf(corpDir)
+    val has = fs.exists(td) &&
+      fs.listStatus(td).exists(_.getPath.getName.startsWith("recheck="))
+    if (!has) None
+    else Some(spark.read.parquet(td.toString).select(col("id")))
+  }
+
+  /** Read one version directory's corpus with its tombstones applied —
+   *  the shared primitive behind [[readCorpus]]/[[readCorpusAt]] and the
+   *  probe's text fetch. The id column comes from the version's own
+   *  `_meta.json` (tombstones are only ever written by [[recheckSince]],
+   *  which requires one). */
+  private def corpusScanDir(spark: SparkSession, corpusPath: String,
+      corpDir: String): DataFrame = {
+    val df = spark.read.parquet(corpDir)
+    tombstoneIds(spark, corpDir) match {
+      case None => df
+      case Some(ts) =>
+        val idCol = AtRest.readMetaIn(spark, Seq(corpDir, corpusPath))
+          .flatMap(_.get("idCol")).getOrElse(throw new IllegalStateException(
+            s"$corpDir has tombstones but no _meta.json idCol — the table is " +
+              "damaged (tombstones are only written against a described corpus)"))
+        df.join(ts, df(idCol) === ts("id"), "left_anti")
+    }
+  }
+
   // ----------------------------------------------------------- bloom sidecar
 
   /** One serialized bloom filter per index write, over the written keys'
@@ -342,11 +402,21 @@ object DedupIndex {
 
   // ------------------------------------------------------------- public reads
 
-  /** The at-rest corpus as a DataFrame (current version resolved) — the
-   *  supported external read; a raw `spark.read.parquet(root)` on a
-   *  versioned root fails loudly by design. */
+  /** The at-rest corpus as a DataFrame (current version resolved,
+   *  tombstones applied) — the supported external read; a raw
+   *  `spark.read.parquet(root)` on a versioned root fails loudly by
+   *  design. */
   def readCorpus(spark: SparkSession, corpusPath: String): DataFrame =
-    spark.read.parquet(AtRest.resolve(spark, corpusPath))
+    corpusScanDir(spark, corpusPath, AtRest.resolve(spark, corpusPath))
+
+  /** TIME TRAVEL: the corpus as of retained version `version` — that
+   *  generation's data with that generation's tombstone set, exactly what
+   *  a reader resolved at the time saw ([[AtRest.resolveAt]] bounds the
+   *  window loudly: current + just-replaced + the versionGraceMs
+   *  retention). The audit/debug read: "what did the corpus look like
+   *  before last night's maintenance pass?". */
+  def readCorpusAt(spark: SparkSession, corpusPath: String, version: Long): DataFrame =
+    corpusScanDir(spark, corpusPath, AtRest.resolveAt(spark, corpusPath, version))
 
   /** The at-rest index keys as a DataFrame (current version resolved). */
   def readIndex(spark: SparkSession, indexPath: String): DataFrame =
@@ -601,7 +671,10 @@ object DedupIndex {
         if (idParts.isEmpty)
           ids.select(col("id"), lit(null).cast("string").as("text")).limit(0)
         else
-          spark.read.parquet(corpDir)
+          // partition-pruned scan, then tombstones applied — a candidate
+          // whose corpus doc was tombstoned finds no text and its pair
+          // dies at the inner join (ghost index keys stay harmless)
+          corpusScanDir(spark, corpusPath, corpDir)
             .filter(col("id_part").isin(idParts.map(_.asInstanceOf[Any]): _*))
             .select(col(idCol).as("id"), col(textCol).as("text"))
             .join(ids, Seq("id"), "left_semi")
@@ -1138,15 +1211,145 @@ object DedupIndex {
     nDropped
   }
 
+  // ledger-delta id namespace for recheck adjustments: stream batch ids
+  // are >= 0, the seed is -1, ad-hoc appends use -System.nanoTime()
+  // (~ -1e18); recheck deltas live at -1e9 - recheckId — disjoint by
+  // construction across every writer of the _ledger directory
+  private val RecheckLedgerBase = -1000000000L
+
+  /**
+   * INCREMENTAL recheck — [[recheckCorpus]]'s BATCH-PROPORTIONAL twin.
+   * The full recheck re-signs and rewrites the whole corpus: the right
+   * weekly deep-clean, but at 100 TB the wrong shape for the frequent
+   * backstop pass the ingest loop actually needs (cross-shard in-flight
+   * races, banded-recall stragglers, offline threshold tightening — all
+   * involve RECENTLY ADMITTED documents). This pass:
+   *
+   *  - re-examines only docs from live batch dirs `ingest_batch >=
+   *    sinceBatch` (derive `sinceBatch` from the last recheck's frontier);
+   *  - finds their verified near-dup pairs against the WHOLE corpus via
+   *    the same partition-pruned [[probeAtRest]] the ingest loop uses (the
+   *    at-rest index supplies the old side's keys — nothing old is
+   *    re-signed), so pairs between two OLD docs are out of scope by
+   *    contract: the previous recheck already adjudicated them;
+   *  - keeps each affected cluster's best member ([[Dedup.nearDupKeepBest]],
+   *    `score` defaults to text length) — the loser may be an OLD doc
+   *    (a better new copy arrived);
+   *  - removes losers via TOMBSTONES (see the deletion-vector note on
+   *    [[tombstoneIds]]): O(removed) bytes published with one atomic
+   *    rename, instead of the full-version rewrite;
+   *  - applies the ledger's negative adjustments ([[ledgerCard]] stays
+   *    exact) and writes a `_committed/recheck-<recheckId>` marker, making
+   *    the whole pass EXACTLY-ONCE under replay like [[ingestBatch]]: a
+   *    marked recheck short-circuits, an unmarked crash leftover is
+   *    un-published and recomputed against the pre-attempt state.
+   *
+   * Returns the tombstoned-document count. Versions don't bump (nothing
+   * is rewritten); the next [[compactCorpus]]/[[recheckCorpus]] applies
+   * the tombstones physically and clears the sidecar. Offline
+   * lease-fenced like every maintenance pass. Scale shape: probe I/O is
+   * bounded by the new docs' buckets and candidates' `id_part`
+   * partitions; the only corpus-wide touch is the tombstone anti-join
+   * every reader already pays, which is O(removed) side data.
+   */
+  def recheckSince(spark: SparkSession, corpusPath: String, indexPath: String,
+      sinceBatch: Long, recheckId: Long, threshold: Double = 0.7,
+      textCol: String = "text", idCol: String = "doc_id", numHashes: Int = 32,
+      bands: Int = 8, shingleWords: Int = 3, maxBucket: Int = 1000,
+      nParts: Int = 16, corpusParts: Int = 16,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_))
+      : Long = {
+    require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
+    val fs = fsFor(spark, corpusPath)
+    val marker = new Path(corpusPath, s"_committed/recheck-$recheckId")
+    if (fs.exists(marker)) {
+      // tolerant parse, mirroring ingestBatch: unparsable = NOT committed
+      val txt = new String(AtRest.readFile(fs, marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      txt.toLongOption match {
+        case Some(n) => return n
+        case None => fs.delete(marker, false)
+      }
+    }
+    AtRest.withLease(spark, corpusPath) {
+      AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
+      val corpDir = AtRest.resolve(spark, corpusPath)
+      // un-publish a crashed earlier attempt's unmarked leftovers, so the
+      // recompute below sees the exact pre-attempt corpus (the ingest
+      // replay contract)
+      val ledgerId = RecheckLedgerBase - recheckId
+      val leftTs = new Path(tombstoneDirOf(corpDir), s"recheck=$recheckId")
+      if (fs.exists(leftTs)) fs.delete(leftTs, true)
+      val leftLd = new Path(ledgerDirOf(corpDir), s"ingest_batch=$ledgerId")
+      if (fs.exists(leftLd)) fs.delete(leftLd, true)
+      val corpus = readCorpus(spark, corpusPath)
+      val newDocs = corpus.filter(col("ingest_batch") >= sinceBatch)
+        .select(col(idCol), col(textCol))
+      // one probe covers BOTH pair kinds: new-vs-old (index supplies old
+      // keys) and new-vs-new (both sides indexed; each pair arrives twice
+      // and the least/greatest projection collapses it)
+      val pairs = probeAtRest(spark, indexPath, newDocs, corpusPath, threshold,
+        textCol, idCol, numHashes, bands, shingleWords, nParts, maxBucket,
+        corpusParts)
+      val und = pairs.select(
+          least(col("batch_id"), col("corpus_id")).as("id_a"),
+          greatest(col("batch_id"), col("corpus_id")).as("id_b"))
+        .distinct()
+      val members = und.select(col("id_a").as(idCol))
+        .unionByName(und.select(col("id_b").as(idCol))).distinct()
+      val memberDocs = corpus.join(members, Seq(idCol), "left_semi")
+        .withColumn("_score", score(col(textCol)))
+      val best = Dedup.nearDupKeepBest(memberDocs, und, "_score", idCol)
+      val dropIds = best.filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id").as(idCol))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val n = dropIds.count()
+      if (n > 0) {
+        // stage the tombstone file, SNAPSHOT the ledger adjustment (a
+        // bounded sources × counters collect — it must be computed against
+        // the pre-publish corpus view; a lazy frame re-evaluated after the
+        // rename would anti-join the very rows it is accounting for), then
+        // rename, then publish the delta, then the marker — a crash
+        // between any two steps replays the whole pass
+        val td = tombstoneDirOf(corpDir)
+        fs.mkdirs(td)
+        val staging = new Path(td, s"_staging_$recheckId")
+        dropIds.select(col(idCol).as("id")).coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        val adjusted = ledgerByOf(spark, corpusPath).map { g =>
+          val removed = corpus.join(dropIds, Seq(idCol), "left_semi")
+          val adjust = admittedStatsLong(removed, g, textCol, sign = -1)
+            .unionByName(countLong(removed, g, "n_removed_recheck"))
+          (adjust.collect().toSeq, adjust.schema)
+        }
+        val target = new Path(td, s"recheck=$recheckId")
+        if (!fs.rename(staging, target))
+          throw new IllegalStateException(
+            s"tombstone publish rename $staging -> $target failed")
+        adjusted.foreach { case (rows, schema) =>
+          import scala.jdk.CollectionConverters._
+          publishLedgerDelta(spark.createDataFrame(rows.asJava, schema),
+            corpDir, ledgerId)
+        }
+      }
+      AtRest.writeFile(fs, marker,
+        n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      dropIds.unpersist(blocking = false)
+      n
+    }
+  }
+
   /** [[compact]]'s corpus twin: collapse the per-batch corpus directories
    *  into one merged seed batch with one file per `id_part` directory —
    *  staged as a complete new version, atomic pointer swap, `_committed`
-   *  markers survive. Same offline/lease-fenced contract. */
+   *  markers survive. [[recheckSince]] tombstones are APPLIED (the new
+   *  version is written without the removed rows and carries no
+   *  `_tombstones` sidecar). Same offline/lease-fenced contract. */
   def compactCorpus(spark: SparkSession, path: String, idCol: String = "doc_id",
       nParts: Int = 16): Unit = AtRest.withLease(spark, path) {
     val fs = fsFor(spark, path)
     val cur = AtRest.resolve(spark, path)
-    val all = spark.read.parquet(cur)
+    val all = corpusScanDir(spark, path, cur)
       .drop("ingest_batch", "id_part")
     val laid = withIdPart(all, idCol, nParts).repartition(nParts, col("id_part"))
     val (v, staging) = AtRest.nextStaging(fs, path)

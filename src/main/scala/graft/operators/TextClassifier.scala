@@ -219,12 +219,28 @@ object TextClassifier {
     // combined feature-keyed sum into ≤ dim+1 keys. collect_list order
     // is nondeterministic, which is safe here: every fold is an exact
     // integer sum, order-independent by construction.
-    val docFeats = features(d0, textCol, idCol, dim)
-      .unionByName(d0.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
-      .groupBy("id").agg(collect_list(col("f")).as("fs"))
+    val docFeats = featureArrays(d0, textCol, idCol, dim)
       .join(d0.select(col(idCol).as("id"), col(labelCol).cast("long").as("y")),
         Seq("id"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try cgCore(docFeats, dim, rounds, lambda, cgIters)
+    finally docFeats.unpersist(blocking = false)
+  }
+
+  /** The per-doc feature-ARRAY frame `(id, fs)` trainCG/trainMulti share:
+   *  [[features]]' gram stream plus the virtual intercept feature `dim`,
+   *  collapsed to one array row per document. */
+  private def featureArrays(d0: DataFrame, textCol: String, idCol: String,
+      dim: Int): DataFrame =
+    features(d0, textCol, idCol, dim)
+      .unionByName(d0.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
+      .groupBy("id").agg(collect_list(col("f")).as("fs"))
+
+  /** The damped-Newton-CG loop over a CACHED `(fs, y)` frame — the whole
+   *  of [[trainCG]] after feature materialization, factored out so
+   *  [[trainMulti]]'s per-class heads can share one feature cache. */
+  private def cgCore(docFeats: DataFrame, dim: Int, rounds: Int,
+      lambda: Double, cgIters: Int): (Long, Array[Long]) = {
     val nDocs = math.max(docFeats.count(), 1L).toDouble
     val d = dim + 1
     def dotv(a: Array[Double], b: Array[Double]): Double = {
@@ -290,8 +306,80 @@ object TextClassifier {
       scored.unpersist(blocking = false)
       w = Array.tabulate(d)(j => w(j) - math.round(delta(j) * 1e9))
     }
-    docFeats.unpersist(blocking = false)
     (w(dim), w.take(dim))
+  }
+
+  /**
+   * MULTICLASS (one-vs-rest) training — the language-ID / domain-routing
+   * shape (fastText's `ova` loss): one [[trainCG]]-style binary head per
+   * class over a SHARED per-doc feature cache (the gram stream and the
+   * array collapse are paid once, not once per class; each head then
+   * costs only its own forward/CG jobs over the cached arrays). Returns
+   * one `(class, biasNano, weightsNano)` model per entry of `classes`,
+   * in the given order — which is also [[scoreMulti]]'s tie-break
+   * priority. Same determinism contract as the binary path: every
+   * distributed sum is an exact LONG, so the full weight MATRIX is
+   * bit-reproducible and pinnable.
+   */
+  def trainMulti(docs: DataFrame, labelCol: String, classes: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id", dim: Int = 512,
+      rounds: Int = 2, lambda: Double = 0.01, cgIters: Int = 12)
+      : Seq[(String, Long, Array[Long])] = {
+    require(classes.nonEmpty && classes.distinct.size == classes.size,
+      s"classes must be non-empty and distinct, got $classes")
+    val d0 = docs.dropDuplicates(idCol)
+    val base = featureArrays(d0, textCol, idCol, dim)
+      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("string").as("lab")),
+        Seq("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try classes.map { c =>
+      val head = base.select(col("fs"), (col("lab") === c).cast("long").as("y"))
+      val (b, w) = cgCore(head, dim, rounds, lambda, cgIters)
+      (c, b, w)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Score `docs` under a [[trainMulti]] model set: `(id, predicted,
+   *  margin_nano)` where `predicted` is the argmax-margin class (ties:
+   *  earliest in `models` order, the [[graft.functions.TextFunctions.langId]]
+   *  convention) and `margin_nano` the winner's EXACT fixed-point margin
+   *  — cross-engine-comparable with no float in sight.
+   *
+   *  Scan-local like the binary [[score]]: the bucket array is built once
+   *  per row and each class's margin is one exact-LONG fold over it
+   *  against that head's broadcast-literal weights; the argmax is a
+   *  `greatest` over (margin, priority) structs. Zero exchanges — this is
+   *  the path that runs over the whole corpus. */
+  def scoreMulti(docs: DataFrame, models: Seq[(String, Long, Seq[Long])],
+      textCol: String = "text", idCol: String = "doc_id",
+      dim: Int = 512): DataFrame = {
+    require(models.size >= 2, "scoreMulti needs at least two class heads")
+    val toks = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+    val t = col("t")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val buckets = array_distinct(transform(col("g"), g =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(dim.toLong))))
+    // bind the bucket array ONCE through a projection — K folds reference
+    // it, and inlining would re-hash every gram K times per row
+    val withB = toks.select(col("id"), concat(t, bigrams).as("g"))
+      .select(col("id"), buckets.as("bs"))
+    val cands = models.zipWithIndex.map { case ((cls, biasNano, wNano), i) =>
+      val wLit = typedLit(wNano)
+      val m = lit(biasNano) + coalesce(
+        aggregate(col("bs"), lit(0L),
+          (acc, f) => acc + element_at(wLit, (f + lit(1)).cast("int"))),
+        lit(0L))
+      struct(m.as("m"), lit(-i).as("prio"), lit(cls).as("cls"))
+    }
+    val best = greatest(cands: _*)
+    withB.select(col("id").as(idCol),
+      best.getField("cls").as("predicted"),
+      best.getField("m").as("margin_nano"))
   }
 
   /** Score `docs` under a trained model: `(id, prob, predicted)` with

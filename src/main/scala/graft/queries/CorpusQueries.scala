@@ -125,6 +125,39 @@ object CorpusQueries {
         .select("source", "doc_id", "cum_cost")
         .orderBy("source", "cum_cost")),
 
+    // Temperature-based mixture resampling (XLM/mT5-style): each source's
+    // quota of the 60k-char budget is proportional to sqrt(its char mass)
+    // — integer-exact arithmetic on both engines (floor(sqrt) weights,
+    // BIGINT div), then the same deterministic md5-order window fill as
+    // q_mix_token_budget. DuckDB recomputes quotas and cumsum from scratch.
+    Q("q_mix_temperature", Some("""
+      WITH d AS (
+        SELECT source, doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
+      ), m AS (
+        SELECT source, CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS w
+        FROM d GROUP BY source
+      ), q AS (
+        SELECT source,
+               (60000 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM m) AS quota
+        FROM m
+      ), c AS (
+        SELECT source, doc_id,
+               CAST(sum(n_chars) OVER (
+                 PARTITION BY source
+                 ORDER BY md5(COALESCE('v' || CAST(doc_id AS VARCHAR), 'null')),
+                          doc_id, n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost
+        FROM d)
+      SELECT c.source AS source, doc_id, cum_cost, quota
+      FROM c JOIN q ON c.source = q.source
+      WHERE cum_cost <= quota
+      ORDER BY c.source, cum_cost"""),
+      (s, dir) => Corpus.temperatureMix(
+        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars", totalBudget = 60000L, alpha = 0.5)
+        .select("source", "doc_id", "cum_cost", "quota")
+        .orderBy("source", "cum_cost")),
+
     // Benchmark decontamination: docs with id % 50 == 0 act as the "eval
     // set"; any other doc sharing a word-8-gram with them is dropped.
     // DuckDB recomputes the same 8-gram overlap from scratch.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, DedupIndex, Multimodal, Similarity}
+import graft.operators.{AtRest, Corpus, Dedup, DedupIndex, Multimodal, Similarity}
 
 /**
  * Training-data pipeline surface: text analysis, dedup, similarity search,
@@ -650,6 +650,158 @@ object MLQueries {
         val root = QueryScratch.fresh("dedup_recheck")
         DedupIndex.writeCorpus(docs, root + "/corpus.parquet")
         DedupIndex.writeAtRest(docs, root + "/index.parquet")
+      })),
+
+    // INCREMENTAL recheck — the batch-proportional backstop: the corpus
+    // ingests the %3 = 0 batch at a LOOSE threshold (0.97: only near-exact
+    // dups drop), then recheckSince re-adjudicates pairs involving the
+    // new batch at the production threshold 0.9 and TOMBSTONES each
+    // affected cluster's non-best members (deletion vectors — no corpus
+    // rewrite). Pairs between two OLD docs are out of scope by contract
+    // (the previous recheck owned them) — the oracle replays exactly
+    // that: ingest drops at 0.97, then the 0.9-pair closure restricted to
+    // pairs touching a new doc, keep-longest, reading the corpus through
+    // the tombstone anti-join.
+    Q("q_dedup_recheck_since", Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.9
+      ), ingest_drop AS (
+        SELECT ib AS doc_id FROM p WHERE ia % 3 = 0 AND ib % 3 = 0 AND j >= 0.97
+        UNION
+        SELECT CASE WHEN ia % 3 = 0 THEN ia ELSE ib END
+        FROM p WHERE (ia % 3 = 0) <> (ib % 3 = 0) AND j >= 0.97
+      ), corpus AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 <> 0
+           OR doc_id NOT IN (SELECT doc_id FROM ingest_drop)
+      ), rp AS (
+        SELECT ia, ib FROM p
+        WHERE ia IN (SELECT doc_id FROM corpus)
+          AND ib IN (SELECT doc_id FROM corpus)
+          AND (ia % 3 = 0 OR ib % 3 = 0)
+      ), edges AS (
+        SELECT ia AS s, ib AS d FROM rp
+        UNION ALL SELECT ib, ia FROM rp
+      ), closure(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT c.s, e.d FROM closure c JOIN edges e ON c.d = e.s
+      ), groups AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+        FROM closure GROUP BY s
+      ), ranked AS (
+        SELECT g.doc_id,
+               row_number() OVER (PARTITION BY g.canonical_id
+                                  ORDER BY length(d.text) DESC, g.doc_id) AS rn
+        FROM groups g JOIN documents d USING (doc_id)
+      )
+      SELECT doc_id FROM corpus
+      WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val root = QueryScratch.dir("dedup_recheck_since")
+        DedupIndex.recheckSince(s, root + "/corpus.parquet",
+          root + "/index.parquet", sinceBatch = 0L, recheckId = 0L,
+          threshold = 0.9)
+        DedupIndex.readCorpus(s, root + "/corpus.parquet")
+          .select("doc_id").orderBy("doc_id")
+      },
+      // seed (untimed): corpus + index from the %3 <> 0 docs, then the
+      // loose-threshold ingest of the %3 = 0 batch; the timed number is
+      // the INCREMENTAL recheck itself
+      prepare = Some((s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = QueryScratch.fresh("dedup_recheck_since")
+        val seed = docs.filter(col("doc_id") % 3 =!= 0)
+        DedupIndex.writeCorpus(seed, root + "/corpus.parquet")
+        DedupIndex.writeAtRest(seed, root + "/index.parquet")
+        DedupIndex.ingestBatch(docs.filter(col("doc_id") % 3 === 0),
+          root + "/index.parquet", root + "/corpus.parquet",
+          threshold = 0.97, batchId = 0L)
+      })),
+
+    // TIME TRAVEL over the versioned at-rest layout: the corpus seeds as
+    // version 0, an offline recheck publishes version 1 (dropping each
+    // near-dup cluster's non-longest members), and the query reads BOTH
+    // retained generations through readCorpusAt — the audit read "what
+    // did the corpus look like before last night's maintenance pass?".
+    // DuckDB recomputes both states from scratch: v0 = every document,
+    // v1 = the recheck survivors (same closure as q_dedup_recheck).
+    Q("q_time_travel", Some("""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                      ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM tok
+      ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= 0.7
+      ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM cand
+        UNION ALL SELECT id_b, id_a FROM cand
+      ), closure(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT c.s, e.d FROM closure c JOIN edges e ON c.d = e.s
+      ), groups AS (
+        SELECT s AS doc_id, least(s, min(d)) AS canonical_id
+        FROM closure GROUP BY s
+      ), ranked AS (
+        SELECT g.doc_id,
+               row_number() OVER (PARTITION BY g.canonical_id
+                                  ORDER BY length(d.text) DESC, g.doc_id) AS rn
+        FROM groups g JOIN documents d USING (doc_id)
+      )
+      SELECT CAST(0 AS BIGINT) AS version, FALSE AS is_current,
+             count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), TRUE, count(*), CAST(sum(length(text)) AS BIGINT)
+      FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+      ORDER BY version"""),
+      (s, dir) => {
+        val corp = QueryScratch.dir("time_travel") + "/corpus.parquet"
+        AtRest.listVersions(s, corp).map { case (v, cur) =>
+          DedupIndex.readCorpusAt(s, corp, v)
+            .agg(count(lit(1)).as("n_docs"),
+              sum(length(col("text"))).cast("long").as("n_chars"))
+            .select(lit(v).as("version"), lit(cur).as("is_current"),
+              col("n_docs"), col("n_chars"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      // seed (untimed): v0 = the raw corpus, v1 = the recheck rewrite;
+      // the timed number is the two-generation audit read
+      prepare = Some((s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val root = QueryScratch.fresh("time_travel")
+        DedupIndex.writeCorpus(docs, root + "/corpus.parquet")
+        DedupIndex.recheckCorpus(s, root + "/corpus.parquet",
+          root + "/index.parquet", threshold = 0.7)
       })),
 
     // Document chunking (the RAG / context-window splitter): overlapping

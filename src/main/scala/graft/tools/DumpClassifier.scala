@@ -51,6 +51,26 @@ object DumpClassifier {
       .select(avg((col("predicted") === col("label").cast("long")).cast("double")))
       .head.getDouble(0)
     println(f"[classifier-cg-train-accuracy] $accCg%.4f")
+    // the MULTICLASS (one-vs-rest) language-ID model at dim 512 —
+    // q_text_classifier_multi's pins: label = langId(text) itself, one
+    // head per stopword language plus 'und'
+    val classes = graft.functions.TextFunctions.StopwordSets.map(_._1) :+ "und"
+    val multi = docs.withColumn("lab",
+      graft.functions.TextFunctions.langId(col("text")))
+    val models = graft.operators.TextClassifier.trainMulti(
+      multi.filter(col("doc_id") % 2 === 0), "lab", classes, cgIters = 8)
+    println("[classifier-multi-bias] " + models.zipWithIndex.map {
+      case ((c, b, _), i) => s"('$c',$i,${b}L)"
+    }.mkString(","))
+    println("[classifier-multi-weights] " + models.flatMap { case (c, _, w) =>
+      w.zipWithIndex.collect { case (wn, f) if wn != 0L => s"('$c',$f,$wn)" }
+    }.mkString(","))
+    val accMulti = graft.operators.TextClassifier
+      .scoreMulti(multi, models.map { case (c, b, w) => (c, b, w.toSeq) })
+      .join(multi.select(col("doc_id"), col("lab")), "doc_id")
+      .select(avg((col("predicted") === col("lab")).cast("double")))
+      .head.getDouble(0)
+    println(f"[classifier-multi-train-accuracy] $accMulti%.4f")
     spark.stop()
   }
 }
