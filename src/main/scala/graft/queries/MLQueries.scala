@@ -81,6 +81,67 @@ object MLQueries {
       ORDER BY doc_id"""
   }
 
+  /** q_text_classifier_multi's oracle: rescore every document under the
+   *  PINNED one-vs-rest weight matrix (argmax margin, ties by head
+   *  priority — exact fixed-point LONGs end to end) while recomputing the
+   *  quality-bucket labels from scratch, so training drift and scoring
+   *  bugs both go red. */
+  private def multiClassifierSql(dim: Int, biasValues: String,
+      weightValues: String): String = s"""
+      WITH w(cls, f, wn) AS (SELECT * FROM (VALUES $weightValues)),
+      b(cls, prio, bn) AS (SELECT * FROM (VALUES $biasValues)),
+      base AS (
+        SELECT doc_id, length(text) AS n_char,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS n_tok,
+               length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+               len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+                   [${enStop.map(w => s"'$w'").mkString(", ")}])) AS stop_hits
+        FROM documents
+      ), lbl AS (
+        SELECT doc_id,
+               CASE WHEN q < 0.6 THEN 'low' WHEN q < 0.7 THEN 'mid' ELSE 'high' END AS label
+        FROM (
+          SELECT doc_id,
+                 round(least(n_char / 500.0, 1.0) * 0.3
+                     + (CASE WHEN n_tok > 0 AND n_alnum / n_tok BETWEEN 3.0 AND 10.0
+                             THEN 1.0 ELSE 0.5 END) * 0.2
+                     + (CASE WHEN n_char > 0 THEN n_alnum / n_char ELSE 0.0 END) * 0.3
+                     + (CASE WHEN n_tok > 0 THEN stop_hits / least(n_tok, 10.0) ELSE 0.0 END) * 0.2,
+                   6) AS q
+          FROM base)
+      ), tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        FROM documents
+      ), grams AS (
+        SELECT doc_id, unnest(t || CASE WHEN len(t) >= 2
+            THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS g
+        FROM tok
+      ), feats AS (
+        SELECT DISTINCT doc_id,
+               CAST(CAST(('0x' || substring(md5(g), 1, 8)) AS UBIGINT) % $dim AS BIGINT) AS f
+        FROM grams
+      ), sums AS (
+        SELECT fe.doc_id, w.cls, sum(w.wn) AS s
+        FROM feats fe JOIN w ON w.f = fe.f
+        GROUP BY 1, 2
+      ), m AS (
+        SELECT d.doc_id, b.cls, b.prio, b.bn + COALESCE(s.s, 0) AS m
+        FROM documents d CROSS JOIN b
+        LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.cls = b.cls
+      ), best AS (
+        SELECT doc_id, cls, m,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY m DESC, prio ASC) AS rn
+        FROM m
+      )
+      SELECT l.doc_id, l.label, best.cls AS predicted, CAST(best.m AS BIGINT) AS margin_nano
+      FROM best JOIN lbl l USING (doc_id)
+      WHERE rn = 1
+      ORDER BY doc_id"""
+
   val all: Seq[Q] = Seq(
 
     Q("q_text_stats", Some(s"""
@@ -248,6 +309,32 @@ object MLQueries {
           .join(labeled.select(col("doc_id"),
             col("label").cast("bigint").as("label")), "doc_id")
           .select(col("doc_id"), col("label"), col("prob"), col("predicted"))
+          .orderBy("doc_id")
+      }),
+
+    // The MULTICLASS (one-vs-rest) classifier: three Newton-CG heads over
+    // ONE shared feature cache learn the heuristic quality score's
+    // release bucket (low/mid/high — the weak-supervision routing shape:
+    // a rule scores a slice, the model routes the rest), then scoreMulti
+    // argmaxes three scan-local exact-LONG margins per doc (ties by head
+    // priority). Training re-runs IN-QUERY, bit-deterministic; the oracle
+    // rescores under the PINNED weight matrix while recomputing labels
+    // from scratch. 3-class train accuracy 0.828 (chance 0.36).
+    Q("q_text_classifier_multi",
+      Some(multiClassifierSql(512, ClassifierOracle.multiBiasValues,
+        ClassifierOracle.multiWeightValues)),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = TextFunctions.qualityScore(col("text"))
+        val labeled = docs.withColumn("lab",
+          when(q < 0.6, "low").when(q < 0.7, "mid").otherwise("high"))
+        val models = graft.operators.TextClassifier.trainMulti(
+          labeled.filter(col("doc_id") % 2 === 0), "lab",
+          Seq("low", "mid", "high"), cgIters = 8)
+        graft.operators.TextClassifier.scoreMulti(docs,
+            models.map { case (c, b, w) => (c, b, w.toSeq) })
+          .join(labeled.select(col("doc_id"), col("lab").as("label")), "doc_id")
+          .select(col("doc_id"), col("label"), col("predicted"), col("margin_nano"))
           .orderBy("doc_id")
       }),
 

@@ -51,16 +51,18 @@ object DumpClassifier {
       .select(avg((col("predicted") === col("label").cast("long")).cast("double")))
       .head.getDouble(0)
     println(f"[classifier-cg-train-accuracy] $accCg%.4f")
-    // the MULTICLASS (one-vs-rest) language-ID model at dim 512 —
-    // q_text_classifier_multi's pins: label = langId(text) itself, one
-    // head per stopword language plus 'und'
-    val classes = graft.functions.TextFunctions.StopwordSets.map(_._1) :+ "und"
+    // the MULTICLASS (one-vs-rest) QUALITY-BUCKET model at dim 512 —
+    // q_text_classifier_multi's pins: label = the heuristic quality
+    // score's release bucket (the weak-supervision routing shape: a rule
+    // scores a slice, the model learns to route the rest)
+    val classes = Seq("low", "mid", "high")
+    val q = graft.functions.TextFunctions.qualityScore(col("text"))
     val multi = docs.withColumn("lab",
-      graft.functions.TextFunctions.langId(col("text")))
+      when(q < 0.6, "low").when(q < 0.7, "mid").otherwise("high"))
     val models = graft.operators.TextClassifier.trainMulti(
       multi.filter(col("doc_id") % 2 === 0), "lab", classes, cgIters = 8)
     println("[classifier-multi-bias] " + models.zipWithIndex.map {
-      case ((c, b, _), i) => s"('$c',$i,${b}L)"
+      case ((c, b, _), i) => s"('$c',$i,$b)"
     }.mkString(","))
     println("[classifier-multi-weights] " + models.flatMap { case (c, _, w) =>
       w.zipWithIndex.collect { case (wn, f) if wn != 0L => s"('$c',$f,$wn)" }
