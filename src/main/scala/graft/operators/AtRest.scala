@@ -284,19 +284,31 @@ object AtRest {
    *  version dir (falling back to the root-level legacy placement). */
   def readMetaIn(spark: SparkSession, dirs: Seq[String]): Option[Map[String, String]] = {
     val fs = fsFor(spark, dirs.head)
-    val p = dirs.map(d => new Path(d, "_meta.json")).distinct.find(fs.exists(_))
-    p.map { f =>
-      val parsed = MetaEntry.findAllMatchIn(utf8(readFile(fs, f)))
-        .map(m => m.group(1) -> m.group(2)).toMap
-      // a PRESENT but unparsable sidecar must not silently disable
-      // validation (the exact failure mode the sidecar exists to catch) —
-      // writes are atomic, so garbage here means external damage
-      if (parsed.isEmpty)
-        throw new IllegalStateException(
-          s"$f exists but holds no parameters — restore it or " +
-            "delete it to explicitly mark the table legacy/unvalidated")
-      parsed
+    // writeFile swaps via delete+rename, so a sidecar found by exists()
+    // can vanish before the read when a SAME-CONTENT concurrent writer
+    // (two sharded adopters) is mid-swap — retry through the window
+    // instead of surfacing a spurious FileNotFoundException
+    var attempt = 0
+    while (true) {
+      val p = dirs.map(d => new Path(d, "_meta.json")).distinct.find(fs.exists(_))
+      if (p.isEmpty) return None
+      try {
+        val parsed = MetaEntry.findAllMatchIn(utf8(readFile(fs, p.get)))
+          .map(m => m.group(1) -> m.group(2)).toMap
+        // a PRESENT but unparsable sidecar must not silently disable
+        // validation (the exact failure mode the sidecar exists to catch) —
+        // writes are atomic, so garbage here means external damage
+        if (parsed.isEmpty)
+          throw new IllegalStateException(
+            s"${p.get} exists but holds no parameters — restore it or " +
+              "delete it to explicitly mark the table legacy/unvalidated")
+        return Some(parsed)
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 40 =>
+          attempt += 1; Thread.sleep(25)
+      }
     }
+    None // unreachable
   }
 
   /** Throw unless every `params` entry matches the persisted sidecar
@@ -481,6 +493,17 @@ object AtRest {
         s"$root is write-locked by '$holder' (lease age ${age.get} ms < ttl $ttlMs ms); " +
           "two concurrent writers are not supported — stop the other writer or, " +
           "if it crashed, wait for the lease to go stale")
+    // an EMPTY/unreadable body inside the grace window is most likely a
+    // LIVE acquirer caught between fs.create and the body write (create
+    // is the atomic claim; the write lands milliseconds later) — deleting
+    // it here would steal a just-won fence and leave TWO writers holding
+    // it. Only a body still empty past the grace (a writer that crashed
+    // mid-claim, or external truncation) is stale-broken.
+    val emptyGraceMs = math.min(ttlMs, 15000L)
+    if (st.isDefined && holder.isEmpty && age.exists(_ < emptyGraceMs))
+      throw new IllegalStateException(
+        s"$root has a just-created lease with no body yet (age ${age.get} ms < " +
+          s"grace $emptyGraceMs ms) — a concurrent acquirer is mid-claim; retry")
     if (st.isDefined) fs.delete(p, false)
     if (!tryCreate())
       throw new IllegalStateException(s"$root lease lost a re-claim race; retry")
@@ -563,17 +586,25 @@ object AtRest {
       .foreach(h => throw new IllegalStateException(
         s"$root is write-locked whole-root by '$h'; a shard writer cannot " +
           "start under a live whole-root lease"))
-    val rootPath = new Path(root)
-    if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
-      st.getPath.getName match {
-        case ShardLeaseName(_, n2) if st.isFile && n2.toInt != nShards =>
-          liveHolderAt(fs, st.getPath, ttlMs).filter(_ != owner).foreach(h =>
-            throw new IllegalStateException(
-              s"$root has a live shard lease ${st.getPath.getName} (holder '$h') " +
-                s"under a different scheme than $nShards shards — mixed shard " +
-                "schemes overlap; drain the other fleet first"))
-        case _ => ()
-      }
+    // any live foreign shard lease under a DIFFERENT nShards: two
+    // partitioning schemes overlap in unknowable ways
+    def mixedSchemeConflict(): Option[(String, String)] = {
+      val rootPath = new Path(root)
+      if (!fs.exists(rootPath)) None
+      else fs.listStatus(rootPath).iterator.flatMap { st =>
+        st.getPath.getName match {
+          case ShardLeaseName(_, n2) if st.isFile && n2.toInt != nShards =>
+            liveHolderAt(fs, st.getPath, ttlMs).filter(_ != owner)
+              .map(h => (st.getPath.getName, h))
+          case _ => None
+        }
+      }.nextOption()
+    }
+    mixedSchemeConflict().foreach { case (name, h) =>
+      throw new IllegalStateException(
+        s"$root has a live shard lease $name (holder '$h') " +
+          s"under a different scheme than $nShards shards — mixed shard " +
+          "schemes overlap; drain the other fleet first")
     }
     acquireLeaseAt(fs, root, shardLeasePath(root, shard, nShards), owner, ttlMs)
     // symmetric double-check: a whole-root writer that claimed between
@@ -586,6 +617,19 @@ object AtRest {
           s"$root lost the shard-claim race to whole-root writer '$h'; " +
             "retry once it releases")
       }
+    // mixed-scheme double-check, same shape: two fleets started
+    // concurrently under DIFFERENT nShards each pass the pre-create scan,
+    // then both create their differently-named lease files — the later
+    // creator necessarily sees the earlier one here and backs out. (Both
+    // may back out if each sees the other — a safe fail-loud outcome;
+    // what cannot happen any more is both RUNNING with overlapping id
+    // ranges.)
+    mixedSchemeConflict().foreach { case (name, h) =>
+      releaseShardLease(spark, root, owner, shard, nShards)
+      throw new IllegalStateException(
+        s"$root lost the shard-claim race to mixed-scheme lease $name " +
+          s"(holder '$h'); drain one fleet and retry the other")
+    }
   }
 
   def releaseShardLease(spark: SparkSession, root: String, owner: String,

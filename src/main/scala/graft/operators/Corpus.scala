@@ -361,9 +361,19 @@ object Corpus {
       .agg(sum(col(costCol)).as("_mass"))
       .withColumn("_w", weightOf(col("_mass")))
     val wsum = mass.agg(sum(col("_w")).as("_wsum"))
+    // widen the multiply to DECIMAL(38,0): a multi-trillion-token budget
+    // times a large sqrt-mass weight overflows Long silently; `div` on
+    // decimals still returns LONG, so the output schema is unchanged. An
+    // all-zero weight sum (every source's mass floors to 0) would yield
+    // NULL quotas and silently drop every row — fail loudly instead.
     val quota = mass.crossJoin(broadcast(wsum))
       .select(col(sourceCol),
-        expr(s"${totalBudget}L * _w div _wsum").as("quota"))
+        when(col("_wsum").isNull || col("_wsum") === 0L,
+            raise_error(lit("temperatureMix: total weight is 0 (every " +
+              "source's mass^alpha floored to 0) — no quota is definable")))
+          .otherwise(
+            expr(s"CAST($totalBudget AS DECIMAL(38,0)) * _w div _wsum"))
+          .as("quota"))
     priced
       .withColumn("cum_cost", cumCost(sourceCol, idCol, costCol))
       .join(broadcast(quota), Seq(sourceCol))

@@ -139,6 +139,38 @@ object DedupIndex {
     "kind" -> "dedup_corpus", "idCol" -> idCol,
     "corpusParts" -> corpusParts.toString)
 
+  /** The corpus keeps every batch column, so a batch whose columns DRIFT
+   *  from the recorded set would silently corrupt later reads:
+   *  `spark.read.parquet` without mergeSchema takes the schema from a
+   *  sampled file, so a column present in only some ingest_batch dirs
+   *  appears or vanishes depending on which file gets sampled. The column
+   *  SET (sorted; order drift is harmless — parquet reads by name) is a
+   *  table property like idCol, validated per batch, adopted from the
+   *  first writer; legacy corpora gain it on their next ingest. */
+  private def requireNoLayoutCols(df: DataFrame, what: String): Unit = {
+    val clash = df.columns.toSet.intersect(Set("id_part", "ingest_batch"))
+    if (clash.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$what carries reserved layout column(s) ${clash.mkString(", ")} — " +
+          "these are the corpus's own partition columns; rename them in the batch")
+  }
+
+  private def validateCorpusColumns(spark: SparkSession, corpusPath: String,
+      idCol: String, corpusParts: Int, batchCols: Seq[String]): Unit = {
+    val cols = batchCols.sorted.mkString(",")
+    AtRest.validateOrAdoptMeta(spark, corpusPath,
+      corpusMeta(idCol, corpusParts) + ("columns" -> cols))
+    // legacy sidecar (pre-columns): upgrade in place so the NEXT drifting
+    // batch fails loudly instead of sampling its way into the schema.
+    // Two sharded writers upgrading concurrently write the same content,
+    // so a lost rename race is benign — swallow it like the adopt path.
+    AtRest.readMeta(spark, corpusPath).filterNot(_.contains("columns"))
+      .foreach { m =>
+        try AtRest.writeMeta(spark, corpusPath, m + ("columns" -> cols))
+        catch { case _: IllegalStateException => () }
+      }
+  }
+
   // ------------------------------------------------------------------ ledger
 
   /**
@@ -506,8 +538,10 @@ object DedupIndex {
       withIdPart(docs, idCol, nParts)
         .write.partitionBy("id_part").mode("overwrite")
         .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
+      requireNoLayoutCols(docs, "writeCorpus seed")
       val meta = corpusMeta(idCol, nParts) ++
-        Option(ledgerBy).map("ledgerBy" -> _).toMap
+        Option(ledgerBy).map("ledgerBy" -> _).toMap +
+        ("columns" -> docs.columns.sorted.mkString(","))
       AtRest.writeMetaStaged(spark, staging, meta)
       if (ledgerBy != null)
         publishLedgerDelta(admittedStatsLong(docs, ledgerBy, textCol),
@@ -787,7 +821,8 @@ object DedupIndex {
     val fs = fsFor(spark, corpusPath)
     AtRest.validateOrAdoptMeta(spark, indexPath,
       indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
-    AtRest.validateOrAdoptMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
+    requireNoLayoutCols(batch, "ingest batch")
+    validateCorpusColumns(spark, corpusPath, idCol, corpusParts, batch.columns)
     val idxDir = AtRest.ensureVersioned(spark, indexPath)
     val corpDir = AtRest.ensureVersioned(spark, corpusPath)
     if (batchId >= 0) {
@@ -910,10 +945,17 @@ object DedupIndex {
           g, "n_dropped_batch"))
         .unionByName(countLong(b.join(crossOnly, Seq(idCol), "left_semi"),
           g, "n_dropped_cross"))
-      // ad-hoc (batchId < 0) deltas get a unique synthetic id — the same
-      // at-least-once contract as the ad-hoc data append path
-      val ledgerId = if (batchId >= 0) batchId else -System.nanoTime()
-      publishLedgerDelta(delta, corpDir, ledgerId)
+      // ad-hoc (batchId < 0) appends have no replay identity, so their
+      // ledger delta could double-count on a retry — which would break
+      // ledgerCard's exactly-once headline. Reject instead of weakening
+      // the card's contract: a ledgered corpus takes checkpointed
+      // (batchId >= 0) ingests only.
+      if (batchId < 0)
+        throw new IllegalArgumentException(
+          s"$corpusPath maintains an exactly-once stats ledger, which an " +
+            "ad-hoc (batchId < 0) append cannot honor — pass a stable " +
+            "batchId >= 0 (or ingest through ingestStream)")
+      publishLedgerDelta(delta, corpDir, batchId)
     }
     if (batchId >= 0)
       AtRest.writeFile(fs, committedMarker(corpusPath, batchId),
@@ -1212,9 +1254,10 @@ object DedupIndex {
   }
 
   // ledger-delta id namespace for recheck adjustments: stream batch ids
-  // are >= 0, the seed is -1, ad-hoc appends use -System.nanoTime()
-  // (~ -1e18); recheck deltas live at -1e9 - recheckId — disjoint by
-  // construction across every writer of the _ledger directory
+  // are >= 0, the seed is -1 (ad-hoc appends are REJECTED on ledgered
+  // corpora — no replay identity, so their delta could double-count);
+  // recheck deltas live at -1e9 - recheckId — disjoint by construction
+  // across every writer of the _ledger directory
   private val RecheckLedgerBase = -1000000000L
 
   /**
@@ -1262,18 +1305,19 @@ object DedupIndex {
     require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
     val fs = fsFor(spark, corpusPath)
     val marker = new Path(corpusPath, s"_committed/recheck-$recheckId")
-    if (fs.exists(marker)) {
-      // tolerant parse, mirroring ingestBatch: unparsable = NOT committed
-      val txt = new String(AtRest.readFile(fs, marker),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      txt.toLongOption match {
-        case Some(n) => return n
-        case None => fs.delete(marker, false)
-      }
+    recheckMarkerInfo(fs, corpusPath, recheckId) match {
+      case Some((n, _)) => return n
+      case None => // absent or unparsable (the latter deleted) — run
     }
     AtRest.withLease(spark, corpusPath) {
       AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
       val corpDir = AtRest.resolve(spark, corpusPath)
+      // the highest COMMITTED batch this pass will have adjudicated —
+      // snapshotted under the lease (no ingest can commit during the
+      // pass) and recorded in the marker, so [[recheckIncremental]]'s
+      // frontier advance derives from what was actually covered, never
+      // from post-crash re-listing
+      val coveredUpTo = maxCommittedBatch(fs, corpusPath)
       // un-publish a crashed earlier attempt's unmarked leftovers, so the
       // recompute below sees the exact pre-attempt corpus (the ingest
       // replay contract)
@@ -1333,10 +1377,116 @@ object DedupIndex {
         }
       }
       AtRest.writeFile(fs, marker,
-        n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"$n $coveredUpTo".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       dropIds.unpersist(blocking = false)
       n
     }
+  }
+
+  /** A committed recheck marker's `(removedCount, coveredUpTo)`.
+   *  Markers written before the frontier existed hold only the count —
+   *  `coveredUpTo` comes back None and the frontier conservatively does
+   *  not advance past them. An unparsable marker is deleted (= NOT
+   *  committed), mirroring the batch-marker contract. */
+  private def recheckMarkerInfo(fs: org.apache.hadoop.fs.FileSystem,
+      corpusPath: String, recheckId: Long): Option[(Long, Option[Long])] = {
+    val marker = new Path(corpusPath, s"_committed/recheck-$recheckId")
+    if (!fs.exists(marker)) return None
+    val toks = new String(AtRest.readFile(fs, marker),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+").toSeq
+    toks.headOption.flatMap(_.toLongOption) match {
+      case Some(n) => Some((n, toks.lift(1).flatMap(_.toLongOption)))
+      case None => fs.delete(marker, false); None
+    }
+  }
+
+  /** The highest batch id with committed history under `corpusPath`:
+   *  max over the per-batch markers, floored by the compaction
+   *  watermark (whose markers are gone but were committed). -1 for a
+   *  seed-only corpus. */
+  private def maxCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      corpusPath: String): Long = {
+    val dir = new Path(corpusPath, "_committed")
+    val fromMarkers =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).iterator.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("batch-")) nm.drop(6).toLongOption else None
+      }.maxOption
+    val fromWatermark = AtRest.markerWatermark(fs, corpusPath).map(_ - 1)
+    (fromMarkers.toSeq ++ fromWatermark.toSeq).maxOption.getOrElse(-1L)
+  }
+
+  private def frontierPath(corpusPath: String) =
+    new Path(corpusPath, "_committed/recheck-frontier")
+
+  /** The persisted incremental-recheck frontier: `(nextSince, nextId)` —
+   *  the first batch id not yet adjudicated and the next recheck id. */
+  private def readFrontier(fs: org.apache.hadoop.fs.FileSystem,
+      corpusPath: String): Option[(Long, Long)] = {
+    val p = frontierPath(corpusPath)
+    if (!fs.exists(p)) None
+    else {
+      val toks = new String(AtRest.readFile(fs, p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+").toSeq
+      (toks.headOption.flatMap(_.toLongOption),
+        toks.lift(1).flatMap(_.toLongOption)) match {
+        case (Some(since), Some(id)) => Some((since, id))
+        case _ => throw new IllegalStateException(
+          s"$p is unparsable — restore it to '<nextSince> <nextRecheckId>' " +
+            "or delete it to restart the frontier from batch 0")
+      }
+    }
+  }
+
+  /**
+   * [[recheckSince]] with ZERO caller bookkeeping — the cron-shaped
+   * entry a production loop runs: the pass derives `sinceBatch` and
+   * `recheckId` from the persisted `_committed/recheck-frontier`
+   * marker (absent = adjudicate everything since batch 0, next id after
+   * any existing recheck markers) and advances it afterwards. The
+   * advance is REPLAY-SAFE because it derives from the recheck marker's
+   * own recorded coverage, not from re-listing: a crash between the
+   * recheck's commit and the frontier write re-runs with the same id,
+   * short-circuits on the marker, and advances to exactly the range
+   * that marker covered — batches ingested after the crash stay ahead
+   * of the frontier and are adjudicated by the NEXT pass, never
+   * skipped. Legacy (count-only) markers conservatively leave
+   * `nextSince` in place: the next pass re-adjudicates an
+   * already-clean range (idempotent) rather than guess coverage.
+   */
+  def recheckIncremental(spark: SparkSession, corpusPath: String,
+      indexPath: String, threshold: Double = 0.7, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
+      shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16,
+      corpusParts: Int = 16,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_))
+      : Long = {
+    val fs = fsFor(spark, corpusPath)
+    val (since, id) = readFrontier(fs, corpusPath).getOrElse {
+      // no frontier yet: start from batch 0, after any caller-driven
+      // recheck markers already present (ids must not collide with them)
+      val dir = new Path(corpusPath, "_committed")
+      val maxExisting =
+        if (!fs.exists(dir)) None
+        else fs.listStatus(dir).iterator.flatMap { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("recheck-") && nm != "recheck-frontier")
+            nm.drop(8).toLongOption
+          else None
+        }.maxOption
+      (0L, maxExisting.map(_ + 1L).getOrElse(0L))
+    }
+    val n = recheckSince(spark, corpusPath, indexPath, since, id, threshold,
+      textCol, idCol, numHashes, bands, shingleWords, maxBucket, nParts,
+      corpusParts, score)
+    val covered = recheckMarkerInfo(fs, corpusPath, id).getOrElse(
+      throw new IllegalStateException(
+        s"recheck-$id committed but its marker is unreadable"))._2
+    val nextSince = covered.map(_ + 1L).getOrElse(since)
+    AtRest.writeFile(fs, frontierPath(corpusPath),
+      s"$nextSince ${id + 1L}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    n
   }
 
   /** [[compact]]'s corpus twin: collapse the per-batch corpus directories

@@ -313,13 +313,26 @@ object TextClassifier {
    * MULTICLASS (one-vs-rest) training — the language-ID / domain-routing
    * shape (fastText's `ova` loss): one [[trainCG]]-style binary head per
    * class over a SHARED per-doc feature cache (the gram stream and the
-   * array collapse are paid once, not once per class; each head then
-   * costs only its own forward/CG jobs over the cached arrays). Returns
+   * array collapse are paid once, not once per class). Returns
    * one `(class, biasNano, weightsNano)` model per entry of `classes`,
    * in the given order — which is also [[scoreMulti]]'s tie-break
    * priority. Same determinism contract as the binary path: every
    * distributed sum is an exact LONG, so the full weight MATRIX is
    * bit-reproducible and pinnable.
+   *
+   * ALL K heads advance TOGETHER, one Spark job per step, not K: the
+   * forward pass projects K (e, pq) column pairs off the shared cached
+   * arrays, the gradient is ONE groupBy(f) with K exact-LONG sums
+   * (≤ K×(dim+1) result cells — K models, still not data), and each CG
+   * iteration folds the ACTIVE heads' broadcast-literal direction arrays
+   * in one pass with one feature-keyed exchange. A K-sequential loop
+   * pays K × rounds × (1 + cgIters) whole-stage jobs over the same
+   * cache — pure scheduling overhead at any scale; batched it's
+   * rounds × (1 + cgIters), with per-head early-stop masking a finished
+   * head's fold out of later iterations. Bit-identical to the sequential
+   * formulation (each head's sums are the same exact LONGs whether or
+   * not other heads' columns ride in the same job — spec-asserted
+   * against [[trainMultiSequential]]).
    */
   def trainMulti(docs: DataFrame, labelCol: String, classes: Seq[String],
       textCol: String = "text", idCol: String = "doc_id", dim: Int = 512,
@@ -332,11 +345,126 @@ object TextClassifier {
       .join(d0.select(col(idCol).as("id"), col(labelCol).cast("string").as("lab")),
         Seq("id"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try cgCoreMulti(base, classes, dim, rounds, lambda, cgIters)
+    finally base.unpersist(blocking = false)
+  }
+
+  /** The K-sequential one-head-at-a-time formulation [[trainMulti]] is
+   *  bit-identical to — kept (test-only) as the equivalence spec's
+   *  ground truth. */
+  private[graft] def trainMultiSequential(docs: DataFrame, labelCol: String,
+      classes: Seq[String], textCol: String = "text", idCol: String = "doc_id",
+      dim: Int = 512, rounds: Int = 2, lambda: Double = 0.01, cgIters: Int = 12)
+      : Seq[(String, Long, Array[Long])] = {
+    val d0 = docs.dropDuplicates(idCol)
+    val base = featureArrays(d0, textCol, idCol, dim)
+      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("string").as("lab")),
+        Seq("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try classes.map { c =>
       val head = base.select(col("fs"), (col("lab") === c).cast("long").as("y"))
       val (b, w) = cgCore(head, dim, rounds, lambda, cgIters)
       (c, b, w)
     } finally base.unpersist(blocking = false)
+  }
+
+  /** The batched damped-Newton-CG loop behind [[trainMulti]]: K binary
+   *  heads over one cached `(fs, lab)` frame, every distributed step a
+   *  single job with K (or |active heads|) exact-LONG agg columns keyed
+   *  by feature. Per-head CG state (direction, residual, early-stop) is
+   *  driver-side and independent — head k runs EXACTLY the iterations it
+   *  would run alone, so the weights match [[trainMultiSequential]]
+   *  bit for bit. */
+  private def cgCoreMulti(base: DataFrame, classes: Seq[String], dim: Int,
+      rounds: Int, lambda: Double, cgIters: Int): Seq[(String, Long, Array[Long])] = {
+    val kN = classes.size
+    val nDocs = math.max(base.count(), 1L).toDouble
+    val d = dim + 1
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < d) { s += a(i) * b(i); i += 1 }; s
+    }
+    def foldNano(vNano: Array[Long]): Column = {
+      val vLit = typedLit(vNano.toSeq)
+      aggregate(col("fs"), lit(0L),
+        (acc, f) => acc + element_at(vLit, (f + lit(1)).cast("int")))
+    }
+    val w = Array.fill(kN)(new Array[Long](d))
+    for (_ <- 0 until rounds) {
+      // forward pass, all heads in one projection: e_k = p_k·1e6 − y_k·1e6
+      // and pq_k = p_k(1−p_k)·1e6 per doc, exactly the binary per-head
+      // arithmetic (z_k folds head k's own weights)
+      val perHead = (0 until kN).flatMap { k =>
+        val z = foldNano(w(k)) / lit(1e9)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val y = (col("lab") === classes(k)).cast("long")
+        Seq((round(p * 1e6).cast("long") - y * 1000000L).as(s"e$k"),
+          round(p * (lit(1.0) - p) * 1e6).cast("long").as(s"pq$k"))
+      }
+      val scored = base.select(col("fs") +: perHead: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      // ONE gradient job: groupBy(f) with K sums → K×(dim+1) cells
+      val g = Array.fill(kN)(new Array[Double](d))
+      val gAggs = (0 until kN).map(k => sum(col(s"e$k")))
+      scored.select(explode(col("fs")).as("f") +:
+          (0 until kN).map(k => col(s"e$k")): _*)
+        .groupBy("f").agg(gAggs.head, gAggs.tail: _*).collect()
+        .foreach { row =>
+          val f = row.getLong(0).toInt
+          var k = 0
+          while (k < kN) { g(k)(f) = row.getLong(1 + k) / 1e6 / nDocs; k += 1 }
+        }
+      for (k <- 0 until kN; j <- 0 until d) g(k)(j) += lambda * (w(k)(j) / 1e9)
+      // per-head CG state; `active` masks finished heads out of later jobs
+      val delta = Array.fill(kN)(new Array[Double](d))
+      val r = g.map(_.clone())
+      val dir = r.map(_.clone())
+      val rs = r.map(x => dotv(x, x))
+      val active = Array.tabulate(kN)(k => rs(k) > 1e-18)
+      var it = 0
+      while (it < cgIters && active.exists(identity)) {
+        val act = (0 until kN).filter(active)
+        val dirNano = act.map(k => dir(k).map(x => math.round(x * 1e9)))
+        val dirQ = dirNano.map(_.map(_ / 1e9))
+        // ONE Hv job for every active head: u_k = round(pq_k·t_k/1e6),
+        // then groupBy(f) with |act| exact-LONG sums
+        val uCols = act.zip(dirNano).map { case (k, dn) =>
+          round(col(s"pq$k").cast("double") *
+            foldNano(dn).cast("double") / lit(1e6)).cast("long").as(s"u$k")
+        }
+        val uAggs = act.map(k => sum(col(s"u$k")))
+        val rows = scored.select(col("fs") +: uCols: _*)
+          .select(explode(col("fs")).as("f") +: act.map(k => col(s"u$k")): _*)
+          .groupBy("f").agg(uAggs.head, uAggs.tail: _*).collect()
+        val hp = act.indices.map { i =>
+          val out = new Array[Double](d)
+          rows.foreach(row => out(row.getLong(0).toInt) = row.getLong(1 + i) / 1e9 / nDocs)
+          for (j <- 0 until d) out(j) += lambda * (dirNano(i)(j) / 1e9)
+          out
+        }
+        act.zipWithIndex.foreach { case (k, i) =>
+          val denom = dotv(dirQ(i), hp(i))
+          if (denom <= 0) active(k) = false // damped H is PD; quantization floor
+          else {
+            val alpha = rs(k) / denom
+            var j = 0
+            while (j < d) {
+              delta(k)(j) += alpha * dirQ(i)(j); r(k)(j) -= alpha * hp(i)(j); j += 1
+            }
+            val rs2 = dotv(r(k), r(k))
+            val beta = rs2 / rs(k)
+            rs(k) = rs2
+            j = 0
+            while (j < d) { dir(k)(j) = r(k)(j) + beta * dir(k)(j); j += 1 }
+            if (rs(k) <= 1e-18) active(k) = false
+          }
+        }
+        it += 1
+      }
+      scored.unpersist(blocking = false)
+      for (k <- 0 until kN)
+        w(k) = Array.tabulate(d)(j => w(k)(j) - math.round(delta(k)(j) * 1e9))
+    }
+    classes.zipWithIndex.map { case (c, k) => (c, w(k)(dim), w(k).take(dim)) }
   }
 
   /** Score `docs` under a [[trainMulti]] model set: `(id, predicted,

@@ -803,9 +803,11 @@ object MLQueries {
       ORDER BY doc_id"""),
       (s, dir) => {
         val root = QueryScratch.dir("dedup_recheck_since")
-        DedupIndex.recheckSince(s, root + "/corpus.parquet",
-          root + "/index.parquet", sinceBatch = 0L, recheckId = 0L,
-          threshold = 0.9)
+        // the cron-shaped entry: sinceBatch/recheckId derive from the
+        // persisted frontier (absent on the fresh seed -> batch 0, id 0 —
+        // exactly the caller-supplied call this query previously made)
+        DedupIndex.recheckIncremental(s, root + "/corpus.parquet",
+          root + "/index.parquet", threshold = 0.9)
         DedupIndex.readCorpus(s, root + "/corpus.parquet")
           .select("doc_id").orderBy("doc_id")
       },

@@ -105,6 +105,35 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scoring plan shuffles:\n$plan")
   }
 
+  test("trainMulti (batched, one job/iter for all heads) is bit-identical to K-sequential") {
+    import spark.implicits._
+    // three planted classes over shared filler; a modest dim keeps each
+    // head's CG path exercised (incl. round-2 warm starts) in seconds
+    val docs = (0 until 60).map { i =>
+      val mark = i % 3 match {
+        case 0 => "redmark"; case 1 => "bluemark"; case _ => "greenmark"
+      }
+      (i.toLong, s"common filler words here $mark tail token t$i", s"c${i % 3}")
+    }.toDF("doc_id", "text", "lab")
+    val classes = Seq("c0", "c1", "c2")
+    val batched = TextClassifier.trainMulti(docs, "lab", classes,
+      dim = 256, rounds = 2, cgIters = 8)
+    val seq = TextClassifier.trainMultiSequential(docs, "lab", classes,
+      dim = 256, rounds = 2, cgIters = 8)
+    batched.zip(seq).foreach { case ((c1, b1, w1), (c2, b2, w2)) =>
+      assert(c1 === c2)
+      assert(b1 === b2, s"bias drifted for head $c1")
+      assert(w1.toSeq === w2.toSeq, s"weights drifted for head $c1")
+    }
+    // and the heads actually separate the planted vocabulary
+    val models = batched.map { case (c, b, w) => (c, b, w.toSeq) }
+    val acc = TextClassifier.scoreMulti(docs, models, dim = 256)
+      .join(docs.select(col("doc_id"), col("lab")), "doc_id")
+      .agg(avg((col("predicted") === col("lab")).cast("double")))
+      .head.getDouble(0)
+    assert(acc === 1.0, s"planted 3-class vocabulary should separate, got $acc")
+  }
+
   test("reproduces the rule-based language labeler on the sf0.01 corpus (acc >= 0.9)") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
       .withColumn("label", (TextFunctions.langId(col("text")) === "en").cast("int"))

@@ -312,6 +312,51 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 0L)
   }
 
+  test("recheckIncremental: persisted frontier, back-to-back passes, crash-safe advance") {
+    import spark.implicits._
+    val root = tempDir("lsh_frontier")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(n: Int, extra: Int = 0) =
+      ((0 until 12).map(i => s"fr${n}t$i") ++ (0 until extra).map(i => s"y$i")).mkString(" ")
+    val fs = new org.apache.hadoop.fs.Path(corp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = new org.apache.hadoop.fs.Path(corp, "_committed/recheck-frontier")
+    def frontier() = new String(graft.operators.AtRest.readFile(fs, fp),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    def ids() = DedupIndex.readCorpus(spark, corp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    DedupIndex.writeCorpus(Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), corp)
+    DedupIndex.writeAtRest(Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), idx)
+    // batch 0 slips a ~0.83-Jaccard near-dup of doc 1 past the loose 0.97 gate
+    DedupIndex.ingestBatch(Seq((11L, doc(1, 2))).toDF("doc_id", "text"),
+      idx, corp, threshold = 0.97, batchId = 0L)
+    // pass 1: NO since/id passed anywhere — catches the straggler, keeps
+    // the longer member, records "first unadjudicated batch = 1, next id = 1"
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 1L)
+    assert(ids() === Set(2L, 11L))
+    assert(frontier() === "1 1")
+    // batch 1 plants a second straggler against doc 2
+    DedupIndex.ingestBatch(Seq((12L, doc(2, 2))).toDF("doc_id", "text"),
+      idx, corp, threshold = 0.97, batchId = 1L)
+    // pass 2 derives since=1 from the frontier: only the new batch is probed
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 1L)
+    assert(ids() === Set(11L, 12L))
+    assert(frontier() === "2 2")
+    // crash between the recheck-1 commit and the frontier write: restore
+    // the pre-pass frontier; the rerun short-circuits on the marker and
+    // re-advances to exactly what that marker covered — no skips, no
+    // double-removal
+    graft.operators.AtRest.writeFile(fs, fp,
+      "1 1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 1L)
+    assert(ids() === Set(11L, 12L))
+    assert(frontier() === "2 2")
+    // idle pass (nothing new since): removes nothing, id still advances
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 0L)
+    assert(frontier() === "2 3")
+  }
+
   test("a no-hit batch short-circuits on the bloom sidecar without reading the index") {
     import spark.implicits._
     val dir = tempDir("lsh_bloom") + "/index.parquet"
@@ -509,17 +554,24 @@ class DedupIndexSpec extends SparkSpec {
       nParts = 8, maxBucket = 500).count() > 0)
   }
 
-  test("a zero-byte lease is unparsable -> stale-break path, not an exception") {
+  test("a zero-byte lease: live-unknown inside the grace, stale-broken after") {
     val root = tempDir("lsh_lease_zero")
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, "_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash window between create(p, false) and the body write
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-    fs.create(new org.apache.hadoop.fs.Path(root, "_lease"), false).close()
-    // a new writer claims it (empty holder = nobody), no NoSuchElementException
+    fs.create(p, false).close()
+    // a FRESH empty lease is most likely a concurrent acquirer caught
+    // between create and write — claiming it now would double-fence
+    val e = intercept[IllegalStateException] {
+      graft.operators.AtRest.acquireLease(spark, root, "new-writer")
+    }
+    assert(e.getMessage.contains("no body yet"))
+    // past the grace it's a mid-claim crash leftover: break and claim
+    fs.setTimes(p, System.currentTimeMillis() - 60 * 1000L, -1)
     graft.operators.AtRest.acquireLease(spark, root, "new-writer")
     graft.operators.AtRest.releaseLease(spark, root, "new-writer")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_lease")))
+    assert(!fs.exists(p))
   }
 
   test("time-based version grace retains aged-out generations until the TTL") {

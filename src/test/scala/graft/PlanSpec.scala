@@ -153,9 +153,12 @@ class PlanSpec extends SparkSpec {
       "q_zarr_nd_roundtrip",   // 1-row self-check counts (round 9)
       "q_sim_ivf_at_rest",     // 1-row at-rest≡in-memory mismatch count
       "q_sim_ivf_retrain",     // same 1-row self-check shape, post-retrain
-      "q_sim_recall")          // recall audit embeds the brute-force exact
+      "q_sim_recall",          // recall audit embeds the brute-force exact
                                //   pass BY DESIGN (10 probes broadcast) —
                                //   the thing the IVF result is graded against
+      "q_mix_temperature")     // broadcast of the 1-row global weight-sum
+                               //   frame (same proven-bounded shape as
+                               //   q_search_bm25's corpus-stats row)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(legitimate)
       .flatMap { name =>
