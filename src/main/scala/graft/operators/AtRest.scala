@@ -570,12 +570,15 @@ object AtRest {
    *    partitioning schemes overlap in unknowable ways);
    *  - the same (shard, nShards) follows the normal lease protocol
    *    (same-owner refresh, TTL stale-break, foreign = loud).
-   * Same-shard writers are serialized exactly like the unsharded case;
-   * cross-shard near-duplicates are caught by the probe against
-   * already-PUBLISHED batches — two in-flight batches racing on a
-   * cross-shard pair can both admit (the same window any concurrent
-   * ingest has); the offline [[DedupIndex.recheckCorpus]] pass is the
-   * documented backstop, exactly as for banded-recall stragglers.
+   * Same-shard writers are serialized exactly like the unsharded case.
+   * Cross-shard near-duplicates are caught twice: the probe covers every
+   * batch already committed at probe time, and the commit-mutex-serialized
+   * delta re-probe ([[withCommitLock]], [[DedupIndex.ingestBatch]]) covers
+   * batches that commit between a batch's probe snapshot and its own
+   * commit — so two in-flight batches racing on a cross-shard pair can no
+   * longer both admit. The offline [[DedupIndex.recheckCorpus]] /
+   * [[DedupIndex.recheckIncremental]] passes remain the backstop for
+   * banded-recall stragglers (pairs LSH itself missed).
    */
   def acquireShardLease(spark: SparkSession, root: String, owner: String,
       shard: Int, nShards: Int, ttlMs: Long = 10 * 60 * 1000L): Unit = {
@@ -642,5 +645,34 @@ object AtRest {
     val owner = java.util.UUID.randomUUID().toString
     acquireLease(spark, root, owner)
     try body finally releaseLease(spark, root, owner)
+  }
+
+  /**
+   * COMMIT MUTEX for concurrent sharded writers — serialize the short
+   * adjudicate-and-publish step (NOT the heavy per-batch signing and
+   * probing, which stays parallel): a short-TTL lease at
+   * `root/_commitlock`, WAITED on rather than failed on, because
+   * contention here is legitimate (N shards commit to one root by
+   * design; the writer fences exist to make *unintended* concurrency
+   * loud). Holding it, a writer's view of "batches committed before
+   * mine" is total-ordered — the foundation of the cross-shard
+   * in-flight dedup close ([[DedupIndex.ingestBatch]]'s delta
+   * re-probe). TTL bounds a crashed holder's obstruction; its
+   * half-published batch is unmarked and replays. */
+  def withCommitLock[T](spark: SparkSession, root: String,
+      ttlMs: Long = 120000L, waitMs: Long = 600000L)(body: => T): T = {
+    val fs = fsFor(spark, root)
+    val owner = java.util.UUID.randomUUID().toString
+    val p = new Path(root, "_commitlock")
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = false
+    while (!held) {
+      try { acquireLeaseAt(fs, root, p, owner, ttlMs); held = true }
+      catch {
+        case _: IllegalStateException if System.currentTimeMillis() < deadline =>
+          Thread.sleep(200)
+      }
+    }
+    try body finally releaseLeaseAt(fs, p, owner)
   }
 }

@@ -900,6 +900,11 @@ object DedupIndex {
       })
       throw new IllegalStateException(
         s"$corpusPath uses a legacy flat corpus layout; run DedupIndex.compactCorpus to migrate")
+    // snapshot of the index's batch dirs, taken just before the probe:
+    // the sharded commit section re-probes against batches that COMMIT
+    // after this point (the cross-shard in-flight window)
+    val ifs2 = fsFor(spark, indexPath)
+    val snapshotIds = listIndexBatchIds(ifs2, idxDir)
     val crossDrop =
       if (hasIndex)
         probeAtRest(spark, indexPath, b, corpusPath, threshold, textCol, idCol,
@@ -907,64 +912,147 @@ object DedupIndex {
             preBanded = banded)
           .select(col("batch_id").as(idCol)).distinct()
       else b.select(col(idCol)).limit(0)
-    val admitted = b.join(inBatchDrop.unionByName(crossDrop).distinct(),
+    // materialized HERE — the heavy signing/probing must finish before
+    // the (serialized) sharded commit section below
+    val admitted0 = b.join(inBatchDrop.unionByName(crossDrop).distinct(),
         Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val n = admitted.count()
-    if (n > 0) {
-      // the admitted docs' keys are a semi-join filter of the shared
-      // banded frame — no third signature pass
-      val keys = capBuckets(
-          banded.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi"),
-          maxBucket)
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      if (batchId >= 0) {
-        // bloom before data: committed keys must always be bloom-covered
-        writeBloomFile(keys, idxDir, s"b$batchId", estimatedKeys = n * bands)
-        publishBatchDir(keys, idxDir, "bucket_part", batchId)
-        publishBatchDir(withIdPart(admitted, idCol, corpusParts), corpDir,
-          "id_part", batchId)
-      } else {
-        writeBloomFile(keys, idxDir, s"a${System.nanoTime()}")
-        keys.withColumn("ingest_batch", lit(SeedBatch))
-          .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(idxDir)
-        withIdPart(admitted, idCol, corpusParts)
-          .withColumn("ingest_batch", lit(SeedBatch))
-          .write.partitionBy("ingest_batch", "id_part").mode("append").parquet(corpDir)
+    admitted0.count()
+    onBeforeCommit()
+
+    def publishAdjudicated(admitted: DataFrame, crossDropAll: DataFrame): Long = {
+      val n = admitted.count()
+      if (n > 0) {
+        // the admitted docs' keys are a semi-join filter of the shared
+        // banded frame — no third signature pass
+        val keys = capBuckets(
+            banded.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+            maxBucket)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        if (batchId >= 0) {
+          // bloom before data: committed keys must always be bloom-covered
+          writeBloomFile(keys, idxDir, s"b$batchId", estimatedKeys = n * bands)
+          publishBatchDir(keys, idxDir, "bucket_part", batchId)
+          publishBatchDir(withIdPart(admitted, idCol, corpusParts), corpDir,
+            "id_part", batchId)
+        } else {
+          writeBloomFile(keys, idxDir, s"a${System.nanoTime()}")
+          keys.withColumn("ingest_batch", lit(SeedBatch))
+            .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(idxDir)
+          withIdPart(admitted, idCol, corpusParts)
+            .withColumn("ingest_batch", lit(SeedBatch))
+            .write.partitionBy("ingest_batch", "id_part").mode("append").parquet(corpDir)
+        }
+        keys.unpersist(blocking = false)
       }
-      keys.unpersist(blocking = false)
+      // ledger delta (if the corpus maintains one): published AFTER the
+      // data, BEFORE the marker — a crash in between replays the whole
+      // batch and rewrites both, so card and corpus can never disagree.
+      // Even an all-dropped batch publishes (its drop counters are real).
+      ledgerByOf(spark, corpusPath).foreach { g =>
+        val crossOnly = crossDropAll.join(inBatchDrop, Seq(idCol), "left_anti")
+        val delta = admittedStatsLong(admitted, g, textCol)
+          .unionByName(countLong(b.join(inBatchDrop, Seq(idCol), "left_semi"),
+            g, "n_dropped_batch"))
+          .unionByName(countLong(b.join(crossOnly, Seq(idCol), "left_semi"),
+            g, "n_dropped_cross"))
+        // ad-hoc (batchId < 0) appends have no replay identity, so their
+        // ledger delta could double-count on a retry — which would break
+        // ledgerCard's exactly-once headline. Reject instead of weakening
+        // the card's contract: a ledgered corpus takes checkpointed
+        // (batchId >= 0) ingests only.
+        if (batchId < 0)
+          throw new IllegalArgumentException(
+            s"$corpusPath maintains an exactly-once stats ledger, which an " +
+              "ad-hoc (batchId < 0) append cannot honor — pass a stable " +
+              "batchId >= 0 (or ingest through ingestStream)")
+        publishLedgerDelta(delta, corpDir, batchId)
+      }
+      if (batchId >= 0)
+        AtRest.writeFile(fs, committedMarker(corpusPath, batchId),
+          n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      n
     }
-    // ledger delta (if the corpus maintains one): published AFTER the
-    // data, BEFORE the marker — a crash in between replays the whole
-    // batch and rewrites both, so card and corpus can never disagree.
-    // Even an all-dropped batch publishes (its drop counters are real).
-    ledgerByOf(spark, corpusPath).foreach { g =>
-      val crossOnly = crossDrop.join(inBatchDrop, Seq(idCol), "left_anti")
-      val delta = admittedStatsLong(admitted, g, textCol)
-        .unionByName(countLong(b.join(inBatchDrop, Seq(idCol), "left_semi"),
-          g, "n_dropped_batch"))
-        .unionByName(countLong(b.join(crossOnly, Seq(idCol), "left_semi"),
-          g, "n_dropped_cross"))
-      // ad-hoc (batchId < 0) appends have no replay identity, so their
-      // ledger delta could double-count on a retry — which would break
-      // ledgerCard's exactly-once headline. Reject instead of weakening
-      // the card's contract: a ledgered corpus takes checkpointed
-      // (batchId >= 0) ingests only.
-      if (batchId < 0)
-        throw new IllegalArgumentException(
-          s"$corpusPath maintains an exactly-once stats ledger, which an " +
-            "ad-hoc (batchId < 0) append cannot honor — pass a stable " +
-            "batchId >= 0 (or ingest through ingestStream)")
-      publishLedgerDelta(delta, corpDir, batchId)
-    }
-    if (batchId >= 0)
-      AtRest.writeFile(fs, committedMarker(corpusPath, batchId),
-        n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // SHARDED commit: serialized by the index root's commit mutex, so
+    // commits are total-ordered and each one adjudicates against every
+    // batch committed before it — closing the cross-shard in-flight
+    // window (two shards concurrently ingesting near-identical docs
+    // could both admit before either published). The re-probe covers
+    // exactly the batches whose markers appeared since this batch's
+    // probe snapshot; on a hit, MY member drops (the committed side is
+    // immutable) — the offline recheck's keep-best pass refines the
+    // survivor choice if scores matter. Unsharded writers skip the lock:
+    // their whole-root lease already excludes concurrency.
+    val n =
+      if (nShards <= 1) publishAdjudicated(admitted0, crossDrop)
+      else AtRest.withCommitLock(spark, indexPath) {
+        val delta = (listIndexBatchIds(ifs2, idxDir) -- snapshotIds - batchId)
+          .filter(idB => fs.exists(committedMarker(corpusPath, idB)))
+        if (delta.isEmpty) publishAdjudicated(admitted0, crossDrop)
+        else {
+          val dropMore = deltaProbeDrops(spark, idxDir, corpDir, delta.toSeq,
+              banded, admitted0, threshold, textCol, idCol, shingleWords)
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          val admitted = admitted0.join(dropMore, Seq(idCol), "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          val out = publishAdjudicated(admitted,
+            crossDrop.unionByName(dropMore).distinct())
+          admitted.unpersist(blocking = false)
+          dropMore.unpersist(blocking = false)
+          out
+        }
+      }
     banded.unpersist(blocking = false)
     sigs.unpersist(blocking = false)
-    admitted.unpersist(blocking = false)
+    admitted0.unpersist(blocking = false)
     b.unpersist(blocking = false)
     n
+  }
+
+  /** Test seam: runs after the probe snapshot is materialized and before
+   *  the commit section — a spec injects a concurrent shard's commit
+   *  here to exercise the cross-shard delta re-probe deterministically.
+   *  A no-op in production. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  private def listIndexBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      idxDir: String): Set[Long] = {
+    val p = new Path(idxDir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .flatMap(_.stripPrefix("ingest_batch=").toLongOption).toSet
+  }
+
+  /** Near-dup pairs between MY admitted docs and docs COMMITTED by
+   *  concurrent batches after my probe snapshot: my banded keys join the
+   *  delta batches' at-rest keys (those dirs only — batch-proportional,
+   *  no index rescan), verified with exact shingle Jaccard against the
+   *  delta corpus dirs' texts. Returns my member of each pair. */
+  private def deltaProbeDrops(spark: SparkSession, idxDir: String,
+      corpDir: String, deltaIds: Seq[Long], banded: DataFrame,
+      admitted: DataFrame, threshold: Double, textCol: String, idCol: String,
+      shingleWords: Int): DataFrame = {
+    val keys = spark.read.parquet(
+        deltaIds.sorted.map(idB => new Path(idxDir, s"ingest_batch=$idB").toString): _*)
+      .select(col("band"), col("bucket"), col("id").as("corpus_id"))
+    val myKeys = banded.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val cand = myKeys.join(keys, Seq("band", "bucket"))
+      .filter(col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id")).distinct()
+    val mine = admitted.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleWords).as("sh_a"))
+    val theirs = spark.read.parquet(
+        deltaIds.sorted.map(idB => new Path(corpDir, s"ingest_batch=$idB").toString): _*)
+      .select(col(idCol).as("corpus_id"),
+        TextFunctions.wordShingles(col(textCol), shingleWords).as("sh_b"))
+    cand.join(mine, Seq("id")).join(theirs, Seq("corpus_id"))
+      .withColumn("j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= threshold)
+      .select(col("id").as(idCol)).distinct()
   }
 
   /** The streaming wrapper: every micro-batch of `docs` flows through
@@ -1054,14 +1142,19 @@ object DedupIndex {
    *
    * Cross-shard dedup contract: bucket keys derive from TEXT, not from
    * the writer, so a cross-shard near-duplicate pair collides in the
-   * same index buckets regardless of which stream wrote each member —
-   * the probe catches it once the earlier member's batch is PUBLISHED.
-   * Two in-flight batches racing on a cross-shard pair can both admit
-   * (the same probe-racing-publish window a single stream has between
-   * its own batches, now also across writers); [[recheckCorpus]] is the
-   * documented offline backstop, exactly as for banded-recall
-   * stragglers. [[compactMarkers]] watermarks must use the MINIMUM of
-   * the shards' oldest replayable namespaced ids.
+   * same index buckets regardless of which stream wrote each member.
+   * The probe catches pairs against every batch COMMITTED at probe
+   * time; pairs against batches that commit while this batch is in
+   * flight are caught by the commit-mutex-serialized delta re-probe
+   * inside [[ingestBatch]] (commits are total-ordered per index root;
+   * each commit re-adjudicates against exactly the batches committed
+   * since its probe snapshot, and the later committer's member drops).
+   * Two in-flight batches racing on a cross-shard pair therefore can
+   * no longer both admit. [[recheckIncremental]]/[[recheckCorpus]]
+   * remain the offline backstop for banded-recall stragglers (pairs
+   * LSH itself missed — a recall property, not a race).
+   * [[compactMarkers]] watermarks must use the MINIMUM of the shards'
+   * oldest replayable namespaced ids.
    */
   def ingestStreamSharded(docs: DataFrame, indexPath: String, corpusPath: String,
       checkpointPath: String, shard: Int, nShards: Int,

@@ -312,6 +312,45 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 0L)
   }
 
+  test("cross-shard in-flight near-dup race: the delta re-probe drops the later committer") {
+    import spark.implicits._
+    val root = tempDir("lsh_race")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(extra: Int) =
+      ((0 until 12).map(i => s"rc1t$i") ++ (0 until extra).map(i => s"y$i")).mkString(" ")
+    // one id per shard under the router pmod(xxhash64(id), 2)
+    val byShard = spark.range(1, 50)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val id0 = byShard.find(_._2 == 0L).get._1
+    val id1 = byShard.find(_._2 == 1L).get._1
+    // shard 1's near-dup batch commits INSIDE shard 0's in-flight window
+    // (after its probe snapshot, before its commit) — without the delta
+    // re-probe both members would be admitted
+    var injected = false
+    DedupIndex.onBeforeCommit = () => if (!injected) {
+      injected = true
+      assert(DedupIndex.ingestBatch(Seq((id1, doc(1))).toDF("doc_id", "text"),
+        idx, corp, batchId = 1L, shard = 1, nShards = 2) === 1L)
+    }
+    try {
+      val n = DedupIndex.ingestBatch(Seq((id0, doc(0))).toDF("doc_id", "text"),
+        idx, corp, batchId = 0L, shard = 0, nShards = 2)
+      assert(n === 0L, "the later committer must drop its in-flight near-dup")
+    } finally DedupIndex.onBeforeCommit = () => ()
+    assert(DedupIndex.readCorpus(spark, corp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(id1))
+    assert(DedupIndex.readIndex(spark, idx).select("id").distinct()
+      .collect().map(_.getLong(0)).toSet === Set(id1))
+    // shard 0's batch still committed exactly-once (all-dropped, n=0) and
+    // both commit locks released
+    val fs = new org.apache.hadoop.fs.Path(corp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(corp, "_committed/batch-0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "_commitlock")))
+  }
+
   test("recheckIncremental: persisted frontier, back-to-back passes, crash-safe advance") {
     import spark.implicits._
     val root = tempDir("lsh_frontier")
