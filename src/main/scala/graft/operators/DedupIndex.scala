@@ -105,7 +105,7 @@ object DedupIndex {
   // seed writes and legacy appends use batch -1. Underscore-prefixed
   // siblings (_staging_*, _bloom, _committed, _v<N>, _meta.json, _lease)
   // are invisible to parquet partition discovery.
-  private val SeedBatch = -1L
+  private[graft] val SeedBatch = -1L
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     AtRest.fsFor(spark, path)
@@ -247,7 +247,7 @@ object DedupIndex {
   }
 
   /** One counter = the per-group row count of `docs`, long-form. */
-  private def countLong(docs: DataFrame, grp: String, counter: String): DataFrame =
+  private[graft] def countLong(docs: DataFrame, grp: String, counter: String): DataFrame =
     docs.groupBy(col(grp).cast("string").as("grp"))
       .agg(count(lit(1)).as("value"))
       .select(col("grp"), lit(counter).as("counter"), col("value"))
@@ -255,7 +255,7 @@ object DedupIndex {
   /** Stage + atomic-rename publish of one ledger delta (idempotent: an
    *  already-published ledger batch is a no-op, mirroring the data
    *  path). Deltas are sources × counters rows — one file. */
-  private def publishLedgerDelta(delta: DataFrame, corpDir: String,
+  private[graft] def publishLedgerDelta(delta: DataFrame, corpDir: String,
       ledgerId: Long): Unit = {
     val spark = delta.sparkSession
     val fs = fsFor(spark, corpDir)
@@ -270,7 +270,7 @@ object DedupIndex {
   }
 
   /** All deltas of a version dir's ledger, long-form; None = no ledger. */
-  private def ledgerLong(spark: SparkSession, corpDir: String): Option[DataFrame] = {
+  private[graft] def ledgerLong(spark: SparkSession, corpDir: String): Option[DataFrame] = {
     val fs = fsFor(spark, corpDir)
     val ld = ledgerDirOf(corpDir)
     if (!fs.exists(ld)) None
@@ -278,7 +278,7 @@ object DedupIndex {
       .select(col("grp"), col("counter"), col("value")))
   }
 
-  private def collapseLedger(lf: DataFrame): DataFrame =
+  private[graft] def collapseLedger(lf: DataFrame): DataFrame =
     lf.groupBy("grp", "counter").agg(sum(col("value")).as("value"))
       .select("grp", "counter", "value")
 

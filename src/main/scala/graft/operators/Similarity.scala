@@ -271,7 +271,8 @@ object Similarity {
    *  with one atomic pointer swap; `_meta.json` records nLists/dim and a
    *  fresh seed resets the `_committed` replay markers. */
   def ivfWriteAtRest(corpus: DataFrame, centroids: Seq[Seq[Float]],
-      path: String, vecCol: String = "embedding"): Unit = {
+      path: String, vecCol: String = "embedding",
+      ledgerBy: String = null): Unit = {
     val spark = corpus.sparkSession
     AtRest.withLease(spark, path) {
       val fs = AtRest.fsFor(spark, path)
@@ -280,7 +281,18 @@ object Similarity {
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
       writeCodebook(spark, staging.toString, centroids)
-      AtRest.writeMetaStaged(spark, staging, ivfMeta(centroids))
+      // seed the vector-stats ledger INSIDE the staged version, so data,
+      // codebook, meta and ledger swap in atomically together
+      Option(ledgerBy).foreach { g =>
+        require(corpus.columns.contains(g),
+          s"ledgerBy=$g is not a column of the seed corpus " +
+            s"(got ${corpus.columns.mkString("[", ", ", "]")})")
+        DedupIndex.publishLedgerDelta(
+          DedupIndex.countLong(corpus, g, "n_vecs"),
+          staging.toString, DedupIndex.SeedBatch)
+      }
+      AtRest.writeMetaStaged(spark, staging,
+        ivfMeta(centroids) ++ Option(ledgerBy).map("ledgerBy" -> _))
       val markers = new org.apache.hadoop.fs.Path(path, "_committed")
       if (fs.exists(markers)) fs.delete(markers, true)
       AtRest.publishVersion(spark, path, v, "list_id")
@@ -299,6 +311,13 @@ object Similarity {
       path: String, vecCol: String = "embedding"): Unit = {
     val spark = newVecs.sparkSession
     AtRest.withLease(spark, path) {
+      // an ad-hoc append has no replay identity, so it cannot maintain the
+      // exactly-once stats ledger — same contract as the corpus twin
+      if (ivfLedgerByOf(spark, path).isDefined)
+        throw new IllegalArgumentException(
+          s"$path maintains an exactly-once vector-stats ledger, which an " +
+            "ad-hoc append cannot honor — ingest through ivfIngestBatch " +
+            "with a stable batchId >= 0 (or ivfIngestStream)")
       validateCodebook(spark, path, centroids)
       val dir = AtRest.ensureVersioned(spark, path)
       // pre-sidecar tables adopt the caller's codebook (their first append
@@ -357,7 +376,17 @@ object Similarity {
     assigned.write.partitionBy("list_id").mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
     writeCodebook(spark, staging.toString, cb)
-    AtRest.writeMetaStaged(spark, staging, ivfMeta(cb))
+    // a ledgered table's counters survive maintenance: the accreted deltas
+    // collapse to ONE seed delta in the new version (no vector is added or
+    // removed by compact/retrain, so the collapsed ledger stays exact)
+    val ledgerBy = ivfLedgerByOf(spark, path)
+    ledgerBy.foreach { _ =>
+      DedupIndex.ledgerLong(spark, AtRest.resolve(spark, path)).foreach(lf =>
+        DedupIndex.publishLedgerDelta(DedupIndex.collapseLedger(lf),
+          staging.toString, DedupIndex.SeedBatch))
+    }
+    AtRest.writeMetaStaged(spark, staging,
+      ivfMeta(cb) ++ ledgerBy.map("ledgerBy" -> _))
     AtRest.publishVersion(spark, path, v, "list_id")
   }
 
@@ -508,7 +537,21 @@ object Similarity {
         val batchDir = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
         if (fs.exists(batchDir)) fs.delete(batchDir, true)
       }
-      val b = newVecs.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+      val ledgerBy = ivfLedgerByOf(spark, path)
+      // same contract as the corpus twin: a ledgered table takes
+      // checkpointed (replay-identified) ingests only, or the card's
+      // exactly-once headline would silently weaken to at-least-once
+      if (ledgerBy.isDefined && batchId < 0)
+        throw new IllegalArgumentException(
+          s"$path maintains an exactly-once vector-stats ledger, which an " +
+            "ad-hoc (batchId < 0) append cannot honor — pass a stable " +
+            "batchId >= 0 (or ingest through ivfIngestStream)")
+      ledgerBy.foreach(g => require(newVecs.columns.contains(g),
+        s"vector-stats ledger maintenance requires column '$g' (the table's " +
+          s"_meta.json declares ledgerBy=$g); got " +
+          newVecs.columns.mkString("[", ", ", "]")))
+      val keepCols = (Seq(idCol, vecCol) ++ ledgerBy).distinct
+      val b = newVecs.select(keepCols.map(col): _*).dropDuplicates(idCol)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       // sharded fence covers only this writer's id range — reject
       // misrouted rows loudly (mirrors DedupIndex.ingestBatch)
@@ -580,6 +623,20 @@ object Similarity {
           assigned.write.partitionBy("list_id").mode("append").parquet(target)
         }
       }
+      // ledger delta: published AFTER the data, BEFORE the marker — a
+      // crash in between replays the whole batch and rewrites both
+      // (publishLedgerDelta is an idempotent no-op on the replay), so
+      // card and table can never disagree. Even an all-dropped batch
+      // publishes (its drop counters are real).
+      ledgerBy.foreach { g =>
+        val crossOnly = crossDrop.join(inDrop, Seq(idCol), "left_anti")
+        val delta = DedupIndex.countLong(admitted, g, "n_vecs")
+          .unionByName(DedupIndex.countLong(
+            b.join(inDrop, Seq(idCol), "left_semi"), g, "n_dropped_batch"))
+          .unionByName(DedupIndex.countLong(
+            b.join(crossOnly, Seq(idCol), "left_semi"), g, "n_dropped_cross"))
+        DedupIndex.publishLedgerDelta(delta, dir, batchId)
+      }
       if (batchId >= 0)
         AtRest.writeFile(fs, marker,
           n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -590,6 +647,71 @@ object Similarity {
       if (nShards <= 1) AtRest.releaseLease(spark, path, owner)
       else AtRest.releaseShardLease(spark, path, owner, shard, nShards)
     }
+  }
+
+  // ----------------------------------------------------------- vector ledger
+
+  /** The ledgerBy table property, if the IVF table maintains a ledger. */
+  private def ivfLedgerByOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] =
+    AtRest.readMeta(spark, path).flatMap(_.get("ledgerBy"))
+
+  private val IvfLedgerCounters = Seq("n_vecs", "n_dropped_batch", "n_dropped_cross")
+
+  /**
+   * INCREMENTAL per-source stats for the at-rest VECTOR table — the IVF
+   * twin of [[graft.operators.DedupIndex.ledgerCard]]: admitted vectors
+   * and the ingest loop's near-duplicate drop history (in-batch vs
+   * cross-table), grouped by the table's `ledgerBy` column, read from
+   * O(committed batches × sources) tiny ledger rows instead of a table
+   * scan. Maintained by [[ivfIngestBatch]] under the same exactly-once
+   * protocol as the data (delta publishes after the batch dir, before the
+   * `_committed` marker — a crash between them replays and rewrites
+   * both), collapsed to one seed delta by [[ivfCompactAtRest]]/
+   * [[ivfRetrain]] (which move no vectors, so the card is invariant
+   * across maintenance). Enable at seed time
+   * ([[ivfWriteAtRest]]`(..., ledgerBy = <col>)`) or migrate a live table
+   * with [[ivfEnableLedger]]. Loud error on unledgered tables.
+   */
+  def ivfLedgerCard(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val grpName = ivfLedgerByOf(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path maintains no vector-stats ledger — seed with " +
+          "ivfWriteAtRest(..., ledgerBy = <col>) or migrate with ivfEnableLedger"))
+    val lf = DedupIndex.ledgerLong(spark, AtRest.resolve(spark, path)).getOrElse(
+      throw new IllegalStateException(
+        s"$path declares ledgerBy=$grpName but has no _ledger deltas — " +
+          "the table is damaged; re-run ivfEnableLedger to rebuild"))
+    val aggs = IvfLedgerCounters.map(c =>
+      sum(when(col("counter") === c, col("value")).otherwise(0L)).as(c))
+    lf.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("grp", grpName)
+      .orderBy(grpName)
+  }
+
+  /** Migrate an existing (unledgered) IVF table to ledger maintenance:
+   *  one recompute of `n_vecs` over the CURRENT table as the collapsed
+   *  seed delta, plus the meta property that turns every later
+   *  [[ivfIngestBatch]] incremental. Drop-history counters start at 0 —
+   *  the history before enablement was never recorded anywhere. */
+  def ivfEnableLedger(spark: org.apache.spark.sql.SparkSession, path: String,
+      ledgerBy: String): Unit = AtRest.withLease(spark, path) {
+    val meta = AtRest.readMeta(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no _meta.json — seed it through ivfWriteAtRest first"))
+    val dir = AtRest.resolve(spark, path)
+    val fs = AtRest.fsFor(spark, path)
+    val ld = new org.apache.hadoop.fs.Path(dir, "_ledger")
+    if (fs.exists(ld)) fs.delete(ld, true)
+    val cur = ivfRead(spark, path)
+    require(cur.columns.contains(ledgerBy),
+      s"ledgerBy=$ledgerBy is not a column of the at-rest table " +
+        s"(got ${cur.columns.mkString("[", ", ", "]")}) — re-ingest with it " +
+        "or pick a persisted column")
+    DedupIndex.publishLedgerDelta(DedupIndex.countLong(cur, ledgerBy, "n_vecs"),
+      dir, DedupIndex.SeedBatch)
+    AtRest.writeMeta(spark, path, meta + ("ledgerBy" -> ledgerBy))
   }
 
   /** Marker-retention maintenance for the IVF table, mirroring

@@ -1421,6 +1421,124 @@ object MLQueries {
           QueryScratch.fresh("ivf_ingest_q") + "/corpus.parquet")
       })),
 
+    // The INCREMENTAL vector-table card — the IVF twin of
+    // q_corpus_card_incremental: admitted vectors and the ingest loop's
+    // near-duplicate drop history per label, read from the at-rest stats
+    // LEDGER that ivfIngestBatch maintains batch-proportionally (at 100 TB
+    // the alternative — a table sweep per report — dwarfs the ingest
+    // itself). History: the %3==1 slice seeds the ledgered table, then TWO
+    // exactly-once micro-batches ingest the %3==2 and %3==0 slices, each
+    // salted with planted near-copies (x*1.001f, cosine ~1.0): copies of
+    // at-rest vectors land in n_dropped_cross, copies of same-batch
+    // members in n_dropped_batch (the greedy larger-id rule). nProbe=16 =
+    // nLists makes the cross probe exhaustive, so DuckDB's all-pairs
+    // recompute of BOTH drop rules from exact cosines is the exact oracle;
+    // every decision sits >= 0.43 from the 0.95 threshold (natural max
+    // cosine in this corpus is 0.52), so engine float noise cannot flip it.
+    Q("q_sim_card_incremental", Some("""
+      WITH emb_d AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), near_d AS (
+        SELECT vec_id, label,
+               CAST(list_transform(embedding, x -> x * CAST(1.001 AS FLOAT)) AS DOUBLE[]) AS v
+        FROM embeddings
+      ), seed AS (
+        SELECT vec_id, label, v FROM emb_d WHERE vec_id % 3 = 1
+      ), b1 AS (
+        SELECT vec_id, label, v FROM emb_d WHERE vec_id % 3 = 2
+        UNION ALL SELECT vec_id + 1000000, label, v FROM near_d
+          WHERE vec_id % 3 = 1 AND vec_id % 5 = 0
+        UNION ALL SELECT vec_id + 2000000, label, v FROM near_d
+          WHERE vec_id % 3 = 2 AND vec_id % 5 = 0
+      ), in1 AS (
+        SELECT DISTINCT b.vec_id, b.label FROM b1 a JOIN b1 b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.95
+      ), cross1 AS (
+        SELECT DISTINCT a.vec_id, a.label FROM b1 a JOIN seed c
+          ON list_inner_product(a.v, c.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))) >= 0.95
+      ), adm1 AS (
+        SELECT * FROM b1 WHERE vec_id NOT IN (SELECT vec_id FROM in1)
+          AND vec_id NOT IN (SELECT vec_id FROM cross1)
+      ), tab1 AS (
+        SELECT * FROM seed UNION ALL SELECT * FROM adm1
+      ), b2 AS (
+        SELECT vec_id, label, v FROM emb_d WHERE vec_id % 3 = 0
+        UNION ALL SELECT vec_id + 3000000, label, v FROM near_d
+          WHERE vec_id % 3 = 2 AND vec_id % 5 = 1
+        UNION ALL SELECT vec_id + 4000000, label, v FROM near_d
+          WHERE vec_id % 3 = 0 AND vec_id % 5 = 0
+      ), in2 AS (
+        SELECT DISTINCT b.vec_id, b.label FROM b2 a JOIN b2 b ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.95
+      ), cross2 AS (
+        SELECT DISTINCT a.vec_id, a.label FROM b2 a JOIN tab1 c
+          ON list_inner_product(a.v, c.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.v, c.v))) >= 0.95
+      ), adm2 AS (
+        SELECT * FROM b2 WHERE vec_id NOT IN (SELECT vec_id FROM in2)
+          AND vec_id NOT IN (SELECT vec_id FROM cross2)
+      ), nv AS (
+        SELECT label, count(*) AS n FROM
+          (SELECT label FROM tab1 UNION ALL SELECT label FROM adm2) GROUP BY label
+      ), db AS (
+        SELECT label, count(*) AS n FROM
+          (SELECT vec_id, label FROM in1 UNION ALL SELECT vec_id, label FROM in2)
+        GROUP BY label
+      ), dc AS (
+        SELECT label, count(*) AS n FROM (
+          SELECT vec_id, label FROM cross1
+            WHERE vec_id NOT IN (SELECT vec_id FROM in1)
+          UNION ALL
+          SELECT vec_id, label FROM cross2
+            WHERE vec_id NOT IN (SELECT vec_id FROM in2)) GROUP BY label
+      ), labels AS (
+        SELECT DISTINCT label FROM embeddings
+      )
+      SELECT CAST(l.label AS VARCHAR) AS label,
+             CAST(COALESCE(nv.n, 0) AS BIGINT) AS n_vecs,
+             CAST(COALESCE(db.n, 0) AS BIGINT) AS n_dropped_batch,
+             CAST(COALESCE(dc.n, 0) AS BIGINT) AS n_dropped_cross
+      FROM labels l
+      LEFT JOIN nv USING (label)
+      LEFT JOIN db USING (label)
+      LEFT JOIN dc USING (label)
+      ORDER BY 1"""),
+      (s, dir) => {
+        val path = QueryScratch.dir("sim_card_incr") + "/vectors.parquet"
+        Similarity.ivfLedgerCard(s, path)
+          .select("label", "n_vecs", "n_dropped_batch", "n_dropped_cross")
+      },
+      // seed (untimed): the ledgered table bootstrap + two real exactly-once
+      // vector micro-batches; the timed number is the LEDGER READ — the
+      // whole point of maintaining the card incrementally
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = QueryScratch.fresh("sim_card_incr") + "/vectors.parquet"
+        val cb = Similarity.ivfCodebook(emb)
+        def near(src: org.apache.spark.sql.DataFrame, offset: Long) = src.select(
+          (col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+        val seed = emb.filter(col("vec_id") % 3 === 1)
+          .select("vec_id", "embedding", "label")
+        Similarity.ivfWriteAtRest(seed, cb, path, ledgerBy = "label")
+        val o1 = emb.filter(col("vec_id") % 3 === 2)
+          .select("vec_id", "embedding", "label")
+        val b1 = o1.unionByName(near(seed.filter(col("vec_id") % 5 === 0), 1000000L))
+          .unionByName(near(o1.filter(col("vec_id") % 5 === 0), 2000000L))
+        Similarity.ivfIngestBatch(b1, cb, path, threshold = 0.95,
+          nProbe = 16, batchId = 0L)
+        val o2 = emb.filter(col("vec_id") % 3 === 0)
+          .select("vec_id", "embedding", "label")
+        val b2 = o2.unionByName(near(o1.filter(col("vec_id") % 5 === 1), 3000000L))
+          .unionByName(near(o2.filter(col("vec_id") % 5 === 0), 4000000L))
+        Similarity.ivfIngestBatch(b2, cb, path, threshold = 0.95,
+          nProbe = 16, batchId = 1L)
+      })),
+
     // Literal-VALUES oracle (the zarr-fixture pattern): the whole pipeline —
     // PNG/WAV synthesis, decode, bilinear resize, re-encode, feature
     // extraction, decimal-exact aggregation — is deterministic for the

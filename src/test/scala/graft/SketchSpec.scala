@@ -408,6 +408,87 @@ class SketchSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(live, "ingest_batch=1")))
   }
 
+  test("vector-stats ledger: exactly-once card, drop counters, invariant across maintenance") {
+    val dir = tempDir("ivf_ledger") + "/corpus"
+    val cb = Similarity.ivfCodebook(emb, nLists = 16)
+    val seed = emb.filter(col("vec_id") % 3 === 1)
+      .select("vec_id", "embedding", "label")
+    Similarity.ivfWriteAtRest(seed, cb, dir, ledgerBy = "label")
+    def near(src: DataFrame, offset: Long) = src
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    // batch 0: all %3==2 originals (admit: max natural cosine ~0.51 « 0.95)
+    // + near-copies of seed members (cross drop) + near-copies of own
+    // members (in-batch drop: the copy's larger id loses the greedy rule)
+    val orig0 = emb.filter(col("vec_id") % 3 === 2)
+      .select("vec_id", "embedding", "label")
+    val crossPlant = near(seed.filter(col("vec_id") < 30), 1000000L)
+    val inPlant = near(orig0.filter(col("vec_id") < 30), 2000000L)
+    val b0 = orig0.unionByName(crossPlant).unionByName(inPlant)
+    assert(Similarity.ivfIngestBatch(b0, cb, dir, threshold = 0.95,
+      nProbe = 16, batchId = 0L) === orig0.count())
+    def card() = Similarity.ivfLedgerCard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the ledger groups by the grp value cast to string — key everything so
+    val byLabel = (df: DataFrame) => df.groupBy("label").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val (nSeed, nOrig0, nCross, nIn) =
+      (byLabel(seed), byLabel(orig0), byLabel(crossPlant), byLabel(inPlant))
+    val expect0 = (nSeed.keySet ++ nOrig0.keySet ++ nIn.keySet ++ nCross.keySet)
+      .map(l => (l, nSeed(l) + nOrig0(l), nIn(l), nCross(l)))
+    assert(card() === expect0)
+    // the card's n_vecs is the TABLE's per-label count — ledger ≡ data
+    assert(byLabel(Similarity.ivfRead(spark, dir)).toSet === expect0.map(t => (t._1, t._2)))
+    // replay of the same batchId is a marker short-circuit: card unchanged
+    assert(Similarity.ivfIngestBatch(b0, cb, dir, threshold = 0.95,
+      nProbe = 16, batchId = 0L) === orig0.count())
+    assert(card() === expect0)
+    // maintenance moves no vectors -> the collapsed ledger stays exact
+    Similarity.ivfCompactAtRest(spark, dir)
+    assert(card() === expect0)
+    Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 1)
+    assert(card() === expect0)
+    // ad-hoc appends have no replay identity: loud rejection both ways
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendAtRest(orig0.limit(1), Similarity.readCodebook(spark, dir).get, dir)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIngestBatch(near(orig0.limit(1), 9000000L),
+        Similarity.readCodebook(spark, dir).get, dir, threshold = 0.95)
+    }
+    // a batch missing the declared grouping column is loud, not skewing
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIngestBatch(
+        near(orig0.limit(1), 9500000L).drop("label"),
+        Similarity.readCodebook(spark, dir).get, dir, threshold = 0.95, batchId = 7L)
+    }
+  }
+
+  test("ivfEnableLedger migrates a live unledgered table; card matches recompute") {
+    val dir = tempDir("ivf_enable_ledger") + "/corpus"
+    val cb = Similarity.ivfCodebook(emb, nLists = 16)
+    Similarity.ivfWriteAtRest(
+      emb.select("vec_id", "embedding", "label"), cb, dir)
+    intercept[IllegalStateException] { Similarity.ivfLedgerCard(spark, dir) }
+    Similarity.ivfEnableLedger(spark, dir, "label")
+    val card = Similarity.ivfLedgerCard(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = emb.groupBy("label").count()
+      .collect().map(r => (r.get(0).toString, r.getLong(1), 0L, 0L)).toSet
+    assert(card === expect)
+    // and later ingests maintain it incrementally (batch-proportional)
+    val b = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+        col("label"))
+    assert(Similarity.ivfIngestBatch(b, cb, dir, threshold = 0.95,
+      nProbe = 16, batchId = 0L) === 0L) // all near-copies: cross drops
+    val after = Similarity.ivfLedgerCard(spark, dir)
+      .select(sum("n_dropped_cross")).head.getLong(0)
+    assert(after === 3L)
+  }
+
   test("ivfIngestBatch above maxExactBatch plans no broadcast nested-loop join") {
     import spark.implicits._
     val dir = tempDir("ivf_bulk_guard") + "/corpus"
