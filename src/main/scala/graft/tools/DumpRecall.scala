@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** Regenerate q_sim_recall's pinned IVF picks: seeds the at-rest IVF
-  * table from `embeddings` at the given sfDir (sampled codebook, the
-  * q_sim_ivf_at_rest shape), probes vec_id < 10 at k = 10 / nProbe = 4,
+  * table from `embeddings` at the given sfDir (farthest-first + Lloyd's
+  * trained codebook, the q_sim_recall prepare shape), probes vec_id < 10 at k = 10 / nProbe = 4,
   * and prints the (probe_id, neighbor_id) picks as SQL VALUES rows plus
   * the measured recall@10 vs brute force.
   * `runMain graft.tools.DumpRecall [sfDir]`. */
@@ -26,7 +26,8 @@ object DumpRecall {
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     val root = java.nio.file.Files.createTempDirectory("dump_recall").toString +
       "/corpus.parquet"
-    Similarity.ivfWriteAtRest(emb, Similarity.ivfCodebook(emb), root)
+    Similarity.ivfWriteAtRest(emb,
+      Similarity.ivfTrainKmeans(emb, nLists = 16, iters = 10), root, replicas = 2)
     val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
       .select(col("probe_id"), col("neighbor_id"))
     val nProbes = probes.count()

@@ -465,6 +465,43 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("multi-assignment (replicas=2): each vector in 2 lists, probes dedupe, recall rises") {
+    val emb500 = emb.limit(500).persist()
+    val cb = Similarity.ivfTrainKmeans(emb500, nLists = 16, iters = 5)
+    val d1 = tempDir("ivf_rep1") + "/corpus"
+    val d2 = tempDir("ivf_rep2") + "/corpus"
+    Similarity.ivfWriteAtRest(emb500.select("vec_id", "embedding"), cb, d1)
+    Similarity.ivfWriteAtRest(emb500.select("vec_id", "embedding"), cb, d2, replicas = 2)
+    // every vector holds exactly 2 rows, in 2 DISTINCT lists
+    val perVec = Similarity.ivfRead(spark, d2)
+      .groupBy("vec_id").agg(count(lit(1)).as("n"),
+        countDistinct(col("list_id")).as("nl"))
+    assert(perVec.filter(col("n") =!= 2 || col("nl") =!= 2).count() === 0)
+    val probes = emb500.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val exact = Similarity.bruteForceTopK(emb500, probes, k = 10)
+      .select("probe_id", "neighbor_id")
+    def hits(dir: String): Long = {
+      val got = Similarity.ivfTopKAtRest(spark, dir, probes, cb, k = 10, nProbe = 2)
+      // no (probe, neighbor) pair may surface twice through two lists
+      assert(got.groupBy("probe_id", "neighbor_id").count()
+        .filter(col("count") > 1).count() === 0)
+      exact.join(got.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id"), "left_semi").count()
+    }
+    val (h1, h2) = (hits(d1), hits(d2))
+    assert(h2 > h1, s"replicas=2 recall ($h2) should beat single assignment ($h1)")
+    // the boundary replica is probe-visible through EITHER of its lists,
+    // and ingest preserves the factor: an appended batch lands replicated
+    assert(Similarity.ivfIngestBatch(
+      emb500.filter(col("vec_id") === 42)
+        .select((col("vec_id") + 7000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(-1.0f)).as("embedding")),
+      cb, d2, threshold = 0.95, batchId = 3L) === 1L)
+    assert(Similarity.ivfRead(spark, d2).filter(col("vec_id") === 7042L).count() === 2L)
+    emb500.unpersist()
+  }
+
   test("ivfEnableLedger migrates a live unledgered table; card matches recompute") {
     val dir = tempDir("ivf_enable_ledger") + "/corpus"
     val cb = Similarity.ivfCodebook(emb, nLists = 16)
