@@ -422,6 +422,15 @@ object DedupIndex {
     } finally hashed.unpersist(blocking = false)
   }
 
+  /** One specific bloom sidecar by tag; None = never written (legacy or
+   *  zero-key write). */
+  private def readBloomTag(spark: SparkSession, dir: String,
+      tag: String): Option[Array[Byte]] = {
+    val fs = fsFor(spark, dir)
+    val p = new Path(dir, s"_bloom/bloom-$tag.bin")
+    if (fs.exists(p)) Some(AtRest.readFile(fs, p)) else None
+  }
+
   private def readBlooms(spark: SparkSession, dir: String): Seq[Array[Byte]] = {
     val fs = fsFor(spark, dir)
     val d = new Path(dir, "_bloom")
@@ -871,10 +880,15 @@ object DedupIndex {
       .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
       .select("bucket_part", "band", "bucket", "id")
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // localCheckpoint: the drop sets are tiny but their LINEAGE is the
+    // whole in-batch near-dup machinery; four downstream consumers
+    // (admit anti-join, two ledger counts, the sharded commit's unions)
+    // would each re-plan it otherwise
     val inBatchDrop = Dedup.nearDuplicatesFromSigs(
         b.select(col(idCol).as("id"), col(textCol).as("text")), sigs,
         threshold, shingleWords, bands, sigRows, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
     val hasIndex = {
       val ifs = fsFor(spark, indexPath)
       // data dirs only: _bloom/_staging/_committed don't make an index.
@@ -911,13 +925,20 @@ object DedupIndex {
             numHashes, bands, shingleWords, nParts, maxBucket, corpusParts,
             preBanded = banded)
           .select(col("batch_id").as(idCol)).distinct()
+          .localCheckpoint(true) // same lineage-cut as inBatchDrop (the probe plan)
       else b.select(col(idCol)).limit(0)
     // materialized HERE — the heavy signing/probing must finish before
-    // the (serialized) sharded commit section below
+    // the (serialized) sharded commit section below. localCheckpoint, not
+    // persist: the probe's logical plan is enormous (banded signatures +
+    // preBanded probe + bloom pruning), and every downstream action over
+    // a persisted frame RE-PLANS that whole lineage — AQE alone spends
+    // whole seconds per action stringifying it. Truncating the lineage
+    // makes the commit section's queries (keys semi-join, ledger stats,
+    // delta re-probe) plan against a leaf. A lost block just replays the
+    // batch — the exactly-once protocol already assumes that.
     val admitted0 = b.join(inBatchDrop.unionByName(crossDrop).distinct(),
         Seq(idCol), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    admitted0.count()
+      .localCheckpoint(true)
     onBeforeCommit()
 
     def publishAdjudicated(admitted: DataFrame, crossDropAll: DataFrame): Long = {
@@ -989,7 +1010,30 @@ object DedupIndex {
       else AtRest.withCommitLock(spark, indexPath) {
         val delta = (listIndexBatchIds(ifs2, idxDir) -- snapshotIds - batchId)
           .filter(idB => fs.exists(committedMarker(corpusPath, idB)))
-        if (delta.isEmpty) publishAdjudicated(admitted0, crossDrop)
+        // bloom short-circuit FIRST: each committed delta batch published
+        // a bloom over its keys before its data (bloom-b<id>); if none of
+        // my admitted keys might-match any delta bloom, no cross-shard
+        // pair can exist and the whole re-probe is ONE cheap scan-local
+        // filter + take(1) instead of joins + shingle verification — the
+        // no-collision case is the every-batch case in a healthy fleet.
+        // A delta batch with a missing bloom (legacy write) forces the
+        // full verify: a false "no hit" would break dedup, a false hit
+        // only costs the verify.
+        val deltaBlooms = delta.toSeq.sorted.map(idB =>
+          readBloomTag(spark, idxDir, s"b$idB"))
+        val mightHit = delta.nonEmpty && {
+          if (deltaBlooms.exists(_.isEmpty)) true
+          else {
+            val myKeys = banded.join(admitted0.select(col(idCol).as("id")),
+              Seq("id"), "left_semi")
+            !myKeys.filter(deltaBlooms.flatten
+                .map(bl => SketchFunctions.bloom_contains(bl,
+                  xxhash64(col("band"), col("bucket"))))
+                .reduce(_ || _))
+              .isEmpty
+          }
+        }
+        if (!mightHit) publishAdjudicated(admitted0, crossDrop)
         else {
           val dropMore = deltaProbeDrops(spark, idxDir, corpDir, delta.toSeq,
               banded, admitted0, threshold, textCol, idCol, shingleWords)

@@ -639,7 +639,11 @@ object Similarity {
               "shard's stream")
       }
       val nB = b.count()
-      val inDrop =
+      // localCheckpoint on the drop sets: tiny frames, enormous lineage
+      // (all-pairs/LSH dedup, pruned table probe) that every downstream
+      // consumer — admit anti-join, ledger counts, the sharded commit's
+      // unions — would otherwise re-plan per action
+      val inDrop = (
         if (nB <= maxExactBatch) {
           val lhs = b.select(col(idCol).as("_ia"), col(vecCol).as("_va"))
           val rhs = b.select(col(idCol).as("_ib"), col(vecCol).as("_vb"))
@@ -651,6 +655,7 @@ object Similarity {
           // no broadcast NLJ in the plan, linear-ish in the batch
           embeddingDuplicates(b, threshold, idCol = idCol, vecCol = vecCol)
             .select(col("id_b").as(idCol)).distinct()
+      ).localCheckpoint(true)
       val hasTable = {
         val p = new org.apache.hadoop.fs.Path(dir)
         fs.exists(p) && fs.listStatus(p).exists { st =>
@@ -658,6 +663,10 @@ object Similarity {
           n.startsWith("list_id=") || n.startsWith("ingest_batch=")
         }
       }
+      // snapshot of the table's batch dirs, taken just before the probe:
+      // the sharded commit section re-probes against batches that COMMIT
+      // after this point (the cross-shard in-flight window)
+      val snapshotIds = ivfListBatchIds(fs, dir)
       val crossDrop =
         if (hasTable) {
           val probes = b.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
@@ -674,54 +683,132 @@ object Similarity {
             .join(broadcast(probeLists), "list_id")
             .filter(cosine(col("probe_vec"), col(vecCol)) >= threshold)
             .select(col("probe_id").as(idCol)).distinct()
+            .localCheckpoint(true) // same lineage-cut as inDrop
         } else b.select(col(idCol)).limit(0)
-      val admitted = b.join(inDrop.unionByName(crossDrop).distinct(),
+      // materialized HERE — the heavy probing finishes before the
+      // (serialized) sharded commit section below; checkpointed so the
+      // commit's queries plan against a leaf, not the probe lineage
+      val admitted0 = b.join(inDrop.unionByName(crossDrop).distinct(),
           Seq(idCol), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      val n = admitted.count()
-      if (n > 0) {
-        val assigned = ivfAssignMulti(admitted, centroids, vecCol,
-          ivfReplicasOf(spark, path))
-        if (batchId >= 0) {
-          // stage + one atomic rename, the exactly-once publish
-          val target = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
-          if (!fs.exists(target)) {
-            val staging = new org.apache.hadoop.fs.Path(dir, s"_staging_$batchId")
-            assigned.write.partitionBy("list_id").mode("overwrite")
-              .parquet(staging.toString)
-            if (!fs.rename(staging, target))
-              throw new IllegalStateException(
-                s"publish rename $staging -> $target failed")
+        .localCheckpoint(true)
+      onBeforeCommitIvf()
+
+      def publishAdjudicated(admitted: DataFrame, crossDropAll: DataFrame): Long = {
+        val n = admitted.count()
+        if (n > 0) {
+          val assigned = ivfAssignMulti(admitted, centroids, vecCol,
+            ivfReplicasOf(spark, path))
+          if (batchId >= 0) {
+            // stage + one atomic rename, the exactly-once publish
+            val target = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
+            if (!fs.exists(target)) {
+              val staging = new org.apache.hadoop.fs.Path(dir, s"_staging_$batchId")
+              assigned.write.partitionBy("list_id").mode("overwrite")
+                .parquet(staging.toString)
+              if (!fs.rename(staging, target))
+                throw new IllegalStateException(
+                  s"publish rename $staging -> $target failed")
+            }
+          } else {
+            val (target, _) = appendDir(spark, dir)
+            assigned.write.partitionBy("list_id").mode("append").parquet(target)
           }
-        } else {
-          val (target, _) = appendDir(spark, dir)
-          assigned.write.partitionBy("list_id").mode("append").parquet(target)
         }
+        // ledger delta: published AFTER the data, BEFORE the marker — a
+        // crash in between replays the whole batch and rewrites both
+        // (publishLedgerDelta is an idempotent no-op on the replay), so
+        // card and table can never disagree. Even an all-dropped batch
+        // publishes (its drop counters are real).
+        ledgerBy.foreach { g =>
+          val crossOnly = crossDropAll.join(inDrop, Seq(idCol), "left_anti")
+          val delta = DedupIndex.countLong(admitted, g, "n_vecs")
+            .unionByName(DedupIndex.countLong(
+              b.join(inDrop, Seq(idCol), "left_semi"), g, "n_dropped_batch"))
+            .unionByName(DedupIndex.countLong(
+              b.join(crossOnly, Seq(idCol), "left_semi"), g, "n_dropped_cross"))
+          DedupIndex.publishLedgerDelta(delta, dir, batchId)
+        }
+        if (batchId >= 0)
+          AtRest.writeFile(fs, marker,
+            n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        n
       }
-      // ledger delta: published AFTER the data, BEFORE the marker — a
-      // crash in between replays the whole batch and rewrites both
-      // (publishLedgerDelta is an idempotent no-op on the replay), so
-      // card and table can never disagree. Even an all-dropped batch
-      // publishes (its drop counters are real).
-      ledgerBy.foreach { g =>
-        val crossOnly = crossDrop.join(inDrop, Seq(idCol), "left_anti")
-        val delta = DedupIndex.countLong(admitted, g, "n_vecs")
-          .unionByName(DedupIndex.countLong(
-            b.join(inDrop, Seq(idCol), "left_semi"), g, "n_dropped_batch"))
-          .unionByName(DedupIndex.countLong(
-            b.join(crossOnly, Seq(idCol), "left_semi"), g, "n_dropped_cross"))
-        DedupIndex.publishLedgerDelta(delta, dir, batchId)
-      }
-      if (batchId >= 0)
-        AtRest.writeFile(fs, marker,
-          n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      admitted.unpersist(blocking = false)
+
+      // SHARDED commit: serialized by the table root's commit mutex, so
+      // commits are total-ordered and each one re-adjudicates against
+      // every batch committed since its probe snapshot — closing the
+      // cross-shard in-flight window (two shards concurrently ingesting
+      // near-identical vectors could both admit before either
+      // published), exactly as [[DedupIndex.ingestBatch]] does for text.
+      // The re-probe reads the delta batch DIRS only (batch-proportional
+      // I/O); on a hit MY member drops — the committed side is
+      // immutable. Unsharded writers skip the lock: their whole-root
+      // lease already excludes concurrency.
+      val n =
+        if (nShards <= 1) publishAdjudicated(admitted0, crossDrop)
+        else AtRest.withCommitLock(spark, path) {
+          val delta = (ivfListBatchIds(fs, dir) -- snapshotIds - batchId)
+            .filter(idB => fs.exists(
+              new org.apache.hadoop.fs.Path(path, s"_committed/batch-$idB")))
+          // prune by the SAME nProbe ranking as the main probe: a pair
+          // this re-probe should catch sits in a delta list my arrivals
+          // would probe, so only those list sub-dirs are read — and when
+          // the intersection is empty (the every-batch case in a healthy
+          // fleet) the whole re-probe is one bounded probe-list job plus
+          // driver-side directory listings, no data read at all.
+          val myLists: Set[Int] =
+            if (delta.isEmpty) Set.empty
+            else ivfProbeLists(
+                admitted0.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")),
+                centroids, nProbe)
+              .select("list_id").distinct().collect().map(_.getInt(0)).toSet
+          val deltaDirs = delta.toSeq.sorted.flatMap { idB =>
+            val bd = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$idB")
+            fs.listStatus(bd).map(_.getPath).filter { p =>
+              p.getName.startsWith("list_id=") &&
+                p.getName.stripPrefix("list_id=").toIntOption.exists(myLists)
+            }
+          }
+          if (deltaDirs.isEmpty) publishAdjudicated(admitted0, crossDrop)
+          else {
+            val theirs = spark.read.parquet(deltaDirs.map(_.toString): _*)
+              .select(col(vecCol).as("_vt")).distinct()
+            val more = theirs.join(
+                broadcast(admitted0.select(col(idCol), col(vecCol))),
+                cosine(col("_vt"), col(vecCol)) >= threshold)
+              .select(col(idCol)).distinct()
+              .persist(StorageLevel.MEMORY_AND_DISK_SER)
+            val admitted = admitted0.join(more, Seq(idCol), "left_anti")
+              .persist(StorageLevel.MEMORY_AND_DISK_SER)
+            val out = publishAdjudicated(admitted,
+              crossDrop.unionByName(more).distinct())
+            admitted.unpersist(blocking = false)
+            more.unpersist(blocking = false)
+            out
+          }
+        }
+      admitted0.unpersist(blocking = false)
       b.unpersist(blocking = false)
       n
     } finally if (leaseOwner == null) {
       if (nShards <= 1) AtRest.releaseLease(spark, path, owner)
       else AtRest.releaseShardLease(spark, path, owner, shard, nShards)
     }
+  }
+
+  /** Test seam: runs after the probe snapshot is materialized and before
+   *  the commit section — a spec injects a concurrent shard's commit here
+   *  to exercise the cross-shard delta re-probe deterministically. A
+   *  no-op in production. */
+  private[graft] var onBeforeCommitIvf: () => Unit = () => ()
+
+  private def ivfListBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .flatMap(_.stripPrefix("ingest_batch=").toLongOption).toSet
   }
 
   // ----------------------------------------------------------- vector ledger
@@ -862,12 +949,14 @@ object Similarity {
    *  ranges — per-shard leases (same loud conflict matrix), input
    *  filtered to the own range, foreachBatch ids namespaced
    *  `id × nShards + shard` so the exactly-once markers and batch dirs
-   *  never collide. The cross-probe dedup catches cross-shard near-dups
-   *  once the earlier member's batch is PUBLISHED; concurrently
-   *  in-flight cross-shard pairs share the single-stream race window,
-   *  with offline [[ivfCompactAtRest]]/[[ivfRetrain]]-time audits as
-   *  backstop. All shards must hold the SAME codebook (validated
-   *  against the persisted sidecar either way). */
+   *  never collide. Cross-shard near-dups are caught twice: the
+   *  cross-probe covers every batch COMMITTED at probe time, and the
+   *  commit-mutex-serialized delta re-probe inside [[ivfIngestBatch]]
+   *  covers batches that commit inside a batch's in-flight window —
+   *  the later committer's member drops, so two racing shards can no
+   *  longer both admit a near-identical pair. All shards must hold the
+   *  SAME codebook (validated against the persisted sidecar either
+   *  way). */
   def ivfIngestStreamSharded(vecs: DataFrame, centroids: Seq[Seq[Float]],
       path: String, checkpointPath: String, shard: Int, nShards: Int,
       threshold: Double = 0.95, nProbe: Int = 4,

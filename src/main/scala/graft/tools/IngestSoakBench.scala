@@ -31,6 +31,13 @@ import graft.operators.{AtRest, Dedup, DedupIndex}
  *    [[DedupIndex.compactMarkers]] watermark, RESTARTED on the same
  *    checkpoint — exercising batchId continuity across a restart and the
  *    marker-retention knob end to end);
+ *  - the INCREMENTAL RECHECK in the loop: [[DedupIndex.recheckIncremental]]
+ *    runs twice mid-stream (quiesced, like any maintenance pass) on the
+ *    live corpus — frontier persisted in the corpus itself, so the second
+ *    pass adjudicates only the batches committed since the first, with
+ *    zero caller bookkeeping; removals tombstone the corpus and write
+ *    negative ledger adjustments, and the exit check proves the card
+ *    still equals the corpus AFTER recheck+compact have both run;
  *  - admit/drop accounting vs an OFFLINE batch dedup of the identical
  *    document stream (`Dedup.nearDuplicates` over the union) — the
  *    sequential-greedy stream admits a superset of the offline
@@ -45,6 +52,7 @@ object IngestSoakBench {
     val compactAt = if (args.length > 2) args(2).toInt else 66
     val nShards = if (args.length > 3) args(3).toInt else 1
     val ledgerAt = 2
+    val recheckAt = Seq((ledgerAt + nBatches) / 3, nBatches - 5).distinct
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -137,6 +145,7 @@ object IngestSoakBench {
     var queries = startStreams()
     var streamRound = 0 // each live stream's NEXT foreachBatch id
     var cum = 0L
+    val recheckRemoved = scala.collection.mutable.ArrayBuffer.empty[Long]
     val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
     var filesAtCompact = (0, 0)
     var markersAtCompact = 0
@@ -160,6 +169,20 @@ object IngestSoakBench {
         val t1 = System.nanoTime()
         DedupIndex.enableLedger(spark, corpPath, "source")
         println(f"""{"ledger_enabled_at":$b,"wall":${(System.nanoTime() - t1) / 1e9}%.3f}""")
+        queries = startStreams()
+      }
+      if (recheckAt.contains(b)) {
+        // incremental recheck ON THE LIVE CORPUS: quiesce (maintenance
+        // holds the whole-root lease), adjudicate exactly the batches
+        // committed since the persisted frontier, restart on the same
+        // checkpoints. The second pass needs no caller state at all.
+        queries.foreach(_.stop()); releaseAll()
+        val t1 = System.nanoTime()
+        val removed = DedupIndex.recheckIncremental(spark, corpPath, idxPath,
+          threshold = 0.7)
+        recheckRemoved += removed
+        cum -= removed
+        println(f"""{"recheck_at":$b,"wall":${(System.nanoTime() - t1) / 1e9}%.3f,"removed":$removed}""")
         queries = startStreams()
       }
       if (b == compactAt) {
@@ -196,7 +219,14 @@ object IngestSoakBench {
       .agg(sum(col("n_docs"))).head.getLong(0)
     val head = walls.take(10).sum / math.min(10, walls.length)
     val tail = walls.takeRight(10).sum / math.min(10, walls.length)
-    println(f"""{"summary":{"batches":$nBatches,"shards":$nShards,"docs":${texts.length},"stream_admitted":$cum,"corpus_rows":$corpusRows,"ledger_docs":$ledgerDocs,"offline_survivors":$offlineSurvivors,"wall_first10_avg":$head%.3f,"wall_last10_avg":$tail%.3f,"idx_files_final":${countFiles(idxPath)},"corp_files_final":${countFiles(corpPath)},"idx_files_precompact":${filesAtCompact._1},"corp_files_precompact":${filesAtCompact._2},"markers_final":${countMarkers()}}}""")
+    println(f"""{"summary":{"batches":$nBatches,"shards":$nShards,"docs":${texts.length},"stream_admitted":$cum,"corpus_rows":$corpusRows,"ledger_docs":$ledgerDocs,"recheck_removed":${recheckRemoved.sum},"offline_survivors":$offlineSurvivors,"wall_first10_avg":$head%.3f,"wall_last10_avg":$tail%.3f,"idx_files_final":${countFiles(idxPath)},"corp_files_final":${countFiles(corpPath)},"idx_files_precompact":${filesAtCompact._1},"corp_files_precompact":${filesAtCompact._2},"markers_final":${countMarkers()}}}""")
+    // the whole point of the exercise: after ledger enablement, two
+    // incremental rechecks, a compaction, and a restartable stream, the
+    // batch-proportional card STILL equals the corpus it describes
+    assert(ledgerDocs == corpusRows,
+      s"ledger n_docs $ledgerDocs != corpus rows $corpusRows")
+    assert(cum == corpusRows,
+      s"stream accounting (admitted - recheck-removed) $cum != corpus rows $corpusRows")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     spark.stop()
   }

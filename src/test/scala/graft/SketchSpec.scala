@@ -597,6 +597,46 @@ class SketchSpec extends SparkSpec {
     assert(kept.count() == docs.count())
   }
 
+  test("cross-shard in-flight vector race: the delta re-probe drops the later committer") {
+    val dir = tempDir("ivf_race") + "/corpus"
+    val cb = Similarity.ivfCodebook(emb, nLists = 8)
+    Similarity.ivfWriteAtRest(
+      emb.filter(col("vec_id") >= 100).select("vec_id", "embedding"), cb, dir)
+    // one fresh id per shard under the router pmod(xxhash64(id), 2)
+    val byShard = spark.range(9000000L, 9000050L)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val id0 = byShard.find(_._2 == 0L).get._1
+    val id1 = byShard.find(_._2 == 1L).get._1
+    // both batches carry near-copies of base vec 5 (NOT in the table):
+    // without the delta re-probe both members would be admitted
+    def vecOf(id: Long, scale: Float) = emb.filter(col("vec_id") === 5)
+      .select(lit(id).as("vec_id"),
+        transform(col("embedding"), x => x * lit(scale)).as("embedding"))
+    var injected = false
+    Similarity.onBeforeCommitIvf = () => if (!injected) {
+      injected = true
+      // shard 1's near-dup batch commits INSIDE shard 0's in-flight
+      // window (after its probe snapshot, before its commit)
+      assert(Similarity.ivfIngestBatch(vecOf(id1, 1.001f), cb, dir,
+        threshold = 0.95, nProbe = 8, batchId = 1L, shard = 1, nShards = 2) === 1L)
+    }
+    try {
+      val n = Similarity.ivfIngestBatch(vecOf(id0, 1.0f), cb, dir,
+        threshold = 0.95, nProbe = 8, batchId = 0L, shard = 0, nShards = 2)
+      assert(n === 0L, "the later committer must drop its in-flight near-dup")
+    } finally Similarity.onBeforeCommitIvf = () => ()
+    val fresh = Similarity.ivfRead(spark, dir).filter(col("vec_id") >= 9000000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(fresh === Set(id1))
+    // shard 0's batch still committed exactly-once (all-dropped, n=0) and
+    // the commit mutex released
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_committed/batch-0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_commitlock")))
+  }
+
   test("sharded vector ingest: two concurrent disjoint-shard streams equal the single writer") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
