@@ -78,6 +78,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "minhash_signature(shingles, numHashes)")
         VectorFunctions.MinHashSignature(es(0),
           VectorFunctions.litIntArg(es(1), "numHashes")) }))
+    ext.injectFunction((FunctionIdentifier("pq_encode"),
+      info("pq_encode", "pq_encode(vec, codebook) - m-byte product-quantization code"),
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "pq_encode(vec, codebook)")
+        val (cb, m, ksub) = VectorFunctions.foldCodebook(es(1))
+        VectorFunctions.PqEncode(es(0), cb, m, ksub, asInts = false) }))
+    ext.injectFunction((FunctionIdentifier("pq_encode_ints"),
+      info("pq_encode_ints", "pq_encode_ints(vec, codebook) - PQ code as int array"),
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "pq_encode_ints(vec, codebook)")
+        val (cb, m, ksub) = VectorFunctions.foldCodebook(es(1))
+        VectorFunctions.PqEncode(es(0), cb, m, ksub, asInts = true) }))
+    ext.injectFunction((FunctionIdentifier("pq_lut"),
+      info("pq_lut", "pq_lut(probe_vec, codebook) - per-probe ADC lookup table"),
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "pq_lut(probe_vec, codebook)")
+        val (cb, m, ksub) = VectorFunctions.foldCodebook(es(1))
+        VectorFunctions.PqLut(es(0), cb, m, ksub) }))
+    ext.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(code, lut) - ADC similarity from code + lookup table"),
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "pq_adc(code, lut)")
+        VectorFunctions.PqAdc(es(0), es(1)) }))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
       (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 1, "simhash64(text)")

@@ -116,6 +116,118 @@ object VectorKernels {
     sig
   }
 
+  // ------------------------------------------------ product quantization
+  //
+  // PQ compresses a d-dim float vector to `m` bytes: the vector is split
+  // into m contiguous subspaces of dsub = d/m dims, and each subvector is
+  // replaced by the index of its nearest sub-centroid (ksub ≤ 256 per
+  // subspace, trained by per-subspace k-means — Similarity.pqTrain). At
+  // 100 TB of 64-dim float32 embeddings that is a 32× (m=8) storage and
+  // scan-I/O reduction; queries score codes WITHOUT decompressing via ADC
+  // (asymmetric distance computation): per probe, a lookup table
+  // lut[j][c] = probe_sub_j · centroid_{j,c} is built once (m×ksub dots),
+  // and every candidate then costs m table reads instead of d multiplies.
+  // Because corpus vectors are L2-NORMALIZED before encoding and the probe
+  // is normalized in the LUT, the ADC score approximates the cosine the
+  // exact operators rank by — Σ_j p_sub_j · C_j[code_j] = p · reconstruction.
+  // The flat codebook layout everywhere: cb[((j*ksub)+c)*dsub + t].
+
+  /** Nearest sub-centroid per subspace over the NORMALIZED input; ties go
+   *  to the lowest centroid index (deterministic). Dimensions past the
+   *  input's length read as 0.0 (the null-slot convention above). */
+  def pqEncode(v: ArrayData, vFloat: Boolean, cb: Array[Float],
+      m: Int, ksub: Int): Array[Byte] = {
+    val dsub = cb.length / (m * ksub)
+    val n = v.numElements()
+    var nrm = 0.0
+    var i = 0
+    while (i < n) { val x = elem(v, i, vFloat); nrm += x * x; i += 1 }
+    // zero-norm vector: encode the zero vector itself (inv = 0) — every
+    // subspace picks its centroid nearest the origin, deterministically
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cbase = (j * ksub + c) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val x = if (base + t < n) elem(v, base + t, vFloat) * inv else 0.0
+          val diff = x - cb(cbase + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** [[pqEncode]] as int codes — the training loop's explode-friendly twin
+   *  (binary columns don't posexplode). */
+  def pqEncodeInts(v: ArrayData, vFloat: Boolean, cb: Array[Float],
+      m: Int, ksub: Int): ArrayData = {
+    val bytes = pqEncode(v, vFloat, cb, m, ksub)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) { out(j) = bytes(j) & 0xFF; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-probe ADC lookup table: lut[j*ksub + c] = normalized-probe
+   *  subvector j · centroid (j, c). Built ONCE per probe row (m×ksub
+   *  dots), amortized over every candidate the probe scores. */
+  def pqLut(p: ArrayData, pFloat: Boolean, cb: Array[Float],
+      m: Int, ksub: Int): ArrayData = {
+    val dsub = cb.length / (m * ksub)
+    val n = p.numElements()
+    var nrm = 0.0
+    var i = 0
+    while (i < n) { val x = elem(p, i, pFloat); nrm += x * x; i += 1 }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var c = 0
+      while (c < ksub) {
+        val cbase = (j * ksub + c) * dsub
+        var s = 0.0
+        var t = 0
+        while (t < dsub) {
+          val x = if (base + t < n) elem(p, base + t, pFloat) * inv else 0.0
+          s += x * cb(cbase + t)
+          t += 1
+        }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC score: m table reads, no vector math. ksub is implied by the
+   *  shapes (lut.length / code.length), so the same expression serves any
+   *  codebook the LUT was built from. */
+  def pqAdc(code: Array[Byte], lut: ArrayData): Double = {
+    val m = code.length
+    if (m == 0) return 0.0
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) { s += lut.getDouble(j * ksub + (code(j) & 0xFF)); j += 1 }
+    s
+  }
+
   /** MinHash signature over a string-shingle array: sig[j] = min over
    *  shingles of xxhash64(shingle bytes, seed j). One pass over shingles,
    *  all k lanes updated per element — no per-seed re-traversal, no
@@ -241,6 +353,105 @@ object VectorFunctions {
       copy(child = c)
   }
 
+  // --------------------------------------------- product quantization exprs
+  //
+  // The codebook rides INSIDE the expression (a Seq[Float] field — Seq, not
+  // Array, so case-class equality stays structural for canonicalization),
+  // handed to codegen as a reference object: the generated code reads one
+  // shared float[] — no per-row literal array construction, and the
+  // expression stays inside the surrounding whole-stage span.
+
+  case class PqEncode(child: Expression, cb: Seq[Float], m: Int, ksub: Int,
+      asInts: Boolean) extends UnaryExpression {
+    require(m > 0 && ksub > 0 && ksub <= 256 && cb.length % (m * ksub) == 0,
+      s"pq codebook shape: len=${cb.length} must be m($m) x ksub($ksub) x dsub, ksub <= 256")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecArgs(prettyName, child)
+    override def dataType: DataType =
+      if (asInts) ArrayType(IntegerType, containsNull = false) else BinaryType
+    private lazy val vf = isFloatArray(child)
+    @transient private lazy val cbArr = cb.toArray
+    override def nullSafeEval(v: Any): Any =
+      if (asInts) VectorKernels.pqEncodeInts(v.asInstanceOf[ArrayData], vf, cbArr, m, ksub)
+      else VectorKernels.pqEncode(v.asInstanceOf[ArrayData], vf, cbArr, m, ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cbArr, "float[]")
+      val fn = if (asInts) "pqEncodeInts" else "pqEncode"
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.VectorKernels.$fn($v, $vf, $ref, $m, $ksub);")
+    }
+    override def prettyName: String = if (asInts) "pq_encode_ints" else "pq_encode"
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  case class PqLut(child: Expression, cb: Seq[Float], m: Int, ksub: Int)
+    extends UnaryExpression {
+    require(m > 0 && ksub > 0 && ksub <= 256 && cb.length % (m * ksub) == 0,
+      s"pq codebook shape: len=${cb.length} must be m($m) x ksub($ksub) x dsub, ksub <= 256")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecArgs(prettyName, child)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private lazy val vf = isFloatArray(child)
+    @transient private lazy val cbArr = cb.toArray
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.pqLut(v.asInstanceOf[ArrayData], vf, cbArr, m, ksub)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cbArr, "float[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.VectorKernels.pqLut($v, $vf, $ref, $m, $ksub);")
+    }
+    override def prettyName: String = "pq_lut"
+    override protected def withNewChildInternal(c: Expression): PqLut =
+      copy(child = c)
+  }
+
+  case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (binary code, array<double> lut), got (${l.sql}, ${r.sql})")
+      }
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(code: Any, lut: Any): Any =
+      VectorKernels.pqAdc(code.asInstanceOf[Array[Byte]], lut.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l) =>
+        s"${ev.value} = graft.functions.VectorKernels.pqAdc($c, $l);")
+    override def prettyName: String = "pq_adc"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+      copy(left = l, right = r)
+  }
+
+  /** Flatten a FOLDABLE array<array<array<float>>> codebook argument at
+   *  analysis time (typedLit from the Column helpers, or an inline literal
+   *  from SQL) into the kernels' flat layout + derived (m, ksub). */
+  private[graft] def foldCodebook(e: Expression): (Seq[Float], Int, Int) = {
+    require(e.foldable, s"pq codebook must be a literal, got $e")
+    val ok = e.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => true
+      case _ => false
+    }
+    require(ok, s"pq codebook must be array<array<array<float>>>, got ${e.dataType.sql}")
+    val outer = e.eval().asInstanceOf[ArrayData]
+    val m = outer.numElements()
+    require(m > 0, "pq codebook has no subspaces")
+    val subs = (0 until m).map(j => outer.getArray(j))
+    val ksub = subs.head.numElements()
+    require(ksub > 0 && subs.forall(_.numElements() == ksub),
+      "pq codebook subspaces must share one ksub > 0")
+    val dsub = subs.head.getArray(0).numElements()
+    val flat = new Array[Float](m * ksub * dsub)
+    for (j <- 0 until m; c <- 0 until ksub) {
+      val cent = subs(j).getArray(c)
+      require(cent.numElements() == dsub, "pq codebook centroids must share one dsub")
+      var t = 0
+      while (t < dsub) { flat((j * ksub + c) * dsub + t) = cent.getFloat(t); t += 1 }
+    }
+    (flat.toSeq, m, ksub)
+  }
+
   private[graft] def litIntArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -262,6 +473,21 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("minhash_signature",
       (es: Seq[Expression]) => { expectArity(es, 2, "minhash_signature(shingles, numHashes)")
         MinHashSignature(es(0), litInt(es(1), "numHashes")) }, "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode",
+      (es: Seq[Expression]) => { expectArity(es, 2, "pq_encode(vec, codebook)")
+        val (cb, m, ksub) = foldCodebook(es(1))
+        PqEncode(es(0), cb, m, ksub, asInts = false) }, "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode_ints",
+      (es: Seq[Expression]) => { expectArity(es, 2, "pq_encode_ints(vec, codebook)")
+        val (cb, m, ksub) = foldCodebook(es(1))
+        PqEncode(es(0), cb, m, ksub, asInts = true) }, "scala_udf")
+    reg.createOrReplaceTempFunction("pq_lut",
+      (es: Seq[Expression]) => { expectArity(es, 2, "pq_lut(probe_vec, codebook)")
+        val (cb, m, ksub) = foldCodebook(es(1))
+        PqLut(es(0), cb, m, ksub) }, "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc",
+      (es: Seq[Expression]) => { expectArity(es, 2, "pq_adc(code, lut)")
+        PqAdc(es(0), es(1)) }, "scala_udf")
   }
 
   /** Column helpers; register on the active session lazily. */
@@ -282,5 +508,24 @@ object VectorFunctions {
     import org.apache.spark.sql.functions.lit
     register(SparkSession.active)
     call_function("minhash_signature", shingles, lit(numHashes))
+  }
+  def pq_encode(vec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    register(SparkSession.active)
+    call_function("pq_encode", vec, typedLit(codebook))
+  }
+  def pq_encode_ints(vec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    register(SparkSession.active)
+    call_function("pq_encode_ints", vec, typedLit(codebook))
+  }
+  def pq_lut(probeVec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    register(SparkSession.active)
+    call_function("pq_lut", probeVec, typedLit(codebook))
+  }
+  def pq_adc(code: Column, lut: Column): Column = {
+    register(SparkSession.active)
+    call_function("pq_adc", code, lut)
   }
 }

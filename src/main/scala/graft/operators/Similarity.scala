@@ -303,15 +303,22 @@ object Similarity {
    *  fresh seed resets the `_committed` replay markers. */
   def ivfWriteAtRest(corpus: DataFrame, centroids: Seq[Seq[Float]],
       path: String, vecCol: String = "embedding",
-      ledgerBy: String = null, replicas: Int = 1): Unit = {
+      ledgerBy: String = null, replicas: Int = 1,
+      pqModel: Seq[Seq[Seq[Float]]] = null): Unit = {
     val spark = corpus.sparkSession
     AtRest.withLease(spark, path) {
       val fs = AtRest.fsFor(spark, path)
       val (v, staging) = AtRest.nextStaging(fs, path)
-      ivfAssignMulti(corpus, centroids, vecCol, replicas)
+      val assigned = ivfAssignMulti(corpus, centroids, vecCol, replicas)
+      // IVF-PQ layout: each row also carries its m-byte PQ code, and the
+      // model persists beside the data it encoded — probes then scan
+      // codes, not embeddings (ivfPqTopKAtRest)
+      val withCodes = Option(pqModel).fold(assigned)(pqEncode(assigned, _, vecCol))
+      withCodes
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
       writeCodebook(spark, staging.toString, centroids)
+      Option(pqModel).foreach(pqWriteModel(spark, staging.toString, _))
       // seed the vector-stats ledger INSIDE the staged version, so data,
       // codebook, meta and ledger swap in atomically together
       Option(ledgerBy).foreach { g =>
@@ -358,7 +365,9 @@ object Similarity {
         AtRest.writeMeta(spark, path, ivfMeta(centroids))
       }
       val (target, _) = appendDir(spark, dir)
-      ivfAssignMulti(newVecs, centroids, vecCol, ivfReplicasOf(spark, path))
+      withPqCodes(
+          ivfAssignMulti(newVecs, centroids, vecCol, ivfReplicasOf(spark, path)),
+          spark, path, vecCol)
         .write.partitionBy("list_id").mode("append").parquet(target)
     }
   }
@@ -438,13 +447,19 @@ object Similarity {
    *  maintenance generation as reader grace). Quiesce WRITERS first —
    *  the callers hold the lease. */
   private def swapRewrite(assigned: DataFrame, path: String,
-      cb: Seq[Seq[Float]]): Unit = {
+      cb: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]] = null): Unit = {
     val spark = assigned.sparkSession
     val fs = AtRest.fsFor(spark, path)
+    // carry a PQ-encoded table's model into the rewrite: the codes ride in
+    // the `assigned` frame (a data column), but future appends and probe
+    // LUTs need the MODEL beside the new version too — read it before the
+    // pointer moves. An explicitly-passed model (ivfEnablePq) wins.
+    val pq = Option(pqModel).orElse(ivfPqModel(spark, path))
     val (v, staging) = AtRest.nextStaging(fs, path)
     assigned.write.partitionBy("list_id").mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
     writeCodebook(spark, staging.toString, cb)
+    pq.foreach(pqWriteModel(spark, staging.toString, _))
     // a ledgered table's counters survive maintenance: the accreted deltas
     // collapse to ONE seed delta in the new version (no vector is added or
     // removed by compact/retrain, so the collapsed ledger stays exact)
@@ -541,6 +556,124 @@ object Similarity {
       idCol: String, vecCol: String): DataFrame =
     ivfTopKAtRest(spark, path, probes, storedCodebook(spark, path), k, nProbe,
       idCol, vecCol)
+
+  /**
+   * MIGRATE a live at-rest IVF table to IVF-PQ: every row gains its
+   * `pq_code` column and the model persists beside the new version —
+   * staged and pointer-swapped exactly like compact/retrain (crash-safe,
+   * readers see old or new, never a mix; a ledgered table's counters
+   * carry). Assignments and the IVF codebook are untouched; after this,
+   * every append/ingest path encodes arrivals automatically and
+   * [[ivfPqTopKAtRest]] serves probes from the codes. Re-running with a
+   * NEW model re-encodes (the old `pq_code` column is replaced).
+   */
+  def ivfEnablePq(spark: org.apache.spark.sql.SparkSession, path: String,
+      pqModel: Seq[Seq[Seq[Float]]],
+      vecCol: String = "embedding"): Unit = AtRest.withLease(spark, path) {
+    val cb = storedCodebook(spark, path)
+    val all = spark.read.parquet(AtRest.resolve(spark, path))
+      .drop("ingest_batch").drop("pq_code")
+    val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
+    swapRewrite(
+      pqEncode(all, pqModel, vecCol).repartition(nLists, col("list_id")),
+      path, cb, pqModel)
+  }
+
+  /**
+   * Probe an IVF-PQ table — the 100 TB ANN serving shape, two stages:
+   *
+   *  1. ADC over the pruned lists: the scan plans only the probes' nProbe
+   *     wanted partitions AND reads only `(id, pq_code, list_id)` — m
+   *     bytes of code per vector; the embedding column's pages are never
+   *     fetched (column pruning, spec-asserted). Candidates score via m
+   *     LUT reads each against the probe's broadcast lookup table.
+   *  2. Exact rerank: the top-`rerank` ADC survivors per probe become a
+   *     static `IN` filter on the id column (a bounded ≤ |probes|×rerank
+   *     collect of the candidate LIST, not of data — parquet row-group
+   *     stats then skip non-candidate pages), raw vectors are fetched for
+   *     just those rows, and the final top-k ranks by TRUE cosine.
+   *
+   * Returned scores are exact; ADC only decided which ~rerank of the
+   * pruned lists' vectors were worth reading in full.
+   */
+  def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = storedCodebook(spark, path)
+    val dir = AtRest.resolve(spark, path)
+    val pq = pqReadModel(spark, dir) // loud on a plain IVF table
+    val pl = ivfProbeLists(probes, centroids, nProbe)
+    // bounded collect over the MODEL's keyspace (≤ nLists), the same
+    // static-IN pruning as ivfTopKAtRest
+    val wanted = pl.select("list_id").distinct().collect()
+      .map(_.getInt(0)).sorted.map(_.asInstanceOf[Any])
+    val luts = pl.select(col("probe_id"), col("list_id"),
+      graft.functions.VectorFunctions.pq_lut(col("probe_vec"), pq).as("_lut"))
+    val codes = spark.read.parquet(dir)
+      .filter(col("list_id").isin(wanted: _*))
+      .select(col(idCol), col("pq_code"), col("list_id"))
+    val scored0 = codes.join(broadcast(luts), "list_id")
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("_adc",
+        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut")))
+    // replicas surface the same (probe, id) through several lists with
+    // IDENTICAL codes — collapse before ranking (same rule as ivfTopKAtRest)
+    val scored = if (ivfReplicasOf(spark, path) > 1)
+      scored0.dropDuplicates("probe_id", idCol) else scored0
+    val r = math.max(k, rerank)
+    val w = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col(idCol))
+    val cand = scored.withColumn("_ar", row_number().over(w))
+      .filter(col("_ar") <= r)
+      .select(col("probe_id"), col(idCol))
+    // bounded collect: the candidate-ID list (≤ |probes| × rerank rows) —
+    // what turns the vector fetch into a pushed-down point read
+    onPqAdcPlan(cand)
+    val candIds = cand.select(col(idCol)).distinct().collect().map(_.get(0))
+    if (candIds.isEmpty)
+      return probes.select(col("probe_id"), col("probe_id").as("neighbor_id"),
+        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    val fetch = spark.read.parquet(dir)
+      .filter(col("list_id").isin(wanted: _*) && col(idCol).isin(candIds: _*))
+      .select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol) // replicas: one vector row per id
+    val exact = fetch
+      .join(broadcast(cand.join(probes, "probe_id")), idCol)
+      .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+    val we = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    exact.withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** In-memory IVF-PQ comparator for [[ivfPqTopKAtRest]] (same codebook +
+   *  model ⇒ identical result): assign + encode + ADC candidate pass +
+   *  exact rerank, all on the live frame. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame,
+      centroids: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]],
+      k: Int, nProbe: Int = 4, rerank: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = pqEncode(ivfAssign(corpus, centroids, vecCol), pqModel, vecCol)
+    val luts = ivfProbeLists(probes, centroids, nProbe)
+      .select(col("probe_id"), col("list_id"), col("probe_vec"),
+        graft.functions.VectorFunctions.pq_lut(col("probe_vec"), pqModel).as("_lut"))
+    val scored = assigned.join(broadcast(luts), "list_id")
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("_adc",
+        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut")))
+    val r = math.max(k, rerank)
+    val w = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col(idCol))
+    val cand = scored.withColumn("_ar", row_number().over(w))
+      .filter(col("_ar") <= r)
+    val we = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    cand.withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
 
   /**
    * One micro-batch of a VECTOR ingest loop over the at-rest IVF table —
@@ -696,8 +829,10 @@ object Similarity {
       def publishAdjudicated(admitted: DataFrame, crossDropAll: DataFrame): Long = {
         val n = admitted.count()
         if (n > 0) {
-          val assigned = ivfAssignMulti(admitted, centroids, vecCol,
-            ivfReplicasOf(spark, path))
+          val assigned = withPqCodes(
+            ivfAssignMulti(admitted, centroids, vecCol,
+              ivfReplicasOf(spark, path)),
+            spark, path, vecCol)
           if (batchId >= 0) {
             // stage + one atomic rename, the exactly-once publish
             val target = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
@@ -801,6 +936,13 @@ object Similarity {
    *  to exercise the cross-shard delta re-probe deterministically. A
    *  no-op in production. */
   private[graft] var onBeforeCommitIvf: () => Unit = () => ()
+
+  /** Test seam: receives [[ivfPqTopKAtRest]]'s ADC candidate frame before
+   *  the candidate-id collect, so a spec can assert the code scan's
+   *  partition pruning and column pruning on the OPERATOR's own plan (the
+   *  returned frame only contains the rerank stage — the ADC pass has
+   *  already executed by then). A no-op in production. */
+  private[graft] var onPqAdcPlan: DataFrame => Unit = _ => ()
 
   private def ivfListBatchIds(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Set[Long] = {
@@ -1052,5 +1194,205 @@ object Similarity {
     // caches — leaked persists thrash under memory pressure (see
     // Dedup.materializeThenFree)
     Dedup.materializeThenFree(out, sigs, pairs, vecs)
+  }
+
+  // --------------------------------------------------- product quantization
+  //
+  // PQ is the memory/IO lever the int8 path (q_embed_quantize) can't reach:
+  // int8 shrinks 4×; PQ with m=8 subspaces shrinks a 64-dim float32 vector
+  // 32× (8 code bytes), and candidates are scored from the CODES via a
+  // per-probe lookup table (ADC) — m table reads per candidate instead of a
+  // d-wide dot. At 100 TB that converts the ANN scan from bandwidth-bound
+  // over raw vectors to scanning a few TB of codes; exact reranking then
+  // fetches raw vectors for only the top-r survivors per probe.
+  // Kernels/expressions live in graft.functions.VectorFunctions (codegen'd,
+  // codebook shipped once as a reference object).
+
+  /**
+   * Train per-subspace k-means codebooks (m × ksub × dsub), deterministic
+   * and driver-bounded like [[ivfTrainKmeans]]:
+   *
+   *  - init: ONE bounded job — the first `ksub` corpus vectors by
+   *    xxhash64(id) seed ALL m subspaces at once (their normalized
+   *    subvector slices); no per-cell driver round-trips (m×ksub of them
+   *    would dominate wall time at any scale);
+   *  - Lloyd rounds: each is ONE job — encode with the current codebook
+   *    (codegen'd pq_encode_ints), explode to (subspace, code, pos, val)
+   *    and average; only m×ksub×dsub cells ever reach the driver (the
+   *    model itself). Subquantizer means are PLAIN averages of normalized-
+   *    vector slices (subvectors are not unit-norm, so the spherical
+   *    update is wrong here); cells that collect no members keep their
+   *    previous centroid; averages snap to a 1e-6 grid so the trained
+   *    model is stable under any partitioning.
+   *
+   * At 100 TB run this over a sample — every round prices by the training
+   * frame, and the codebook is m×ksub×dsub floats regardless of corpus size.
+   */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol)))
+      .limit(ksub)
+      .collect() // bounded: ksub rows, the init sample
+      .map(_.getSeq[Float](1))
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    def normalized(v: Seq[Float]): Array[Float] = {
+      val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)).toFloat
+      if (nrm == 0f) v.toArray else v.map(_ / nrm).toArray
+    }
+    // fewer rows than ksub: cycle the sample — duplicate centroids just
+    // leave some cells empty (ties encode to the lowest index)
+    var cb: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
+      (0 until ksub).map { c =>
+        normalized(sample(c % sample.length)).slice(j * dsub, (j + 1) * dsub).toSeq
+      }
+    }
+    val grid = 1e6
+    for (_ <- 0 until iters) {
+      // lesson: bind the normalized array via a projection BEFORE slicing in
+      // lambdas — a non-cheap expression referenced per-element re-runs per
+      // element (the round-12 O(tokens²) trap)
+      val vn = corpus.select(col(vecCol).as("_v"))
+        .filter(col("_v").isNotNull)
+        .withColumn("_nrm", norm(col("_v")))
+        .select(when(col("_nrm") > 0,
+            transform(col("_v"), x => x.cast("double") / col("_nrm")))
+          .otherwise(transform(col("_v"), x => lit(0.0))).as("_vn"),
+          graft.functions.VectorFunctions.pq_encode_ints(col("_v"), cb).as("_codes"))
+      val cells = vn
+        .select(posexplode(col("_codes")).as(Seq("j", "code")), col("_vn"))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("_vn"), col("j") * dsub + 1, lit(dsub)))
+            .as(Seq("pos", "v")))
+        .groupBy("j", "code", "pos").agg(avg(col("v")).as("mean"))
+        .collect() // bounded: m x ksub x dsub cells, the model itself
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = cb.zipWithIndex.map { case (sub, j) =>
+        sub.zipWithIndex.map { case (old, c) =>
+          cells.get((j, c)).fold(old) { rows =>
+            val arr = old.toArray
+            rows.foreach(r =>
+              arr(r.getInt(2)) = (math.rint(r.getDouble(3) * grid) / grid).toFloat)
+            arr.toSeq
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  private def pqModelFile(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_pq_codebook/model.txt")
+
+  /** Persist a trained PQ model (same exact-roundtrip float-bits text
+   *  format as the IVF codebook sidecar): header `m ksub dsub`, then one
+   *  line per (subspace, centroid). */
+  def pqWriteModel(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cb: Seq[Seq[Seq[Float]]]): Unit = {
+    val m = cb.length
+    val ksub = cb.head.length
+    val dsub = cb.head.head.length
+    val body = s"$m $ksub $dsub\n" + cb.flatMap(_.map(
+      _.map(java.lang.Float.floatToIntBits).mkString(" "))).mkString("\n")
+    AtRest.writeFile(AtRest.fsFor(spark, dir), pqModelFile(dir),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The PQ model persisted with the table's CURRENT version, if the
+   *  table is IVF-PQ encoded; None on plain IVF tables. */
+  def ivfPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Seq[Seq[Seq[Float]]]] = {
+    val dir = AtRest.resolve(spark, path)
+    if (AtRest.fsFor(spark, dir).exists(pqModelFile(dir)))
+      Some(pqReadModel(spark, dir))
+    else None
+  }
+
+  /** Every write path of a PQ-encoded table MUST encode — one un-encoded
+   *  batch directory would drift the table schema, and a parquet read
+   *  without mergeSchema silently samples one file's schema (the same
+   *  failure class the corpus ingest guards against). */
+  private def withPqCodes(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      path: String, vecCol: String): DataFrame =
+    ivfPqModel(spark, path).fold(df)(pqEncode(df, _, vecCol))
+
+  def pqReadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[Seq[Float]]] = {
+    val fs = AtRest.fsFor(spark, dir)
+    val f = pqModelFile(dir)
+    if (!fs.exists(f))
+      throw new IllegalStateException(s"no PQ model at $f — train with " +
+        "Similarity.pqTrain and persist with pqWriteModel first")
+    val lines = new String(AtRest.readFile(fs, f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.linesIterator.toSeq
+    val Array(m, ksub, dsub) = lines.head.split(" ").map(_.toInt)
+    val cents = lines.tail.map(_.split(" ")
+      .map(s => java.lang.Float.intBitsToFloat(s.toInt)).toSeq)
+    require(cents.length == m * ksub && cents.forall(_.length == dsub),
+      s"corrupt PQ model at $f: expected $m x $ksub centroids of $dsub dims")
+    (0 until m).map(j => cents.slice(j * ksub, (j + 1) * ksub))
+  }
+
+  /** Corpus with its `m`-byte PQ code column — what a 100 TB pipeline
+   *  persists (optionally beside/instead of the raw vectors) so ANN scans
+   *  read codes, not embeddings. */
+  def pqEncode(df: DataFrame, codebook: Seq[Seq[Seq[Float]]],
+      vecCol: String = "embedding", outCol: String = "pq_code"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.VectorFunctions.pq_encode(col(vecCol), codebook))
+
+  /**
+   * ADC top-k with optional exact rerank — the production two-stage shape:
+   *
+   *  1. every candidate scored from its CODE against the probe's lookup
+   *     table (built once per probe row, broadcast with it); the corpus
+   *     side touches only (id, code) — at rest that is a column-pruned
+   *     scan of m bytes/vector;
+   *  2. `rerank > 0`: the top-`rerank` ADC survivors per probe fetch raw
+   *     vectors (a semi-join-sized fetch, not a corpus scan) and the final
+   *     top-k ranks by EXACT cosine — returned scores are exact, ADC only
+   *     decided which ~r of N vectors were worth reading.
+   *
+   * `rerank = 0` ranks by the ADC approximation itself (column `adc`);
+   * with rerank the output matches [[bruteForceTopK]]'s schema (`cosine`).
+   */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, codebook: Seq[Seq[Seq[Float]]],
+      k: Int, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = pqEncode(corpus.select(col(idCol), col(vecCol)), codebook, vecCol)
+      .select(col(idCol), col("pq_code"))
+    val pl = probes.withColumn("_lut",
+      graft.functions.VectorFunctions.pq_lut(col("probe_vec"), codebook))
+    val scored = codes.join(broadcast(pl), col("probe_id") =!= col(idCol))
+      .withColumn("_adc",
+        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut")))
+    val w = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col(idCol))
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col(idCol).as("neighbor_id"),
+          round(col("_adc"), 6).as("adc"), col("rank"))
+        .orderBy("probe_id", "rank")
+    } else {
+      val r = math.max(k, rerank)
+      val cand = scored.withColumn("_ar", row_number().over(w))
+        .filter(col("_ar") <= r)
+        .select(col("probe_id"), col("probe_vec"), col(idCol))
+      // candidate fetch: |probes|×r rows broadcast against the corpus —
+      // the raw-vector read stays candidate-sized, never a corpus shuffle
+      val exact = corpus.select(col(idCol), col(vecCol))
+        .join(broadcast(cand), idCol)
+        .withColumn("cos", cosine(col("probe_vec"), col(vecCol)))
+      val we = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+      exact.withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col(idCol).as("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }
   }
 }

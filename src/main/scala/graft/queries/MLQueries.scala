@@ -1223,6 +1223,100 @@ object MLQueries {
           scratchDir("sim_recall") + "/corpus.parquet", replicas = 2)
       })),
 
+    // PRODUCT QUANTIZATION, exact-reranked — the two-stage ANN serving
+    // shape: the corpus is scored from its 8-byte PQ codes (32× smaller
+    // than the float32 vectors) against each probe's broadcast ADC lookup
+    // table, then only the top-20 survivors per probe fetch raw vectors
+    // for EXACT cosine reranking. The returned scores are true cosines, so
+    // the picks pin the deterministic (trained) model's selection and
+    // DuckDB recomputes every pair's cosine from the raw embeddings — a
+    // drifted pqTrain, a broken encode/LUT/ADC kernel, or a rerank bug all
+    // go red. Pins regenerate with tools.DumpPq.
+    Q("q_sim_pq", Some(simPickedOracle(
+      "(0,365,1),(0,334,2),(0,387,3),(0,423,4),(0,73,5)," +
+      "(1,386,1),(1,27,2),(1,195,3),(1,64,4),(1,353,5)," +
+      "(2,117,1),(2,145,2),(2,471,3),(2,172,4),(2,440,5)," +
+      "(3,130,1),(3,315,2),(3,474,3),(3,396,4),(3,490,5)," +
+      "(4,114,1),(4,482,2),(4,249,3),(4,257,4),(4,346,5)")),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val cb = Similarity.pqReadModel(s, scratchDir("sim_pq"))
+        Similarity.pqTopK(emb, probes, cb, k = 5, rerank = 20)
+      },
+      // seed (untimed): train the m=8/ksub=16 model once and persist it —
+      // the timed number is the ADC code scan + candidate-sized rerank
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqWriteModel(s, scratchDir("sim_pq"),
+          Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 5))
+      })),
+
+    // PQ COMPRESSION/RECALL CURVE, driver-visible: ADC-only recall@10 vs
+    // exact brute-force cosine top-10, swept over m = 16/8/4 subquantizers
+    // (16×/32×/64× compression) — the storage/quality tradeoff a 100 TB
+    // embedding store tunes. Same oracle design as q_sim_recall: DuckDB
+    // recomputes the EXACT top-10 from raw embeddings and derives recall
+    // against the PINNED deterministic PQ picks (PqOracle, regenerate with
+    // tools.DumpPq). Gaussian embeddings are the no-structure WORST case
+    // (0.48/0.33/0.17); planted near-dup recall ~1.0 and the rerank
+    // recovery path are spec'd in SketchSpec.
+    Q("q_sim_pq_recall", Some(s"""
+      WITH picked(m, probe_id, neighbor_id) AS
+        (SELECT * FROM (VALUES ${PqOracle.pickValues})),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      pr AS (SELECT vec_id AS probe_id, emb AS pemb FROM v WHERE vec_id < 10),
+      scored AS (
+        SELECT pr.probe_id, v.vec_id,
+               round(list_inner_product(pr.pemb, v.emb)
+                 / (sqrt(list_inner_product(pr.pemb, pr.pemb))
+                    * sqrt(list_inner_product(v.emb, v.emb))), 6) AS cos
+        FROM pr JOIN v ON v.vec_id <> pr.probe_id
+      ), exact AS (
+        SELECT probe_id, vec_id
+        FROM (SELECT probe_id, vec_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 10
+      )
+      SELECT CAST(p.m AS BIGINT) AS m,
+             CAST(count(e.vec_id) AS BIGINT) AS n_hit,
+             round(count(e.vec_id) / 100.0, 6) AS recall
+      FROM picked p
+      LEFT JOIN exact e ON e.probe_id = p.probe_id AND e.vec_id = p.neighbor_id
+      GROUP BY p.m
+      ORDER BY m"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+          .select(col("probe_id"), col("neighbor_id"))
+        Seq(16, 8, 4).map { m =>
+          val cb = Similarity.pqReadModel(s, scratchDir("sim_pq_recall") + s"/m$m")
+          Similarity.pqTopK(emb, probes, cb, k = 10)
+            .select(lit(m.toLong).as("m"), col("probe_id"), col("neighbor_id"))
+        }.reduce(_ unionAll _)
+          .join(exact.withColumn("hit", lit(1L)),
+            Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("m")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("m"), col("n_hit"),
+            round(col("n_hit") / 100.0, 6).as("recall"))
+          .orderBy("m")
+      },
+      // seed (untimed): train + persist the three models; the timed number
+      // is three ADC code scans + one brute-force exact pass (the audit)
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Seq(16, 8, 4).foreach { m =>
+          Similarity.pqWriteModel(s, scratchDir("sim_pq_recall") + s"/m$m",
+            Similarity.pqTrain(emb, m = m, ksub = 16, iters = 5))
+        }
+      })),
+
     // IVF AT REST — the 100 TB layout: the assigned corpus persisted
     // partitionBy(list_id), probed through a static list_id filter so the
     // parquet scan plans ONLY the nProbe×|probes| wanted partitions
@@ -1250,6 +1344,38 @@ object MLQueries {
         val emb = t(s, dir, "embeddings")
         Similarity.ivfWriteAtRest(emb, Similarity.ivfCodebook(emb),
           scratchDir("ivf_at_rest") + "/corpus.parquet")
+      })),
+
+    // IVF-PQ AT REST — the full 100 TB ANN serving stack: lists pruned to
+    // the probes' nProbe partitions AND the pruned scan reads only the
+    // 8-byte PQ codes (the embedding column's pages never load); the
+    // top-20 ADC survivors per probe turn into a static IN point-fetch of
+    // raw vectors for exact reranking. Verdict: the at-rest two-stage
+    // probe must return EXACTLY the in-memory IVF-PQ comparator's result
+    // on the same codebook + model — 5 probes × k=5, zero mismatches.
+    Q("q_sim_ivfpq_at_rest", Some("""
+      SELECT CAST(25 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val out = scratchDir("ivfpq_at_rest") + "/corpus.parquet"
+        val atRest = Similarity.ivfPqTopKAtRest(s, out, probes, k = 5, rerank = 20)
+        val inMem = Similarity.ivfPqTopK(emb, probes,
+          Similarity.readCodebook(s, out).get,
+          Similarity.ivfPqModel(s, out).get, k = 5, rerank = 20)
+        val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
+        atRest.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      },
+      // seed (untimed): IVF codebook + trained PQ model, written together;
+      // the timed number is the code-only ADC scan + point fetch + the
+      // in-memory comparator
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfWriteAtRest(emb, Similarity.ivfCodebook(emb),
+          scratchDir("ivfpq_at_rest") + "/corpus.parquet",
+          pqModel = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 5))
       })),
 
     // IVF MAINTENANCE end to end: seed at rest under a sampled codebook,

@@ -152,10 +152,16 @@ class PlanSpec extends SparkSpec {
       "q_zarr_stream_sink",
       "q_zarr_nd_roundtrip",   // 1-row self-check counts (round 9)
       "q_sim_ivf_at_rest",     // 1-row at-rest≡in-memory mismatch count
+      "q_sim_ivfpq_at_rest",   // same 1-row self-check shape (IVF-PQ)
       "q_sim_ivf_retrain",     // same 1-row self-check shape, post-retrain
       "q_sim_recall",          // recall audit embeds the brute-force exact
                                //   pass BY DESIGN (10 probes broadcast) —
                                //   the thing the IVF result is graded against
+      "q_sim_pq",              // ADC scan: 5 probe LUT rows broadcast against
+                               //   the code column BY DESIGN (the PQ serving
+                               //   shape); the rerank fetch is an equi-join
+      "q_sim_pq_recall",       // same ADC shape ×3 models, plus the embedded
+                               //   brute-force exact pass it is graded against
       "q_mix_temperature")     // broadcast of the 1-row global weight-sum
                                //   frame (same proven-bounded shape as
                                //   q_search_bm25's corpus-stats row)

@@ -689,6 +689,175 @@ class SketchSpec extends SparkSpec {
     } finally { q0.stop(); q1.stop() }
   }
 
+  // ------------------------------------------------- product quantization
+
+  test("PQ: ADC score is exactly the dot of the normalized probe and the " +
+      "code's reconstruction") {
+    val cb = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    val dsub = cb.head.head.length
+    val rows = Similarity.pqEncode(emb.limit(5), cb)
+      .select(col("vec_id"), col("embedding"), col("pq_code"),
+        graft.functions.VectorFunctions.pq_adc(col("pq_code"),
+          graft.functions.VectorFunctions.pq_lut(col("embedding"), cb)).as("adc"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val nrm = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      val vn = v.map(_ / nrm)
+      val code = r.getAs[Array[Byte]](2)
+      assert(code.length == 8, "m=8 -> 8-byte code (32x over float32)")
+      val recon = code.zipWithIndex.flatMap { case (c, j) => cb(j)(c & 0xFF) }
+      val expect = vn.zip(recon).map { case (a, b) => a * b.toDouble }.sum
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"ADC ${r.getDouble(3)} != reconstruction dot $expect for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("PQ: planted near-duplicate probes retrieve their source at rank 1") {
+    val cb = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 700000).as("probe_id"),
+        transform(col("embedding"), x => x * lit(1.0f) + lit(0.01f)).as("probe_vec"))
+    val hits = Similarity.pqTopK(emb, probes, cb, k = 3).collect()
+      .filter(r => r.getLong(1) == r.getLong(0) - 700000)
+    // a near-identical vector encodes to (nearly) the same code, so its ADC
+    // score ties the probe's own reconstruction — the regime PQ dedup serves
+    assert(hits.length / 20.0 >= 0.9, s"PQ planted recall ${hits.length / 20.0}")
+    hits.foreach(r => assert(r.getInt(3) == 1, s"planted source not rank 1: $r"))
+  }
+
+  test("PQ: exact rerank's recall@k >= ADC-only recall@k, scores exact") {
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cb = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    val adcOnly = Similarity.pqTopK(emb, probes, cb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reranked = Similarity.pqTopK(emb, probes, cb, k = 10, rerank = 50).collect()
+    val rerankSet = reranked.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (adcOnly & exact).size / 100.0
+    val rrRecall = (rerankSet & exact).size / 100.0
+    // any exact-top-k member the ADC pass ranked into its own top-k is also
+    // inside the top-50 candidate set, and exact reordering keeps it — so
+    // rerank can only add hits
+    assert(rrRecall >= adcRecall, s"rerank $rrRecall < adc-only $adcRecall")
+    assert(rrRecall >= 0.5, s"rerank recall@10 $rrRecall on gaussian corpus")
+    // reranked scores are TRUE cosines — recompute one probe's pair exactly
+    val byId = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    reranked.filter(_.getLong(0) == 0L).foreach { r =>
+      val a = byId(0L); val b = byId(r.getLong(1))
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val c = dp / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+      assert(math.abs(r.getDouble(2) - math.rint(c * 1e6) / 1e6) < 1e-6)
+    }
+  }
+
+  test("PQ: training is deterministic; zero-norm vectors encode safely") {
+    val cb1 = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2)
+    val cb2 = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2)
+    assert(cb1 == cb2, "pqTrain must be run-to-run deterministic")
+    val zero = spark.range(1).select(lit(0L).as("vec_id"),
+      array((0 until 64).map(_ => lit(0.0f)): _*).as("embedding"))
+    val r = Similarity.pqEncode(zero, cb1)
+      .select(graft.functions.VectorFunctions.pq_adc(col("pq_code"),
+        graft.functions.VectorFunctions.pq_lut(col("embedding"), cb1)))
+      .collect().head.getDouble(0)
+    assert(!r.isNaN && !r.isInfinite)
+  }
+
+  test("IVF-PQ at rest: ADC scan reads codes only + prunes lists; fetch is " +
+      "a pushed-down point read; result equals the in-memory comparator") {
+    val dir = tempDir("ivfpq_rest") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    Similarity.ivfWriteAtRest(emb, centroids, dir, pqModel = pq)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    var adcScan: Option[org.apache.spark.sql.execution.FileSourceScanExec] = None
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    val (topk, fetchScan) =
+      try {
+        Similarity.onPqAdcPlan = df => {
+          adcScan = df.queryExecution.executedPlan.collectFirst {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }
+        }
+        val q = Similarity.ivfPqTopKAtRest(spark, dir, probe,
+          k = 3, nProbe = 2, rerank = 10)
+        (q.collect().toSeq, q.queryExecution.executedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.get)
+      } finally {
+        Similarity.onPqAdcPlan = _ => ()
+        spark.conf.set("spark.sql.adaptive.enabled", true)
+      }
+    // stage 1: the code scan plans only the nProbe wanted lists, and its
+    // read schema carries the 8-byte code but NOT the embedding column —
+    // the raw vectors' pages never load during candidate generation
+    val adc = adcScan.get
+    assert(adc.selectedPartitions.partitionCount == 2,
+      s"ADC scan planned ${adc.selectedPartitions.partitionCount} partitions, want 2 of 8")
+    val adcCols = adc.requiredSchema.fieldNames.toSet
+    assert(adcCols.contains("pq_code") && !adcCols.contains("embedding"),
+      s"ADC scan must read codes, not vectors: $adcCols")
+    // stage 2: the vector fetch prunes to the same lists AND pushes the
+    // candidate-id IN filter down to parquet
+    assert(fetchScan.selectedPartitions.partitionCount <= 2)
+    assert(fetchScan.requiredSchema.fieldNames.toSet.contains("embedding"))
+    assert(fetchScan.metadata("PushedFilters").contains("In(vec_id"),
+      s"candidate fetch must push the id IN filter: ${fetchScan.metadata("PushedFilters")}")
+    // and the two-stage at-rest result is exactly the in-memory comparator
+    val inMem = Similarity.ivfPqTopK(emb, probe, centroids, pq,
+      k = 3, nProbe = 2, rerank = 10).collect().toSeq
+    assert(topk == inMem)
+  }
+
+  test("IVF-PQ: appends and ingests keep encoding; enablePq migrates a live " +
+      "table; retrain carries the model") {
+    val dir = tempDir("ivfpq_life") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    // plain IVF table first, then migrate
+    Similarity.ivfWriteAtRest(emb, centroids, dir)
+    assert(Similarity.ivfPqModel(spark, dir).isEmpty)
+    val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    Similarity.ivfEnablePq(spark, dir, pq)
+    assert(Similarity.ivfPqModel(spark, dir).contains(pq))
+    // every persisted row is encoded after migration
+    val migrated = Similarity.ivfRead(spark, dir)
+    assert(migrated.filter(col("pq_code").isNull).count() == 0)
+    assert(migrated.count() == emb.count())
+    // an append on the migrated table encodes automatically (no schema drift)
+    val extra = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 900000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0f) + lit(0.02f)).as("embedding"))
+    Similarity.ivfAppendAtRest(extra, centroids, dir)
+    val after = Similarity.ivfRead(spark, dir)
+    assert(after.count() == emb.count() + 3)
+    assert(after.filter(col("pq_code").isNull).count() == 0,
+      "append on a PQ table must encode — un-encoded batch dirs drift the schema")
+    // probing with vec 1's own embedding: rank 1 is vec 1 itself (cosine
+    // 1.0), rank 2 its appended perturbed copy — the append is PQ-visible
+    val probe = emb.filter(col("vec_id") === 1)
+      .select((col("vec_id") + 800000).as("probe_id"), col("embedding").as("probe_vec"))
+    val got = Similarity.ivfPqTopKAtRest(spark, dir, probe, k = 2, nProbe = 2,
+      rerank = 10).collect()
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 900001L) &&
+        got.forall(_.getDouble(2) > 0.98),
+      s"appended near-copy not found: ${got.mkString(";")}")
+    // retrain rewrites the table — the PQ model must ride into the new
+    // version (codes are content-derived, assignments re-derived)
+    Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 1)
+    assert(Similarity.ivfPqModel(spark, dir).contains(pq),
+      "retrain must carry the PQ model into the new version")
+    val again = Similarity.ivfPqTopKAtRest(spark, dir, probe, k = 2, nProbe = 4,
+      rerank = 10).collect()
+    assert(again.map(_.getLong(1)).toSet == Set(1L, 900001L))
+  }
+
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
     import spark.implicits._
     val corpus = (Seq((0L, Array.fill(8)(0.0f))) ++           // failed/padded row
