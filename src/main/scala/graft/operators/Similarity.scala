@@ -313,6 +313,7 @@ object Similarity {
       // IVF-PQ layout: each row also carries its m-byte PQ code, and the
       // model persists beside the data it encoded — probes then scan
       // codes, not embeddings (ivfPqTopKAtRest)
+      Option(pqModel).foreach(requirePqDimMatch(_, centroids))
       val withCodes = Option(pqModel).fold(assigned)(pqEncode(assigned, _, vecCol))
       withCodes
         .write.partitionBy("list_id").mode("overwrite")
@@ -567,10 +568,25 @@ object Similarity {
    * [[ivfPqTopKAtRest]] serves probes from the codes. Re-running with a
    * NEW model re-encodes (the old `pq_code` column is replaced).
    */
+  /** The PQ model's reconstructed dimension (m × dsub) must equal the IVF
+   *  codebook's — the encode kernel reads out-of-range dims as 0.0 (the
+   *  null-slot convention), so a mismatched model would SILENTLY quantize
+   *  truncated or zero-padded vectors instead of failing. */
+  private def requirePqDimMatch(pq: Seq[Seq[Seq[Float]]],
+      centroids: Seq[Seq[Float]]): Unit = {
+    val pqDim = pq.length * pq.head.head.length
+    val ivfDim = centroids.head.length
+    require(pqDim == ivfDim,
+      s"PQ model reconstructs $pqDim dims (m=${pq.length} × dsub=" +
+        s"${pq.head.head.length}) but the IVF codebook is $ivfDim-dimensional " +
+        "— train the PQ model on the same embedding column")
+  }
+
   def ivfEnablePq(spark: org.apache.spark.sql.SparkSession, path: String,
       pqModel: Seq[Seq[Seq[Float]]],
       vecCol: String = "embedding"): Unit = AtRest.withLease(spark, path) {
     val cb = storedCodebook(spark, path)
+    requirePqDimMatch(pqModel, cb)
     val all = spark.read.parquet(AtRest.resolve(spark, path))
       .drop("ingest_batch").drop("pq_code")
     val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
@@ -632,8 +648,16 @@ object Similarity {
     if (candIds.isEmpty)
       return probes.select(col("probe_id"), col("probe_id").as("neighbor_id"),
         lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
-    val fetch = spark.read.parquet(dir)
-      .filter(col("list_id").isin(wanted: _*) && col(idCol).isin(candIds: _*))
+    // a huge probe batch × rerank would make the literal IN itself the
+    // bottleneck (plan size, per-row filter width) — past 64k candidates
+    // fall back to a broadcast semi-join over the same pruned lists; the
+    // scan is still partition-pruned, only the row-group skip is lost
+    val prunedVecs = spark.read.parquet(dir)
+      .filter(col("list_id").isin(wanted: _*))
+    val fetch = (
+      if (candIds.length <= 65536) prunedVecs.filter(col(idCol).isin(candIds: _*))
+      else prunedVecs.join(broadcast(cand.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi"))
       .select(col(idCol), col(vecCol))
       .dropDuplicates(idCol) // replicas: one vector row per id
     val exact = fetch

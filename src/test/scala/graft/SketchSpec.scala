@@ -824,6 +824,14 @@ class SketchSpec extends SparkSpec {
     Similarity.ivfWriteAtRest(emb, centroids, dir)
     assert(Similarity.ivfPqModel(spark, dir).isEmpty)
     val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    // a model trained on a different dimensionality must fail LOUDLY — the
+    // encode kernel's out-of-range-reads-as-zero convention would otherwise
+    // silently quantize truncated vectors
+    val half = pq.take(4)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfEnablePq(spark, dir, half)
+    }
+    assert(e.getMessage.contains("dims"))
     Similarity.ivfEnablePq(spark, dir, pq)
     assert(Similarity.ivfPqModel(spark, dir).contains(pq))
     // every persisted row is encoded after migration
