@@ -286,6 +286,20 @@ object Similarity {
     AtRest.readMeta(spark, path).flatMap(_.get("replicas"))
       .flatMap(_.toIntOption).getOrElse(1)
 
+  /** Whether the table stores PQ codes WITHOUT raw vectors. */
+  private def ivfCodesOnlyOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    AtRest.readMeta(spark, path).flatMap(_.get("codesOnly")).contains("true")
+
+  /** The vector-dependent entry points fail loudly on a codes-only table
+   *  instead of dying mid-job on a missing column. */
+  private def rejectCodesOnly(spark: org.apache.spark.sql.SparkSession,
+      path: String, what: String, fix: String): Unit =
+    if (ivfCodesOnlyOf(spark, path))
+      throw new IllegalStateException(
+        s"$path is a codes-only IVF-PQ table (no raw vectors at rest) — " +
+          s"$what needs them; $fix")
+
   // ---------------------------------------------------------- at-rest table
 
   /** The at-rest IVF table as a DataFrame (current version resolved) —
@@ -304,18 +318,24 @@ object Similarity {
   def ivfWriteAtRest(corpus: DataFrame, centroids: Seq[Seq[Float]],
       path: String, vecCol: String = "embedding",
       ledgerBy: String = null, replicas: Int = 1,
-      pqModel: Seq[Seq[Seq[Float]]] = null): Unit = {
+      pqModel: Seq[Seq[Seq[Float]]] = null,
+      codesOnly: Boolean = false): Unit = {
     val spark = corpus.sparkSession
+    require(!codesOnly || pqModel != null,
+      "codesOnly = true stores nothing but PQ codes — pass pqModel")
     AtRest.withLease(spark, path) {
       val fs = AtRest.fsFor(spark, path)
       val (v, staging) = AtRest.nextStaging(fs, path)
       val assigned = ivfAssignMulti(corpus, centroids, vecCol, replicas)
       // IVF-PQ layout: each row also carries its m-byte PQ code, and the
       // model persists beside the data it encoded — probes then scan
-      // codes, not embeddings (ivfPqTopKAtRest)
+      // codes, not embeddings (ivfPqTopKAtRest). codesOnly additionally
+      // DROPS the raw vectors: the measured 19.8× at-rest shrink
+      // (SCALE.md / tools.PqBench) — exact rerank is then served from a
+      // caller-supplied id-addressable vector store (`rerankFrom`).
       Option(pqModel).foreach(requirePqDimMatch(_, centroids))
       val withCodes = Option(pqModel).fold(assigned)(pqEncode(assigned, _, vecCol))
-      withCodes
+      (if (codesOnly) withCodes.drop(vecCol) else withCodes)
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
       writeCodebook(spark, staging.toString, centroids)
@@ -331,7 +351,8 @@ object Similarity {
           staging.toString, DedupIndex.SeedBatch)
       }
       AtRest.writeMetaStaged(spark, staging,
-        ivfMeta(centroids, replicas) ++ Option(ledgerBy).map("ledgerBy" -> _))
+        ivfMeta(centroids, replicas) ++ Option(ledgerBy).map("ledgerBy" -> _)
+          ++ (if (codesOnly) Map("codesOnly" -> "true") else Map.empty))
       val markers = new org.apache.hadoop.fs.Path(path, "_committed")
       if (fs.exists(markers)) fs.delete(markers, true)
       AtRest.publishVersion(spark, path, v, "list_id")
@@ -366,9 +387,12 @@ object Similarity {
         AtRest.writeMeta(spark, path, ivfMeta(centroids))
       }
       val (target, _) = appendDir(spark, dir)
-      withPqCodes(
-          ivfAssignMulti(newVecs, centroids, vecCol, ivfReplicasOf(spark, path)),
-          spark, path, vecCol)
+      val encoded = withPqCodes(
+        ivfAssignMulti(newVecs, centroids, vecCol, ivfReplicasOf(spark, path)),
+        spark, path, vecCol)
+      // a codes-only table stays codes-only: the append assigns + encodes,
+      // then drops the raw vectors like the seed write did
+      (if (ivfCodesOnlyOf(spark, path)) encoded.drop(vecCol) else encoded)
         .write.partitionBy("list_id").mode("append").parquet(target)
     }
   }
@@ -471,7 +495,9 @@ object Similarity {
           staging.toString, DedupIndex.SeedBatch))
     }
     AtRest.writeMetaStaged(spark, staging,
-      ivfMeta(cb, ivfReplicasOf(spark, path)) ++ ledgerBy.map("ledgerBy" -> _))
+      ivfMeta(cb, ivfReplicasOf(spark, path)) ++ ledgerBy.map("ledgerBy" -> _)
+        ++ (if (ivfCodesOnlyOf(spark, path)) Map("codesOnly" -> "true")
+            else Map.empty))
     AtRest.publishVersion(spark, path, v, "list_id")
   }
 
@@ -513,6 +539,9 @@ object Similarity {
       nLists: Int = 16, iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Seq[Float]] =
     AtRest.withLease(spark, path) {
+      rejectCodesOnly(spark, path, "k-means retraining",
+        "retrain against the primary vector store and re-seed with " +
+          "ivfWriteAtRest(codesOnly = true)")
       // a multi-assigned table holds each vector `replicas` times (one row
       // per list) — dedupe before training, or duplicates weight k-means
       val cur = spark.read.parquet(AtRest.resolve(spark, path))
@@ -541,6 +570,8 @@ object Similarity {
   def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, centroids: Seq[Seq[Float]], k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    rejectCodesOnly(spark, path, "the raw-vector probe",
+      "probe with ivfPqTopKAtRest(rerankFrom = <your vector store>)")
     validateCodebook(spark, path, centroids)
     val wanted = ivfProbeLists(probes, centroids, nProbe)
       .select("list_id").distinct().collect().map(_.getInt(0)).sorted
@@ -585,6 +616,8 @@ object Similarity {
   def ivfEnablePq(spark: org.apache.spark.sql.SparkSession, path: String,
       pqModel: Seq[Seq[Seq[Float]]],
       vecCol: String = "embedding"): Unit = AtRest.withLease(spark, path) {
+    rejectCodesOnly(spark, path, "re-encoding under a new model",
+      "re-seed from the primary vector store with ivfWriteAtRest")
     val cb = storedCodebook(spark, path)
     requirePqDimMatch(pqModel, cb)
     val all = spark.read.parquet(AtRest.resolve(spark, path))
@@ -614,10 +647,15 @@ object Similarity {
    */
   def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerankFrom: DataFrame = null): DataFrame = {
     val centroids = storedCodebook(spark, path)
     val dir = AtRest.resolve(spark, path)
     val pq = pqReadModel(spark, dir) // loud on a plain IVF table
+    if (rerankFrom == null && ivfCodesOnlyOf(spark, path))
+      throw new IllegalArgumentException(
+        s"$path is codes-only — pass rerankFrom (the id-addressable raw " +
+          "vector store) so the exact rerank has vectors to read")
     val pl = ivfProbeLists(probes, centroids, nProbe)
     // bounded collect over the MODEL's keyspace (≤ nLists), the same
     // static-IN pruning as ivfTopKAtRest
@@ -638,12 +676,16 @@ object Similarity {
       scored0.dropDuplicates("probe_id", idCol) else scored0
     val r = math.max(k, rerank)
     val w = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col(idCol))
-    val cand = scored.withColumn("_ar", row_number().over(w))
+    val cand0 = scored.withColumn("_ar", row_number().over(w))
       .filter(col("_ar") <= r)
       .select(col("probe_id"), col(idCol))
+    onPqAdcPlan(cand0) // seam BEFORE the checkpoint — after it the plan is a leaf
+    // localCheckpoint: `cand` is consumed TWICE (the id collect below and
+    // the rerank join) — without materialization the second consumer
+    // re-runs the entire ADC scan + window, doubling the probe's cost
+    val cand = cand0.localCheckpoint(true) // tiny: ≤ |probes| × rerank rows
     // bounded collect: the candidate-ID list (≤ |probes| × rerank rows) —
     // what turns the vector fetch into a pushed-down point read
-    onPqAdcPlan(cand)
     val candIds = cand.select(col(idCol)).distinct().collect().map(_.get(0))
     if (candIds.isEmpty)
       return probes.select(col("probe_id"), col("probe_id").as("neighbor_id"),
@@ -651,9 +693,12 @@ object Similarity {
     // a huge probe batch × rerank would make the literal IN itself the
     // bottleneck (plan size, per-row filter width) — past 64k candidates
     // fall back to a broadcast semi-join over the same pruned lists; the
-    // scan is still partition-pruned, only the row-group skip is lost
-    val prunedVecs = spark.read.parquet(dir)
-      .filter(col("list_id").isin(wanted: _*))
+    // scan is still partition-pruned, only the row-group skip is lost.
+    // rerankFrom (an external id-addressable vector store — the codes-only
+    // deployment shape) replaces the IVF table as the fetch source; the
+    // IN/semi-join filter pushes into ITS scan instead
+    val prunedVecs = Option(rerankFrom).getOrElse(
+      spark.read.parquet(dir).filter(col("list_id").isin(wanted: _*)))
     val fetch = (
       if (candIds.length <= 65536) prunedVecs.filter(col(idCol).isin(candIds: _*))
       else prunedVecs.join(broadcast(cand.select(col(idCol)).distinct()),
@@ -755,6 +800,10 @@ object Similarity {
     if (nShards <= 1) AtRest.acquireLease(spark, path, owner)
     else AtRest.acquireShardLease(spark, path, owner, shard, nShards)
     try {
+      rejectCodesOnly(spark, path, "the near-duplicate admission probe",
+        "ingest through the full IVF-PQ layout (codes + vectors) and keep " +
+          "codes-only tables append-only (ivfAppendAtRest) or pre-deduped " +
+          "upstream")
       validateCodebook(spark, path, centroids)
       val dir = AtRest.ensureVersioned(spark, path)
       val (_, legacyFlat) = appendDir(spark, dir)

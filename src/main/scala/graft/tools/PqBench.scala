@@ -55,6 +55,21 @@ object PqBench {
       corpus, centroids, s"$root/corpus.parquet", pqModel = pq))
     println(f"[pq-bench] n=$nVecs dim=$dim: train=$tTrain%.1fs seed-write=$tWrite%.1fs")
 
+    // the at-rest byte claim, measured: the candidate pass's two possible
+    // column sets written as real parquet (same codec, same rows)
+    def dirBytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    val enc = Similarity.pqEncode(corpus, pq)
+    enc.select("vec_id", "embedding").write.mode("overwrite").parquet(s"$root/raw_cols")
+    enc.select("vec_id", "pq_code").write.mode("overwrite").parquet(s"$root/code_cols")
+    val (rawB, codeB) = (dirBytes(s"$root/raw_cols"), dirBytes(s"$root/code_cols"))
+    println(f"[pq-bench-bytes] candidate-scan columns at rest: raw (id+vec) " +
+      f"${rawB / 1e6}%.0f MB vs codes (id+code) ${codeB / 1e6}%.0f MB -> " +
+      f"${rawB.toDouble / codeB}%.1fx less to read/store")
+
     val probes = synth(8).select(col("vec_id").as("probe_id"),
       col("embedding").as("probe_vec"))
     // warm both paths once (codegen + FS metadata), then measure

@@ -866,6 +866,68 @@ class SketchSpec extends SparkSpec {
     assert(again.map(_.getLong(1)).toSet == Set(1L, 900001L))
   }
 
+  test("IVF-PQ codes-only: no vectors at rest, rerankFrom serves exact " +
+      "scores, vector-dependent entry points fail loudly") {
+    val dir = tempDir("ivfpq_codes") + "/codes"
+    val full = tempDir("ivfpq_codes") + "/full"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    Similarity.ivfWriteAtRest(emb, centroids, dir, pqModel = pq, codesOnly = true)
+    Similarity.ivfWriteAtRest(emb, centroids, full, pqModel = pq)
+    // the raw vectors are genuinely absent from the persisted schema
+    assert(!Similarity.ivfRead(spark, dir).columns.contains("embedding"))
+    // a codesOnly seed without a model is rejected up front
+    intercept[IllegalArgumentException] {
+      Similarity.ivfWriteAtRest(emb, centroids,
+        tempDir("ivfpq_codes") + "/bad", codesOnly = true)
+    }
+    // probing with the primary store as rerank source returns EXACTLY what
+    // the full layout returns (same models, same candidates, same cosines)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val fromCodes = Similarity.ivfPqTopKAtRest(spark, dir, probes, k = 5,
+      nProbe = 2, rerank = 15, rerankFrom = emb).collect().toSeq
+    val fromFull = Similarity.ivfPqTopKAtRest(spark, full, probes, k = 5,
+      nProbe = 2, rerank = 15).collect().toSeq
+    assert(fromCodes == fromFull)
+    // appends stay codes-only
+    val extra = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 950000).as("vec_id"), col("embedding"))
+    Similarity.ivfAppendAtRest(extra, centroids, dir)
+    val after = Similarity.ivfRead(spark, dir)
+    assert(!after.columns.contains("embedding") && after.count() == emb.count() + 2)
+    // compaction carries the codesOnly contract and leaves probes identical
+    Similarity.ivfCompactAtRest(spark, dir)
+    assert(!Similarity.ivfRead(spark, dir).columns.contains("embedding"))
+    // every vector-dependent entry point refuses, naming the table shape
+    val rerankedProbe = emb.select("vec_id", "embedding")
+      .unionByName(extra.select(col("vec_id"), col("embedding")))
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfTopKAtRest(spark, dir, probes, centroids, k = 3)
+    }.getMessage.contains("codes-only"))
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfRetrain(spark, dir, nLists = 8)
+    }.getMessage.contains("codes-only"))
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfIngestBatch(extra, centroids, dir, threshold = 0.95)
+    }.getMessage.contains("codes-only"))
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfEnablePq(spark, dir, pq)
+    }.getMessage.contains("codes-only"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKAtRest(spark, dir, probes, k = 3)
+    }.getMessage.contains("rerankFrom"))
+    // and the post-append table still probes correctly against the
+    // (extended) primary store
+    val got = Similarity.ivfPqTopKAtRest(spark, dir,
+      emb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 970000).as("probe_id"),
+          col("embedding").as("probe_vec")),
+      k = 2, nProbe = 2, rerank = 10, rerankFrom = rerankedProbe).collect()
+    assert(got.map(_.getLong(1)).toSet == Set(0L, 950000L),
+      s"expected vec 0 and its appended copy: ${got.mkString(";")}")
+  }
+
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
     import spark.implicits._
     val corpus = (Seq((0L, Array.fill(8)(0.0f))) ++           // failed/padded row
