@@ -856,6 +856,18 @@ class SketchSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSet == Set(1L, 900001L) &&
         got.forall(_.getDouble(2) > 0.98),
       s"appended near-copy not found: ${got.mkString(";")}")
+    // the exactly-once ingest path also encodes (publishAdjudicated) —
+    // a PQ table fed by the micro-batch loop can never drift its schema
+    val novel = emb.filter(col("vec_id") >= 100 && col("vec_id") < 103)
+      .select((col("vec_id") + 920000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(-1.0f)).as("embedding"))
+    val nIn = Similarity.ivfIngestBatch(novel, centroids, dir,
+      threshold = 0.999, batchId = 7L)
+    assert(nIn == 3)
+    val postIngest = Similarity.ivfRead(spark, dir)
+    assert(postIngest.count() == emb.count() + 6)
+    assert(postIngest.filter(col("pq_code").isNull).count() == 0,
+      "ingest on a PQ table must encode")
     // retrain rewrites the table — the PQ model must ride into the new
     // version (codes are content-derived, assignments re-derived)
     Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 1)
