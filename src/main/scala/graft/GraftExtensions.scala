@@ -79,15 +79,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorFunctions.MinHashSignature(es(0),
           VectorFunctions.litIntArg(es(1), "numHashes")) }))
     ext.injectFunction((FunctionIdentifier("pq_encode"),
-      info("pq_encode", "pq_encode(vec, codebook) - m-byte product-quantization code"),
-      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "pq_encode(vec, codebook)")
+      info("pq_encode", "pq_encode(vec, codebook[, normalize]) - m-byte product-quantization code"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 || es.length == 3,
+          s"pq_encode(vec, codebook[, normalize]) takes 2-3 args, got ${es.length}")
         val (cb, m, ksub) = VectorFunctions.foldCodebook(es(1))
-        VectorFunctions.PqEncode(es(0), cb, m, ksub, asInts = false) }))
+        VectorFunctions.PqEncode(es(0), cb, m, ksub, asInts = false,
+          normalize = es.lift(2).forall(VectorFunctions.litBoolArg(_, "normalize"))) }))
     ext.injectFunction((FunctionIdentifier("pq_encode_ints"),
-      info("pq_encode_ints", "pq_encode_ints(vec, codebook) - PQ code as int array"),
-      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "pq_encode_ints(vec, codebook)")
+      info("pq_encode_ints", "pq_encode_ints(vec, codebook[, normalize]) - PQ code as int array"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 || es.length == 3,
+          s"pq_encode_ints(vec, codebook[, normalize]) takes 2-3 args, got ${es.length}")
         val (cb, m, ksub) = VectorFunctions.foldCodebook(es(1))
-        VectorFunctions.PqEncode(es(0), cb, m, ksub, asInts = true) }))
+        VectorFunctions.PqEncode(es(0), cb, m, ksub, asInts = true,
+          normalize = es.lift(2).forall(VectorFunctions.litBoolArg(_, "normalize"))) }))
+    ext.injectFunction((FunctionIdentifier("ivf_residual"),
+      info("ivf_residual", "ivf_residual(vec, list_id, centroids) - normalized(vec) minus the list's coarse centroid"),
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 3, "ivf_residual(vec, list_id, centroids)")
+        val (cents, dim) = VectorFunctions.foldCentroids(es(2))
+        VectorFunctions.IvfResidual(es(0), es(1), cents, dim) }))
     ext.injectFunction((FunctionIdentifier("pq_lut"),
       info("pq_lut", "pq_lut(probe_vec, codebook) - per-probe ADC lookup table"),
       (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "pq_lut(probe_vec, codebook)")

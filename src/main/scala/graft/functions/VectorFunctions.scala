@@ -134,9 +134,12 @@ object VectorKernels {
 
   /** Nearest sub-centroid per subspace over the NORMALIZED input; ties go
    *  to the lowest centroid index (deterministic). Dimensions past the
-   *  input's length read as 0.0 (the null-slot convention above). */
+   *  input's length read as 0.0 (the null-slot convention above).
+   *  `normalize = false` encodes the input AS IS — the residual-PQ path,
+   *  where the input is already `normalized(v) − centroid[list]` and a
+   *  second normalization would corrupt the geometry. */
   def pqEncode(v: ArrayData, vFloat: Boolean, cb: Array[Float],
-      m: Int, ksub: Int): Array[Byte] = {
+      m: Int, ksub: Int, normalize: Boolean): Array[Byte] = {
     val dsub = cb.length / (m * ksub)
     val n = v.numElements()
     var nrm = 0.0
@@ -144,7 +147,7 @@ object VectorKernels {
     while (i < n) { val x = elem(v, i, vFloat); nrm += x * x; i += 1 }
     // zero-norm vector: encode the zero vector itself (inv = 0) — every
     // subspace picks its centroid nearest the origin, deterministically
-    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val inv = if (!normalize) 1.0 else if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -174,8 +177,8 @@ object VectorKernels {
   /** [[pqEncode]] as int codes — the training loop's explode-friendly twin
    *  (binary columns don't posexplode). */
   def pqEncodeInts(v: ArrayData, vFloat: Boolean, cb: Array[Float],
-      m: Int, ksub: Int): ArrayData = {
-    val bytes = pqEncode(v, vFloat, cb, m, ksub)
+      m: Int, ksub: Int, normalize: Boolean): ArrayData = {
+    val bytes = pqEncode(v, vFloat, cb, m, ksub, normalize)
     val out = new Array[Int](m)
     var j = 0
     while (j < m) { out(j) = bytes(j) & 0xFF; j += 1 }
@@ -226,6 +229,46 @@ object VectorKernels {
     var j = 0
     while (j < m) { s += lut.getDouble(j * ksub + (code(j) & 0xFF)); j += 1 }
     s
+  }
+
+  /** IVF residual: `normalized(v) − normalized(centroids[listId])` — the
+   *  vector the residual-PQ path encodes (FAISS-style IVF-PQ: quantize the
+   *  offset from the list's coarse centroid instead of the raw vector).
+   *  BOTH sides normalize: the cosine metric scores unit vectors, so the
+   *  reference point must live on the unit sphere too — against a raw
+   *  sampled centroid (norm ≫ 1) the residual would be dominated by the
+   *  centroid itself and quantize WORSE than the raw vector. The probe
+   *  side's exact term is then simply `cosine(probe, centroid)`. Zero-norm
+   *  input keeps the zero vector (residual = −ĉ); a zero-norm centroid
+   *  reads as zeros. Dimensions past the input's length read as 0.0; an
+   *  out-of-range listId is a loud error (assignments come from this
+   *  codebook — out of range means the row and the codebook drifted
+   *  apart). Output dims = the codebook's. */
+  def ivfResidual(v: ArrayData, vFloat: Boolean, cents: Array[Float],
+      dim: Int, listId: Int): ArrayData = {
+    val nLists = cents.length / dim
+    if (listId < 0 || listId >= nLists)
+      throw new IllegalArgumentException(
+        s"ivf_residual: list_id $listId out of range for a $nLists-list codebook " +
+          "(the row's assignment and the codebook literal drifted apart)")
+    val n = v.numElements()
+    var nrm = 0.0
+    var i = 0
+    while (i < n) { val x = elem(v, i, vFloat); nrm += x * x; i += 1 }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val base = listId * dim
+    var cn = 0.0
+    var t = 0
+    while (t < dim) { val c = cents(base + t).toDouble; cn += c * c; t += 1 }
+    val cInv = if (cn == 0.0) 0.0 else 1.0 / math.sqrt(cn)
+    val out = new Array[Double](dim)
+    t = 0
+    while (t < dim) {
+      val x = if (t < n) elem(v, t, vFloat) * inv else 0.0
+      out(t) = x - cents(base + t) * cInv
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** MinHash signature over a string-shingle array: sig[j] = min over
@@ -362,7 +405,7 @@ object VectorFunctions {
   // expression stays inside the surrounding whole-stage span.
 
   case class PqEncode(child: Expression, cb: Seq[Float], m: Int, ksub: Int,
-      asInts: Boolean) extends UnaryExpression {
+      asInts: Boolean, normalize: Boolean = true) extends UnaryExpression {
     require(m > 0 && ksub > 0 && ksub <= 256 && cb.length % (m * ksub) == 0,
       s"pq codebook shape: len=${cb.length} must be m($m) x ksub($ksub) x dsub, ksub <= 256")
     override def checkInputDataTypes(): TypeCheckResult =
@@ -372,17 +415,52 @@ object VectorFunctions {
     private lazy val vf = isFloatArray(child)
     @transient private lazy val cbArr = cb.toArray
     override def nullSafeEval(v: Any): Any =
-      if (asInts) VectorKernels.pqEncodeInts(v.asInstanceOf[ArrayData], vf, cbArr, m, ksub)
-      else VectorKernels.pqEncode(v.asInstanceOf[ArrayData], vf, cbArr, m, ksub)
+      if (asInts) VectorKernels.pqEncodeInts(v.asInstanceOf[ArrayData], vf, cbArr, m, ksub, normalize)
+      else VectorKernels.pqEncode(v.asInstanceOf[ArrayData], vf, cbArr, m, ksub, normalize)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("pqcb", cbArr, "float[]")
       val fn = if (asInts) "pqEncodeInts" else "pqEncode"
       nullSafeCodeGen(ctx, ev, v =>
-        s"${ev.value} = graft.functions.VectorKernels.$fn($v, $vf, $ref, $m, $ksub);")
+        s"${ev.value} = graft.functions.VectorKernels.$fn($v, $vf, $ref, $m, $ksub, $normalize);")
     }
     override def prettyName: String = if (asInts) "pq_encode_ints" else "pq_encode"
     override protected def withNewChildInternal(c: Expression): PqEncode =
       copy(child = c)
+  }
+
+  /** `normalized(vec) − centroids[list_id]` — the residual the IVF-PQ
+   *  encode path quantizes. The centroid table rides inside the
+   *  expression like the PQ codebooks (one shared float[], no per-row
+   *  literal construction); `list_id` is a per-row COLUMN (each replica
+   *  of a multi-assigned vector gets the residual to ITS list). */
+  case class IvfResidual(left: Expression, right: Expression,
+      cents: Seq[Float], dim: Int) extends BinaryExpression {
+    require(dim > 0 && cents.nonEmpty && cents.length % dim == 0,
+      s"ivf_residual centroid table: len=${cents.length} must be nLists x dim($dim)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecArgs(prettyName, left) match {
+        case TypeCheckResult.TypeCheckSuccess => right.dataType match {
+          case IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName expects an integral list_id, got ${other.sql}")
+        }
+        case fail => fail
+      }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private lazy val vf = isFloatArray(left)
+    private lazy val idLong = right.dataType == LongType
+    @transient private lazy val cArr = cents.toArray
+    override def nullSafeEval(v: Any, id: Any): Any =
+      VectorKernels.ivfResidual(v.asInstanceOf[ArrayData], vf, cArr, dim,
+        if (idLong) id.asInstanceOf[Long].toInt else id.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ivfcents", cArr, "float[]")
+      nullSafeCodeGen(ctx, ev, (v, id) =>
+        s"${ev.value} = graft.functions.VectorKernels.ivfResidual($v, $vf, $ref, $dim, (int) $id);")
+    }
+    override def prettyName: String = "ivf_residual"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfResidual =
+      copy(left = l, right = r)
   }
 
   case class PqLut(child: Expression, cb: Seq[Float], m: Int, ksub: Int)
@@ -452,11 +530,40 @@ object VectorFunctions {
     (flat.toSeq, m, ksub)
   }
 
+  /** Flatten a FOLDABLE array<array<float>> centroid table (the IVF
+   *  codebook) into a flat row-major Seq[Float] + its dim. */
+  private[graft] def foldCentroids(e: Expression): (Seq[Float], Int) = {
+    require(e.foldable, s"ivf centroid table must be a literal, got $e")
+    val ok = e.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    require(ok, s"ivf centroid table must be array<array<float>>, got ${e.dataType.sql}")
+    val outer = e.eval().asInstanceOf[ArrayData]
+    val nLists = outer.numElements()
+    require(nLists > 0, "ivf centroid table is empty")
+    val dim = outer.getArray(0).numElements()
+    require(dim > 0, "ivf centroids have no dimensions")
+    val flat = new Array[Float](nLists * dim)
+    for (j <- 0 until nLists) {
+      val c = outer.getArray(j)
+      require(c.numElements() == dim, "ivf centroids must share one dim")
+      var t = 0
+      while (t < dim) { flat(j * dim + t) = c.getFloat(t); t += 1 }
+    }
+    (flat.toSeq, dim)
+  }
+
   private[graft] def litIntArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
   private def litInt(e: Expression, what: String): Int = litIntArg(e, what)
+
+  private[graft] def litBoolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -474,13 +581,23 @@ object VectorFunctions {
       (es: Seq[Expression]) => { expectArity(es, 2, "minhash_signature(shingles, numHashes)")
         MinHashSignature(es(0), litInt(es(1), "numHashes")) }, "scala_udf")
     reg.createOrReplaceTempFunction("pq_encode",
-      (es: Seq[Expression]) => { expectArity(es, 2, "pq_encode(vec, codebook)")
+      (es: Seq[Expression]) => {
+        require(es.length == 2 || es.length == 3,
+          s"pq_encode(vec, codebook[, normalize]) takes 2-3 args, got ${es.length}")
         val (cb, m, ksub) = foldCodebook(es(1))
-        PqEncode(es(0), cb, m, ksub, asInts = false) }, "scala_udf")
+        PqEncode(es(0), cb, m, ksub, asInts = false,
+          normalize = es.lift(2).forall(litBoolArg(_, "normalize"))) }, "scala_udf")
     reg.createOrReplaceTempFunction("pq_encode_ints",
-      (es: Seq[Expression]) => { expectArity(es, 2, "pq_encode_ints(vec, codebook)")
+      (es: Seq[Expression]) => {
+        require(es.length == 2 || es.length == 3,
+          s"pq_encode_ints(vec, codebook[, normalize]) takes 2-3 args, got ${es.length}")
         val (cb, m, ksub) = foldCodebook(es(1))
-        PqEncode(es(0), cb, m, ksub, asInts = true) }, "scala_udf")
+        PqEncode(es(0), cb, m, ksub, asInts = true,
+          normalize = es.lift(2).forall(litBoolArg(_, "normalize"))) }, "scala_udf")
+    reg.createOrReplaceTempFunction("ivf_residual",
+      (es: Seq[Expression]) => { expectArity(es, 3, "ivf_residual(vec, list_id, centroids)")
+        val (cents, dim) = foldCentroids(es(2))
+        IvfResidual(es(0), es(1), cents, dim) }, "scala_udf")
     reg.createOrReplaceTempFunction("pq_lut",
       (es: Seq[Expression]) => { expectArity(es, 2, "pq_lut(probe_vec, codebook)")
         val (cb, m, ksub) = foldCodebook(es(1))
@@ -509,15 +626,23 @@ object VectorFunctions {
     register(SparkSession.active)
     call_function("minhash_signature", shingles, lit(numHashes))
   }
-  def pq_encode(vec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
-    import org.apache.spark.sql.functions.typedLit
+  def pq_encode(vec: Column, codebook: Seq[Seq[Seq[Float]]],
+      normalize: Boolean = true): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
     register(SparkSession.active)
-    call_function("pq_encode", vec, typedLit(codebook))
+    call_function("pq_encode", vec, typedLit(codebook), lit(normalize))
   }
-  def pq_encode_ints(vec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
+  def pq_encode_ints(vec: Column, codebook: Seq[Seq[Seq[Float]]],
+      normalize: Boolean = true): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    register(SparkSession.active)
+    call_function("pq_encode_ints", vec, typedLit(codebook), lit(normalize))
+  }
+  def ivf_residual(vec: Column, listId: Column,
+      centroids: Seq[Seq[Float]]): Column = {
     import org.apache.spark.sql.functions.typedLit
     register(SparkSession.active)
-    call_function("pq_encode_ints", vec, typedLit(codebook))
+    call_function("ivf_residual", vec, listId, typedLit(centroids))
   }
   def pq_lut(probeVec: Column, codebook: Seq[Seq[Seq[Float]]]): Column = {
     import org.apache.spark.sql.functions.typedLit

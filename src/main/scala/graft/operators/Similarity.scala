@@ -319,10 +319,13 @@ object Similarity {
       path: String, vecCol: String = "embedding",
       ledgerBy: String = null, replicas: Int = 1,
       pqModel: Seq[Seq[Seq[Float]]] = null,
-      codesOnly: Boolean = false): Unit = {
+      codesOnly: Boolean = false, pqResidual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     require(!codesOnly || pqModel != null,
       "codesOnly = true stores nothing but PQ codes — pass pqModel")
+    require(!pqResidual || pqModel != null,
+      "pqResidual = true describes the pqModel's encoding — pass pqModel " +
+        "(trained with pqTrainResidual against these centroids)")
     AtRest.withLease(spark, path) {
       val fs = AtRest.fsFor(spark, path)
       val (v, staging) = AtRest.nextStaging(fs, path)
@@ -333,13 +336,18 @@ object Similarity {
       // DROPS the raw vectors: the measured 19.8× at-rest shrink
       // (SCALE.md / tools.PqBench) — exact rerank is then served from a
       // caller-supplied id-addressable vector store (`rerankFrom`).
+      // pqResidual: codes quantize `normalized(v) − centroid[list]`
+      // (FAISS-style IVF-PQ; [[pqTrainResidual]]) — probes add the exact
+      // probe·centroid term back at scoring time.
       Option(pqModel).foreach(requirePqDimMatch(_, centroids))
-      val withCodes = Option(pqModel).fold(assigned)(pqEncode(assigned, _, vecCol))
+      val withCodes = Option(pqModel).fold(assigned)(m =>
+        if (pqResidual) pqEncodeResidual(assigned, centroids, m, vecCol)
+        else pqEncode(assigned, m, vecCol))
       (if (codesOnly) withCodes.drop(vecCol) else withCodes)
         .write.partitionBy("list_id").mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
       writeCodebook(spark, staging.toString, centroids)
-      Option(pqModel).foreach(pqWriteModel(spark, staging.toString, _))
+      Option(pqModel).foreach(pqWriteModel(spark, staging.toString, _, pqResidual))
       // seed the vector-stats ledger INSIDE the staged version, so data,
       // codebook, meta and ledger swap in atomically together
       Option(ledgerBy).foreach { g =>
@@ -472,19 +480,22 @@ object Similarity {
    *  maintenance generation as reader grace). Quiesce WRITERS first —
    *  the callers hold the lease. */
   private def swapRewrite(assigned: DataFrame, path: String,
-      cb: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]] = null): Unit = {
+      cb: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]] = null,
+      pqResidual: Option[Boolean] = None): Unit = {
     val spark = assigned.sparkSession
     val fs = AtRest.fsFor(spark, path)
     // carry a PQ-encoded table's model into the rewrite: the codes ride in
     // the `assigned` frame (a data column), but future appends and probe
     // LUTs need the MODEL beside the new version too — read it before the
-    // pointer moves. An explicitly-passed model (ivfEnablePq) wins.
+    // pointer moves. An explicitly-passed model (ivfEnablePq) wins. The
+    // residual flag travels with the model the same way.
     val pq = Option(pqModel).orElse(ivfPqModel(spark, path))
+    val residual = pqResidual.getOrElse(ivfPqResidualOf(spark, path))
     val (v, staging) = AtRest.nextStaging(fs, path)
     assigned.write.partitionBy("list_id").mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
     writeCodebook(spark, staging.toString, cb)
-    pq.foreach(pqWriteModel(spark, staging.toString, _))
+    pq.foreach(pqWriteModel(spark, staging.toString, _, residual))
     // a ledgered table's counters survive maintenance: the accreted deltas
     // collapse to ONE seed delta in the new version (no vector is added or
     // removed by compact/retrain, so the collapsed ledger stays exact)
@@ -543,16 +554,27 @@ object Similarity {
         "retrain against the primary vector store and re-seed with " +
           "ivfWriteAtRest(codesOnly = true)")
       // a multi-assigned table holds each vector `replicas` times (one row
-      // per list) — dedupe before training, or duplicates weight k-means
-      val cur = spark.read.parquet(AtRest.resolve(spark, path))
+      // per list) — dedupe before training, or duplicates weight k-means.
+      // RESIDUAL codes depend on the centroids they were encoded against,
+      // so a residual table drops them here (they'd also defeat the dedupe
+      // — replicas carry per-list codes) and re-encodes under the NEW
+      // codebook after reassignment; raw PQ codes are centroid-independent
+      // and ride through unchanged.
+      val residual = ivfPqResidualOf(spark, path)
+      val pq = ivfPqModel(spark, path)
+      val cur0 = spark.read.parquet(AtRest.resolve(spark, path))
         .drop("list_id", "ingest_batch")
+      val cur = (if (residual) cur0.drop("pq_code") else cur0)
         .dropDuplicates()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
         val cb = ivfTrainKmeans(cur, nLists, iters, idCol, vecCol)
-        swapRewrite(ivfAssignMulti(cur, cb, vecCol, ivfReplicasOf(spark, path))
-            .repartition(nLists, col("list_id")),
-          path, cb)
+        val reassigned =
+          ivfAssignMulti(cur, cb, vecCol, ivfReplicasOf(spark, path))
+        val reencoded =
+          if (residual) pqEncodeResidual(reassigned, cb, pq.get, vecCol)
+          else reassigned
+        swapRewrite(reencoded.repartition(nLists, col("list_id")), path, cb)
         cb
       } finally cur.unpersist(blocking = false)
     }
@@ -615,18 +637,21 @@ object Similarity {
 
   def ivfEnablePq(spark: org.apache.spark.sql.SparkSession, path: String,
       pqModel: Seq[Seq[Seq[Float]]],
-      vecCol: String = "embedding"): Unit = AtRest.withLease(spark, path) {
-    rejectCodesOnly(spark, path, "re-encoding under a new model",
-      "re-seed from the primary vector store with ivfWriteAtRest")
-    val cb = storedCodebook(spark, path)
-    requirePqDimMatch(pqModel, cb)
-    val all = spark.read.parquet(AtRest.resolve(spark, path))
-      .drop("ingest_batch").drop("pq_code")
-    val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
-    swapRewrite(
-      pqEncode(all, pqModel, vecCol).repartition(nLists, col("list_id")),
-      path, cb, pqModel)
-  }
+      vecCol: String = "embedding", residual: Boolean = false): Unit =
+    AtRest.withLease(spark, path) {
+      rejectCodesOnly(spark, path, "re-encoding under a new model",
+        "re-seed from the primary vector store with ivfWriteAtRest")
+      val cb = storedCodebook(spark, path)
+      requirePqDimMatch(pqModel, cb)
+      val all = spark.read.parquet(AtRest.resolve(spark, path))
+        .drop("ingest_batch").drop("pq_code")
+      val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
+      val encoded =
+        if (residual) pqEncodeResidual(all, cb, pqModel, vecCol)
+        else pqEncode(all, pqModel, vecCol)
+      swapRewrite(encoded.repartition(nLists, col("list_id")),
+        path, cb, pqModel, Some(residual))
+    }
 
   /**
    * Probe an IVF-PQ table — the 100 TB ANN serving shape, two stages:
@@ -651,7 +676,7 @@ object Similarity {
       rerankFrom: DataFrame = null): DataFrame = {
     val centroids = storedCodebook(spark, path)
     val dir = AtRest.resolve(spark, path)
-    val pq = pqReadModel(spark, dir) // loud on a plain IVF table
+    val (pq, residual) = pqReadModelInfo(spark, dir) // loud on a plain IVF table
     if (rerankFrom == null && ivfCodesOnlyOf(spark, path))
       throw new IllegalArgumentException(
         s"$path is codes-only — pass rerankFrom (the id-addressable raw " +
@@ -661,19 +686,35 @@ object Similarity {
     // static-IN pruning as ivfTopKAtRest
     val wanted = pl.select("list_id").distinct().collect()
       .map(_.getInt(0)).sorted.map(_.asInstanceOf[Any])
+    // RESIDUAL scoring decomposes p̂·v̂ ≈ p̂·ĉ_list + p̂·r̂: the first term is
+    // EXACT — cosine(probe, centroid), computed here per (probe, list) on
+    // the tiny fan-out frame (the LUT over the residual codebook supplies
+    // the second — built from the raw normalized probe, NOT probe −
+    // centroid). Raw models keep `_pc` ≡ 0 so the scoring expression is
+    // shared.
     val luts = pl.select(col("probe_id"), col("list_id"),
-      graft.functions.VectorFunctions.pq_lut(col("probe_vec"), pq).as("_lut"))
+      graft.functions.VectorFunctions.pq_lut(col("probe_vec"), pq).as("_lut"),
+      (if (residual)
+        cosine(col("probe_vec"), element_at(typedLit(centroids), col("list_id") + 1))
+      else lit(0.0)).as("_pc"))
     val codes = spark.read.parquet(dir)
       .filter(col("list_id").isin(wanted: _*))
       .select(col(idCol), col("pq_code"), col("list_id"))
     val scored0 = codes.join(broadcast(luts), "list_id")
       .filter(col("probe_id") =!= col(idCol))
       .withColumn("_adc",
-        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut")))
-    // replicas surface the same (probe, id) through several lists with
-    // IDENTICAL codes — collapse before ranking (same rule as ivfTopKAtRest)
-    val scored = if (ivfReplicasOf(spark, path) > 1)
-      scored0.dropDuplicates("probe_id", idCol) else scored0
+        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut"))
+          + col("_pc"))
+    // replicas surface the same (probe, id) through several lists — with
+    // IDENTICAL codes under a raw model (collapse = dropDuplicates), but
+    // PER-LIST codes under a residual model (each replica quantizes the
+    // residual to ITS list): keep the replica that scores best, a
+    // deterministic multiprobe-style max
+    val scored =
+      if (ivfReplicasOf(spark, path) <= 1) scored0
+      else if (residual) scored0.groupBy(col("probe_id"), col(idCol))
+        .agg(max(col("_adc")).as("_adc"))
+      else scored0.dropDuplicates("probe_id", idCol)
     val r = math.max(k, rerank)
     val w = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col(idCol))
     val cand0 = scored.withColumn("_ar", row_number().over(w))
@@ -718,19 +759,29 @@ object Similarity {
 
   /** In-memory IVF-PQ comparator for [[ivfPqTopKAtRest]] (same codebook +
    *  model ⇒ identical result): assign + encode + ADC candidate pass +
-   *  exact rerank, all on the live frame. */
+   *  exact rerank, all on the live frame. `residual = true` mirrors the
+   *  residual-encoded table's convention (encode `v̂ − c_list`, score
+   *  `p̂·c_list + ADC`). */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame,
       centroids: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]],
       k: Int, nProbe: Int = 4, rerank: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = pqEncode(ivfAssign(corpus, centroids, vecCol), pqModel, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): DataFrame = {
+    val assignedRaw = ivfAssign(corpus, centroids, vecCol)
+    val assigned =
+      if (residual) pqEncodeResidual(assignedRaw, centroids, pqModel, vecCol)
+      else pqEncode(assignedRaw, pqModel, vecCol)
     val luts = ivfProbeLists(probes, centroids, nProbe)
       .select(col("probe_id"), col("list_id"), col("probe_vec"),
-        graft.functions.VectorFunctions.pq_lut(col("probe_vec"), pqModel).as("_lut"))
+        graft.functions.VectorFunctions.pq_lut(col("probe_vec"), pqModel).as("_lut"),
+        (if (residual)
+          cosine(col("probe_vec"), element_at(typedLit(centroids), col("list_id") + 1))
+        else lit(0.0)).as("_pc"))
     val scored = assigned.join(broadcast(luts), "list_id")
       .filter(col("probe_id") =!= col(idCol))
       .withColumn("_adc",
-        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut")))
+        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut"))
+          + col("_pc"))
     val r = math.max(k, rerank)
     val w = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col(idCol))
     val cand = scored.withColumn("_ar", row_number().over(w))
@@ -1358,18 +1409,89 @@ object Similarity {
     cb
   }
 
+  /**
+   * [[pqTrain]]'s RESIDUAL twin — the FAISS-style IVF-PQ training step:
+   * subquantizers learn the distribution of `normalized(v) − centroid[list]`
+   * (the offset from each vector's coarse IVF centroid) instead of the raw
+   * vectors. Within-cell residual variance is far below global variance, so
+   * the same m×ksub budget quantizes much finer and ADC-only ranking
+   * improves — measured on the unclustered-gaussian worst case in
+   * SketchSpec. Same job shape as [[pqTrain]]: one bounded init collect
+   * (ksub residual rows), then `iters` one-job Lloyd rounds; residuals are
+   * NOT re-normalized anywhere (encode, train and scoring all agree on the
+   * raw residual geometry, `pq_encode(…, normalize = false)`).
+   *
+   * Pass the table's IVF `centroids` — codes trained here are only valid
+   * against that codebook (persist with
+   * `pqWriteModel(…, residual = true)` / `ivfWriteAtRest(pqResidual = true)`
+   * so probes pick the residual scoring convention automatically).
+   */
+  def pqTrainResidual(corpus: DataFrame, centroids: Seq[Seq[Float]],
+      m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+    val dim = centroids.head.length
+    require(dim % m == 0, s"pqTrainResidual: dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val res = ivfAssign(corpus.filter(col(vecCol).isNotNull), centroids, vecCol)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.ivf_residual(
+          col(vecCol), col("list_id"), centroids).as("_r"))
+    val sample = res.orderBy(xxhash64(col(idCol))).limit(ksub)
+      .collect() // bounded: ksub rows, the init sample
+      .map(_.getSeq[Double](1))
+    require(sample.nonEmpty, "pqTrainResidual: empty corpus")
+    // fewer rows than ksub: cycle the sample (same convention as pqTrain)
+    var cb: Seq[Seq[Seq[Float]]] = (0 until m).map { j =>
+      (0 until ksub).map { c =>
+        sample(c % sample.length).slice(j * dsub, (j + 1) * dsub)
+          .map(_.toFloat).toSeq
+      }
+    }
+    val grid = 1e6
+    for (_ <- 0 until iters) {
+      val vn = res.select(col("_r").as("_vn"),
+        graft.functions.VectorFunctions.pq_encode_ints(
+          col("_r"), cb, normalize = false).as("_codes"))
+      val cells = vn
+        .select(posexplode(col("_codes")).as(Seq("j", "code")), col("_vn"))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("_vn"), col("j") * dsub + 1, lit(dsub)))
+            .as(Seq("pos", "v")))
+        .groupBy("j", "code", "pos").agg(avg(col("v")).as("mean"))
+        .collect() // bounded: m x ksub x dsub cells, the model itself
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = cb.zipWithIndex.map { case (sub, j) =>
+        sub.zipWithIndex.map { case (old, c) =>
+          cells.get((j, c)).fold(old) { rows =>
+            val arr = old.toArray
+            rows.foreach(r =>
+              arr(r.getInt(2)) = (math.rint(r.getDouble(3) * grid) / grid).toFloat)
+            arr.toSeq
+          }
+        }
+      }
+    }
+    cb
+  }
+
   private def pqModelFile(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_pq_codebook/model.txt")
 
   /** Persist a trained PQ model (same exact-roundtrip float-bits text
    *  format as the IVF codebook sidecar): header `m ksub dsub`, then one
-   *  line per (subspace, centroid). */
+   *  line per (subspace, centroid). A RESIDUAL model (trained by
+   *  [[pqTrainResidual]] over `normalized(v) − centroid[list]`) appends a
+   *  `residual` token to the header — the flag travels WITH the model, so
+   *  every probe/append/rewrite path picks the matching encode/score
+   *  convention and a residual model can never be silently scored as a
+   *  raw one (the two conventions produce disjoint code semantics). */
   def pqWriteModel(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cb: Seq[Seq[Seq[Float]]]): Unit = {
+      cb: Seq[Seq[Seq[Float]]], residual: Boolean = false): Unit = {
     val m = cb.length
     val ksub = cb.head.length
     val dsub = cb.head.head.length
-    val body = s"$m $ksub $dsub\n" + cb.flatMap(_.map(
+    val flag = if (residual) " residual" else ""
+    val body = s"$m $ksub $dsub$flag\n" + cb.flatMap(_.map(
       _.map(java.lang.Float.floatToIntBits).mkString(" "))).mkString("\n")
     AtRest.writeFile(AtRest.fsFor(spark, dir), pqModelFile(dir),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1385,16 +1507,50 @@ object Similarity {
     else None
   }
 
+  /** Whether the table's persisted PQ model (if any) is RESIDUAL-encoded. */
+  private def ivfPqResidualOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val dir = AtRest.resolve(spark, path)
+    AtRest.fsFor(spark, dir).exists(pqModelFile(dir)) && pqModelResidual(spark, dir)
+  }
+
+  /** Residual encode: each (already-assigned) row's code quantizes
+   *  `normalized(v) − centroid[list_id]` — a multi-assigned vector gets a
+   *  DIFFERENT code per replica (the residual to each list it lives in),
+   *  which is exactly what its per-list ADC scoring needs. */
+  private def pqEncodeResidual(df: DataFrame, centroids: Seq[Seq[Float]],
+      codebook: Seq[Seq[Seq[Float]]], vecCol: String,
+      outCol: String = "pq_code"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.VectorFunctions.pq_encode(
+        graft.functions.VectorFunctions.ivf_residual(
+          col(vecCol), col("list_id"), centroids),
+        codebook, normalize = false))
+
   /** Every write path of a PQ-encoded table MUST encode — one un-encoded
    *  batch directory would drift the table schema, and a parquet read
    *  without mergeSchema silently samples one file's schema (the same
-   *  failure class the corpus ingest guards against). */
+   *  failure class the corpus ingest guards against). Residual tables
+   *  encode against the persisted IVF codebook (rows are assigned by the
+   *  time any write path reaches here, so `list_id` is present). */
   private def withPqCodes(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
       path: String, vecCol: String): DataFrame =
-    ivfPqModel(spark, path).fold(df)(pqEncode(df, _, vecCol))
+    ivfPqModel(spark, path).fold(df) { model =>
+      if (ivfPqResidualOf(spark, path))
+        pqEncodeResidual(df, storedCodebook(spark, path), model, vecCol)
+      else pqEncode(df, model, vecCol)
+    }
 
   def pqReadModel(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[Seq[Seq[Float]]] = {
+      dir: String): Seq[Seq[Seq[Float]]] = pqReadModelInfo(spark, dir)._1
+
+  /** Whether the PQ model persisted at `dir` encodes RESIDUALS (see
+   *  [[pqWriteModel]]); false for raw models and pre-flag files. */
+  def pqModelResidual(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = pqReadModelInfo(spark, dir)._2
+
+  private def pqReadModelInfo(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[Seq[Seq[Float]]], Boolean) = {
     val fs = AtRest.fsFor(spark, dir)
     val f = pqModelFile(dir)
     if (!fs.exists(f))
@@ -1402,12 +1558,14 @@ object Similarity {
         "Similarity.pqTrain and persist with pqWriteModel first")
     val lines = new String(AtRest.readFile(fs, f),
       java.nio.charset.StandardCharsets.UTF_8).trim.linesIterator.toSeq
-    val Array(m, ksub, dsub) = lines.head.split(" ").map(_.toInt)
+    val header = lines.head.split(" ")
+    val Array(m, ksub, dsub) = header.take(3).map(_.toInt)
+    val residual = header.lift(3).contains("residual")
     val cents = lines.tail.map(_.split(" ")
       .map(s => java.lang.Float.intBitsToFloat(s.toInt)).toSeq)
     require(cents.length == m * ksub && cents.forall(_.length == dsub),
       s"corrupt PQ model at $f: expected $m x $ksub centroids of $dsub dims")
-    (0 until m).map(j => cents.slice(j * ksub, (j + 1) * ksub))
+    ((0 until m).map(j => cents.slice(j * ksub, (j + 1) * ksub)), residual)
   }
 
   /** Corpus with its `m`-byte PQ code column — what a 100 TB pipeline

@@ -1378,6 +1378,40 @@ object MLQueries {
           pqModel = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 5))
       })),
 
+    // RESIDUAL IVF-PQ AT REST — the FAISS-style refinement of
+    // q_sim_ivfpq_at_rest: codes quantize `normalized(v) − centroid[list]`
+    // (within-cell residual variance ≪ global variance, so the same m×ksub
+    // budget quantizes finer; PqResidualSpec pins the ADC recall gain) and
+    // probes score the EXACT probe·centroid term plus the residual ADC.
+    // Same verdict design: the at-rest two-stage probe must return EXACTLY
+    // the in-memory residual comparator's result — 5 probes × k=5, zero
+    // mismatches.
+    Q("q_sim_ivfpq_residual", Some("""
+      SELECT CAST(25 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val out = scratchDir("ivfpq_residual") + "/corpus.parquet"
+        val atRest = Similarity.ivfPqTopKAtRest(s, out, probes, k = 5, rerank = 20)
+        val inMem = Similarity.ivfPqTopK(emb, probes,
+          Similarity.readCodebook(s, out).get,
+          Similarity.ivfPqModel(s, out).get, k = 5, rerank = 20, residual = true)
+        val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
+        atRest.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      },
+      // seed (untimed): IVF codebook + residual-trained PQ model persisted
+      // together (the residual flag rides in the model sidecar header)
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cents = Similarity.ivfCodebook(emb)
+        Similarity.ivfWriteAtRest(emb, cents,
+          scratchDir("ivfpq_residual") + "/corpus.parquet",
+          pqModel = Similarity.pqTrainResidual(emb, cents, m = 8, ksub = 16, iters = 5),
+          pqResidual = true)
+      })),
+
     // IVF MAINTENANCE end to end: seed at rest under a sampled codebook,
     // append a mean-shifted drift batch under the SAME (stale) codebook,
     // then ivfRetrain — k-means over the full table, partitioned rewrite,

@@ -153,6 +153,7 @@ class PlanSpec extends SparkSpec {
       "q_zarr_nd_roundtrip",   // 1-row self-check counts (round 9)
       "q_sim_ivf_at_rest",     // 1-row at-rest≡in-memory mismatch count
       "q_sim_ivfpq_at_rest",   // same 1-row self-check shape (IVF-PQ)
+      "q_sim_ivfpq_residual",  // same 1-row self-check shape (residual PQ)
       "q_sim_ivf_retrain",     // same 1-row self-check shape, post-retrain
       "q_sim_recall",          // recall audit embeds the brute-force exact
                                //   pass BY DESIGN (10 probes broadcast) —
