@@ -252,6 +252,15 @@ object VectorKernels {
         s"ivf_residual: list_id $listId out of range for a $nLists-list codebook " +
           "(the row's assignment and the codebook literal drifted apart)")
     val n = v.numElements()
+    // an OVER-length input would be silently truncated (its norm counts
+    // the dropped tail, shrinking every kept component) — loud error,
+    // mirroring the out-of-range listId; shorter inputs keep the
+    // documented zero-pad convention
+    if (n > dim)
+      throw new IllegalArgumentException(
+        s"ivf_residual: input has $n dims but the codebook is $dim-dimensional " +
+          "— a longer vector would be silently truncated; re-train the " +
+          "codebook on this embedding column")
     var nrm = 0.0
     var i = 0
     while (i < n) { val x = elem(v, i, vFloat); nrm += x * x; i += 1 }

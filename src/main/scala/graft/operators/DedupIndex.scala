@@ -1525,7 +1525,7 @@ object DedupIndex {
    *  `coveredUpTo` comes back None and the frontier conservatively does
    *  not advance past them. An unparsable marker is deleted (= NOT
    *  committed), mirroring the batch-marker contract. */
-  private def recheckMarkerInfo(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recheckMarkerInfo(fs: org.apache.hadoop.fs.FileSystem,
       corpusPath: String, recheckId: Long): Option[(Long, Option[Long])] = {
     val marker = new Path(corpusPath, s"_committed/recheck-$recheckId")
     if (!fs.exists(marker)) return None
@@ -1541,7 +1541,7 @@ object DedupIndex {
    *  max over the per-batch markers, floored by the compaction
    *  watermark (whose markers are gone but were committed). -1 for a
    *  seed-only corpus. */
-  private def maxCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def maxCommittedBatch(fs: org.apache.hadoop.fs.FileSystem,
       corpusPath: String): Long = {
     val dir = new Path(corpusPath, "_committed")
     val fromMarkers =
@@ -1554,12 +1554,12 @@ object DedupIndex {
     (fromMarkers.toSeq ++ fromWatermark.toSeq).maxOption.getOrElse(-1L)
   }
 
-  private def frontierPath(corpusPath: String) =
+  private[graft] def frontierPath(corpusPath: String) =
     new Path(corpusPath, "_committed/recheck-frontier")
 
   /** The persisted incremental-recheck frontier: `(nextSince, nextId)` —
    *  the first batch id not yet adjudicated and the next recheck id. */
-  private def readFrontier(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readFrontier(fs: org.apache.hadoop.fs.FileSystem,
       corpusPath: String): Option[(Long, Long)] = {
     val p = frontierPath(corpusPath)
     if (!fs.exists(p)) None

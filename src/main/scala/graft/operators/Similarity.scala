@@ -339,7 +339,11 @@ object Similarity {
       // pqResidual: codes quantize `normalized(v) − centroid[list]`
       // (FAISS-style IVF-PQ; [[pqTrainResidual]]) — probes add the exact
       // probe·centroid term back at scoring time.
-      Option(pqModel).foreach(requirePqDimMatch(_, centroids))
+      Option(pqModel).foreach { mdl =>
+        requirePqDimMatch(mdl, centroids)
+        requirePqConventionMatch(conventionSample(corpus, vecCol), centroids,
+          mdl, pqResidual)
+      }
       val withCodes = Option(pqModel).fold(assigned)(m =>
         if (pqResidual) pqEncodeResidual(assigned, centroids, m, vecCol)
         else pqEncode(assigned, m, vecCol))
@@ -430,7 +434,172 @@ object Similarity {
    * the training frame, not the table.
    */
   def ivfTrainKmeans(corpus: DataFrame, nLists: Int = 16, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Float]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxTrainRows: Long = 0): Seq[Seq[Float]] = {
+    val base = corpus.select(col(idCol), col(vecCol))
+    if (maxTrainRows > 0) {
+      val n = base.count()
+      if (n > maxTrainRows)
+        return kmeansLocal(collectTrainSample(base, idCol, vecCol, n, maxTrainRows),
+          nLists, iters)
+    }
+    trainKmeansOn(base, nLists, iters, idCol, vecCol)
+  }
+
+  /** The bounded training sample COLLECTED for driver-local k-means:
+   *  `(xxhash64(id), vector)` rows of the deterministic hash-cut, sorted
+   *  by the hash so the result is independent of partitioning. Bounded by
+   *  `maxTrainRows` (the model-training bound, ≤ 65536 by every caller's
+   *  default — ≤ 16 MB at dim 64), NOT a data collect. */
+  private def collectTrainSample(base: DataFrame, idCol: String, vecCol: String,
+      nRows: Long, maxTrainRows: Long): Array[(Long, Array[Float])] = {
+    val k = math.max(1L, SampleDenom * maxTrainRows / math.max(nRows, 1L))
+    collectSampled(
+      base.filter(pmod(xxhash64(col(idCol)), lit(SampleDenom)) < k),
+      idCol, vecCol)
+  }
+
+  /** Collect an ALREADY-BOUNDED training frame as `(xxhash64(id), vector)`
+   *  rows, hash-sorted (partitioning-independent), id-deduped. */
+  private def collectSampled(df: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Float])] =
+    df.filter(col(vecCol).isNotNull)
+      .select(xxhash64(col(idCol)).as("_h"), col(vecCol))
+      .collect() // bounded: ~maxTrainRows rows, the training sample
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .distinctBy(_._1) // replicas of one id collapse (same hash, same vector)
+
+  /**
+   * Driver-local spherical k-means++ over the collected sample — the
+   * sampled-training fast path: the distributed formulation's nLists
+   * sequential TakeOrdered rounds plus per-iteration Lloyd scans collapse
+   * into plain arithmetic on ≤ maxTrainRows vectors (a few ms), which is
+   * exactly how production ANN systems train coarse codebooks at scale
+   * (sample → in-memory k-means → distributed assignment). Same algorithm
+   * as [[trainKmeansOn]]: Efraimidis–Spirakis d-weighted ++ init with
+   * hash-uniform draws (u from xxhash64(idHash, round) — deterministic,
+   * no RNG), spherical Lloyd updates, empty lists keep their centroid.
+   * Draw values differ from the distributed path's (the hash composes
+   * over the id hash, not the id) — both are valid weight-proportional
+   * draws; determinism is per-path.
+   */
+  private def kmeansLocal(sample: Array[(Long, Array[Float])], nLists: Int,
+      iters: Int): Seq[Seq[Float]] = {
+    require(sample.nonEmpty, "k-means training: empty sample")
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = sample.length
+    val dim = sample(0)._2.length
+    def normalize(v: Array[Float]): Array[Double] = {
+      val a = new Array[Double](v.length)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { a(i) = v(i); s += a(i) * a(i); i += 1 }
+      if (s > 0) { val inv = 1.0 / math.sqrt(s); i = 0
+        while (i < v.length) { a(i) *= inv; i += 1 } }
+      a
+    }
+    val unit = sample.map(r => normalize(r._2))
+    def cosTo(c: Array[Double], i: Int): Double = {
+      val u = unit(i)
+      var s = 0.0
+      var t = 0
+      val m = math.min(c.length, u.length)
+      while (t < m) { s += c(t) * u(t); t += 1 }
+      s
+    }
+    // ++ init: seed = min-hash row; then argmax of d / -ln(u) per round
+    // (an unchosen row always exists under the loop condition, and every
+    // candidate's key >= 0 > the sentinel, so each round picks exactly one)
+    val chosen = new Array[Boolean](n)
+    chosen(0) = true
+    val centers = scala.collection.mutable.ArrayBuffer(unit(0).clone())
+    var round = 1
+    while (centers.length < math.min(nLists, n)) {
+      var bestKey = Double.MinValue
+      var bestI = -1
+      var i = 0
+      while (i < n) {
+        if (!chosen(i)) {
+          var maxCos = Double.MinValue
+          centers.foreach(c => { val v = cosTo(c, i); if (v > maxCos) maxCos = v })
+          val d = math.max(0.0, 1.0 - maxCos)
+          val h = XXH64.hashLong(sample(i)._1, round)
+          val u = (((h % 1000000000L) + 1000000000L) % 1000000000L + 0.5) / 1e9
+          val key = d / -math.log(u)
+          if (key > bestKey || (key == bestKey && bestI >= 0 &&
+              sample(i)._1 < sample(bestI)._1)) { bestKey = key; bestI = i }
+        }
+        i += 1
+      }
+      chosen(bestI) = true
+      centers += unit(bestI).clone()
+      round += 1
+    }
+    var cb = centers.toArray
+    for (_ <- 0 until iters) {
+      // assignment is by COSINE: normalize each centroid once per round
+      // (the spherical mean is NOT unit-norm, and a raw dot would bias
+      // the argmax toward high-norm centroids)
+      val cbN = cb.map { c =>
+        val nrm = math.sqrt(c.foldLeft(0.0)((s, x) => s + x * x))
+        if (nrm > 0) c.map(_ / nrm) else c
+      }
+      val sums = Array.fill(cb.length)(new Array[Double](dim))
+      val counts = new Array[Long](cb.length)
+      var i = 0
+      while (i < n) {
+        // argmax cosine; ties take the higher list index (the distributed
+        // sort_array(desc) convention)
+        var best = 0; var bestCos = Double.MinValue
+        var j = 0
+        while (j < cb.length) {
+          val v = cosTo(cbN(j), i)
+          if (v >= bestCos) { bestCos = v; best = j }
+          j += 1
+        }
+        // spherical update: average the normalized members
+        var nrm = 0.0
+        var t = 0
+        while (t < unit(i).length) { nrm += unit(i)(t) * unit(i)(t); t += 1 }
+        if (nrm > 0) {
+          counts(best) += 1
+          t = 0
+          while (t < math.min(dim, unit(i).length)) {
+            sums(best)(t) += unit(i)(t); t += 1
+          }
+        }
+        i += 1
+      }
+      cb = cb.zipWithIndex.map { case (old, j) =>
+        if (counts(j) == 0) old else sums(j).map(_ / counts(j))
+      }
+    }
+    cb.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
+  /** The deterministic training-sample bound behind `maxTrainRows` — the
+   *  knob SCALE.md's "run training over a sample at 100 TB" guidance now
+   *  enforces: keep rows where `pmod(xxhash64(id), 1e6) < k` (no RNG, the
+   *  same id always lands the same side), sized so ~`maxTrainRows` rows
+   *  survive, then compact to few partitions — the init's TakeOrdered
+   *  rounds and the Lloyd scans price by THIS frame's size and task
+   *  count, not the table's. */
+  private val SampleDenom = 1000000L
+
+  private def hashSample(df: DataFrame, idCol: String, nRows: Long,
+      maxTrainRows: Long): DataFrame = {
+    val k = math.max(1L, SampleDenom * maxTrainRows / math.max(nRows, 1L))
+    if (k >= SampleDenom) df
+    else {
+      val parts = math.max(1, math.min(32, (maxTrainRows / 8192L).toInt))
+      df.filter(pmod(xxhash64(col(idCol)), lit(SampleDenom)) < k)
+        .repartition(parts)
+    }
+  }
+
+  private def trainKmeansOn(corpus: DataFrame, nLists: Int, iters: Int,
+      idCol: String, vecCol: String): Seq[Seq[Float]] = {
     import org.apache.spark.sql.functions.typedLit
     val vecs = corpus.select(col(idCol), col(vecCol))
     var chosen = vecs.orderBy(xxhash64(col(idCol))).limit(1).collect()
@@ -481,7 +650,8 @@ object Similarity {
    *  the callers hold the lease. */
   private def swapRewrite(assigned: DataFrame, path: String,
       cb: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]] = null,
-      pqResidual: Option[Boolean] = None): Unit = {
+      pqResidual: Option[Boolean] = None,
+      ledgerAdjust: DataFrame = null): Unit = {
     val spark = assigned.sparkSession
     val fs = AtRest.fsFor(spark, path)
     // carry a PQ-encoded table's model into the rewrite: the codes ride in
@@ -501,9 +671,16 @@ object Similarity {
     // removed by compact/retrain, so the collapsed ledger stays exact)
     val ledgerBy = ivfLedgerByOf(spark, path)
     ledgerBy.foreach { _ =>
-      DedupIndex.ledgerLong(spark, AtRest.resolve(spark, path)).foreach(lf =>
-        DedupIndex.publishLedgerDelta(DedupIndex.collapseLedger(lf),
-          staging.toString, DedupIndex.SeedBatch))
+      DedupIndex.ledgerLong(spark, AtRest.resolve(spark, path)).foreach { lf =>
+        // a recheck's negative adjustment (removed vectors subtract back
+        // out) merges into the collapsed seed delta — evaluated HERE,
+        // against the pre-swap version, while staging (before the pointer
+        // moves), so the adjustment can never anti-join the rows it is
+        // itself accounting for
+        val merged = Option(ledgerAdjust).fold(lf)(lf.unionByName(_))
+        DedupIndex.publishLedgerDelta(DedupIndex.collapseLedger(merged),
+          staging.toString, DedupIndex.SeedBatch)
+      }
     }
     AtRest.writeMetaStaged(spark, staging,
       ivfMeta(cb, ivfReplicasOf(spark, path)) ++ ledgerBy.map("ledgerBy" -> _)
@@ -548,7 +725,8 @@ object Similarity {
    */
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
       nLists: Int = 16, iters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Seq[Seq[Float]] =
+      vecCol: String = "embedding",
+      maxTrainRows: Long = 65536): Seq[Seq[Float]] =
     AtRest.withLease(spark, path) {
       rejectCodesOnly(spark, path, "k-means retraining",
         "retrain against the primary vector store and re-seed with " +
@@ -562,21 +740,55 @@ object Similarity {
       // and ride through unchanged.
       val residual = ivfPqResidualOf(spark, path)
       val pq = ivfPqModel(spark, path)
-      val cur0 = spark.read.parquet(AtRest.resolve(spark, path))
-        .drop("list_id", "ingest_batch")
-      val cur = (if (residual) cur0.drop("pq_code") else cur0)
-        .dropDuplicates()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val dir = AtRest.resolve(spark, path)
+      val raw0 = spark.read.parquet(dir).drop("list_id", "ingest_batch")
+      val raw = if (residual) raw0.drop("pq_code") else raw0
+      // TRAINING frame: a bounded deterministic hash-sample (default 64k
+      // distinct ids; maxTrainRows <= 0 opts out) — at 100 TB the full
+      // table can neither persist nor price the init's per-round scans,
+      // and a 64k sample already over-determines an nLists-vector model.
+      // Sampling cuts by ID on the pre-dedupe frame (replicas ride along
+      // uniformly — every vector appears exactly `replicas` times, so the
+      // sample's k-means weighting is unskewed — and only the tiny sample
+      // pays the dedupe shuffle). Row count comes from parquet footers.
+      val replicas = math.max(ivfReplicasOf(spark, path), 1)
+      val nIds = spark.read.parquet(dir).count() / replicas
+      val sampled = maxTrainRows > 0 && nIds > maxTrainRows
+      val train =
+        (if (sampled)
+          hashSample(raw.select(col(idCol), col(vecCol)), idCol, nIds, maxTrainRows)
+        else raw).dropDuplicates()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
-        val cb = ivfTrainKmeans(cur, nLists, iters, idCol, vecCol)
-        val reassigned =
-          ivfAssignMulti(cur, cb, vecCol, ivfReplicasOf(spark, path))
+        // sampled: driver-local k-means over the persisted sample (one
+        // collect; see kmeansLocal) — the init's TakeOrdered rounds and
+        // Lloyd scans cost zero jobs. Full: the distributed trainer.
+        val cb =
+          if (sampled) kmeansLocal(collectSampled(train, idCol, vecCol),
+            nLists, iters)
+          else trainKmeansOn(train, nLists, iters, idCol, vecCol)
+        // a RESIDUAL model retrains against the NEW centroids (same
+        // m/ksub, same bounded training frame): residuals are offsets
+        // from the coarse codebook, so re-encoding with the OLD
+        // subquantizers under new lists would silently drift ADC recall
+        // across successive retrains. Raw models are centroid-independent
+        // — swapRewrite carries the persisted one unchanged.
+        val newPq =
+          if (residual) pq.map(old => pqTrainResidual(train, cb,
+            m = old.length, ksub = old.head.length, iters = 5, idCol, vecCol))
+          else None
+        // full-table reassignment is unchanged by sampling: one pass over
+        // the deduped table straight into the staged rewrite
+        val cur = if (sampled) raw.dropDuplicates() else train
+        val reassigned = ivfAssignMulti(cur, cb, vecCol, replicas)
         val reencoded =
-          if (residual) pqEncodeResidual(reassigned, cb, pq.get, vecCol)
+          if (residual) pqEncodeResidual(reassigned, cb, newPq.get, vecCol)
           else reassigned
-        swapRewrite(reencoded.repartition(nLists, col("list_id")), path, cb)
+        swapRewrite(reencoded.repartition(nLists, col("list_id")), path, cb,
+          pqModel = newPq.orNull,
+          pqResidual = if (residual) Some(true) else None)
         cb
-      } finally cur.unpersist(blocking = false)
+      } finally train.unpersist(blocking = false)
     }
 
   /**
@@ -635,6 +847,90 @@ object Similarity {
         "— train the PQ model on the same embedding column")
   }
 
+  /** Decisive-mismatch guard for the `residual` flag: a raw-trained model
+   *  declared residual (or vice versa) encodes and scores SELF-consistently
+   *  — nothing crashes, ADC recall just silently degrades, exactly the
+   *  class the flag exists to prevent. The two conventions are
+   *  distinguishable from the data itself: quantize a bounded sample BOTH
+   *  ways with the declared model and compare RELATIVE quantization error
+   *  (error over input mass — raw unit vectors and residuals carry
+   *  different norms, so absolute errors don't compare); the matching
+   *  convention's geometry fits decisively better. Throws only on a
+   *  decisive (>1.25×) mismatch — ambiguous data passes. Driver-side over
+   *  ≤ 256 sampled vectors, a few µs of arithmetic. */
+  private def requirePqConventionMatch(sampleVecs: Seq[Seq[Float]],
+      centroids: Seq[Seq[Float]], pq: Seq[Seq[Seq[Float]]],
+      residual: Boolean): Unit = {
+    if (sampleVecs.isEmpty) return
+    val dim = centroids.head.length
+    val m = pq.length
+    val dsub = pq.head.head.length
+    def normalize(v: Seq[Float]): Array[Double] = {
+      val a = v.map(_.toDouble).toArray
+      val nrm = math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+      if (nrm == 0) a else a.map(_ / nrm)
+    }
+    val cN = centroids.map(normalize).toArray
+    def quantErr(x: Array[Double]): Double = {
+      var err = 0.0
+      var j = 0
+      while (j < m) {
+        var best = Double.MaxValue
+        pq(j).foreach { cell =>
+          var d = 0.0
+          var t = 0
+          while (t < dsub) {
+            val diff = x(j * dsub + t) - cell(t); d += diff * diff; t += 1
+          }
+          if (d < best) best = d
+        }
+        err += best
+        j += 1
+      }
+      err
+    }
+    var errRaw = 0.0; var errRes = 0.0; var massRaw = 0.0; var massRes = 0.0
+    sampleVecs.foreach { v =>
+      val vn0 = normalize(v)
+      val vn = java.util.Arrays.copyOf(vn0, dim) // kernel's zero-pad convention
+      var bestL = 0; var bestCos = Double.MinValue
+      var l = 0
+      while (l < cN.length) {
+        var d = 0.0
+        var t = 0
+        val c = cN(l)
+        while (t < math.min(dim, c.length)) { d += vn(t) * c(t); t += 1 }
+        if (d > bestCos) { bestCos = d; bestL = l }
+        l += 1
+      }
+      val r = new Array[Double](dim)
+      var t = 0
+      while (t < dim) { r(t) = vn(t) - cN(bestL)(t); t += 1 }
+      errRaw += quantErr(vn); massRaw += vn.foldLeft(0.0)((s, x) => s + x * x)
+      errRes += quantErr(r); massRes += r.foldLeft(0.0)((s, x) => s + x * x)
+    }
+    val eps = 1e-12
+    val relRaw = errRaw / math.max(massRaw, eps)
+    val relRes = errRes / math.max(massRes, eps)
+    if (residual && relRes > relRaw * 1.25)
+      throw new IllegalArgumentException(
+        f"PQ model declared residual but fits the RAW convention decisively " +
+          f"better on this data (relative quantization error $relRes%.3f " +
+          f"residual vs $relRaw%.3f raw) — it was almost certainly trained " +
+          "with pqTrain, not pqTrainResidual; fix the flag or retrain")
+    if (!residual && relRaw > relRes * 1.25)
+      throw new IllegalArgumentException(
+        f"PQ model declared raw but fits the RESIDUAL convention decisively " +
+          f"better on this data (relative quantization error $relRaw%.3f raw " +
+          f"vs $relRes%.3f residual) — it was almost certainly trained with " +
+          "pqTrainResidual; pass residual = true (pqResidual = true)")
+  }
+
+  /** A bounded, cheap vector sample for [[requirePqConventionMatch]]. */
+  private def conventionSample(df: DataFrame, vecCol: String): Seq[Seq[Float]] =
+    df.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(256)
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq // bounded: 256 rows
+
   def ivfEnablePq(spark: org.apache.spark.sql.SparkSession, path: String,
       pqModel: Seq[Seq[Seq[Float]]],
       vecCol: String = "embedding", residual: Boolean = false): Unit =
@@ -645,6 +941,7 @@ object Similarity {
       requirePqDimMatch(pqModel, cb)
       val all = spark.read.parquet(AtRest.resolve(spark, path))
         .drop("ingest_batch").drop("pq_code")
+      requirePqConventionMatch(conventionSample(all, vecCol), cb, pqModel, residual)
       val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
       val encoded =
         if (residual) pqEncodeResidual(all, cb, pqModel, vecCol)
@@ -725,6 +1022,7 @@ object Similarity {
     // the rerank join) — without materialization the second consumer
     // re-runs the entire ADC scan + window, doubling the probe's cost
     val cand = cand0.localCheckpoint(true) // tiny: ≤ |probes| × rerank rows
+    onPqAdcDone() // seam AFTER the (eager) checkpoint: the ADC pass has run
     // bounded collect: the candidate-ID list (≤ |probes| × rerank rows) —
     // what turns the vector fetch into a pushed-down point read
     val candIds = cand.select(col(idCol)).distinct().collect().map(_.get(0))
@@ -741,7 +1039,8 @@ object Similarity {
     val prunedVecs = Option(rerankFrom).getOrElse(
       spark.read.parquet(dir).filter(col("list_id").isin(wanted: _*)))
     val fetch = (
-      if (candIds.length <= 65536) prunedVecs.filter(col(idCol).isin(candIds: _*))
+      if (candIds.length <= rerankInThreshold)
+        prunedVecs.filter(col(idCol).isin(candIds: _*))
       else prunedVecs.join(broadcast(cand.select(col(idCol)).distinct()),
         Seq(idCol), "left_semi"))
       .select(col(idCol), col(vecCol))
@@ -1068,6 +1367,19 @@ object Similarity {
    *  already executed by then). A no-op in production. */
   private[graft] var onPqAdcPlan: DataFrame => Unit = _ => ()
 
+  /** Test/measurement seam: fires right after the ADC candidate pass has
+   *  EXECUTED (the eager localCheckpoint) and before the rerank fetch —
+   *  a byte-counting harness snapshots I/O counters here to isolate the
+   *  ADC scan's reads from the rerank's. A no-op in production. */
+  private[graft] var onPqAdcDone: () => Unit = () => ()
+
+  /** Candidate-count ceiling for the rerank's static-IN point read; past
+   *  it the fetch falls back to a broadcast semi-join over the same
+   *  pruned lists (the scan stays partition-pruned; only the row-group
+   *  skip from the literal IN is lost). `private[graft] var` so the spec
+   *  can lower it and drive the fallback deterministically. */
+  private[graft] var rerankInThreshold: Int = 65536
+
   private def ivfListBatchIds(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -1084,7 +1396,8 @@ object Similarity {
       path: String): Option[String] =
     AtRest.readMeta(spark, path).flatMap(_.get("ledgerBy"))
 
-  private val IvfLedgerCounters = Seq("n_vecs", "n_dropped_batch", "n_dropped_cross")
+  private val IvfLedgerCounters =
+    Seq("n_vecs", "n_dropped_batch", "n_dropped_cross", "n_removed_recheck")
 
   /**
    * INCREMENTAL per-source stats for the at-rest VECTOR table — the IVF
@@ -1157,6 +1470,216 @@ object Similarity {
       nProbe: Int, idCol: String, vecCol: String, batchId: Long): Long =
     ivfIngestBatch(newVecs, storedCodebook(newVecs.sparkSession, path), path,
       threshold, nProbe, idCol, vecCol, batchId)
+
+  // --------------------------------------------------------- offline recheck
+
+  /**
+   * OFFLINE near-duplicate recheck over the at-rest IVF table —
+   * [[graft.operators.DedupIndex.recheckCorpus]]'s vector twin and the
+   * deep-clean backstop for the ingest loop's documented CROSS-PROBE
+   * caveat ([[ivfIngestBatch]]): an arrival whose true near-dup sits in a
+   * list outside its nProbe nearest is admitted, and such pairs accrete
+   * at rest with no pass that ever revisits them. This pass finds
+   * near-dup pairs across the WHOLE table with banded sign-LSH + exact
+   * cosine verification ([[embeddingDuplicates]] — the LSH buckets are
+   * independent of the IVF Voronoi cells, which is exactly why it
+   * catches what the pruned probe missed), keeps each cluster's best
+   * member (`scoreCol` descending; null = keep the smallest id, the
+   * ingest loop's greedy drop-larger rule applied transitively), rewrites
+   * the survivors as a staged version with one atomic pointer swap
+   * (assignments, codes, codebook, PQ model and replay markers all
+   * carry — no vector changes lists), and adjusts the stats ledger
+   * (`n_vecs` subtracts, `n_removed_recheck` counts). Returns the
+   * dropped count; 0 leaves the table untouched. Lease-fenced offline
+   * maintenance, like compact/retrain.
+   */
+  def ivfRecheck(spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding", scoreCol: String = null,
+      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000): Long =
+    AtRest.withLease(spark, path) {
+      recheckSweep(spark, path, sinceBatch = None,
+        threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket)
+    }
+
+  /**
+   * [[ivfRecheck]] restricted to RECENT arrivals — the frequent backstop
+   * pass: only vectors in batch dirs `ingest_batch >= sinceBatch` are
+   * re-examined (new-vs-old and new-vs-new pairs; old-vs-old pairs were
+   * adjudicated by the previous pass, the same contract as
+   * [[graft.operators.DedupIndex.recheckSince]]). EXACTLY-ONCE under
+   * replay: a committed `_committed/recheck-<recheckId>` marker
+   * short-circuits; a crash after the version swap but before the marker
+   * re-runs against the already-cleaned table, finds nothing, and
+   * commits — table and ledger stay exact either way (the swap is the
+   * publish, and the ledger adjustment rides inside it atomically).
+   *
+   * Honest scale shape: the pair search signs the whole table once per
+   * pass (one scan, ids + signatures shuffle — the at-rest IVF layout
+   * keeps no LSH sidecar to probe, unlike the text corpus's index);
+   * the REWRITE only happens when drops were found, and drops are rare
+   * in steady state. Returns the dropped count.
+   */
+  def ivfRecheckSince(spark: org.apache.spark.sql.SparkSession, path: String,
+      sinceBatch: Long, recheckId: Long, threshold: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scoreCol: String = null, planesPerTable: Int = 16, tables: Int = 4,
+      maxBucket: Int = 1000): Long = {
+    require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
+    val fs = AtRest.fsFor(spark, path)
+    DedupIndex.recheckMarkerInfo(fs, path, recheckId) match {
+      case Some((n, _)) => return n
+      case None => // absent or unparsable (the latter deleted) — run
+    }
+    AtRest.withLease(spark, path) {
+      // the highest COMMITTED batch this pass will have adjudicated —
+      // snapshotted under the lease and recorded in the marker, so the
+      // frontier advance derives from actual coverage
+      val coveredUpTo = DedupIndex.maxCommittedBatch(fs, path)
+      val n = recheckSweep(spark, path, sinceBatch = Some(sinceBatch),
+        threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket)
+      AtRest.writeFile(fs,
+        new org.apache.hadoop.fs.Path(path, s"_committed/recheck-$recheckId"),
+        s"$n $coveredUpTo".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      n
+    }
+  }
+
+  /**
+   * [[ivfRecheckSince]] with ZERO caller bookkeeping — the cron-shaped
+   * entry, mirroring [[graft.operators.DedupIndex.recheckIncremental]]:
+   * `sinceBatch`/`recheckId` derive from the persisted
+   * `_committed/recheck-frontier` (absent = everything since batch 0),
+   * and the frontier advances from the committed marker's own recorded
+   * coverage — a crash between the recheck's commit and the frontier
+   * write re-runs with the same id, short-circuits on the marker, and
+   * advances to exactly the covered range; later batches stay ahead of
+   * the frontier for the next pass.
+   */
+  def ivfRecheckIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, threshold: Double = 0.95, idCol: String = "vec_id",
+      vecCol: String = "embedding", scoreCol: String = null,
+      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000): Long = {
+    val fs = AtRest.fsFor(spark, path)
+    val (since, id) = DedupIndex.readFrontier(fs, path).getOrElse {
+      val dir = new org.apache.hadoop.fs.Path(path, "_committed")
+      val maxExisting =
+        if (!fs.exists(dir)) None
+        else fs.listStatus(dir).iterator.flatMap { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("recheck-") && nm != "recheck-frontier")
+            nm.drop(8).toLongOption
+          else None
+        }.maxOption
+      (0L, maxExisting.map(_ + 1L).getOrElse(0L))
+    }
+    val n = ivfRecheckSince(spark, path, since, id, threshold, idCol, vecCol,
+      scoreCol, planesPerTable, tables, maxBucket)
+    val covered = DedupIndex.recheckMarkerInfo(fs, path, id).getOrElse(
+      throw new IllegalStateException(
+        s"recheck-$id committed but its marker is unreadable"))._2
+    val nextSince = covered.map(_ + 1L).getOrElse(since)
+    AtRest.writeFile(fs, DedupIndex.frontierPath(path),
+      s"$nextSince ${id + 1L}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    n
+  }
+
+  /** The shared sweep: find → keep-best → (conditionally) rewrite +
+   *  ledger-adjust. Callers hold the lease. `sinceBatch = None` examines
+   *  every pair; `Some(b)` restricts to pairs involving a vector from
+   *  `ingest_batch >= b`. */
+  private def recheckSweep(spark: org.apache.spark.sql.SparkSession,
+      path: String, sinceBatch: Option[Long],
+      threshold: Double, idCol: String, vecCol: String, scoreCol: String,
+      planesPerTable: Int, tables: Int, maxBucket: Int): Long = {
+    rejectCodesOnly(spark, path, "the offline near-dup recheck",
+      "recheck the primary vector store and re-seed with " +
+        "ivfWriteAtRest(codesOnly = true)")
+    val dir = AtRest.resolve(spark, path)
+    val table = spark.read.parquet(dir)
+    // one row per id (replicas collapse; assignment columns don't matter
+    // for the pair search)
+    val keep = (Seq(idCol, vecCol) ++ Option(scoreCol)).distinct
+    val uniq = table.select(keep.map(col): _*).dropDuplicates(idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = sinceBatch match {
+      case None => embeddingDuplicates(uniq, threshold, planesPerTable,
+        tables, maxBucket, idCol, vecCol).select("id_a", "id_b")
+      case Some(b) =>
+        val newIds = table.filter(col("ingest_batch") >= b)
+          .select(col(idCol)).distinct()
+        embeddingDuplicatesAgainst(uniq, newIds, threshold, planesPerTable,
+          tables, maxBucket, idCol, vecCol)
+    }
+    val scored = uniq.withColumn("_score",
+      Option(scoreCol).map(col).getOrElse(lit(0)))
+    val best = Dedup.nearDupKeepBest(scored, pairs, "_score", idCol)
+    val dropIds = best.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val n = dropIds.count()
+    if (n > 0) {
+      // survivors keep their existing assignments AND codes — removal
+      // moves no vector between lists, so the rewrite is a pure filter
+      // (swapRewrite re-carries codebook, PQ model, meta, markers)
+      val cb = storedCodebook(spark, path)
+      val survivors = table.drop("ingest_batch")
+        .join(dropIds, Seq(idCol), "left_anti")
+      val adjust = ivfLedgerByOf(spark, path).map { g =>
+        val removed = uniq.join(dropIds, Seq(idCol), "left_semi")
+          .join(table.select(idCol, g).dropDuplicates(idCol), Seq(idCol))
+        DedupIndex.countLong(removed, g, "n_vecs")
+          .withColumn("value", -col("value"))
+          .unionByName(DedupIndex.countLong(removed, g, "n_removed_recheck"))
+      }
+      swapRewrite(survivors.repartition(cb.length, col("list_id")), path, cb,
+        ledgerAdjust = adjust.orNull)
+    }
+    dropIds.unpersist(blocking = false)
+    uniq.unpersist(blocking = false)
+    n
+  }
+
+  /** [[embeddingDuplicates]] restricted to pairs INVOLVING an id from
+   *  `newIds` — the incremental recheck's pair search: the corpus side is
+   *  signed once (ids + signatures shuffle, vectors fetched only for
+   *  candidates), but the bucket self-join shrinks to buckets a NEW
+   *  vector occupies. Emits undirected `(id_a < id_b)` pairs. */
+  private def embeddingDuplicatesAgainst(corpus: DataFrame, newIds: DataFrame,
+      threshold: Double, planesPerTable: Int, tables: Int, maxBucket: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val sigs = corpus.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map(tt =>
+        lshSignature(col(vecCol), planesPerTable, tt * planesPerTable)): _*))
+        .as(Seq("tbl", "sig")))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val okBuckets = sigs.groupBy("tbl", "sig")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
+      .select("tbl", "sig")
+    val pruned = sigs.join(okBuckets, Seq("tbl", "sig"))
+    val newSigs = pruned.join(
+      newIds.select(col(newIds.columns.head).as("id")), Seq("id"), "left_semi")
+    val pairs = pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
+      .join(newSigs.select(col("tbl"), col("sig"), col("id").as("id_b")),
+        Seq("tbl", "sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val candIds = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(candIds, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val out = pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+    Dedup.materializeThenFree(out, sigs, pairs, vecs)
+  }
 
   /** The streaming wrapper, mirroring
    *  [[graft.operators.DedupIndex.ingestStream]]: every micro-batch of
@@ -1353,7 +1876,31 @@ object Similarity {
    * frame, and the codebook is m×ksub×dsub floats regardless of corpus size.
    */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, iters: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxTrainRows: Long = 0): Seq[Seq[Seq[Float]]] =
+    withTrainSample(corpus, idCol, vecCol, maxTrainRows)(
+      pqTrainOn(_, m, ksub, iters, idCol, vecCol))
+
+  /** Shared `maxTrainRows` plumbing for the PQ trainers: bound the
+   *  training frame to a persisted deterministic hash-sample (see
+   *  [[hashSample]]); `maxTrainRows <= 0` trains on the full frame. */
+  private def withTrainSample(corpus: DataFrame, idCol: String, vecCol: String,
+      maxTrainRows: Long)(train: DataFrame => Seq[Seq[Seq[Float]]]): Seq[Seq[Seq[Float]]] = {
+    val base = corpus.select(col(idCol), col(vecCol))
+    if (maxTrainRows > 0) {
+      val n = base.count()
+      if (n > maxTrainRows) {
+        val s = hashSample(base, idCol, n, maxTrainRows)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        try return train(s)
+        finally s.unpersist(blocking = false)
+      }
+    }
+    train(base)
+  }
+
+  private def pqTrainOn(corpus: DataFrame, m: Int, ksub: Int, iters: Int,
+      idCol: String, vecCol: String): Seq[Seq[Seq[Float]]] = {
     val sample = corpus.select(col(idCol), col(vecCol))
       .filter(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)))
@@ -1428,7 +1975,14 @@ object Similarity {
    */
   def pqTrainResidual(corpus: DataFrame, centroids: Seq[Seq[Float]],
       m: Int = 8, ksub: Int = 16, iters: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Float]]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxTrainRows: Long = 0): Seq[Seq[Seq[Float]]] =
+    withTrainSample(corpus, idCol, vecCol, maxTrainRows)(
+      pqTrainResidualOn(_, centroids, m, ksub, iters, idCol, vecCol))
+
+  private def pqTrainResidualOn(corpus: DataFrame, centroids: Seq[Seq[Float]],
+      m: Int, ksub: Int, iters: Int,
+      idCol: String, vecCol: String): Seq[Seq[Seq[Float]]] = {
     val dim = centroids.head.length
     require(dim % m == 0, s"pqTrainResidual: dim $dim must split into m=$m subspaces")
     val dsub = dim / m
@@ -1534,12 +2088,17 @@ object Similarity {
    *  encode against the persisted IVF codebook (rows are assigned by the
    *  time any write path reaches here, so `list_id` is present). */
   private def withPqCodes(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
-      path: String, vecCol: String): DataFrame =
-    ivfPqModel(spark, path).fold(df) { model =>
-      if (ivfPqResidualOf(spark, path))
-        pqEncodeResidual(df, storedCodebook(spark, path), model, vecCol)
+      path: String, vecCol: String): DataFrame = {
+    val dir = AtRest.resolve(spark, path)
+    if (!AtRest.fsFor(spark, dir).exists(pqModelFile(dir))) df
+    else {
+      // one sidecar read serves both the model and its residual flag —
+      // the append/ingest hot path must not parse the m×ksub×dsub file twice
+      val (model, residual) = pqReadModelInfo(spark, dir)
+      if (residual) pqEncodeResidual(df, storedCodebook(spark, path), model, vecCol)
       else pqEncode(df, model, vecCol)
     }
+  }
 
   def pqReadModel(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Seq[Seq[Float]]] = pqReadModelInfo(spark, dir)._1

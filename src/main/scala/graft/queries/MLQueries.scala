@@ -1430,7 +1430,12 @@ object MLQueries {
         val drift = emb.select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(0.5f) + lit(0.5f)).as("embedding"),
           col("label"))
-        val newCb = Similarity.ivfRetrain(s, out, nLists = 16, iters = 2)
+        // maxTrainRows = 1024 exercises the SAMPLED training path (the
+        // enforced 100 TB recipe: k-means over a deterministic hash-sample,
+        // full-table reassignment) — the oracle is model-agnostic (the same
+        // new codebook scores both sides), so the verdict stays exact
+        val newCb = Similarity.ivfRetrain(s, out, nLists = 16, iters = 2,
+          maxTrainRows = 1024)
         val full = emb.select("vec_id", "embedding")
           .unionByName(drift.select("vec_id", "embedding"))
         val atRest = Similarity.ivfTopKAtRest(s, out, probes, newCb, k = 5)
@@ -1453,6 +1458,49 @@ object MLQueries {
             transform(col("embedding"), x => x * lit(0.5f) + lit(0.5f)).as("embedding"),
             col("label")),
           oldCb, out)
+      })),
+
+    // OFFLINE VECTOR RECHECK — the deep-clean backstop for the ingest
+    // loop's cross-probe caveat: 20 exact copies (cosine 1.0, ids
+    // +5,000,000) are planted directly at rest (the bulk seed does not
+    // dedupe), then ivfRecheck sweeps the whole table with banded
+    // sign-LSH + exact verification (independent of the IVF cells) and
+    // drops each pair's larger id. The query returns the DROPPED ids;
+    // DuckDB recomputes them from raw embeddings: exactly the planted
+    // copies (threshold 0.98 — natural max cosine in this corpus ~0.5,
+    // so no engine-noise ambiguity), no pins.
+    Q("q_sim_recheck", Some("""
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cop AS (SELECT vec_id + 5000000 AS vec_id, v FROM base WHERE vec_id < 20),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM cop),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM allv a JOIN allv b
+          ON a.vec_id < b.vec_id
+        WHERE list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v))
+                 * sqrt(list_inner_product(b.v, b.v))) >= 0.98)
+      SELECT DISTINCT CAST(id_b AS BIGINT) AS vec_id FROM pairs ORDER BY 1"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = QueryScratch.dir("sim_recheck") + "/corpus.parquet"
+        val before = emb.select("vec_id")
+          .unionByName(emb.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 5000000L).as("vec_id")))
+        Similarity.ivfRecheck(s, path, threshold = 0.98)
+        val survivors = Similarity.ivfRead(s, path)
+          .select("vec_id").dropDuplicates("vec_id")
+        before.join(survivors, Seq("vec_id"), "left_anti")
+          .select(col("vec_id")).orderBy("vec_id")
+      },
+      // seed (untimed): the accreted table — originals plus exact copies;
+      // fresh per attempt so re-runs re-plant what the sweep removes
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = QueryScratch.fresh("sim_recheck") + "/corpus.parquet"
+        val planted = emb.select("vec_id", "embedding")
+          .unionByName(emb.filter(col("vec_id") < 20)
+            .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")))
+        Similarity.ivfWriteAtRest(planted, Similarity.ivfCodebook(emb), path)
       })),
 
     // Tokenizer training: the BPE merge table (Sennrich-style word-

@@ -87,6 +87,38 @@ object PqBench {
         f"over ~${scanned / 1e6}%.1fM candidate rows " +
         f"(code bytes/vec = 8 vs ${dim * 4} raw)")
     }
+
+    // BYTES ACTUALLY READ, per probe stage, through the countfs:// counting
+    // proxy over the same at-rest table (no copy — the scheme just routes
+    // reads through the counters). On an object store bytes requested ≈
+    // bytes billed and fetched: this table, not local wall-clock, is where
+    // the PQ win lives (page cache hides it locally).
+    CountingFileSystem.register(spark.sparkContext.hadoopConfiguration)
+    val cpath = s"countfs://$root/corpus.parquet"
+    CountingFileSystem.reset()
+    Similarity.ivfTopKAtRest(spark, cpath, probes, k = 10, nProbe = nProbe,
+      idCol = "vec_id", vecCol = "embedding").count()
+    val rawRead = CountingFileSystem.bytesRead.get
+    var adcStart = -1L
+    var adcEnd = -1L
+    val pqRead =
+      try {
+        Similarity.onPqAdcPlan = _ => adcStart = CountingFileSystem.bytesRead.get
+        Similarity.onPqAdcDone = () => adcEnd = CountingFileSystem.bytesRead.get
+        CountingFileSystem.reset()
+        Similarity.ivfPqTopKAtRest(spark, cpath, probes, k = 10,
+          nProbe = nProbe, rerank = 50).count()
+        CountingFileSystem.bytesRead.get
+      } finally {
+        Similarity.onPqAdcPlan = _ => ()
+        Similarity.onPqAdcDone = () => ()
+      }
+    val adcBytes = adcEnd - adcStart
+    println(f"[pq-bench-io] raw-IVF probe read ${rawRead / 1e6}%.1f MB; " +
+      f"IVF-PQ probe: plan+sidecars ${adcStart / 1e6}%.1f MB, ADC candidate " +
+      f"pass ${adcBytes / 1e6}%.1f MB (${rawRead.toDouble / adcBytes}%.1fx " +
+      f"less than raw), rerank point-fetch ${(pqRead - adcEnd) / 1e6}%.1f MB, " +
+      f"total ${pqRead / 1e6}%.1f MB (${rawRead.toDouble / pqRead}%.1fx less)")
     spark.stop()
   }
 }

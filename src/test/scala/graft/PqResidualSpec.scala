@@ -120,22 +120,79 @@ class PqResidualSpec extends SparkSpec {
     assert(Similarity.ivfIngestBatch(novel, cents, dir,
       threshold = 0.999, batchId = 3L) == 3)
     assert(Similarity.ivfRead(spark, dir).filter(col("pq_code").isNull).count() == 0)
-    // retrain: new codebook ⇒ every residual code re-derives; the at-rest
-    // probe must equal the in-memory comparator under the NEW centroids
-    // (a stale-residual bug would desync exactly here)
+    // retrain: new codebook ⇒ every residual code re-derives AND the
+    // residual subquantizers RETRAIN against the new centroids (r14
+    // advice: re-encoding with the old model under new lists silently
+    // drifts ADC recall across retrains); the at-rest probe must equal
+    // the in-memory comparator under the NEW centroids + NEW model
     val newCb = Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 1)
     assert(Similarity.pqModelResidual(spark, graft.operators.AtRest.resolve(spark, dir)),
       "retrain must carry the residual flag into the new version")
+    val newPq = Similarity.ivfPqModel(spark, dir).get
+    assert(newPq != pq,
+      "retrain must retrain the residual subquantizers against the new " +
+        "centroids, not carry the old-centroid model")
+    assert(newPq.length == pq.length && newPq.head.length == pq.head.length,
+      "retrained model must keep the table's m and ksub")
     val full = Similarity.ivfRead(spark, dir)
       .select("vec_id", "embedding").dropDuplicates("vec_id")
     val probes = probesOf(emb, 5)
     val atRest = Similarity.ivfPqTopKAtRest(spark, dir, probes, k = 5,
       nProbe = 4, rerank = 20)
-    val inMem = Similarity.ivfPqTopK(full, probes, newCb, pq, k = 5,
+    val inMem = Similarity.ivfPqTopK(full, probes, newCb, newPq, k = 5,
       nProbe = 4, rerank = 20, residual = true)
     val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
     assert(diff.count() == 0,
       "retrained residual table desynced from the in-memory comparator")
+  }
+
+  test("residual flag mismatch is caught loudly: a raw-trained model cannot " +
+      "be declared residual, nor a residual-trained one raw") {
+    // CLUSTERED data makes the conventions decisively distinguishable:
+    // residuals are tiny offsets near zero, raw vectors sit on the unit
+    // sphere — a mismatched flag fits the opposite geometry far better
+    val clustered = emb.limit(200).select(col("vec_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        (when(pmod(col("vec_id"), lit(4)) === pmod(i, lit(4)), lit(1.0f))
+          .otherwise(lit(0.0f))
+          + (pmod(xxhash64(col("vec_id"), i), lit(100)).cast("float") / lit(2000.0f))
+        ).cast("float")).as("embedding"))
+    val cents = Similarity.ivfTrainKmeans(clustered, nLists = 4, iters = 3)
+    val rawPq = Similarity.pqTrain(clustered, m = 4, ksub = 8, iters = 3)
+    val resPq = Similarity.pqTrainResidual(clustered, cents, m = 4, ksub = 8, iters = 3)
+    val okDir = tempDir("pqres_flag") + "/ok"
+    // correct flags pass
+    Similarity.ivfWriteAtRest(clustered, cents, okDir, pqModel = resPq,
+      pqResidual = true)
+    // a raw model declared residual fails loudly at seed time
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfWriteAtRest(clustered, cents,
+        tempDir("pqres_flag") + "/bad1", pqModel = rawPq, pqResidual = true)
+    }.getMessage.contains("RAW convention"))
+    // a residual model declared raw fails loudly at migration time
+    val dir2 = tempDir("pqres_flag") + "/bad2"
+    Similarity.ivfWriteAtRest(clustered, cents, dir2)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfEnablePq(spark, dir2, resPq, residual = false)
+    }.getMessage.contains("RESIDUAL convention"))
+    // and the matching migration passes
+    Similarity.ivfEnablePq(spark, dir2, rawPq, residual = false)
+  }
+
+  test("ivf_residual: an over-length input fails loudly instead of " +
+      "silently truncating") {
+    import spark.implicits._
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val df = Seq((0L, Array(1.0f, 2.0f, 3.0f), 0)).toDF("id", "v", "list_id")
+    val e = intercept[Throwable] {
+      df.select(graft.functions.VectorFunctions.ivf_residual(
+        col("v"), col("list_id"), cents)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("truncated")),
+      s"expected the over-length loud error, got: ${messages(e).mkString(" | ")}")
   }
 
   /** ADC selection recall@10 vs brute-force truth over `corpus`, all

@@ -276,7 +276,13 @@ class SketchSpec extends SparkSpec {
     assert(maxBefore >= 2 * nBase,
       s"drift mass should crowd stale lists: max list $maxBefore of ${11 * nBase} rows")
     assert(top1(oldCb) === 3000003L)
-    val newCb = Similarity.ivfRetrain(spark, dir, nLists = 16, iters = 3)
+    // maxTrainRows drives the SAMPLED training path (the table holds
+    // 11 × nBase rows > 2048): k-means++ over a deterministic hash-sample
+    // must still find the drift mass and re-spread it — the 100 TB recipe.
+    // Lloyd rounds are driver-local under sampling (milliseconds), so the
+    // maintenance pass can afford more of them than the distributed path
+    val newCb = Similarity.ivfRetrain(spark, dir, nLists = 16, iters = 6,
+      maxTrainRows = 2048)
     val scannedAfter = scannedRows(newCb)
     val maxAfter = maxList()
     assert(maxAfter * 2 <= maxBefore,
@@ -938,6 +944,146 @@ class SketchSpec extends SparkSpec {
       k = 2, nProbe = 2, rerank = 10, rerankFrom = rerankedProbe).collect()
     assert(got.map(_.getLong(1)).toSet == Set(0L, 950000L),
       s"expected vec 0 and its appended copy: ${got.mkString(";")}")
+  }
+
+  test("IVF-PQ rerank fallback: past the IN threshold the semi-join path " +
+      "returns identical rows and the fetch stays partition-pruned") {
+    val dir = tempDir("ivfpq_fb") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    Similarity.ivfWriteAtRest(emb, centroids, dir, pqModel = pq)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val viaIn = Similarity.ivfPqTopKAtRest(spark, dir, probe,
+      k = 5, nProbe = 2, rerank = 15).collect().toSeq
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    val (viaSemi, plan) =
+      try {
+        Similarity.rerankInThreshold = 0 // any candidate list now exceeds it
+        val q = Similarity.ivfPqTopKAtRest(spark, dir, probe,
+          k = 5, nProbe = 2, rerank = 15)
+        (q.collect().toSeq, q.queryExecution.executedPlan)
+      } finally {
+        Similarity.rerankInThreshold = 65536
+        spark.conf.set("spark.sql.adaptive.enabled", true)
+      }
+    assert(viaSemi == viaIn,
+      "the broadcast-semi-join fallback must return exactly the IN path's rows")
+    // the fetch scan still plans only the probe's wanted lists — losing
+    // the literal IN must not silently widen the read to the whole table
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "fallback plan should contain the vector-fetch scan")
+    scans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"fallback fetch planned ${s.selectedPartitions.partitionCount} " +
+          "partitions, want <= 2 of 8 (partition pruning lost)")
+    }
+  }
+
+  test("sampled k-means training is deterministic and trains on the hash-cut") {
+    // same inputs + same bound -> bit-identical codebook (the no-RNG
+    // contract carries through the sampling cut), and the bound genuinely
+    // cuts: a sample-trained codebook differs from the full-table one
+    val a = Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 2, maxTrainRows = 200)
+    val b = Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 2, maxTrainRows = 200)
+    assert(a == b, "sampled training must be deterministic")
+    val full = Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 2)
+    assert(a != full, "maxTrainRows=200 over 500 rows must actually sample")
+    // a bound at/above the table size is a no-op: identical to full training
+    val noop = Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 2,
+      maxTrainRows = 1000000)
+    assert(noop == full)
+  }
+
+  test("ivfRecheck heals a cross-probe-missed near-dup the ingest loop admitted") {
+    import spark.implicits._
+    val dir = tempDir("ivf_recheck") + "/corpus"
+    // two lists 20° apart; A sits 9° from c0 (assigns to list 0), its
+    // near-copy A' sits 11° (assigns to list 1). cos(A, A') = cos(2°) ≈
+    // 0.9994 ≥ 0.95 — a true near-dup pair straddling the Voronoi boundary
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Seq(at(0), at(20))
+    val seed = Seq((1L, at(9).toArray), (2L, at(170).toArray))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfWriteAtRest(seed, cents, dir)
+    // nProbe = 1: the arrival probes ONLY list 1; A lives in list 0 → the
+    // ingest loop misses the pair and admits the copy (the documented
+    // cross-probe caveat)
+    val arrival = Seq((100L, at(11).toArray)).toDF("vec_id", "embedding")
+    assert(Similarity.ivfIngestBatch(arrival, cents, dir, threshold = 0.95,
+      nProbe = 1, batchId = 0L) == 1,
+      "the cross-probe near-dup must slip past the pruned ingest probe")
+    assert(Similarity.ivfRead(spark, dir).count() == 3)
+    // the offline sweep's LSH buckets ignore the IVF cells — it finds the
+    // pair and drops the larger id (the ingest loop's greedy rule)
+    assert(Similarity.ivfRecheck(spark, dir, threshold = 0.95) == 1)
+    val after = Similarity.ivfRead(spark, dir)
+    assert(after.select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "recheck must remove the accreted near-dup and keep the original")
+    // assignments/codebook carried: probes still prune and score correctly
+    val probe = Seq((999L, at(9).toArray)).toDF("probe_id", "probe_vec")
+    val got = Similarity.ivfTopKAtRest(spark, dir, probe, cents, k = 1, nProbe = 1)
+      .collect()
+    assert(got.head.getLong(1) == 1L && got.head.getDouble(2) > 0.999)
+    // idempotent: a clean table drops nothing and is not rewritten
+    val verBefore = graft.operators.AtRest.resolve(spark, dir)
+    assert(Similarity.ivfRecheck(spark, dir, threshold = 0.95) == 0)
+    assert(graft.operators.AtRest.resolve(spark, dir) == verBefore,
+      "a zero-drop recheck must not publish a new version")
+  }
+
+  test("ivfRecheckIncremental: frontier advances, marker replay " +
+      "short-circuits, ledger stays exact") {
+    import spark.implicits._
+    val dir = tempDir("ivf_recheck_incr") + "/corpus"
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Seq(at(0), at(20))
+    val seed = Seq((1L, at(9).toArray, "web"), (2L, at(170).toArray, "web"))
+      .toDF("vec_id", "embedding", "source")
+    Similarity.ivfWriteAtRest(seed, cents, dir, ledgerBy = "source")
+    // batch 0: a cross-probe-missed near-dup of vec 1 (nProbe = 1 probes
+    // the wrong list) plus a genuinely novel vector
+    val b0 = Seq((100L, at(11).toArray, "crawl"), (101L, at(80).toArray, "crawl"))
+      .toDF("vec_id", "embedding", "source")
+    assert(Similarity.ivfIngestBatch(b0, cents, dir, threshold = 0.95,
+      nProbe = 1, batchId = 0L) == 2)
+    // first incremental pass: adjudicates batches 0.. — drops the accreted
+    // copy, subtracts it from the ledger, advances the frontier
+    assert(Similarity.ivfRecheckIncremental(spark, dir, threshold = 0.95) == 1)
+    val card1 = Similarity.ivfLedgerCard(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(card1("crawl") == (1L, 1L),
+      s"crawl: one admitted survivor, one recheck removal — got ${card1("crawl")}")
+    assert(card1("web") == (2L, 0L))
+    // replay of the same recheck id short-circuits on the marker (returns
+    // the recorded count, touches nothing)
+    assert(Similarity.ivfRecheckSince(spark, dir, 0L, 0L, threshold = 0.95) == 1)
+    // batch 1 arrives AFTER the frontier: the next pass examines ONLY it
+    val b1 = Seq((200L, at(171).toArray, "crawl")) // near-dup of OLD vec 2
+      .toDF("vec_id", "embedding", "source")
+    assert(Similarity.ivfIngestBatch(b1, cents, dir, threshold = 0.95,
+      nProbe = 1, batchId = 1L) == 0,
+      "same-list near-dup: the pruned probe catches this one")
+    val b2 = Seq((300L, at(12).toArray, "crawl")) // cross-probe miss again
+      .toDF("vec_id", "embedding", "source")
+    assert(Similarity.ivfIngestBatch(b2, cents, dir, threshold = 0.95,
+      nProbe = 1, batchId = 2L) == 1)
+    assert(Similarity.ivfRecheckIncremental(spark, dir, threshold = 0.95) == 1)
+    val after = Similarity.ivfRead(spark, dir)
+    assert(after.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 101L))
+    // card ≡ corpus at exit: n_vecs per source matches a recount
+    val card2 = Similarity.ivfLedgerCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card2 == Map("web" -> 2L, "crawl" -> 1L), s"card: $card2")
   }
 
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
