@@ -1038,9 +1038,31 @@ object Similarity {
     // IN/semi-join filter pushes into ITS scan instead
     val prunedVecs = Option(rerankFrom).getOrElse(
       spark.read.parquet(dir).filter(col("list_id").isin(wanted: _*)))
+    // the point filter is TWO conjuncts doing different jobs:
+    //  1. one wide isin — O(1) InSet row evaluation, but Spark pushes an
+    //     In past spark.sql.parquet.pushdown.inFilterThreshold (default
+    //     10) as a min/max RANGE, useless for page skipping on scattered
+    //     candidate ids;
+    //  2. the same ids as an Or of ≤10-value Ins — pushes REAL In
+    //     predicates, so a point-read-laid-out store (id-sorted files,
+    //     bounded page row counts) skips pages: measured 1037 MB → 73 MB
+    //     (14.2×) on a 4M-row store (tools.InPushdownProbe), and the
+    //     end-to-end codes-only serving probe reads 9.3× less than the
+    //     raw probe (PqBench [pq-bench-serving]).
+    // The isin comes FIRST so And short-circuits: non-candidate rows
+    // (the vast majority) pay one hash lookup, never the Or chain — a
+    // chunked-only filter measured 5× slower on the same-table fetch.
+    // Chunking is bounded to 2048 ids (205 disjuncts; a bigger plan
+    // costs more in the optimizer than it saves) — past it the wide
+    // isin alone keeps range pushdown until the semi-join fallback.
+    def pointFilter(ids: Array[Any]): Column = {
+      val wide = col(idCol).isin(ids: _*)
+      if (ids.length <= 10 || ids.length > 2048) wide
+      else wide && ids.grouped(10).map(g => col(idCol).isin(g: _*)).reduce(_ || _)
+    }
     val fetch = (
       if (candIds.length <= rerankInThreshold)
-        prunedVecs.filter(col(idCol).isin(candIds: _*))
+        prunedVecs.filter(pointFilter(candIds))
       else prunedVecs.join(broadcast(cand.select(col(idCol)).distinct()),
         Seq(idCol), "left_semi"))
       .select(col(idCol), col(vecCol))

@@ -119,6 +119,36 @@ object PqBench {
       f"pass ${adcBytes / 1e6}%.1f MB (${rawRead.toDouble / adcBytes}%.1fx " +
       f"less than raw), rerank point-fetch ${(pqRead - adcEnd) / 1e6}%.1f MB, " +
       f"total ${pqRead / 1e6}%.1f MB (${rawRead.toDouble / pqRead}%.1fx less)")
+
+    // the SERVING deployment shape, bytes-measured end to end: a
+    // codes-only ANN table + an id-SORTED external vector store written
+    // for point reads (tight page row bounds so the chunked-In pushdown
+    // skips pages; see InPushdownProbe) — the fetch stops re-reading the
+    // wanted lists and becomes candidate-sized
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", 512)
+    corpus.sortWithinPartitions("vec_id").write.parquet(s"$root/store")
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", 20000)
+    Similarity.ivfWriteAtRest(corpus, centroids, s"$root/codes.parquet",
+      pqModel = pq, codesOnly = true)
+    val extStore = spark.read.parquet(s"countfs://$root/store")
+    val codesPath = s"countfs://$root/codes.parquet"
+    adcStart = -1L; adcEnd = -1L
+    val servRead =
+      try {
+        Similarity.onPqAdcPlan = _ => adcStart = CountingFileSystem.bytesRead.get
+        Similarity.onPqAdcDone = () => adcEnd = CountingFileSystem.bytesRead.get
+        CountingFileSystem.reset()
+        Similarity.ivfPqTopKAtRest(spark, codesPath, probes, k = 10,
+          nProbe = nProbe, rerank = 50, rerankFrom = extStore).count()
+        CountingFileSystem.bytesRead.get
+      } finally {
+        Similarity.onPqAdcPlan = _ => ()
+        Similarity.onPqAdcDone = () => ()
+      }
+    println(f"[pq-bench-serving] codes-only table + id-sorted store: ADC " +
+      f"${(adcEnd - adcStart) / 1e6}%.1f MB, point-fetch " +
+      f"${(servRead - adcEnd) / 1e6}%.1f MB, total ${servRead / 1e6}%.1f MB " +
+      f"(${rawRead.toDouble / servRead}%.1fx less than the raw probe)")
     spark.stop()
   }
 }
