@@ -359,6 +359,28 @@ object AtRest {
    * was truncated or reset, and reprocessing would double-apply — the
    * ingest entry points fail LOUDLY on it instead of guessing.
    */
+  /** Record that a maintenance rewrite FOLDED all batch directories into
+   *  the seed: `_committed/collapse-frontier` holds the first batch id
+   *  NOT covered by the fold (= max committed batch at fold time + 1).
+   *  An incremental recheck whose window starts below it cannot scope
+   *  its "new" side by batch dirs any more — those dirs are gone — and
+   *  must fall back to a full sweep for that one pass (the r15 review's
+   *  silently-skipped-range bug). Written BEFORE the version swap:
+   *  a crashed staging leaves only a harmlessly-early frontier. */
+  def writeCollapseFrontier(fs: FileSystem, root: String,
+      foldedThrough: Long): Unit =
+    writeFile(fs, new Path(root, "_committed/collapse-frontier"),
+      s"${foldedThrough + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The first batch id NOT folded into the seed by past maintenance;
+   *  0 when nothing was ever folded. Unparsable reads as "everything
+   *  folded" — the conservative direction (one extra full sweep). */
+  def collapseFrontier(fs: FileSystem, root: String): Long = {
+    val p = new Path(root, "_committed/collapse-frontier")
+    if (!fs.exists(p)) 0L
+    else utf8(readFile(fs, p)).trim.toLongOption.getOrElse(Long.MaxValue)
+  }
+
   def markerWatermark(fs: FileSystem, root: String): Option[Long] = {
     val p = new Path(root, "_committed/_watermark")
     if (!fs.exists(p)) None

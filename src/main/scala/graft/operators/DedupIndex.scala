@@ -1371,6 +1371,9 @@ object DedupIndex {
       // sidecar once the old generation GCs)
       val metaMap = AtRest.readMeta(spark, corpusPath)
       metaMap.foreach(m => AtRest.writeMetaStaged(spark, staging, m))
+      // this rewrite also folds batch dirs into the seed (see compactCorpus)
+      AtRest.writeCollapseFrontier(fs, corpusPath,
+        maxCommittedBatch(fs, corpusPath))
       // ledger adjustment: the removed stragglers' admitted-side counters
       // subtract back out and count under n_removed_recheck — collapsed
       // with the existing deltas into the new version, swapping atomically
@@ -1464,8 +1467,15 @@ object DedupIndex {
       val leftLd = new Path(ledgerDirOf(corpDir), s"ingest_batch=$ledgerId")
       if (fs.exists(leftLd)) fs.delete(leftLd, true)
       val corpus = readCorpus(spark, corpusPath)
-      val newDocs = corpus.filter(col("ingest_batch") >= sinceBatch)
-        .select(col(idCol), col(textCol))
+      // maintenance (compactCorpus / a recheckCorpus rewrite) folds batch
+      // dirs into the seed — when this window starts below the recorded
+      // fold frontier, the folded batches can't be scoped by dir: probe
+      // the WHOLE corpus this one pass (the next window starts past
+      // coveredUpTo and is incremental again)
+      val newDocs =
+        (if (sinceBatch < AtRest.collapseFrontier(fs, corpusPath)) corpus
+         else corpus.filter(col("ingest_batch") >= sinceBatch))
+          .select(col(idCol), col(textCol))
       // one probe covers BOTH pair kinds: new-vs-old (index supplies old
       // keys) and new-vs-new (both sides indexed; each pair arrives twice
       // and the least/greatest projection collapses it)
@@ -1612,7 +1622,15 @@ object DedupIndex {
             nm.drop(8).toLongOption
           else None
         }.maxOption
-      (0L, maxExisting.map(_ + 1L).getOrElse(0L))
+      // bootstrap after existing markers (a crash between the marker
+      // write and the first frontier write lands here): resume from the
+      // LATEST marker's recorded coverage instead of re-sweeping from 0
+      maxExisting match {
+        case Some(mid) =>
+          val covered = recheckMarkerInfo(fs, corpusPath, mid).flatMap(_._2)
+          (covered.map(_ + 1L).getOrElse(0L), mid + 1L)
+        case None => (0L, 0L)
+      }
     }
     val n = recheckSince(spark, corpusPath, indexPath, since, id, threshold,
       textCol, idCol, numHashes, bands, shingleWords, maxBucket, nParts,
@@ -1650,6 +1668,10 @@ object DedupIndex {
     val merged = AtRest.readMeta(spark, path).getOrElse(Map("kind" -> "dedup_corpus")) ++
       Map("idCol" -> idCol, "corpusParts" -> nParts.toString)
     AtRest.writeMetaStaged(spark, staging, merged)
+    // batch dirs fold into the seed here: record how far, so a later
+    // incremental recheck knows its window can't be scoped by dir and
+    // full-sweeps the folded range once instead of silently skipping it
+    AtRest.writeCollapseFrontier(fs, path, maxCommittedBatch(fs, path))
     AtRest.publishVersion(spark, path, v, "id_part")
   }
 }

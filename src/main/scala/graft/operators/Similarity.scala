@@ -260,6 +260,27 @@ object Similarity {
       s"$path has no persisted codebook (pre-sidecar table) — pass the " +
         "centroids explicitly, or re-seed with ivfWriteAtRest"))
 
+  /** Every at-rest IVF data write lands through here: rows sort by
+   *  (list_id, id) within each write task and pages cap at 2048 rows, so
+   *  every list file carries a TIGHT per-page id index — the layout that
+   *  lets the rerank point-fetch's chunked-In pushdown SKIP pages
+   *  instead of re-reading the wanted lists' full vector pages (the
+   *  round-15 byte tables in SCALE.md; page skipping's quantum is the
+   *  filter column's page row count). Costs ~nothing at write time: a
+   *  task-local sort plus a few more page headers at rest. */
+  private def writeListData(df: DataFrame, idCol: String, mode: String,
+      target: String): Unit = {
+    // paths that can't know the table's id column (compact/enablePq on a
+    // foreign-id table) still get the layout, just without the id sort
+    val sorted =
+      if (df.columns.contains(idCol))
+        df.sortWithinPartitions(col("list_id"), col(idCol))
+      else df.sortWithinPartitions(col("list_id"))
+    sorted.write.partitionBy("list_id")
+      .option("parquet.page.row.count.limit", "2048")
+      .mode(mode).parquet(target)
+  }
+
   /** The current version's DATA directory for appends: versioned tables
    *  nest `ingest_batch=<B>/list_id=<L>` (batch publishes are one atomic
    *  rename, like [[DedupIndex]]); a legacy flat table (bare `list_id=`
@@ -319,7 +340,8 @@ object Similarity {
       path: String, vecCol: String = "embedding",
       ledgerBy: String = null, replicas: Int = 1,
       pqModel: Seq[Seq[Seq[Float]]] = null,
-      codesOnly: Boolean = false, pqResidual: Boolean = false): Unit = {
+      codesOnly: Boolean = false, pqResidual: Boolean = false,
+      idCol: String = "vec_id"): Unit = {
     val spark = corpus.sparkSession
     require(!codesOnly || pqModel != null,
       "codesOnly = true stores nothing but PQ codes — pass pqModel")
@@ -347,9 +369,9 @@ object Similarity {
       val withCodes = Option(pqModel).fold(assigned)(m =>
         if (pqResidual) pqEncodeResidual(assigned, centroids, m, vecCol)
         else pqEncode(assigned, m, vecCol))
-      (if (codesOnly) withCodes.drop(vecCol) else withCodes)
-        .write.partitionBy("list_id").mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
+      writeListData(if (codesOnly) withCodes.drop(vecCol) else withCodes,
+        idCol, "overwrite",
+        new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
       writeCodebook(spark, staging.toString, centroids)
       Option(pqModel).foreach(pqWriteModel(spark, staging.toString, _, pqResidual))
       // seed the vector-stats ledger INSIDE the staged version, so data,
@@ -380,7 +402,8 @@ object Similarity {
    *  Periodic re-training + full rewrite ([[ivfRetrain]]) handles
    *  codebook drift once appended mass dominates. */
   def ivfAppendAtRest(newVecs: DataFrame, centroids: Seq[Seq[Float]],
-      path: String, vecCol: String = "embedding"): Unit = {
+      path: String, vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
     val spark = newVecs.sparkSession
     AtRest.withLease(spark, path) {
       // an ad-hoc append has no replay identity, so it cannot maintain the
@@ -404,8 +427,9 @@ object Similarity {
         spark, path, vecCol)
       // a codes-only table stays codes-only: the append assigns + encodes,
       // then drops the raw vectors like the seed write did
-      (if (ivfCodesOnlyOf(spark, path)) encoded.drop(vecCol) else encoded)
-        .write.partitionBy("list_id").mode("append").parquet(target)
+      writeListData(
+        if (ivfCodesOnlyOf(spark, path)) encoded.drop(vecCol) else encoded,
+        idCol, "append", target)
     }
   }
 
@@ -452,12 +476,9 @@ object Similarity {
    *  `maxTrainRows` (the model-training bound, ≤ 65536 by every caller's
    *  default — ≤ 16 MB at dim 64), NOT a data collect. */
   private def collectTrainSample(base: DataFrame, idCol: String, vecCol: String,
-      nRows: Long, maxTrainRows: Long): Array[(Long, Array[Float])] = {
-    val k = math.max(1L, SampleDenom * maxTrainRows / math.max(nRows, 1L))
-    collectSampled(
-      base.filter(pmod(xxhash64(col(idCol)), lit(SampleDenom)) < k),
+      nRows: Long, maxTrainRows: Long): Array[(Long, Array[Float])] =
+    collectSampled(sampleCut(base, idCol, nRows, maxTrainRows).getOrElse(base),
       idCol, vecCol)
-  }
 
   /** Collect an ALREADY-BOUNDED training frame as `(xxhash64(id), vector)`
    *  rows, hash-sorted (partitioning-independent), id-deduped. */
@@ -510,10 +531,24 @@ object Similarity {
     }
     // ++ init: seed = min-hash row; then argmax of d / -ln(u) per round
     // (an unchosen row always exists under the loop condition, and every
-    // candidate's key >= 0 > the sentinel, so each round picks exactly one)
+    // candidate's key >= 0 > the sentinel, so each round picks exactly
+    // one). Each point's best cosine to the chosen set is CACHED and
+    // refreshed against only the newly added center — O(k·n·dim), the
+    // standard ++ formulation; recomputing against all centers per round
+    // would be O(k²·n·dim), minutes of driver CPU at nLists=256/dim=768.
     val chosen = new Array[Boolean](n)
     chosen(0) = true
     val centers = scala.collection.mutable.ArrayBuffer(unit(0).clone())
+    val bestCos = Array.fill(n)(Double.MinValue)
+    def refresh(c: Array[Double]): Unit = {
+      var i = 0
+      while (i < n) {
+        val v = cosTo(c, i)
+        if (v > bestCos(i)) bestCos(i) = v
+        i += 1
+      }
+    }
+    refresh(centers(0))
     var round = 1
     while (centers.length < math.min(nLists, n)) {
       var bestKey = Double.MinValue
@@ -521,9 +556,7 @@ object Similarity {
       var i = 0
       while (i < n) {
         if (!chosen(i)) {
-          var maxCos = Double.MinValue
-          centers.foreach(c => { val v = cosTo(c, i); if (v > maxCos) maxCos = v })
-          val d = math.max(0.0, 1.0 - maxCos)
+          val d = math.max(0.0, 1.0 - bestCos(i))
           val h = XXH64.hashLong(sample(i)._1, round)
           val u = (((h % 1000000000L) + 1000000000L) % 1000000000L + 0.5) / 1e9
           val key = d / -math.log(u)
@@ -534,6 +567,7 @@ object Similarity {
       }
       chosen(bestI) = true
       centers += unit(bestI).clone()
+      refresh(centers.last)
       round += 1
     }
     var cb = centers.toArray
@@ -587,16 +621,22 @@ object Similarity {
    *  count, not the table's. */
   private val SampleDenom = 1000000L
 
-  private def hashSample(df: DataFrame, idCol: String, nRows: Long,
-      maxTrainRows: Long): DataFrame = {
+  /** The ONE deterministic cut predicate both training entry points
+   *  share — a change here must move them together, or the documented
+   *  "same hash-cut" contract between ivfTrainKmeans and ivfRetrain
+   *  silently diverges. None = the bound doesn't bind (no cut). */
+  private def sampleCut(df: DataFrame, idCol: String, nRows: Long,
+      maxTrainRows: Long): Option[DataFrame] = {
     val k = math.max(1L, SampleDenom * maxTrainRows / math.max(nRows, 1L))
-    if (k >= SampleDenom) df
-    else {
-      val parts = math.max(1, math.min(32, (maxTrainRows / 8192L).toInt))
-      df.filter(pmod(xxhash64(col(idCol)), lit(SampleDenom)) < k)
-        .repartition(parts)
-    }
+    if (k >= SampleDenom) None
+    else Some(df.filter(pmod(xxhash64(col(idCol)), lit(SampleDenom)) < k))
   }
+
+  private def hashSample(df: DataFrame, idCol: String, nRows: Long,
+      maxTrainRows: Long): DataFrame =
+    sampleCut(df, idCol, nRows, maxTrainRows).fold(df) {
+      _.repartition(math.max(1, math.min(32, (maxTrainRows / 8192L).toInt)))
+    }
 
   private def trainKmeansOn(corpus: DataFrame, nLists: Int, iters: Int,
       idCol: String, vecCol: String): Seq[Seq[Float]] = {
@@ -651,7 +691,8 @@ object Similarity {
   private def swapRewrite(assigned: DataFrame, path: String,
       cb: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]] = null,
       pqResidual: Option[Boolean] = None,
-      ledgerAdjust: DataFrame = null): Unit = {
+      ledgerAdjust: DataFrame = null,
+      idCol: String = "vec_id"): Unit = {
     val spark = assigned.sparkSession
     val fs = AtRest.fsFor(spark, path)
     // carry a PQ-encoded table's model into the rewrite: the codes ride in
@@ -662,8 +703,8 @@ object Similarity {
     val pq = Option(pqModel).orElse(ivfPqModel(spark, path))
     val residual = pqResidual.getOrElse(ivfPqResidualOf(spark, path))
     val (v, staging) = AtRest.nextStaging(fs, path)
-    assigned.write.partitionBy("list_id").mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
+    writeListData(assigned, idCol, "overwrite",
+      new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
     writeCodebook(spark, staging.toString, cb)
     pq.foreach(pqWriteModel(spark, staging.toString, _, residual))
     // a ledgered table's counters survive maintenance: the accreted deltas
@@ -686,6 +727,11 @@ object Similarity {
       ivfMeta(cb, ivfReplicasOf(spark, path)) ++ ledgerBy.map("ledgerBy" -> _)
         ++ (if (ivfCodesOnlyOf(spark, path)) Map("codesOnly" -> "true")
             else Map.empty))
+    // this rewrite folds every batch dir into the seed — record how far,
+    // so an incremental recheck whose window starts below cannot silently
+    // skip the folded (never-adjudicated) batches
+    AtRest.writeCollapseFrontier(fs, path,
+      DedupIndex.maxCommittedBatch(fs, path))
     AtRest.publishVersion(spark, path, v, "list_id")
   }
 
@@ -786,7 +832,8 @@ object Similarity {
           else reassigned
         swapRewrite(reencoded.repartition(nLists, col("list_id")), path, cb,
           pqModel = newPq.orNull,
-          pqResidual = if (residual) Some(true) else None)
+          pqResidual = if (residual) Some(true) else None,
+          idCol = idCol)
         cb
       } finally train.unpersist(blocking = false)
     }
@@ -1283,15 +1330,14 @@ object Similarity {
             val target = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
             if (!fs.exists(target)) {
               val staging = new org.apache.hadoop.fs.Path(dir, s"_staging_$batchId")
-              assigned.write.partitionBy("list_id").mode("overwrite")
-                .parquet(staging.toString)
+              writeListData(assigned, idCol, "overwrite", staging.toString)
               if (!fs.rename(staging, target))
                 throw new IllegalStateException(
                   s"publish rename $staging -> $target failed")
             }
           } else {
             val (target, _) = appendDir(spark, dir)
-            assigned.write.partitionBy("list_id").mode("append").parquet(target)
+            writeListData(assigned, idCol, "append", target)
           }
         }
         // ledger delta: published AFTER the data, BEFORE the marker — a
@@ -1558,7 +1604,15 @@ object Similarity {
       // snapshotted under the lease and recorded in the marker, so the
       // frontier advance derives from actual coverage
       val coveredUpTo = DedupIndex.maxCommittedBatch(fs, path)
-      val n = recheckSweep(spark, path, sinceBatch = Some(sinceBatch),
+      // maintenance (compact/retrain/recheck-rewrite) folds batch dirs
+      // into the seed: when this window starts below the recorded fold
+      // frontier, the folded batches have no dirs to scope by — fall
+      // back to a FULL sweep for this one pass (the next pass's window
+      // starts past coveredUpTo and is incremental again)
+      val since =
+        if (sinceBatch < AtRest.collapseFrontier(fs, path)) None
+        else Some(sinceBatch)
+      val n = recheckSweep(spark, path, sinceBatch = since,
         threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket)
       AtRest.writeFile(fs,
         new org.apache.hadoop.fs.Path(path, s"_committed/recheck-$recheckId"),
@@ -1593,7 +1647,15 @@ object Similarity {
             nm.drop(8).toLongOption
           else None
         }.maxOption
-      (0L, maxExisting.map(_ + 1L).getOrElse(0L))
+      // bootstrap after existing markers (a crash between the marker
+      // write and the first frontier write lands here): resume from the
+      // LATEST marker's recorded coverage instead of re-sweeping from 0
+      maxExisting match {
+        case Some(mid) =>
+          val covered = DedupIndex.recheckMarkerInfo(fs, path, mid).flatMap(_._2)
+          (covered.map(_ + 1L).getOrElse(0L), mid + 1L)
+        case None => (0L, 0L)
+      }
     }
     val n = ivfRecheckSince(spark, path, since, id, threshold, idCol, vecCol,
       scoreCol, planesPerTable, tables, maxBucket)
@@ -1624,15 +1686,19 @@ object Similarity {
     val keep = (Seq(idCol, vecCol) ++ Option(scoreCol)).distinct
     val uniq = table.select(keep.map(col): _*).dropDuplicates(idCol)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val pairs = sinceBatch match {
+    // pairsRaw is the PERSISTED frame (materializeThenFree) — keep the
+    // handle so it can be unpersisted below; a derived select would
+    // silently miss the cache entry
+    val pairsRaw = sinceBatch match {
       case None => embeddingDuplicates(uniq, threshold, planesPerTable,
-        tables, maxBucket, idCol, vecCol).select("id_a", "id_b")
+        tables, maxBucket, idCol, vecCol)
       case Some(b) =>
         val newIds = table.filter(col("ingest_batch") >= b)
           .select(col(idCol)).distinct()
         embeddingDuplicatesAgainst(uniq, newIds, threshold, planesPerTable,
           tables, maxBucket, idCol, vecCol)
     }
+    val pairs = pairsRaw.select("id_a", "id_b")
     val scored = uniq.withColumn("_score",
       Option(scoreCol).map(col).getOrElse(lit(0)))
     val best = Dedup.nearDupKeepBest(scored, pairs, "_score", idCol)
@@ -1640,6 +1706,10 @@ object Similarity {
       .select(col("doc_id").as(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = dropIds.count()
+    // the pair frame came back persisted (materializeThenFree) and is
+    // fully consumed once dropIds materializes — free it, or a cron-
+    // shaped recheck loop leaks one cached frame per pass
+    pairsRaw.unpersist(blocking = false)
     if (n > 0) {
       // survivors keep their existing assignments AND codes — removal
       // moves no vector between lists, so the rewrite is a pure filter
@@ -1648,14 +1718,18 @@ object Similarity {
       val survivors = table.drop("ingest_batch")
         .join(dropIds, Seq(idCol), "left_anti")
       val adjust = ivfLedgerByOf(spark, path).map { g =>
-        val removed = uniq.join(dropIds, Seq(idCol), "left_semi")
-          .join(table.select(idCol, g).dropDuplicates(idCol), Seq(idCol))
+        // DISTINCT (id, group) pairs, not one arbitrary group per id: an
+        // id admitted under several sources counted once per source in
+        // the ledger, and the anti-join below removes every physical row
+        // — the subtraction must mirror both
+        val removed = table.select(col(idCol), col(g)).distinct()
+          .join(dropIds, Seq(idCol), "left_semi")
         DedupIndex.countLong(removed, g, "n_vecs")
           .withColumn("value", -col("value"))
           .unionByName(DedupIndex.countLong(removed, g, "n_removed_recheck"))
       }
       swapRewrite(survivors.repartition(cb.length, col("list_id")), path, cb,
-        ledgerAdjust = adjust.orNull)
+        ledgerAdjust = adjust.orNull, idCol = idCol)
     }
     dropIds.unpersist(blocking = false)
     uniq.unpersist(blocking = false)

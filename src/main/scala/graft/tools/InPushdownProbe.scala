@@ -27,12 +27,7 @@ object InPushdownProbe {
             - 0.5).cast("float")).as("embedding"))
     val cands: Seq[Long] = (0 until nCand)
       .map(i => math.abs((i * 2654435761L) % nRows))
-    for ((pageKb, rowLimit) <- Seq((1024, 20000), (64, 20000), (64, 512))) {
-      spark.sparkContext.hadoopConfiguration.setInt("parquet.page.size", pageKb * 1024)
-      spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", rowLimit)
-      val dir = s"$root/store_${pageKb}_$rowLimit"
-      synth(nRows).sortWithinPartitions("vec_id").write.parquet(dir)
-      val store = spark.read.parquet(s"countfs://$dir")
+    def measure(tag: String, store: org.apache.spark.sql.DataFrame): Unit =
       for ((label, filt) <- Seq(
         ("wide-in", store.filter(col("vec_id").isin(cands.map(_.asInstanceOf[Any]): _*))),
         ("chunked-in", store.filter(cands.grouped(10)
@@ -40,9 +35,30 @@ object InPushdownProbe {
           .reduce(_ || _))))) {
         CountingFileSystem.reset()
         val n = filt.select("vec_id", "embedding").collect().length
-        println(f"[in-probe] page=${pageKb}KB rowLimit=$rowLimit $label%-10s rows=$n bytes=${CountingFileSystem.bytesRead.get / 1e6}%.1f MB")
+        println(f"[in-probe] $tag%-28s $label%-10s rows=$n bytes=${CountingFileSystem.bytesRead.get / 1e6}%.1f MB")
       }
+    // A: hadoopConf-set page row limit, flat store (the known-good case)
+    for ((pageKb, rowLimit) <- Seq((1024, 20000), (64, 512))) {
+      spark.sparkContext.hadoopConfiguration.setInt("parquet.page.size", pageKb * 1024)
+      spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", rowLimit)
+      val dir = s"$root/store_${pageKb}_$rowLimit"
+      synth(nRows).sortWithinPartitions("vec_id").write.parquet(dir)
+      measure(s"conf page=${pageKb}KB rows=$rowLimit", spark.read.parquet(s"countfs://$dir"))
     }
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.size", 1024 * 1024)
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.page.row.count.limit", 20000)
+    // B: the limit passed as a WRITER OPTION instead (does it forward?)
+    synth(nRows).sortWithinPartitions("vec_id").write
+      .option("parquet.page.row.count.limit", "512")
+      .parquet(s"$root/store_opt")
+    measure("option rows=512 flat", spark.read.parquet(s"countfs://$root/store_opt"))
+    // C: partitioned like the IVF table (16 partitions, per-task files)
+    synth(nRows).withColumn("part", pmod(xxhash64(col("vec_id")), lit(16)))
+      .sortWithinPartitions("part", "vec_id").write
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("part").parquet(s"$root/store_part")
+    measure("option rows=512 partitioned",
+      spark.read.parquet(s"countfs://$root/store_part").drop("part"))
     spark.stop()
   }
 }

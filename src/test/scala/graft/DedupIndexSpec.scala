@@ -396,6 +396,67 @@ class DedupIndexSpec extends SparkSpec {
     assert(frontier() === "2 3")
   }
 
+  test("recheckIncremental full-sweeps batches folded by compactCorpus " +
+      "instead of silently skipping them") {
+    import spark.implicits._
+    val root = tempDir("lsh_fold")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(n: Int, extra: Int = 0) =
+      ((0 until 12).map(i => s"fo${n}t$i") ++ (0 until extra).map(i => s"y$i")).mkString(" ")
+    def ids() = DedupIndex.readCorpus(spark, corp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    DedupIndex.writeCorpus(Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), corp)
+    DedupIndex.writeAtRest(Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), idx)
+    // batch 0 slips a straggler past the loose gate, then compactCorpus
+    // FOLDS the batch dir into the seed before any recheck adjudicated it
+    DedupIndex.ingestBatch(Seq((11L, doc(1, 2))).toDF("doc_id", "text"),
+      idx, corp, threshold = 0.97, batchId = 0L)
+    DedupIndex.compactCorpus(spark, corp)
+    // the window starts below the fold frontier: the pass must full-sweep
+    // (a dir-scoped window would see nothing and the straggler would
+    // survive forever — the r15 review's silently-skipped-range bug)
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 1L)
+    assert(ids() === Set(2L, 11L))
+    // and the NEXT pass is incremental again (window past the fold)
+    DedupIndex.ingestBatch(Seq((12L, doc(2, 2))).toDF("doc_id", "text"),
+      idx, corp, threshold = 0.97, batchId = 1L)
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 1L)
+    assert(ids() === Set(11L, 12L))
+  }
+
+  test("recheckIncremental bootstrap resumes from the latest marker's " +
+      "coverage after a pre-frontier crash — no re-sweep of the seed") {
+    import spark.implicits._
+    val root = tempDir("lsh_boot")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(n: Int, extra: Int = 0) =
+      ((0 until 12).map(i => s"bo${n}t$i") ++ (0 until extra).map(i => s"y$i")).mkString(" ")
+    def ids() = DedupIndex.readCorpus(spark, corp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the seed carries an INTERNAL near-dup pair (2, 3) — by convention
+    // never adjudicated unless a pass full-sweeps
+    val seed = Seq((1L, doc(1)), (2L, doc(2)), (3L, doc(2, 2)))
+      .toDF("doc_id", "text")
+    DedupIndex.writeCorpus(seed, corp)
+    DedupIndex.writeAtRest(seed, idx)
+    DedupIndex.ingestBatch(Seq((11L, doc(1, 2))).toDF("doc_id", "text"),
+      idx, corp, threshold = 0.97, batchId = 0L)
+    // caller-driven pass commits marker recheck-0 (covering batch 0);
+    // the CRASH happens before any frontier write
+    assert(DedupIndex.recheckSince(spark, corp, idx, 0L, 0L, threshold = 0.5) === 1L)
+    assert(ids() === Set(2L, 3L, 11L))
+    // compact folds the dirs — a WRONG bootstrap (since=0) would now
+    // full-sweep and remove one of the seed pair; the fixed bootstrap
+    // resumes since = coveredUpTo+1 = 1, past the fold frontier
+    DedupIndex.compactCorpus(spark, corp)
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 0L,
+      "bootstrap must resume from the marker's coverage, not re-sweep")
+    assert(ids() === Set(2L, 3L, 11L),
+      "the never-adjudicated seed pair must survive an incremental pass")
+  }
+
   test("a no-hit batch short-circuits on the bloom sidecar without reading the index") {
     import spark.implicits._
     val dir = tempDir("lsh_bloom") + "/index.parquet"

@@ -1086,6 +1086,39 @@ class SketchSpec extends SparkSpec {
     assert(card2 == Map("web" -> 2L, "crawl" -> 1L), s"card: $card2")
   }
 
+  test("ivfRecheckIncremental full-sweeps batches folded by compact/retrain " +
+      "instead of silently skipping them") {
+    import spark.implicits._
+    val dir = tempDir("ivf_fold") + "/corpus"
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Seq(at(0), at(20))
+    Similarity.ivfWriteAtRest(
+      Seq((1L, at(9).toArray), (2L, at(170).toArray)).toDF("vec_id", "embedding"),
+      cents, dir)
+    // batch 0: a cross-probe-missed near-dup of vec 1 (nProbe=1, wrong list)
+    assert(Similarity.ivfIngestBatch(
+      Seq((100L, at(11).toArray)).toDF("vec_id", "embedding"),
+      cents, dir, threshold = 0.95, nProbe = 1, batchId = 0L) == 1)
+    // compaction FOLDS ingest_batch=0 into the seed before any recheck
+    // adjudicated it — a dir-scoped window would now see nothing and the
+    // accreted near-dup would survive forever
+    Similarity.ivfCompactAtRest(spark, dir)
+    assert(Similarity.ivfRecheckIncremental(spark, dir, threshold = 0.95) == 1)
+    assert(Similarity.ivfRead(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the next pass is incremental again (window past the fold): another
+    // cross-probe miss in batch 1 is caught by the dir-scoped window
+    assert(Similarity.ivfIngestBatch(
+      Seq((200L, at(12).toArray)).toDF("vec_id", "embedding"),
+      cents, dir, threshold = 0.95, nProbe = 1, batchId = 1L) == 1)
+    assert(Similarity.ivfRecheckIncremental(spark, dir, threshold = 0.95) == 1)
+    assert(Similarity.ivfRead(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
     import spark.implicits._
     val corpus = (Seq((0L, Array.fill(8)(0.0f))) ++           // failed/padded row
