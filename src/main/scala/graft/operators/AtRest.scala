@@ -373,12 +373,50 @@ object AtRest {
       s"${foldedThrough + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** The first batch id NOT folded into the seed by past maintenance;
-   *  0 when nothing was ever folded. Unparsable reads as "everything
-   *  folded" — the conservative direction (one extra full sweep). */
+   *  0 when nothing was ever folded. LOUD on an unparsable file (the
+   *  silent alternative — treating it as "everything folded" — would
+   *  full-sweep EVERY pass forever on the tombstone-based corpus side,
+   *  which never rewrites the file). */
   def collapseFrontier(fs: FileSystem, root: String): Long = {
     val p = new Path(root, "_committed/collapse-frontier")
     if (!fs.exists(p)) 0L
-    else utf8(readFile(fs, p)).trim.toLongOption.getOrElse(Long.MaxValue)
+    else utf8(readFile(fs, p)).trim.toLongOption.getOrElse(
+      throw new IllegalStateException(
+        s"$p is unparsable — restore it to '<firstUnfoldedBatchId>', or " +
+          "delete it (the committed-markers-vs-batch-dirs detection then " +
+          "conservatively governs the next recheck window)"))
+  }
+
+  /** Batch ids present as `ingest_batch=` directories under `dataDir`
+   *  (negative seed ids included). */
+  def batchDirIds(fs: FileSystem, dataDir: String): Set[Long] = {
+    val p = new Path(dataDir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("ingest_batch="))
+      .flatMap(_.stripPrefix("ingest_batch=").toLongOption).toSet
+  }
+
+  /** Conservative fold bound for PRE-frontier maintenance (folds
+   *  performed by code that predates the collapse-frontier file): a
+   *  committed batch whose data dir no longer exists was folded, and
+   *  batches below the marker watermark are committed with their
+   *  markers swept — their dirs may or may not have been folded, so the
+   *  watermark bounds them conservatively. Over-detection costs one
+   *  full sweep (the recheck frontier then advances past the bound and
+   *  later passes are dir-scoped again); under-detection would silently
+   *  skip data. */
+  def legacyFoldThrough(fs: FileSystem, root: String, dataDir: String): Long = {
+    val dirs = batchDirIds(fs, dataDir)
+    val cd = new Path(root, "_committed")
+    val markers =
+      if (!fs.exists(cd)) Set.empty[Long]
+      else fs.listStatus(cd).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("batch-"))
+        .flatMap(_.stripPrefix("batch-").toLongOption).toSet
+    val missing = markers.filterNot(dirs)
+    math.max(missing.maxOption.map(_ + 1L).getOrElse(0L),
+      markerWatermark(fs, root).getOrElse(0L))
   }
 
   def markerWatermark(fs: FileSystem, root: String): Option[Long] = {

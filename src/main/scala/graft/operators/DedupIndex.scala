@@ -1446,7 +1446,7 @@ object DedupIndex {
     val fs = fsFor(spark, corpusPath)
     val marker = new Path(corpusPath, s"_committed/recheck-$recheckId")
     recheckMarkerInfo(fs, corpusPath, recheckId) match {
-      case Some((n, _)) => return n
+      case Some(m) => return m.removed
       case None => // absent or unparsable (the latter deleted) — run
     }
     AtRest.withLease(spark, corpusPath) {
@@ -1468,12 +1468,20 @@ object DedupIndex {
       if (fs.exists(leftLd)) fs.delete(leftLd, true)
       val corpus = readCorpus(spark, corpusPath)
       // maintenance (compactCorpus / a recheckCorpus rewrite) folds batch
-      // dirs into the seed — when this window starts below the recorded
-      // fold frontier, the folded batches can't be scoped by dir: probe
-      // the WHOLE corpus this one pass (the next window starts past
-      // coveredUpTo and is incremental again)
+      // dirs into the seed — when this window starts below the fold
+      // frontier, the folded batches can't be scoped by dir: probe the
+      // WHOLE corpus this one pass (the next window starts past
+      // coveredUpTo and is incremental again). Folds performed by
+      // PRE-frontier builds wrote no frontier file — the conservative
+      // committed-markers-vs-dirs bound covers them.
+      val foldedThrough = math.max(AtRest.collapseFrontier(fs, corpusPath),
+        AtRest.legacyFoldThrough(fs, corpusPath, corpDir))
+      val fullSweep = sinceBatch < foldedThrough
+      // the marker records the window the pass ACTUALLY ran from (a
+      // full sweep covers from 0) — what a bootstrap may resume past
+      val effSince = if (fullSweep) 0L else sinceBatch
       val newDocs =
-        (if (sinceBatch < AtRest.collapseFrontier(fs, corpusPath)) corpus
+        (if (fullSweep) corpus
          else corpus.filter(col("ingest_batch") >= sinceBatch))
           .select(col(idCol), col(textCol))
       // one probe covers BOTH pair kinds: new-vs-old (index supplies old
@@ -1524,25 +1532,35 @@ object DedupIndex {
         }
       }
       AtRest.writeFile(fs, marker,
-        s"$n $coveredUpTo".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"$n $coveredUpTo $effSince"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       dropIds.unpersist(blocking = false)
       n
     }
   }
 
-  /** A committed recheck marker's `(removedCount, coveredUpTo)`.
-   *  Markers written before the frontier existed hold only the count —
-   *  `coveredUpTo` comes back None and the frontier conservatively does
-   *  not advance past them. An unparsable marker is deleted (= NOT
-   *  committed), mirroring the batch-marker contract. */
+  /** A committed recheck pass's recorded outcome: removed count, the
+   *  highest batch it covered, and the window START it actually ran
+   *  from (0 = provably adjudicated everything below its coverage —
+   *  what a frontier bootstrap may safely resume past; a caller-driven
+   *  window start > 0 proves nothing about the batches below it).
+   *  Older marker formats leave the missing fields None and every
+   *  consumer treats that conservatively. */
+  private[graft] case class RecheckMarker(removed: Long,
+      coveredUpTo: Option[Long], since: Option[Long])
+
+  /** Parse a committed recheck marker; an unparsable one is deleted
+   *  (= NOT committed), mirroring the batch-marker contract. */
   private[graft] def recheckMarkerInfo(fs: org.apache.hadoop.fs.FileSystem,
-      corpusPath: String, recheckId: Long): Option[(Long, Option[Long])] = {
+      corpusPath: String, recheckId: Long): Option[RecheckMarker] = {
     val marker = new Path(corpusPath, s"_committed/recheck-$recheckId")
     if (!fs.exists(marker)) return None
     val toks = new String(AtRest.readFile(fs, marker),
       java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+").toSeq
     toks.headOption.flatMap(_.toLongOption) match {
-      case Some(n) => Some((n, toks.lift(1).flatMap(_.toLongOption)))
+      case Some(n) => Some(RecheckMarker(n,
+        toks.lift(1).flatMap(_.toLongOption),
+        toks.lift(2).flatMap(_.toLongOption)))
       case None => fs.delete(marker, false); None
     }
   }
@@ -1623,12 +1641,18 @@ object DedupIndex {
           else None
         }.maxOption
       // bootstrap after existing markers (a crash between the marker
-      // write and the first frontier write lands here): resume from the
-      // LATEST marker's recorded coverage instead of re-sweeping from 0
+      // write and the first frontier write lands here): resume past the
+      // LATEST marker only when it PROVABLY covered everything below
+      // (window start 0 + recorded coverage); a caller-driven window
+      // starting above 0 proves nothing about the batches below it, so
+      // restart from 0 (idempotent re-adjudication, never a skip)
       maxExisting match {
         case Some(mid) =>
-          val covered = recheckMarkerInfo(fs, corpusPath, mid).flatMap(_._2)
-          (covered.map(_ + 1L).getOrElse(0L), mid + 1L)
+          recheckMarkerInfo(fs, corpusPath, mid) match {
+            case Some(RecheckMarker(_, Some(cov), Some(0L))) =>
+              (cov + 1L, mid + 1L)
+            case _ => (0L, mid + 1L)
+          }
         case None => (0L, 0L)
       }
     }
@@ -1637,7 +1661,7 @@ object DedupIndex {
       corpusParts, score)
     val covered = recheckMarkerInfo(fs, corpusPath, id).getOrElse(
       throw new IllegalStateException(
-        s"recheck-$id committed but its marker is unreadable"))._2
+        s"recheck-$id committed but its marker is unreadable")).coveredUpTo
     val nextSince = covered.map(_ + 1L).getOrElse(since)
     AtRest.writeFile(fs, frontierPath(corpusPath),
       s"$nextSince ${id + 1L}".getBytes(java.nio.charset.StandardCharsets.UTF_8))

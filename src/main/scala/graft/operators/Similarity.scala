@@ -296,10 +296,31 @@ object Similarity {
     else (new org.apache.hadoop.fs.Path(dir, "ingest_batch=-1").toString, false)
   }
 
-  private def ivfMeta(cb: Seq[Seq[Float]], replicas: Int = 1): Map[String, String] = Map(
+  private def ivfMeta(cb: Seq[Seq[Float]], replicas: Int = 1,
+      idCol: String = "vec_id"): Map[String, String] = Map(
     "kind" -> "ivf_table", "nLists" -> cb.length.toString,
     "dim" -> cb.headOption.map(_.length).getOrElse(0).toString,
-    "replicas" -> math.max(replicas, 1).toString)
+    "replicas" -> math.max(replicas, 1).toString,
+    "idCol" -> idCol)
+
+  /** The table's id column as recorded at seed time; pre-idCol-meta
+   *  tables read as the default. Maintenance rewrites consult THIS (not
+   *  a caller parameter) so the id-sorted page layout survives
+   *  compact/enablePq on custom-id tables. */
+  private def ivfIdColOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    AtRest.readMeta(spark, path).flatMap(_.get("idCol")).getOrElse("vec_id")
+
+  /** Loud mismatch between a caller-passed idCol and the one the table
+   *  was seeded with — a silent mismatch would mis-sort the layout and
+   *  desync the ledger/recheck identity space. */
+  private def requireIdCol(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): Unit =
+    AtRest.readMeta(spark, path).flatMap(_.get("idCol")).foreach { stored =>
+      require(stored == idCol,
+        s"$path was seeded with idCol='$stored' but the caller passed " +
+          s"'$idCol' — pass the table's own id column")
+    }
 
   /** The table's multi-assignment factor (1 = classic single assignment). */
   private def ivfReplicasOf(spark: org.apache.spark.sql.SparkSession,
@@ -385,7 +406,8 @@ object Similarity {
           staging.toString, DedupIndex.SeedBatch)
       }
       AtRest.writeMetaStaged(spark, staging,
-        ivfMeta(centroids, replicas) ++ Option(ledgerBy).map("ledgerBy" -> _)
+        ivfMeta(centroids, replicas, idCol)
+          ++ Option(ledgerBy).map("ledgerBy" -> _)
           ++ (if (codesOnly) Map("codesOnly" -> "true") else Map.empty))
       val markers = new org.apache.hadoop.fs.Path(path, "_committed")
       if (fs.exists(markers)) fs.delete(markers, true)
@@ -414,12 +436,13 @@ object Similarity {
             "ad-hoc append cannot honor — ingest through ivfIngestBatch " +
             "with a stable batchId >= 0 (or ivfIngestStream)")
       validateCodebook(spark, path, centroids)
+      requireIdCol(spark, path, idCol)
       val dir = AtRest.ensureVersioned(spark, path)
       // pre-sidecar tables adopt the caller's codebook (their first append
       // under a DIFFERENT codebook would already have corrupted them)
       if (readCodebook(spark, path).isEmpty) {
         writeCodebook(spark, dir, centroids)
-        AtRest.writeMeta(spark, path, ivfMeta(centroids))
+        AtRest.writeMeta(spark, path, ivfMeta(centroids, idCol = idCol))
       }
       val (target, _) = appendDir(spark, dir)
       val encoded = withPqCodes(
@@ -691,8 +714,7 @@ object Similarity {
   private def swapRewrite(assigned: DataFrame, path: String,
       cb: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]] = null,
       pqResidual: Option[Boolean] = None,
-      ledgerAdjust: DataFrame = null,
-      idCol: String = "vec_id"): Unit = {
+      ledgerAdjust: DataFrame = null): Unit = {
     val spark = assigned.sparkSession
     val fs = AtRest.fsFor(spark, path)
     // carry a PQ-encoded table's model into the rewrite: the codes ride in
@@ -703,7 +725,7 @@ object Similarity {
     val pq = Option(pqModel).orElse(ivfPqModel(spark, path))
     val residual = pqResidual.getOrElse(ivfPqResidualOf(spark, path))
     val (v, staging) = AtRest.nextStaging(fs, path)
-    writeListData(assigned, idCol, "overwrite",
+    writeListData(assigned, ivfIdColOf(spark, path), "overwrite",
       new org.apache.hadoop.fs.Path(staging, "ingest_batch=-1").toString)
     writeCodebook(spark, staging.toString, cb)
     pq.foreach(pqWriteModel(spark, staging.toString, _, residual))
@@ -724,7 +746,8 @@ object Similarity {
       }
     }
     AtRest.writeMetaStaged(spark, staging,
-      ivfMeta(cb, ivfReplicasOf(spark, path)) ++ ledgerBy.map("ledgerBy" -> _)
+      ivfMeta(cb, ivfReplicasOf(spark, path), ivfIdColOf(spark, path))
+        ++ ledgerBy.map("ledgerBy" -> _)
         ++ (if (ivfCodesOnlyOf(spark, path)) Map("codesOnly" -> "true")
             else Map.empty))
     // this rewrite folds every batch dir into the seed — record how far,
@@ -777,6 +800,7 @@ object Similarity {
       rejectCodesOnly(spark, path, "k-means retraining",
         "retrain against the primary vector store and re-seed with " +
           "ivfWriteAtRest(codesOnly = true)")
+      requireIdCol(spark, path, idCol)
       // a multi-assigned table holds each vector `replicas` times (one row
       // per list) — dedupe before training, or duplicates weight k-means.
       // RESIDUAL codes depend on the centroids they were encoded against,
@@ -832,8 +856,7 @@ object Similarity {
           else reassigned
         swapRewrite(reencoded.repartition(nLists, col("list_id")), path, cb,
           pqModel = newPq.orNull,
-          pqResidual = if (residual) Some(true) else None,
-          idCol = idCol)
+          pqResidual = if (residual) Some(true) else None)
         cb
       } finally train.unpersist(blocking = false)
     }
@@ -854,6 +877,7 @@ object Similarity {
     rejectCodesOnly(spark, path, "the raw-vector probe",
       "probe with ivfPqTopKAtRest(rerankFrom = <your vector store>)")
     validateCodebook(spark, path, centroids)
+    requireIdCol(spark, path, idCol)
     val wanted = ivfProbeLists(probes, centroids, nProbe)
       .select("list_id").distinct().collect().map(_.getInt(0)).sorted
     val assigned = spark.read.parquet(AtRest.resolve(spark, path))
@@ -1019,6 +1043,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       rerankFrom: DataFrame = null): DataFrame = {
     val centroids = storedCodebook(spark, path)
+    requireIdCol(spark, path, idCol)
     val dir = AtRest.resolve(spark, path)
     val (pq, residual) = pqReadModelInfo(spark, dir) // loud on a plain IVF table
     if (rerankFrom == null && ivfCodesOnlyOf(spark, path))
@@ -1224,6 +1249,7 @@ object Similarity {
           "codes-only tables append-only (ivfAppendAtRest) or pre-deduped " +
           "upstream")
       validateCodebook(spark, path, centroids)
+      requireIdCol(spark, path, idCol)
       val dir = AtRest.ensureVersioned(spark, path)
       val (_, legacyFlat) = appendDir(spark, dir)
       if (batchId >= 0 && legacyFlat)
@@ -1596,7 +1622,7 @@ object Similarity {
     require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
     val fs = AtRest.fsFor(spark, path)
     DedupIndex.recheckMarkerInfo(fs, path, recheckId) match {
-      case Some((n, _)) => return n
+      case Some(m) => return m.removed
       case None => // absent or unparsable (the latter deleted) — run
     }
     AtRest.withLease(spark, path) {
@@ -1605,18 +1631,26 @@ object Similarity {
       // frontier advance derives from actual coverage
       val coveredUpTo = DedupIndex.maxCommittedBatch(fs, path)
       // maintenance (compact/retrain/recheck-rewrite) folds batch dirs
-      // into the seed: when this window starts below the recorded fold
-      // frontier, the folded batches have no dirs to scope by — fall
-      // back to a FULL sweep for this one pass (the next pass's window
-      // starts past coveredUpTo and is incremental again)
+      // into the seed: when this window starts below the fold frontier,
+      // the folded batches have no dirs to scope by — fall back to a
+      // FULL sweep for this one pass (the next pass's window starts
+      // past coveredUpTo and is incremental again). Pre-frontier builds
+      // folded without writing the file — the conservative
+      // committed-markers-vs-dirs bound covers them.
+      val foldedThrough = math.max(AtRest.collapseFrontier(fs, path),
+        AtRest.legacyFoldThrough(fs, path, AtRest.resolve(spark, path)))
       val since =
-        if (sinceBatch < AtRest.collapseFrontier(fs, path)) None
+        if (sinceBatch < foldedThrough) None
         else Some(sinceBatch)
       val n = recheckSweep(spark, path, sinceBatch = since,
         threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket)
+      // the marker records the window the pass ACTUALLY ran from (a
+      // full-sweep fallback covers from 0) — what a frontier bootstrap
+      // may safely resume past
       AtRest.writeFile(fs,
         new org.apache.hadoop.fs.Path(path, s"_committed/recheck-$recheckId"),
-        s"$n $coveredUpTo".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"$n $coveredUpTo ${since.getOrElse(0L)}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       n
     }
   }
@@ -1648,12 +1682,18 @@ object Similarity {
           else None
         }.maxOption
       // bootstrap after existing markers (a crash between the marker
-      // write and the first frontier write lands here): resume from the
-      // LATEST marker's recorded coverage instead of re-sweeping from 0
+      // write and the first frontier write lands here): resume past the
+      // LATEST marker only when it PROVABLY covered everything below
+      // (window start 0 + recorded coverage); a caller-driven window
+      // starting above 0 proves nothing about the batches below it, so
+      // restart from 0 (idempotent re-adjudication, never a skip)
       maxExisting match {
         case Some(mid) =>
-          val covered = DedupIndex.recheckMarkerInfo(fs, path, mid).flatMap(_._2)
-          (covered.map(_ + 1L).getOrElse(0L), mid + 1L)
+          DedupIndex.recheckMarkerInfo(fs, path, mid) match {
+            case Some(DedupIndex.RecheckMarker(_, Some(cov), Some(0L))) =>
+              (cov + 1L, mid + 1L)
+            case _ => (0L, mid + 1L)
+          }
         case None => (0L, 0L)
       }
     }
@@ -1661,7 +1701,7 @@ object Similarity {
       scoreCol, planesPerTable, tables, maxBucket)
     val covered = DedupIndex.recheckMarkerInfo(fs, path, id).getOrElse(
       throw new IllegalStateException(
-        s"recheck-$id committed but its marker is unreadable"))._2
+        s"recheck-$id committed but its marker is unreadable")).coveredUpTo
     val nextSince = covered.map(_ + 1L).getOrElse(since)
     AtRest.writeFile(fs, DedupIndex.frontierPath(path),
       s"$nextSince ${id + 1L}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1679,6 +1719,7 @@ object Similarity {
     rejectCodesOnly(spark, path, "the offline near-dup recheck",
       "recheck the primary vector store and re-seed with " +
         "ivfWriteAtRest(codesOnly = true)")
+    requireIdCol(spark, path, idCol)
     val dir = AtRest.resolve(spark, path)
     val table = spark.read.parquet(dir)
     // one row per id (replicas collapse; assignment columns don't matter
@@ -1729,7 +1770,7 @@ object Similarity {
           .unionByName(DedupIndex.countLong(removed, g, "n_removed_recheck"))
       }
       swapRewrite(survivors.repartition(cb.length, col("list_id")), path, cb,
-        ledgerAdjust = adjust.orNull, idCol = idCol)
+        ledgerAdjust = adjust.orNull)
     }
     dropIds.unpersist(blocking = false)
     uniq.unpersist(blocking = false)

@@ -457,6 +457,28 @@ class DedupIndexSpec extends SparkSpec {
       "the never-adjudicated seed pair must survive an incremental pass")
   }
 
+  test("bootstrap does not resume past a caller-driven partial-window marker") {
+    import spark.implicits._
+    val root = tempDir("lsh_partial")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(n: Int, extra: Int = 0) =
+      ((0 until 12).map(i => s"pa${n}t$i") ++ (0 until extra).map(i => s"y$i")).mkString(" ")
+    DedupIndex.writeCorpus(Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), corp)
+    DedupIndex.writeAtRest(Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"), idx)
+    DedupIndex.ingestBatch(Seq((11L, doc(1, 2))).toDF("doc_id", "text"),
+      idx, corp, threshold = 0.97, batchId = 0L)
+    // a caller-driven pass over a window that EXCLUDES batch 0: it
+    // commits a marker covering up to batch 0, but proves nothing about
+    // the batches below its own window start
+    assert(DedupIndex.recheckSince(spark, corp, idx, 5L, 0L, threshold = 0.5) === 0L)
+    // the frontier bootstrap must restart from 0 (idempotent), not
+    // resume past the partial marker — the batch-0 straggler is caught
+    assert(DedupIndex.recheckIncremental(spark, corp, idx, threshold = 0.5) === 1L)
+    assert(DedupIndex.readCorpus(spark, corp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 11L))
+  }
+
   test("a no-hit batch short-circuits on the bloom sidecar without reading the index") {
     import spark.implicits._
     val dir = tempDir("lsh_bloom") + "/index.parquet"

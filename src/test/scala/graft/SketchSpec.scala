@@ -1119,6 +1119,57 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("pre-frontier folds are detected conservatively: a fold with no " +
+      "collapse-frontier file still triggers the full sweep") {
+    import spark.implicits._
+    val dir = tempDir("ivf_legacy_fold") + "/corpus"
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Seq(at(0), at(20))
+    Similarity.ivfWriteAtRest(
+      Seq((1L, at(9).toArray), (2L, at(170).toArray)).toDF("vec_id", "embedding"),
+      cents, dir)
+    assert(Similarity.ivfIngestBatch(
+      Seq((100L, at(11).toArray)).toDF("vec_id", "embedding"),
+      cents, dir, threshold = 0.95, nProbe = 1, batchId = 0L) == 1)
+    Similarity.ivfCompactAtRest(spark, dir)
+    // simulate a fold performed by a PRE-frontier build: the file is
+    // absent, but batch 0's marker exists while its dir is gone — the
+    // committed-vs-dirs detection must still force the full sweep
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_committed/collapse-frontier"),
+      false)
+    assert(Similarity.ivfRecheckIncremental(spark, dir, threshold = 0.95) == 1)
+    assert(Similarity.ivfRead(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("custom id column: recorded in meta, maintenance keeps it, " +
+      "mismatched callers fail loudly") {
+    val dir = tempDir("ivf_idcol") + "/corpus"
+    val emb2 = emb.limit(50)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val cents = Similarity.ivfCodebook(emb2, nLists = 4, idCol = "doc_id")
+    Similarity.ivfWriteAtRest(emb2, cents, dir, idCol = "doc_id")
+    // a caller passing the wrong id column fails loudly instead of
+    // silently mis-sorting the layout
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfAppendAtRest(
+        emb2.limit(1).select((col("doc_id") + 900000L).as("doc_id"),
+          col("embedding")), cents, dir) // default idCol = vec_id
+    }.getMessage.contains("idCol"))
+    // maintenance consults the STORED idCol — no caller parameter to get
+    // wrong — and probes keep working afterwards
+    Similarity.ivfCompactAtRest(spark, dir)
+    val probe = emb2.limit(1)
+      .select(col("doc_id").as("probe_id"), col("embedding").as("probe_vec"))
+    assert(Similarity.ivfTopKAtRest(spark, dir, probe, cents, k = 1,
+      nProbe = 4, idCol = "doc_id", vecCol = "embedding").count() == 1)
+  }
+
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
     import spark.implicits._
     val corpus = (Seq((0L, Array.fill(8)(0.0f))) ++           // failed/padded row
