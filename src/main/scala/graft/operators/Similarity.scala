@@ -362,8 +362,18 @@ object Similarity {
       ledgerBy: String = null, replicas: Int = 1,
       pqModel: Seq[Seq[Seq[Float]]] = null,
       codesOnly: Boolean = false, pqResidual: Boolean = false,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id",
+      skipConventionCheck: Boolean = false): Unit = {
     val spark = corpus.sparkSession
+    // the id column seeds the table's PERMANENT identity space (_meta.json
+    // idCol): a typo here would silently record the wrong name and poison
+    // every later probe/append/maintenance call that passes the real one —
+    // fail at seed time, where it is fixable
+    require(corpus.columns.contains(idCol),
+      s"idCol='$idCol' is not a column of the seed corpus " +
+        s"(got ${corpus.columns.mkString("[", ", ", "]")}) — pass the " +
+        "corpus's own id column; it is recorded in _meta.json as the " +
+        "table's identity space")
     require(!codesOnly || pqModel != null,
       "codesOnly = true stores nothing but PQ codes — pass pqModel")
     require(!pqResidual || pqModel != null,
@@ -382,10 +392,17 @@ object Similarity {
       // pqResidual: codes quantize `normalized(v) − centroid[list]`
       // (FAISS-style IVF-PQ; [[pqTrainResidual]]) — probes add the exact
       // probe·centroid term back at scoring time.
+      // skipConventionCheck: the convention heuristic compares relative
+      // quantization error both ways on a data sample — data that has
+      // DRIFTED far from the model's training distribution (re-seeding a
+      // new corpus slice with an older model) can trip a false positive;
+      // the flag is the documented override for exactly that case. The
+      // dim match always holds (it is structural, not statistical).
       Option(pqModel).foreach { mdl =>
         requirePqDimMatch(mdl, centroids)
-        requirePqConventionMatch(conventionSample(corpus, vecCol), centroids,
-          mdl, pqResidual)
+        if (!skipConventionCheck)
+          requirePqConventionMatch(conventionSample(corpus, vecCol), centroids,
+            mdl, pqResidual)
       }
       val withCodes = Option(pqModel).fold(assigned)(m =>
         if (pqResidual) pqEncodeResidual(assigned, centroids, m, vecCol)
@@ -437,6 +454,14 @@ object Similarity {
             "with a stable batchId >= 0 (or ivfIngestStream)")
       validateCodebook(spark, path, centroids)
       requireIdCol(spark, path, idCol)
+      // same seed-time guard as ivfWriteAtRest: a wrong idCol here would
+      // write rows without the table's id column (writeListData silently
+      // skips the id sort) and — on the adoption path below — record the
+      // wrong identity space in _meta.json permanently
+      require(newVecs.columns.contains(idCol),
+        s"idCol='$idCol' is not a column of the append frame " +
+          s"(got ${newVecs.columns.mkString("[", ", ", "]")}) — pass the " +
+          "table's own id column")
       val dir = AtRest.ensureVersioned(spark, path)
       // pre-sidecar tables adopt the caller's codebook (their first append
       // under a DIFFERENT codebook would already have corrupted them)
@@ -486,9 +511,14 @@ object Similarity {
     val base = corpus.select(col(idCol), col(vecCol))
     if (maxTrainRows > 0) {
       val n = base.count()
-      if (n > maxTrainRows)
-        return kmeansLocal(collectTrainSample(base, idCol, vecCol, n, maxTrainRows),
+      if (n > maxTrainRows) {
+        // dim-aware clamp: the rows bound alone under-protects the driver
+        // on wide embeddings (see MaxTrainBytesKey)
+        val eff = byteCappedTrainRows(base.sparkSession, maxTrainRows,
+          vecDim(base, vecCol))
+        return kmeansLocal(collectTrainSample(base, idCol, vecCol, n, eff),
           nLists, iters)
+      }
     }
     trainKmeansOn(base, nLists, iters, idCol, vecCol)
   }
@@ -644,6 +674,48 @@ object Similarity {
    *  count, not the table's. */
   private val SampleDenom = 1000000L
 
+  /** Session conf: BYTE ceiling for the driver-local training collect
+   *  (default 256 MiB). `maxTrainRows` alone is a rows-only bound — 64k
+   *  rows are ~16 MB at dim 64 but ~1 GiB at dim 4096, so the knob
+   *  designed to protect the driver could still OOM it on wide
+   *  embeddings. The effective bound is
+   *  `min(maxTrainRows, maxTrainBytes / (dim × 4))`, clamped BEFORE the
+   *  hash-cut so both the distributed sample and the collect shrink
+   *  together; a clamp is announced loudly on stderr (the sample got
+   *  smaller than the caller asked for — model quality, not correctness). */
+  val MaxTrainBytesKey = "spark.graft.ann.maxTrainBytes"
+
+  /** Test seam: observes (requestedRows, effectiveRows) whenever a
+   *  driver-local training bound resolves, so a spec can assert the
+   *  byte clamp without parsing stderr. A no-op in production. */
+  private[graft] var onTrainSampleBound: (Long, Long) => Unit = (_, _) => ()
+
+  /** The dim-aware training-row bound: `maxTrainRows` clamped so the
+   *  collected sample stays under [[MaxTrainBytesKey]] bytes of raw
+   *  float32 (`rows × dim × 4` — the JVM row overhead rides on top, the
+   *  conf default leaves ample headroom under any sane driver heap). */
+  private def byteCappedTrainRows(spark: org.apache.spark.sql.SparkSession,
+      maxTrainRows: Long, dim: Int): Long = {
+    val maxBytes = spark.conf.getOption(MaxTrainBytesKey)
+      .map(_.trim.toLong).getOrElse(256L << 20)
+    val rowBytes = math.max(dim.toLong * 4L, 1L)
+    val eff = math.max(1L, math.min(maxTrainRows, maxBytes / rowBytes))
+    if (eff < maxTrainRows)
+      System.err.println(s"[graft] training sample clamped from " +
+        s"$maxTrainRows to $eff rows: dim=$dim at 4 bytes/float exceeds " +
+        s"$MaxTrainBytesKey=$maxBytes — raise the conf (and the driver " +
+        "heap) to train on more rows")
+    onTrainSampleBound(maxTrainRows, eff)
+    eff
+  }
+
+  /** The embedding column's width, probed from ONE row (a limit-1 scan —
+   *  bounded, reads a single page); 0 on an all-null/empty frame. */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1) // bounded: one row, the dim probe
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   /** The ONE deterministic cut predicate both training entry points
    *  share — a change here must move them together, or the documented
    *  "same hash-cut" contract between ivfTrainKmeans and ivfRetrain
@@ -795,11 +867,16 @@ object Similarity {
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
       nLists: Int = 16, iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxTrainRows: Long = 65536): Seq[Seq[Float]] =
+      maxTrainRows: Long = 65536, pqIters: Int = 5,
+      rerankFrom: DataFrame = null): Seq[Seq[Float]] =
     AtRest.withLease(spark, path) {
-      rejectCodesOnly(spark, path, "k-means retraining",
-        "retrain against the primary vector store and re-seed with " +
-          "ivfWriteAtRest(codesOnly = true)")
+      val codesOnly = ivfCodesOnlyOf(spark, path)
+      if (codesOnly && rerankFrom == null)
+        throw new IllegalStateException(
+          s"$path is a codes-only IVF-PQ table (no raw vectors at rest) — " +
+            "k-means retraining needs them; pass rerankFrom (the " +
+            "id-addressable primary vector store) and the retrain will " +
+            "train, reassign and re-encode from it")
       requireIdCol(spark, path, idCol)
       // a multi-assigned table holds each vector `replicas` times (one row
       // per list) — dedupe before training, or duplicates weight k-means.
@@ -807,26 +884,58 @@ object Similarity {
       // so a residual table drops them here (they'd also defeat the dedupe
       // — replicas carry per-list codes) and re-encodes under the NEW
       // codebook after reassignment; raw PQ codes are centroid-independent
-      // and ride through unchanged.
+      // and ride through unchanged — except codes-only, which always
+      // re-encodes from the fetched vectors (its codes were dropped with
+      // the assignment columns).
       val residual = ivfPqResidualOf(spark, path)
       val pq = ivfPqModel(spark, path)
       val dir = AtRest.resolve(spark, path)
-      val raw0 = spark.read.parquet(dir).drop("list_id", "ingest_batch")
-      val raw = if (residual) raw0.drop("pq_code") else raw0
+      val replicas = math.max(ivfReplicasOf(spark, path), 1)
+      val raw =
+        if (codesOnly) {
+          // the CODES-ONLY maintenance shape: the table's own rows (ids +
+          // whatever payload columns ride at rest) keep their identity;
+          // vectors come from the external store by id. A table id the
+          // store cannot serve would be SILENTLY DROPPED by the rewrite —
+          // fail loudly instead (one extra id-join aggregate, the price of
+          // not losing data).
+          val tbl = spark.read.parquet(dir)
+            .drop("list_id", "ingest_batch", "pq_code").dropDuplicates()
+          val store = rerankFrom.select(col(idCol), col(vecCol))
+            .dropDuplicates(idCol)
+          val joined = tbl.join(store, Seq(idCol), "left")
+          val missing = joined.filter(col(vecCol).isNull).count()
+          if (missing > 0)
+            throw new IllegalStateException(
+              s"rerankFrom is missing vectors for $missing of the table's " +
+                s"ids — retraining from it would silently drop them; " +
+                "backfill the store (or re-seed with ivfWriteAtRest)")
+          joined
+        } else {
+          val raw0 = spark.read.parquet(dir).drop("list_id", "ingest_batch")
+          if (residual) raw0.drop("pq_code") else raw0
+        }
       // TRAINING frame: a bounded deterministic hash-sample (default 64k
       // distinct ids; maxTrainRows <= 0 opts out) — at 100 TB the full
       // table can neither persist nor price the init's per-round scans,
       // and a 64k sample already over-determines an nLists-vector model.
-      // Sampling cuts by ID on the pre-dedupe frame (replicas ride along
-      // uniformly — every vector appears exactly `replicas` times, so the
-      // sample's k-means weighting is unskewed — and only the tiny sample
-      // pays the dedupe shuffle). Row count comes from parquet footers.
-      val replicas = math.max(ivfReplicasOf(spark, path), 1)
+      // The rows bound is ALSO clamped by bytes (MaxTrainBytesKey): the
+      // driver-local collect is rows × dim × 4 — dim comes free from the
+      // table meta. Sampling cuts by ID on the pre-dedupe frame (replicas
+      // ride along uniformly — every vector appears exactly `replicas`
+      // times, so the sample's k-means weighting is unskewed — and only
+      // the tiny sample pays the dedupe shuffle). Row count comes from
+      // parquet footers.
+      val effTrainRows =
+        if (maxTrainRows <= 0) maxTrainRows
+        else byteCappedTrainRows(spark, maxTrainRows,
+          AtRest.readMeta(spark, path).flatMap(_.get("dim"))
+            .flatMap(_.toIntOption).getOrElse(vecDim(raw, vecCol)))
       val nIds = spark.read.parquet(dir).count() / replicas
-      val sampled = maxTrainRows > 0 && nIds > maxTrainRows
+      val sampled = effTrainRows > 0 && nIds > effTrainRows
       val train =
         (if (sampled)
-          hashSample(raw.select(col(idCol), col(vecCol)), idCol, nIds, maxTrainRows)
+          hashSample(raw.select(col(idCol), col(vecCol)), idCol, nIds, effTrainRows)
         else raw).dropDuplicates()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
@@ -838,14 +947,28 @@ object Similarity {
             nLists, iters)
           else trainKmeansOn(train, nLists, iters, idCol, vecCol)
         // a RESIDUAL model retrains against the NEW centroids (same
-        // m/ksub, same bounded training frame): residuals are offsets
-        // from the coarse codebook, so re-encoding with the OLD
-        // subquantizers under new lists would silently drift ADC recall
-        // across successive retrains. Raw models are centroid-independent
-        // — swapRewrite carries the persisted one unchanged.
+        // m/ksub, `pqIters` Lloyd rounds, same bounded training frame):
+        // residuals are offsets from the coarse codebook, so re-encoding
+        // with the OLD subquantizers under new lists would silently drift
+        // ADC recall across successive retrains. Raw models are
+        // centroid-independent — swapRewrite carries the persisted one
+        // unchanged.
         val newPq =
-          if (residual) pq.map(old => pqTrainResidual(train, cb,
-            m = old.length, ksub = old.head.length, iters = 5, idCol, vecCol))
+          if (residual) pq.map { old =>
+            val ksub = old.head.length
+            // under-determined guard: fewer sample rows than ~4 per
+            // centroid cell leaves subquantizer cells seeded from a CYCLED
+            // init sample and never updated — the model trains, but to
+            // noise; loud, not fatal (a tiny table may be all there is)
+            val trainRows = train.count()
+            if (trainRows < 4L * ksub)
+              System.err.println(s"[graft] residual-PQ retrain on $path: " +
+                s"only $trainRows training rows for ksub=$ksub centroids " +
+                s"per subspace (< ${4L * ksub}) — the subquantizers are " +
+                "under-determined; raise maxTrainRows or lower ksub")
+            pqTrainResidual(train, cb,
+              m = old.length, ksub = ksub, iters = pqIters, idCol, vecCol)
+          }
           else None
         // full-table reassignment is unchanged by sampling: one pass over
         // the deduped table straight into the staged rewrite
@@ -853,8 +976,11 @@ object Similarity {
         val reassigned = ivfAssignMulti(cur, cb, vecCol, replicas)
         val reencoded =
           if (residual) pqEncodeResidual(reassigned, cb, newPq.get, vecCol)
+          else if (codesOnly) pqEncode(reassigned, pq.get, vecCol)
           else reassigned
-        swapRewrite(reencoded.repartition(nLists, col("list_id")), path, cb,
+        swapRewrite(
+          (if (codesOnly) reencoded.drop(vecCol) else reencoded)
+            .repartition(nLists, col("list_id")), path, cb,
           pqModel = newPq.orNull,
           pqResidual = if (residual) Some(true) else None)
         cb
@@ -1004,7 +1130,8 @@ object Similarity {
 
   def ivfEnablePq(spark: org.apache.spark.sql.SparkSession, path: String,
       pqModel: Seq[Seq[Seq[Float]]],
-      vecCol: String = "embedding", residual: Boolean = false): Unit =
+      vecCol: String = "embedding", residual: Boolean = false,
+      skipConventionCheck: Boolean = false): Unit =
     AtRest.withLease(spark, path) {
       rejectCodesOnly(spark, path, "re-encoding under a new model",
         "re-seed from the primary vector store with ivfWriteAtRest")
@@ -1012,7 +1139,10 @@ object Similarity {
       requirePqDimMatch(pqModel, cb)
       val all = spark.read.parquet(AtRest.resolve(spark, path))
         .drop("ingest_batch").drop("pq_code")
-      requirePqConventionMatch(conventionSample(all, vecCol), cb, pqModel, residual)
+      // skipConventionCheck: see ivfWriteAtRest — the drifted-data escape
+      // hatch for the statistical raw-vs-residual heuristic
+      if (!skipConventionCheck)
+        requirePqConventionMatch(conventionSample(all, vecCol), cb, pqModel, residual)
       val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
       val encoded =
         if (residual) pqEncodeResidual(all, cb, pqModel, vecCol)
@@ -1124,16 +1254,19 @@ object Similarity {
     // The isin comes FIRST so And short-circuits: non-candidate rows
     // (the vast majority) pay one hash lookup, never the Or chain — a
     // chunked-only filter measured 5× slower on the same-table fetch.
-    // Chunking is bounded to 2048 ids (205 disjuncts; a bigger plan
-    // costs more in the optimizer than it saves) — past it the wide
-    // isin alone keeps range pushdown until the semi-join fallback.
+    // Chunking is bounded to InChunkMaxKey ids (default 2048 → 205
+    // disjuncts; a bigger plan costs more in the optimizer than it
+    // saves) — past it the wide isin alone keeps range pushdown until
+    // the semi-join fallback. Both bounds are session confs: tune the
+    // IN→semi-join crossover and the pushdown chunking per store layout.
+    val inChunkMax = confInt(spark, InChunkMaxKey, 2048)
     def pointFilter(ids: Array[Any]): Column = {
       val wide = col(idCol).isin(ids: _*)
-      if (ids.length <= 10 || ids.length > 2048) wide
+      if (ids.length <= 10 || ids.length > inChunkMax) wide
       else wide && ids.grouped(10).map(g => col(idCol).isin(g: _*)).reduce(_ || _)
     }
     val fetch = (
-      if (candIds.length <= rerankInThreshold)
+      if (candIds.length <= confInt(spark, RerankInThresholdKey, 65536))
         prunedVecs.filter(pointFilter(candIds))
       else prunedVecs.join(broadcast(cand.select(col(idCol)).distinct()),
         Seq(idCol), "left_semi"))
@@ -1224,7 +1357,8 @@ object Similarity {
       threshold: Double = 0.95, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchId: Long = -1L, maxExactBatch: Long = 10000L,
-      leaseOwner: String = null, shard: Int = 0, nShards: Int = 1): Long = {
+      leaseOwner: String = null, shard: Int = 0, nShards: Int = 1,
+      rerankFrom: DataFrame = null): Long = {
     val spark = newVecs.sparkSession
     val fs = AtRest.fsFor(spark, path)
     val marker = new org.apache.hadoop.fs.Path(path, s"_committed/batch-$batchId")
@@ -1244,10 +1378,15 @@ object Similarity {
     if (nShards <= 1) AtRest.acquireLease(spark, path, owner)
     else AtRest.acquireShardLease(spark, path, owner, shard, nShards)
     try {
-      rejectCodesOnly(spark, path, "the near-duplicate admission probe",
-        "ingest through the full IVF-PQ layout (codes + vectors) and keep " +
-          "codes-only tables append-only (ivfAppendAtRest) or pre-deduped " +
-          "upstream")
+      val codesOnly = ivfCodesOnlyOf(spark, path)
+      if (codesOnly && rerankFrom == null)
+        throw new IllegalStateException(
+          s"$path is a codes-only IVF-PQ table (no raw vectors at rest) — " +
+            "the near-duplicate admission probe needs them; pass rerankFrom " +
+            "(the id-addressable primary vector store: the cross-table check " +
+            "then ADC-prefilters the pruned lists' codes and exact-verifies " +
+            "candidates against the store), or keep codes-only tables " +
+            "append-only (ivfAppendAtRest) / pre-deduped upstream")
       validateCodebook(spark, path, centroids)
       requireIdCol(spark, path, idCol)
       val dir = AtRest.ensureVersioned(spark, path)
@@ -1326,14 +1465,18 @@ object Similarity {
           // static-IN pruning as ivfTopKAtRest
           val wanted = probeLists.select("list_id").distinct()
             .collect().map(_.getInt(0)).sorted
+          val pruned = spark.read.parquet(dir)
+            .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
           // no same-id exclusion here (unlike the pair-REPORTING probes):
           // an arrival matching an at-rest row under its own id IS "already
           // ingested" — dropping it is what makes replays content-idempotent
-          spark.read.parquet(dir)
-            .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
+          (if (codesOnly)
+            crossProbeCodesOnly(spark, dir, path, pruned, probeLists,
+              rerankFrom, centroids, threshold, idCol, vecCol)
+          else pruned
             .join(broadcast(probeLists), "list_id")
             .filter(cosine(col("probe_vec"), col(vecCol)) >= threshold)
-            .select(col("probe_id").as(idCol)).distinct()
+            .select(col("probe_id").as(idCol)).distinct())
             .localCheckpoint(true) // same lineage-cut as inDrop
         } else b.select(col(idCol)).limit(0)
       // materialized HERE — the heavy probing finishes before the
@@ -1347,10 +1490,13 @@ object Similarity {
       def publishAdjudicated(admitted: DataFrame, crossDropAll: DataFrame): Long = {
         val n = admitted.count()
         if (n > 0) {
-          val assigned = withPqCodes(
+          val encoded = withPqCodes(
             ivfAssignMulti(admitted, centroids, vecCol,
               ivfReplicasOf(spark, path)),
             spark, path, vecCol)
+          // a codes-only table stays codes-only: assign + encode, then
+          // drop the raw vectors like the seed write did
+          val assigned = if (codesOnly) encoded.drop(vecCol) else encoded
           if (batchId >= 0) {
             // stage + one atomic rename, the exactly-once publish
             val target = new org.apache.hadoop.fs.Path(dir, s"ingest_batch=$batchId")
@@ -1423,8 +1569,20 @@ object Similarity {
           }
           if (deltaDirs.isEmpty) publishAdjudicated(admitted0, crossDrop)
           else {
-            val theirs = spark.read.parquet(deltaDirs.map(_.toString): _*)
-              .select(col(vecCol).as("_vt")).distinct()
+            // codes-only: the delta dirs hold codes, not vectors — fetch
+            // the (batch-sized) delta ids' vectors from the store. The
+            // committed shard's arrivals are in the store by contract
+            // (the store is upstream of ingest); a gap fails open, the
+            // recheck's coverage check screams later.
+            val theirs =
+              if (codesOnly) {
+                val theirIds = spark.read.parquet(deltaDirs.map(_.toString): _*)
+                  .select(col(idCol)).distinct()
+                rerankFrom.select(col(idCol), col(vecCol))
+                  .join(broadcast(theirIds), Seq(idCol), "left_semi")
+                  .select(col(vecCol).as("_vt")).distinct()
+              } else spark.read.parquet(deltaDirs.map(_.toString): _*)
+                .select(col(vecCol).as("_vt")).distinct()
             val more = theirs.join(
                 broadcast(admitted0.select(col(idCol), col(vecCol))),
                 cosine(col("_vt"), col(vecCol)) >= threshold)
@@ -1448,6 +1606,59 @@ object Similarity {
     }
   }
 
+  /** Session conf: per-arrival candidate count for the codes-only
+   *  cross-probe's ADC pass (default 64). ADC is an approximation whose
+   *  absolute value shifts with quantization quality (a coarse m/ksub
+   *  systematically UNDER-estimates cosine), so an absolute score cut
+   *  cannot be calibrated — the check instead exact-verifies each
+   *  arrival's top-R candidates BY ADC RANK, the same shape as the
+   *  serving path's rerank. Higher = more point reads per arrival;
+   *  a true near-dup outside its arrival's top-R slips through to the
+   *  offline recheck (the same accretion class as the nProbe caveat,
+   *  healed the same way). */
+  val IngestAdcCandidatesKey = "spark.graft.ann.ingestAdcCandidates"
+
+  /** The codes-only twin of the ingest cross-probe: the pruned lists are
+   *  scanned as CODES (m bytes/row — the table stores nothing else), each
+   *  arrival's top-R candidates by ADC fetch their raw vectors from the
+   *  external store (a candidate-sized point read, never a store scan)
+   *  and the drop decision is the same EXACT cosine as the full
+   *  layout's. A candidate id the store cannot serve fails OPEN (the
+   *  arrival is admitted — ingest must not die on a store gap); the
+   *  offline recheck's coverage check is the loud backstop. */
+  private def crossProbeCodesOnly(spark: org.apache.spark.sql.SparkSession,
+      dir: String, path: String, pruned: DataFrame, probeLists: DataFrame,
+      rerankFrom: DataFrame, centroids: Seq[Seq[Float]], threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
+    val (pqm, residual) = pqReadModelInfo(spark, dir)
+    val r = confInt(spark, IngestAdcCandidatesKey, 64)
+    val luts = probeLists.select(col("probe_id"), col("probe_vec"),
+      col("list_id"),
+      graft.functions.VectorFunctions.pq_lut(col("probe_vec"), pqm).as("_lut"),
+      (if (residual)
+        cosine(col("probe_vec"), element_at(typedLit(centroids), col("list_id") + 1))
+      else lit(0.0)).as("_pc"))
+    val w = Window.partitionBy("probe_id").orderBy(col("_adc").desc, col(idCol))
+    // tiny frame: ≤ |batch| × R candidate rows — checkpointed because it
+    // is consumed twice (the point fetch below and the verify join)
+    val cand = pruned.select(col(idCol), col("pq_code"), col("list_id"))
+      .join(broadcast(luts), "list_id")
+      .withColumn("_adc",
+        graft.functions.VectorFunctions.pq_adc(col("pq_code"), col("_lut"))
+          + col("_pc"))
+      .withColumn("_ar", row_number().over(w))
+      .filter(col("_ar") <= r)
+      .select(col("probe_id"), col("probe_vec"), col(idCol).as("_cand"))
+      .localCheckpoint(true)
+    val fetched = rerankFrom
+      .select(col(idCol).as("_cand"), col(vecCol).as("_cv"))
+      .join(broadcast(cand.select(col("_cand")).distinct()),
+        Seq("_cand"), "left_semi")
+    cand.join(fetched, Seq("_cand"))
+      .filter(cosine(col("probe_vec"), col("_cv")) >= threshold)
+      .select(col("probe_id").as(idCol)).distinct()
+  }
+
   /** Test seam: runs after the probe snapshot is materialized and before
    *  the commit section — a spec injects a concurrent shard's commit here
    *  to exercise the cross-shard delta re-probe deterministically. A
@@ -1467,12 +1678,29 @@ object Similarity {
    *  ADC scan's reads from the rerank's. A no-op in production. */
   private[graft] var onPqAdcDone: () => Unit = () => ()
 
-  /** Candidate-count ceiling for the rerank's static-IN point read; past
-   *  it the fetch falls back to a broadcast semi-join over the same
-   *  pruned lists (the scan stays partition-pruned; only the row-group
-   *  skip from the literal IN is lost). `private[graft] var` so the spec
-   *  can lower it and drive the fallback deterministically. */
-  private[graft] var rerankInThreshold: Int = 65536
+  /** Session conf: candidate-count ceiling for the rerank's static-IN
+   *  point read (default 65536); past it the fetch falls back to a
+   *  broadcast semi-join over the same pruned lists (the scan stays
+   *  partition-pruned; only the row-group/page skip from the literal IN
+   *  is lost). The store-layout trade: an id-sorted, tight-paged store
+   *  (the [[writeListData]] layout) profits from a HIGH ceiling — every
+   *  candidate id is one page skip — while a store with huge pages or
+   *  unsorted ids gains nothing from the literal IN past the planner
+   *  cost, so a LOW ceiling moves it to the semi-join sooner. */
+  val RerankInThresholdKey = "spark.graft.ann.rerankInThreshold"
+
+  /** Session conf: max candidate ids rendered as the chunked-In pushdown
+   *  (default 2048 → ≤205 ten-value In disjuncts; a bigger plan costs
+   *  more in the optimizer than the page skips save). Above it the wide
+   *  isin alone keeps min/max range pushdown until the
+   *  [[RerankInThresholdKey]] semi-join fallback. Raise it for stores
+   *  whose page rows are large (each skipped page is worth more); lower
+   *  it if planning latency dominates small probes. */
+  val InChunkMaxKey = "spark.graft.ann.inChunkMax"
+
+  private def confInt(spark: org.apache.spark.sql.SparkSession, key: String,
+      default: Int): Int =
+    spark.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
 
   private def ivfListBatchIds(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Set[Long] = {
@@ -1565,6 +1793,14 @@ object Similarity {
     ivfIngestBatch(newVecs, storedCodebook(newVecs.sparkSession, path), path,
       threshold, nProbe, idCol, vecCol, batchId)
 
+  /** [[ivfIngestBatch]] under the table's OWN persisted codebook, with the
+   *  codes-only deployment's external vector store. */
+  def ivfIngestBatch(newVecs: DataFrame, path: String, threshold: Double,
+      nProbe: Int, idCol: String, vecCol: String, batchId: Long,
+      rerankFrom: DataFrame): Long =
+    ivfIngestBatch(newVecs, storedCodebook(newVecs.sparkSession, path), path,
+      threshold, nProbe, idCol, vecCol, batchId, rerankFrom = rerankFrom)
+
   // --------------------------------------------------------- offline recheck
 
   /**
@@ -1590,10 +1826,12 @@ object Similarity {
   def ivfRecheck(spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding", scoreCol: String = null,
-      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000): Long =
+      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000,
+      rerankFrom: DataFrame = null): Long =
     AtRest.withLease(spark, path) {
       recheckSweep(spark, path, sinceBatch = None,
-        threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket)
+        threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket,
+        rerankFrom)
     }
 
   /**
@@ -1618,7 +1856,7 @@ object Similarity {
       sinceBatch: Long, recheckId: Long, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scoreCol: String = null, planesPerTable: Int = 16, tables: Int = 4,
-      maxBucket: Int = 1000): Long = {
+      maxBucket: Int = 1000, rerankFrom: DataFrame = null): Long = {
     require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
     val fs = AtRest.fsFor(spark, path)
     DedupIndex.recheckMarkerInfo(fs, path, recheckId) match {
@@ -1643,7 +1881,8 @@ object Similarity {
         if (sinceBatch < foldedThrough) None
         else Some(sinceBatch)
       val n = recheckSweep(spark, path, sinceBatch = since,
-        threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket)
+        threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket,
+        rerankFrom)
       // the marker records the window the pass ACTUALLY ran from (a
       // full-sweep fallback covers from 0) — what a frontier bootstrap
       // may safely resume past
@@ -1669,7 +1908,8 @@ object Similarity {
   def ivfRecheckIncremental(spark: org.apache.spark.sql.SparkSession,
       path: String, threshold: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding", scoreCol: String = null,
-      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000): Long = {
+      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000,
+      rerankFrom: DataFrame = null): Long = {
     val fs = AtRest.fsFor(spark, path)
     val (since, id) = DedupIndex.readFrontier(fs, path).getOrElse {
       val dir = new org.apache.hadoop.fs.Path(path, "_committed")
@@ -1698,7 +1938,7 @@ object Similarity {
       }
     }
     val n = ivfRecheckSince(spark, path, since, id, threshold, idCol, vecCol,
-      scoreCol, planesPerTable, tables, maxBucket)
+      scoreCol, planesPerTable, tables, maxBucket, rerankFrom)
     val covered = DedupIndex.recheckMarkerInfo(fs, path, id).getOrElse(
       throw new IllegalStateException(
         s"recheck-$id committed but its marker is unreadable")).coveredUpTo
@@ -1711,26 +1951,57 @@ object Similarity {
   /** The shared sweep: find → keep-best → (conditionally) rewrite +
    *  ledger-adjust. Callers hold the lease. `sinceBatch = None` examines
    *  every pair; `Some(b)` restricts to pairs involving a vector from
-   *  `ingest_batch >= b`. */
+   *  `ingest_batch >= b`. On a codes-only table, vectors come from
+   *  `rerankFrom` (the external id-addressable store); the drop rewrite
+   *  is a pure filter on the codes table either way. */
   private def recheckSweep(spark: org.apache.spark.sql.SparkSession,
       path: String, sinceBatch: Option[Long],
       threshold: Double, idCol: String, vecCol: String, scoreCol: String,
-      planesPerTable: Int, tables: Int, maxBucket: Int): Long = {
-    rejectCodesOnly(spark, path, "the offline near-dup recheck",
-      "recheck the primary vector store and re-seed with " +
-        "ivfWriteAtRest(codesOnly = true)")
+      planesPerTable: Int, tables: Int, maxBucket: Int,
+      rerankFrom: DataFrame): Long = {
+    val codesOnly = ivfCodesOnlyOf(spark, path)
+    if (codesOnly && rerankFrom == null)
+      throw new IllegalStateException(
+        s"$path is a codes-only IVF-PQ table (no raw vectors at rest) — " +
+          "the offline near-dup recheck needs them; pass rerankFrom (the " +
+          "id-addressable primary vector store) and the sweep will sign, " +
+          "pair and verify from it (the drop rewrite is a pure filter on " +
+          "the codes table)")
     requireIdCol(spark, path, idCol)
     val dir = AtRest.resolve(spark, path)
     val table = spark.read.parquet(dir)
     // one row per id (replicas collapse; assignment columns don't matter
-    // for the pair search)
+    // for the pair search); codes-only fetches the vectors by id from the
+    // external store — an id the store cannot serve is unadjudicable, so
+    // missing coverage fails loudly (same contract as the retrain)
     val keep = (Seq(idCol, vecCol) ++ Option(scoreCol)).distinct
-    val uniq = table.select(keep.map(col): _*).dropDuplicates(idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val uniq = (
+      if (codesOnly) {
+        val payload = table.drop("list_id", "ingest_batch", "pq_code")
+          .dropDuplicates(idCol)
+        val store = rerankFrom.select(col(idCol), col(vecCol))
+          .dropDuplicates(idCol)
+        val joined = payload.join(store, Seq(idCol), "left")
+        val missing = joined.filter(col(vecCol).isNull).count()
+        if (missing > 0)
+          throw new IllegalStateException(
+            s"rerankFrom is missing vectors for $missing of the table's " +
+              "ids — the recheck cannot adjudicate them; backfill the store")
+        joined.select(keep.map(col): _*)
+      } else table.select(keep.map(col): _*).dropDuplicates(idCol)
+    ).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // a LEGACY FLAT table (bare list_id= dirs, never batch-ingested) has
+    // no ingest_batch column to scope a window by — fall back to a full
+    // sweep (a superset of any window; the table predates incremental
+    // ingest, so this is its first adjudication anyway) instead of dying
+    // in the analyzer on a missing column
+    val effSince =
+      if (sinceBatch.isDefined && !table.columns.contains("ingest_batch")) None
+      else sinceBatch
     // pairsRaw is the PERSISTED frame (materializeThenFree) — keep the
     // handle so it can be unpersisted below; a derived select would
     // silently miss the cache entry
-    val pairsRaw = sinceBatch match {
+    val pairsRaw = effSince match {
       case None => embeddingDuplicates(uniq, threshold, planesPerTable,
         tables, maxBucket, idCol, vecCol)
       case Some(b) =>
@@ -1759,15 +2030,24 @@ object Similarity {
       val survivors = table.drop("ingest_batch")
         .join(dropIds, Seq(idCol), "left_anti")
       val adjust = ivfLedgerByOf(spark, path).map { g =>
-        // DISTINCT (id, group) pairs, not one arbitrary group per id: an
-        // id admitted under several sources counted once per source in
-        // the ledger, and the anti-join below removes every physical row
-        // — the subtraction must mirror both
-        val removed = table.select(col(idCol), col(g)).distinct()
-          .join(dropIds, Seq(idCol), "left_semi")
-        DedupIndex.countLong(removed, g, "n_vecs")
-          .withColumn("value", -col("value"))
-          .unionByName(DedupIndex.countLong(removed, g, "n_removed_recheck"))
+        // the subtraction counts ADMISSIONS, not distinct (id, group)
+        // pairs: every admission incremented n_vecs by one and wrote
+        // exactly `replicas` physical rows (its vector's `replicas`
+        // nearest lists — compact/retrain rewrites preserve row
+        // multiplicity), and the anti-join below removes every physical
+        // row with a dropped id. An id re-admitted in a later batch with
+        // a sub-threshold-different vector (update-style re-ingest)
+        // counted twice — counting rows / replicas mirrors that;
+        // DISTINCT (id, group) would subtract once and drift the ledger.
+        val replicas = math.max(ivfReplicasOf(spark, path), 1)
+        val removedRows = table.join(dropIds, Seq(idCol), "left_semi")
+        val admissions = removedRows
+          .groupBy(col(g).cast("string").as("grp"))
+          .agg((count(lit(1)) / replicas).cast("long").as("value"))
+        admissions.select(col("grp"), lit("n_vecs").as("counter"),
+            (-col("value")).as("value"))
+          .unionByName(admissions.select(col("grp"),
+            lit("n_removed_recheck").as("counter"), col("value")))
       }
       swapRewrite(survivors.repartition(cb.length, col("list_id")), path, cb,
         ledgerAdjust = adjust.orNull)
@@ -1829,7 +2109,8 @@ object Similarity {
    *  offline with [[ivfRetrain]] and restart. */
   def ivfIngestStream(vecs: DataFrame, centroids: Seq[Seq[Float]], path: String,
       checkpointPath: String, threshold: Double = 0.95, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerankFromPath: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vecs.sparkSession
     val owner = s"ckpt:$checkpointPath"
@@ -1838,8 +2119,13 @@ object Similarity {
       try vecs.writeStream
         .option("checkpointLocation", checkpointPath)
         .foreachBatch { (b: DataFrame, id: Long) =>
+          // rerankFromPath (the codes-only deployment): the store is
+          // re-read PER BATCH — a DataFrame captured at stream start would
+          // pin the file listing of that moment and never see the store
+          // grow alongside the stream
           ivfIngestBatch(b, centroids, path, threshold, nProbe, idCol, vecCol,
-            batchId = id, leaseOwner = owner)
+            batchId = id, leaseOwner = owner,
+            rerankFrom = Option(rerankFromPath).map(spark.read.parquet).orNull)
           ()
         }
         .start()
@@ -1886,7 +2172,8 @@ object Similarity {
   def ivfIngestStreamSharded(vecs: DataFrame, centroids: Seq[Seq[Float]],
       path: String, checkpointPath: String, shard: Int, nShards: Int,
       threshold: Double = 0.95, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerankFromPath: String = null)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(nShards > 1 && shard >= 0 && shard < nShards,
       s"ivfIngestStreamSharded needs nShards > 1 and shard in [0, nShards): " +
@@ -1900,9 +2187,11 @@ object Similarity {
       try own.writeStream
         .option("checkpointLocation", checkpointPath)
         .foreachBatch { (b: DataFrame, id: Long) =>
+          // store re-read per batch — see ivfIngestStream
           ivfIngestBatch(b, centroids, path, threshold, nProbe, idCol, vecCol,
             batchId = id * nShards + shard, leaseOwner = owner,
-            shard = shard, nShards = nShards)
+            shard = shard, nShards = nShards,
+            rerankFrom = Option(rerankFromPath).map(spark.read.parquet).orNull)
           ()
         }
         .start()

@@ -1503,6 +1503,63 @@ object MLQueries {
         Similarity.ivfWriteAtRest(planted, Similarity.ivfCodebook(emb), path)
       })),
 
+    // INCREMENTAL vector recheck — q_dedup_recheck_since's IVF twin and
+    // q_sim_recheck's steady-state path: the seed holds a pre-existing
+    // near-dup pair (exact copies at +6,000,000 — OLD vs OLD, adjudicated
+    // by a previous pass by contract), batch 0 ingests exact copies at
+    // +5,000,000 under a threshold the admission check cannot trip
+    // (1.1 > any cosine — the accretion class the backstop exists for),
+    // then the frontier-driven ivfRecheckIncremental re-adjudicates ONLY
+    // pairs involving batch-0 vectors: the +5M copies drop (each pair's
+    // larger id), the +6M seed pair SURVIVES (outside the window — a full
+    // sweep would have dropped it, so the oracle verdict distinguishes
+    // the two). DuckDB recomputes the dropped ids from raw embeddings
+    // (exact cosine >= 0.98 restricted to pairs touching a new id), no
+    // pins; a wrongly-dropped old id would surface as an extra row.
+    Q("q_sim_recheck_since", Some("""
+      WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      newv AS (SELECT vec_id + 5000000 AS vec_id, v FROM base
+               WHERE vec_id >= 10 AND vec_id < 30),
+      oldv AS (SELECT vec_id + 6000000 AS vec_id, v FROM base WHERE vec_id < 10),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM oldv),
+      dropped AS (
+        SELECT DISTINCT n.vec_id FROM newv n JOIN allv a
+          ON a.vec_id <> n.vec_id
+         AND list_inner_product(n.v, a.v)
+             / (sqrt(list_inner_product(n.v, n.v))
+                * sqrt(list_inner_product(a.v, a.v))) >= 0.98)
+      SELECT CAST(vec_id AS BIGINT) AS vec_id FROM dropped ORDER BY 1"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = QueryScratch.dir("sim_recheck_since") + "/corpus.parquet"
+        val before = emb.select("vec_id")
+          .unionByName(emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 6000000L).as("vec_id")))
+          .unionByName(emb.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+            .select((col("vec_id") + 5000000L).as("vec_id")))
+        Similarity.ivfRecheckIncremental(s, path, threshold = 0.98)
+        val survivors = Similarity.ivfRead(s, path)
+          .select("vec_id").dropDuplicates("vec_id")
+        before.join(survivors, Seq("vec_id"), "left_anti")
+          .select(col("vec_id")).orderBy("vec_id")
+      },
+      // seed (untimed): versioned seed incl. the out-of-window pair, plus
+      // the exactly-once batch-0 ingest of the in-window copies; the timed
+      // number is the INCREMENTAL recheck itself. fresh per attempt.
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = QueryScratch.fresh("sim_recheck_since") + "/corpus.parquet"
+        val seed = emb.select("vec_id", "embedding")
+          .unionByName(emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + 6000000L).as("vec_id"), col("embedding")))
+        Similarity.ivfWriteAtRest(seed, Similarity.ivfCodebook(emb), path)
+        Similarity.ivfIngestBatch(
+          emb.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+            .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")),
+          path, threshold = 1.1, nProbe = 4, idCol = "vec_id",
+          vecCol = "embedding", batchId = 0L)
+      })),
+
     // Tokenizer training: the BPE merge table (Sennrich-style word-
     // frequency formulation — one corpus scan builds the vocab, then 20
     // argmax/rewrite rounds over the vocab alone). Deterministic (ties

@@ -8,11 +8,18 @@ import graft.operators.{AtRest, Similarity}
 /**
  * Long-running ENCODED-VECTOR ingest soak — [[IngestSoakBench]]'s IVF-PQ
  * twin: `runMain graft.tools.PqIngestSoakBench [nBatches] [vecsPerBatch]
- * [compactAt] [nShards]` (defaults 60 / 40 / 20 / 2).
+ * [compactAt] [nShards] [codesOnly]` (defaults 60 / 40 / 20 / 2 / false).
  *
  * Seeds a LEDGERED IVF-PQ table (codes beside vectors, model in the
- * sidecar), then drives [[Similarity.ivfIngestStreamSharded]] (or the
- * single-writer stream) through `nBatches` MemoryStream micro-batches of
+ * sidecar) — or, `codesOnly = true`, the 100 TB DEPLOYMENT shape: a
+ * codes-only table beside an external id-addressable vector store that
+ * every arrival lands in FIRST (the store is upstream of ingest); the
+ * admission cross-probe then ADC-prefilters the pruned lists' codes and
+ * exact-verifies candidates against the store, appends encode-and-drop,
+ * and every maintenance pass (compact, frontier-driven recheck, sampled
+ * retrain) runs against the codes table + store pair — the previously
+ * untested lifecycle. Drives [[Similarity.ivfIngestStreamSharded]] (or
+ * the single-writer stream) through `nBatches` MemoryStream micro-batches of
  * deterministic drift-y embeddings (~20% cross-batch near-copies at
  * cosine ~1.0, ~10% in-batch copies), measuring what a production
  * vector-ingest fleet would care about:
@@ -43,6 +50,7 @@ object PqIngestSoakBench {
     val vecsPer = if (args.length > 1) args(1).toInt else 40
     val compactAt = if (args.length > 2) args(2).toInt else 20
     val nShards = if (args.length > 3) args(3).toInt else 2
+    val codesOnly = args.length > 4 && args(4).toBoolean
     val retrainAt = nBatches * 2 / 3
     val recheckAt = Seq(nBatches / 2, nBatches - 4).distinct
     val dim = 16
@@ -60,6 +68,10 @@ object PqIngestSoakBench {
 
     val root = java.nio.file.Files.createTempDirectory("pq_ingest_soak").toString
     val path = s"$root/vectors.parquet"
+    // codes-only: the external id-addressable raw-vector store — arrivals
+    // land here BEFORE they reach the ingest stream (upstream contract)
+    val storePath = s"$root/store.parquet"
+    def storeDf = spark.read.parquet(storePath)
 
     // deterministic drift-y generator: base directions rotate with the
     // batch number; near-copies scale an earlier vector by 1.001
@@ -87,7 +99,9 @@ object PqIngestSoakBench {
     val seed = genBatch(0).toDF("vec_id", "embedding", "source")
     var cb = Similarity.ivfTrainKmeans(seed, nLists = nLists, iters = 3)
     val pq = Similarity.pqTrain(seed, m = 4, ksub = 16, iters = 3)
-    Similarity.ivfWriteAtRest(seed, cb, path, ledgerBy = "source", pqModel = pq)
+    if (codesOnly) seed.select("vec_id", "embedding").write.parquet(storePath)
+    Similarity.ivfWriteAtRest(seed, cb, path, ledgerBy = "source", pqModel = pq,
+      codesOnly = codesOnly)
     var cum = seed.count()
 
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -115,13 +129,14 @@ object PqIngestSoakBench {
       .MemoryStream[(Long, Array[Float], String)]
     val vecsDf = mem.toDF().toDF("vec_id", "embedding", "source")
     def owner(s: Int) = s"ckpt:$root/ckpt$s"
+    val rerankPath = if (codesOnly) storePath else null
     def startStreams(): Seq[org.apache.spark.sql.streaming.StreamingQuery] =
       if (nShards == 1)
         Seq(Similarity.ivfIngestStream(vecsDf, cb, path, s"$root/ckpt0",
-          threshold = 0.98, nProbe = 4))
+          threshold = 0.98, nProbe = 4, rerankFromPath = rerankPath))
       else (0 until nShards).map(s => Similarity.ivfIngestStreamSharded(
         vecsDf, cb, path, s"$root/ckpt$s", s, nShards,
-        threshold = 0.98, nProbe = 4))
+        threshold = 0.98, nProbe = 4, rerankFromPath = rerankPath))
     def releaseAll(): Unit = (0 until nShards).foreach { s =>
       if (nShards == 1) AtRest.releaseLease(spark, path, owner(s))
       else AtRest.releaseShardLease(spark, path, owner(s), s, nShards)
@@ -134,6 +149,12 @@ object PqIngestSoakBench {
     var filesPreCompact = 0
     (1 until nBatches).foreach { b =>
       val batch = genBatch(b)
+      // upstream contract: the store receives the raw vectors before the
+      // ingest stream sees the batch (UNTIMED — store writes are the
+      // producer's cost, not the ingest fleet's)
+      if (codesOnly)
+        batch.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding")
+          .write.mode("append").parquet(storePath)
       val t0 = System.nanoTime()
       mem.addData(batch: _*)
       queries.foreach(_.processAllAvailable())
@@ -162,7 +183,8 @@ object PqIngestSoakBench {
         queries.foreach(_.stop()); releaseAll()
         val t1 = System.nanoTime()
         val removed = Similarity.ivfRecheckIncremental(spark, path,
-          threshold = 0.98)
+          threshold = 0.98,
+          rerankFrom = if (codesOnly) storeDf else null)
         recheckRemoved += removed
         cum -= removed
         println(f"""{"recheck_at":$b,"wall":${(System.nanoTime() - t1) / 1e9}%.3f,"removed":$removed}""")
@@ -175,7 +197,8 @@ object PqIngestSoakBench {
         queries.foreach(_.stop()); releaseAll()
         val t1 = System.nanoTime()
         cb = Similarity.ivfRetrain(spark, path, nLists = nLists, iters = 3,
-          maxTrainRows = 1024)
+          maxTrainRows = 1024,
+          rerankFrom = if (codesOnly) storeDf else null)
         println(f"""{"retrain_at":$b,"wall":${(System.nanoTime() - t1) / 1e9}%.3f}""")
         queries = startStreams()
       }
@@ -185,11 +208,15 @@ object PqIngestSoakBench {
     val atRest = Similarity.ivfRead(spark, path)
     val rows = atRest.dropDuplicates("vec_id").count()
     val unencoded = atRest.filter(col("pq_code").isNull).count()
+    // a codes-only table must never grow an embedding column back — one
+    // vector-carrying batch dir would drift the schema
+    assert(!codesOnly || !atRest.columns.contains("embedding"),
+      "codes-only table grew an embedding column")
     val ledgerVecs = Similarity.ivfLedgerCard(spark, path)
       .agg(sum(col("n_vecs"))).head.getLong(0)
     val head = walls.take(10).sum / math.min(10, walls.length)
     val tail = walls.takeRight(10).sum / math.min(10, walls.length)
-    println(f"""{"summary":{"batches":$nBatches,"shards":$nShards,"vecs":${history.length},"stream_admitted":$cum,"table_rows":$rows,"ledger_vecs":$ledgerVecs,"recheck_removed":${recheckRemoved.sum},"unencoded":$unencoded,"wall_first10_avg":$head%.3f,"wall_last10_avg":$tail%.3f,"files_precompact":$filesPreCompact,"files_final":${countFiles()},"markers_final":${countMarkers()}}}""")
+    println(f"""{"summary":{"batches":$nBatches,"shards":$nShards,"codes_only":$codesOnly,"vecs":${history.length},"stream_admitted":$cum,"table_rows":$rows,"ledger_vecs":$ledgerVecs,"recheck_removed":${recheckRemoved.sum},"unencoded":$unencoded,"wall_first10_avg":$head%.3f,"wall_last10_avg":$tail%.3f,"files_precompact":$filesPreCompact,"files_final":${countFiles()},"markers_final":${countMarkers()}}}""")
     assert(unencoded == 0, s"$unencoded rows lost their pq_code")
     assert(ledgerVecs == rows, s"ledger n_vecs $ledgerVecs != table rows $rows")
     assert(cum == rows,

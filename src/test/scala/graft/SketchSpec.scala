@@ -959,12 +959,13 @@ class SketchSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", false)
     val (viaSemi, plan) =
       try {
-        Similarity.rerankInThreshold = 0 // any candidate list now exceeds it
+        // the PUBLIC crossover knob: any candidate list now exceeds it
+        spark.conf.set(Similarity.RerankInThresholdKey, "0")
         val q = Similarity.ivfPqTopKAtRest(spark, dir, probe,
           k = 5, nProbe = 2, rerank = 15)
         (q.collect().toSeq, q.queryExecution.executedPlan)
       } finally {
-        Similarity.rerankInThreshold = 65536
+        spark.conf.unset(Similarity.RerankInThresholdKey)
         spark.conf.set("spark.sql.adaptive.enabled", true)
       }
     assert(viaSemi == viaIn,
@@ -1168,6 +1169,189 @@ class SketchSpec extends SparkSpec {
       .select(col("doc_id").as("probe_id"), col("embedding").as("probe_vec"))
     assert(Similarity.ivfTopKAtRest(spark, dir, probe, cents, k = 1,
       nProbe = 4, idCol = "doc_id", vecCol = "embedding").count() == 1)
+  }
+
+  test("codes-only lifecycle: ingest, recheck and retrain maintain the " +
+      "table from rerankFrom (the 100 TB deployment shape)") {
+    val root = tempDir("ivfpq_codes_life")
+    val dir = root + "/codes"
+    val store = root + "/store.parquet"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    // the external id-addressable vector store is UPSTREAM of ingest:
+    // vectors land there first, the codes table holds only codes
+    emb.select("vec_id", "embedding").write.parquet(store)
+    def storeDf = spark.read.parquet(store)
+    Similarity.ivfWriteAtRest(emb, centroids, dir, pqModel = pq,
+      codesOnly = true)
+
+    // INGEST: a near-copy of vec 3 must DROP (ADC prefilter over the
+    // pruned lists' codes + exact verify from the store); a novel vector
+    // must ADMIT, encode, and stay codes-only
+    val nearCopy = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 990000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val novel = emb.filter(col("vec_id") === 4)
+      .select((col("vec_id") + 991000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(-1.0f)).as("embedding"))
+    val arrivals = nearCopy.unionByName(novel)
+    arrivals.write.mode("append").parquet(store)
+    assert(Similarity.ivfIngestBatch(arrivals, centroids, dir,
+      threshold = 0.98, batchId = 0L, rerankFrom = storeDf) == 1,
+      "near-copy must drop via ADC+exact verify, novel must admit")
+    val afterIngest = Similarity.ivfRead(spark, dir)
+    assert(!afterIngest.columns.contains("embedding"))
+    assert(afterIngest.filter(col("pq_code").isNull).count() == 0)
+    assert(afterIngest.dropDuplicates("vec_id").count() == emb.count() + 1)
+
+    // RECHECK: an exact copy planted via the admission-free append is
+    // healed by the sweep — pair search signs the STORE's vectors, the
+    // drop rewrite is a pure filter on the codes table
+    val copy = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 992000L).as("vec_id"), col("embedding"))
+    copy.write.mode("append").parquet(store)
+    Similarity.ivfAppendAtRest(copy, centroids, dir)
+    assert(Similarity.ivfRecheck(spark, dir, threshold = 0.98,
+      rerankFrom = storeDf) == 1)
+    val afterRecheck = Similarity.ivfRead(spark, dir)
+    assert(!afterRecheck.columns.contains("embedding"))
+    assert(afterRecheck.filter(col("vec_id") === 992007L).count() == 0,
+      "the planted copy must be dropped")
+
+    // a store missing table ids fails LOUDLY (a silent retrain/recheck
+    // would drop those vectors from the table forever)
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 1,
+        rerankFrom = storeDf.filter(col("vec_id") =!= 0L))
+    }.getMessage.contains("missing"))
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfRecheck(spark, dir, threshold = 0.98,
+        rerankFrom = storeDf.filter(col("vec_id") =!= 0L))
+    }.getMessage.contains("missing"))
+
+    // RETRAIN: trains + reassigns + re-encodes from the store; the table
+    // stays codes-only and the at-rest probe matches the in-memory
+    // IVF-PQ of the same surviving corpus under the same models
+    val newCb = Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 2,
+      maxTrainRows = 128, rerankFrom = storeDf)
+    val afterRetrain = Similarity.ivfRead(spark, dir)
+    assert(!afterRetrain.columns.contains("embedding"))
+    assert(afterRetrain.filter(col("pq_code").isNull).count() == 0)
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val survivors = emb.select("vec_id", "embedding").unionByName(novel)
+    val atRest = Similarity.ivfPqTopKAtRest(spark, dir, probes, k = 3,
+      nProbe = 8, rerank = 20, rerankFrom = storeDf).collect().toSeq
+    val inMem = Similarity.ivfPqTopK(survivors, probes, newCb, pq, k = 3,
+      nProbe = 8, rerank = 20).collect().toSeq
+    assert(atRest == inMem,
+      s"codes-only retrain must match the in-memory twin:\n$atRest\n$inMem")
+  }
+
+  test("driver-local training collect is byte-capped by dim " +
+      "(spark.graft.ann.maxTrainBytes)") {
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    Similarity.onTrainSampleBound = (req, eff) => observed += ((req, eff))
+    try {
+      // dim 64 at 4 B/float = 256 B/row; an 8 KiB ceiling caps at 32 rows
+      spark.conf.set(Similarity.MaxTrainBytesKey, "8192")
+      val capped = Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 2,
+        maxTrainRows = 400)
+      assert(observed.contains((400L, 32L)),
+        s"expected the 400-row request clamped to 32: $observed")
+      // deterministic under the clamp
+      val again = Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 2,
+        maxTrainRows = 400)
+      assert(capped == again)
+      // without the conf the rows bound stands alone
+      spark.conf.unset(Similarity.MaxTrainBytesKey)
+      observed.clear()
+      Similarity.ivfTrainKmeans(emb, nLists = 8, iters = 2, maxTrainRows = 400)
+      assert(observed.contains((400L, 400L)), s"unexpected clamp: $observed")
+    } finally {
+      spark.conf.unset(Similarity.MaxTrainBytesKey)
+      Similarity.onTrainSampleBound = (_, _) => ()
+    }
+  }
+
+  test("ivfWriteAtRest rejects an idCol absent from the seed corpus " +
+      "(the wrong-id mistake fails at seed time, where it is fixable)") {
+    val dir = tempDir("ivf_badid") + "/corpus"
+    val cents = Similarity.ivfCodebook(emb, nLists = 4)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfWriteAtRest(emb, cents, dir, idCol = "document_id")
+    }.getMessage.contains("idCol"))
+    // nothing was seeded — the path stays clean for a correct retry
+    Similarity.ivfWriteAtRest(emb.limit(10), cents, dir)
+  }
+
+  test("a caller-driven recheck window on a legacy flat table falls back " +
+      "to a full sweep instead of dying on the missing ingest_batch column") {
+    import spark.implicits._
+    val dir = tempDir("ivf_legacy_window") + "/corpus"
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Seq(at(0), at(90))
+    // bare list_id= dirs at the root: a pre-versioning build's layout
+    Similarity.ivfAssign(
+      Seq((1L, at(9).toArray), (2L, at(170).toArray)).toDF("vec_id", "embedding"),
+      cents).write.partitionBy("list_id").parquet(dir)
+    // no near-dup pair exists — the pass must complete (full-sweep
+    // fallback), not throw an AnalysisException on ingest_batch
+    assert(Similarity.ivfRecheckSince(spark, dir, sinceBatch = 5L,
+      recheckId = 0L, threshold = 0.95) == 0)
+  }
+
+  test("recheck ledger subtraction counts ADMISSIONS: an update-style " +
+      "re-ingested id subtracts once per admission, keeping card ≡ table") {
+    import spark.implicits._
+    val dir = tempDir("ivf_ledger_readmit") + "/corpus"
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = Seq(at(0), at(90))
+    Similarity.ivfWriteAtRest(
+      Seq((5L, at(0).toArray, "s0")).toDF("vec_id", "embedding", "source"),
+      cents, dir, ledgerBy = "source")
+    // id 100 admitted TWICE: 8.1° off the seed both times (cos ≈ 0.990 <
+    // 0.9999 → admitted), 16.2° apart from each other (cos ≈ 0.96) — the
+    // update-style re-ingest: n_vecs counted it twice, two physical rows
+    assert(Similarity.ivfIngestBatch(
+      Seq((100L, at(8.1).toArray, "s0")).toDF("vec_id", "embedding", "source"),
+      cents, dir, threshold = 0.9999, batchId = 0L) == 1)
+    assert(Similarity.ivfIngestBatch(
+      Seq((100L, at(-8.1).toArray, "s0")).toDF("vec_id", "embedding", "source"),
+      cents, dir, threshold = 0.9999, batchId = 1L) == 1)
+    // recheck at 0.98 pairs (5, 100) through whichever of id 100's two
+    // vectors survived the pair search's id-dedupe (both are 0.990 to the
+    // seed) and removes BOTH physical admissions of id 100
+    assert(Similarity.ivfRecheck(spark, dir, threshold = 0.98) == 1)
+    val rows = Similarity.ivfRead(spark, dir).count()
+    assert(rows == 1)
+    val card = Similarity.ivfLedgerCard(spark, dir).collect().head
+    assert(card.getAs[Long]("n_vecs") == rows,
+      s"ledger must subtract both admissions: n_vecs=${card.getAs[Long]("n_vecs")} rows=$rows")
+    assert(card.getAs[Long]("n_removed_recheck") == 2)
+  }
+
+  test("skipConventionCheck is the drifted-data escape hatch for the " +
+      "raw-vs-residual heuristic") {
+    val dir = tempDir("ivf_conv_skip") + "/corpus"
+    val cents = Similarity.ivfCodebook(emb, nLists = 8)
+    val resModel = Similarity.pqTrainResidual(emb, cents, m = 8, ksub = 16,
+      iters = 3)
+    // a residual-trained model declared raw is a decisive mismatch...
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfWriteAtRest(emb, cents, dir, pqModel = resModel)
+    }.getMessage.contains("RESIDUAL"))
+    // ...which the flag overrides when the operator knows better
+    Similarity.ivfWriteAtRest(emb, cents, dir, pqModel = resModel,
+      skipConventionCheck = true)
+    assert(Similarity.ivfRead(spark, dir).filter(col("pq_code").isNull)
+      .count() == 0)
   }
 
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
