@@ -531,17 +531,25 @@ object Similarity {
   private def collectTrainSample(base: DataFrame, idCol: String, vecCol: String,
       nRows: Long, maxTrainRows: Long): Array[(Long, Array[Float])] =
     collectSampled(sampleCut(base, idCol, nRows, maxTrainRows).getOrElse(base),
-      idCol, vecCol)
+      idCol, vecCol, maxTrainRows)
 
-  /** Collect an ALREADY-BOUNDED training frame as `(xxhash64(id), vector)`
-   *  rows, hash-sorted (partitioning-independent), id-deduped. */
+  /** Collect an already hash-cut training frame as `(xxhash64(id), vector)`
+   *  rows, hash-sorted (partitioning-independent), id-deduped. The
+   *  `maxRows` limit makes the driver bound HARD: the hash-cut's fraction
+   *  floors at 1/[[SampleDenom]], so past SampleDenom × maxRows table
+   *  rows the cut alone over-delivers — orderBy(hash).limit turns the
+   *  collect into a TakeOrdered of exactly maxRows rows (a deterministic
+   *  hash-prefix sample; the same rows the sort-then-truncate would
+   *  keep), so driver memory is bounded BEFORE materialization, not
+   *  after. */
   private def collectSampled(df: DataFrame, idCol: String,
-      vecCol: String): Array[(Long, Array[Float])] =
+      vecCol: String, maxRows: Long): Array[(Long, Array[Float])] =
     df.filter(col(vecCol).isNotNull)
       .select(xxhash64(col(idCol)).as("_h"), col(vecCol))
-      .collect() // bounded: ~maxTrainRows rows, the training sample
+      .orderBy(col("_h"))
+      .limit(math.min(maxRows, Int.MaxValue.toLong).toInt)
+      .collect() // bounded: <= maxRows rows, the training sample
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
       .distinctBy(_._1) // replicas of one id collapse (same hash, same vector)
 
   /**
@@ -681,8 +689,11 @@ object Similarity {
    *  embeddings. The effective bound is
    *  `min(maxTrainRows, maxTrainBytes / (dim × 4))`, clamped BEFORE the
    *  hash-cut so both the distributed sample and the collect shrink
-   *  together; a clamp is announced loudly on stderr (the sample got
-   *  smaller than the caller asked for — model quality, not correctness). */
+   *  together, and enforced HARD at the collect by a TakeOrdered(limit)
+   *  — the hash-cut's fraction floors at 1/SampleDenom, so past
+   *  SampleDenom × bound table rows the cut alone would over-deliver;
+   *  a clamp is announced loudly on stderr (the sample got smaller than
+   *  the caller asked for — model quality, not correctness). */
   val MaxTrainBytesKey = "spark.graft.ann.maxTrainBytes"
 
   /** Test seam: observes (requestedRows, effectiveRows) whenever a
@@ -943,8 +954,8 @@ object Similarity {
         // collect; see kmeansLocal) — the init's TakeOrdered rounds and
         // Lloyd scans cost zero jobs. Full: the distributed trainer.
         val cb =
-          if (sampled) kmeansLocal(collectSampled(train, idCol, vecCol),
-            nLists, iters)
+          if (sampled) kmeansLocal(
+            collectSampled(train, idCol, vecCol, effTrainRows), nLists, iters)
           else trainKmeansOn(train, nLists, iters, idCol, vecCol)
         // a RESIDUAL model retrains against the NEW centroids (same
         // m/ksub, `pqIters` Lloyd rounds, same bounded training frame):
