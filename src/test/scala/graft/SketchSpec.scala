@@ -1248,6 +1248,46 @@ class SketchSpec extends SparkSpec {
       s"codes-only retrain must match the in-memory twin:\n$atRest\n$inMem")
   }
 
+  test("codes-only admission decisions EQUAL the full layout's on the " +
+      "same batch (ADC only nominates; the exact cosine decides)") {
+    val root = tempDir("ivfpq_admission_eq")
+    val full = root + "/full"
+    val codes = root + "/codes"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    Similarity.ivfWriteAtRest(emb, centroids, full, pqModel = pq)
+    Similarity.ivfWriteAtRest(emb, centroids, codes, pqModel = pq,
+      codesOnly = true)
+    // a mixed batch: certain drops (exact copies), certain admits
+    // (negations), and near-threshold blends whose verdicts the two
+    // layouts must agree on WHATEVER they are
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 810000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select((col("vec_id") + 820000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(-1.0f)).as("embedding")))
+      .unionByName(emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select((col("vec_id") + 830000L).as("vec_id"),
+          zip_with(col("embedding"), reverse(col("embedding")),
+            (a, b) => a + lit(0.35f) * b).as("embedding")))
+      .localCheckpoint(true)
+    val nFull = Similarity.ivfIngestBatch(batch, centroids, full,
+      threshold = 0.97, batchId = 0L)
+    val nCodes = Similarity.ivfIngestBatch(batch, centroids, codes,
+      threshold = 0.97, batchId = 0L, rerankFrom = emb)
+    assert(nFull == nCodes, s"admitted counts differ: full=$nFull codes=$nCodes")
+    def ids(p: String) = Similarity.ivfRead(spark, p)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids(full) == ids(codes), "admitted id sets differ between layouts")
+    // sanity on the mixture: the exact copies dropped, the negations admitted
+    val admitted = ids(full)
+    assert((810000L until 810010L).forall(!admitted.contains(_)),
+      "exact copies must drop in both layouts")
+    assert((820010L until 820020L).forall(admitted.contains),
+      "negated vectors must admit in both layouts")
+  }
+
   test("driver-local training collect is byte-capped by dim " +
       "(spark.graft.ann.maxTrainBytes)") {
     val observed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
