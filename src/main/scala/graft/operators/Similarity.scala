@@ -1008,17 +1008,26 @@ object Similarity {
    * `centroids` must bit-match the persisted codebook (loud error
    * otherwise); the overload without it loads the persisted one.
    */
+  /** `candidateFilter`: FILTERED ANN — restrict the search to at-rest
+   *  rows satisfying a predicate over the table's payload columns
+   *  (metadata-filtered search, e.g. `col("label") === 3`). The filter
+   *  composes with the partition pruning: Catalyst pushes it into the
+   *  SAME pruned parquet scan (plan-asserted), so a selective filter
+   *  shrinks the scan instead of post-filtering results; top-k ranks
+   *  among the matching rows only. */
   def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, centroids: Seq[Seq[Float]], k: Int, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      candidateFilter: Column = null): DataFrame = {
     rejectCodesOnly(spark, path, "the raw-vector probe",
       "probe with ivfPqTopKAtRest(rerankFrom = <your vector store>)")
     validateCodebook(spark, path, centroids)
     requireIdCol(spark, path, idCol)
     val wanted = ivfProbeLists(probes, centroids, nProbe)
       .select("list_id").distinct().collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(AtRest.resolve(spark, path))
+    val pruned = spark.read.parquet(AtRest.resolve(spark, path))
       .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
+    val assigned = Option(candidateFilter).fold(pruned)(pruned.filter)
     scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol,
       dedupe = ivfReplicasOf(spark, path) > 1)
   }
@@ -1179,10 +1188,15 @@ object Similarity {
    * Returned scores are exact; ADC only decided which ~rerank of the
    * pruned lists' vectors were worth reading in full.
    */
+  /** `candidateFilter`: FILTERED ANN over the code table's payload
+   *  columns (see [[ivfTopKAtRest]]) — the predicate pushes into the
+   *  pruned CODE scan beside the partition filter, so only matching
+   *  rows are ADC-scored and reranked; top-k ranks among them only.
+   *  Works codes-only too when the filter columns ride at rest. */
   def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      rerankFrom: DataFrame = null): DataFrame = {
+      rerankFrom: DataFrame = null, candidateFilter: Column = null): DataFrame = {
     val centroids = storedCodebook(spark, path)
     requireIdCol(spark, path, idCol)
     val dir = AtRest.resolve(spark, path)
@@ -1207,8 +1221,9 @@ object Similarity {
       (if (residual)
         cosine(col("probe_vec"), element_at(typedLit(centroids), col("list_id") + 1))
       else lit(0.0)).as("_pc"))
-    val codes = spark.read.parquet(dir)
+    val codes0 = spark.read.parquet(dir)
       .filter(col("list_id").isin(wanted: _*))
+    val codes = Option(candidateFilter).fold(codes0)(codes0.filter)
       .select(col(idCol), col("pq_code"), col("list_id"))
     val scored0 = codes.join(broadcast(luts), "list_id")
       .filter(col("probe_id") =!= col(idCol))

@@ -1503,6 +1503,42 @@ object MLQueries {
         Similarity.ivfWriteAtRest(planted, Similarity.ivfCodebook(emb), path)
       })),
 
+    // FILTERED ANN (round 16): top-k restricted to rows whose PAYLOAD
+    // matches a predicate (label = 3) — the production "search within a
+    // metadata slice" shape. candidateFilter pushes into the SAME pruned
+    // parquet scan as the list_id partition filter (plan-asserted in
+    // SketchSpec), so a selective filter shrinks the code scan instead
+    // of post-filtering results. Verdict: the at-rest filtered IVF-PQ
+    // probe ≡ the in-memory IVF-PQ comparator over the PRE-filtered
+    // corpus under the same codebook+model — 5 probes × k=5 rows, zero
+    // mismatches (symmetric exceptAll); nProbe = nLists so the verdict
+    // covers every candidate the filter admits.
+    Q("q_sim_filtered", Some("""
+      SELECT CAST(25 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = scratchDir("sim_filtered") + "/corpus.parquet"
+        val cb = Similarity.readCodebook(s, path).get
+        val pq = Similarity.ivfPqModel(s, path).get
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+        val atRest = Similarity.ivfPqTopKAtRest(s, path, probes, k = 5,
+          nProbe = 16, rerank = 30, candidateFilter = col("label") === 3)
+        val inMem = Similarity.ivfPqTopK(emb.filter(col("label") === 3)
+            .select("vec_id", "embedding"), probes, cb, pq,
+          k = 5, nProbe = 16, rerank = 30)
+        val diff = atRest.exceptAll(inMem).unionAll(inMem.exceptAll(atRest))
+        atRest.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(diff.agg(count(lit(1)).as("n_mismatch")))
+      },
+      // seed (untimed): IVF-PQ table with the label column riding at rest
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = QueryScratch.fresh("sim_filtered") + "/corpus.parquet"
+        Similarity.ivfWriteAtRest(emb, Similarity.ivfCodebook(emb), path,
+          pqModel = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3))
+      })),
+
     // INCREMENTAL vector recheck — q_dedup_recheck_since's IVF twin and
     // q_sim_recheck's steady-state path: the seed holds a pre-existing
     // near-dup pair (exact copies at +6,000,000 — OLD vs OLD, adjudicated

@@ -155,6 +155,7 @@ class PlanSpec extends SparkSpec {
       "q_sim_ivfpq_at_rest",   // same 1-row self-check shape (IVF-PQ)
       "q_sim_ivfpq_residual",  // same 1-row self-check shape (residual PQ)
       "q_sim_ivf_retrain",     // same 1-row self-check shape, post-retrain
+      "q_sim_filtered",        // same 1-row self-check shape (filtered ANN)
       "q_sim_recall",          // recall audit embeds the brute-force exact
                                //   pass BY DESIGN (10 probes broadcast) —
                                //   the thing the IVF result is graded against

@@ -1248,6 +1248,45 @@ class SketchSpec extends SparkSpec {
       s"codes-only retrain must match the in-memory twin:\n$atRest\n$inMem")
   }
 
+  test("filtered ANN: the payload predicate pushes into the pruned code " +
+      "scan and top-k ranks among matching rows only") {
+    val dir = tempDir("ivfpq_filtered") + "/corpus"
+    val centroids = Similarity.ivfCodebook(emb, nLists = 8)
+    val pq = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    Similarity.ivfWriteAtRest(emb, centroids, dir, pqModel = pq)
+    val probe = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    var planned: DataFrame = null
+    spark.conf.set("spark.sql.adaptive.enabled", false)
+    val rows = try {
+      Similarity.onPqAdcPlan = df => planned = df
+      Similarity.ivfPqTopKAtRest(spark, dir, probe, k = 5, nProbe = 2,
+        rerank = 15, candidateFilter = col("label") === 3).collect()
+    } finally {
+      Similarity.onPqAdcPlan = _ => ()
+      spark.conf.set("spark.sql.adaptive.enabled", true)
+    }
+    // only label-3 neighbors may surface
+    val l3 = emb.filter(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.nonEmpty && rows.forall(r => l3.contains(r.getLong(1))),
+      s"non-matching neighbor surfaced: ${rows.mkString(";")}")
+    // the predicate pushed into the SAME scan the partition filter pruned:
+    // the code scan reads <= nProbe of 8 list dirs AND carries the label
+    // filter down to parquet
+    val codeScans = planned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.schema.fieldNames.contains("pq_code") => f
+    }
+    assert(codeScans.nonEmpty, "ADC plan should contain the code scan")
+    codeScans.foreach { s =>
+      assert(s.metadata("PushedFilters").contains("label"),
+        s"label filter not pushed: ${s.metadata("PushedFilters")}")
+      assert(s.selectedPartitions.partitionCount <= 2,
+        s"partition pruning lost: ${s.selectedPartitions.partitionCount} of 8")
+    }
+  }
+
   test("codes-only admission decisions EQUAL the full layout's on the " +
       "same batch (ADC only nominates; the exact cosine decides)") {
     val root = tempDir("ivfpq_admission_eq")
