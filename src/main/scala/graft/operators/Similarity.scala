@@ -297,11 +297,15 @@ object Similarity {
   }
 
   private def ivfMeta(cb: Seq[Seq[Float]], replicas: Int = 1,
-      idCol: String = "vec_id"): Map[String, String] = Map(
+      idCol: String = "vec_id",
+      lsh: Option[(Int, Int)] = None): Map[String, String] = Map(
     "kind" -> "ivf_table", "nLists" -> cb.length.toString,
     "dim" -> cb.headOption.map(_.length).getOrElse(0).toString,
     "replicas" -> math.max(replicas, 1).toString,
-    "idCol" -> idCol)
+    "idCol" -> idCol) ++
+    lsh.map { case (p, t) =>
+      Map("lshPlanes" -> p.toString, "lshTables" -> t.toString)
+    }.getOrElse(Map.empty)
 
   /** The table's id column as recorded at seed time; pre-idCol-meta
    *  tables read as the default. Maintenance rewrites consult THIS (not
@@ -342,6 +346,74 @@ object Similarity {
         s"$path is a codes-only IVF-PQ table (no raw vectors at rest) — " +
           s"$what needs them; $fix")
 
+  // ------------------------------------------------ persisted LSH signatures
+  //
+  // The offline near-dup recheck's pair search runs on banded sign-LSH
+  // signatures. Computing them per pass prices every recheck — even a
+  // one-batch incremental window — at a full table scan of the VECTORS
+  // (tables × planes × dim dot products per row; on a codes-only table a
+  // full external-store fetch): the decade bench measured 4.25× wall at
+  // 10× data for a fixed-size window. So the signatures persist AT REST
+  // beside pq_code — computed once per vector at seed/ingest, carried
+  // through compact/retrain/recheck rewrites like the codes — and a
+  // recheck pass joins them instead of re-signing: the sweep reads one
+  // narrow (id, sigs) column pair and fetches raw vectors only for the
+  // candidate pairs' exact verification. `_meta.json` records the scheme
+  // (`lshPlanes`/`lshTables`) — signatures are only valid under the
+  // scheme that produced them, so a scheme change forces a loud re-sign
+  // ([[ivfResign]], or the automatic upgrade a FULL sweep performs when
+  // the table has outgrown its recorded scheme).
+
+  /** The persisted signature column: `lshTables` ints, element `t` =
+   *  sign-LSH over hyperplane family `t × planes` (fits int: planes ≤ 30). */
+  val LshSigCol = "lsh_sigs"
+
+  /** Signature width that keeps bucket loads bounded as the table grows:
+   *  ≈ log2(n) + 1 bits, so the expected per-table bucket occupancy stays
+   *  ~0.5 rows and the bucket self-join stays ~linear in n — held FIXED, a
+   *  decade-up multiplies per-bucket load 10× and candidate pairs ~100×
+   *  (the r16 decade bench's own lesson). Clamped to [8, 30]. */
+  def autoLshPlanes(n: Long): Int = {
+    val m = math.max(n, 2L)
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(30, math.max(8, ceilLog2 + 1))
+  }
+
+  /** Table count that HOLDS the 16-plane/4-table design recall for pairs
+   *  at `designThreshold` as planes grow: per-plane agreement p = 1 −
+   *  θ/π, per-table recall p^planes, so matching (1−p^16)^4 needs
+   *  T ≈ 4·p^(16−planes) tables — tables grow geometrically (~1.11× per
+   *  extra plane at θ = acos 0.95) while the bucket join stays linear.
+   *  Clamped to [4, 32]; below 16 planes the design recall only rises. */
+  def autoLshTables(planes: Int, designThreshold: Double = 0.95): Int = {
+    val p = 1.0 - math.acos(math.min(math.max(designThreshold, -1.0), 1.0)) / math.Pi
+    val t = 4.0 * math.pow(p, (16 - planes).toDouble)
+    math.min(32, math.max(4, math.ceil(t - 1e-9).toInt))
+  }
+
+  /** Append the persisted signature column (see [[LshSigCol]]). Applied
+   *  BEFORE replica fan-out so each vector signs once. */
+  private def withLshSigs(df: DataFrame, vecCol: String,
+      planes: Int, tables: Int): DataFrame =
+    df.withColumn(LshSigCol, array((0 until tables).map(t =>
+      lshSignature(col(vecCol), planes, t * planes).cast("int")): _*))
+
+  /** The table's recorded signature scheme (planes, tables), if signed. */
+  private[graft] def lshSchemeOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int)] =
+    AtRest.readMeta(spark, path).flatMap { m =>
+      for {
+        p <- m.get("lshPlanes").flatMap(_.toIntOption)
+        t <- m.get("lshTables").flatMap(_.toIntOption)
+      } yield (p, t)
+    }
+
+  /** Explode a persisted-signature frame to the (id, tbl, sig) shape the
+   *  bucket join consumes. */
+  private def explodeSigs(base: DataFrame, idCol: String): DataFrame =
+    base.select(col(idCol).as("id"),
+      posexplode(col(LshSigCol)).as(Seq("tbl", "sig")))
+
   // ---------------------------------------------------------- at-rest table
 
   /** The at-rest IVF table as a DataFrame (current version resolved) —
@@ -357,13 +429,20 @@ object Similarity {
    *  Staged as a complete version (data + codebook sidecar) and published
    *  with one atomic pointer swap; `_meta.json` records nLists/dim and a
    *  fresh seed resets the `_committed` replay markers. */
+  /** `lshPlanes`/`lshTables`: the persisted-signature scheme (see the
+   *  [[LshSigCol]] section). 0 = auto-size from the seed's row count
+   *  ([[autoLshPlanes]]/[[autoLshTables]] — one extra count job at seed
+   *  time); −1 disables signing (rechecks then re-sign in-flight every
+   *  pass — the pre-r17 shape; only for tables that will never be
+   *  swept). */
   def ivfWriteAtRest(corpus: DataFrame, centroids: Seq[Seq[Float]],
       path: String, vecCol: String = "embedding",
       ledgerBy: String = null, replicas: Int = 1,
       pqModel: Seq[Seq[Seq[Float]]] = null,
       codesOnly: Boolean = false, pqResidual: Boolean = false,
       idCol: String = "vec_id",
-      skipConventionCheck: Boolean = false): Unit = {
+      skipConventionCheck: Boolean = false,
+      lshPlanes: Int = 0, lshTables: Int = 0): Unit = {
     val spark = corpus.sparkSession
     // the id column seeds the table's PERMANENT identity space (_meta.json
     // idCol): a typo here would silently record the wrong name and poison
@@ -382,7 +461,20 @@ object Similarity {
     AtRest.withLease(spark, path) {
       val fs = AtRest.fsFor(spark, path)
       val (v, staging) = AtRest.nextStaging(fs, path)
-      val assigned = ivfAssignMulti(corpus, centroids, vecCol, replicas)
+      // sign BEFORE replica fan-out (one signature set per vector); the
+      // scheme auto-sizes from the seed count unless pinned or disabled
+      val lshScheme: Option[(Int, Int)] =
+        if (lshPlanes < 0) None
+        else {
+          val p = if (lshPlanes > 0) lshPlanes
+            else autoLshPlanes(corpus.count())
+          val t = if (lshTables > 0) lshTables else autoLshTables(p)
+          Some((p, t))
+        }
+      val signed = lshScheme.fold(corpus) { case (p, t) =>
+        withLshSigs(corpus, vecCol, p, t)
+      }
+      val assigned = ivfAssignMulti(signed, centroids, vecCol, replicas)
       // IVF-PQ layout: each row also carries its m-byte PQ code, and the
       // model persists beside the data it encoded — probes then scan
       // codes, not embeddings (ivfPqTopKAtRest). codesOnly additionally
@@ -423,7 +515,7 @@ object Similarity {
           staging.toString, DedupIndex.SeedBatch)
       }
       AtRest.writeMetaStaged(spark, staging,
-        ivfMeta(centroids, replicas, idCol)
+        ivfMeta(centroids, replicas, idCol, lshScheme)
           ++ Option(ledgerBy).map("ledgerBy" -> _)
           ++ (if (codesOnly) Map("codesOnly" -> "true") else Map.empty))
       val markers = new org.apache.hadoop.fs.Path(path, "_committed")
@@ -470,8 +562,14 @@ object Similarity {
         AtRest.writeMeta(spark, path, ivfMeta(centroids, idCol = idCol))
       }
       val (target, _) = appendDir(spark, dir)
+      // a signed table signs its appends under the RECORDED scheme, so
+      // every at-rest row carries comparable signatures (schema stays
+      // homogeneous across batch dirs); unsigned tables stay unsigned
+      val preSigned = lshSchemeOf(spark, path).fold(newVecs) { case (p, t) =>
+        withLshSigs(newVecs, vecCol, p, t)
+      }
       val encoded = withPqCodes(
-        ivfAssignMulti(newVecs, centroids, vecCol, ivfReplicasOf(spark, path)),
+        ivfAssignMulti(preSigned, centroids, vecCol, ivfReplicasOf(spark, path)),
         spark, path, vecCol)
       // a codes-only table stays codes-only: the append assigns + encodes,
       // then drops the raw vectors like the seed write did
@@ -797,7 +895,8 @@ object Similarity {
   private def swapRewrite(assigned: DataFrame, path: String,
       cb: Seq[Seq[Float]], pqModel: Seq[Seq[Seq[Float]]] = null,
       pqResidual: Option[Boolean] = None,
-      ledgerAdjust: DataFrame = null): Unit = {
+      ledgerAdjust: DataFrame = null,
+      lshOverride: Option[(Int, Int)] = None): Unit = {
     val spark = assigned.sparkSession
     val fs = AtRest.fsFor(spark, path)
     // carry a PQ-encoded table's model into the rewrite: the codes ride in
@@ -828,8 +927,13 @@ object Similarity {
           staging.toString, DedupIndex.SeedBatch)
       }
     }
+    // the signature scheme travels with the rewrite like the PQ model:
+    // the data columns ride in `assigned`, the meta keys that make them
+    // interpretable must land in the new version too (an explicit
+    // override is a re-sign — the caller rewrote the signature column)
     AtRest.writeMetaStaged(spark, staging,
-      ivfMeta(cb, ivfReplicasOf(spark, path), ivfIdColOf(spark, path))
+      ivfMeta(cb, ivfReplicasOf(spark, path), ivfIdColOf(spark, path),
+          lshOverride.orElse(lshSchemeOf(spark, path)))
         ++ ledgerBy.map("ledgerBy" -> _)
         ++ (if (ivfCodesOnlyOf(spark, path)) Map("codesOnly" -> "true")
             else Map.empty))
@@ -860,6 +964,54 @@ object Similarity {
     val nLists = math.max(all.select("list_id").distinct().count().toInt, 1)
     swapRewrite(all.repartition(nLists, col("list_id")), path, cb)
   }
+
+  /**
+   * Re-sign an at-rest IVF table — the LOUD migration for a signature
+   * scheme change (see [[LshSigCol]]): rewrites every row with fresh
+   * signatures at the given (or auto-sized) scheme and records it in
+   * `_meta.json`, staged + pointer-swapped like compact/retrain. Use it
+   * to (a) migrate a pre-persistence table so rechecks stop re-signing
+   * per pass, or (b) move to wider planes after growth without waiting
+   * for the full sweep's automatic upgrade. Codes-only tables re-sign
+   * from `rerankFrom` (full id coverage required, loudly). Returns the
+   * scheme written.
+   */
+  def ivfResign(spark: org.apache.spark.sql.SparkSession, path: String,
+      planesPerTable: Int = 0, tables: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rerankFrom: DataFrame = null): (Int, Int) =
+    AtRest.withLease(spark, path) {
+      requireIdCol(spark, path, idCol)
+      val codesOnly = ivfCodesOnlyOf(spark, path)
+      if (codesOnly && rerankFrom == null)
+        throw new IllegalStateException(
+          s"$path is a codes-only IVF-PQ table (no raw vectors at rest) — " +
+            "re-signing needs them; pass rerankFrom (the id-addressable " +
+            "primary vector store)")
+      val cb = storedCodebook(spark, path) // loud on pre-codebook tables
+      val table = spark.read.parquet(AtRest.resolve(spark, path))
+      val replicas = math.max(ivfReplicasOf(spark, path), 1)
+      val p = if (planesPerTable > 0) planesPerTable
+        else autoLshPlanes(math.max(table.count() / replicas, 1L))
+      val t = if (tables > 0) tables else autoLshTables(p)
+      val bare = table.drop("ingest_batch").drop(LshSigCol)
+      val signed =
+        if (codesOnly) {
+          val store = rerankFrom.select(col(idCol), col(vecCol))
+            .dropDuplicates(idCol)
+          val joined = bare.join(store, Seq(idCol), "left")
+          val missing = joined.filter(col(vecCol).isNull).count()
+          if (missing > 0)
+            throw new IllegalStateException(
+              s"rerankFrom is missing vectors for $missing of the table's " +
+                "ids — re-signing from it would leave them unsigned; " +
+                "backfill the store")
+          withLshSigs(joined, vecCol, p, t).drop(vecCol)
+        } else withLshSigs(bare, vecCol, p, t)
+      swapRewrite(signed.repartition(cb.length, col("list_id")), path, cb,
+        lshOverride = Some((p, t)))
+      (p, t)
+    }
 
   /**
    * Re-train the at-rest IVF table's codebook and rewrite it — the
@@ -902,6 +1054,25 @@ object Similarity {
       val pq = ivfPqModel(spark, path)
       val dir = AtRest.resolve(spark, path)
       val replicas = math.max(ivfReplicasOf(spark, path), 1)
+      // ADMISSION MULTIPLICITY must survive the rewrite: an id re-admitted
+      // in a later batch with a sub-threshold-different vector (the
+      // update-style re-ingest) counted twice in the ledger and holds
+      // 2 × replicas physical rows — a plain dropDuplicates() would
+      // collapse identical payload groups to one row and permanently
+      // drift n_vecs above rows/replicas (the invariant the recheck's
+      // ledger subtraction asserts). So payload groups carry an `_adm`
+      // admission count (rows/replicas, divisibility ASSERTED loudly) and
+      // the reassigned rows re-explode by it before the write.
+      val withAdmissions = (df: DataFrame) => {
+        val cnt = count(lit(1))
+        df.groupBy(df.columns.toSeq.map(col): _*)
+          .agg(when(cnt % lit(replicas.toLong) =!= 0,
+              raise_error(lit(s"ivfRetrain on $path: a payload row group's " +
+                s"count is not divisible by replicas=$replicas — the " +
+                "'every admission wrote exactly replicas rows' invariant " +
+                "is broken upstream; repair the table before retraining")))
+            .otherwise(cnt / replicas).cast("int").as("_adm"))
+      }
       val raw =
         if (codesOnly) {
           // the CODES-ONLY maintenance shape: the table's own rows (ids +
@@ -909,9 +1080,13 @@ object Similarity {
           // vectors come from the external store by id. A table id the
           // store cannot serve would be SILENTLY DROPPED by the rewrite —
           // fail loudly instead (one extra id-join aggregate, the price of
-          // not losing data).
+          // not losing data). Signatures are dropped here and RE-SIGNED
+          // from the store vectors below — per-admission signatures of a
+          // re-admitted id would otherwise diverge from the store's
+          // current vector (two same-payload admissions still count: the
+          // group collapses but `_adm` carries both).
           val tbl = spark.read.parquet(dir)
-            .drop("list_id", "ingest_batch", "pq_code").dropDuplicates()
+            .drop("list_id", "ingest_batch", "pq_code", LshSigCol)
           val store = rerankFrom.select(col(idCol), col(vecCol))
             .dropDuplicates(idCol)
           val joined = tbl.join(store, Seq(idCol), "left")
@@ -923,6 +1098,8 @@ object Similarity {
                 "backfill the store (or re-seed with ivfWriteAtRest)")
           joined
         } else {
+          // full layout: signatures (when present) stay payload columns —
+          // each row keeps its own vector, so they remain consistent
           val raw0 = spark.read.parquet(dir).drop("list_id", "ingest_batch")
           if (residual) raw0.drop("pq_code") else raw0
         }
@@ -982,15 +1159,28 @@ object Similarity {
           }
           else None
         // full-table reassignment is unchanged by sampling: one pass over
-        // the deduped table straight into the staged rewrite
-        val cur = if (sampled) raw.dropDuplicates() else train
+        // the multiplicity-grouped table straight into the staged rewrite
+        val cur = withAdmissions(raw)
         val reassigned = ivfAssignMulti(cur, cb, vecCol, replicas)
         val reencoded =
           if (residual) pqEncodeResidual(reassigned, cb, newPq.get, vecCol)
           else if (codesOnly) pqEncode(reassigned, pq.get, vecCol)
           else reassigned
+        // codes-only: re-sign from the store vectors under the recorded
+        // scheme (per-admission signatures would diverge from the store's
+        // current vector — the full layout keeps each row's own vector,
+        // so its carried signatures stay consistent)
+        val resigned =
+          if (codesOnly) lshSchemeOf(spark, path).fold(reencoded) {
+            case (p, t) => withLshSigs(reencoded, vecCol, p, t)
+          } else reencoded
+        // restore admission multiplicity: each payload group re-emits its
+        // `_adm` admissions × `replicas` assignment rows
+        val restored = resigned
+          .withColumn("_admx", explode(array_repeat(lit(1), col("_adm"))))
+          .drop("_admx", "_adm")
         swapRewrite(
-          (if (codesOnly) reencoded.drop(vecCol) else reencoded)
+          (if (codesOnly) restored.drop(vecCol) else restored)
             .repartition(nLists, col("list_id")), path, cb,
           pqModel = newPq.orNull,
           pqResidual = if (residual) Some(true) else None)
@@ -1014,31 +1204,55 @@ object Similarity {
    *  composes with the partition pruning: Catalyst pushes it into the
    *  SAME pruned parquet scan (plan-asserted), so a selective filter
    *  shrinks the scan instead of post-filtering results; top-k ranks
-   *  among the matching rows only. */
+   *  among the matching rows only.
+   *
+   *  `filterSelectivityHint`: the KNOWN IVF×filter interaction — lists
+   *  partition by geometry, not by payload, so a filter of selectivity s
+   *  leaves only ~s × |list| candidates in the probed lists and recall
+   *  collapses at fixed nProbe as s shrinks (q_sim_filtered_recall
+   *  measures the curve). Pass the filter's (estimated) match fraction
+   *  and the probe widens to ceil(nProbe / s) lists, capped at nLists —
+   *  restoring the UNfiltered probe's expected candidate count at the
+   *  cost of proportionally more (still-pruned) list scans; at/below
+   *  s ≈ nProbe/nLists the cap means a full-list scan, the honest floor.
+   *  0 (default) = no boost. */
   def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, centroids: Seq[Seq[Float]], k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      candidateFilter: Column = null): DataFrame = {
+      candidateFilter: Column = null,
+      filterSelectivityHint: Double = 0.0): DataFrame = {
     rejectCodesOnly(spark, path, "the raw-vector probe",
       "probe with ivfPqTopKAtRest(rerankFrom = <your vector store>)")
     validateCodebook(spark, path, centroids)
     requireIdCol(spark, path, idCol)
-    val wanted = ivfProbeLists(probes, centroids, nProbe)
+    val effNProbe = boostedNProbe(nProbe, centroids.length,
+      candidateFilter, filterSelectivityHint)
+    val wanted = ivfProbeLists(probes, centroids, effNProbe)
       .select("list_id").distinct().collect().map(_.getInt(0)).sorted
     val pruned = spark.read.parquet(AtRest.resolve(spark, path))
       .filter(col("list_id").isin(wanted.map(_.asInstanceOf[Any]): _*))
     val assigned = Option(candidateFilter).fold(pruned)(pruned.filter)
-    scoreProbeLists(assigned, probes, centroids, k, nProbe, idCol, vecCol,
+    scoreProbeLists(assigned, probes, centroids, k, effNProbe, idCol, vecCol,
       dedupe = ivfReplicasOf(spark, path) > 1)
   }
 
   /** [[ivfTopKAtRest]] under the table's OWN persisted codebook — the
-   *  default read path: no way to hold a stale model. */
+   *  default read path: no way to hold a stale model. (No defaults here:
+   *  Scala allows one defaulted overload; pass the persisted codebook
+   *  explicitly to reach candidateFilter/filterSelectivityHint.) */
   def ivfTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, k: Int, nProbe: Int,
       idCol: String, vecCol: String): DataFrame =
     ivfTopKAtRest(spark, path, probes, storedCodebook(spark, path), k, nProbe,
       idCol, vecCol)
+
+  /** The filtered-ANN probe width: nProbe / selectivity, capped at
+   *  nLists (see the `filterSelectivityHint` doc on [[ivfTopKAtRest]]). */
+  private def boostedNProbe(nProbe: Int, nLists: Int,
+      candidateFilter: Column, hint: Double): Int =
+    if (candidateFilter != null && hint > 0 && hint < 1)
+      math.min(nLists.toLong, math.ceil(nProbe / hint).toLong).toInt
+    else nProbe
 
   /**
    * MIGRATE a live at-rest IVF table to IVF-PQ: every row gains its
@@ -1192,11 +1406,14 @@ object Similarity {
    *  columns (see [[ivfTopKAtRest]]) — the predicate pushes into the
    *  pruned CODE scan beside the partition filter, so only matching
    *  rows are ADC-scored and reranked; top-k ranks among them only.
-   *  Works codes-only too when the filter columns ride at rest. */
+   *  Works codes-only too when the filter columns ride at rest.
+   *  `filterSelectivityHint` widens the probe to ceil(nProbe / s) lists
+   *  (capped at nLists) — see [[ivfTopKAtRest]]. */
   def ivfPqTopKAtRest(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      rerankFrom: DataFrame = null, candidateFilter: Column = null): DataFrame = {
+      rerankFrom: DataFrame = null, candidateFilter: Column = null,
+      filterSelectivityHint: Double = 0.0): DataFrame = {
     val centroids = storedCodebook(spark, path)
     requireIdCol(spark, path, idCol)
     val dir = AtRest.resolve(spark, path)
@@ -1205,7 +1422,9 @@ object Similarity {
       throw new IllegalArgumentException(
         s"$path is codes-only — pass rerankFrom (the id-addressable raw " +
           "vector store) so the exact rerank has vectors to read")
-    val pl = ivfProbeLists(probes, centroids, nProbe)
+    val effNProbe = boostedNProbe(nProbe, centroids.length,
+      candidateFilter, filterSelectivityHint)
+    val pl = ivfProbeLists(probes, centroids, effNProbe)
     // bounded collect over the MODEL's keyspace (≤ nLists), the same
     // static-IN pruning as ivfTopKAtRest
     val wanted = pl.select("list_id").distinct().collect()
@@ -1516,8 +1735,13 @@ object Similarity {
       def publishAdjudicated(admitted: DataFrame, crossDropAll: DataFrame): Long = {
         val n = admitted.count()
         if (n > 0) {
+          // signed tables sign arrivals under the recorded scheme (one
+          // signature set per vector, before replica fan-out)
+          val preSigned = lshSchemeOf(spark, path).fold(admitted) {
+            case (p, t) => withLshSigs(admitted, vecCol, p, t)
+          }
           val encoded = withPqCodes(
-            ivfAssignMulti(admitted, centroids, vecCol,
+            ivfAssignMulti(preSigned, centroids, vecCol,
               ivfReplicasOf(spark, path)),
             spark, path, vecCol)
           // a codes-only table stays codes-only: assign + encode, then
@@ -1674,8 +1898,21 @@ object Similarity {
           + col("_pc"))
       .withColumn("_ar", row_number().over(w))
       .filter(col("_ar") <= r)
-      .select(col("probe_id"), col("probe_vec"), col(idCol).as("_cand"))
+      .select(col("probe_id"), col("probe_vec"), col(idCol).as("_cand"),
+        col("_ar"))
       .localCheckpoint(true)
+    // rank truncation is a real divergence from the full layout (which
+    // exact-verifies EVERY pruned row) — make it observable: an arrival
+    // whose candidate list hits the cap had pruned rows beyond top-R that
+    // were never exact-verified (one tiny agg on the checkpointed frame)
+    val atCap = cand.groupBy("probe_id").agg(max(col("_ar")).as("_m"))
+      .filter(col("_m") === r).count()
+    if (atCap > 0)
+      System.err.println(s"[graft] codes-only ingest cross-probe on $path: " +
+        s"$atCap arrival(s) hit the ADC candidate cap R=$r " +
+        s"($IngestAdcCandidatesKey) — pruned rows beyond top-R were not " +
+        "exact-verified; a true near-dup ranked past R slips through to " +
+        "the offline recheck")
     val fetched = rerankFrom
       .select(col(idCol).as("_cand"), col(vecCol).as("_cv"))
       .join(broadcast(cand.select(col("_cand")).distinct()),
@@ -1852,7 +2089,7 @@ object Similarity {
   def ivfRecheck(spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding", scoreCol: String = null,
-      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000,
+      planesPerTable: Int = 0, tables: Int = 0, maxBucket: Int = 1000,
       rerankFrom: DataFrame = null): Long =
     AtRest.withLease(spark, path) {
       recheckSweep(spark, path, sinceBatch = None,
@@ -1872,16 +2109,21 @@ object Similarity {
    * commits — table and ledger stay exact either way (the swap is the
    * publish, and the ledger adjustment rides inside it atomically).
    *
-   * Honest scale shape: the pair search signs the whole table once per
-   * pass (one scan, ids + signatures shuffle — the at-rest IVF layout
-   * keeps no LSH sidecar to probe, unlike the text corpus's index);
-   * the REWRITE only happens when drops were found, and drops are rare
-   * in steady state. Returns the dropped count.
+   * Honest scale shape: on a SIGNED table (any table seeded or re-signed
+   * since the signature columns persist — see [[LshSigCol]]) the pass
+   * reads one narrow (id, signatures) column pair, restricts the bucket
+   * join to buckets a window id occupies, and fetches raw vectors only
+   * for candidate pairs — batch-proportional compute, with one cheap
+   * sig-column scan as the only whole-table touch (no vector I/O, no
+   * signing). An UNSIGNED (pre-persistence / hand-built) table signs the
+   * whole table in-flight per pass, the pre-r17 shape — run [[ivfResign]]
+   * once to migrate. The REWRITE only happens when drops were found, and
+   * drops are rare in steady state. Returns the dropped count.
    */
   def ivfRecheckSince(spark: org.apache.spark.sql.SparkSession, path: String,
       sinceBatch: Long, recheckId: Long, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scoreCol: String = null, planesPerTable: Int = 16, tables: Int = 4,
+      scoreCol: String = null, planesPerTable: Int = 0, tables: Int = 0,
       maxBucket: Int = 1000, rerankFrom: DataFrame = null): Long = {
     require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
     val fs = AtRest.fsFor(spark, path)
@@ -1934,7 +2176,7 @@ object Similarity {
   def ivfRecheckIncremental(spark: org.apache.spark.sql.SparkSession,
       path: String, threshold: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding", scoreCol: String = null,
-      planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000,
+      planesPerTable: Int = 0, tables: Int = 0, maxBucket: Int = 1000,
       rerankFrom: DataFrame = null): Long = {
     val fs = AtRest.fsFor(spark, path)
     val (since, id) = DedupIndex.readFrontier(fs, path).getOrElse {
@@ -1977,9 +2219,23 @@ object Similarity {
   /** The shared sweep: find → keep-best → (conditionally) rewrite +
    *  ledger-adjust. Callers hold the lease. `sinceBatch = None` examines
    *  every pair; `Some(b)` restricts to pairs involving a vector from
-   *  `ingest_batch >= b`. On a codes-only table, vectors come from
-   *  `rerankFrom` (the external id-addressable store); the drop rewrite
-   *  is a pure filter on the codes table either way. */
+   *  `ingest_batch >= b`. On a SIGNED table (meta `lshPlanes`/`lshTables`
+   *  + the [[LshSigCol]] column) the pair search joins the persisted
+   *  signatures — no signing, no whole-table vector read; raw vectors are
+   *  fetched only for candidate pairs (from the table, or from
+   *  `rerankFrom` on a codes-only table — where the sweep still checks
+   *  FULL id coverage loudly, an ids-only anti-join, because an id the
+   *  store cannot serve is unadjudicable by any later pass). An unsigned
+   *  table signs in-flight (the pre-persistence shape). A FULL sweep
+   *  additionally re-signs + rewrites when the caller requests a new
+   *  scheme or the table has outgrown its recorded one (planes must track
+   *  log2 n — see [[autoLshPlanes]]); survivors keep their existing
+   *  assignments AND codes either way, so the drop rewrite is a pure
+   *  filter. Multi-vector ids (update-style re-admissions) adjudicate
+   *  through ONE of their vectors (the id-dedupe pick; on a signed table
+   *  the signature and the verify vector may come from different
+   *  admissions — both converge to the store/current vector at the next
+   *  retrain or resign). */
   private def recheckSweep(spark: org.apache.spark.sql.SparkSession,
       path: String, sinceBatch: Option[Long],
       threshold: Double, idCol: String, vecCol: String, scoreCol: String,
@@ -1990,32 +2246,13 @@ object Similarity {
       throw new IllegalStateException(
         s"$path is a codes-only IVF-PQ table (no raw vectors at rest) — " +
           "the offline near-dup recheck needs them; pass rerankFrom (the " +
-          "id-addressable primary vector store) and the sweep will sign, " +
-          "pair and verify from it (the drop rewrite is a pure filter on " +
-          "the codes table)")
+          "id-addressable primary vector store) and the sweep will pair " +
+          "on the persisted signatures and exact-verify candidates from " +
+          "it (the drop rewrite is a pure filter on the codes table)")
     requireIdCol(spark, path, idCol)
     val dir = AtRest.resolve(spark, path)
     val table = spark.read.parquet(dir)
-    // one row per id (replicas collapse; assignment columns don't matter
-    // for the pair search); codes-only fetches the vectors by id from the
-    // external store — an id the store cannot serve is unadjudicable, so
-    // missing coverage fails loudly (same contract as the retrain)
-    val keep = (Seq(idCol, vecCol) ++ Option(scoreCol)).distinct
-    val uniq = (
-      if (codesOnly) {
-        val payload = table.drop("list_id", "ingest_batch", "pq_code")
-          .dropDuplicates(idCol)
-        val store = rerankFrom.select(col(idCol), col(vecCol))
-          .dropDuplicates(idCol)
-        val joined = payload.join(store, Seq(idCol), "left")
-        val missing = joined.filter(col(vecCol).isNull).count()
-        if (missing > 0)
-          throw new IllegalStateException(
-            s"rerankFrom is missing vectors for $missing of the table's " +
-              "ids — the recheck cannot adjudicate them; backfill the store")
-        joined.select(keep.map(col): _*)
-      } else table.select(keep.map(col): _*).dropDuplicates(idCol)
-    ).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val replicas = math.max(ivfReplicasOf(spark, path), 1)
     // a LEGACY FLAT table (bare list_id= dirs, never batch-ingested) has
     // no ingest_batch column to scope a window by — fall back to a full
     // sweep (a superset of any window; the table predates incremental
@@ -2024,104 +2261,249 @@ object Similarity {
     val effSince =
       if (sinceBatch.isDefined && !table.columns.contains("ingest_batch")) None
       else sinceBatch
-    // pairsRaw is the PERSISTED frame (materializeThenFree) — keep the
-    // handle so it can be unpersisted below; a derived select would
-    // silently miss the cache entry
-    val pairsRaw = effSince match {
-      case None => embeddingDuplicates(uniq, threshold, planesPerTable,
-        tables, maxBucket, idCol, vecCol)
-      case Some(b) =>
-        val newIds = table.filter(col("ingest_batch") >= b)
-          .select(col(idCol)).distinct()
-        embeddingDuplicatesAgainst(uniq, newIds, threshold, planesPerTable,
-          tables, maxBucket, idCol, vecCol)
+    // codes-only: FULL id coverage against the store, checked loudly up
+    // front (ids only — no vector read) — same contract as the retrain
+    if (codesOnly) {
+      val missing = table.select(col(idCol)).distinct()
+        .join(rerankFrom.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .count()
+      if (missing > 0)
+        throw new IllegalStateException(
+          s"rerankFrom is missing vectors for $missing of the table's " +
+            "ids — the recheck cannot adjudicate them; backfill the store")
     }
-    val pairs = pairsRaw.select("id_a", "id_b")
-    val scored = uniq.withColumn("_score",
-      Option(scoreCol).map(col).getOrElse(lit(0)))
-    val best = Dedup.nearDupKeepBest(scored, pairs, "_score", idCol)
+    // the recorded scheme is live only when the data actually carries it
+    val scheme = lshSchemeOf(spark, path)
+      .filter(_ => table.columns.contains(LshSigCol))
+    val caller: Option[(Int, Int)] =
+      if (planesPerTable > 0)
+        Some((planesPerTable,
+          if (tables > 0) tables else autoLshTables(planesPerTable)))
+      else None
+    val nIds = math.max(table.count() / replicas, 1L) // parquet footer count
+    val autoScheme = { val p = autoLshPlanes(nIds); (p, autoLshTables(p)) }
+    // Signature source for this pass: persisted (no signing at all), or
+    // in-flight at `signScheme`; `resignTo` makes a FULL sweep rewrite
+    // the table with fresh signatures at that scheme (meta-recorded)
+    // even when it drops nothing.
+    val (usePersisted, signScheme, resignTo) = scheme match {
+      case Some(s) => caller match {
+        case Some(c) if c != s =>
+          if (effSince.isDefined)
+            throw new IllegalArgumentException(
+              s"$path is signed at planes=${s._1}/tables=${s._2} but the " +
+                s"caller asked for planes=${c._1}/tables=${c._2} — an " +
+                "incremental window cannot re-sign the table; run " +
+                "ivfResign (or a full ivfRecheck at the new scheme), or " +
+                "pass planesPerTable = 0 to use the recorded scheme")
+          System.err.println(s"[graft] ivfRecheck on $path: re-signing at " +
+            s"planes=${c._1}/tables=${c._2} (recorded ${s._1}/${s._2}) — " +
+            "full rewrite, meta-recorded")
+          (false, c, Some(c))
+        case _ =>
+          if (effSince.isEmpty && s._1 < autoScheme._1 - 1) {
+            // the table outgrew its recorded scheme (per-bucket load grows
+            // linearly past it) — the full sweep is the natural whole-
+            // table pass to upgrade it; incremental windows keep using
+            // the recorded scheme until one runs
+            System.err.println(s"[graft] ivfRecheck on $path: ~$nIds ids " +
+              s"outgrow the recorded signature scheme planes=${s._1}/" +
+              s"tables=${s._2} — re-signing at planes=${autoScheme._1}/" +
+              s"tables=${autoScheme._2}")
+            (false, autoScheme, Some(autoScheme))
+          } else (true, s, None)
+      }
+      case None => (false, caller.getOrElse(autoScheme), None)
+    }
+    // pair-search inputs: an exploded (id, tbl, sig) frame plus an
+    // (id, vec) lookup that pairsFromSigs touches only for candidates
+    val storeVecs =
+      if (codesOnly) rerankFrom.select(col(idCol).as("id"),
+        col(vecCol).as("vec")).dropDuplicates("id")
+      else null
+    val (sigsFrame, vecsFrame) =
+      if (usePersisted) {
+        val base = table.select(col(idCol).as("id"), col(LshSigCol))
+          .dropDuplicates("id")
+        val vecs =
+          if (codesOnly) storeVecs
+          else table.select(col(idCol).as("id"), col(vecCol).as("vec"))
+            .dropDuplicates("id")
+        (explodeSigs(base, "id"), vecs)
+      } else {
+        val (p, t) = signScheme
+        val uniqVecs =
+          if (codesOnly) storeVecs.join(
+            table.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+          else table.select(col(idCol).as("id"), col(vecCol).as("vec"))
+            .dropDuplicates("id")
+        val sigs = uniqVecs.select(col("id"),
+          posexplode(array((0 until t).map(tt =>
+            lshSignature(col("vec"), p, tt * p)): _*)).as(Seq("tbl", "sig")))
+        (sigs, uniqVecs)
+      }
+    val newIdsOpt = effSince.map { b =>
+      table.filter(col("ingest_batch") >= b).select(col(idCol)).distinct()
+    }
+    // pairs come back persisted (materializeThenFree) — keep the handle
+    // so it can be unpersisted below
+    val pairsRaw = pairsFromSigs(sigsFrame, vecsFrame, newIdsOpt, threshold,
+      maxBucket, requireVecCoverage = codesOnly)
+    val scored = table
+      .select((col(idCol) +: Option(scoreCol).map(col).toSeq): _*)
+      .dropDuplicates(idCol)
+      .withColumn("_score", Option(scoreCol).map(col).getOrElse(lit(0)))
+    val best = Dedup.nearDupKeepBest(scored,
+      pairsRaw.select("id_a", "id_b"), "_score", idCol)
     val dropIds = best.filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id").as(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val n = dropIds.count()
-    // the pair frame came back persisted (materializeThenFree) and is
-    // fully consumed once dropIds materializes — free it, or a cron-
-    // shaped recheck loop leaks one cached frame per pass
+    // the pair frame is fully consumed once dropIds materializes — free
+    // it, or a cron-shaped recheck loop leaks one cached frame per pass
     pairsRaw.unpersist(blocking = false)
-    if (n > 0) {
+    // an unsigned-but-codebook'd table that rewrites anyway gets its
+    // signatures persisted for free (the explicit migration is ivfResign)
+    val newScheme = resignTo.orElse(
+      if (scheme.isEmpty && n > 0 && readCodebook(spark, path).isDefined)
+        Some(signScheme)
+      else None)
+    if (n > 0 || resignTo.isDefined) {
       // survivors keep their existing assignments AND codes — removal
       // moves no vector between lists, so the rewrite is a pure filter
       // (swapRewrite re-carries codebook, PQ model, meta, markers)
       val cb = storedCodebook(spark, path)
-      val survivors = table.drop("ingest_batch")
+      val survivors0 = table.drop("ingest_batch")
         .join(dropIds, Seq(idCol), "left_anti")
-      val adjust = ivfLedgerByOf(spark, path).map { g =>
-        // the subtraction counts ADMISSIONS, not distinct (id, group)
-        // pairs: every admission incremented n_vecs by one and wrote
-        // exactly `replicas` physical rows (its vector's `replicas`
-        // nearest lists — compact/retrain rewrites preserve row
-        // multiplicity), and the anti-join below removes every physical
-        // row with a dropped id. An id re-admitted in a later batch with
-        // a sub-threshold-different vector (update-style re-ingest)
-        // counted twice — counting rows / replicas mirrors that;
-        // DISTINCT (id, group) would subtract once and drift the ledger.
-        val replicas = math.max(ivfReplicasOf(spark, path), 1)
-        val removedRows = table.join(dropIds, Seq(idCol), "left_semi")
-        val admissions = removedRows
-          .groupBy(col(g).cast("string").as("grp"))
-          .agg((count(lit(1)) / replicas).cast("long").as("value"))
-        admissions.select(col("grp"), lit("n_vecs").as("counter"),
-            (-col("value")).as("value"))
-          .unionByName(admissions.select(col("grp"),
-            lit("n_removed_recheck").as("counter"), col("value")))
+      val survivors = newScheme match {
+        case None => survivors0
+        case Some((p, t)) =>
+          val bare = survivors0.drop(LshSigCol)
+          if (codesOnly)
+            // re-sign from the store (full coverage checked loudly above,
+            // so the inner join drops nothing)
+            withLshSigs(bare.join(rerankFrom.select(col(idCol), col(vecCol))
+              .dropDuplicates(idCol), Seq(idCol)), vecCol, p, t).drop(vecCol)
+          else withLshSigs(bare, vecCol, p, t)
       }
+      val adjust =
+        if (n == 0) None
+        else ivfLedgerByOf(spark, path).map { g =>
+          // the subtraction counts ADMISSIONS, not distinct (id, group)
+          // pairs: every admission incremented n_vecs by one and wrote
+          // exactly `replicas` physical rows (its vector's `replicas`
+          // nearest lists — compact/retrain rewrites preserve row
+          // multiplicity), and the anti-join below removes every physical
+          // row with a dropped id. An id re-admitted in a later batch with
+          // a sub-threshold-different vector (update-style re-ingest)
+          // counted twice — counting rows / replicas mirrors that;
+          // DISTINCT (id, group) would subtract once and drift the ledger.
+          // Divisibility is ASSERTED, not floored: a non-integral quotient
+          // means the every-admission-wrote-replicas-rows invariant broke
+          // upstream, and silently truncating would under-subtract n_vecs
+          // with no signal.
+          val removedRows = table.join(dropIds, Seq(idCol), "left_semi")
+          val cnt = count(lit(1))
+          val admissions = removedRows
+            .groupBy(col(g).cast("string").as("grp"))
+            .agg(when(cnt % lit(replicas.toLong) =!= 0,
+                raise_error(concat(
+                  lit(s"recheck ledger subtraction on $path: group '"),
+                  col(g).cast("string"),
+                  lit(s"' drops a row count not divisible by replicas=" +
+                    s"$replicas — the 'every admission wrote exactly " +
+                    "replicas rows' invariant is broken; repair the " +
+                    "table (ivfRetrain preserves admission multiplicity)"))))
+              .otherwise(cnt / replicas).cast("long").as("value"))
+          admissions.select(col("grp"), lit("n_vecs").as("counter"),
+              (-col("value")).as("value"))
+            .unionByName(admissions.select(col("grp"),
+              lit("n_removed_recheck").as("counter"), col("value")))
+        }
       swapRewrite(survivors.repartition(cb.length, col("list_id")), path, cb,
-        ledgerAdjust = adjust.orNull)
+        ledgerAdjust = adjust.orNull, lshOverride = newScheme)
     }
     dropIds.unpersist(blocking = false)
-    uniq.unpersist(blocking = false)
     n
   }
 
-  /** [[embeddingDuplicates]] restricted to pairs INVOLVING an id from
-   *  `newIds` — the incremental recheck's pair search: the corpus side is
-   *  signed once (ids + signatures shuffle, vectors fetched only for
-   *  candidates), but the bucket self-join shrinks to buckets a NEW
-   *  vector occupies. Emits undirected `(id_a < id_b)` pairs. */
-  private def embeddingDuplicatesAgainst(corpus: DataFrame, newIds: DataFrame,
-      threshold: Double, planesPerTable: Int, tables: Int, maxBucket: Int,
-      idCol: String, vecCol: String): DataFrame = {
-    val sigs = corpus.select(col(idCol).as("id"),
-      posexplode(array((0 until tables).map(tt =>
-        lshSignature(col(vecCol), planesPerTable, tt * planesPerTable)): _*))
-        .as(Seq("tbl", "sig")))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+  /** Shared LSH pair search: bucket-join an exploded signature frame
+   *  (id, tbl, sig), prune degenerate buckets (> `maxBucket` — all-equal
+   *  vectors would contribute k² rows), optionally restrict to pairs
+   *  INVOLVING an id from `newIds` (the incremental window), then fetch
+   *  ONLY the candidate ids' vectors from `vecs` (id, vec) for the exact
+   *  cosine verification. The bucket join carries IDS only — vectors
+   *  never ride the `tables`× signature shuffle. Emits undirected
+   *  `(id_a < id_b)` pairs, plus the rounded score when `withCosine`.
+   *  `requireVecCoverage` fails loudly when `vecs` cannot serve a
+   *  candidate id (the codes-only external-store contract) — without it
+   *  an unservable candidate would silently drop its pair. */
+  private def pairsFromSigs(sigs0: DataFrame, vecs: DataFrame,
+      newIds: Option[DataFrame], threshold: Double, maxBucket: Int,
+      withCosine: Boolean = false,
+      requireVecCoverage: Boolean = false): DataFrame = {
+    val sigs = sigs0.persist(StorageLevel.MEMORY_AND_DISK_SER)
     val okBuckets = sigs.groupBy("tbl", "sig")
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") >= 2 && col("_n") <= maxBucket)
       .select("tbl", "sig")
     val pruned = sigs.join(okBuckets, Seq("tbl", "sig"))
-    val newSigs = pruned.join(
-      newIds.select(col(newIds.columns.head).as("id")), Seq("id"), "left_semi")
-    val pairs = pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
-      .join(newSigs.select(col("tbl"), col("sig"), col("id").as("id_b")),
-        Seq("tbl", "sig"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .distinct()
+    val pairs = (newIds match {
+      case None =>
+        pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
+          .join(pruned.select(col("tbl"), col("sig"), col("id").as("id_b")),
+            Seq("tbl", "sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      case Some(ids) =>
+        val newSigs = pruned.join(
+          ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_semi")
+        pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
+          .join(newSigs.select(col("tbl"), col("sig"), col("id").as("id_b")),
+            Seq("tbl", "sig"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+    }).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val candIds = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id")))
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(candIds, Seq("id"), "left_semi")
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val out = pairs
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
-      .select("id_a", "id_b")
-    Dedup.materializeThenFree(out, sigs, pairs, vecs)
+    val nCand = candIds.count()
+    // candidate-proportional vector fetch: in steady state drops are rare
+    // and candidates few, so a bounded collect + literal IN pushes into
+    // the vector source's scan (page skipping on an id-sorted layout)
+    // instead of scanning the whole vector column under a semi-join; past
+    // the ceiling (same conf as the rerank point read) fall back
+    val spark = vecs.sparkSession
+    val cand = (
+      if (nCand == 0) vecs.select(col("id"), col("vec")).limit(0)
+      else if (nCand <= confInt(spark, RerankInThresholdKey, 65536)) {
+        val ids = candIds.collect().map(_.get(0)) // bounded by the conf ceiling
+        vecs.select(col("id"), col("vec")).filter(col("id").isin(ids: _*))
+      } else vecs.select(col("id"), col("vec"))
+        .join(candIds, Seq("id"), "left_semi")
+    ).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    if (requireVecCoverage && nCand > 0) {
+      val missing = nCand - cand.count()
+      if (missing > 0)
+        throw new IllegalStateException(
+          s"the vector source is missing $missing candidate ids the pair " +
+            "search needs for exact verification — backfill the store")
+    }
+    val verified = pairs
+      .join(cand.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(cand.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+    val out =
+      if (withCosine)
+        verified.select(col("id_a"), col("id_b"),
+          round(col("cos"), 6).as("cosine")).orderBy("id_a", "id_b")
+      else verified.select("id_a", "id_b")
+    // materialize the (small) pair result, then free the intermediate
+    // caches — leaked persists thrash under memory pressure
+    Dedup.materializeThenFree(out, sigs, pairs, candIds, cand)
   }
 
   /** The streaming wrapper, mirroring
@@ -2260,39 +2642,74 @@ object Similarity {
   def embeddingDuplicates(corpus: DataFrame, threshold: Double,
       planesPerTable: Int = 16, tables: Int = 4, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // bucket join carries IDs only (vectors would be shuffled `tables`×);
+    // candidate pairs then fetch the two vectors via a point-read/semi-
+    // join-reduced join (pairsFromSigs — shared with the at-rest sweep,
+    // which feeds PERSISTED signatures instead of signing here)
     val sigs = corpus.select(col(idCol).as("id"),
       posexplode(array((0 until tables).map(tt =>
         lshSignature(col(vecCol), planesPerTable, tt * planesPerTable)): _*))
         .as(Seq("tbl", "sig")))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val okBuckets = sigs.groupBy("tbl", "sig")
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
-      .select("tbl", "sig")
-    val pruned = sigs.join(okBuckets, Seq("tbl", "sig"))
-    // bucket join carries IDs only (vectors would be shuffled `tables`×);
-    // candidate pairs then fetch the two vectors via a semi-join-reduced join
-    val pairs = pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
-      .join(pruned.select(col("tbl"), col("sig"), col("id").as("id_b")), Seq("tbl", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val candIds = pairs.select(col("id_a").as("id"))
-      .unionAll(pairs.select(col("id_b").as("id"))) // no distinct: left_semi dedupes
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(candIds, Seq("id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val out = pairs
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
-      .orderBy("id_a", "id_b")
-    // materialize the (small) pair result, then free the intermediate
-    // caches — leaked persists thrash under memory pressure (see
-    // Dedup.materializeThenFree)
-    Dedup.materializeThenFree(out, sigs, pairs, vecs)
+    pairsFromSigs(sigs,
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      newIds = None, threshold, maxBucket, withCosine = true)
+  }
+
+  // ------------------------------------------------- threshold calibration
+
+  /**
+   * Data-derived near-dup threshold — at scale a CONSTANT cosine
+   * threshold either drops real data or misses duplicates: the r16
+   * decade run found 17 GENUINE ≥ 0.95 cosine collisions among
+   * same-magnitude-profile NON-duplicates at 5M rows, and the collision
+   * count in the pair space grows ~n². This operator samples the
+   * corpus's non-duplicate pair-cosine distribution and returns the
+   * threshold at a target false-collision quantile as an EXACT ORDER
+   * STATISTIC — the k-th largest sampled pair cosine, k = max(1,
+   * ceil(`falsePairRate` × nPairs)) — so a dedup threshold set ABOVE the
+   * returned value bounds the expected false-collision probability of a
+   * random non-dup pair by ~falsePairRate. An order statistic (not an
+   * interpolated quantile) keeps the result engine-exact: DuckDB
+   * recomputes it bit-for-bit over the same rounded cosines
+   * (q_sim_calibrate), no float-interpolation ambiguity.
+   *
+   * Sample: the deterministic [[hashSample]] id-cut (`maxSampleRows`,
+   * default 2048 → ~2M pairs, one broadcast self-join); pass a
+   * pre-filtered frame with `maxSampleRows <= 0` to control the sample
+   * exactly. Random pairs are overwhelmingly non-duplicates, so the
+   * sampled distribution IS the null distribution up to the true-dup
+   * rate — a corpus suspected >~1% true dups should be deduped once at a
+   * conservative threshold before calibrating.
+   *
+   * Returns one row: (n_sampled, n_pairs, k, threshold).
+   */
+  def calibrateThreshold(corpus: DataFrame, falsePairRate: Double = 1e-3,
+      maxSampleRows: Long = 2048, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(falsePairRate > 0 && falsePairRate < 1,
+      s"falsePairRate must be in (0, 1): got $falsePairRate")
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val nAll = base.count()
+    // eager checkpoint: the sample is consumed by both self-join sides —
+    // and it is the job's entire input, so no unpersist bookkeeping
+    val sample =
+      (if (maxSampleRows > 0 && nAll > maxSampleRows)
+        hashSample(base, "id", nAll, maxSampleRows)
+      else base).localCheckpoint(true)
+    val nS = sample.count()
+    val nPairs = nS * (nS - 1) / 2
+    val k = math.max(1L, math.ceil(falsePairRate * nPairs).toLong)
+    require(k <= (1L << 22),
+      s"k = $k order-statistic rows would collect to one partition — " +
+        "lower falsePairRate or maxSampleRows")
+    val cosP = sample.select(col("id").as("ia"), col("v").as("va"))
+      .join(broadcast(sample.select(col("id").as("ib"), col("v").as("vb"))),
+        col("ia") < col("ib"))
+      .select(round(cosine(col("va"), col("vb")), 6).as("cos"))
+    cosP.orderBy(col("cos").desc).limit(k.toInt)
+      .agg(min(col("cos")).as("threshold"))
+      .select(lit(nS).as("n_sampled"), lit(nPairs).as("n_pairs"),
+        lit(k).as("k"), col("threshold"))
   }
 
   // --------------------------------------------------- product quantization

@@ -1596,6 +1596,126 @@ object MLQueries {
           vecCol = "embedding", batchId = 0L)
       })),
 
+    // FILTERED-ANN RECALL CURVE (round 17): recall@10 of the at-rest
+    // FILTERED raw-vector IVF probe vs EXACT top-10 over the filtered
+    // corpus, at FIXED nProbe = 4 of 16 lists across three filter
+    // selectivities (~50% / ~10% / ~2%) — the known IVF×filter
+    // interaction: lists partition by geometry, not payload, so a
+    // sharpening filter empties the probed lists and recall sags at
+    // fixed nProbe (the mitigation — filterSelectivityHint widening the
+    // probe to ceil(nProbe/s) lists, capped at nLists — is spec'd in
+    // SketchSpec; SCALE.md names the crossover). DuckDB recomputes the
+    // exact side over each filtered corpus and derives recall against
+    // the PINNED deterministic picks (FilteredRecallOracle, regenerate
+    // with tools.DumpRecall).
+    Q("q_sim_filtered_recall", Some(s"""
+      WITH picked(sel, probe_id, neighbor_id) AS
+        (SELECT * FROM (VALUES ${FilteredRecallOracle.pickValues})),
+      v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings),
+      pr AS (SELECT vec_id AS probe_id, emb AS pemb FROM v WHERE vec_id < 10),
+      f AS (SELECT 50 AS sel, vec_id, emb FROM v WHERE label >= 5
+            UNION ALL SELECT 10, vec_id, emb FROM v WHERE label = 3
+            UNION ALL SELECT 2, vec_id, emb FROM v
+              WHERE label = 3 AND vec_id % 5 = 0),
+      scored AS (
+        SELECT f.sel, pr.probe_id, f.vec_id,
+               round(list_inner_product(pr.pemb, f.emb)
+                 / (sqrt(list_inner_product(pr.pemb, pr.pemb))
+                    * sqrt(list_inner_product(f.emb, f.emb))), 6) AS cos
+        FROM pr JOIN f ON f.vec_id <> pr.probe_id),
+      exact AS (
+        SELECT sel, probe_id, vec_id
+        FROM (SELECT sel, probe_id, vec_id,
+                     row_number() OVER (PARTITION BY sel, probe_id
+                                        ORDER BY cos DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 10),
+      ex_n AS (SELECT sel, count(*) AS n_exact FROM exact GROUP BY sel)
+      SELECT CAST(p.sel AS BIGINT) AS sel,
+             CAST(count(e.vec_id) AS BIGINT) AS n_hit,
+             CAST(x.n_exact AS BIGINT) AS n_exact,
+             round(count(e.vec_id) * 1.0 / x.n_exact, 6) AS recall
+      FROM picked p
+      JOIN ex_n x ON x.sel = p.sel
+      LEFT JOIN exact e ON e.sel = p.sel AND e.probe_id = p.probe_id
+                       AND e.vec_id = p.neighbor_id
+      GROUP BY p.sel, x.n_exact
+      ORDER BY sel"""),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val path = scratchDir("sim_filtered_recall") + "/corpus.parquet"
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("probe_vec"))
+        val sels = Seq(
+          (50L, col("label") >= 5),
+          (10L, col("label") === 3),
+          (2L, col("label") === 3 && pmod(col("vec_id"), lit(5)) === 0))
+        val picks = sels.map { case (tag, pred) =>
+          Similarity.ivfTopKAtRest(s, path, probes,
+              Similarity.readCodebook(s, path).get, k = 10, nProbe = 4,
+              idCol = "vec_id", vecCol = "embedding", candidateFilter = pred)
+            .select(lit(tag).as("sel"), col("probe_id"), col("neighbor_id"))
+        }.reduce(_ unionAll _)
+        val exact = sels.map { case (tag, pred) =>
+          Similarity.bruteForceTopK(emb.filter(pred), probes, k = 10)
+            .select(lit(tag).as("sel"), col("probe_id"), col("neighbor_id"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+        val exN = exact.groupBy("sel").agg(count(lit(1)).as("n_exact"))
+        picks.join(exact.withColumn("hit", lit(1L)),
+            Seq("sel", "probe_id", "neighbor_id"), "left")
+          .groupBy("sel")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .join(exN, "sel")
+          .select(col("sel"), col("n_hit"), col("n_exact"),
+            round(col("n_hit") * lit(1.0) / col("n_exact"), 6).as("recall"))
+          .orderBy("sel")
+      },
+      // seed (untimed): the label payload rides at rest beside the
+      // vectors; the timed number is three filtered pruned probes + one
+      // brute-force exact pass per filter (the quality audit)
+      prepare = Some((s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfWriteAtRest(emb,
+          Similarity.ivfTrainKmeans(emb, nLists = 16, iters = 10),
+          scratchDir("sim_filtered_recall") + "/corpus.parquet",
+          replicas = 2)
+      })),
+
+    // THRESHOLD CALIBRATION (round 17): the r16 decade run found 17
+    // GENUINE >= 0.95 cosine collisions among non-duplicates at 5M rows —
+    // at scale a constant near-dup threshold needs to be DATA-DERIVED.
+    // calibrateThreshold samples the non-dup pair-cosine distribution and
+    // returns the threshold at a target false-collision quantile as an
+    // EXACT ORDER STATISTIC (the k-th largest pair cosine, k =
+    // ceil(rate × nPairs)) — no quantile interpolation, so DuckDB
+    // recomputes the identical value from the same deterministic sample
+    // (here a vec_id % 2 pre-filter with the internal cut disabled; the
+    // operator's own hash-cut is the production path). Any drift in the
+    // cosine kernel, the pair set, or the rank arithmetic goes red.
+    Q("q_sim_calibrate", Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings WHERE vec_id % 2 = 0),
+      c AS (SELECT round(list_inner_product(a.emb, b.emb)
+              / (sqrt(list_inner_product(a.emb, a.emb))
+                 * sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id),
+      n AS (SELECT (SELECT count(*) FROM v) AS n_sampled,
+                   count(*) AS n_pairs,
+                   greatest(1, CAST(ceil(0.001 * count(*)) AS BIGINT)) AS k
+            FROM c),
+      ranked AS (SELECT cos, row_number() OVER (ORDER BY cos DESC) AS r
+                 FROM c)
+      SELECT CAST(n.n_sampled AS BIGINT) AS n_sampled,
+             CAST(n.n_pairs AS BIGINT) AS n_pairs,
+             CAST(n.k AS BIGINT) AS k,
+             (SELECT cos FROM ranked WHERE r = n.k) AS threshold
+      FROM n"""),
+      (s, dir) => Similarity.calibrateThreshold(
+        t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(2)) === 0),
+        falsePairRate = 0.001, maxSampleRows = 0)),
+
     // Tokenizer training: the BPE merge table (Sennrich-style word-
     // frequency formulation — one corpus scan builds the vocab, then 20
     // argmax/rewrite rounds over the vocab alone). Deterministic (ties

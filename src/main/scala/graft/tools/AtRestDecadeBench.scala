@@ -30,11 +30,14 @@ import graft.operators.Similarity
  *
  * LSH sizing matters at scale: with planesPerTable FIXED, a decade-up
  * multiplies per-bucket load 10× and candidate pairs ~100× (the key
- * space saturates). The production recipe is planes ≈ log2(n) + slack —
- * the default here (`max(16, ceil(log2 n) + 1)`) applies it, so the
- * full-sweep row measures the operator, not a saturated key space.
- * (Recall per table drops as planes grow; production raises `tables`
- * alongside — held at 4 here since this bench measures COST.)
+ * space saturates). Since r17 the seed AUTO-SIZES the scheme
+ * (planes ≈ log2(n)+1, tables holding the design recall —
+ * [[Similarity.autoLshPlanes]]/[[autoLshTables]]), records it in
+ * `_meta.json`, and PERSISTS the signatures at rest — so the rechecks
+ * here pass no LSH knobs at all: the incremental pass joins the
+ * persisted signatures (no signing, no vector read outside candidates)
+ * and the full sweep measures the operator, not a saturated key space.
+ * The optional [planesPerTable] arg pins the seed scheme for A/B runs.
  *
  * Corpus: sf0.1's 2000 embeddings replicated with per-replica
  * deterministic sign-flip masks (expected cross-replica cosine ~0.1 —
@@ -52,9 +55,7 @@ object AtRestDecadeBench {
     val nLists = if (args.length > 1) args(1).toInt else 64
     val spark = BenchHarness.session(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    val planes =
-      if (args.length > 2) args(2).toInt
-      else math.max(16, math.ceil(math.log(nVecs.toDouble) / math.log(2.0)).toInt + 1)
+    val planes = if (args.length > 2) args(2).toInt else 0 // 0 = auto-size
 
     val root = java.nio.file.Files.createTempDirectory("atrest_decade").toString
     val path = s"$root/corpus.parquet"
@@ -91,8 +92,10 @@ object AtRestDecadeBench {
         maxTrainRows = 65536)
       val pq = Similarity.pqTrain(corpus, m = 8, ksub = 16, iters = 3,
         maxTrainRows = 16384)
-      Similarity.ivfWriteAtRest(corpus, cb, path, ledgerBy = "src", pqModel = pq)
+      Similarity.ivfWriteAtRest(corpus, cb, path, ledgerBy = "src", pqModel = pq,
+        lshPlanes = planes)
     }
+    val scheme = Similarity.lshSchemeOf(spark, path).get
 
     val probes = corpus.limit(16)
       .select((col("vec_id") + 900000000L).as("probe_id"),
@@ -116,17 +119,17 @@ object AtRestDecadeBench {
       Similarity.ivfLedgerCard(spark, path).collect().length
     }
 
+    // no LSH knobs: both passes join the PERSISTED signatures under the
+    // meta-recorded scheme (the incremental one signs nothing at all)
     val (incRemoved, incSec) = time {
-      Similarity.ivfRecheckIncremental(spark, path, threshold = 0.999,
-        planesPerTable = planes)
+      Similarity.ivfRecheckIncremental(spark, path, threshold = 0.999)
     }
 
     val (fullRemoved, fullSec) = time {
-      Similarity.ivfRecheck(spark, path, threshold = 0.999,
-        planesPerTable = planes)
+      Similarity.ivfRecheck(spark, path, threshold = 0.999)
     }
 
-    println(f"""{"bench":"atrest-decade","n_vecs":$n,"n_lists":$nLists,"planes":$planes,"seed_s":$seedSec%.1f,"probe_s":$probeSec%.2f,"probe_rows":$probeRows,"ingest_batch_s":$ingestSec%.2f,"admitted":$admitted,"ledger_card_s":$cardSec%.2f,"card_rows":$cardRows,"recheck_incremental_s":$incSec%.2f,"recheck_full_s":$fullSec%.2f,"removed":[$incRemoved,$fullRemoved]}""")
+    println(f"""{"bench":"atrest-decade","n_vecs":$n,"n_lists":$nLists,"planes":${scheme._1},"tables":${scheme._2},"seed_s":$seedSec%.1f,"probe_s":$probeSec%.2f,"probe_rows":$probeRows,"ingest_batch_s":$ingestSec%.2f,"admitted":$admitted,"ledger_card_s":$cardSec%.2f,"card_rows":$cardRows,"recheck_incremental_s":$incSec%.2f,"recheck_full_s":$fullSec%.2f,"removed":[$incRemoved,$fullRemoved]}""")
     assert(admitted == 1000, s"expected all 1000 arrivals admitted: $admitted")
     assert(incRemoved == 0 && fullRemoved == 0,
       "no pair reaches cosine 0.999 by construction")

@@ -42,6 +42,36 @@ object DumpRecall {
         Seq("probe_id", "neighbor_id"), "left_semi").count()
       println(f"[recall-at-10-$nProbe] ${hits / (10.0 * nProbes)}%.3f")
     }
+
+    // q_sim_filtered_recall picks: same trained table but with the label
+    // payload riding at rest; FILTERED probes at FIXED nProbe = 4 across
+    // three filter selectivities — the curve that shows recall collapsing
+    // as the filter sharpens (the known IVF×filter interaction)
+    val froot = java.nio.file.Files.createTempDirectory("dump_frecall")
+      .toString + "/corpus.parquet"
+    Similarity.ivfWriteAtRest(emb,
+      Similarity.ivfTrainKmeans(emb, nLists = 16, iters = 10), froot,
+      replicas = 2)
+    val sels: Seq[(Long, org.apache.spark.sql.Column)] = Seq(
+      (50L, col("label") >= 5),
+      (10L, col("label") === 3),
+      (2L, col("label") === 3 && pmod(col("vec_id"), lit(5)) === 0))
+    for ((tag, pred) <- sels) {
+      val got = Similarity.ivfTopKAtRest(spark, froot, probes,
+        Similarity.readCodebook(spark, froot).get, k = 10, nProbe = 4,
+        idCol = "vec_id", vecCol = "embedding", candidateFilter = pred)
+      val picks = got.select("probe_id", "neighbor_id", "rank")
+        .orderBy("probe_id", "rank").collect()
+      println(s"[filtered-picks-$tag] " + picks.map(r =>
+        s"($tag,${r.getLong(0)},${r.getLong(1)})").mkString(","))
+      val fExact = Similarity.bruteForceTopK(emb.filter(pred), probes, k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val nExact = fExact.count()
+      val hits = fExact.join(got.select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id"), "left_semi").count()
+      println(f"[filtered-recall-$tag] ${hits.toDouble / nExact}%.3f " +
+        s"(hits=$hits exact=$nExact)")
+    }
     spark.stop()
   }
 }

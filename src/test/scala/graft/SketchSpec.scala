@@ -1287,8 +1287,15 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("codes-only admission decisions EQUAL the full layout's on the " +
-      "same batch (ADC only nominates; the exact cosine decides)") {
+  // NOT a universal equivalence claim: the codes-only cross-probe exact-
+  // verifies only each arrival's top-IngestAdcCandidates (default 64)
+  // candidates BY ADC RANK, while the full layout exact-verifies every
+  // pruned row — a true near-dup ranked outside top-R by a coarse m/ksub
+  // model can be admitted where the full layout would drop it (the same
+  // accretion class as the nProbe caveat, healed by the recheck; the
+  // ingest logs when rank truncation was live for a batch).
+  test("codes-only admission decisions AGREE WITH the full layout's on " +
+      "this batch (ADC nominates top-R by rank; the exact cosine decides)") {
     val root = tempDir("ivfpq_admission_eq")
     val full = root + "/full"
     val codes = root + "/codes"
@@ -1431,6 +1438,86 @@ class SketchSpec extends SparkSpec {
       skipConventionCheck = true)
     assert(Similarity.ivfRead(spark, dir).filter(col("pq_code").isNull)
       .count() == 0)
+  }
+
+  test("filterSelectivityHint: a selective filter empties the probed " +
+      "lists at fixed nProbe; the hint widens the probe and recovers") {
+    import spark.implicits._
+    def at(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val cents = (0 until 8).map(i => at(i * 45.0).toSeq)
+    val dir = tempDir("ivf_hint") + "/corpus"
+    // label-0 mass fills the probe's nearest lists; every label-1 row
+    // (the filter's target) sits in a list a 2-of-8 probe never reaches —
+    // the geometry-vs-payload mismatch the hint exists for
+    val corpus = Seq(
+      (1L, at(1), 0L), (2L, at(44), 0L), (3L, at(-44), 0L),
+      (10L, at(92), 1L), (11L, at(135), 1L), (12L, at(181), 1L))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.ivfWriteAtRest(corpus, cents, dir)
+    val probe = Seq((99L, at(0))).toDF("probe_id", "probe_vec")
+    val unboosted = Similarity.ivfTopKAtRest(spark, dir, probe, cents, k = 3,
+      nProbe = 2, candidateFilter = col("label") === 1)
+    assert(unboosted.count() == 0,
+      "premise: the probed lists hold no label-1 rows at nProbe = 2")
+    // hint 0.25 → ceil(2 / 0.25) = 8 = all lists (the documented floor:
+    // at/below s ≈ nProbe/nLists the boost is a full-list scan)
+    val boosted = Similarity.ivfTopKAtRest(spark, dir, probe, cents, k = 3,
+      nProbe = 2, candidateFilter = col("label") === 1,
+      filterSelectivityHint = 0.25)
+    assert(boosted.collect().map(_.getLong(1)).toSet == Set(10L, 11L, 12L),
+      "the widened probe must surface every matching row")
+  }
+
+  test("nLists grow-path: ivfRetrain to a larger nLists is the split " +
+      "mechanism — exhaustive-probe results and the ledger survive the " +
+      "transition exactly") {
+    val dir = tempDir("ivf_grow") + "/corpus"
+    Similarity.ivfWriteAtRest(
+      emb.withColumn("src", pmod(col("label"), lit(2)).cast("string")),
+      Similarity.ivfTrainKmeans(emb, nLists = 4, iters = 3), dir,
+      ledgerBy = "src")
+    Similarity.ivfIngestBatch(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 800000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(-0.8f) + lit(0.1f))
+            .as("embedding"),
+          lit("s9").as("src")),
+      Similarity.readCodebook(spark, dir).get, dir,
+      threshold = 0.9999, batchId = 0L)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    // the equal-recall anchor: an exhaustive probe (nProbe = nLists) is
+    // the exact cosine ranking — it must be IDENTICAL before and after
+    // the grow rewrite (same rows, same scores, same ranks)
+    val before = Similarity.ivfTopKAtRest(spark, dir, probes, k = 5,
+      nProbe = 4, idCol = "vec_id", vecCol = "embedding").collect().toSeq
+    val cardBefore = Similarity.ivfLedgerCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_vecs")).toMap
+    val newCb = Similarity.ivfRetrain(spark, dir, nLists = 8, iters = 3,
+      maxTrainRows = 1024)
+    assert(newCb.length == 8)
+    assert(graft.operators.AtRest.readMeta(spark, dir)
+      .flatMap(_.get("nLists")).contains("8"),
+      "meta must record the grown list count")
+    val after = Similarity.ivfTopKAtRest(spark, dir, probes, k = 5,
+      nProbe = 8, idCol = "vec_id", vecCol = "embedding").collect().toSeq
+    assert(before == after,
+      s"exhaustive probe drifted across the grow transition:\n$before\n$after")
+    val cardAfter = Similarity.ivfLedgerCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_vecs")).toMap
+    assert(cardBefore == cardAfter,
+      s"ledger drifted across the grow transition: $cardBefore vs $cardAfter")
+    // a pruned probe against the grown table still serves from its own
+    // (re-trained) neighborhood — the steady-state read path
+    val target = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val hit = Similarity.ivfTopKAtRest(spark, dir, target, k = 1,
+      nProbe = 2, idCol = "vec_id", vecCol = "embedding").collect()
+    assert(hit.nonEmpty,
+      "pruned probe lost its own neighborhood after the grow")
   }
 
   test("a zero-norm embedding never hijacks top-k (cosine is 0, not NaN)") {
