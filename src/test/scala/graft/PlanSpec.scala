@@ -164,6 +164,10 @@ class PlanSpec extends SparkSpec {
                                //   shape); the rerank fetch is an equi-join
       "q_sim_pq_recall",       // same ADC shape ×3 models, plus the embedded
                                //   brute-force exact pass it is graded against
+      "q_sim_calibrate",       // calibration IS a bounded all-pairs: the
+                               //   broadcast self-join runs over the
+                               //   hash-cut sample (≤ maxSampleRows, with a
+                               //   hard k ≤ 2^22 require), never the corpus
       "q_mix_temperature")     // broadcast of the 1-row global weight-sum
                                //   frame (same proven-bounded shape as
                                //   q_search_bm25's corpus-stats row)
