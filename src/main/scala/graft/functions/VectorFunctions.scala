@@ -280,6 +280,20 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Exact-LONG fold of a weight table over a feature-index array:
+   *  Σ w(fs(i)) — the classifier's per-doc margin kernel. The weight
+   *  table rides as a shared long[] reference (like the PQ codebooks),
+   *  so the fold is one primitive loop per row; the ArrayAggregate
+   *  higher-order formulation it replaces ran interpreted with a boxed
+   *  element_at lookup per feature against a 16k-element literal. */
+  def nanoFold(fs: ArrayData, w: Array[Long]): Long = {
+    var s = 0L
+    val n = fs.numElements()
+    var i = 0
+    while (i < n) { s += w(fs.getLong(i).toInt); i += 1 }
+    s
+  }
+
   /** MinHash signature over a string-shingle array: sig[j] = min over
    *  shingles of xxhash64(shingle bytes, seed j). One pass over shingles,
    *  all k lanes updated per element — no per-seed re-traversal, no
@@ -383,6 +397,30 @@ object VectorFunctions {
         s"graft.functions.VectorKernels.signLsh($v, $vf, $planes, $offset)")
     override def prettyName: String = "sign_lsh"
     override protected def withNewChildInternal(c: Expression): SignLshSignature =
+      copy(child = c)
+  }
+
+  /** Σ weights(f) over a long-array feature column — LongType, exact.
+   *  The weight table is a constructor field (Seq for structural
+   *  case-class equality, same rationale as the PQ codebook), shipped to
+   *  codegen as one shared long[] reference object. */
+  case class NanoFold(child: Expression, w: Seq[Long]) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint> feature indices, got ${other.sql}")
+    }
+    override def dataType: DataType = LongType
+    @transient private lazy val wArr = w.toArray
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.nanoFold(v.asInstanceOf[ArrayData], wArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nanow", wArr, "long[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.VectorKernels.nanoFold($v, $ref);")
+    }
+    override def prettyName: String = "nano_fold"
+    override protected def withNewChildInternal(c: Expression): NanoFold =
       copy(child = c)
   }
 
@@ -563,6 +601,18 @@ object VectorFunctions {
     (flat.toSeq, dim)
   }
 
+  /** Fold a FOLDABLE array<bigint> literal (the nano weight table) into
+   *  a Seq[Long]. */
+  private[graft] def foldLongArray(e: Expression, what: String): Seq[Long] = {
+    require(e.foldable, s"$what must be a literal, got $e")
+    e.dataType match {
+      case ArrayType(LongType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$what must be array<bigint>, got ${other.sql}")
+    }
+    e.eval().asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
   private[graft] def litIntArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
@@ -614,6 +664,9 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("pq_adc",
       (es: Seq[Expression]) => { expectArity(es, 2, "pq_adc(code, lut)")
         PqAdc(es(0), es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("nano_fold",
+      (es: Seq[Expression]) => { expectArity(es, 2, "nano_fold(fs, weights)")
+        NanoFold(es(0), foldLongArray(es(1), "weights")) }, "scala_udf")
   }
 
   /** Column helpers; register on the active session lazily. */
@@ -661,5 +714,10 @@ object VectorFunctions {
   def pq_adc(code: Column, lut: Column): Column = {
     register(SparkSession.active)
     call_function("pq_adc", code, lut)
+  }
+  def nano_fold(fs: Column, weights: Seq[Long]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    register(SparkSession.active)
+    call_function("nano_fold", fs, typedLit(weights))
   }
 }

@@ -68,13 +68,57 @@ object TextClassifier {
       .distinct()
   }
 
-  /** Per-doc weight sum over present features — NANO units, an exact
-   *  LONG, so the later long→double division is the same double on
-   *  every engine. */
-  private def docSums(feats: DataFrame, weightsNano: Seq[Long]): DataFrame =
-    feats.groupBy("id")
-      .agg(sum(element_at(typedLit(weightsNano), (col("f") + 1).cast("int")))
-        .as("s"))
+  /** Spark's `round(double).cast("long")` exactly — Round(HALF_UP) goes
+   *  through BigDecimal.valueOf (shortest-decimal), which differs from
+   *  `math.round` (= floor(x+0.5)) on values binary-adjacent to a .5
+   *  boundary, so the RDD-side Hv kernel must replicate it bit-for-bit
+   *  to keep trained weights identical to the SQL formulation. */
+  private def sparkRoundToLong(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Σ over docs of `vals` per present feature — the gradient/Hv reduce,
+   *  as ONE single-stage job: each task folds its cached rows into
+   *  `nVals` exact-LONG arrays of length `d` and the ≤ `d × nVals`-cell
+   *  results combine on the driver (tree-combined past 64 partitions so
+   *  a large cluster's reduce never funnels through one driver pass).
+   *  Replaces the explode(fs) → shuffle(f) → collect shape: no row
+   *  explosion (|fs| rows per doc), no exchange, no AQE stage split —
+   *  the same exact LONG sums in any partitioning/order (guide §2.4:
+   *  remove the shuffle outright; the keyspace is the MODEL, not data).
+   *  `df` must be `(fs: array<long>, v1..vn: long)`. */
+  private def sumByFeature(df: DataFrame, d: Int, nVals: Int): Array[Array[Long]] = {
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      val acc = Array.fill(nVals)(new Array[Long](d))
+      it.foreach { row =>
+        val fs = row.getArray(0)
+        val n = fs.numElements()
+        var k = 0
+        while (k < nVals) {
+          val v = row.getLong(1 + k)
+          if (v != 0L) {
+            val a = acc(k)
+            var i = 0
+            while (i < n) { a(fs.getLong(i).toInt) += v; i += 1 }
+          }
+          k += 1
+        }
+      }
+      Iterator.single(acc)
+    }
+    def add(x: Array[Array[Long]], y: Array[Array[Long]]): Array[Array[Long]] = {
+      var k = 0
+      while (k < nVals) {
+        val a = x(k); val b = y(k)
+        var i = 0
+        while (i < d) { a(i) += b(i); i += 1 }
+        k += 1
+      }
+      x
+    }
+    if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
+    else rdd.reduce(add)
+  }
 
   /** Sequential Gaussian elimination with partial pivoting — a
    *  deterministic dense solve of the (dim+1)² damped normal equations;
@@ -116,49 +160,50 @@ object TextClassifier {
   def train(docs: DataFrame, labelCol: String, textCol: String = "text",
       idCol: String = "doc_id", dim: Int = 512, rounds: Int = 2,
       lambda: Double = 0.01): (Long, Array[Long]) = {
-    val spark = docs.sparkSession
     // duplicate doc_ids would double-count the intercept/label rows and
     // silently skew the exact sums (features() already dedups per-doc) —
     // one defensive pass keeps every aggregate per-DOCUMENT
     val d0 = docs.dropDuplicates(idCol)
-    // the intercept rides as virtual feature `dim`, present in every doc
-    val feats = features(d0, textCol, idCol, dim)
-      .unionByName(d0.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
+    // ONE materialization of the per-doc feature arrays (+ label), the
+    // trainCG shape: the previous long-form stream shuffled feature rows
+    // every round (docSums groupBy(id), then the Hessian pair stream's
+    // id-keyed self-join + (dim+1)²-keyed exchange + a 263k-row collect
+    // per round — 84 MB of shuffle per fit at sf0.1). On the cached
+    // arrays the forward pass is a scan-local nano_fold and gradient +
+    // Hessian reduce in ONE single-stage [[sumByFeature]]-style pass —
+    // identical exact-LONG sums, zero per-round exchanges (guide §2.4).
+    val docFeats = featureArrays(d0, textCol, idCol, dim)
+      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("long").as("y")),
+        Seq("id"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val labels = d0.select(col(idCol).as("id"),
-      col(labelCol).cast("long").as("y"))
-    val nDocs = math.max(labels.count(), 1L).toDouble
+    val nDocs = math.max(docFeats.count(), 1L).toDouble
     val d = dim + 1
     var w = new Array[Long](d)
     for (_ <- 0 until rounds) {
       // forward pass on the current weights: error e = p_q - y (1e-6
       // grid) and curvature pq = p_q(1-p_q) (1e-6 grid), both LONGs
-      val z = coalesce(col("s"), lit(0L)) / lit(1e9)
+      val z = graft.functions.VectorFunctions.nano_fold(col("fs"), w.toSeq) / lit(1e9)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val scored = labels.join(docSums(feats, w.toSeq), Seq("id"), "left")
-        .select(col("id"),
+      val scored = docFeats
+        .select(col("fs"),
           (round(p * 1e6).cast("long") - col("y") * 1000000L).as("e"),
           round(p * (lit(1.0) - p) * 1e6).cast("long").as("pq"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      // the per-doc error/curvature frame is ≤ |labeled docs| rows —
-      // broadcast it so neither the gradient nor the Hessian pair stream
-      // ever shuffles feature rows on the join key
-      val joined = feats.join(broadcast(scored), Seq("id"))
-      val grad = joined.groupBy("f").agg(sum(col("e")).as("g")).collect()
-      // the Hessian: Σ_d pq_d over every PAIR of the doc's features —
-      // (dim+1)²-bounded keys, the model squared, not data; the pair
-      // stream flows straight into map-side partial aggregation
-      val hess = joined.select(col("id"), col("f").as("f1"), col("pq"))
-        .join(feats.select(col("id"), col("f").as("f2")), Seq("id"))
-        .groupBy("f1", "f2").agg(sum(col("pq")).as("h"))
-        .collect()
+      // gradient (d cells) + Hessian (d² cells, Σ_d pq_d over every PAIR
+      // of the doc's features — the model squared, not data) in ONE
+      // single-stage pass; H is symmetric so each task fills the upper
+      // triangle and the driver mirrors it
+      val (gL, hL) = gradHessPass(scored, d)
       scored.unpersist(blocking = false)
       // damped normal equations in real units, solved sequentially
       val a = Array.fill(d)(new Array[Double](d))
       val g = new Array[Double](d)
-      hess.foreach(r =>
-        a(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2) / 1e6 / nDocs)
-      grad.foreach(r => g(r.getLong(0).toInt) = r.getLong(1) / 1e6 / nDocs)
+      for (i <- 0 until d; j <- i until d) {
+        val v = hL(i * d + j) / 1e6 / nDocs
+        a(i)(j) = v
+        if (i != j) a(j)(i) = v
+      }
+      for (j <- 0 until d) g(j) = gL(j) / 1e6 / nDocs
       for (j <- 0 until d) {
         a(j)(j) += lambda
         g(j) += lambda * (w(j) / 1e9)
@@ -166,8 +211,49 @@ object TextClassifier {
       val delta = solve(a, g)
       w = Array.tabulate(d)(j => w(j) - math.round(delta(j) * 1e9))
     }
-    feats.unpersist(blocking = false)
+    docFeats.unpersist(blocking = false)
     (w(dim), w.take(dim))
+  }
+
+  /** One pass over the cached `(fs, e, pq)` frame producing the exact-LONG
+   *  gradient vector (g(f) = Σ e over docs containing f) and the upper
+   *  triangle of the Hessian numerator (h(f1·d+f2) = Σ pq over docs
+   *  containing both, f1 ≤ f2) — same cells the per-pair shuffle+collect
+   *  produced, as primitive array adds. */
+  private def gradHessPass(scored: DataFrame, d: Int): (Array[Long], Array[Long]) = {
+    val rdd = scored.queryExecution.toRdd.mapPartitions { it =>
+      val g = new Array[Long](d)
+      val h = new Array[Long](d * d)
+      it.foreach { row =>
+        val fs = row.getArray(0)
+        val e = row.getLong(1)
+        val pq = row.getLong(2)
+        val n = fs.numElements()
+        var i = 0
+        while (i < n) {
+          val fi = fs.getLong(i).toInt
+          g(fi) += e
+          var j = 0
+          while (j < n) {
+            val fj = fs.getLong(j).toInt
+            if (fi <= fj) h(fi * d + fj) += pq
+            j += 1
+          }
+          i += 1
+        }
+      }
+      Iterator.single((g, h))
+    }
+    def add(x: (Array[Long], Array[Long]), y: (Array[Long], Array[Long])) = {
+      var i = 0
+      while (i < d) { x._1(i) += y._1(i); i += 1 }
+      i = 0
+      val n2 = d * d
+      while (i < n2) { x._2(i) += y._2(i); i += 1 }
+      x
+    }
+    if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
+    else rdd.reduce(add)
   }
 
   /**
@@ -227,6 +313,53 @@ object TextClassifier {
     finally docFeats.unpersist(blocking = false)
   }
 
+  /** Hessian-vector products for `dirs.length` heads in ONE single-stage
+   *  job over the cached `(fs, pq1..pqH)` frame: per row and head, fold
+   *  that head's direction over fs (exact LONG t), u = round(pq·t/1e6)
+   *  on Spark's exact round grid ([[sparkRoundToLong]]), scatter u back
+   *  over fs into the head's d-cell accumulator. Same exact LONGs as
+   *  the explode → feature-keyed exchange → collect formulation, with
+   *  no row explosion and no shuffle. */
+  private def hvPass(df: DataFrame, dirs: Array[Array[Long]], d: Int)
+      : Array[Array[Long]] = {
+    val nH = dirs.length
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      val acc = Array.fill(nH)(new Array[Long](d))
+      it.foreach { row =>
+        val fs = row.getArray(0)
+        val n = fs.numElements()
+        var h = 0
+        while (h < nH) {
+          val dir = dirs(h)
+          var t = 0L
+          var i = 0
+          while (i < n) { t += dir(fs.getLong(i).toInt); i += 1 }
+          val u = sparkRoundToLong(
+            row.getLong(1 + h).toDouble * t.toDouble / 1e6)
+          if (u != 0L) {
+            val a = acc(h)
+            i = 0
+            while (i < n) { a(fs.getLong(i).toInt) += u; i += 1 }
+          }
+          h += 1
+        }
+      }
+      Iterator.single(acc)
+    }
+    def add(x: Array[Array[Long]], y: Array[Array[Long]]): Array[Array[Long]] = {
+      var k = 0
+      while (k < nH) {
+        val a = x(k); val b = y(k)
+        var i = 0
+        while (i < d) { a(i) += b(i); i += 1 }
+        k += 1
+      }
+      x
+    }
+    if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
+    else rdd.reduce(add)
+  }
+
   /** The per-doc feature-ARRAY frame `(id, fs)` trainCG/trainMulti share:
    *  [[features]]' gram stream plus the virtual intercept feature `dim`,
    *  collapsed to one array row per document. */
@@ -246,12 +379,12 @@ object TextClassifier {
     def dotv(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0; while (i < d) { s += a(i) * b(i); i += 1 }; s
     }
-    // exact-LONG fold of the nano-grid vector over the doc's features
-    def foldNano(vNano: Array[Long]): Column = {
-      val vLit = typedLit(vNano.toSeq)
-      aggregate(col("fs"), lit(0L),
-        (acc, f) => acc + element_at(vLit, (f + lit(1)).cast("int")))
-    }
+    // exact-LONG fold of the nano-grid vector over the doc's features —
+    // the codegen'd kernel; the ArrayAggregate higher-order formulation
+    // ran interpreted with a boxed element_at per feature against a
+    // (dim+1)-element literal re-embedded in every iteration's plan
+    def foldNano(vNano: Array[Long]): Column =
+      graft.functions.VectorFunctions.nano_fold(col("fs"), vNano.toSeq)
     var w = new Array[Long](d)
     for (_ <- 0 until rounds) {
       val z = foldNano(w) / lit(1e9)
@@ -262,18 +395,19 @@ object TextClassifier {
           round(p * (lit(1.0) - p) * 1e6).cast("long").as("pq"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val g = new Array[Double](d)
-      scored.select(explode(col("fs")).as("f"), col("e"))
-        .groupBy("f").agg(sum(col("e")).as("g")).collect()
-        .foreach(r => g(r.getLong(0).toInt) = r.getLong(1) / 1e6 / nDocs)
+      val gL = sumByFeature(scored.select(col("fs"), col("e")), d, 1)(0)
+      for (j <- 0 until d) g(j) = gL(j) / 1e6 / nDocs
       for (j <- 0 until d) g(j) += lambda * (w(j) / 1e9)
+      // (H + λI)v: ONE single-stage job — per cached row, fold the
+      // direction over fs (exact LONG t), u = round(pq·t/1e6) with
+      // Spark's exact round semantics, scatter u back over fs; ≤ d-cell
+      // task accumulators combine on the driver. Replaces the
+      // per-iteration explode → (dim+1)-key exchange → collect.
       def hv(vNano: Array[Long]): Array[Double] = {
-        val u = round(col("pq").cast("double") *
-          foldNano(vNano).cast("double") / lit(1e6)).cast("long")
+        val hvL = hvPass(scored.select(col("fs"), col("pq")),
+          Array(vNano), d)(0)
         val out = new Array[Double](d)
-        scored.select(col("fs"), u.as("u"))
-          .select(explode(col("fs")).as("f"), col("u"))
-          .groupBy("f").agg(sum(col("u")).as("hv")).collect()
-          .foreach(r => out(r.getLong(0).toInt) = r.getLong(1) / 1e9 / nDocs)
+        for (j <- 0 until d) out(j) = hvL(j) / 1e9 / nDocs
         for (j <- 0 until d) out(j) += lambda * (vNano(j) / 1e9)
         out
       }
@@ -383,11 +517,8 @@ object TextClassifier {
     def dotv(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0; while (i < d) { s += a(i) * b(i); i += 1 }; s
     }
-    def foldNano(vNano: Array[Long]): Column = {
-      val vLit = typedLit(vNano.toSeq)
-      aggregate(col("fs"), lit(0L),
-        (acc, f) => acc + element_at(vLit, (f + lit(1)).cast("int")))
-    }
+    def foldNano(vNano: Array[Long]): Column =
+      graft.functions.VectorFunctions.nano_fold(col("fs"), vNano.toSeq)
     val w = Array.fill(kN)(new Array[Long](d))
     for (_ <- 0 until rounds) {
       // forward pass, all heads in one projection: e_k = p_k·1e6 − y_k·1e6
@@ -402,17 +533,13 @@ object TextClassifier {
       }
       val scored = base.select(col("fs") +: perHead: _*)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
-      // ONE gradient job: groupBy(f) with K sums → K×(dim+1) cells
+      // ONE single-stage gradient job: K exact-LONG d-cell sums per task,
+      // driver-combined — no explode, no feature-keyed exchange
       val g = Array.fill(kN)(new Array[Double](d))
-      val gAggs = (0 until kN).map(k => sum(col(s"e$k")))
-      scored.select(explode(col("fs")).as("f") +:
-          (0 until kN).map(k => col(s"e$k")): _*)
-        .groupBy("f").agg(gAggs.head, gAggs.tail: _*).collect()
-        .foreach { row =>
-          val f = row.getLong(0).toInt
-          var k = 0
-          while (k < kN) { g(k)(f) = row.getLong(1 + k) / 1e6 / nDocs; k += 1 }
-        }
+      val gLs = sumByFeature(
+        scored.select(col("fs") +: (0 until kN).map(k => col(s"e$k")): _*),
+        d, kN)
+      for (k <- 0 until kN; j <- 0 until d) g(k)(j) = gLs(k)(j) / 1e6 / nDocs
       for (k <- 0 until kN; j <- 0 until d) g(k)(j) += lambda * (w(k)(j) / 1e9)
       // per-head CG state; `active` masks finished heads out of later jobs
       val delta = Array.fill(kN)(new Array[Double](d))
@@ -425,19 +552,16 @@ object TextClassifier {
         val act = (0 until kN).filter(active)
         val dirNano = act.map(k => dir(k).map(x => math.round(x * 1e9)))
         val dirQ = dirNano.map(_.map(_ / 1e9))
-        // ONE Hv job for every active head: u_k = round(pq_k·t_k/1e6),
-        // then groupBy(f) with |act| exact-LONG sums
-        val uCols = act.zip(dirNano).map { case (k, dn) =>
-          round(col(s"pq$k").cast("double") *
-            foldNano(dn).cast("double") / lit(1e6)).cast("long").as(s"u$k")
-        }
-        val uAggs = act.map(k => sum(col(s"u$k")))
-        val rows = scored.select(col("fs") +: uCols: _*)
-          .select(explode(col("fs")).as("f") +: act.map(k => col(s"u$k")): _*)
-          .groupBy("f").agg(uAggs.head, uAggs.tail: _*).collect()
+        // ONE single-stage Hv job for every active head:
+        // u_k = round(pq_k·t_k/1e6) per row, |act| d-cell exact-LONG
+        // accumulators per task, driver-combined — no explode, no
+        // feature-keyed exchange
+        val hvLs = hvPass(
+          scored.select(col("fs") +: act.map(k => col(s"pq$k")): _*),
+          dirNano.toArray, d)
         val hp = act.indices.map { i =>
           val out = new Array[Double](d)
-          rows.foreach(row => out(row.getLong(0).toInt) = row.getLong(1 + i) / 1e9 / nDocs)
+          for (j <- 0 until d) out(j) = hvLs(i)(j) / 1e9 / nDocs
           for (j <- 0 until d) out(j) += lambda * (dirNano(i)(j) / 1e9)
           out
         }
@@ -497,10 +621,8 @@ object TextClassifier {
     val withB = toks.select(col("id"), concat(t, bigrams).as("g"))
       .select(col("id"), buckets.as("bs"))
     val cands = models.zipWithIndex.map { case ((cls, biasNano, wNano), i) =>
-      val wLit = typedLit(wNano)
       val m = lit(biasNano) + coalesce(
-        aggregate(col("bs"), lit(0L),
-          (acc, f) => acc + element_at(wLit, (f + lit(1)).cast("int"))),
+        graft.functions.VectorFunctions.nano_fold(col("bs"), wNano),
         lit(0L))
       struct(m.as("m"), lit(-i).as("prio"), lit(cls).as("cls"))
     }
@@ -535,7 +657,6 @@ object TextClassifier {
       transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
       .otherwise(typedLit(Seq.empty[String]))
-    val wLit = typedLit(weightsNano)
     // presence features are distinct per BUCKET (two grams colliding into
     // one hash bucket count once — what features()' distinct() and the
     // SQL oracle's DISTINCT (doc_id, f) both do), so dedupe the bucket
@@ -544,8 +665,7 @@ object TextClassifier {
       pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
         lit(dim.toLong))))
     val s = coalesce(
-      aggregate(buckets, lit(0L),
-        (acc, f) => acc + element_at(wLit, (f + lit(1)).cast("int"))),
+      graft.functions.VectorFunctions.nano_fold(buckets, weightsNano),
       lit(0L))
     val z = (lit(biasNano) + s) / lit(1e9)
     toks.select(col("id"), concat(t, bigrams).as("g"))
