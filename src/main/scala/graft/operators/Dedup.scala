@@ -100,21 +100,33 @@ object Dedup {
    *  [[nearDuplicates]]: (band, bucket) explode → degenerate-bucket prune
    *  (a k-doc bucket contributes k² rows; other bands re-surface real
    *  pairs) → equi-self-join → distinct (id_a < id_b) pairs. One code
-   *  path so bucket-cap semantics cannot drift between the two operators. */
+   *  path so bucket-cap semantics cannot drift between the two operators.
+   *
+   *  Shuffle shape (guide §2.4): the bucket-size prune is a window count
+   *  over (band, bucket) — the SAME hash partitioning + ordering the
+   *  self-join needs — and the pruned frame is persisted, so the banded
+   *  keys cross the wire ONCE and the self-join runs exchange-free over
+   *  the cached co-partitioned copy. The groupBy → join-back → self-join
+   *  formulation this replaces shuffled the banded frame three times and
+   *  recomputed the pruned subtree once per join side. Returns the pairs
+   *  frame plus the cached intermediate for the caller's
+   *  [[materializeThenFree]]. */
   private def bandedCandidatePairs(sig: DataFrame, bands: Int, rows: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int): (DataFrame, DataFrame) = {
     val banded = sig.select(col("id"),
       posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val okBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("_n"))
+    val wn = Window.partitionBy("band", "bucket")
+    val pruned = banded
+      .withColumn("_n", count(lit(1)).over(wn))
       .filter(col("_n") >= 2 && col("_n") <= maxBucket)
-      .select("band", "bucket")
-    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
-    pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .select("band", "bucket", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    (pairs, pruned)
   }
 
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
@@ -127,7 +139,7 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"),
         signatureFromShingles(TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
+    val (pairs, prunedKeys) = bandedCandidatePairs(sig, bands, rows, maxBucket)
     val out = pairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -135,7 +147,7 @@ object Dedup {
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .select("id_a", "id_b", "est_jaccard")
-    materializeThenFree(out, sig)
+    materializeThenFree(out, sig, prunedKeys)
   }
 
   /**
@@ -195,8 +207,8 @@ object Dedup {
   private[operators] def nearDuplicatesFromSigs(docsSlim: DataFrame,
       sig: DataFrame, threshold: Double, shingleWords: Int, bands: Int,
       rows: Int, maxBucket: Int, freeAlso: Seq[DataFrame] = Nil): DataFrame = {
-    val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val (pairs0, prunedKeys) = bandedCandidatePairs(sig, bands, rows, maxBucket)
+    val pairs = pairs0.persist(StorageLevel.MEMORY_AND_DISK_SER)
     // semi-join reduction: only candidate docs' shingle arrays enter the
     // verification join — at scale candidates ≪ corpus, so this avoids
     // shuffling every document's (large) shingle array twice. The semi-join
@@ -218,7 +230,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
-    materializeThenFree(out, (Seq(pairs, shNeeded) ++ freeAlso): _*)
+    materializeThenFree(out, (Seq(pairs, prunedKeys, shNeeded) ++ freeAlso): _*)
   }
 
   /**
@@ -286,13 +298,17 @@ object Dedup {
     while (changed > 0) {
       val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nl"))
+      // the change flag rides the propagation row (new label strictly
+      // below the old) so convergence is a scan of the checkpointed
+      // frame — the previous formulation re-joined next against labels
+      // every round, one extra shuffle join per iteration (guide §2.4)
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("_chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
-      labels = next
+      changed = next.filter(col("_chg")).count()
+      labels = next.select("id", "label")
     }
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }

@@ -2442,12 +2442,18 @@ object Similarity {
       newIds: Option[DataFrame], threshold: Double, maxBucket: Int,
       withCosine: Boolean = false,
       requireVecCoverage: Boolean = false): DataFrame = {
-    val sigs = sigs0.persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val okBuckets = sigs.groupBy("tbl", "sig")
-      .agg(count(lit(1)).as("_n"))
+    // bucket-size prune as a window count over (tbl, sig) — ONE shuffle
+    // of the signature keys, already the hash partitioning + ordering the
+    // self-join below needs, with the pruned frame persisted so both join
+    // sides read the cached co-partitioned copy (the groupBy → join-back
+    // formulation shuffled the signature frame three times; guide §2.4 —
+    // same reshape as Dedup.bandedCandidatePairs)
+    val wn = Window.partitionBy("tbl", "sig")
+    val pruned = sigs0
+      .withColumn("_n", count(lit(1)).over(wn))
       .filter(col("_n") >= 2 && col("_n") <= maxBucket)
-      .select("tbl", "sig")
-    val pruned = sigs.join(okBuckets, Seq("tbl", "sig"))
+      .select("tbl", "sig", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val pairs = (newIds match {
       case None =>
         pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
@@ -2503,7 +2509,7 @@ object Similarity {
       else verified.select("id_a", "id_b")
     // materialize the (small) pair result, then free the intermediate
     // caches — leaked persists thrash under memory pressure
-    Dedup.materializeThenFree(out, sigs, pairs, candIds, cand)
+    Dedup.materializeThenFree(out, pruned, pairs, candIds, cand)
   }
 
   /** The streaming wrapper, mirroring
