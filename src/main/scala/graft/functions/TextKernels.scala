@@ -222,6 +222,57 @@ object TextKernelImplWinnow {
   }
 }
 
+/** Char-trigram LM scoring kernel (graft.operators.LanguageModel): mean
+  * trigram log-probability of a NORMALIZED ([a-z0-9 ]) text under additive
+  * smoothing, against count tables indexed over the 37-char alphabet. */
+object TextKernelImplLm {
+  val V = 37
+  private val V2 = V * V
+
+  /** [a-z0-9 ] → 0..36; anything else (impossible post-normalize) → -1. */
+  private def charIdx(b: Byte): Int =
+    if (b >= 'a' && b <= 'z') b - 'a'
+    else if (b >= '0' && b <= '9') 26 + (b - '0')
+    else if (b == ' ') 36
+    else -1
+
+  /** Dense index of a 3-char normalized trigram string: c1·37² + c2·37 + c3. */
+  def triIndex(tri: String): Int = {
+    require(tri.length == 3, s"trigram must be 3 chars, got '$tri'")
+    val i1 = charIdx(tri.charAt(0).toByte)
+    val i2 = charIdx(tri.charAt(1).toByte)
+    val i3 = charIdx(tri.charAt(2).toByte)
+    require(i1 >= 0 && i2 >= 0 && i3 >= 0,
+      s"trigram '$tri' outside the normalized [a-z0-9 ] alphabet")
+    i1 * V2 + i2 * V + i3
+  }
+
+  /** Σ_i ln((tc[tri_i] + 0.5) / (bc[bi_i] + 18.5)) / nTrigrams over the
+    * normalized text's trigram positions, summed IN POSITION ORDER — the
+    * same addition order the exploded-row formulation's map-side Average
+    * partial produced (a doc's trigram rows never left their scan
+    * partition), so the double is bit-identical. Caller guarantees
+    * length ≥ 3 and the normalized alphabet. */
+  def lmMeanLogp(norm: UTF8String, tc: Array[Long], bc: Array[Long]): Double = {
+    val n = norm.numBytes
+    val nTr = n - 2
+    var i = 0
+    // running 2-char prefix index, shifted one char per step
+    var i1 = charIdx(norm.getByte(0))
+    var i2 = charIdx(norm.getByte(1))
+    var sum = 0.0
+    while (i < nTr) {
+      val i3 = charIdx(norm.getByte(i + 2))
+      sum += java.lang.Math.log(
+        (tc(i1 * V2 + i2 * V + i3) + 0.5) / (bc(i1 * V + i2) + 0.5 * V))
+      i1 = i2
+      i2 = i3
+      i += 1
+    }
+    sum / nTr
+  }
+}
+
 object TextKernels {
 
   /** Analysis-time contract shared by all four text expressions: the child
@@ -295,6 +346,37 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Winnow = copy(child = c)
   }
 
+  /** Mean trigram log-prob of a pre-normalized string under the trained
+   *  count table `tc` (dense 37³ layout, [[TextKernelImplLm.triIndex]]).
+   *  The prefix-bigram table is the exact marginal of `tc` (same LONG
+   *  sums as the SQL rollup), derived once per expression instance; both
+   *  ride to codegen as shared long[] reference objects — scoring the
+   *  whole corpus is scan-local, no trigram explode, no model join. */
+  case class LmMeanLogp(child: Expression, tc: Seq[Long]) extends UnaryExpression {
+    require(tc.length == TextKernelImplLm.V * TextKernelImplLm.V * TextKernelImplLm.V,
+      s"lm_mean_logp count table must have 37^3 cells, got ${tc.length}")
+    override def checkInputDataTypes() = checkStringInput(prettyName, child)
+    override def dataType: DataType = DoubleType
+    @transient private lazy val tcArr = tc.toArray
+    @transient private lazy val bcArr = {
+      val v = TextKernelImplLm.V
+      val bc = new Array[Long](v * v)
+      var i = 0
+      while (i < tcArr.length) { bc(i / v) += tcArr(i); i += 1 }
+      bc
+    }
+    override def nullSafeEval(s: Any): Any =
+      TextKernelImplLm.lmMeanLogp(s.asInstanceOf[UTF8String], tcArr, bcArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tcRef = ctx.addReferenceObj("lmTc", tcArr, "long[]")
+      val bcRef = ctx.addReferenceObj("lmBc", bcArr, "long[]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.TextKernelImplLm.lmMeanLogp($v, $tcRef, $bcRef)")
+    }
+    override def prettyName: String = "lm_mean_logp"
+    override protected def withNewChildInternal(c: Expression): LmMeanLogp = copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
@@ -311,6 +393,9 @@ object TextKernels {
       (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "word_shingles(text, n)")
         WordShingles(es(0),
           VectorFunctions.litIntArg(es(1), "n")) }, "scala_udf")
+    reg.createOrReplaceTempFunction("lm_mean_logp",
+      (es: Seq[Expression]) => { VectorFunctions.expectArity(es, 2, "lm_mean_logp(norm, tc)")
+        LmMeanLogp(es(0), VectorFunctions.foldLongArray(es(1), "tc")) }, "scala_udf")
   }
 
   def word_shingles(text: Column, n: Int): Column = {
@@ -333,5 +418,11 @@ object TextKernels {
   def quality_score(text: Column): Column = {
     register(SparkSession.active)
     call_function("quality_score", text)
+  }
+
+  def lm_mean_logp(norm: Column, tc: Seq[Long]): Column = {
+    import org.apache.spark.sql.functions.typedLit
+    register(SparkSession.active)
+    call_function("lm_mean_logp", norm, typedLit(tc))
   }
 }

@@ -51,25 +51,28 @@ object LanguageModel {
    */
   def scoreDocs(docs: DataFrame, reference: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val triCnt = trigrams(reference, textCol, idCol)
-      .groupBy("tri").agg(count(lit(1)).as("tc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // prefix-bigram counts are a marginal of the trigram counts (same
-    // position set), so they roll up from the ≤37³-row model instead of
-    // re-scanning the reference corpus a second time
-    val biCnt = triCnt.groupBy(col("tri").substr(1, 2).as("bi"))
-      .agg(sum(col("tc")).as("bc"))
-    val out = trigrams(docs, textCol, idCol)
-      .join(broadcast(triCnt), Seq("tri"), "left")
-      .withColumn("bi", col("tri").substr(1, 2))
-      .join(broadcast(biCnt), Seq("bi"), "left")
-      .withColumn("logp",
-        log((coalesce(col("tc"), lit(0L)) + Alpha) /
-          (coalesce(col("bc"), lit(0L)) + Alpha * V)))
-      .groupBy(idCol)
-      .agg(round(avg(col("logp")), 6).as("lm_score"), count(lit(1)).as("n_trigrams"))
-    // materialize the scores while the (≤37³-row) model is cached, then
-    // release it — the repo convention for operator-lifetime persists
-    Dedup.materializeThenFree(out, triCnt)
+    // the trained counts ARE the model: ≤ 37³ cells regardless of corpus
+    // size — a bounded collect (the previous formulation broadcast exactly
+    // these rows, then EXPLODED every scored doc into per-trigram rows
+    // through two joins and a doc-keyed aggregation: |chars| rows per doc
+    // through the plan). Collected into a dense table riding inside a
+    // codegen'd expression, scoring is fully SCAN-LOCAL (guide §2.4) —
+    // this is the path that runs over the whole corpus at 100 TB. The
+    // prefix-bigram marginal derives inside the expression (same exact
+    // LONG sums as the SQL rollup), and the kernel sums log-probs in
+    // position order — the same addition order the exploded stream's
+    // map-side Average produced — so scores are bit-identical.
+    val tcArr = new Array[Long](37 * 37 * 37)
+    trigrams(reference, textCol, idCol)
+      .groupBy("tri").agg(count(lit(1)).as("tc")).collect()
+      .foreach(r => tcArr(
+        graft.functions.TextKernelImplLm.triIndex(r.getString(0))) = r.getLong(1))
+    val norm = normalize(col(textCol))
+    docs.select(col(idCol), norm.as("_n"))
+      .filter(length(col("_n")) >= 3) // docs with no trigram are excluded
+      .select(col(idCol),
+        round(graft.functions.TextKernels.lm_mean_logp(col("_n"), tcArr.toSeq), 6)
+          .as("lm_score"),
+        (length(col("_n")) - 2).cast("long").as("n_trigrams"))
   }
 }

@@ -35,28 +35,23 @@ class LanguageModelSpec extends SparkSpec {
       s"fluent ${scored(9000001L)} should beat gibberish ${scored(9000002L)}")
   }
 
-  test("the scoring plan broadcasts both trained-count joins (no corpus-wide shuffle join)") {
+  test("the scoring plan is SCAN-LOCAL: no join, no exchange, no explode") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     // AQE wraps the plan in adaptive stages the TreeNode collect can't see
     // through before execution (SketchSpec's note) — assert the static plan
     spark.conf.set("spark.sql.adaptive.enabled", false)
     val plan =
       try LanguageModel.scoreDocs(docs, docs.filter(col("doc_id") % 3 === 0))
-        .queryExecution.executedPlan
+        .queryExecution.executedPlan.toString
       finally spark.conf.set("spark.sql.adaptive.enabled", true)
-    // the operator returns its result persisted (materializeThenFree), so
-    // the join plan sits under an InMemoryTableScan — recurse into it
-    def count(p: org.apache.spark.sql.execution.SparkPlan, pred: Any => Boolean): Int =
-      p.collect {
-        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          count(m.relation.cachedPlan, pred)
-        case n if pred(n) => 1
-      }.sum
-    val bhj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
-    val smj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
-    val shj = count(plan, _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
-    assert(bhj === 2, s"want both count joins broadcast, got $bhj broadcast / $smj SMJ / $shj SHJ")
-    assert(smj + shj === 0, "a trained-model join must never shuffle the trigram stream")
+    // r17: the ≤37³-cell trained counts ride inside the lm_mean_logp
+    // codegen kernel, so the path that scans the WHOLE corpus carries no
+    // join (the old broadcast model joins), no trigram explode (|chars|
+    // rows per doc), and no exchange at all
+    assert(!plan.contains("Join"), s"scoring must not join:\n${plan.take(800)}")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n${plan.take(800)}")
+    assert(!plan.contains("Generate"), s"scoring must not explode:\n${plan.take(800)}")
+    assert(plan.contains("lm_mean_logp"), "scoring should go through the kernel")
   }
 
   test("normalization collapses runs and trims, matching the oracle's regex") {
