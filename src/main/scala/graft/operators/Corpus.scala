@@ -187,15 +187,22 @@ object Corpus {
   def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 8, minDocs: Long = 2): DataFrame = {
     val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("t"))
-    def grams = toks.filter(size(col("t")) >= k)
+    // the gram stream is built ONCE and the duplicate-frequency test is a
+    // window distinct-doc count over the gram key — one shuffle of the
+    // gram stream. The previous def-based groupBy + join-back ran the
+    // tokenize + k-gram kernel twice (its dominant scan-local cost) and
+    // shuffled the heavy gram strings a second time for the join
+    // (guide §2.4); the distinct-doc sets per gram are bounded by the
+    // docs actually sharing the span, exactly what countDistinct's
+    // partial state held
+    val grams = toks.filter(size(col("t")) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("t")) - k),
           i => array_join(slice(col("t"), i + 1, lit(k)), " "))).as(Seq("pos", "gram")))
-    val dupGrams = grams.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gram")
-    val covered = grams.join(dupGrams, "gram")
+    val covered = grams
+      .withColumn("_nd",
+        size(collect_set(col(idCol)).over(Window.partitionBy("gram"))))
+      .filter(col("_nd") >= minDocs)
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .groupBy(idCol).agg(collect_set(col("p")).as("cov"))
     toks.join(covered, Seq(idCol), "left")

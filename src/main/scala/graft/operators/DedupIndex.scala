@@ -635,14 +635,17 @@ object DedupIndex {
     // RE-APPLIED at probe time: across appends a bucket can accrete past
     // the per-write cap ([[compact]] re-establishes it at rest) — without
     // this every future probe touching that bucket would pay its full
-    // membership forever
-    val matched = spark.read.parquet(dir)
+    // membership forever. The cap is a window count over the bucket key
+    // (one shuffle of the pruned index keys, already partitioned for the
+    // candidate join below) — the groupBy + join-back formulation
+    // shuffled them twice and scanned the pruned parquet twice
+    // (guide §2.4, the bandedCandidatePairs reshape)
+    val idx = spark.read.parquet(dir)
       .filter(col("bucket_part").isin(parts.map(_.asInstanceOf[Any]): _*))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val okBuckets = matched.groupBy("bucket_part", "band", "bucket")
-      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
-      .select("bucket_part", "band", "bucket")
-    val idx = matched.join(okBuckets, Seq("bucket_part", "band", "bucket"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket_part", "band", "bucket")))
+      .filter(col("_n") <= maxBucket)
     val cand = hotKeys
       .join(idx.select(col("bucket_part"), col("band"), col("bucket"),
           col("id").as("corpus_id")),
@@ -668,7 +671,7 @@ object DedupIndex {
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("batch_id", "corpus_id")
-    val free = Seq(matched, cand, shB, shC) ++
+    val free = Seq(cand, shB, shC) ++
       (if (ownBanded) Seq(batchBanded) else Nil)
     Dedup.materializeThenFree(out, free: _*)
   }
