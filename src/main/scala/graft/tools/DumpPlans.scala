@@ -3,7 +3,7 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
@@ -43,9 +43,20 @@ object DumpPlans {
     val stages = new AtomicInteger
     val shuffleWrite = new AtomicLong
     val shuffleRead = new AtomicLong
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(j.stageInfos.lastOption.map(_.name)).getOrElse("?")
+        jobStarts.put(j.jobId, (j.time, desc.take(140)))
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(j.jobId)
+        if (s != null) jobTimes.add(((j.time - s._1) / 1e3, s._2))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         val m = s.stageInfo.taskMetrics
@@ -63,6 +74,7 @@ object DumpPlans {
       // from prepare well enough for whole-query tallies
       Thread.sleep(500)
       jobs.set(0); stages.set(0); shuffleWrite.set(0); shuffleRead.set(0)
+      jobTimes.clear()
       // the fn CALL is inside the tallied+timed region: lifecycle
       // operators (ingest, recheck, retrain) do their work eagerly while
       // building the returned frame — exactly what the bench times
@@ -73,12 +85,17 @@ object DumpPlans {
       Thread.sleep(500)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      import scala.jdk.CollectionConverters._
+      val slowest = jobTimes.asScala.toSeq.sortBy(-_._1).take(10)
+        .map { case (s, d) => f"  $s%7.3fs  $d%s" }.mkString("\n")
       val tallies =
         f"""== Executed (one bench-methodology run at local[$cpus%s], sf=$sfDir%s) ==
            |wall_sec: $sec%.3f
            |jobs: ${jobs.get}%d   stages: ${stages.get}%d
            |shuffle_bytes_written: ${shuffleWrite.get}%d
            |shuffle_bytes_read: ${shuffleRead.get}%d
+           |slowest jobs (sec, callsite):
+           |$slowest%s
            |""".stripMargin
       Files.writeString(outDir.resolve(s"${name}_$suffix.txt"),
         tallies + "\n" + plan)
