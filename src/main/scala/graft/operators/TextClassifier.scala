@@ -116,7 +116,11 @@ object TextClassifier {
       }
       x
     }
-    if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
+    // an EMPTY frame can plan to a zero-partition RDD, where reduce
+    // throws — the collect() formulation this replaced returned no rows,
+    // i.e. all-zero sums, so that is the value here too
+    if (rdd.getNumPartitions == 0) Array.fill(nVals)(new Array[Long](d))
+    else if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
     else rdd.reduce(add)
   }
 
@@ -252,7 +256,9 @@ object TextClassifier {
       while (i < n2) { x._2(i) += y._2(i); i += 1 }
       x
     }
-    if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
+    // zero-partition (empty-frame) guard, as in sumByFeature
+    if (rdd.getNumPartitions == 0) (new Array[Long](d), new Array[Long](d * d))
+    else if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
     else rdd.reduce(add)
   }
 
@@ -356,7 +362,9 @@ object TextClassifier {
       }
       x
     }
-    if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
+    // zero-partition (empty-frame) guard, as in sumByFeature
+    if (rdd.getNumPartitions == 0) Array.fill(nH)(new Array[Long](d))
+    else if (rdd.getNumPartitions > 64) rdd.treeReduce(add, depth = 2)
     else rdd.reduce(add)
   }
 

@@ -134,6 +134,24 @@ class ClassifierSpec extends SparkSpec {
     assert(acc === 1.0, s"planted 3-class vocabulary should separate, got $acc")
   }
 
+  test("empty training frame yields zero weights, no throw (r17 array-reduce edge)") {
+    // the r17 single-stage array reductions replaced collect() with an
+    // RDD reduce; an empty frame can plan to a ZERO-partition RDD, where
+    // reduce throws — the guards must return the all-zero sums the
+    // collect() formulation produced (-> zero weights after the damped
+    // solve, exactly the old result)
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "label")
+    val (b, w) = TextClassifier.train(empty, "label", dim = 64)
+    assert(b === 0L && w.forall(_ == 0L))
+    val (bc, wc) = TextClassifier.trainCG(empty, "label", dim = 64, cgIters = 2)
+    assert(bc === 0L && wc.forall(_ == 0L))
+    val multi = TextClassifier.trainMulti(
+      empty.withColumn("lab", col("label").cast("string")), "lab",
+      classes = Seq("0", "1"), dim = 64, cgIters = 2)
+    assert(multi.forall { case (_, mb, mw) => mb === 0L && mw.forall(_ == 0L) })
+  }
+
   test("reproduces the rule-based language labeler on the sf0.01 corpus (acc >= 0.9)") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.01", "documents")
       .withColumn("label", (TextFunctions.langId(col("text")) === "en").cast("int"))
