@@ -176,9 +176,8 @@ object TextClassifier {
     // arrays the forward pass is a scan-local nano_fold and gradient +
     // Hessian reduce in ONE single-stage [[sumByFeature]]-style pass —
     // identical exact-LONG sums, zero per-round exchanges (guide §2.4).
-    val docFeats = featureArrays(d0, textCol, idCol, dim)
-      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("long").as("y")),
-        Seq("id"))
+    val docFeats = featureArrays(d0, textCol, idCol, dim,
+        "y" -> col(labelCol).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val nDocs = math.max(docFeats.count(), 1L).toDouble
     val d = dim + 1
@@ -311,9 +310,8 @@ object TextClassifier {
     // combined feature-keyed sum into ≤ dim+1 keys. collect_list order
     // is nondeterministic, which is safe here: every fold is an exact
     // integer sum, order-independent by construction.
-    val docFeats = featureArrays(d0, textCol, idCol, dim)
-      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("long").as("y")),
-        Seq("id"))
+    val docFeats = featureArrays(d0, textCol, idCol, dim,
+        "y" -> col(labelCol).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try cgCore(docFeats, dim, rounds, lambda, cgIters)
     finally docFeats.unpersist(blocking = false)
@@ -368,14 +366,35 @@ object TextClassifier {
     else rdd.reduce(add)
   }
 
-  /** The per-doc feature-ARRAY frame `(id, fs)` trainCG/trainMulti share:
-   *  [[features]]' gram stream plus the virtual intercept feature `dim`,
-   *  collapsed to one array row per document. */
+  /** The per-doc feature-ARRAY frame `(id, fs, extra...)` the trainers
+   *  share: the same distinct md5-hashed buckets as [[features]] plus
+   *  the virtual intercept feature `dim`, built SCAN-LOCALLY per row
+   *  (the [[score]] formulation) with any `extra` columns (labels)
+   *  carried through the same projection. The previous long-form
+   *  explode → global distinct → groupBy(id) collapse shuffled the gram
+   *  stream twice and then joined labels back on id — three exchanges
+   *  per fit where zero are needed (guide §2.4); the bucket SET per doc
+   *  is identical (distinct per bucket, intercept appended — `dim`
+   *  cannot collide with a pmod-by-dim bucket), and every consumer's
+   *  fold/scatter over `fs` is order-independent exact-LONG arithmetic. */
   private def featureArrays(d0: DataFrame, textCol: String, idCol: String,
-      dim: Int): DataFrame =
-    features(d0, textCol, idCol, dim)
-      .unionByName(d0.select(col(idCol).as("id"), lit(dim.toLong).as("f")))
-      .groupBy("id").agg(collect_list(col("f")).as("fs"))
+      dim: Int, extra: (String, Column)*): DataFrame = {
+    val toks = d0.select((col(idCol).as("id") +:
+      graft.functions.TextFunctions.tokens(col(textCol)).as("t") +:
+      extra.map { case (n, c) => c.as(n) }): _*)
+    val t = col("t")
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + lit(1)))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val buckets = array_distinct(transform(concat(t, bigrams), g =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"),
+        lit(dim.toLong))))
+    toks.select((col("id") +:
+      concat(coalesce(buckets, typedLit(Seq.empty[Long])),
+        array(lit(dim.toLong))).as("fs") +:
+      extra.map { case (n, _) => col(n) }): _*)
+  }
 
   /** The damped-Newton-CG loop over a CACHED `(fs, y)` frame — the whole
    *  of [[trainCG]] after feature materialization, factored out so
@@ -483,9 +502,8 @@ object TextClassifier {
     require(classes.nonEmpty && classes.distinct.size == classes.size,
       s"classes must be non-empty and distinct, got $classes")
     val d0 = docs.dropDuplicates(idCol)
-    val base = featureArrays(d0, textCol, idCol, dim)
-      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("string").as("lab")),
-        Seq("id"))
+    val base = featureArrays(d0, textCol, idCol, dim,
+        "lab" -> col(labelCol).cast("string"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try cgCoreMulti(base, classes, dim, rounds, lambda, cgIters)
     finally base.unpersist(blocking = false)
@@ -499,9 +517,8 @@ object TextClassifier {
       dim: Int = 512, rounds: Int = 2, lambda: Double = 0.01, cgIters: Int = 12)
       : Seq[(String, Long, Array[Long])] = {
     val d0 = docs.dropDuplicates(idCol)
-    val base = featureArrays(d0, textCol, idCol, dim)
-      .join(d0.select(col(idCol).as("id"), col(labelCol).cast("string").as("lab")),
-        Seq("id"))
+    val base = featureArrays(d0, textCol, idCol, dim,
+        "lab" -> col(labelCol).cast("string"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try classes.map { c =>
       val head = base.select(col("fs"), (col("lab") === c).cast("long").as("y"))
