@@ -96,37 +96,182 @@ object Dedup {
    *    bands' buckets usually re-surface.
    */
 
+  /** Sorted run-length LSH bucket machinery shared by the candidate
+   *  generators ([[bandedCandidatePairs]], `Similarity.pairsFromSigs`):
+   *  ONE exchange of the banded keys (`repartition(keyCols)`), a
+   *  within-partition sort by (keyCols, idCol), and a streaming
+   *  run-length pass that buffers AT MOST `maxBucket + 1` rows per bucket
+   *  run and emits each qualifying bucket's candidate pairs directly.
+   *
+   *  Versus the r17 window-count prune this (a) never buffers a whole
+   *  key group — a degenerate bucket (the empty/boilerplate-doc pathology
+   *  `maxBucket` exists for) is discarded streaming with O(maxBucket)
+   *  task memory instead of being buffered by WindowExec before the
+   *  `_n <= maxBucket` filter sees it (guide §2.5), and (b) needs no
+   *  persist and no self-join — the pairs fall out of the run buffer, so
+   *  the banded keys cross the wire exactly once. Versus the r16
+   *  groupBy → join-back → self-join it keeps the 3-shuffles→1 win.
+   *  Three-arm min-of-5 A/B + job/shuffle tallies: OPTIMIZATION_r18.md §1.
+   *
+   *  Semantics proved equal to `pruned ⋈ pruned ON keyCols` over the
+   *  bucket-size filter `2 <= n <= maxBucket` + `id_a < id_b` + distinct:
+   *   - rows are sorted by (keyCols, idCol) with SPARK's ordering, so
+   *     emitting (run(i), run(j)) for i < j yields id_a <= id_b under the
+   *     same comparator the old `col("id_a") < col("id_b")` used
+   *     (UTF8String binary order for strings — NOT JVM String order);
+   *     equal-id pairs are then dropped by the trailing `=!=` filter
+   *     exactly as the old strict `<` (or the incremental mode's `=!=`)
+   *     dropped them;
+   *   - a row whose key contains NULL emits nothing (the old equi-join
+   *     never matched null keys);
+   *   - runs longer than maxBucket emit nothing (the `n <= maxBucket`
+   *     prune) and singleton runs have no pairs (the `n >= 2` prune).
+   *
+   *  `flagCol` (nullable boolean): when set, only pairs where at least
+   *  one member's flag is true are emitted — the incremental-recheck
+   *  "pair involves a new id" restriction, previously a second semi-join
+   *  + join against the pruned frame. Equivalence: old = unordered pairs
+   *  {a,b}, a≠b, both in a capped bucket, b ∈ newIds, least/greatest-
+   *  normalized; new = same set with the membership test carried as a
+   *  per-row flag. */
+  private[operators] def cappedRunPairs(banded: DataFrame, keyCols: Seq[String],
+      idCol: String, maxBucket: Int, flagCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StructType
+    val sorted = banded
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ idCol).map(col): _*)
+    val schema = sorted.schema
+    val kIdx = keyCols.map(schema.fieldIndex).toArray
+    val iIdx = schema.fieldIndex(idCol)
+    val fIdx = flagCol.map(schema.fieldIndex).getOrElse(-1)
+    val outSchema = StructType(Seq(
+      schema(iIdx).copy(name = "id_a"), schema(iIdx).copy(name = "id_b")))
+    val cap = maxBucket
+    val pairs = sorted.mapPartitions { it =>
+      // equi-join key equality: NULL matches nothing
+      def sameKey(a: Row, b: Row): Boolean = {
+        var i = 0
+        while (i < kIdx.length) {
+          val x = a.get(kIdx(i)); val y = b.get(kIdx(i))
+          if (x == null || y == null || x != y) return false
+          i += 1
+        }
+        true
+      }
+      def keyHasNull(r: Row): Boolean = kIdx.exists(r.isNullAt)
+      def isNew(r: Row): Boolean = !r.isNullAt(fIdx) && r.getBoolean(fIdx)
+      val runs: Iterator[scala.collection.IndexedSeq[Row]] =
+          new scala.collection.AbstractIterator[scala.collection.IndexedSeq[Row]] {
+        private var look: Row = if (it.hasNext) it.next() else null
+        private var run: scala.collection.IndexedSeq[Row] = null
+        private def load(): Unit = {
+          while (run == null && look != null) {
+            val head = look
+            look = null
+            val buf = new scala.collection.mutable.ArrayBuffer[Row](8)
+            var drop = keyHasNull(head) // null-key rows pair with nothing
+            if (!drop) buf += head
+            var scanning = true
+            while (scanning && it.hasNext) {
+              val r = it.next()
+              if (sameKey(head, r)) {
+                if (!drop) {
+                  buf += r
+                  if (buf.length > cap) { drop = true; buf.clear() }
+                }
+              } else { look = r; scanning = false }
+            }
+            if (!drop && buf.length >= 2) run = buf
+          }
+        }
+        def hasNext: Boolean = { load(); run != null }
+        def next(): scala.collection.IndexedSeq[Row] = {
+          load()
+          if (run == null) throw new NoSuchElementException("empty run iterator")
+          val r = run; run = null; r
+        }
+      }
+      runs.flatMap { run =>
+        run.indices.iterator.flatMap { i =>
+          (i + 1 until run.length).iterator
+            .filter(j => fIdx < 0 || isNew(run(i)) || isNew(run(j)))
+            .map(j => Row(run(i).get(iIdx), run(j).get(iIdx)))
+        }
+      }
+    }(Encoders.row(outSchema))
+    pairs.filter(col("id_a") =!= col("id_b")).distinct()
+  }
+
+  /** Run-length bucket-size CAP (no pair emission): rows of runs longer
+   *  than `maxBucket` are dropped streaming, buffering at most
+   *  `maxBucket + 1` rows — the prune half of [[cappedRunPairs]] for
+   *  consumers that join the surviving keys against something else
+   *  (`DedupIndex.probeCore`). Mirrors the window-count formulation it
+   *  replaces: null keys group together (like `Window.partitionBy`, not
+   *  like an equi-join) and ALL input columns pass through unchanged. */
+  private[operators] def cappedRuns(df: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sorted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val schema = sorted.schema
+    val kIdx = keyCols.map(schema.fieldIndex).toArray
+    val cap = maxBucket
+    sorted.mapPartitions { it =>
+      def sameGroup(a: Row, b: Row): Boolean = {
+        var i = 0
+        while (i < kIdx.length) {
+          val x = a.get(kIdx(i)); val y = b.get(kIdx(i))
+          val eq = if (x == null) y == null else x == y
+          if (!eq) return false
+          i += 1
+        }
+        true
+      }
+      new scala.collection.AbstractIterator[Row] {
+        private var look: Row = if (it.hasNext) it.next() else null
+        private var out: Iterator[Row] = Iterator.empty
+        private def load(): Unit = {
+          while (!out.hasNext && look != null) {
+            val head = look
+            look = null
+            val buf = new scala.collection.mutable.ArrayBuffer[Row](8)
+            buf += head
+            var drop = false
+            var scanning = true
+            while (scanning && it.hasNext) {
+              val r = it.next()
+              if (sameGroup(head, r)) {
+                if (!drop) {
+                  buf += r
+                  if (buf.length > cap) { drop = true; buf.clear() }
+                }
+              } else { look = r; scanning = false }
+            }
+            if (!drop) out = buf.iterator
+          }
+        }
+        def hasNext: Boolean = { load(); out.hasNext }
+        def next(): Row = { load(); out.next() }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Banded LSH candidate generation shared by [[minhashCandidates]] and
    *  [[nearDuplicates]]: (band, bucket) explode → degenerate-bucket prune
    *  (a k-doc bucket contributes k² rows; other bands re-surface real
-   *  pairs) → equi-self-join → distinct (id_a < id_b) pairs. One code
-   *  path so bucket-cap semantics cannot drift between the two operators.
-   *
-   *  Shuffle shape (guide §2.4): the bucket-size prune is a window count
-   *  over (band, bucket) — the SAME hash partitioning + ordering the
-   *  self-join needs — and the pruned frame is persisted, so the banded
-   *  keys cross the wire ONCE and the self-join runs exchange-free over
-   *  the cached co-partitioned copy. The groupBy → join-back → self-join
-   *  formulation this replaces shuffled the banded frame three times and
-   *  recomputed the pruned subtree once per join side. Returns the pairs
-   *  frame plus the cached intermediate for the caller's
-   *  [[materializeThenFree]]. */
+   *  pairs) → within-bucket pair emission → distinct (id_a < id_b)
+   *  pairs. One code path so bucket-cap semantics cannot drift between
+   *  the two operators. Prune and pair emission are one sorted
+   *  run-length pass ([[cappedRunPairs]]) — the banded keys shuffle
+   *  once, nothing is persisted. */
   private def bandedCandidatePairs(sig: DataFrame, bands: Int, rows: Int,
-      maxBucket: Int): (DataFrame, DataFrame) = {
+      maxBucket: Int): DataFrame = {
     val banded = sig.select(col("id"),
       posexplode(bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
-    val wn = Window.partitionBy("band", "bucket")
-    val pruned = banded
-      .withColumn("_n", count(lit(1)).over(wn))
-      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
-      .select("band", "bucket", "id")
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val pairs = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    (pairs, pruned)
+    cappedRunPairs(banded, Seq("band", "bucket"), "id", maxBucket)
   }
 
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
@@ -139,7 +284,7 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"),
         signatureFromShingles(TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val (pairs, prunedKeys) = bandedCandidatePairs(sig, bands, rows, maxBucket)
+    val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
     val out = pairs
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -147,7 +292,7 @@ object Dedup {
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
       .select("id_a", "id_b", "est_jaccard")
-    materializeThenFree(out, sig, prunedKeys)
+    materializeThenFree(out, sig)
   }
 
   /**
@@ -207,8 +352,8 @@ object Dedup {
   private[operators] def nearDuplicatesFromSigs(docsSlim: DataFrame,
       sig: DataFrame, threshold: Double, shingleWords: Int, bands: Int,
       rows: Int, maxBucket: Int, freeAlso: Seq[DataFrame] = Nil): DataFrame = {
-    val (pairs0, prunedKeys) = bandedCandidatePairs(sig, bands, rows, maxBucket)
-    val pairs = pairs0.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // semi-join reduction: only candidate docs' shingle arrays enter the
     // verification join — at scale candidates ≪ corpus, so this avoids
     // shuffling every document's (large) shingle array twice. The semi-join
@@ -230,7 +375,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
-    materializeThenFree(out, (Seq(pairs, prunedKeys, shNeeded) ++ freeAlso): _*)
+    materializeThenFree(out, (Seq(pairs, shNeeded) ++ freeAlso): _*)
   }
 
   /**

@@ -635,17 +635,23 @@ object DedupIndex {
     // RE-APPLIED at probe time: across appends a bucket can accrete past
     // the per-write cap ([[compact]] re-establishes it at rest) — without
     // this every future probe touching that bucket would pay its full
-    // membership forever. The cap is a window count over the bucket key
-    // (one shuffle of the pruned index keys, already partitioned for the
-    // candidate join below) — the groupBy + join-back formulation
-    // shuffled them twice and scanned the pruned parquet twice
-    // (guide §2.4, the bandedCandidatePairs reshape)
-    val idx = spark.read.parquet(dir)
-      .filter(col("bucket_part").isin(parts.map(_.asInstanceOf[Any]): _*))
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("bucket_part", "band", "bucket")))
-      .filter(col("_n") <= maxBucket)
+    // membership forever. Two-step shape (guide §2.3 + §2.5): the index
+    // keys are first SEMI-JOINED to the batch's distinct bucket keys — a
+    // bucket either matches a hot key (then ALL its members survive, so
+    // the cap still counts full membership) or is irrelevant to this
+    // probe — and only that hot subset is capped, via a sorted
+    // run-length pass (Dedup.cappedRuns) that discards an accreted
+    // degenerate bucket with O(maxBucket) task memory instead of a
+    // window buffer. The r17 window formulation counted EVERY bucket in
+    // every touched partition; the r16 groupBy + join-back additionally
+    // scanned the pruned parquet twice and shuffled its keys twice.
+    val hotset = hotKeys.select("bucket_part", "band", "bucket").distinct()
+    val idx = Dedup.cappedRuns(
+      spark.read.parquet(dir)
+        .filter(col("bucket_part").isin(parts.map(_.asInstanceOf[Any]): _*))
+        .select("bucket_part", "band", "bucket", "id")
+        .join(hotset, Seq("bucket_part", "band", "bucket"), "left_semi"),
+      Seq("bucket_part", "band", "bucket"), maxBucket)
     val cand = hotKeys
       .join(idx.select(col("bucket_part"), col("band"), col("bucket"),
           col("id").as("corpus_id")),

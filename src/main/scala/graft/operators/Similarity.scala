@@ -2448,30 +2448,25 @@ object Similarity {
     // sides read the cached co-partitioned copy (the groupBy → join-back
     // formulation shuffled the signature frame three times; guide §2.4 —
     // same reshape as Dedup.bandedCandidatePairs)
-    val wn = Window.partitionBy("tbl", "sig")
-    val pruned = sigs0
-      .withColumn("_n", count(lit(1)).over(wn))
-      .filter(col("_n") >= 2 && col("_n") <= maxBucket)
-      .select("tbl", "sig", "id")
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // bucket-size prune + within-bucket pair emission in ONE sorted
+    // run-length pass over the signature keys (Dedup.cappedRunPairs):
+    // the keys shuffle once, nothing is persisted, no self-join, and a
+    // degenerate bucket costs O(maxBucket) task memory instead of a
+    // window/group buffer (guide §2.4/§2.5; three-arm A/B vs the r16
+    // groupBy and r17 window formulations in OPTIMIZATION_r18.md §1).
+    // Incremental mode: the "pair involves a new id" restriction rides
+    // as a boolean flag attached BEFORE the shuffle (left join against
+    // the distinct new ids — broadcast-sized in steady state) instead of
+    // a semi-join + join against a persisted pruned frame.
     val pairs = (newIds match {
       case None =>
-        pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
-          .join(pruned.select(col("tbl"), col("sig"), col("id").as("id_b")),
-            Seq("tbl", "sig"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
+        Dedup.cappedRunPairs(sigs0, Seq("tbl", "sig"), "id", maxBucket)
       case Some(ids) =>
-        val newSigs = pruned.join(
-          ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_semi")
-        pruned.select(col("tbl"), col("sig"), col("id").as("id_a"))
-          .join(newSigs.select(col("tbl"), col("sig"), col("id").as("id_b")),
-            Seq("tbl", "sig"))
-          .filter(col("id_a") =!= col("id_b"))
-          .select(least(col("id_a"), col("id_b")).as("id_a"),
-            greatest(col("id_a"), col("id_b")).as("id_b"))
-    }).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        val flag = ids.select(col(ids.columns.head).as("id")).distinct()
+          .withColumn("_new", lit(true))
+        Dedup.cappedRunPairs(sigs0.join(flag, Seq("id"), "left"),
+          Seq("tbl", "sig"), "id", maxBucket, flagCol = Some("_new"))
+    }).persist(StorageLevel.MEMORY_AND_DISK_SER)
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -2509,7 +2504,7 @@ object Similarity {
       else verified.select("id_a", "id_b")
     // materialize the (small) pair result, then free the intermediate
     // caches — leaked persists thrash under memory pressure
-    Dedup.materializeThenFree(out, pruned, pairs, candIds, cand)
+    Dedup.materializeThenFree(out, pairs, candIds, cand)
   }
 
   /** The streaming wrapper, mirroring
