@@ -236,6 +236,19 @@ object TextKernelImplLm {
     else if (b == ' ') 36
     else -1
 
+  /** [[charIdx]] with a loud contract failure: the registered SQL surface
+   *  (`lm_mean_logp`) takes arbitrary input, and a silent -1 would index
+   *  a garbage/negative cell of the count table deep inside generated
+   *  code (r17 ADVICE). One predictable branch per char — negligible next
+   *  to the log() each trigram pays. */
+  private def charIdxChecked(b: Byte): Int = {
+    val i = charIdx(b)
+    if (i < 0) throw new IllegalArgumentException(
+      s"lm_mean_logp expects normalized [a-z0-9 ] input " +
+        s"(LanguageModel.normalize), got byte ${b.toInt} — normalize first")
+    i
+  }
+
   /** Dense index of a 3-char normalized trigram string: c1·37² + c2·37 + c3. */
   def triIndex(tri: String): Int = {
     require(tri.length == 3, s"trigram must be 3 chars, got '$tri'")
@@ -251,18 +264,22 @@ object TextKernelImplLm {
     * normalized text's trigram positions, summed IN POSITION ORDER — the
     * same addition order the exploded-row formulation's map-side Average
     * partial produced (a doc's trigram rows never left their scan
-    * partition), so the double is bit-identical. Caller guarantees
-    * length ≥ 3 and the normalized alphabet. */
+    * partition), so the double is bit-identical. The expression wrapper
+    * returns null below 3 bytes (nothing to score); the alphabet is
+    * validated per char — non-normalized input fails loudly instead of
+    * reading a garbage index (r17 ADVICE). */
   def lmMeanLogp(norm: UTF8String, tc: Array[Long], bc: Array[Long]): Double = {
     val n = norm.numBytes
+    require(n >= 3,
+      s"lm_mean_logp needs >= 3 normalized chars, got $n — guard or filter first")
     val nTr = n - 2
     var i = 0
     // running 2-char prefix index, shifted one char per step
-    var i1 = charIdx(norm.getByte(0))
-    var i2 = charIdx(norm.getByte(1))
+    var i1 = charIdxChecked(norm.getByte(0))
+    var i2 = charIdxChecked(norm.getByte(1))
     var sum = 0.0
     while (i < nTr) {
-      val i3 = charIdx(norm.getByte(i + 2))
+      val i3 = charIdxChecked(norm.getByte(i + 2))
       sum += java.lang.Math.log(
         (tc(i1 * V2 + i2 * V + i3) + 0.5) / (bc(i1 * V + i2) + 0.5 * V))
       i1 = i2
@@ -365,13 +382,25 @@ object TextKernels {
       while (i < tcArr.length) { bc(i / v) += tcArr(i); i += 1 }
       bc
     }
-    override def nullSafeEval(s: Any): Any =
-      TextKernelImplLm.lmMeanLogp(s.asInstanceOf[UTF8String], tcArr, bcArr)
+    // a sub-3-byte string has no trigram to average — null, not NaN or an
+    // out-of-bounds byte read (r17 ADVICE; the operator path filters
+    // length >= 3 before ever reaching here, so declared results are
+    // untouched — only the registered SQL surface changes)
+    override def nullable: Boolean = true
+    override def nullSafeEval(s: Any): Any = {
+      val u = s.asInstanceOf[UTF8String]
+      if (u.numBytes < 3) null
+      else TextKernelImplLm.lmMeanLogp(u, tcArr, bcArr)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val tcRef = ctx.addReferenceObj("lmTc", tcArr, "long[]")
       val bcRef = ctx.addReferenceObj("lmBc", bcArr, "long[]")
-      defineCodeGen(ctx, ev, v =>
-        s"graft.functions.TextKernelImplLm.lmMeanLogp($v, $tcRef, $bcRef)")
+      nullSafeCodeGen(ctx, ev, v => s"""
+        if ($v.numBytes() < 3) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.TextKernelImplLm.lmMeanLogp($v, $tcRef, $bcRef);
+        }""")
     }
     override def prettyName: String = "lm_mean_logp"
     override protected def withNewChildInternal(c: Expression): LmMeanLogp = copy(child = c)

@@ -290,7 +290,17 @@ object VectorKernels {
     var s = 0L
     val n = fs.numElements()
     var i = 0
-    while (i < n) { s += w(fs.getLong(i).toInt); i += 1 }
+    while (i < n) {
+      val idx = fs.getLong(i)
+      // the registered SQL surface (`nano_fold`) takes arbitrary input;
+      // internal callers are pmod-bounded and never trip this. One
+      // predictable compare per feature (r17 ADVICE).
+      if (idx < 0 || idx >= w.length)
+        throw new IllegalArgumentException(
+          s"nano_fold: feature index $idx outside the weight table [0, ${w.length})")
+      s += w(idx.toInt)
+      i += 1
+    }
     s
   }
 

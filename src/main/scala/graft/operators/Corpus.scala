@@ -174,15 +174,14 @@ object Corpus {
    * shorter than k tokens pass through untouched.
    *
    * Plan, 100 TB shape: positional grams are built scan-locally (indexed
-   * `transform`, no UDF) and deliberately NOT materialized — the gram
-   * stream is corpus×k-sized, so it is recomputed for the duplicate join
-   * rather than cached; duplicated grams come from one count-distinct
-   * aggregate on the gram text; covered positions anti-shape back via one
-   * gram join (no broadcast assumption — the duplicated-gram set scales
-   * with the corpus); `collect_set` dedupes coverage map-side so the
-   * per-doc coverage needs one groupBy, and the rebuild is one final
-   * doc-key join + scan-local indexed filter. Four shuffles, all on
-   * natural keys, no collect, no UDF.
+   * `transform`, no UDF) in ONE pass and NOT materialized; the
+   * duplicated-span frequency test is a sorted run-length distinct-doc
+   * counter over the gram key ([[flagMinDistinctRuns]] — one exchange of
+   * the gram stream, state bounded by the first minDocs−1 documents'
+   * rows per gram); per-doc coverage is one groupBy over the surviving
+   * (id, pos) rows (`collect_set` of positions — bounded by doc length),
+   * and the rebuild is one final doc-key join + scan-local indexed
+   * filter. Three shuffles, all on natural keys, no collect, no UDF.
    */
   def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 8, minDocs: Long = 2): DataFrame = {
@@ -199,10 +198,16 @@ object Corpus {
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("t")) - k),
           i => array_join(slice(col("t"), i + 1, lit(k)), " "))).as(Seq("pos", "gram")))
-    val covered = grams
-      .withColumn("_nd",
-        size(collect_set(col(idCol)).over(Window.partitionBy("gram"))))
-      .filter(col("_nd") >= minDocs)
+    // duplicated-span test in ONE pass of the gram stream: sorted by
+    // (gram, id), a streaming run-length counter keeps the rows of grams
+    // reaching `minDocs` DISTINCT documents ([[flagMinDistinctRuns]]) —
+    // bounded state per gram, where the r17 window `size(collect_set(id))`
+    // materialized the FULL distinct doc-id set per gram in one
+    // unspillable buffer only to compare its size (a boilerplate 8-gram
+    // shared by 10⁸ docs at the design point is an executor OOM — r17
+    // ADVICE, guide §2.5). Shuffle count is unchanged; only (id, pos)
+    // survive into the coverage explode.
+    val covered = flagMinDistinctRuns(grams, "gram", idCol, minDocs)
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
       .groupBy(idCol).agg(collect_set(col("p")).as("cov"))
     toks.join(covered, Seq(idCol), "left")
@@ -212,6 +217,73 @@ object Corpus {
             when(col("cov").isNotNull && array_contains(col("cov"), i), lit(null))
               .otherwise(tok)),
           x => x.isNotNull), " ").as("cleaned"))
+  }
+
+  /** Rows of `df` whose `keyCol` run (one exchange, sorted within
+   *  partitions by (keyCol, docCol)) spans at least `minDocs` DISTINCT
+   *  non-null `docCol` values — the duplicated-span frequency test of
+   *  [[removeRepeatedSpans]], streaming: a run's rows buffer only until
+   *  the distinct count reaches minDocs (equal doc ids are sort-adjacent,
+   *  so distinct = transition count), then the rest of the run flows
+   *  through row by row. Equivalent row set to the window formulation
+   *  `size(collect_set(docCol)).over(Window.partitionBy(keyCol)) >=
+   *  minDocs` it replaces — null doc ids do not count toward the distinct
+   *  total but pass through with a qualifying run (collect_set
+   *  semantics), null keys group together (window semantics) — without
+   *  materializing a per-key doc-id set (guide §2.5). */
+  private def flagMinDistinctRuns(df: DataFrame, keyCol: String,
+      docCol: String, minDocs: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(docCol))
+    val schema = sorted.schema
+    val kIdx = schema.fieldIndex(keyCol)
+    val dIdx = schema.fieldIndex(docCol)
+    val minD = minDocs
+    sorted.mapPartitions { it =>
+      def sameGroup(a: Row, b: Row): Boolean = {
+        val x = a.get(kIdx); val y = b.get(kIdx)
+        if (x == null) y == null else x == y
+      }
+      new scala.collection.AbstractIterator[Row] {
+        private var look: Row = if (it.hasNext) it.next() else null
+        private var out: Iterator[Row] = Iterator.empty
+        private var streamHead: Row = null // qualifying run still flowing
+        private def load(): Unit = {
+          while (!out.hasNext && (streamHead != null || look != null)) {
+            if (streamHead != null) {
+              // tail of a qualifying run: stream until the key changes
+              if (it.hasNext) {
+                val r = it.next()
+                if (sameGroup(streamHead, r)) out = Iterator.single(r)
+                else { look = r; streamHead = null }
+              } else streamHead = null
+            } else {
+              val head = look
+              look = null
+              val buf = new scala.collection.mutable.ArrayBuffer[Row](8)
+              buf += head
+              var lastDoc: Any = head.get(dIdx)
+              var distinct = if (lastDoc == null) 0L else 1L
+              var qualified = distinct >= minD
+              var scanning = !qualified
+              while (scanning && it.hasNext) {
+                val r = it.next()
+                if (sameGroup(head, r)) {
+                  val d = r.get(dIdx)
+                  if (d != null && d != lastDoc) { distinct += 1; lastDoc = d }
+                  buf += r
+                  if (distinct >= minD) { qualified = true; scanning = false }
+                } else { look = r; scanning = false }
+              }
+              if (qualified) { out = buf.iterator; streamHead = head }
+            }
+          }
+        }
+        def hasNext: Boolean = { load(); out.hasNext }
+        def next(): Row = { load(); out.next() }
+      }
+    }(Encoders.row(schema))
   }
 
   /**

@@ -48,6 +48,13 @@ object LanguageModel {
    * bigrams of the reference (same position set, so the model is
    * self-consistent). Unseen trigrams/bigrams fall back to the smoothing
    * mass. Docs with no trigram are excluded (nothing to score).
+   *
+   * Laziness contract (changed in r17, noted per ADVICE): the trained
+   * counts are collected EAGERLY at call time (the model is pinned to the
+   * reference as of this call), but the RETURNED frame is lazy — each
+   * action recomputes the scores from the current `docs` source. Callers
+   * needing a snapshot across actions over a mutating source should
+   * persist or localCheckpoint the result themselves.
    */
   def scoreDocs(docs: DataFrame, reference: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

@@ -379,7 +379,12 @@ object TextClassifier {
    *  fold/scatter over `fs` is order-independent exact-LONG arithmetic. */
   private def featureArrays(d0: DataFrame, textCol: String, idCol: String,
       dim: Int, extra: (String, Column)*): DataFrame = {
-    val toks = d0.select((col(idCol).as("id") +:
+    // a null-id doc never trained before the r17 scan-local reshape (the
+    // old groupBy(id) + inner id-join dropped it) — keep that contract so
+    // trained weights stay bit-identical across formulations on corpora
+    // that carry a null id (r17 ADVICE)
+    val d = d0.filter(col(idCol).isNotNull)
+    val toks = d.select((col(idCol).as("id") +:
       graft.functions.TextFunctions.tokens(col(textCol)).as("t") +:
       extra.map { case (n, c) => c.as(n) }): _*)
     val t = col("t")

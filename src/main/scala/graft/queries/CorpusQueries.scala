@@ -507,8 +507,29 @@ object CorpusQueries {
         val docsAll = t(s, dir, "documents")
         val bench = docsAll.filter(col("doc_id") % 50 === 0)
         val corp = QueryScratch.dir("corpus_card") + "/corpus.parquet"
-        val atRest = graft.operators.DedupIndex.readCorpus(s, corp)
+        val atRest0 = graft.operators.DedupIndex.readCorpus(s, corp)
           .drop("ingest_batch", "id_part")
+        // ONE corpus scan for the card's sweeps (near-dup signatures +
+        // candidate fetch, contamination grams, LM reference + scoring,
+        // PII/quality projection — previously ~6 independent scans of the
+        // at-rest parquet): the slim (doc_id, source, text) frame is
+        // persisted for the card's lifetime behind a size gate — at the
+        // 100 TB design point caching the corpus text is not an option,
+        // so past `graft.corpusCard.cacheBytes` (file bytes, default
+        // 4 GiB) the card falls back to per-sweep scans (guide §2.3/§6).
+        // The cache is built and freed INSIDE the query — nothing
+        // survives the run.
+        val gate = s.conf.get("graft.corpusCard.cacheBytes",
+          (4L << 30).toString).toLong
+        val cached = (try {
+          val p = new org.apache.hadoop.fs.Path(
+            graft.operators.AtRest.resolve(s, corp))
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        } catch { case _: Throwable => Long.MaxValue }) <= gate
+        val atRest = if (cached)
+          atRest0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        else atRest0
         val pairs = graft.operators.Dedup.nearDuplicates(atRest, threshold = 0.7)
         val dupIds = pairs.select(col("id_a").as("doc_id"))
           .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
@@ -520,7 +541,7 @@ object CorpusQueries {
             atRest.filter(col("doc_id") % 3 === 0))
           .select(col("doc_id"), col("lm_score"))
         val (_, nEmail, nUrl) = Corpus.redact(col("text"))
-        atRest.select(col("doc_id"), col("source"),
+        val card = atRest.select(col("doc_id"), col("source"),
             graft.functions.TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
             graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
             (nEmail + nUrl).as("pii"))
@@ -536,6 +557,18 @@ object CorpusQueries {
             sum(when(col("quality") < 0.6, 1L).otherwise(0L)).as("n_quality_low"),
             sum(when(col("lm_score") < -0.82, 1L).otherwise(0L)).as("n_lm_low"))
           .orderBy("source")
+        if (!cached) card
+        else {
+          // materialize the (tiny, one row per source) card, then free
+          // the corpus cache — the operator-persist discipline
+          // (Dedup.materializeThenFree's contract, inlined: that helper
+          // is operators-private)
+          val out = card.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          out.foreach(_ => ())
+          atRest.unpersist(blocking = false)
+          out
+        }
       },
       // seed (untimed): the timed number is the CARD computation over the
       // at-rest corpus, not the one-off corpus layout write

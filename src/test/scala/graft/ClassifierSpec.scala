@@ -162,4 +162,22 @@ class ClassifierSpec extends SparkSpec {
       .head.getDouble(0)
     assert(acc >= 0.9, s"train accuracy $acc")
   }
+
+  test("nano_fold rejects out-of-range feature indexes with a named error") {
+    import spark.implicits._
+    val w = Seq(10L, 20L, 30L)
+    val ok = Seq(Seq(0L, 2L, 2L)).toDF("fs")
+      .select(graft.functions.VectorFunctions.nano_fold(col("fs"), w).as("v"))
+      .collect().head.getLong(0)
+    assert(ok === 70L)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    Seq(Seq(3L), Seq(-1L)).foreach { bad =>
+      val e = intercept[Throwable] {
+        Seq(bad).toDF("fs")
+          .select(graft.functions.VectorFunctions.nano_fold(col("fs"), w)).collect()
+      }
+      assert(msgs(e).contains("nano_fold"), s"unexpected error: ${msgs(e)}")
+    }
+  }
 }

@@ -513,4 +513,20 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) === "head tail")
     assert(out(2L) === "other words ending here")
   }
+
+  test("removeRepeatedSpans: streaming distinct counter — many-doc grams and within-doc repeats") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    // 12 docs share the 8-gram (the run keeps STREAMING after the distinct
+    // count reaches minDocs=2 — the r18 run-length counter's flow path)
+    // and doc 1 carries it twice (equal ids are sort-adjacent and must
+    // count ONCE toward the distinct total)
+    val docs = (1L to 12L).map(i =>
+      (i, if (i == 1L) s"$shared filler1 $shared" else s"pre$i $shared post$i"))
+      .toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "filler1")
+    (2L to 12L).foreach(i => assert(out(i) === s"pre$i post$i"))
+  }
 }

@@ -60,4 +60,27 @@ class LanguageModelSpec extends SparkSpec {
       .select(LanguageModel.normalize(col("t"))).head.getString(0)
     assert(n === "h llo world 42")
   }
+
+  test("lm_mean_logp guards: < 3 chars is null, non-normalized input fails loudly") {
+    import spark.implicits._
+    val tc = Seq.fill(37 * 37 * 37)(0L)
+    // the operator path filters length >= 3 before the kernel; the
+    // registered SQL surface takes arbitrary input (r17 ADVICE)
+    val short = Seq("ab", "a", "").toDF("s")
+      .select(graft.functions.TextKernels.lm_mean_logp(col("s"), tc).as("v"))
+      .collect()
+    assert(short.forall(_.isNullAt(0)))
+    // exactly 3 normalized chars still scores (one trigram)
+    val three = Seq("abc").toDF("s")
+      .select(graft.functions.TextKernels.lm_mean_logp(col("s"), tc).as("v"))
+      .collect()
+    assert(!three.head.isNullAt(0))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val e = intercept[Throwable] {
+      Seq("ABC!").toDF("s")
+        .select(graft.functions.TextKernels.lm_mean_logp(col("s"), tc)).collect()
+    }
+    assert(msgs(e).contains("normalized"), s"unexpected error: ${msgs(e)}")
+  }
 }
