@@ -127,6 +127,35 @@ object DedupIndex {
       throw new IllegalStateException(s"publish rename $staging -> $target failed")
   }
 
+  /** Cluster `df` before a `partitionBy(layoutCol)` write so FILE COUNT
+   *  tracks DATA SIZE instead of the session's task count (guide §6):
+   *  without this, every write task emits one file per layout value it
+   *  holds — a micro-batch published up to tasks × nParts near-empty
+   *  files (measured at sf0.1: 128 files for 1 MB of index keys PER
+   *  BATCH), and every later probe/recheck/compact scan pays the
+   *  per-file open cost forever. Rows hash into
+   *  `lanes = ceil(rows / rowsPerFile)` deterministic salt lanes
+   *  (xxhash64 of `saltCol` — never rand(), guide §2.5/SPARK-38388), so
+   *  a small batch writes ~1 file per touched partition dir and a large
+   *  one scales file count linearly with rows. `rowsPerFile` is the
+   *  conf-tunable scale knob (`graft.atRest.keyRowsPerFile` /
+   *  `docRowsPerFile`); the local defaults are production-shaped
+   *  targets (~100-300 MB files), not local[32] constants. */
+  private def clusterForWrite(df: DataFrame, layoutCol: String,
+      saltCol: String, rows: Long, rowsPerFile: Long): DataFrame = {
+    val lanes = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile)
+    val nTasks = math.min(lanes * 16L, 100000L).toInt
+    df.repartition(nTasks, col(layoutCol),
+      pmod(xxhash64(col(saltCol)), lit(lanes)))
+  }
+
+  private def keyRowsPerFile(spark: SparkSession): Long =
+    spark.conf.getOption("graft.atRest.keyRowsPerFile").map(_.toLong)
+      .getOrElse(4000000L) // 4M (part, band, bucket, id) rows ≈ 150 MB
+  private def docRowsPerFile(spark: SparkSession): Long =
+    spark.conf.getOption("graft.atRest.docRowsPerFile").map(_.toLong)
+      .getOrElse(65536L) // 64k multi-KB documents ≈ 100-300 MB
+
   // ------------------------------------------------------------ meta sidecar
 
   private def indexMeta(numHashes: Int, bands: Int, shingleWords: Int,
@@ -487,10 +516,15 @@ object DedupIndex {
           maxBucket)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
+        // one count of the (persisted) keys feeds both the file-count
+        // sizing and the bloom's capacity — no extra pass vs the count
+        // writeBloomFile would otherwise run itself
+        val nKeys = keys.count()
         val (v, staging) = AtRest.nextStaging(fs, path)
-        keys.write.partitionBy("bucket_part").mode("overwrite")
+        clusterForWrite(keys, "bucket_part", "id", nKeys, keyRowsPerFile(spark))
+          .write.partitionBy("bucket_part").mode("overwrite")
           .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
-        writeBloomFile(keys, staging.toString, "seed")
+        writeBloomFile(keys, staging.toString, "seed", estimatedKeys = nKeys)
         // a seed REDEFINES the table's parameters — overwrite, don't
         // validate; staged IN the version so meta and data swap together
         AtRest.writeMetaStaged(spark, staging,
@@ -521,9 +555,13 @@ object DedupIndex {
           maxBucket)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
+        // one count of the (persisted) keys feeds the file-count sizing
+        // and the bloom's capacity — no extra pass
+        val nKeys = keys.count()
         // bloom first: committed keys must always be bloom-covered
-        writeBloomFile(keys, dir, s"a${System.nanoTime()}")
-        keys.withColumn("ingest_batch", lit(SeedBatch))
+        writeBloomFile(keys, dir, s"a${System.nanoTime()}", estimatedKeys = nKeys)
+        clusterForWrite(keys.withColumn("ingest_batch", lit(SeedBatch)),
+            "bucket_part", "id", nKeys, keyRowsPerFile(spark))
           .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(dir)
       } finally keys.unpersist(blocking = false)
     }
@@ -544,9 +582,15 @@ object DedupIndex {
     AtRest.withLease(spark, path) {
       val fs = fsFor(spark, path)
       val (v, staging) = AtRest.nextStaging(fs, path)
-      withIdPart(docs, idCol, nParts)
-        .write.partitionBy("id_part").mode("overwrite")
-        .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
+      // persist so the file-count sizing pass and the write compute the
+      // seed source once; freed before the version publishes
+      val laid = withIdPart(docs, idCol, nParts)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        clusterForWrite(laid, "id_part", idCol, laid.count(), docRowsPerFile(spark))
+          .write.partitionBy("id_part").mode("overwrite")
+          .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
+      } finally laid.unpersist(blocking = false)
       requireNoLayoutCols(docs, "writeCorpus seed")
       val meta = corpusMeta(idCol, nParts) ++
         Option(ledgerBy).map("ledgerBy" -> _).toMap +
@@ -959,18 +1003,24 @@ object DedupIndex {
             banded.join(admitted.select(col(idCol).as("id")), Seq("id"), "left_semi"),
             maxBucket)
           .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        // file-count sizing (guide §6): the admitted count n is already
+        // on hand, so the lane derivation costs nothing — without it a
+        // micro-batch published tasks × nParts near-empty files that
+        // every later probe/recheck/compact scan re-opens
+        val keysOut = clusterForWrite(keys, "bucket_part", "id",
+          n * bands, keyRowsPerFile(spark))
+        val docsOut = clusterForWrite(withIdPart(admitted, idCol, corpusParts),
+          "id_part", idCol, n, docRowsPerFile(spark))
         if (batchId >= 0) {
           // bloom before data: committed keys must always be bloom-covered
           writeBloomFile(keys, idxDir, s"b$batchId", estimatedKeys = n * bands)
-          publishBatchDir(keys, idxDir, "bucket_part", batchId)
-          publishBatchDir(withIdPart(admitted, idCol, corpusParts), corpDir,
-            "id_part", batchId)
+          publishBatchDir(keysOut, idxDir, "bucket_part", batchId)
+          publishBatchDir(docsOut, corpDir, "id_part", batchId)
         } else {
           writeBloomFile(keys, idxDir, s"a${System.nanoTime()}")
-          keys.withColumn("ingest_batch", lit(SeedBatch))
+          keysOut.withColumn("ingest_batch", lit(SeedBatch))
             .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(idxDir)
-          withIdPart(admitted, idCol, corpusParts)
-            .withColumn("ingest_batch", lit(SeedBatch))
+          docsOut.withColumn("ingest_batch", lit(SeedBatch))
             .write.partitionBy("ingest_batch", "id_part").mode("append").parquet(corpDir)
         }
         keys.unpersist(blocking = false)
