@@ -104,17 +104,24 @@ object Bench {
     // only the last 2000 chars (with sbt's "[success] ..." line after ours):
     // r01-r03 all recorded parsed:null because the full per-query map is
     // ~2.8KB and the line's head was cut off. Budget the printed line to
-    // 1800 chars — slowest queries first (the informative ones), 3-decimal
-    // seconds, and an explicit omitted-count so truncation is visible.
+    // 1900 chars (the only other trailing line is sbt's ~72-char success
+    // line) — slowest queries first (the informative ones), 2-decimal
+    // seconds in the map, and an explicit omitted-count so truncation is
+    // visible. r17 lesson: four completed sub-0.8 s queries fell off the
+    // printed line and read as "dropped" in the cross-round comparison —
+    // the tighter formatting + budget fit ~10 more rows (BENCH.json always
+    // carries all of them at full precision). Timing methodology unchanged.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // not the
         // default-locale f"" interpolator: de_DE would print 60,123
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val errJsonLine = errJsonCapped(3, 120)
     val suffixFor = (omitted: Int) =>
       s"""},"queries_omitted":$omitted,"completed":$completed,"errors":$errJsonLine,"sf":"${esc(sfDir)}"}"""
-    val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    val budget = 1800 - prefix.length - suffixFor(results.length).length
+    val bySlowest = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+    val budget = 1900 - prefix.length - suffixFor(results.length).length
     var used = 0
     val kept = bySlowest.takeWhile { e =>
       val cost = e.length + (if (used == 0) 0 else 1)
