@@ -71,17 +71,31 @@ object DedupIndex {
   /** The banded LSH key stream of `docs`: (bucket_part, band, bucket, id),
    *  scan-local except the final layout column. Shared by the write, append
    *  and probe paths so key derivation cannot drift between them. */
-  private def bandedKeys(docs: DataFrame, textCol: String, idCol: String,
-      numHashes: Int, bands: Int, shingleWords: Int, nParts: Int): DataFrame = {
-    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
+  /** Per-doc MinHash signature frame `(id, sig)` — THE signing pass, the
+   *  dominant scan-local cost of every dedup path (shingle + minhash
+   *  kernels over the full text). Factored out so the signatures can be
+   *  persisted at rest beside the index and never recomputed for
+   *  already-admitted documents (r17 verdict item 4). */
+  private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleWords: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-        Dedup.signatureFromShingles(
-          TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
-      .select(col("id"),
+      Dedup.signatureFromShingles(
+        TextFunctions.wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
+
+  /** Banded (bucket_part, band, bucket, id) keys from a `(id, sig)`
+   *  signature frame — pure arithmetic, no text access. */
+  private def bandedKeysFromSigs(sigs: DataFrame, bands: Int, rows: Int,
+      nParts: Int): DataFrame =
+    sigs.select(col("id"),
         posexplode(Dedup.bandBuckets(col("sig"), bands, rows)).as(Seq("band", "bucket")))
       .withColumn("bucket_part", pmod(xxhash64(col("band"), col("bucket")), lit(nParts)))
       .select("bucket_part", "band", "bucket", "id")
+
+  private def bandedKeys(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleWords: Int, nParts: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    bandedKeysFromSigs(sigFrame(docs, textCol, idCol, numHashes, shingleWords),
+      bands, numHashes / bands, nParts)
   }
 
   private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
@@ -117,12 +131,15 @@ object DedupIndex {
    *  double-append. Overwrite mode clobbers a dead attempt's partial
    *  staging. */
   private def publishBatchDir(df: DataFrame, dir: String, layoutCol: String,
-      batchId: Long): Unit = {
+      batchId: Long, alsoStage: Path => Unit = _ => ()): Unit = {
     val fs = fsFor(df.sparkSession, dir)
     val target = new Path(dir, s"ingest_batch=$batchId")
     if (fs.exists(target)) return
     val staging = new Path(dir, s"_staging_$batchId")
     df.write.partitionBy(layoutCol).mode("overwrite").parquet(staging.toString)
+    // extra sidecars (e.g. the batch's `_sigs`) land INSIDE the staging
+    // dir so they publish in the same atomic rename
+    alsoStage(staging)
     if (!fs.rename(staging, target))
       throw new IllegalStateException(s"publish rename $staging -> $target failed")
   }
@@ -155,6 +172,74 @@ object DedupIndex {
   private def docRowsPerFile(spark: SparkSession): Long =
     spark.conf.getOption("graft.atRest.docRowsPerFile").map(_.toLong)
       .getOrElse(65536L) // 64k multi-KB documents ≈ 100-300 MB
+  private def sigRowsPerFile(spark: SparkSession): Long =
+    spark.conf.getOption("graft.atRest.sigRowsPerFile").map(_.toLong)
+      .getOrElse(1000000L) // 1M (id, 32-hash sig) rows ≈ 150 MB
+
+  // ---------------------------------------------------- signature sidecar
+
+  /** At-rest MinHash signatures (r17 verdict item 4): every admitted
+   *  document's `(id, sig)` row persists beside its index keys —
+   *  `_sigs/` inside the version dir (seed / recheck rebuild / compact
+   *  carry) and inside each `ingest_batch=<n>/` dir (published in the
+   *  batch's atomic rename, so exactly-once replay covers them; the
+   *  at-least-once append paths use append mode and readers dedup by
+   *  id — signatures are deterministic, so duplicates are identical).
+   *  Underscore-prefixed, so corpus/index partition discovery never sees
+   *  them. Consumers (recheckCorpus) semi-join the sigs to the CURRENT
+   *  corpus ids and recompute any missing doc, so a legacy index, a
+   *  crash between sidecar and data, or tombstoned ghosts cost only the
+   *  fallback compute, never correctness. Parameter invalidation rides
+   *  `_meta.json`: [[readSigs]] returns None unless the index's
+   *  (numHashes, shingleWords) match the caller's — a plane change
+   *  invalidates every signature at once. */
+  private val SigsDir = "_sigs"
+
+  private def writeSigs(sigs: DataFrame, dir: String, rows: Long,
+      append: Boolean = false): Unit = {
+    val spark = sigs.sparkSession
+    val lanes = math.max(1L,
+      (rows + sigRowsPerFile(spark) - 1) / sigRowsPerFile(spark))
+    // one lane (micro-batches, small seeds): coalesce — no exchange, one
+    // file; many lanes: deterministic hash lanes for even file sizes
+    val laid = if (lanes == 1L) sigs.coalesce(1)
+      else sigs.repartition(lanes.toInt, pmod(xxhash64(col("id")), lit(lanes)))
+    laid.write.mode(if (append) "append" else "overwrite")
+      .parquet(new Path(dir, SigsDir).toString)
+  }
+
+  /** Every `_sigs` sidecar of the index's current version (see
+   *  [[SigsDir]]), or None when the index is absent, predates signature
+   *  persistence, or was signed under different (numHashes,
+   *  shingleWords). Rows may repeat an id (at-least-once appends) —
+   *  callers dedup. */
+  private def readSigs(spark: SparkSession, indexPath: String,
+      numHashes: Int, shingleWords: Int): Option[DataFrame] = {
+    val fs = fsFor(spark, indexPath)
+    if (!fs.exists(new Path(indexPath))) return None
+    val meta = AtRest.readMeta(spark, indexPath).getOrElse(Map.empty)
+    if (!meta.get("numHashes").contains(numHashes.toString) ||
+        !meta.get("shingleWords").contains(shingleWords.toString)) return None
+    val dir = new Path(AtRest.resolve(spark, indexPath))
+    if (!fs.exists(dir)) return None
+    val roots = new Path(dir, SigsDir) +:
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("ingest_batch="))
+        .map(st => new Path(st.getPath, SigsDir)).toSeq
+    val present = roots.filter(fs.exists)
+    if (present.isEmpty) None
+    else Some(spark.read.parquet(present.map(_.toString): _*))
+  }
+
+  /** Every `_sigs` sidecar path under a resolved version dir (no
+   *  parameter check — for maintenance passes that carry signatures
+   *  into a new version of the same table). */
+  private def sigPathsIn(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val roots = new Path(dir, SigsDir) +:
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("ingest_batch="))
+        .map(st => new Path(st.getPath, SigsDir)).toSeq
+    roots.filter(fs.exists)
+  }
 
   // ------------------------------------------------------------ meta sidecar
 
@@ -508,29 +593,47 @@ object DedupIndex {
   def writeAtRest(corpus: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleWords: Int = 3, maxBucket: Int = 1000, nParts: Int = 16): Unit = {
-    val spark = corpus.sparkSession
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    writeAtRestFromSigs(sigFrame(corpus, textCol, idCol, numHashes, shingleWords),
+      path, numHashes, bands, shingleWords, maxBucket, nParts)
+  }
+
+  /** [[writeAtRest]] from a CALLER-OWNED `(id, sig)` frame — lets
+   *  [[recheckCorpus]] rebuild the index from the signatures it already
+   *  has (at-rest sidecars + the recheck's own fills) instead of paying
+   *  a second full-corpus signing pass. Also persists the signatures as
+   *  the new version's `_sigs` sidecar (see [[SigsDir]]). */
+  private def writeAtRestFromSigs(sigs0: DataFrame, path: String,
+      numHashes: Int, bands: Int, shingleWords: Int, maxBucket: Int,
+      nParts: Int): Unit = {
+    val spark = sigs0.sparkSession
     AtRest.withLease(spark, path) {
       val fs = fsFor(spark, path)
+      val sigs = sigs0.persist(StorageLevel.MEMORY_AND_DISK_SER)
       val keys = capBuckets(
-          bandedKeys(corpus, textCol, idCol, numHashes, bands, shingleWords, nParts),
-          maxBucket)
+          bandedKeysFromSigs(sigs, bands, numHashes / bands, nParts), maxBucket)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
-        // one count of the (persisted) keys feeds both the file-count
-        // sizing and the bloom's capacity — no extra pass vs the count
+        // one count of each persisted frame feeds the file-count sizing
+        // and the bloom's capacity — no extra pass vs the count
         // writeBloomFile would otherwise run itself
+        val nSigs = sigs.count()
         val nKeys = keys.count()
         val (v, staging) = AtRest.nextStaging(fs, path)
         clusterForWrite(keys, "bucket_part", "id", nKeys, keyRowsPerFile(spark))
           .write.partitionBy("bucket_part").mode("overwrite")
           .parquet(new Path(staging, s"ingest_batch=$SeedBatch").toString)
+        writeSigs(sigs, staging.toString, nSigs)
         writeBloomFile(keys, staging.toString, "seed", estimatedKeys = nKeys)
         // a seed REDEFINES the table's parameters — overwrite, don't
         // validate; staged IN the version so meta and data swap together
         AtRest.writeMetaStaged(spark, staging,
           indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
         AtRest.publishVersion(spark, path, v, "bucket_part")
-      } finally keys.unpersist(blocking = false)
+      } finally {
+        keys.unpersist(blocking = false)
+        sigs.unpersist(blocking = false)
+      }
     }
   }
 
@@ -550,20 +653,29 @@ object DedupIndex {
       AtRest.validateOrAdoptMeta(spark, path,
         indexMeta(numHashes, bands, shingleWords, nParts, maxBucket))
       val dir = AtRest.ensureVersioned(spark, path)
+      require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+      val sigs = sigFrame(docs, textCol, idCol, numHashes, shingleWords)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val keys = capBuckets(
-          bandedKeys(docs, textCol, idCol, numHashes, bands, shingleWords, nParts),
-          maxBucket)
+          bandedKeysFromSigs(sigs, bands, numHashes / bands, nParts), maxBucket)
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try {
-        // one count of the (persisted) keys feeds the file-count sizing
+        // one count of each persisted frame feeds the file-count sizing
         // and the bloom's capacity — no extra pass
+        val nSigs = sigs.count()
         val nKeys = keys.count()
-        // bloom first: committed keys must always be bloom-covered
+        // sigs first, then bloom, then keys: a crash leaves ghosts
+        // readers tolerate (sigs semi-join to the corpus; bloom false
+        // positives are harmless), never committed keys without cover
+        writeSigs(sigs, dir, nSigs, append = true)
         writeBloomFile(keys, dir, s"a${System.nanoTime()}", estimatedKeys = nKeys)
         clusterForWrite(keys.withColumn("ingest_batch", lit(SeedBatch)),
             "bucket_part", "id", nKeys, keyRowsPerFile(spark))
           .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(dir)
-      } finally keys.unpersist(blocking = false)
+      } finally {
+        keys.unpersist(blocking = false)
+        sigs.unpersist(blocking = false)
+      }
     }
   }
 
@@ -1011,12 +1123,19 @@ object DedupIndex {
           n * bands, keyRowsPerFile(spark))
         val docsOut = clusterForWrite(withIdPart(admitted, idCol, corpusParts),
           "id_part", idCol, n, docRowsPerFile(spark))
+        // the admitted docs' signatures persist beside their index keys
+        // (see SigsDir) — the shared banded pass already computed them,
+        // so future rechecks never re-sign these documents
+        val admittedSigs = sigs.join(
+          admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
         if (batchId >= 0) {
           // bloom before data: committed keys must always be bloom-covered
           writeBloomFile(keys, idxDir, s"b$batchId", estimatedKeys = n * bands)
-          publishBatchDir(keysOut, idxDir, "bucket_part", batchId)
+          publishBatchDir(keysOut, idxDir, "bucket_part", batchId,
+            alsoStage = st => writeSigs(admittedSigs, st.toString, n))
           publishBatchDir(docsOut, corpDir, "id_part", batchId)
         } else {
+          writeSigs(admittedSigs, idxDir, n, append = true)
           writeBloomFile(keys, idxDir, s"a${System.nanoTime()}")
           keysOut.withColumn("ingest_batch", lit(SeedBatch))
             .write.partitionBy("ingest_batch", "bucket_part").mode("append").parquet(idxDir)
@@ -1372,6 +1491,19 @@ object DedupIndex {
     // complete the instant it becomes current
     writeBloomFile(spark.read.parquet(dataDir.toString).select("band", "bucket"),
       staging.toString, "compact")
+    // carry the version's signature sidecars into the new version,
+    // deduped by id (at-least-once appends may repeat rows; signatures
+    // are deterministic, so any copy is the copy) — compaction changes
+    // the key layout, never the signatures
+    val sigSrc = sigPathsIn(fs, new Path(cur))
+    if (sigSrc.nonEmpty) {
+      // carried AS-IS: readers dedup by id anyway (readSigs contract),
+      // so compaction doesn't pay a distinct shuffle for it
+      val sigs = spark.read.parquet(sigSrc.map(_.toString): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      try writeSigs(sigs, staging.toString, math.max(sigs.count(), 1L))
+      finally sigs.unpersist(blocking = false)
+    }
     // compaction re-derives the layout but not the signature: keep the
     // stored signature params, update what this pass can change — staged
     // IN the new version, so a crash before the swap cannot leave meta
@@ -1405,10 +1537,36 @@ object DedupIndex {
       score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_))
       : Long = AtRest.withLease(spark, corpusPath) {
     AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val fs = fsFor(spark, corpusPath)
     val corpus = readCorpus(spark, corpusPath).drop("ingest_batch", "id_part")
-    val pairs = Dedup.nearDuplicates(corpus, textCol, idCol, threshold,
-      shingleWords, numHashes, bands, maxBucket)
+    val corpusSlim = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+    // the recheck's dominant cost was TWO full-corpus signing passes
+    // (candidate generation + index rebuild). At-rest `_sigs` sidecars
+    // (see SigsDir) now supply every already-admitted document's
+    // signature: semi-join to the live corpus (tombstoned ghosts drop),
+    // dedup by id (at-least-once appends), recompute ONLY the gap docs
+    // (legacy seed, crash window) — signatures are deterministic
+    // functions of (text, numHashes, shingleWords), so the candidate set
+    // is bit-identical to a fresh signing. The rebuild below reuses the
+    // same frame, so a fully-covered recheck signs nothing.
+    val sig = (readSigs(spark, indexPath, numHashes, shingleWords) match {
+      case Some(atRest) =>
+        val have = atRest
+          .join(corpusSlim.select("id"), Seq("id"), "left_semi")
+          .dropDuplicates("id")
+        // gap detection on IDS ONLY, then a semi-join back for the gap
+        // docs' text: the corpus text column never shuffles for the gap
+        // test (guide §2.3/§8 — decide with small rows), and the gap is
+        // normally empty/tiny so the text fetch broadcasts
+        val gapIds = corpusSlim.select("id")
+          .join(have.select("id"), Seq("id"), "left_anti")
+        val gapDocs = corpusSlim.join(gapIds, Seq("id"), "left_semi")
+        have.unionByName(sigFrame(gapDocs, "text", "id", numHashes, shingleWords))
+      case None => sigFrame(corpusSlim, "text", "id", numHashes, shingleWords)
+    }).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val pairs = Dedup.nearDuplicatesFromSigs(corpusSlim, sig, threshold,
+      shingleWords, bands, numHashes / bands, maxBucket)
     val best = Dedup.nearDupKeepBest(
       corpus.withColumn("_score", score(col(textCol))), pairs, "_score", idCol)
     val dropIds = best.filter(col("doc_id") =!= col("keep_id"))
@@ -1445,9 +1603,15 @@ object DedupIndex {
         publishLedgerDelta(collapseLedger(merged), staging.toString, SeedBatch)
       }
       AtRest.publishVersion(spark, corpusPath, v, "id_part")
-      writeAtRest(readCorpus(spark, corpusPath), indexPath, textCol, idCol,
-        numHashes, bands, shingleWords, maxBucket, nParts)
+      // rebuild the index from the signatures already on hand (the
+      // rewritten corpus = old corpus minus dropIds, and `sig` covers
+      // every old doc) — no second full-corpus signing pass; the new
+      // version's _sigs sidecar carries the survivors forward
+      writeAtRestFromSigs(
+        sig.join(dropIds.select(col(idCol).as("id")), Seq("id"), "left_anti"),
+        indexPath, numHashes, bands, shingleWords, maxBucket, nParts)
     }
+    sig.unpersist(blocking = false)
     dropIds.unpersist(blocking = false)
     nDropped
   }

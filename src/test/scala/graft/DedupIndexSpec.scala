@@ -312,6 +312,55 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 0L)
   }
 
+  test("at-rest signature sidecars: seed and ingest publish them, recheck and compact carry them, fallback stays correct") {
+    import spark.implicits._
+    val root = tempDir("lsh_sigs")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(n: Int, extra: Int = 0) =
+      ((0 until 12).map(i => s"sg${n}t$i") ++ (0 until extra).map(i => s"y$i")).mkString(" ")
+    val seed = Seq((1L, doc(1)), (2L, doc(1, 2)), (3L, doc(3))).toDF("doc_id", "text")
+    DedupIndex.writeCorpus(seed, corp)
+    DedupIndex.writeAtRest(seed, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sigDirs(): Seq[org.apache.hadoop.fs.Path] = {
+      val cur = new org.apache.hadoop.fs.Path(graft.operators.AtRest.resolve(spark, idx))
+      (new org.apache.hadoop.fs.Path(cur, "_sigs") +:
+        fs.listStatus(cur).filter(_.getPath.getName.startsWith("ingest_batch="))
+          .map(st => new org.apache.hadoop.fs.Path(st.getPath, "_sigs")).toSeq)
+        .filter(fs.exists)
+    }
+    def atRestSigs() = spark.read.parquet(sigDirs().map(_.toString): _*)
+    // the seed's sidecar covers every doc and EQUALS a fresh signing pass
+    val fresh = seed.select(col("doc_id").as("id"),
+        Dedup.signatureFromShingles(
+          graft.functions.TextFunctions.wordShingles(col("text"), 3), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toList).toMap
+    val stored = atRestSigs()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toList).toMap
+    assert(stored === fresh)
+    // an exactly-once batch publishes its admitted docs' sigs inside the
+    // batch dir (same atomic rename as the keys)
+    DedupIndex.ingestBatch(Seq((10L, doc(7))).toDF("doc_id", "text"),
+      idx, corp, batchId = 0L)
+    assert(atRestSigs().select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 10L))
+    // recheck consumes the sidecars and the rebuilt index carries the
+    // survivors' sigs forward (1 drops: 2 is the longer cluster member)
+    assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 1L)
+    assert(atRestSigs().select("id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L, 10L))
+    // compaction rewrites the key layout but carries the signatures
+    DedupIndex.compact(spark, idx)
+    assert(atRestSigs().select("id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L, 10L))
+    // sidecars gone (legacy index shape): the recheck falls back to a
+    // fresh signing pass and stays correct/idempotent
+    sigDirs().foreach(p => fs.delete(p, true))
+    assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 0L)
+  }
+
   test("cross-shard in-flight near-dup race: the delta re-probe drops the later committer") {
     import spark.implicits._
     val root = tempDir("lsh_race")
