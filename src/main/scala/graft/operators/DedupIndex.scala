@@ -1558,10 +1558,15 @@ object DedupIndex {
         // gap detection on IDS ONLY, then a semi-join back for the gap
         // docs' text: the corpus text column never shuffles for the gap
         // test (guide §2.3/§8 — decide with small rows), and the gap is
-        // normally empty/tiny so the text fetch broadcasts
-        val gapIds = corpusSlim.select("id")
-          .join(have.select("id"), Seq("id"), "left_anti")
-        val gapDocs = corpusSlim.join(gapIds, Seq("id"), "left_semi")
+        // normally empty/tiny so the text fetch broadcasts. Null-safe
+        // (<=>) fetch: a null-id doc can never match the id-keyed
+        // sidecar, so it must ALWAYS take the gap (recompute) path —
+        // a plain semi-join would silently drop its signature and make
+        // bucket membership formulation-dependent on corpora carrying a
+        // null id (the r17-ADVICE featureArrays bug class).
+        val gapIds = corpusSlim.select(col("id").as("_gid"))
+          .join(have.select("id"), col("_gid") === col("id"), "left_anti")
+        val gapDocs = corpusSlim.join(gapIds, col("id") <=> col("_gid"), "left_semi")
         have.unionByName(sigFrame(gapDocs, "text", "id", numHashes, shingleWords))
       case None => sigFrame(corpusSlim, "text", "id", numHashes, shingleWords)
     }).persist(StorageLevel.MEMORY_AND_DISK_SER)

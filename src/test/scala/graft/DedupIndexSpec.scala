@@ -361,6 +361,27 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 0L)
   }
 
+  test("at-rest sigs: a null-id document always takes the recompute path and recheck stays correct") {
+    import spark.implicits._
+    val root = tempDir("lsh_sigs_null")
+    val idx = s"$root/index.parquet"
+    val corp = s"$root/corpus.parquet"
+    def doc(n: Int, extra: Int = 0) =
+      ((0 until 12).map(i => s"nn${n}t$i") ++ (0 until extra).map(i => s"z$i")).mkString(" ")
+    // a null-id doc can never round-trip through the id-keyed sidecar:
+    // the null-safe gap fetch must recompute it, keeping bucket
+    // membership identical to the sidecar-free formulation
+    val seed = Seq[(java.lang.Long, String)]((1L, doc(1)), (2L, doc(1, 2)), (null, doc(5)))
+      .toDF("doc_id", "text")
+    DedupIndex.writeCorpus(seed, corp)
+    DedupIndex.writeAtRest(seed, idx)
+    assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 1L)
+    val left = DedupIndex.readCorpus(spark, corp).select("doc_id").collect()
+      .map(r => if (r.isNullAt(0)) "null" else r.getLong(0).toString).toSet
+    assert(left === Set("2", "null")) // 1 dropped (2 longer); null survives
+    assert(DedupIndex.recheckCorpus(spark, corp, idx, threshold = 0.5) === 0L)
+  }
+
   test("cross-shard in-flight near-dup race: the delta re-probe drops the later committer") {
     import spark.implicits._
     val root = tempDir("lsh_race")
