@@ -20,48 +20,17 @@ object SparkEntry {
       SortSetQueries.all ++ ScalarQueries.all ++ RelationalQueries.all ++
       ZarrQueries.all ++ MLQueries.all ++ CorpusQueries.all
 
-  /** Size-based AQE partition coalescing, applied once per session at
-   *  query invocation (guide §2.2/§2.6; r17 verdict item 5): with the
-   *  default `parallelismFirst=true`, AQE coalesces tiny post-shuffle
-   *  stages only down to the CORE COUNT, so the many-stage lifecycle
-   *  operators (ingest/recheck/compact) schedule cores × stages
-   *  near-empty tasks — measured ANTI-scaling at sf0.1 (8 cores beat 32,
-   *  ratios 0.45-0.73), pure scheduling overhead. `false` makes AQE
-   *  respect `advisoryPartitionSizeInBytes` instead: partition count
-   *  derives from DATA SIZE at any scale (tiny batch → 1 task, 100 TB
-   *  shuffle → thousands), which is also the Spark tuning guide's
-   *  recommendation. Back-to-back min-of-N at local[32]/sf0.1:
-   *  q_dedup_recheck 6.93→5.71 s, q_sim_filtered 3.69→2.95 s, ingest/
-   *  card/approx_distinct flat (OPTIMIZATION_r18.md §7). An explicit
-   *  setting (builder conf / --conf / -D system property) wins — the
-   *  knob stays deployment-parameterised; only the default shifts. */
-  private def tuneSession(spark: SparkSession): Unit = {
-    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    if (!spark.sparkContext.getConf.contains(key) &&
-        spark.conf.getOption("graft.tuned").isEmpty) {
-      spark.conf.set(key, "false")
-      spark.conf.set("graft.tuned", "true")
-    }
-  }
-  private def tuned(fn: (SparkSession, String) => DataFrame):
-      (SparkSession, String) => DataFrame =
-    (s, d) => { tuneSession(s); fn(s, d) }
-
   /** Flagship on sf0.001: the reference's STAC-style Zarr search end-to-end. */
-  def entry(spark: SparkSession): DataFrame = {
-    tuneSession(spark)
-    ZarrQueries.flagship(spark)
-  }
+  def entry(spark: SparkSession): DataFrame = ZarrQueries.flagship(spark)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allQueries.map(q => q.name -> tuned(q.fn)).toMap
+    allQueries.map(q => q.name -> q.fn).toMap
 
   /** Untimed seed phases (see [[graft.queries.Q.prepare]]): the bench
    *  runs a query's prepare before each timed attempt; Verify runs it
    *  before the dump. Queries without one are unaffected. */
   def prepares: Map[String, (SparkSession, String) => Unit] =
-    allQueries.flatMap(q => q.prepare.map(p =>
-      q.name -> { (s: SparkSession, d: String) => tuneSession(s); p(s, d) })).toMap
+    allQueries.flatMap(q => q.prepare.map(p => q.name -> p)).toMap
 
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap

@@ -276,7 +276,7 @@ object Dedup {
 
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame = StageCoalesce.sizeBased(docs.sparkSession) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // serialized storage: signature arrays cached deserialized thrash the
@@ -351,7 +351,8 @@ object Dedup {
    *  unpersisted with the internals once the result materializes. */
   private[operators] def nearDuplicatesFromSigs(docsSlim: DataFrame,
       sig: DataFrame, threshold: Double, shingleWords: Int, bands: Int,
-      rows: Int, maxBucket: Int, freeAlso: Seq[DataFrame] = Nil): DataFrame = {
+      rows: Int, maxBucket: Int, freeAlso: Seq[DataFrame] = Nil): DataFrame =
+      StageCoalesce.sizeBased(docsSlim.sparkSession) {
     val pairs = bandedCandidatePairs(sig, bands, rows, maxBucket)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // semi-join reduction: only candidate docs' shingle arrays enter the
@@ -423,7 +424,8 @@ object Dedup {
    * only driver work is the convergence check (a count), so 100 TB of
    * pairs iterate as ordinary shuffles.
    */
-  def nearDupGroups(pairs: DataFrame): DataFrame = {
+  def nearDupGroups(pairs: DataFrame): DataFrame =
+      StageCoalesce.sizeBased(pairs.sparkSession) {
     // localCheckpoint (not persist): iterative plans NEST — without lineage
     // truncation round N's logical tree embeds round N-1's several times
     // plus the whole candidate pipeline, and driver-side analysis/

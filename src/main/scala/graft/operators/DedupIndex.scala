@@ -869,7 +869,8 @@ object DedupIndex {
       corpusPath: String, threshold: Double = 0.7, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 32, bands: Int = 8,
       shingleWords: Int = 3, nParts: Int = 16, maxBucket: Int = 1000,
-      corpusParts: Int = 16, preBanded: DataFrame = null): DataFrame = {
+      corpusParts: Int = 16, preBanded: DataFrame = null): DataFrame =
+      StageCoalesce.sizeBased(spark) {
     AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
     val corpDir = AtRest.resolve(spark, corpusPath)
     probeCore(spark, indexPath, batch,
@@ -949,7 +950,8 @@ object DedupIndex {
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
       nParts: Int = 16, maxBucket: Int = 1000, batchId: Long = -1L,
       corpusParts: Int = 16, leaseOwner: String = null,
-      shard: Int = 0, nShards: Int = 1): Long = {
+      shard: Int = 0, nShards: Int = 1): Long =
+      StageCoalesce.sizeBased(batch.sparkSession) {
     val spark = batch.sparkSession
     val fs = fsFor(spark, corpusPath)
     if (batchId >= 0 && fs.exists(committedMarker(corpusPath, batchId))) {
@@ -1473,7 +1475,8 @@ object DedupIndex {
    * WRITERS first: the lease enforces that loudly.
    */
   def compact(spark: SparkSession, path: String, maxBucket: Int = 1000,
-      nParts: Int = 16): Unit = AtRest.withLease(spark, path) {
+      nParts: Int = 16): Unit =
+      StageCoalesce.sizeBased(spark)(AtRest.withLease(spark, path) {
     val fs = fsFor(spark, path)
     val cur = AtRest.resolve(spark, path)
     val all = spark.read.parquet(cur)
@@ -1512,7 +1515,7 @@ object DedupIndex {
       Map("nParts" -> nParts.toString, "maxBucket" -> maxBucket.toString)
     AtRest.writeMetaStaged(spark, staging, merged)
     AtRest.publishVersion(spark, path, v, "bucket_part")
-  }
+  })
 
   /**
    * OFFLINE quality recheck — the "offline compaction pass can still
@@ -1535,7 +1538,7 @@ object DedupIndex {
       numHashes: Int = 32, bands: Int = 8, shingleWords: Int = 3,
       maxBucket: Int = 1000, nParts: Int = 16, corpusParts: Int = 16,
       score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_))
-      : Long = AtRest.withLease(spark, corpusPath) {
+      : Long = StageCoalesce.sizeBased(spark)(AtRest.withLease(spark, corpusPath) {
     AtRest.validateMeta(spark, corpusPath, corpusMeta(idCol, corpusParts))
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val fs = fsFor(spark, corpusPath)
@@ -1619,7 +1622,7 @@ object DedupIndex {
     sig.unpersist(blocking = false)
     dropIds.unpersist(blocking = false)
     nDropped
-  }
+  })
 
   // ledger-delta id namespace for recheck adjustments: stream batch ids
   // are >= 0, the seed is -1 (ad-hoc appends are REJECTED on ledgered
@@ -1669,7 +1672,7 @@ object DedupIndex {
       bands: Int = 8, shingleWords: Int = 3, maxBucket: Int = 1000,
       nParts: Int = 16, corpusParts: Int = 16,
       score: org.apache.spark.sql.Column => org.apache.spark.sql.Column = length(_))
-      : Long = {
+      : Long = StageCoalesce.sizeBased(spark) {
     require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
     val fs = fsFor(spark, corpusPath)
     val marker = new Path(corpusPath, s"_committed/recheck-$recheckId")
@@ -1903,7 +1906,8 @@ object DedupIndex {
    *  version is written without the removed rows and carries no
    *  `_tombstones` sidecar). Same offline/lease-fenced contract. */
   def compactCorpus(spark: SparkSession, path: String, idCol: String = "doc_id",
-      nParts: Int = 16): Unit = AtRest.withLease(spark, path) {
+      nParts: Int = 16): Unit =
+      StageCoalesce.sizeBased(spark)(AtRest.withLease(spark, path) {
     val fs = fsFor(spark, path)
     val cur = AtRest.resolve(spark, path)
     val all = corpusScanDir(spark, path, cur)
@@ -1925,5 +1929,5 @@ object DedupIndex {
     // full-sweeps the folded range once instead of silently skipping it
     AtRest.writeCollapseFrontier(fs, path, maxCommittedBatch(fs, path))
     AtRest.publishVersion(spark, path, v, "id_part")
-  }
+  })
 }

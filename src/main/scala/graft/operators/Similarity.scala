@@ -605,7 +605,8 @@ object Similarity {
    */
   def ivfTrainKmeans(corpus: DataFrame, nLists: Int = 16, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxTrainRows: Long = 0): Seq[Seq[Float]] = {
+      maxTrainRows: Long = 0): Seq[Seq[Float]] =
+      StageCoalesce.sizeBased(corpus.sparkSession) {
     val base = corpus.select(col(idCol), col(vecCol))
     if (maxTrainRows > 0) {
       val n = base.count()
@@ -1032,7 +1033,7 @@ object Similarity {
       vecCol: String = "embedding",
       maxTrainRows: Long = 65536, pqIters: Int = 5,
       rerankFrom: DataFrame = null): Seq[Seq[Float]] =
-    AtRest.withLease(spark, path) {
+    StageCoalesce.sizeBased(spark)(AtRest.withLease(spark, path) {
       val codesOnly = ivfCodesOnlyOf(spark, path)
       if (codesOnly && rerankFrom == null)
         throw new IllegalStateException(
@@ -1186,7 +1187,7 @@ object Similarity {
           pqResidual = if (residual) Some(true) else None)
         cb
       } finally train.unpersist(blocking = false)
-    }
+    })
 
   /**
    * Probe an at-rest IVF table: the probes' wanted lists (≤ nProbe ×
@@ -1603,7 +1604,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       batchId: Long = -1L, maxExactBatch: Long = 10000L,
       leaseOwner: String = null, shard: Int = 0, nShards: Int = 1,
-      rerankFrom: DataFrame = null): Long = {
+      rerankFrom: DataFrame = null): Long = StageCoalesce.sizeBased(newVecs.sparkSession) {
     val spark = newVecs.sparkSession
     val fs = AtRest.fsFor(spark, path)
     val marker = new org.apache.hadoop.fs.Path(path, s"_committed/batch-$batchId")
@@ -2091,11 +2092,11 @@ object Similarity {
       vecCol: String = "embedding", scoreCol: String = null,
       planesPerTable: Int = 0, tables: Int = 0, maxBucket: Int = 1000,
       rerankFrom: DataFrame = null): Long =
-    AtRest.withLease(spark, path) {
+    StageCoalesce.sizeBased(spark)(AtRest.withLease(spark, path) {
       recheckSweep(spark, path, sinceBatch = None,
         threshold, idCol, vecCol, scoreCol, planesPerTable, tables, maxBucket,
         rerankFrom)
-    }
+    })
 
   /**
    * [[ivfRecheck]] restricted to RECENT arrivals — the frequent backstop
@@ -2124,7 +2125,8 @@ object Similarity {
       sinceBatch: Long, recheckId: Long, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scoreCol: String = null, planesPerTable: Int = 0, tables: Int = 0,
-      maxBucket: Int = 1000, rerankFrom: DataFrame = null): Long = {
+      maxBucket: Int = 1000, rerankFrom: DataFrame = null): Long =
+      StageCoalesce.sizeBased(spark) {
     require(recheckId >= 0, s"recheckId must be >= 0, got $recheckId")
     val fs = AtRest.fsFor(spark, path)
     DedupIndex.recheckMarkerInfo(fs, path, recheckId) match {
@@ -2177,7 +2179,7 @@ object Similarity {
       path: String, threshold: Double = 0.95, idCol: String = "vec_id",
       vecCol: String = "embedding", scoreCol: String = null,
       planesPerTable: Int = 0, tables: Int = 0, maxBucket: Int = 1000,
-      rerankFrom: DataFrame = null): Long = {
+      rerankFrom: DataFrame = null): Long = StageCoalesce.sizeBased(spark) {
     val fs = AtRest.fsFor(spark, path)
     val (since, id) = DedupIndex.readFrontier(fs, path).getOrElse {
       val dir = new org.apache.hadoop.fs.Path(path, "_committed")
@@ -2441,7 +2443,8 @@ object Similarity {
   private def pairsFromSigs(sigs0: DataFrame, vecs: DataFrame,
       newIds: Option[DataFrame], threshold: Double, maxBucket: Int,
       withCosine: Boolean = false,
-      requireVecCoverage: Boolean = false): DataFrame = {
+      requireVecCoverage: Boolean = false): DataFrame =
+      StageCoalesce.sizeBased(sigs0.sparkSession) {
     // bucket-size prune as a window count over (tbl, sig) — ONE shuffle
     // of the signature keys, already the hash partitioning + ordering the
     // self-join below needs, with the pruned frame persisted so both join
